@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Benchmark: run the declared query corpus at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nasctn_sea_ingest_spark import get_spark
+from nasctn_sea_ingest_spark.plans import CORPUS
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus,
+                      extra_conf={"spark.sql.legacy.parquet.nanosAsLong": "true"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen paths once on the smallest data so per-query times
+    # measure execution, not first-call JIT
+    CORPUS[0].spark(spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for q in CORPUS:
+        t0 = time.perf_counter()
+        df = q.spark(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[q.name] = round(dt, 3)
+        total += dt
+        print(f"# {q.name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "corpus_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

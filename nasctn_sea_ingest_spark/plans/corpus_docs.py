@@ -1,0 +1,293 @@
+"""Document-pipeline query corpus: dedup (exact / n-gram Jaccard / MinHash-LSH
+/ SimHash), text analysis (token stats, language-ID heuristic, fingerprint).
+
+These are the LLM-training-data operators the 100 TB deployment needs
+(BASELINE.json north star).  Every query is deterministic on both engines:
+shingle/token ids come from dense ranks over the corpus vocabulary (not
+engine-specific hash functions), so MinHash/SimHash signatures are
+bit-identical between Spark and DuckDB.
+
+Scale notes (100 TB): the shingle self-join shuffles on the shingle key —
+at scale the corpus would first drop ultra-frequent shingles (stop-shingles)
+to bound skew, and LSH banding replaces the all-pairs join entirely; the
+MinHash query here demonstrates exactly that band-bucket join shape.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from .corpus import _q
+from .tables import load_table, register_tables
+
+P_MH = 2147483647          # minhash modulus (2^31 - 1)
+N_HASH = 16                # minhash signature length
+N_BANDS = 4                # LSH bands (4 rows per band)
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (dialect-specific tokenize/shingle CTEs)
+# ---------------------------------------------------------------------------
+
+# DuckDB: word 3-gram shingles, distinct per doc
+_DUCK_SHINGLES = """
+toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM toks WHERE len(w) >= 3
+)"""
+
+# Spark SQL: identical semantics
+_SPARK_SHINGLES = """
+toks AS (SELECT doc_id, split(trim(text), ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, explode(transform(sequence(1, size(w) - 2),
+           i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ',
+                       element_at(w, i + 2)))) AS shingle
+  FROM toks WHERE size(w) >= 3
+)"""
+
+
+def _minhash_aggs() -> str:
+    """min((a_j*sid + b_j) % P) per hash j — identical string on both engines."""
+    return ",\n       ".join(
+        f"min((sid * {2 * j + 1} + {101 * j + 17}) % {P_MH}) AS h{j}"
+        for j in range(N_HASH))
+
+
+def _band_joins() -> str:
+    """UNION of per-band candidate-pair joins (d1 < d2)."""
+    parts = []
+    for b in range(N_BANDS):
+        cond = " AND ".join(
+            f"a.h{4 * b + i} = b.h{4 * b + i}" for i in range(4))
+        parts.append(
+            f"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM mh a JOIN mh b "
+            f"ON a.doc_id < b.doc_id AND {cond}")
+    return "\nUNION\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+@_q("q23_dedup_exact",
+    "exact dedup: hash-groupBy keep-min-id (LLM-pipeline op; analog of "
+    "duplicate-capture drop in FIXTURES.md §8)",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """)
+def q23(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (d.groupBy(F.md5("text").alias("text_hash"))
+             .agg(F.min("doc_id").alias("rep_doc_id"),
+                  F.count("*").alias("n_copies")))
+
+
+@_q("q24_jaccard_neardup",
+    "near-dup detection: word 3-gram shingles → self-join → exact Jaccard "
+    "(LLM-pipeline op)",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT d1, d2,
+           round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5
+    """)
+def q24(spark, sf_dir):
+    register_tables(spark, sf_dir, ["documents"])
+    return spark.sql(f"""
+    WITH {_SPARK_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT d1, d2,
+           round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5
+    """)
+
+
+@_q("q25_minhash_lsh",
+    "MinHash + LSH banding near-dup candidates: shingle→dense-id→16 minhashes"
+    "→4 bands→bucket join (LLM-pipeline op, scale path for q24)",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    ids AS (SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
+            FROM (SELECT DISTINCT shingle FROM sh)),
+    j AS (SELECT s.doc_id, i.sid FROM sh s JOIN ids i ON s.shingle = i.shingle),
+    mh AS (SELECT doc_id, {_minhash_aggs()} FROM j GROUP BY doc_id)
+    SELECT d1, d2 FROM ({_band_joins()})
+    """)
+def q25(spark, sf_dir):
+    register_tables(spark, sf_dir, ["documents"])
+    return spark.sql(f"""
+    WITH {_SPARK_SHINGLES},
+    ids AS (SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
+            FROM (SELECT DISTINCT shingle FROM sh)),
+    j AS (SELECT s.doc_id, i.sid FROM sh s JOIN ids i ON s.shingle = i.shingle),
+    mh AS (SELECT doc_id, {_minhash_aggs()} FROM j GROUP BY doc_id)
+    SELECT d1, d2 FROM ({_band_joins()})
+    """)
+
+
+def _simhash_bits_sql(intdiv: str) -> tuple[str, str]:
+    """(per-bit signed sums, signature assembly); ``intdiv`` is the dialect's
+    integer-division operator ('div' for Spark SQL, '//' for DuckDB)."""
+    return (
+        ",\n         ".join(
+            f"sum(CASE WHEN (h {intdiv} {1 << jj}) % 2 = 1 THEN cnt ELSE -cnt END) AS s{jj}"
+            for jj in range(16)),
+        " + ".join(
+            f"(CASE WHEN s{jj} > 0 THEN {1 << jj} ELSE 0 END)" for jj in range(16)))
+
+
+@_q("q26_simhash_hamming",
+    "SimHash near-dup: frequency-weighted 16-bit signatures + Hamming-distance "
+    "pair scan (LLM-pipeline op)",
+    None)  # oracle filled in below (needs generated SQL)
+def q26(spark, sf_dir):
+    register_tables(spark, sf_dir, ["documents"])
+    bits, sig = _simhash_bits_sql("div")
+    return spark.sql(f"""
+    WITH t AS (SELECT doc_id, explode(split(trim(text), ' ')) AS tok FROM documents),
+    tc AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY doc_id, tok),
+    ids AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tid
+            FROM (SELECT DISTINCT tok FROM t)),
+    th AS (SELECT tc.doc_id, tc.cnt, (ids.tid * 2654435761) % 4294967296 AS h
+           FROM tc JOIN ids ON tc.tok = ids.tok),
+    bitsums AS (SELECT doc_id, {bits} FROM th GROUP BY doc_id),
+    sig AS (SELECT doc_id, {sig} AS simhash FROM bitsums)
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           cast(bit_count(a.simhash ^ b.simhash) as int) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(a.simhash ^ b.simhash) <= 3
+    """)
+
+
+def _q26_oracle() -> str:
+    bits, sig = _simhash_bits_sql("//")
+    return f"""
+    WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+    tc AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY doc_id, tok),
+    ids AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tid
+            FROM (SELECT DISTINCT tok FROM t)),
+    th AS (SELECT tc.doc_id, tc.cnt, (ids.tid * 2654435761) % 4294967296 AS h
+           FROM tc JOIN ids ON tc.tok = ids.tok),
+    bitsums AS (SELECT doc_id, {bits} FROM th GROUP BY doc_id),
+    sig AS (SELECT doc_id, {sig} AS simhash FROM bitsums)
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+# patch the oracle in (generated SQL can't live in the decorator literal)
+from .corpus import CORPUS as _CORPUS  # noqa: E402
+for _entry in _CORPUS:
+    if _entry.name == "q26_simhash_hamming":
+        _entry.sql = _q26_oracle()
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@_q("q27_text_stats",
+    "text quality scoring: token count, distinct tokens, type-token ratio, "
+    "avg token length, stopword ratio (LLM-pipeline op)",
+    """
+    WITH t AS (SELECT doc_id, n_chars, string_split(trim(text), ' ') AS w FROM documents)
+    SELECT doc_id, n_chars,
+           len(w) AS n_tokens,
+           len(list_distinct(w)) AS n_distinct,
+           round(len(list_distinct(w)) * 1.0 / len(w), 5) AS ttr,
+           round(list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w), 5) AS avg_tok_len,
+           round(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and'))) * 1.0 / len(w), 5) AS stopword_ratio
+    FROM t
+    """)
+def q27(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("w", F.split(F.trim(F.col("text")), " "))
+    n = F.size("w")
+    return d.select(
+        "doc_id", "n_chars",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        F.round(F.size(F.array_distinct("w")) * F.lit(1.0) / n, 5).alias("ttr"),
+        F.round(F.expr("aggregate(transform(w, x -> length(x)), 0, (a, x) -> a + x)") * F.lit(1.0) / n, 5).alias("avg_tok_len"),
+        F.round(F.size(F.expr("filter(w, x -> x IN ('the', 'a', 'of', 'and'))")) * F.lit(1.0) / n, 5).alias("stopword_ratio"))
+
+
+@_q("q28_lang_id",
+    "language-ID n-gram/stopword heuristic (LLM-pipeline op)",
+    """
+    WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents),
+    s AS (SELECT doc_id, lang,
+                 len(list_filter(w, x -> x IN ('the', 'of', 'and', 'is'))) AS en,
+                 len(list_filter(w, x -> x IN ('le', 'la', 'et', 'est'))) AS fr,
+                 len(list_filter(w, x -> x IN ('el', 'los', 'y', 'es'))) AS es,
+                 len(list_filter(w, x -> x IN ('der', 'die', 'und', 'ist'))) AS de
+          FROM t)
+    SELECT doc_id, lang,
+           CASE WHEN en > fr AND en > es AND en > de THEN 'en'
+                WHEN fr > en AND fr > es AND fr > de THEN 'fr'
+                WHEN es > en AND es > fr AND es > de THEN 'es'
+                WHEN de > en AND de > fr AND de > es THEN 'de'
+                ELSE 'und' END AS guessed_lang,
+           en AS en_hits
+    FROM s
+    """)
+def q28(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("w", F.split(F.trim(F.col("text")), " "))
+    def hits(words):
+        lst = ", ".join(f"'{x}'" for x in words)
+        return F.size(F.expr(f"filter(w, x -> x IN ({lst}))"))
+    d = (d.withColumn("en", hits(["the", "of", "and", "is"]))
+          .withColumn("fr", hits(["le", "la", "et", "est"]))
+          .withColumn("es", hits(["el", "los", "y", "es"]))
+          .withColumn("de", hits(["der", "die", "und", "ist"])))
+    return d.select(
+        "doc_id", "lang",
+        F.when((F.col("en") > F.col("fr")) & (F.col("en") > F.col("es")) & (F.col("en") > F.col("de")), "en")
+         .when((F.col("fr") > F.col("en")) & (F.col("fr") > F.col("es")) & (F.col("fr") > F.col("de")), "fr")
+         .when((F.col("es") > F.col("en")) & (F.col("es") > F.col("fr")) & (F.col("es") > F.col("de")), "es")
+         .when((F.col("de") > F.col("en")) & (F.col("de") > F.col("fr")) & (F.col("de") > F.col("es")), "de")
+         .otherwise("und").alias("guessed_lang"),
+        F.col("en").alias("en_hits"))
+
+
+@_q("q29_fingerprint",
+    "document fingerprint: rolling polynomial hash over token stream "
+    "(LLM-pipeline op)",
+    """
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(w, x -> CAST(len(x) * 131 + ascii(x) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+    FROM t
+    """)
+def q29(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("w", F.split(F.trim(F.col("text")), " "))
+    return d.select(
+        "doc_id",
+        F.expr("aggregate(transform(w, x -> cast(length(x) * 131 + ascii(x) as bigint)), "
+               "cast(0 as bigint), (a, b) -> (a * 31 + b) % 1000000007)").alias("fingerprint"))

@@ -1,0 +1,83 @@
+"""Loaders for the driver's synthetic parquet tables.
+
+The driver's testdata stores timestamps as parquet ``TIMESTAMP(NANOS)`` which
+Spark rejects by default; ``spark.sql.legacy.parquet.nanosAsLong`` reads them
+as raw int64 nanoseconds.  We derive, for every timestamp-like column ``c``:
+
+- ``c_us``  : BIGINT microseconds since epoch (``nanos div 1000`` — truncation,
+  matching DuckDB's micro-precision TIMESTAMP read of the same files), and
+- ``c``     : a proper TIMESTAMP via ``timestamp_micros``.
+
+All oracle-checked query outputs use ``*_us`` integers or arithmetic-derived
+date strings, never raw TIMESTAMP values, so results are independent of the
+session timezone on both engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# timestamp-bearing columns per table (read as int64 nanos via nanosAsLong)
+TS_COLS = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+
+def _enable_nanos(spark: SparkSession) -> None:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table, normalizing timestamps of any precision.
+
+    The driver's parquet mixes TIMESTAMP(NANOS) (→ BIGINT via nanosAsLong),
+    TIMESTAMP(MILLIS/MICROS) isAdjustedToUTC=false (→ TIMESTAMP_NTZ), and
+    potentially instant TIMESTAMP.  All become ``c_us`` BIGINT epoch-micros
+    (naive-as-UTC, matching DuckDB's read) plus a TIMESTAMP column ``c``.
+    """
+    _enable_nanos(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for c in TS_COLS.get(name, []):
+        dt = dtypes.get(c)
+        if dt == "bigint":        # raw nanos (nanosAsLong)
+            df = df.withColumn(f"{c}_us", F.expr(f"{c} div 1000"))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(
+                f"{c}_us",
+                F.expr(f"timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', {c})"))
+        else:                     # instant timestamp
+            df = df.withColumn(f"{c}_us", F.unix_micros(F.col(c)))
+        df = df.withColumn(c, F.timestamp_micros(F.col(f"{c}_us")))
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str,
+                    names: list[str] | None = None) -> dict[str, DataFrame]:
+    """Load tables and register them as temp views (for spark.sql plans)."""
+    out = {}
+    for name in names or TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+# Epoch-microsecond literals for timestamp predicates (timezone-proof: the
+# parquet nanos are naive/UTC instants on both engines).
+def us(iso: str) -> int:
+    """'2024-01-10T00:00:00' → microseconds since epoch (UTC)."""
+    from datetime import datetime, timezone
+    dt = datetime.fromisoformat(iso).replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1_000_000)

@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs ``local[N]`` in one JVM; the configuration below is chosen
+so the same logical plans scale to a multi-executor cluster:
+
+- AQE on (runtime coalescing, skew-join splitting) so shuffle partition counts
+  adapt between sf0.001 tests and 100 TB production.
+- Arrow enabled for every pandas interchange (decode UDFs are Arrow-batched).
+- Shuffle partitions default to the core count locally; on a cluster this is
+  expected to be overridden (or left to AQE's coalescing with a high initial
+  value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    # files: pack many small sensor files per task, split big parquet
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "nasctn-sea-ingest-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's tuned defaults."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    b = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        b = b.config(k, v)
+    return b.getOrCreate()
