@@ -1,0 +1,621 @@
+"""Pure-Python decode core for NASCTN SEA ``.sigmf`` sensor files.
+
+A ``.sigmf`` file is a tar archive holding a JSON metadata member
+(``*.sigmf-meta``) and an LZMA(xz)-compressed payload of IEEE float16 values
+(``*.sigmf-data``) — one "sweep" across N RF channels, each channel carrying
+fixed-length traces (PSD / PVT / PFP and, version-dependent, APD) in a
+metadata-declared order (reference: ``/root/reference/src/sea_ingest/seamf.py``;
+file layout :1008-1044, trace split :140-157).
+
+This is a clean-room re-expression of the *semantics* of the reference's six
+metadata versions (v0.1 … v0.6.0, dispatcher at ``seamf.py:927-978``) in plain
+``json``/``numpy``, producing **long-format pandas frames** that map directly
+onto Spark rows (key columns + ``values`` array), instead of the reference's
+wide MultiIndex matrices.  Differences from the reference, by design:
+
+- PSD axis is centered (−BW/2 … +BW/2) for *all* versions, matching the
+  published cross-version outputs (``demos/read_seamf.ipynb`` cell 5 shows
+  −4 992 000…4 992 000 for v1–v6) rather than the current ``_psd_index``
+  code path which starts at 0.
+- detector names normalize with a superset map (``maximum``→``peak`` as well
+  as ``max``→``peak``) so v5/v6 series names land on the same vocabulary as
+  v1–v4 (reference: ``seamf.py:118-127`` + per-version name maps).
+- v4+ calibration timestamps are kept as ``cal_datetime`` (the reference
+  overwrites them with the capture timestamp, ``seamf.py:713-721``).
+- diagnostics flatten one level with a ``group_`` prefix for every version
+  (the reference mixes three strategies across v2/v3/v4+; ``util.py:86-94``).
+
+No code is copied from the reference; all constants and name maps are
+re-derived from its published golden files and documentation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import lzma
+import tarfile
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+
+class SigmfError(ValueError):
+    """Raised for malformed / failed-integrity sigmf files."""
+
+
+# --------------------------------------------------------------------------
+# normalization vocabularies (F6/F7 analogs)
+# --------------------------------------------------------------------------
+
+DETECTOR_MAP = {"max": "peak", "maximum": "peak", "mean": "rms",
+                "peak": "peak", "rms": "rms"}
+STAT_MAP = {"maximum": "max", "minimum": "min",
+            "max": "max", "min": "min", "mean": "mean"}
+
+# v4 capture-key renames (semantics of seamf.py:614-623)
+CAPTURE_KEYMAP = {
+    "ntia-sensor:overload": "overload",
+    "ntia-sensor:duration": "iq_capture_duration_ms",
+    "noise_figure": "cal_noise_figure_dB",
+    "gain": "cal_gain_dB",
+    "temperature": "cal_temperature_degC",
+    "reference_level": "sigan_reference_level_dBm",
+    "attenuation": "sigan_attenuation_dB",
+    "preamp_enable": "sigan_preamp_enable",
+}
+
+TRACE_TABLES = ("psd", "pvt", "pfp", "apd", "apd_raw")
+
+
+def _iso_us(s: str) -> np.datetime64:
+    """ISO8601 'Z' string → naive-UTC datetime64[us] (semantics of
+    util.py:6-20; tz-awareness is applied on demand in Spark views)."""
+    return np.datetime64(s.rstrip("Z"), "us")
+
+
+def timezone_from_longitude(lng: float) -> str | None:
+    """Crude longitude-bucket timezone lookup (parity with seamf.py:38-46)."""
+    if -119 < lng < -116:
+        return "America/Los_Angeles"
+    if -116 < lng < -80:
+        return "America/Denver"
+    if -80 < lng < 60:
+        return "America/Boston"
+    return None
+
+
+def _flatten_group(prefix: str, d: dict, out: dict) -> None:
+    for k, v in d.items():
+        if isinstance(v, dict):
+            for ks, vs in v.items():
+                out[f"{k}_{ks}"] = vs
+        else:
+            out[f"{prefix}{k}" if prefix else k] = v
+
+
+# --------------------------------------------------------------------------
+# decode plan: per-version metadata → (trace list, axes, metadata rows)
+# --------------------------------------------------------------------------
+
+@dataclass
+class _Plan:
+    """Everything needed to split the flat float16 vector into rows."""
+    # ordered (offset, table, statistic, detector, kind)
+    traces: list = field(default_factory=list)
+    # table → (x_start, x_step)
+    axes: dict = field(default_factory=dict)
+    channel_meta: dict = field(default_factory=dict)   # frequency → row dict
+    sweep_meta: dict = field(default_factory=dict)
+    timezone: str | None = None
+    version: str = ""
+
+
+def _version_of(meta: dict) -> str:
+    ext = meta["global"].get("core:extensions")
+    if isinstance(ext, list):
+        for e in ext:
+            if e.get("name") == "ntia-nasctn-sea":
+                return e["version"]
+        raise SigmfError("no ntia-nasctn-sea extension entry")
+    if isinstance(ext, dict):
+        return ext.get("ntia-nasctn-sea", "v0.1")
+    raise SigmfError("unrecognized core:extensions layout")
+
+
+def _schedule_meta(g: dict, sweep: dict) -> None:
+    sched = g.get("ntia-scos:schedule", {})
+    sweep["schedule_name"] = sched.get("name")
+    start = sched.get("start")
+    sweep["schedule_start_datetime"] = _iso_us(start) if start else None
+    sweep["schedule_interval"] = sched.get("interval")
+    sweep["task"] = g.get("ntia-scos:task")
+
+
+def _centered_psd_axis(n: int, bandwidth: float) -> tuple[float, float]:
+    step = bandwidth / n
+    return (-(n // 2) * step, step)
+
+
+def _plan_v1(meta: dict, tz: str | None) -> _Plan:
+    """v0.1: traces declared as SigMF annotations (seamf.py:235-359)."""
+    p = _Plan(version="v0.1")
+    g = meta["global"]
+    sample_rate = g["core:sample_rate"]
+    caps_by_start = {c["core:sample_start"]: c for c in meta["captures"]}
+
+    if tz is None:
+        raise SigmfError(
+            "v0.1-0.3 metadata has no geolocation; pass an explicit timezone")
+    p.timezone = tz
+
+    for ann in meta.get("annotations", []):
+        atype = ann["ntia-core:annotation_type"]
+        start = ann["core:sample_start"]
+        if atype == "CalibrationAnnotation":
+            freq = caps_by_start[start]["core:frequency"]
+            p.channel_meta.setdefault(freq, {}).update(
+                cal_gain_dB=ann["ntia-sensor:gain_sensor"],
+                cal_noise_figure_dB=ann["ntia-sensor:noise_figure_sensor"])
+            p.sweep_meta["calibration_enbw"] = ann["ntia-sensor:enbw_sensor"]
+            p.sweep_meta["calibration_temperature_degC"] = ann["ntia-sensor:temperature"]
+        elif atype == "SensorAnnotation":
+            cap = caps_by_start[start]
+            freq = cap["core:frequency"]
+            p.channel_meta.setdefault(freq, {}).update(
+                frequency=freq,
+                datetime=_iso_us(cap["core:datetime"]),
+                overload=ann["ntia-sensor:overload"],
+                sigan_attenuation_dB=ann["ntia-sensor:attenuation_setting_sigan"])
+        elif atype == "FrequencyDomainDetection":
+            # detector like 'fft_max_power' → statistic 'max'
+            stat = ann["ntia-algorithm:detector"].split("_")[1]
+            p.traces.append((start, "psd", STAT_MAP[stat], None, None))
+            n = ann["core:sample_count"]
+            p.axes["psd"] = _centered_psd_axis(n, 10e6)
+        elif atype == "TimeDomainDetection":
+            det = ann["ntia-algorithm:detector"].split("_")[0]
+            p.traces.append((start, "pvt", None, DETECTOR_MAP[det], None))
+            n = ann["core:sample_count"]
+            dur = ann["ntia-algorithm:number_of_samples"] / sample_rate
+            p.axes["pvt"] = (0.0, dur / n)
+        else:
+            label = ann.get("core:label")
+            if label is None:
+                continue
+            if label.startswith("pfp_"):
+                _, det, stat, _ = label.split("_")
+                p.traces.append((start, "pfp", STAT_MAP[stat],
+                                 DETECTOR_MAP[det], None))
+                n = ann["core:sample_count"]
+                # 10 ms TDD frame sampled n times over a 4 s / 400-point PVT
+                p.axes["pfp"] = (0.0, 4.0 / n / 400)
+            elif label.startswith("apd_"):
+                kind = label.split("_")[1]          # 'p' or 'a'
+                p.traces.append((start, "apd_raw", None, None, kind))
+
+    p.sweep_meta.update(
+        sample_rate=sample_rate,
+        version=g.get("core:version"),
+        metadata_version="v0.1",
+        calibration_datetime=_iso_us(g["ntia-sensor:calibration_datetime"]))
+    _schedule_meta(g, p.sweep_meta)
+    return p
+
+
+# v0.2 trace-name vocabulary (capture keys '<name>_sample_start',
+# semantics of seamf.py:362-464)
+_V2_TRACES = {
+    "max_fft": ("psd", "max", None),
+    "mean_fft": ("psd", "mean", None),
+    "max_td_pwr_series": ("pvt", None, "peak"),
+    "mean_td_pwr_series": ("pvt", None, "rms"),
+    "min_rms_pfp": ("pfp", "min", "rms"),
+    "max_rms_pfp": ("pfp", "max", "rms"),
+    "mean_rms_pfp": ("pfp", "mean", "rms"),
+    "min_peak_pfp": ("pfp", "min", "peak"),
+    "max_peak_pfp": ("pfp", "max", "peak"),
+    "mean_peak_pfp": ("pfp", "mean", "peak"),
+    "apd_p": ("apd_raw", None, None, "p"),
+    "apd_a": ("apd_raw", None, None, "a"),
+}
+
+
+def _plan_v2(meta: dict, tz: str | None) -> _Plan:
+    p = _Plan(version="v0.2")
+    g = meta["global"]
+    if tz is None:
+        raise SigmfError(
+            "v0.1-0.3 metadata has no geolocation; pass an explicit timezone")
+    p.timezone = tz
+
+    cap = None
+    for cap in meta["captures"]:
+        freq = cap["core:frequency"]
+        row = {}
+        for k, v in cap.items():
+            if k == "core:frequency" or k.endswith("sample_count"):
+                continue
+            if k.endswith("_sample_start") and not k.startswith("core:"):
+                name = k.rsplit("_sample_start", 1)[0]
+                info = _V2_TRACES[name]
+                kind = info[3] if len(info) > 3 else None
+                p.traces.append((v, info[0], info[1], info[2], kind))
+            elif k == "core:datetime":
+                row["datetime"] = _iso_us(v)
+            else:
+                row[k.split(":", 1)[-1]] = v
+        row["frequency"] = freq
+        p.channel_meta[freq] = row
+
+    dur = cap["iq_capture_duration_msec"] / 1000.0
+    p.axes["psd"] = _centered_psd_axis(cap["fft_sample_count"], 10e6)
+    p.axes["pvt"] = (0.0, dur / cap["td_pwr_sample_count"])
+    p.axes["pfp"] = (0.0, dur / cap["pfp_sample_count"] / cap["td_pwr_sample_count"])
+
+    diag = g.get("diagnostics", {})
+    p.sweep_meta.update(
+        sample_rate=g["core:sample_rate"],
+        version=g.get("core:version"),
+        metadata_version=_version_of(meta),
+        calibration_datetime=_iso_us(g["ntia-sensor:calibration_datetime"]),
+        diagnostics_datetime=_iso_us(diag["diagnostics_datetime"])
+        if "diagnostics_datetime" in diag else None)
+    _schedule_meta(g, p.sweep_meta)
+    for v in diag.values():
+        if isinstance(v, dict):
+            p.sweep_meta.update(v)
+    p.traces.sort(key=lambda t: t[0])
+    return p
+
+
+def _plan_v3(meta: dict, tz: str | None) -> _Plan:
+    """v0.3: trace layout from global.data_products detector lists, APD as a
+    variable-length raw pair per channel (seamf.py:467-603)."""
+    p = _Plan(version="v0.3")
+    g = meta["global"]
+    if tz is None:
+        raise SigmfError(
+            "v0.1-0.3 metadata has no geolocation; pass an explicit timezone")
+    p.timezone = tz
+    dp = g["data_products"]
+
+    rel = []                      # relative (offset, table, stat, det)
+    off = 0
+    for table, json_name in (("psd", "power_spectral_density"),
+                             ("pvt", "time_series_power"),
+                             ("pfp", "periodic_frame_power")):
+        f = dp[json_name]
+        for name in f["detector"]:
+            tok = name.split("_")
+            if table == "psd":
+                rel.append((off, table, STAT_MAP[tok[0]], None))
+            elif table == "pvt":
+                rel.append((off, table, None, DETECTOR_MAP[tok[0]]))
+            else:
+                rel.append((off, table, STAT_MAP[tok[1]], DETECTOR_MAP[tok[0]]))
+            off += f["sample_count"]
+    apd_off = off                 # APD pair begins after the fixed block
+
+    apd_lens = dp["amplitude_probability_distribution"]["sample_count"]
+    for cap, apd_len in zip(meta["captures"], apd_lens):
+        freq = cap["core:frequency"]
+        start = cap["core:sample_start"]
+        row = {k.split(":", 1)[-1]: v for k, v in cap.items()
+               if k not in ("core:frequency", "core:sample_start", "core:datetime")}
+        row["datetime"] = _iso_us(cap["core:datetime"])
+        row["frequency"] = freq
+        p.channel_meta[freq] = row
+        for r_off, table, stat, det in rel:
+            p.traces.append((start + r_off, table, stat, det, None))
+        p.traces.append((start + apd_off, "apd_raw", None, None, "p"))
+        p.traces.append((start + apd_off + apd_len, "apd_raw", None, None, "a"))
+
+    dur = meta["captures"][0]["iq_capture_duration_msec"] / 1000.0
+    psd = dp["power_spectral_density"]
+    p.axes["psd"] = _centered_psd_axis(
+        psd["sample_count"],
+        g["core:sample_rate"] * psd["sample_count"] / psd["number_of_samples_in_fft"])
+    p.axes["pvt"] = (0.0, dur / dp["time_series_power"]["sample_count"])
+    p.axes["pfp"] = (0.0, dur / dp["periodic_frame_power"]["sample_count"]
+                     / dp["time_series_power"]["sample_count"])
+
+    diag = g.get("diagnostics", {})
+    p.sweep_meta.update(
+        sample_rate=g["core:sample_rate"],
+        version=g.get("core:version"),
+        metadata_version=_version_of(meta),
+        calibration_datetime=_iso_us(g["ntia-sensor:calibration_datetime"]),
+        calibration_temperature_degC=g.get("calibration_temperature_degC"),
+        diagnostics_datetime=_iso_us(diag["diagnostics_datetime"])
+        if "diagnostics_datetime" in diag else None)
+    _schedule_meta(g, p.sweep_meta)
+    for k, v in diag.items():
+        if isinstance(v, dict):
+            for ks, vs in v.items():
+                p.sweep_meta[f"{k}_{ks}"] = vs
+    p.traces.sort(key=lambda t: t[0])
+    return p
+
+
+def _capture_row_v4plus(cap: dict) -> tuple[float, int, dict]:
+    """Flatten a v0.4+ capture into a channel_metadata row."""
+    cap = dict(cap)
+    freq = cap.pop("core:frequency")
+    start = cap.pop("core:sample_start")
+    ts = cap.pop("core:datetime")
+    row = {}
+    for group in ("ntia-sensor:sensor_calibration", "ntia-sensor:sigan_settings"):
+        sub = dict(cap.pop(group, {}))
+        sub.pop("reference", None)
+        cal_dt = sub.pop("datetime", None)
+        if cal_dt is not None:
+            row["cal_datetime"] = _iso_us(cal_dt)
+        for k, v in sub.items():
+            row[CAPTURE_KEYMAP.get(k, k)] = v
+    for k, v in cap.items():
+        row[CAPTURE_KEYMAP.get(k, k)] = v
+    row["datetime"] = _iso_us(ts)
+    row["frequency"] = freq
+    return freq, start, row
+
+
+def _sweep_meta_v4plus(meta: dict, p: _Plan) -> None:
+    g = meta["global"]
+    diag = g.get("ntia-diagnostics:diagnostics", {})
+    p.sweep_meta.update(
+        sample_rate=g["core:sample_rate"],
+        version=g.get("core:version"),
+        metadata_version=_version_of(meta),
+        diagnostics_datetime=_iso_us(diag["datetime"]) if "datetime" in diag else None)
+    _schedule_meta(g, p.sweep_meta)
+    for k, v in diag.items():
+        if k == "datetime":
+            continue
+        if isinstance(v, dict):
+            for ks, vs in v.items():
+                p.sweep_meta[f"{k}_{ks}"] = vs
+        else:
+            p.sweep_meta[k] = v
+    # edge-computed channel power summaries (A11; schemas.py:284-285, :350-353)
+    for k in ("max_of_max_channel_powers", "median_of_mean_channel_powers",
+              "mean_channel_powers", "median_channel_powers"):
+        if f"ntia-nasctn-sea:{k}" in g:
+            p.sweep_meta[k] = list(g[f"ntia-nasctn-sea:{k}"])
+    geo = g.get("core:geolocation", {}).get("coordinates")
+    if geo:
+        p.sweep_meta["geo_lon"], p.sweep_meta["geo_lat"] = geo[0], geo[1]
+        p.sweep_meta["geo_alt"] = geo[2] if len(geo) > 2 else None
+
+
+def _resolve_tz_v4plus(meta: dict, tz: str | None) -> str:
+    if tz is not None:
+        return tz
+    loc = meta["global"].get("core:geolocation", {}).get("coordinates")
+    if loc is None:
+        raise SigmfError(
+            "no geolocation in metadata; pass an explicit timezone")
+    t = timezone_from_longitude(loc[0])
+    if t is None:
+        raise SigmfError(f"no timezone bucket for longitude {loc[0]}")
+    return t
+
+
+def _plan_v4(meta: dict, tz: str | None) -> _Plan:
+    p = _Plan(version="v0.4")
+    g = meta["global"]
+    p.timezone = _resolve_tz_v4plus(meta, tz)
+    dp = g["ntia-algorithm:data_products"]
+
+    rel = []
+    off = 0
+    for table, json_name in (("psd", "power_spectral_density"),
+                             ("pvt", "time_series_power"),
+                             ("pfp", "periodic_frame_power"),
+                             ("apd", "amplitude_probability_distribution")):
+        f = dp[json_name]
+        for tr in f.get("traces", [None]):
+            if tr is None:
+                rel.append((off, table, None, None))
+            else:
+                rel.append((off, table,
+                            STAT_MAP.get(tr.get("statistic")),
+                            DETECTOR_MAP.get(tr.get("detector"))))
+            off += f["length"]
+
+    for cap in meta["captures"]:
+        freq, start, row = _capture_row_v4plus(cap)
+        p.channel_meta[freq] = row
+        for r_off, table, stat, det in rel:
+            p.traces.append((start + r_off, table, stat, det, None))
+
+    dur = meta["captures"][0]["ntia-sensor:duration"] / 1000.0
+    psd = dp["power_spectral_density"]
+    p.axes["psd"] = _centered_psd_axis(
+        psd["length"], g["core:sample_rate"] * psd["length"] / psd["samples"])
+    p.axes["pvt"] = (0.0, dur / dp["time_series_power"]["length"])
+    p.axes["pfp"] = (0.0, dur / dp["periodic_frame_power"]["length"]
+                     / dp["time_series_power"]["length"])
+    apd = dp["amplitude_probability_distribution"]
+    p.axes["apd"] = (float(apd["min_amplitude"]), float(apd["amplitude_bin_size"]))
+
+    _sweep_meta_v4plus(meta, p)
+    p.traces.sort(key=lambda t: t[0])
+    return p
+
+
+# v0.5/v0.6 graph display names (seamf.py:760-765)
+_V5_GRAPHS = {
+    "Power Spectral Density": "psd",
+    "Power vs. Time": "pvt",
+    "Periodic Frame Power": "pfp",
+    "Amplitude Probability Distribution": "apd",
+}
+
+
+def _plan_v5(meta: dict, tz: str | None) -> _Plan:
+    """v0.5 ('v0.4.0') and v0.6.0: data products as Graph objects with
+    series names and explicit x/y axes (seamf.py:759-924)."""
+    p = _Plan(version=_version_of(meta))
+    p.timezone = _resolve_tz_v4plus(meta, tz)
+    dp = meta["global"]["ntia-algorithm:data_products"]
+
+    rel = []
+    off = 0
+    for graph in dp:
+        table = _V5_GRAPHS.get(graph["name"])
+        if table is None:
+            raise SigmfError(f"unknown data product: {graph['name']}")
+        if table == "apd":
+            rel.append((off, "apd", None, None))
+            off += graph["length"]
+            start, step = graph["y_start"][0], graph["y_step"][0]
+            p.axes["apd"] = (float(int(start)), float(int(step)))
+        else:
+            for series in graph["series"]:
+                tok = series.split("_")
+                if table == "pfp":
+                    rel.append((off, table, STAT_MAP[tok[1]], DETECTOR_MAP[tok[0]]))
+                elif table == "psd":
+                    rel.append((off, table, STAT_MAP[tok[0]], None))
+                else:
+                    rel.append((off, table, None, DETECTOR_MAP[tok[0]]))
+                off += graph["length"]
+            p.axes[table] = (float(graph["x_start"][0]), float(graph["x_step"][0]))
+
+    for cap in meta["captures"]:
+        freq, start, row = _capture_row_v4plus(cap)
+        p.channel_meta[freq] = row
+        for r_off, table, stat, det in rel:
+            p.traces.append((start + r_off, table, stat, det, None))
+
+    _sweep_meta_v4plus(meta, p)
+    p.traces.sort(key=lambda t: t[0])
+    return p
+
+
+_PLANNERS = {
+    "v0.1": _plan_v1,
+    "v0.2": _plan_v2,
+    "v0.3": _plan_v3,
+    "v0.4": _plan_v4,
+    "v0.4.0": _plan_v5,   # confusing but correct: v5 files report v0.4.0
+    "v0.5.0": _plan_v5,
+    "v0.6.0": _plan_v5,
+    "0.6.0": _plan_v5,
+}
+
+
+def _plan_for(meta: dict, tz: str | None) -> _Plan:
+    version = _version_of(meta)
+    planner = _PLANNERS.get(version)
+    if planner is None:
+        raise SigmfError(f"unrecognized metadata version {version!r}")
+    return planner(meta, tz)
+
+
+# --------------------------------------------------------------------------
+# public decode API
+# --------------------------------------------------------------------------
+
+def _read_tar(file) -> tuple[dict, bytes]:
+    if isinstance(file, (bytes, bytearray)):
+        file = io.BytesIO(file)
+    kws = {"name": file} if isinstance(file, str) else {"fileobj": file}
+    with tarfile.TarFile(**kws) as tar:
+        names = tar.getnames()
+        meta_name = [n for n in names if n.endswith(".sigmf-meta")]
+        data_name = [n for n in names if n.endswith(".sigmf-data")]
+        if len(meta_name) != 1 or len(data_name) != 1:
+            raise SigmfError("archive must hold one .sigmf-meta and one .sigmf-data")
+        meta = json.loads(tar.extractfile(meta_name[0]).read())
+        lzma_blob = tar.extractfile(data_name[0]).read()
+    return meta, lzma_blob
+
+
+def decode_sigmf_meta(file, tz: str | None = None) -> dict:
+    """Metadata-only fast path (S14): parse JSON, skip decompression."""
+    meta, _ = _read_tar(file)
+    plan = _plan_for(meta, tz if tz is not None else _try_tz(meta))
+    return {"plan": plan, "meta": meta}
+
+
+def _try_tz(meta: dict):
+    loc = meta["global"].get("core:geolocation", {}).get("coordinates")
+    return timezone_from_longitude(loc[0]) if loc else None
+
+
+def decode_sigmf(file, tz: str | None = None, hash_check: bool = True,
+                 source: str = "") -> dict[str, pd.DataFrame]:
+    """Decode one ``.sigmf`` file into long-format pandas frames.
+
+    Returns a dict with keys ``psd pvt pfp apd apd_raw channel_metadata
+    sweep_metadata`` (trace tables only when present for the version).
+    Trace rows: datetime, frequency, capture_statistic?, detector?, kind?,
+    values (float32 array), x_start, x_step.
+    """
+    meta, lzma_blob = _read_tar(file)
+
+    if hash_check:
+        digest = hashlib.sha512(lzma_blob).hexdigest()
+        if digest != meta["global"].get("core:sha512"):
+            raise SigmfError("payload sha512 mismatch")
+
+    plan = _plan_for(meta, tz if tz is not None else _try_tz(meta))
+    flat = np.frombuffer(lzma.decompress(lzma_blob, format=lzma.FORMAT_XZ),
+                         dtype=np.float16).astype(np.float32)
+
+    # split the flat vector at the declared trace offsets (R1 analog)
+    offsets = [t[0] for t in plan.traces]
+    bounds = offsets[1:] + [len(flat)]
+    freq_of_start = {}
+    # map each trace to its capture's (datetime, frequency) via channel order:
+    # traces were emitted per capture in offset order, so recover the capture
+    # row by offset range
+    cap_rows = sorted(
+        ((row["datetime"], freq) for freq, row in plan.channel_meta.items()),
+        key=lambda x: x[0])
+
+    # per-capture base offsets: the k-th block of traces belongs to the k-th
+    # capture (offsets ascend within the file)
+    n_caps = len(plan.channel_meta)
+    per_cap = len(plan.traces) // n_caps if n_caps else 0
+
+    recs: dict[str, list] = {t: [] for t in TRACE_TABLES}
+    for i, ((off, table, stat, det, kind), end) in enumerate(zip(plan.traces, bounds)):
+        cap_idx = i // per_cap if per_cap else 0
+        dt, freq = cap_rows[cap_idx]
+        x_start, x_step = plan.axes.get(table, (0.0, 1.0))
+        recs[table].append((dt, freq, stat, det, kind, flat[off:end],
+                            x_start, x_step))
+
+    out: dict[str, pd.DataFrame] = {}
+    for table, rows in recs.items():
+        if not rows:
+            continue
+        df = pd.DataFrame(rows, columns=["datetime", "frequency",
+                                         "capture_statistic", "detector",
+                                         "kind", "values", "x_start", "x_step"])
+        keep = ["datetime", "frequency"]
+        if table in ("psd", "pfp"):
+            keep.append("capture_statistic")
+        if table in ("pvt", "pfp"):
+            keep.append("detector")
+        if table == "apd_raw":
+            keep.append("kind")
+        out[table] = df[keep + ["values", "x_start", "x_step"]]
+
+    ch = pd.DataFrame(list(plan.channel_meta.values()))
+    if not ch.empty:
+        key_cols = [c for c in ("datetime", "frequency") if c in ch.columns]
+        ch = ch[key_cols + [c for c in ch.columns if c not in key_cols]]
+        ch = ch.sort_values("datetime", kind="stable").reset_index(drop=True)
+    out["channel_metadata"] = ch
+
+    sweep = dict(plan.sweep_meta)
+    sweep["timezone"] = plan.timezone
+    sweep["source_file"] = source
+    out["sweep_metadata"] = pd.DataFrame([sweep])
+    return out
