@@ -1,0 +1,347 @@
+"""Distributed ``.sigmf`` ingest: file/zip listing → Arrow-batched decode →
+partitioned parquet tables.
+
+Replaces the reference's zip-archive machinery (``ziparchive.py:22-497`` —
+cached central directories, delayed per-block reads, divisions probing) with
+the storage-level equivalents SURVEY.md §1.5/§4 calls for:
+
+- the archive listing happens once on the driver and becomes a small
+  **file-ref DataFrame** (zip central directories are read once; workers
+  reopen members by path+name, the same model as the reference's
+  ``MultiProcessingZipFile``),
+- decode runs as ``mapInPandas`` over the refs — one Spark task per ref
+  batch, vectorized numpy inside, Arrow on the wire,
+- the Dask ``divisions``/1-day-``repartition`` trick becomes
+  ``partitionBy(date)`` parquet output with min/max stats, so time-range
+  queries prune partitions for free,
+- per-file failures quarantine into an ``error`` column instead of killing
+  the job (reference ``errors='log'``, ``ziparchive.py:424-440``).
+
+At 100 TB scale the refs DataFrame is the only driver-side state (a few
+bytes per file); decode parallelism = number of ref partitions, and the
+output layout (table, date) keeps both full-table scans (one table dir) and
+time-sliced queries (partition pruning) cheap. Zip archives should land on
+a shared object store so any executor can range-read members.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import zipfile
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .sigmf import decode_sigmf, decode_sigmf_meta
+
+# --------------------------------------------------------------------------
+# schemas
+# --------------------------------------------------------------------------
+
+REF_SCHEMA = T.StructType([
+    T.StructField("path", T.StringType(), False),      # file or zip archive
+    T.StructField("member", T.StringType(), True),     # zip member, else null
+    T.StructField("size", T.LongType(), True),
+])
+
+TRACE_SCHEMA = T.StructType([
+    T.StructField("source_file", T.StringType(), False),
+    T.StructField("table", T.StringType(), True),
+    T.StructField("datetime", T.TimestampType(), True),
+    T.StructField("frequency", T.DoubleType(), True),
+    T.StructField("capture_statistic", T.StringType(), True),
+    T.StructField("detector", T.StringType(), True),
+    T.StructField("kind", T.StringType(), True),
+    T.StructField("values", T.ArrayType(T.FloatType()), True),
+    T.StructField("x_start", T.DoubleType(), True),
+    T.StructField("x_step", T.DoubleType(), True),
+    T.StructField("error", T.StringType(), True),
+])
+
+CHANNEL_META_SCHEMA = T.StructType([
+    T.StructField("source_file", T.StringType(), False),
+    T.StructField("datetime", T.TimestampType(), True),
+    T.StructField("frequency", T.DoubleType(), True),
+    T.StructField("overload", T.BooleanType(), True),
+    T.StructField("iq_capture_duration_ms", T.DoubleType(), True),
+    T.StructField("cal_gain_dB", T.DoubleType(), True),
+    T.StructField("cal_noise_figure_dB", T.DoubleType(), True),
+    T.StructField("cal_temperature_degC", T.DoubleType(), True),
+    T.StructField("cal_datetime", T.TimestampType(), True),
+    T.StructField("sigan_reference_level_dBm", T.DoubleType(), True),
+    T.StructField("sigan_attenuation_dB", T.DoubleType(), True),
+    T.StructField("sigan_preamp_enable", T.BooleanType(), True),
+    T.StructField("extras", T.MapType(T.StringType(), T.StringType()), True),
+    T.StructField("error", T.StringType(), True),
+])
+
+SWEEP_META_SCHEMA = T.StructType([
+    T.StructField("source_file", T.StringType(), False),
+    T.StructField("sample_rate", T.DoubleType(), True),
+    T.StructField("version", T.StringType(), True),
+    T.StructField("metadata_version", T.StringType(), True),
+    T.StructField("schedule_name", T.StringType(), True),
+    T.StructField("schedule_start_datetime", T.TimestampType(), True),
+    T.StructField("schedule_interval", T.DoubleType(), True),
+    T.StructField("task", T.LongType(), True),
+    T.StructField("diagnostics_datetime", T.TimestampType(), True),
+    T.StructField("timezone", T.StringType(), True),
+    T.StructField("geo_lon", T.DoubleType(), True),
+    T.StructField("geo_lat", T.DoubleType(), True),
+    T.StructField("geo_alt", T.DoubleType(), True),
+    T.StructField("max_of_max_channel_powers", T.ArrayType(T.DoubleType()), True),
+    T.StructField("median_of_mean_channel_powers", T.ArrayType(T.DoubleType()), True),
+    T.StructField("mean_channel_powers", T.ArrayType(T.DoubleType()), True),
+    T.StructField("median_channel_powers", T.ArrayType(T.DoubleType()), True),
+    T.StructField("extras", T.MapType(T.StringType(), T.StringType()), True),
+    T.StructField("error", T.StringType(), True),
+])
+
+_CH_CORE = [f.name for f in CHANNEL_META_SCHEMA.fields
+            if f.name not in ("source_file", "extras", "error")]
+_SWEEP_CORE = [f.name for f in SWEEP_META_SCHEMA.fields
+               if f.name not in ("source_file", "extras", "error")]
+_SWEEP_ARRAYS = {"max_of_max_channel_powers", "median_of_mean_channel_powers",
+                 "mean_channel_powers", "median_channel_powers"}
+
+
+# --------------------------------------------------------------------------
+# listing (S8/S9/S10 analogs)
+# --------------------------------------------------------------------------
+
+def _natural_key(name: str):
+    """Digit-aware sort key (reference natsorted listing, ziparchive.py:151)."""
+    import re
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", name)]
+
+
+def list_sigmf_refs(spark: SparkSession, paths: str | list[str],
+                    allow: int | None = None,
+                    batch_size: int = 64) -> DataFrame:
+    """Enumerate ``.sigmf`` files (plain files, directories, or zip archives)
+    into a file-ref DataFrame, natural-sorted, batched into partitions.
+
+    ``allow`` keeps only the first N refs (reference ``allow=int`` gate,
+    ``ziparchive.py:410-412``).
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    refs: list[tuple[str, str | None, int]] = []
+    for p in paths:
+        if os.path.isdir(p):
+            for f in sorted(glob.glob(os.path.join(p, "**", "*.sigmf"),
+                                      recursive=True), key=_natural_key):
+                refs.append((f, None, os.path.getsize(f)))
+        elif p.endswith(".zip"):
+            with zipfile.ZipFile(p) as z:          # central dir read ONCE
+                members = [i for i in z.infolist()
+                           if i.filename.endswith(".sigmf")]
+            members.sort(key=lambda i: _natural_key(i.filename))
+            refs.extend((p, i.filename, i.file_size) for i in members)
+        else:
+            refs.append((p, None,
+                         os.path.getsize(p) if os.path.exists(p) else None))
+    if allow is not None:
+        refs = refs[:allow]
+    n_part = max(1, (len(refs) + batch_size - 1) // batch_size)
+    df = spark.createDataFrame(refs, REF_SCHEMA)
+    return df.repartition(n_part)
+
+
+def _open_ref(zcache: dict, path: str, member: str | None) -> bytes:
+    if member is None:
+        with open(path, "rb") as f:
+            return f.read()
+    z = zcache.get(path)
+    if z is None:
+        z = zcache[path] = zipfile.ZipFile(path)
+    return z.read(member)
+
+
+def _ref_name(path: str, member: str | None) -> str:
+    return path if member is None else f"{path}::{member}"
+
+
+# --------------------------------------------------------------------------
+# decode stages (mapInPandas)
+# --------------------------------------------------------------------------
+
+def decode_traces(refs: DataFrame, tz: str | None = None,
+                  hash_check: bool = True) -> DataFrame:
+    """Full decode of every ref into long-format trace rows (one row per
+    per-capture trace, ``values`` = float32 array). Failures become rows
+    with ``error`` set and null payload (quarantine, S15)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        zcache: dict = {}
+        cols = [f.name for f in TRACE_SCHEMA.fields]
+        for b in batches:
+            recs = []
+            for path, member in zip(b["path"], b["member"]):
+                src = _ref_name(path, member)
+                try:
+                    raw = _open_ref(zcache, path, member)
+                    tables = decode_sigmf(raw, tz=tz, hash_check=hash_check,
+                                          source=src)
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    recs.append((src, None, None, None, None, None, None,
+                                 None, None, None, f"{type(e).__name__}: {e}"))
+                    continue
+                for tname in ("psd", "pvt", "pfp", "apd", "apd_raw"):
+                    df = tables.get(tname)
+                    if df is None:
+                        continue
+                    for r in df.itertuples(index=False):
+                        d = r._asdict()
+                        recs.append((
+                            src, tname,
+                            pd.Timestamp(d["datetime"]), float(d["frequency"]),
+                            d.get("capture_statistic"), d.get("detector"),
+                            d.get("kind"), d["values"],
+                            float(d["x_start"]), float(d["x_step"]), None))
+            yield pd.DataFrame(recs, columns=cols)
+
+    return refs.mapInPandas(run, TRACE_SCHEMA)
+
+
+def _meta_rows(path: str, member: str | None, zcache: dict,
+               tz: str | None) -> tuple[list[tuple], tuple]:
+    """(channel_metadata rows, sweep_metadata row) via the payload-skipping
+    fast path (S14)."""
+    src = _ref_name(path, member)
+    raw = _open_ref(zcache, path, member)
+    plan = decode_sigmf_meta(raw, tz=tz)["plan"]
+
+    def ts(v):
+        return pd.Timestamp(v) if v is not None else None
+
+    ch_rows = []
+    for row in plan.channel_meta.values():
+        core = {c: row.get(c) for c in _CH_CORE}
+        core["datetime"] = ts(core["datetime"])
+        core["cal_datetime"] = ts(core.get("cal_datetime"))
+        ov = core.get("overload")
+        core["overload"] = bool(ov) if ov is not None else None
+        pre = core.get("sigan_preamp_enable")
+        core["sigan_preamp_enable"] = bool(pre) if pre is not None else None
+        extras = {k: str(v) for k, v in row.items() if k not in _CH_CORE}
+        ch_rows.append((src, *[core[c] for c in _CH_CORE], extras or None, None))
+
+    sm = dict(plan.sweep_meta)
+    sm["timezone"] = plan.timezone
+    core = {}
+    for c in _SWEEP_CORE:
+        v = sm.get(c)
+        if c.endswith("datetime"):
+            v = ts(v)
+        elif c in _SWEEP_ARRAYS and v is not None:
+            v = [float(x) for x in v]
+        elif c in ("sample_rate", "schedule_interval", "geo_lon", "geo_lat",
+                   "geo_alt") and v is not None:
+            v = float(v)
+        elif c == "task" and v is not None:
+            v = int(v)
+        core[c] = v
+    extras = {k: str(v) for k, v in sm.items() if k not in _SWEEP_CORE}
+    sweep_row = (src, *[core[c] for c in _SWEEP_CORE], extras or None, None)
+    return ch_rows, sweep_row
+
+
+def _meta_stage(refs: DataFrame, schema: T.StructType, pick: int,
+                tz: str | None) -> DataFrame:
+    cols = [f.name for f in schema.fields]
+    n_fill = len(cols) - 2
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        zcache: dict = {}
+        for b in batches:
+            recs = []
+            for path, member in zip(b["path"], b["member"]):
+                try:
+                    both = _meta_rows(path, member, zcache, tz)
+                    got = both[pick]
+                    recs.extend(got if pick == 0 else [got])
+                except Exception as e:  # noqa: BLE001
+                    recs.append((_ref_name(path, member),
+                                 *([None] * n_fill),
+                                 f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(recs, columns=cols)
+
+    return refs.mapInPandas(run, schema)
+
+
+def decode_channel_metadata(refs: DataFrame, tz: str | None = None) -> DataFrame:
+    """Per-capture metadata rows via metadata-only parse (no LZMA)."""
+    return _meta_stage(refs, CHANNEL_META_SCHEMA, 0, tz)
+
+
+def decode_sweep_metadata(refs: DataFrame, tz: str | None = None) -> DataFrame:
+    """One metadata row per file via metadata-only parse (no LZMA)."""
+    return _meta_stage(refs, SWEEP_META_SCHEMA, 1, tz)
+
+
+# --------------------------------------------------------------------------
+# ingest job: decode → partitioned parquet warehouse
+# --------------------------------------------------------------------------
+
+def ingest(spark: SparkSession, paths: str | list[str], out_dir: str,
+           tz: str | None = None, hash_check: bool = True,
+           allow: int | None = None, batch_size: int = 64) -> dict[str, str]:
+    """End-to-end ingest: list → decode → write.
+
+    Output layout (the Dask divisions/1-day-repartition analog, §1.5):
+
+    - ``{out}/traces``            partitioned by (table, date), rows sorted
+      within files by (datetime, frequency) for min/max-stat row pruning
+    - ``{out}/channel_metadata``  partitioned by date
+    - ``{out}/sweep_metadata``    one file-level row each
+    - ``{out}/quarantine``        refs that failed decode, with the error
+
+    Returns {logical name: path}.
+    """
+    refs = list_sigmf_refs(spark, paths, allow=allow, batch_size=batch_size)
+
+    traces = decode_traces(refs, tz=tz, hash_check=hash_check)
+    good = traces.where(F.col("error").isNull()).drop("error") \
+                 .withColumn("date", F.to_date("datetime"))
+    bad = traces.where(F.col("error").isNotNull()) \
+                .select("source_file", "error")
+
+    out = {}
+    tr_path = out[f"traces"] = os.path.join(out_dir, "traces")
+    (good.sortWithinPartitions("datetime", "frequency")
+         .write.mode("overwrite").partitionBy("table", "date").parquet(tr_path))
+
+    q_path = out["quarantine"] = os.path.join(out_dir, "quarantine")
+    bad.write.mode("overwrite").parquet(q_path)
+
+    # metadata-only parse skips the payload (S14), so payload-corrupt files
+    # still yield metadata — drop whole failed files like errors='log' does
+    quarantined = F.broadcast(
+        spark.read.parquet(q_path).select("source_file").distinct())
+
+    ch = decode_channel_metadata(refs, tz=tz).where(F.col("error").isNull()) \
+        .join(quarantined, "source_file", "left_anti") \
+        .drop("error").withColumn("date", F.to_date("datetime"))
+    ch_path = out["channel_metadata"] = os.path.join(out_dir, "channel_metadata")
+    (ch.sortWithinPartitions("datetime", "frequency")
+       .write.mode("overwrite").partitionBy("date").parquet(ch_path))
+
+    sw = decode_sweep_metadata(refs, tz=tz).where(F.col("error").isNull()) \
+        .join(quarantined, "source_file", "left_anti") \
+        .drop("error")
+    sw_path = out["sweep_metadata"] = os.path.join(out_dir, "sweep_metadata")
+    sw.write.mode("overwrite").parquet(sw_path)
+    return out
+
+
+def read_product(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
+    """Open one ingested data-product table (psd/pvt/pfp/apd/apd_raw) with
+    partition pruning on ``table`` and ``date``."""
+    df = spark.read.parquet(os.path.join(out_dir, "traces"))
+    return df.where(F.col("table") == table).drop("table")
