@@ -1,0 +1,323 @@
+"""Reusable query helpers (SURVEY.md §7 step 5): trace selection, exact
+array statistics, dB-domain math, as-of joins, per-group limiting, gap
+detection, pivots, axis synthesis.
+
+Everything here is a *Column expression* or a composition of stock DataFrame
+operators — JVM-side, whole-stage-codegen friendly, no Python UDFs — so the
+same helpers hold at 100 TB: array statistics run per-row inside the scan
+stage (no shuffle), the as-of join is one shuffle + two window passes, and
+the limiter reuses one grouping.
+
+Reference parity notes cite `/root/reference/` via SURVEY.md §2 operator ids.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+__all__ = [
+    "db_to_power", "power_to_db", "db_to_env", "env_to_db",
+    "array_double", "array_mean", "array_median", "array_quantile",
+    "array_midmean", "array_mean_db", "array_sum_db", "array_roll",
+    "axis_x", "explode_trace", "trace", "asof_join", "limiter",
+    "time_gaps", "pivot_wide", "localize", "rayleigh_amplitude",
+    "noise_floor_dBm",
+]
+
+
+# --------------------------------------------------------------------------
+# dB ↔ linear (F4; 3gpp cell 0)
+# --------------------------------------------------------------------------
+
+def db_to_power(col) -> Column:
+    return F.pow(F.lit(10.0), F.col(col) / 10.0 if isinstance(col, str) else col / 10.0)
+
+
+def power_to_db(col) -> Column:
+    return 10.0 * F.log10(F.col(col) if isinstance(col, str) else col)
+
+
+def db_to_env(col) -> Column:
+    return F.pow(F.lit(10.0), F.col(col) / 20.0 if isinstance(col, str) else col / 20.0)
+
+
+def env_to_db(col) -> Column:
+    return 20.0 * F.log10(F.col(col) if isinstance(col, str) else col)
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --------------------------------------------------------------------------
+# exact array statistics over the trace axis (A1-A5; axis=1 semantics)
+# --------------------------------------------------------------------------
+
+def array_double(col) -> Column:
+    """Upcast ARRAY<FLOAT> to ARRAY<DOUBLE> (float32 analytics upcast, F9)."""
+    return F.transform(_c(col), lambda x: x.cast("double"))
+
+
+def array_mean(col) -> Column:
+    """Arithmetic mean over the array (linear domain)."""
+    v = array_double(col)
+    return F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size(v)
+
+
+def array_quantile(col, q: float) -> Column:
+    """Exact linear-interpolated quantile over the array values — the
+    pandas/numpy ``quantile(q, axis=1)`` semantics (A4, 3gpp cell 3):
+    h = (n-1)q; v[floor h] + (h - floor h) * (v[floor h + 1] - v[floor h]).
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("q must be in [0, 1]")
+    v = F.array_sort(array_double(col))
+    n = F.size(v)
+    h = (n - 1).cast("double") * F.lit(float(q))
+    lo_i = F.floor(h).cast("int")
+    frac = h - F.floor(h)
+    lo = F.element_at(v, lo_i + 1)
+    hi = F.element_at(v, F.least(lo_i + 2, n))
+    return lo + frac * (hi - lo)
+
+
+def array_median(col) -> Column:
+    """Exact median over the array (A1: ``median(axis=1)``)."""
+    return array_quantile(col, 0.5)
+
+
+def array_midmean(col, lo: float = 0.25, hi: float = 0.75) -> Column:
+    """Trimmed mean of values between exact quantiles [lo, hi] inclusive
+    (A5 ``midmean``, 3gpp cell 4)."""
+    v = array_double(col)
+    lo_v, hi_v = array_quantile(col, lo), array_quantile(col, hi)
+    kept = F.filter(v, lambda x: (x >= lo_v) & (x <= hi_v))
+    # tiny arrays can have nothing inside the exact-quantile band → NULL
+    return F.when(F.size(kept) > 0,
+                  F.aggregate(kept, F.lit(0.0), lambda a, x: a + x)
+                  / F.size(kept))
+
+
+def array_mean_db(col) -> Column:
+    """Mean over the array computed in linear power, reported in dB
+    (A3: ``dBtopow → mean(axis=1) → powtodB``)."""
+    v = array_double(col)
+    lin_sum = F.aggregate(v, F.lit(0.0),
+                          lambda a, x: a + F.pow(F.lit(10.0), x / 10.0))
+    return 10.0 * F.log10(lin_sum / F.size(v))
+
+
+def array_sum_db(col) -> Column:
+    """dB-domain sum (A8 ``dbsum``)."""
+    v = array_double(col)
+    lin_sum = F.aggregate(v, F.lit(0.0),
+                          lambda a, x: a + F.pow(F.lit(10.0), x / 10.0))
+    return 10.0 * F.log10(lin_sum)
+
+
+def array_roll(values, shift) -> Column:
+    """Circular roll of an array column by a per-row shift (W4, 3gpp
+    ``roll``): positive shift moves ``values[shift]`` to position 0."""
+    v, s = _c(values), _c(shift)
+    n = F.size(v)
+    k = ((s % n) + n) % n  # normalize negative shifts
+    return F.when(k == 0, v).otherwise(
+        F.concat(F.slice(v, k + 1, n - k), F.slice(v, F.lit(1), k)))
+
+
+# --------------------------------------------------------------------------
+# axis synthesis + explode (F10, R5)
+# --------------------------------------------------------------------------
+
+def axis_x(bin_col, x_start="x_start", x_step="x_step") -> Column:
+    """Physical x value for a bin index: x_start + bin * x_step."""
+    return _c(x_start) + _c(bin_col).cast("double") * _c(x_step)
+
+
+def explode_trace(df: DataFrame, values: str = "values",
+                  keep: Sequence[str] | None = None) -> DataFrame:
+    """Long/exploded view of a trace table: one row per (capture, bin) with
+    the physical axis value (R5 — 'the workhorse view').
+
+    Keeps ``keep`` columns (default: everything except the array/axis
+    columns), adds ``bin`` INT, ``x`` DOUBLE, ``value`` FLOAT.
+    """
+    if keep is None:
+        keep = [c for c in df.columns if c not in (values, "x_start", "x_step")]
+    out = df.select(*keep, "x_start", "x_step",
+                    F.posexplode(values).alias("bin", "value"))
+    return out.withColumn("x", axis_x("bin")).drop("x_start", "x_step")
+
+
+# --------------------------------------------------------------------------
+# trace() selector (P1, util.py:97-128 parity)
+# --------------------------------------------------------------------------
+
+def trace(products, table: str | None = None,
+          columns: str | Sequence[str] | None = None, **levels) -> DataFrame:
+    """Select a table and cross-section it on key values.
+
+    ``trace(tables, "pfp", frequency=3.555e9, detector="rms")`` ≡ the
+    reference's ``trace()``: pick the table, apply one ``WHERE`` per named
+    level, optionally project columns (key columns are always kept).
+    ``products`` is a dict of DataFrames or a single DataFrame.
+    """
+    df = products[table] if isinstance(products, dict) else products
+    if not isinstance(products, dict) and table is not None and "table" in df.columns:
+        df = df.where(F.col("table") == table).drop("table")
+    for k, v in levels.items():
+        df = df.where(F.col(k) == v)
+    if columns is not None:
+        if isinstance(columns, str):
+            columns = [columns]
+        keys = [c for c in ("datetime", "frequency") if c in df.columns]
+        cols = keys + [c for c in columns if c not in keys]
+        df = df.select(*cols)
+    return df
+
+
+# --------------------------------------------------------------------------
+# as-of join (J1 — bidirectional nearest, plots.py:76-77 get_indexer parity)
+# --------------------------------------------------------------------------
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              by: Sequence[str] | None = None,
+              direction: str = "nearest",
+              tolerance=None,
+              right_cols: Sequence[str] | None = None,
+              suffix: str = "_right") -> DataFrame:
+    """Align each left row with the nearest right row on ``on`` (numeric or
+    timestamp), optionally within ``by`` groups.
+
+    ``direction``: 'nearest' (bidirectional — pandas ``get_indexer(method=
+    'nearest')``, the reference's semantics), 'backward', or 'forward'.
+    Ties (equidistant) resolve backward, matching pandas ``merge_asof``.
+
+    Implementation is the sorted-union window trick: one shuffle on
+    (by, on), two running-window passes, no range-explosion — at scale this
+    is a single sort-merge pass, vastly cheaper than a range join.
+    ``tolerance`` (same units as ``on``) nulls out matches farther than the
+    bound. Output: all left columns + matched ``right_cols`` (default: all
+    non-key right columns, suffixed on collision) + ``asof_dist``.
+    """
+    if direction not in ("nearest", "backward", "forward"):
+        raise ValueError(direction)
+    by = list(by or [])
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c != on and c not in by]
+    out_names = [c + suffix if c in left.columns else c for c in right_cols]
+
+    payload = F.struct(*[F.col(c).alias(o)
+                         for c, o in zip(right_cols, out_names)])
+    r = right.select(*by, F.col(on).alias("__t"),
+                     payload.alias("__p"), F.lit(1).alias("__is_r"))
+    l = left.select("*", F.col(on).alias("__t"),
+                    F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+                    F.lit(0).alias("__is_r"))
+    lcols = [c for c in left.columns]
+    u = l.select(*lcols, "__t", "__p", "__is_r").unionByName(
+        r.select(*[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+                   for c in lcols if c not in by] + by
+                 + [F.col("__t"), F.col("__p"), F.col("__is_r")],
+                 ).select(*lcols, "__t", "__p", "__is_r"))
+
+    # right rows sort before left rows at equal __t so a same-timestamp match
+    # is seen as 'backward' at distance 0
+    order = [F.col("__t"), F.col("__is_r").desc()]
+    wp = Window.partitionBy(*by).orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy(*by).orderBy(*order) \
+        .rowsBetween(0, Window.unboundedFollowing)
+    r_t = F.when(F.col("__is_r") == 1, F.col("__t"))
+    u = (u.withColumn("__pp", F.last("__p", ignorenulls=True).over(wp))
+          .withColumn("__pt", F.last(r_t, ignorenulls=True).over(wp))
+          .withColumn("__np", F.first("__p", ignorenulls=True).over(wn))
+          .withColumn("__nt", F.first(r_t, ignorenulls=True).over(wn)))
+    u = u.where(F.col("__is_r") == 0)
+
+    t = F.col("__t")
+    d_prev = t.cast("double") - F.col("__pt").cast("double")
+    d_next = F.col("__nt").cast("double") - t.cast("double")
+    if direction == "backward":
+        chosen, dist = F.col("__pp"), d_prev
+    elif direction == "forward":
+        chosen, dist = F.col("__np"), d_next
+    else:
+        take_next = (F.col("__pt").isNull()
+                     | (F.col("__nt").isNotNull() & (d_next < d_prev)))
+        chosen = F.when(take_next, F.col("__np")).otherwise(F.col("__pp"))
+        dist = F.when(take_next, d_next).otherwise(d_prev)
+    if tolerance is not None:
+        chosen = F.when(dist <= tolerance, chosen)
+        dist = F.when(dist <= tolerance, dist)
+    u = u.withColumn("__chosen", chosen).withColumn("asof_dist", dist)
+    return u.select(*lcols,
+                    *[F.col(f"__chosen.{o}").alias(o) for o in out_names],
+                    "asof_dist")
+
+
+# --------------------------------------------------------------------------
+# group limiting / gaps / pivot (P8, W1, R3)
+# --------------------------------------------------------------------------
+
+def limiter(df: DataFrame, group_cols: Sequence[str],
+            order_cols: Sequence[str]) -> DataFrame:
+    """Truncate every group to the size of the smallest group (P8,
+    colormap_plots cell 2): row_number per group vs broadcast min count."""
+    counts = df.groupBy(*group_cols).agg(F.count("*").alias("__n"))
+    mn = counts.agg(F.min("__n").alias("__mn"))
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .crossJoin(F.broadcast(mn))
+              .where(F.col("__rn") <= F.col("__mn"))
+              .drop("__rn", "__mn"))
+
+
+def time_gaps(df: DataFrame, ts_col: str = "datetime",
+              by: Sequence[str] = ()) -> DataFrame:
+    """Seconds since the previous row per group (W1 gap/restart detection)."""
+    w = Window.partitionBy(*by).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    return df.withColumn(
+        "gap_seconds",
+        F.col(ts_col).cast("double") - prev.cast("double"))
+
+
+def pivot_wide(df: DataFrame, keys: Sequence[str], pivot_col: str,
+               value_col: str, values: Sequence[str] | None = None) -> DataFrame:
+    """R3 unstack: one column per pivot value, first() as the cell (trace
+    tables hold exactly one row per key × pivot value)."""
+    p = df.groupBy(*keys).pivot(pivot_col, list(values) if values else None)
+    return p.agg(F.first(value_col))
+
+
+# --------------------------------------------------------------------------
+# timezone & domain scalars (F2, F5, D7, D8)
+# --------------------------------------------------------------------------
+
+def localize(df: DataFrame, ts_col: str = "datetime",
+             tz="timezone") -> DataFrame:
+    """Sensor-local wall-clock view of a UTC timestamp column (F2):
+    adds ``{ts_col}_local``. ``tz`` is a column name or a literal string."""
+    tz_col = F.col(tz) if tz in df.columns else F.lit(tz)
+    return df.withColumn(f"{ts_col}_local",
+                         F.from_utc_timestamp(F.col(ts_col), tz_col))
+
+
+def rayleigh_amplitude(prob_col, x0=0.0) -> Column:
+    """APD Rayleigh x-transform (D8): x = x0 − 10·log10(−ln p)."""
+    p = _c(prob_col).cast("double")
+    base = _c(x0) if isinstance(x0, (Column, str)) else F.lit(float(x0))
+    return base - 10.0 * F.log10(-F.log(p))
+
+
+def noise_floor_dBm(nf_col, enbw_hz=10e6, temp_k: float = 290.0) -> Column:
+    """Thermal noise floor kTB (dBm) + noise figure (F5/D7):
+    10·log10(k·T) + 30 + 10·log10(ENBW) + NF."""
+    import math
+    ktb_dbm_hz = 10.0 * math.log10(1.380649e-23 * temp_k) + 30.0
+    bw = _c(enbw_hz) if isinstance(enbw_hz, (Column, str)) else F.lit(float(enbw_hz))
+    return F.lit(ktb_dbm_hz) + 10.0 * F.log10(bw) + _c(nf_col)

@@ -24,6 +24,7 @@ from typing import Callable, Optional
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from .. import functions as FN
 from .tables import load_table, register_tables, us
 
 
@@ -166,13 +167,8 @@ def q05(spark, sf_dir):
     """)
 def q06(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
-    mn = counts.agg(F.min("n").alias("mn"))
-    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
-    ranked = ev.withColumn("rn", F.row_number().over(w))
-    return (ranked.crossJoin(F.broadcast(mn))
-                  .where(F.col("rn") <= F.col("mn"))
-                  .select("event_type", "event_id"))
+    return FN.limiter(ev, ["event_type"], ["ts_us", "event_id"]) \
+        .select("event_type", "event_id")
 
 
 @_q("q07_topk",
@@ -282,32 +278,13 @@ def q10(spark, sf_dir):
 def q11(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     left = (ev.where(F.col("event_type") == "purchase")
-              .select("ts_us", "event_id",
-                      F.lit(None).cast("long").alias("err_id"),
-                      F.lit(0).alias("is_err")))
+              .select("event_id", "ts_us"))
     right = (ev.where(F.col("event_type") == "error")
-               .select("ts_us", F.lit(None).cast("long").alias("event_id"),
-                       F.col("event_id").alias("err_id"), F.lit(1).alias("is_err")))
-    u = left.unionByName(right)
-    order = [F.col("ts_us"), F.col("is_err").desc(), F.col("err_id")]
-    wp = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    wn = Window.orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
-    err_ts = F.when(F.col("is_err") == 1, F.col("ts_us"))
-    w = (u.withColumn("prev_id", F.last("err_id", ignorenulls=True).over(wp))
-          .withColumn("prev_ts", F.last(err_ts, ignorenulls=True).over(wp))
-          .withColumn("next_id", F.first("err_id", ignorenulls=True).over(wn))
-          .withColumn("next_ts", F.first(err_ts, ignorenulls=True).over(wn)))
-    nearer_next = (F.col("next_ts") - F.col("ts_us")) < (F.col("ts_us") - F.col("prev_ts"))
-    return (w.where(F.col("is_err") == 0)
-             .select("event_id", "ts_us",
-                     F.when(F.col("prev_id").isNull(), F.col("next_id"))
-                      .when(F.col("next_id").isNull(), F.col("prev_id"))
-                      .when(nearer_next, F.col("next_id"))
-                      .otherwise(F.col("prev_id")).alias("nearest_err_id"),
-                     F.when(F.col("prev_id").isNull(), F.col("next_ts") - F.col("ts_us"))
-                      .when(F.col("next_id").isNull(), F.col("ts_us") - F.col("prev_ts"))
-                      .when(nearer_next, F.col("next_ts") - F.col("ts_us"))
-                      .otherwise(F.col("ts_us") - F.col("prev_ts")).alias("diff_us")))
+               .select(F.col("event_id").alias("err_id"), "ts_us"))
+    out = FN.asof_join(left, right, on="ts_us", right_cols=["err_id"])
+    return out.select("event_id", "ts_us",
+                      F.col("err_id").alias("nearest_err_id"),
+                      F.col("asof_dist").cast("long").alias("diff_us"))
 
 
 @_q("q12_union_concat",
@@ -472,21 +449,13 @@ def q20(spark, sf_dir):
     """)
 def q21(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    d = emb.withColumn("v", F.expr("transform(embedding, x -> cast(x as double))"))
-    sorted_v = F.expr("array_sort(v)")
-    n = F.size("v")
-    # exact interpolated median of an even/odd-length array
-    med = F.expr("""
-      CASE WHEN size(v) % 2 = 1
-           THEN element_at(array_sort(v), cast(size(v) div 2 + 1 as int))
-           ELSE (element_at(array_sort(v), cast(size(v) div 2 as int))
-               + element_at(array_sort(v), cast(size(v) div 2 + 1 as int))) / 2.0 END""")
-    return d.select(
+    v = FN.array_double("embedding")
+    return emb.select(
         "vec_id",
-        F.round(F.array_max("v"), 5).alias("trace_max"),
-        F.round(F.array_min("v"), 5).alias("trace_min"),
-        F.round(F.expr("aggregate(v, 0D, (a, x) -> a + x)") / n, 5).alias("trace_mean"),
-        F.round(med, 5).alias("trace_median"))
+        F.round(F.array_max(v), 5).alias("trace_max"),
+        F.round(F.array_min(v), 5).alias("trace_min"),
+        F.round(FN.array_mean("embedding"), 5).alias("trace_mean"),
+        F.round(FN.array_median("embedding"), 5).alias("trace_median"))
 
 
 @_q("q22_cosine_topk",
@@ -529,19 +498,8 @@ def q22(spark, sf_dir):
     """)
 def q30(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    d = emb.withColumn("v", F.expr("array_sort(transform(embedding, x -> cast(x as double)))"))
-    # exact linear-interpolated quantile on the sorted array: h = (n-1)*q
-    def qtile(qv):
-        return F.expr(f"""
-          element_at(v, cast(floor((size(v) - 1) * {qv}) as int) + 1)
-          + ((size(v) - 1) * {qv} - floor((size(v) - 1) * {qv}))
-            * (element_at(v, cast(floor((size(v) - 1) * {qv}) as int) + 2)
-             - element_at(v, cast(floor((size(v) - 1) * {qv}) as int) + 1))""")
-    d = d.withColumn("lo", qtile(0.25)).withColumn("hi", qtile(0.75))
-    mid = F.expr("filter(v, x -> x >= lo AND x <= hi)")
-    return d.select("vec_id",
-                    F.round(F.expr("aggregate(filter(v, x -> x >= lo AND x <= hi), 0D, (a, x) -> a + x)")
-                            / F.size(mid), 5).alias("midmean"))
+    return emb.select("vec_id",
+                      F.round(FN.array_midmean("embedding"), 5).alias("midmean"))
 
 
 @_q("q31_block_resample",
@@ -594,6 +552,100 @@ def q33(spark, sf_dir):
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name")
+
+
+@_q("q35_asof_backward",
+    "J1 as-of join, backward direction with tolerance (merge_asof semantics; "
+    "library FN.asof_join surface)",
+    f"""
+    WITH u AS (
+      SELECT epoch_us(ts) AS ts_us, event_id, NULL::BIGINT AS err_id, 0 AS is_err
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT epoch_us(ts), NULL::BIGINT, event_id, 1
+      FROM events WHERE event_type = 'error'
+    ), w AS (
+      SELECT *,
+        last_value(err_id IGNORE NULLS) OVER
+          (ORDER BY ts_us, is_err DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_id,
+        last_value(CASE WHEN is_err = 1 THEN ts_us END IGNORE NULLS) OVER
+          (ORDER BY ts_us, is_err DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts
+      FROM u)
+    SELECT event_id, ts_us,
+      CASE WHEN ts_us - prev_ts <= 3600000000 THEN prev_id END AS err_id,
+      CASE WHEN ts_us - prev_ts <= 3600000000 THEN ts_us - prev_ts END AS diff_us
+    FROM w WHERE is_err = 0
+    """)
+def q35(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select("event_id", "ts_us")
+    right = (ev.where(F.col("event_type") == "error")
+               .select(F.col("event_id").alias("err_id"), "ts_us"))
+    out = FN.asof_join(left, right, on="ts_us", direction="backward",
+                       tolerance=3_600_000_000)
+    return out.select("event_id", "ts_us", "err_id",
+                      F.col("asof_dist").cast("long").alias("diff_us"))
+
+
+@_q("q36_rayleigh_transform",
+    "D8 APD Rayleigh x-transform: x = −10·log10(−ln p) "
+    "(seamf_quickplot cell 7 semantics over a synthetic probability)",
+    """
+    SELECT event_id,
+           round((value + 0.5) / 101.0, 9) AS p,
+           round(-10.0 * log10(-ln((value + 0.5) / 101.0)), 5) AS rayleigh_x
+    FROM events WHERE value >= 0 AND value <= 100
+    """)
+def q36(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    p = (F.col("value") + 0.5) / 101.0
+    return (ev.where(F.col("value").between(0, 100))
+              .select("event_id",
+                      F.round(p, 9).alias("p"),
+                      F.round(FN.rayleigh_amplitude(p), 5).alias("rayleigh_x")))
+
+
+@_q("q37_embedding_neardup",
+    "embedding-cosine near-dup via deterministic quantization buckets "
+    "(LSH shape: bucket join replaces the all-pairs cross join; "
+    "LLM-pipeline dedup op)",
+    """
+    WITH b AS (SELECT vec_id, embedding,
+                      CAST(floor(embedding[1] * 5) AS INT) AS b1,
+                      CAST(floor(embedding[2] * 5) AS INT) AS b2
+               FROM embeddings),
+    p AS (SELECT a.vec_id AS d1, c.vec_id AS d2,
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * x)))) AS cos
+          FROM b a JOIN b c
+            ON a.b1 = c.b1 AND a.b2 = c.b2 AND a.vec_id < c.vec_id)
+    SELECT d1, d2, round(cos, 5) AS cos_sim FROM p WHERE cos >= 0.35
+    """)
+def q37(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    # norms computed ONCE per vector (n rows), not per candidate pair (n²-ish)
+    b = emb.select(
+        "vec_id", "embedding",
+        F.floor(F.element_at("embedding", 1) * 5).cast("int").alias("b1"),
+        F.floor(F.element_at("embedding", 2) * 5).cast("int").alias("b2"),
+        F.sqrt(F.expr("aggregate(embedding, 0D, "
+                      "(s, x) -> s + cast(x as double) * cast(x as double))"))
+        .alias("norm"))
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(c, (F.col("a.b1") == F.col("c.b1"))
+                   & (F.col("a.b2") == F.col("c.b2"))
+                   & (F.col("a.vec_id") < F.col("c.vec_id")))
+    dot = F.expr("aggregate(zip_with(a.embedding, c.embedding, "
+                 "(x, y) -> cast(x as double) * cast(y as double)), 0D, (s, v) -> s + v)")
+    return (pairs.withColumn("cos", dot / (F.col("a.norm") * F.col("c.norm")))
+                 .where(F.col("cos") >= 0.35)
+                 .select(F.col("a.vec_id").alias("d1"),
+                         F.col("c.vec_id").alias("d2"),
+                         F.round("cos", 5).alias("cos_sim")))
 
 
 @_q("q34_scalar_stats",

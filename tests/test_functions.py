@@ -1,0 +1,236 @@
+"""Property-style tests for the query-helper library: every array statistic
+is checked against numpy/pandas on randomized traces; the as-of join against
+``pandas.merge_asof`` plus a bidirectional-nearest reference implementation.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import pyspark.sql.functions as F
+from pyspark.sql import Row
+
+import nasctn_sea_ingest_spark.functions as FN
+
+RNG = np.random.default_rng(7)
+
+
+@pytest.fixture(scope="module")
+def arrays_df(spark):
+    rows = []
+    for i in range(40):
+        n = int(RNG.integers(1, 50))
+        vals = RNG.normal(-80, 10, n).astype(np.float32)
+        rows.append(Row(id=i, values=[float(x) for x in vals]))
+    df = spark.createDataFrame(rows, "id int, values array<float>")
+    return df, {r.id: np.array(r.values, dtype=np.float64) for r in rows}
+
+
+def _check(spark_rows, expect_fn, data, atol=1e-9):
+    for r in spark_rows:
+        want = expect_fn(data[r.id])
+        if r.out is None or (isinstance(want, float) and np.isnan(want)):
+            assert r.out is None and np.isnan(want), f"id={r.id}"
+            continue
+        assert r.out == pytest.approx(want, abs=atol), f"id={r.id}"
+
+
+def test_array_mean(arrays_df):
+    df, data = arrays_df
+    rows = df.select("id", FN.array_mean("values").alias("out")).collect()
+    _check(rows, np.mean, data)
+
+
+@pytest.mark.parametrize("q", [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0])
+def test_array_quantile_matches_numpy(arrays_df, q):
+    df, data = arrays_df
+    rows = df.select("id", FN.array_quantile("values", q).alias("out")).collect()
+    _check(rows, lambda a: np.quantile(a, q), data, atol=1e-9)
+
+
+def test_array_median(arrays_df):
+    df, data = arrays_df
+    rows = df.select("id", FN.array_median("values").alias("out")).collect()
+    _check(rows, np.median, data)
+
+
+def test_array_midmean(arrays_df):
+    df, data = arrays_df
+    rows = df.select("id", FN.array_midmean("values").alias("out")).collect()
+
+    def midmean(a):
+        lo, hi = np.quantile(a, 0.25), np.quantile(a, 0.75)
+        kept = a[(a >= lo) & (a <= hi)]
+        return kept.mean() if len(kept) else float("nan")
+
+    _check(rows, midmean, data)
+
+
+def test_array_db_aggregates(arrays_df):
+    df, data = arrays_df
+    rows = df.select("id", FN.array_mean_db("values").alias("out")).collect()
+    _check(rows, lambda a: 10 * np.log10(np.mean(10 ** (a / 10))), data, atol=1e-8)
+    rows = df.select("id", FN.array_sum_db("values").alias("out")).collect()
+    _check(rows, lambda a: 10 * np.log10(np.sum(10 ** (a / 10))), data, atol=1e-8)
+
+
+def test_array_roll(spark):
+    vals = list(range(10))
+    df = spark.createDataFrame(
+        [Row(s=s, values=vals) for s in (-3, 0, 1, 7, 10, 23)],
+        "s int, values array<int>")
+    rows = df.select("s", FN.array_roll("values", "s").alias("out")).collect()
+    for r in rows:
+        want = np.roll(vals, -r.s).tolist()
+        assert r.out == want, f"shift={r.s}"
+
+
+def test_explode_trace_axis(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, values=[1.0, 2.0, 3.0], x_start=-10.0, x_step=2.5)],
+        "id int, values array<float>, x_start double, x_step double")
+    rows = FN.explode_trace(df).orderBy("bin").collect()
+    assert [r.bin for r in rows] == [0, 1, 2]
+    assert [r.x for r in rows] == [-10.0, -7.5, -5.0]
+    assert [r.value for r in rows] == [1.0, 2.0, 3.0]
+
+
+def test_trace_selector(spark):
+    df = spark.createDataFrame(
+        [Row(table="pfp", datetime=1, frequency=1.0, detector="rms", v=1),
+         Row(table="pfp", datetime=1, frequency=2.0, detector="peak", v=2),
+         Row(table="psd", datetime=1, frequency=1.0, detector=None, v=3)])
+    got = FN.trace(df, "pfp", detector="rms").collect()
+    assert len(got) == 1 and got[0].v == 1
+    d = {"pfp": df.where("table = 'pfp'")}
+    got = FN.trace(d, "pfp", columns="v", frequency=2.0).collect()
+    assert len(got) == 1 and got[0].v == 2
+    assert "datetime" in got[0].asDict()
+
+
+# --------------------------------------------------------------------------
+# as-of join vs pandas
+# --------------------------------------------------------------------------
+
+def _nearest_ref(lts, rts, rvals):
+    """Bidirectional nearest with backward tie-break."""
+    out = []
+    for t in lts:
+        d = np.abs(np.array(rts) - t)
+        lo = np.where(np.array(rts) <= t, d, np.inf)
+        best_back = int(np.argmin(lo)) if np.isfinite(lo).any() else None
+        i = int(np.argmin(d))
+        # backward tie-break: if the backward candidate is equally near, take it
+        if best_back is not None and d[best_back] <= d[i]:
+            i = best_back
+        out.append((rvals[i], float(d[i])))
+    return out
+
+
+@pytest.mark.parametrize("direction", ["nearest", "backward", "forward"])
+def test_asof_join_directions(spark, direction):
+    lts = sorted(RNG.choice(10_000, 60, replace=False).tolist())
+    rts = sorted(RNG.choice(10_000, 25, replace=False).tolist())
+    left = spark.createDataFrame([Row(t=int(t), lid=i) for i, t in enumerate(lts)])
+    right = spark.createDataFrame(
+        [Row(t=int(t), rval=float(i)) for i, t in enumerate(rts)])
+    got = {r.lid: (r.rval, r.asof_dist)
+           for r in FN.asof_join(left, right, on="t",
+                                 direction=direction).collect()}
+    lpd = pd.DataFrame({"t": lts, "lid": range(len(lts))})
+    rpd = pd.DataFrame({"t": rts, "rval": [float(i) for i in range(len(rts))]})
+    want = pd.merge_asof(lpd, rpd, on="t", direction=direction)
+    for _, w in want.iterrows():
+        g_val, _ = got[w.lid]
+        if np.isnan(w.rval):
+            assert g_val is None
+        else:
+            assert g_val == w.rval, f"lid={w.lid} dir={direction}"
+
+
+def test_asof_join_nearest_dist_and_by(spark):
+    data_l, data_r, expect = [], [], {}
+    for grp in ("a", "b"):
+        lts = sorted(RNG.choice(5_000, 40, replace=False).tolist())
+        rts = sorted(RNG.choice(5_000, 12, replace=False).tolist())
+        rvals = [f"{grp}{i}" for i in range(len(rts))]
+        data_l += [Row(g=grp, t=int(t), lid=f"{grp}{i}")
+                   for i, t in enumerate(lts)]
+        data_r += [Row(g=grp, t=int(t), rv=v) for t, v in zip(rts, rvals)]
+        for (rv, dist), lid in zip(_nearest_ref(lts, rts, rvals),
+                                   [f"{grp}{i}" for i in range(len(lts))]):
+            expect[lid] = (rv, dist)
+    left = spark.createDataFrame(data_l)
+    right = spark.createDataFrame(data_r)
+    got = FN.asof_join(left, right, on="t", by=["g"]).collect()
+    assert len(got) == len(data_l)
+    for r in got:
+        rv, dist = expect[r.lid]
+        assert (r.rv, r.asof_dist) == (rv, dist), f"lid={r.lid}"
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([Row(t=100, lid=0), Row(t=500, lid=1)])
+    right = spark.createDataFrame([Row(t=110, rv=1.0)])
+    got = {r.lid: r.rv for r in
+           FN.asof_join(left, right, on="t", tolerance=50).collect()}
+    assert got[0] == 1.0 and got[1] is None
+
+
+# --------------------------------------------------------------------------
+# limiter / gaps / pivot / scalars
+# --------------------------------------------------------------------------
+
+def test_limiter(spark):
+    rows = [Row(g="a", t=i) for i in range(10)] + \
+           [Row(g="b", t=i) for i in range(4)] + \
+           [Row(g="c", t=i) for i in range(7)]
+    out = FN.limiter(spark.createDataFrame(rows), ["g"], ["t"])
+    counts = {r.g: r.n for r in
+              out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 4, "b": 4, "c": 4}
+    # kept rows are the earliest per order
+    assert out.where("g = 'a'").agg(F.max("t")).first()[0] == 3
+
+
+def test_time_gaps(spark):
+    from datetime import datetime, timezone
+    df = spark.createDataFrame(
+        [Row(g="x", datetime=datetime.fromtimestamp(t, tz=timezone.utc))
+         for t in (0, 90, 180, 400)])
+    got = FN.time_gaps(df, by=["g"]).orderBy("datetime").collect()
+    assert [r.gap_seconds for r in got] == [None, 90.0, 90.0, 220.0]
+
+
+def test_pivot_wide(spark):
+    df = spark.createDataFrame(
+        [Row(k=1, s="max", v=10.0), Row(k=1, s="mean", v=5.0),
+         Row(k=2, s="max", v=20.0), Row(k=2, s="mean", v=15.0)])
+    out = FN.pivot_wide(df, ["k"], "s", "v", ["max", "mean"]) \
+        .orderBy("k").collect()
+    assert out[0]["max"] == 10.0 and out[0]["mean"] == 5.0
+    assert out[1]["max"] == 20.0 and out[1]["mean"] == 15.0
+
+
+def test_localize(spark):
+    from datetime import datetime
+    df = spark.createDataFrame(
+        [Row(datetime=datetime(2023, 9, 17, 12, 0, 0), timezone="America/Denver")])
+    r = FN.localize(df).first()
+    assert r.datetime_local == datetime(2023, 9, 17, 6, 0, 0)
+
+
+def test_rayleigh_and_noise_floor(spark):
+    df = spark.createDataFrame([Row(p=0.5, nf=5.0)])
+    r = df.select(FN.rayleigh_amplitude("p", 0.0).alias("ray"),
+                  FN.noise_floor_dBm("nf").alias("floor")).first()
+    assert r.ray == pytest.approx(-10 * np.log10(-np.log(0.5)))
+    # kTB(290K, 10 MHz) ≈ −103.98 dBm; +5 dB NF ≈ −98.98
+    assert r.floor == pytest.approx(-98.98, abs=0.05)
+
+
+def test_db_roundtrip(spark):
+    df = spark.createDataFrame([Row(x=-77.0)])
+    r = df.select(FN.power_to_db(FN.db_to_power("x")).alias("p"),
+                  FN.env_to_db(FN.db_to_env("x")).alias("e")).first()
+    assert r.p == pytest.approx(-77.0)
+    assert r.e == pytest.approx(-77.0)
