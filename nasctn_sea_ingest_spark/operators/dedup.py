@@ -1,0 +1,191 @@
+"""Deduplication operators for document corpora: exact, n-gram Jaccard,
+MinHash + LSH banding, SimHash. The library (hash-based) variants here are
+the production/scale path; the corpus queries in ``plans.corpus_docs`` keep
+dense-rank token ids so DuckDB can oracle them bit-for-bit.
+
+Scale notes (100 TB): every pairwise stage goes through a *candidate*
+generator (LSH band buckets / simhash equality) before any exact measure —
+no all-pairs joins. The shingle self-join shuffles on the shingle hash;
+ultra-frequent shingles are dropped first (``max_doc_freq``) to bound skew,
+the same reason stop-words get dropped in IR pipelines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "exact_duplicates", "drop_exact_duplicates", "shingle",
+    "jaccard_pairs", "minhash_signatures", "lsh_candidates",
+    "minhash_dedup_candidates", "simhash64", "simhash_pairs",
+]
+
+# 2^31 - 1: keeps h * multiplier + offset far inside int64 under ANSI mode
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (content hash, representative =
+    min id, n_copies). Single hash-groupBy shuffle."""
+    return (df.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
+              .agg(F.min(id_col).alias("rep_id"),
+                   F.count("*").alias("n_copies")))
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each exact-duplicate group.
+    One window over the content hash — no join back."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(id_col)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def shingle(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]))
+    return (df.select(F.col(id_col).alias("id"), grams.alias("g"))
+              .where(F.size("g") > 0)
+              .select("id", F.explode("g").alias("shingle"))
+              .distinct())
+
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3,
+                  threshold: float = 0.5,
+                  max_doc_freq: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
+    ``max_doc_freq`` drops stop-shingles (appearing in more documents than
+    the bound) before the self-join — the skew guard at scale."""
+    sh = shingle(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = (sh.join(freq.where(F.col("df") <= max_doc_freq)
+                      .select("shingle"), "shingle"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+             .agg(F.count("*").alias("inter")))
+    j = (inter
+         .join(sizes.select(F.col("id").alias("d1"),
+                            F.col("n_sh").alias("n1")), "d1")
+         .join(sizes.select(F.col("id").alias("d2"),
+                            F.col("n_sh").alias("n2")), "d2")
+         .withColumn("jaccard", F.col("inter")
+                     / (F.col("n1") + F.col("n2") - F.col("inter"))))
+    return j.where(F.col("jaccard") >= threshold) \
+            .select("d1", "d2", "jaccard")
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       n_hashes: int = 32) -> DataFrame:
+    """MinHash signatures from xxhash64 shingle hashes under ``n_hashes``
+    universal-hash draws — no global token dictionary, no sort: the scale
+    path (the oracle-checked corpus variant uses dense ranks instead).
+    Output: (id, sig ARRAY<BIGINT> length n_hashes)."""
+    sh = shingle(df, text_col, id_col, n)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    mins = [F.min(F.pmod(h * F.lit(2 * j + 1) + F.lit(101 * j + 17),
+                         F.lit(_MERSENNE))).alias(f"h{j}")
+            for j in range(n_hashes)]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{j}"
+                                      for j in range(n_hashes)]).alias("sig"))
+
+
+def lsh_candidates(sigs: DataFrame, n_bands: int = 8) -> DataFrame:
+    """LSH banding: split each signature into ``n_bands`` bands, bucket-join
+    per band, union candidates. Shuffles on (band, band-hash) — uniform keys,
+    no all-pairs blowup."""
+    n_hashes = None  # derived per-row below; bands sized by slice
+    banded = sigs.select(
+        "id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda bnd: F.struct(
+                bnd.alias("band"),
+                F.slice(F.col("sig"),
+                        bnd * (F.size("sig") / n_bands).cast("int") + 1,
+                        (F.size("sig") / n_bands).cast("int"))
+                .alias("chunk")))).alias("b")) \
+        .select("id", F.col("b.band").alias("band"),
+                F.hash("b.chunk").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+             .distinct())
+
+
+def minhash_dedup_candidates(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", n: int = 3,
+                             n_hashes: int = 32,
+                             n_bands: int = 8) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup candidates: shingle → signature →
+    band buckets → pairs."""
+    return lsh_candidates(
+        minhash_signatures(df, text_col, id_col, n, n_hashes), n_bands)
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit frequency-weighted SimHash per document: bit j is set when the
+    weighted sum of token-hash bit j is positive. Two shuffles (token counts,
+    per-doc bit sums)."""
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                      .alias("tok"))
+              .groupBy("id", "tok").agg(F.count("*").alias("cnt")))
+    h = F.xxhash64("tok")
+    # bit 63 exceeds a positive long literal — build bit masks with shiftleft
+    def bit(j):
+        return F.shiftleft(F.lit(1).cast("long"), j)
+    bit_terms = [
+        F.sum(F.when(h.bitwiseAND(bit(j)) != 0, F.col("cnt"))
+               .otherwise(-F.col("cnt"))).alias(f"s{j}")
+        for j in range(64)]
+    sums = toks.groupBy("id").agg(*bit_terms)
+    sig = None
+    for j in range(64):
+        term = F.when(F.col(f"s{j}") > 0, bit(j)).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return sums.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. Candidates come from
+    16-bit chunk equality (pigeonhole: ≤3 differing bits over 4 chunks ⇒
+    some chunk identical) — bucket joins, not an all-pairs scan."""
+    chunks = sigs.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk_no"),
+                     F.shiftrightunsigned("simhash", 16 * c)
+                      .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+            for c in range(4)])).alias("c")) \
+        .select("id", "simhash", "c.chunk_no", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (a.join(b, (F.col("a.chunk_no") == F.col("b.chunk_no"))
+                   & (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"),
+                     F.col("a.simhash").alias("s1"),
+                     F.col("b.simhash").alias("s2"))
+             .distinct())
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (cand.withColumn("hamming", ham)
+                .where(F.col("hamming") <= max_hamming)
+                .select("d1", "d2", "hamming"))

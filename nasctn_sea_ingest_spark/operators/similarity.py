@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (``ARRAY<FLOAT>``): brute-force
+cosine top-k as the exact baseline, sign-LSH bucketing and IVF cell probing
+as the 100 TB scale paths.
+
+Scale shapes:
+
+- brute force scans every vector once (no shuffle except the final top-k,
+  which is a partial top-k per partition + tiny driver merge via
+  ``orderBy().limit()`` under AQE);
+- sign-LSH prunes the scan with a bucket equality filter computed from
+  deterministic hyperplanes — at cluster scale the table is stored
+  bucketed/partitioned by ``bucket`` so a probe touches one partition;
+- IVF assigns vectors to their nearest coarse centroid once (broadcast
+  join + per-row argmax, one narrow shuffle to write), then probes the
+  ``n_probe`` nearest cells only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+__all__ = ["cosine_topk", "lsh_bucket", "lsh_topk", "ivf_assign", "ivf_topk"]
+
+
+def _dot_with_lit(col: str, vec: np.ndarray):
+    lit = F.array(*[F.lit(float(x)) for x in vec])
+    return F.aggregate(
+        F.zip_with(F.col(col), lit, lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda a, v: a + v)
+
+
+def _norm(col: str):
+    return F.sqrt(F.aggregate(
+        F.col(col), F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double")))
+
+
+def cosine_topk(emb: DataFrame, query: "list[float] | np.ndarray", k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact brute-force cosine top-k: JVM-side dot product against the
+    literal query vector, deterministic (score, id) ordering."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    cos = _dot_with_lit(vec_col, q) / (_norm(vec_col) * F.lit(qn))
+    return (emb.select(id_col, cos.alias("cos_sim"))
+               .orderBy(F.desc("cos_sim"), id_col)
+               .limit(k))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def lsh_bucket(emb: DataFrame, n_planes: int = 8, dim: int = 64,
+               seed: int = 42, vec_col: str = "embedding") -> DataFrame:
+    """Add a sign-LSH ``bucket`` column: bit j = sign(v · h_j) for fixed
+    random hyperplanes. Write-time: ``partitionBy('bucket')`` or bucketed
+    tables co-locate each bucket for probe-time pruning."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0)
+    for j, h in enumerate(planes):
+        bucket = bucket + F.when(_dot_with_lit(vec_col, h) >= 0,
+                                 F.lit(1 << j)).otherwise(F.lit(0))
+    return emb.withColumn("bucket", bucket)
+
+
+def lsh_topk(emb: DataFrame, query, k: int, n_planes: int = 8,
+             seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             multiprobe_bits: int = 1) -> DataFrame:
+    """Approximate top-k: restrict the exact scan to the query's LSH bucket
+    plus all buckets within ``multiprobe_bits`` bit flips (multi-probe
+    recovers neighbors lost across a hyperplane)."""
+    q = np.asarray(query, dtype=np.float64)
+    planes = _hyperplanes(len(q), n_planes, seed)
+    qb = sum((1 << j) for j, h in enumerate(planes) if float(q @ h) >= 0)
+    probes = {qb}
+    if multiprobe_bits >= 1:
+        probes |= {qb ^ (1 << j) for j in range(n_planes)}
+    if multiprobe_bits >= 2:
+        probes |= {qb ^ (1 << i) ^ (1 << j)
+                   for i in range(n_planes) for j in range(i + 1, n_planes)}
+    bucketed = lsh_bucket(emb, n_planes, len(q), seed, vec_col)
+    cand = bucketed.where(F.col("bucket").isin(*[int(b) for b in probes]))
+    return cosine_topk(cand, q, k, id_col, vec_col)
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its max-dot-product coarse centroid (IVF list).
+    Centroids are a driver-side array (n_centroids × dim, small) unrolled
+    into literal expressions — no shuffle, evaluated inside the scan."""
+    best_cid, best_dot = F.lit(-1), F.lit(float("-inf"))
+    for cid, c in enumerate(centroids):
+        d = _dot_with_lit(vec_col, c)
+        cond = d > best_dot
+        best_cid = F.when(cond, F.lit(cid)).otherwise(best_cid)
+        best_dot = F.when(cond, d).otherwise(best_dot)
+    return emb.withColumn("ivf_cell", best_cid)
+
+
+def sample_centroids(emb: DataFrame, n_centroids: int,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic coarse centroids: the ``n_centroids`` lowest-id vectors
+    (a k-means refinement would slot in here; sampling keeps it exact and
+    reproducible for tests)."""
+    rows = (emb.orderBy(id_col).limit(n_centroids)
+               .select(vec_col).collect())
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def ivf_topk(emb: DataFrame, query, k: int, centroids: np.ndarray,
+             n_probe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF probe: rank cells by centroid·query on the driver, scan only the
+    ``n_probe`` best cells, exact cosine inside."""
+    q = np.asarray(query, dtype=np.float64)
+    order = np.argsort(-(centroids @ q))[:n_probe]
+    assigned = ivf_assign(emb, centroids, vec_col)
+    cand = assigned.where(F.col("ivf_cell").isin(*[int(c) for c in order]))
+    return cosine_topk(cand, q, k, id_col, vec_col)

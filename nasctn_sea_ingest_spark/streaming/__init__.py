@@ -1,0 +1,136 @@
+"""Structured Streaming ingest (SURVEY.md §2.10): sensors drop a ``.sigmf``
+file every ~90 s into a landing directory; this module ingests them
+continuously into the same partitioned warehouse the batch job writes, and
+maintains a watermarked daily rollup for late/out-of-order arrivals.
+
+The reference is strictly batch over completed archives — streaming is the
+natural Spark extension: ``readStream.format("binaryFile")`` tails the
+landing dir (exactly-once via checkpointed file tracking), the decode is the
+same Arrow-batched ``mapInPandas`` stage as batch ingest, and
+``foreachBatch`` appends to the warehouse. At scale the landing dir lives on
+object storage and ``maxFilesPerTrigger`` bounds per-micro-batch work.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import array_mean_db
+from ..sources.ingest import TRACE_SCHEMA
+from ..sources.sigmf import decode_sigmf
+
+__all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup"]
+
+
+def _decode_content(batches: Iterator[pd.DataFrame],
+                    tz: str | None, hash_check: bool) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in TRACE_SCHEMA.fields]
+    for b in batches:
+        recs = []
+        for path, content in zip(b["path"], b["content"]):
+            try:
+                tables = decode_sigmf(bytes(content), tz=tz,
+                                      hash_check=hash_check, source=path)
+            except Exception as e:  # noqa: BLE001 — quarantine
+                recs.append((path, None, None, None, None, None, None,
+                             None, None, None, f"{type(e).__name__}: {e}"))
+                continue
+            for tname in ("psd", "pvt", "pfp", "apd", "apd_raw"):
+                df = tables.get(tname)
+                if df is None:
+                    continue
+                for r in df.itertuples(index=False):
+                    d = r._asdict()
+                    recs.append((path, tname, pd.Timestamp(d["datetime"]),
+                                 float(d["frequency"]),
+                                 d.get("capture_statistic"), d.get("detector"),
+                                 d.get("kind"), d["values"],
+                                 float(d["x_start"]), float(d["x_step"]), None))
+        yield pd.DataFrame(recs, columns=cols)
+
+
+def read_sigmf_stream(spark: SparkSession, landing_dir: str,
+                      tz: str | None = None, hash_check: bool = True,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming DataFrame of decoded trace rows from a landing directory.
+
+    File discovery/checkpointing comes from the binaryFile streaming source;
+    decode is the same vectorized stage as batch ingest.
+    """
+    reader = (spark.readStream.format("binaryFile")
+              .schema("path STRING, modificationTime TIMESTAMP, "
+                      "length LONG, content BINARY")
+              .option("pathGlobFilter", "*.sigmf"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(landing_dir).select("path", "content")
+    return raw.mapInPandas(
+        lambda it: _decode_content(it, tz, hash_check), TRACE_SCHEMA)
+
+
+def stream_to_warehouse(spark: SparkSession, landing_dir: str, out_dir: str,
+                        checkpoint_dir: str, tz: str | None = None,
+                        available_now: bool = False,
+                        max_files_per_trigger: int | None = None):
+    """Continuous ingest: landing dir → partitioned warehouse appends.
+
+    ``foreachBatch`` splits good rows (append to ``traces``, partitioned by
+    (table, date)) from quarantined files (append to ``quarantine``) —
+    mirroring the batch ``ingest()`` layout so batch and streaming readers
+    share one schema. Returns the started StreamingQuery.
+    """
+    stream = read_sigmf_stream(spark, landing_dir, tz=tz,
+                               max_files_per_trigger=max_files_per_trigger)
+
+    tr_path = os.path.join(out_dir, "traces")
+    q_path = os.path.join(out_dir, "quarantine")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            good = (batch_df.where(F.col("error").isNull()).drop("error")
+                    .withColumn("date", F.to_date("datetime")))
+            (good.sortWithinPartitions("datetime", "frequency")
+                 .write.mode("append").partitionBy("table", "date")
+                 .parquet(tr_path))
+            bad = batch_df.where(F.col("error").isNotNull()) \
+                          .select("source_file", "error")
+            if bad.limit(1).count():
+                bad.write.mode("append").parquet(q_path)
+        finally:
+            batch_df.unpersist()
+
+    writer = (stream.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def daily_rollup(trace_stream: DataFrame,
+                 watermark: str = "2 days") -> DataFrame:
+    """Watermarked tumbling 1-day rollup of the mean/rms PFP stream:
+    per (day, frequency) capture count and dB-domain mean/max of the
+    per-capture mean power. Late files (archives arrive out of order) are
+    folded in until the watermark expires their window."""
+    ref = trace_stream.where(
+        (F.col("table") == "pfp") & (F.col("capture_statistic") == "mean")
+        & (F.col("detector") == "rms"))
+    per_capture = ref.select(
+        "datetime", "frequency",
+        array_mean_db("values").alias("capture_mean_db"))
+    lin = F.pow(F.lit(10.0), F.col("capture_mean_db") / 10.0)
+    return (per_capture
+            .withWatermark("datetime", watermark)
+            .groupBy(F.window("datetime", "1 day").alias("day"), "frequency")
+            .agg(F.count("*").alias("n_captures"),
+                 (10.0 * F.log10(F.avg(lin))).alias("mean_power_db"),
+                 F.max("capture_mean_db").alias("max_capture_mean_db"))
+            .select(F.col("day.start").cast("date").alias("date"),
+                    "frequency", "n_captures", "mean_power_db",
+                    "max_capture_mean_db"))

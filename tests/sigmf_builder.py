@@ -128,7 +128,8 @@ def build_sigmf(start_iso: str = "2023-09-17T00:00:00.000Z",
 
 def build_sweep_series(out_dir, n_sweeps: int, n_channels: int = 3,
                        start_iso: str = "2023-09-17T00:00:00.000Z",
-                       interval_s: int = 90, zip_name: str | None = None):
+                       interval_s: int = 90, zip_name: str | None = None,
+                       prefix: str = "sweep"):
     """Write ``n_sweeps`` files at a fixed cadence; optionally zip them."""
     import os
     import zipfile
@@ -139,7 +140,7 @@ def build_sweep_series(out_dir, n_sweeps: int, n_channels: int = 3,
         ts = str(base + np.timedelta64(interval_s * i, "s")) + "Z"
         raw = build_sigmf(start_iso=ts, n_channels=n_channels,
                           task=i + 1, seed=i)
-        blobs.append((f"sweep_{i + 1:04d}.sigmf", raw))
+        blobs.append((f"{prefix}_{i + 1:04d}.sigmf", raw))
     if zip_name:
         zpath = os.path.join(out_dir, zip_name)
         with zipfile.ZipFile(zpath, "w") as z:

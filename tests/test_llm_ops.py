@@ -1,0 +1,236 @@
+"""Tests for the LLM-pipeline library operators: similarity search (brute /
+LSH / IVF), dedup (exact / Jaccard / MinHash-LSH / SimHash), multimodal
+plumbing. Ground truth comes from numpy / pure-Python on the same data."""
+
+import itertools
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+from pyspark.sql import Row
+
+from nasctn_sea_ingest_spark.operators import dedup as DD
+from nasctn_sea_ingest_spark.operators import similarity as SIM
+from nasctn_sea_ingest_spark.sources import multimodal as MM
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from nasctn_sea_ingest_spark.plans.tables import load_table
+    return load_table(spark, SF, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+# --------------------------------------------------------------------------
+# similarity
+# --------------------------------------------------------------------------
+
+def _true_topk(ids, mat, q, k):
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(zip(-cos, ids))[:k]
+    return [int(i) for _, i in order]
+
+
+def test_cosine_topk_exact(spark, emb, emb_np):
+    ids, mat = emb_np
+    q = mat[7]
+    got = SIM.cosine_topk(emb, q, 10).collect()
+    want = _true_topk(ids, mat, q, 10)
+    assert [r.vec_id for r in got] == want
+    assert got[0].vec_id == 7 and got[0].cos_sim == pytest.approx(1.0)
+    # scores descending
+    scores = [r.cos_sim for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_bucket_deterministic(spark, emb):
+    b1 = {r.vec_id: r.bucket for r in SIM.lsh_bucket(emb).collect()}
+    b2 = {r.vec_id: r.bucket for r in SIM.lsh_bucket(emb).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 256 for v in b1.values())
+    assert len(set(b1.values())) > 10  # spread across buckets
+
+
+def test_lsh_topk_recall(spark, emb, emb_np):
+    ids, mat = emb_np
+    hits = 0
+    for qi in (1, 5, 11, 23):
+        q = mat[qi]
+        got = {r.vec_id for r in SIM.lsh_topk(emb, q, 10,
+                                              multiprobe_bits=2).collect()}
+        assert qi in got  # the query's own vector survives bucketing
+        want = set(_true_topk(ids, mat, q, 10))
+        hits += len(got & want)
+    # approximate: expect reasonable recall with 2-bit multiprobe
+    assert hits >= 0.4 * 40
+
+
+def test_ivf_topk(spark, emb, emb_np):
+    ids, mat = emb_np
+    cents = SIM.sample_centroids(emb, 8)
+    assert cents.shape == (8, 64)
+    q = mat[3]
+    got = SIM.ivf_topk(emb, q, 5, cents, n_probe=8)  # probe all → exact
+    want = _true_topk(ids, mat, q, 5)
+    assert [r.vec_id for r in got.collect()] == want
+    # probing fewer cells returns a subset ranked identically
+    part = SIM.ivf_topk(emb, q, 5, cents, n_probe=2).collect()
+    assert all(r.cos_sim <= 1.0 + 1e-9 for r in part)
+    assert part[0].vec_id == 3  # own cell always probed first
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup
+    (2, "the quick brown fox leaps over the lazy dog"),          # near dup
+    (3, "pack my box with five dozen liquor jugs"),
+    (4, "pack my box with five dozen liquor jugs now"),          # near dup
+    (5, "completely unrelated text about spark engines"),
+    (6, "the quick brown fox jumps over the lazy dog"),          # exact dup
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in DOCS])
+
+
+def test_exact_duplicates(docs):
+    groups = {r.rep_id: r.n_copies
+              for r in DD.exact_duplicates(docs).collect()}
+    assert groups[0] == 3           # docs 0, 1, 6
+    assert sum(groups.values()) == len(DOCS)
+    kept = DD.drop_exact_duplicates(docs).select("doc_id").collect()
+    ids = sorted(r.doc_id for r in kept)
+    assert ids == [0, 2, 3, 4, 5]
+
+
+def _py_jaccard(t1, t2, n=3):
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+    a, b = sh(t1), sh(t2)
+    return len(a & b) / len(a | b)
+
+
+def test_jaccard_pairs(docs):
+    got = {(r.d1, r.d2): r.jaccard
+           for r in DD.jaccard_pairs(docs, threshold=0.3).collect()}
+    texts = dict(DOCS)
+    for (d1, d2), j in got.items():
+        assert j == pytest.approx(_py_jaccard(texts[d1], texts[d2]))
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (0, 2) in got and 0.3 <= got[(0, 2)] < 1.0
+    assert (3, 4) in got
+    assert not any(5 in p for p in got)
+
+
+def test_minhash_lsh_candidates(docs):
+    # 2 rows per band: collision prob ≈ 0.94 for jaccard 0.4 near-dups
+    cand = {(r.d1, r.d2)
+            for r in DD.minhash_dedup_candidates(docs, n_hashes=32,
+                                                 n_bands=16).collect()}
+    # exact dups always collide in every band
+    assert {(0, 1), (0, 6), (1, 6)} <= cand
+    # near dups collide in at least one band with high probability
+    assert (0, 2) in cand or (1, 2) in cand or (2, 6) in cand
+    assert (3, 4) in cand
+    # unrelated text never pairs with the fox docs
+    assert not any(5 in p for p in cand)
+
+
+def test_simhash(docs):
+    sigs = DD.simhash64(docs)
+    vals = {r.id: r.simhash for r in sigs.collect()}
+    assert vals[0] == vals[1] == vals[6]          # identical text
+    pairs = {(r.d1, r.d2): r.hamming
+             for r in DD.simhash_pairs(sigs, max_hamming=16).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 16
+    assert (5, 6) not in pairs or pairs.get((5, 6), 99) > 3
+
+
+def test_minhash_on_real_documents(spark):
+    from nasctn_sea_ingest_spark.plans.tables import load_table
+    d = load_table(spark, SF, "documents")
+    sigs = DD.minhash_signatures(d, n_hashes=16)
+    row = sigs.first()
+    assert len(row.sig) == 16
+    cand = DD.lsh_candidates(sigs, n_bands=4)
+    assert cand.count() >= 0  # runs end-to-end on the synthetic corpus
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(20):
+        kind = ("image", "audio", "video")[i % 3]
+        content = bytes(rng.integers(0, 256, 100 + i).astype(np.uint8))
+        meta = Row(width=64, height=48, channels=3, sample_rate=16000,
+                   n_frames=30 if kind == "video" else 1,
+                   duration_s=1.0 if kind == "video" else 0.0)
+        rows.append(Row(media_id=i, kind=kind, content=content, meta=meta))
+    return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+
+def test_extract_features_deterministic(media):
+    f1 = {r.media_id: r.feature
+          for r in MM.extract_features(media, dim=32).collect()}
+    f2 = {r.media_id: r.feature
+          for r in MM.extract_features(media, dim=32).collect()}
+    assert set(f1) == set(range(20))
+    for mid in f1:
+        assert len(f1[mid]) == 32
+        assert np.allclose(f1[mid], f2[mid])
+        assert np.linalg.norm(f1[mid]) == pytest.approx(1.0, abs=1e-5)
+    # distinct content → distinct features
+    assert not np.allclose(f1[0], f1[1])
+
+
+def test_extract_features_error_isolation(spark):
+    rows = [Row(media_id=0, kind="image", content=b"ok", meta=None),
+            Row(media_id=1, kind="image", content=None, meta=None)]
+    out = MM.extract_features(
+        spark.createDataFrame(rows, MM.MEDIA_SCHEMA)).collect()
+    by_id = {r.media_id: r for r in out}
+    assert by_id[0].error is None and by_id[0].backend == "stub-sha256"
+    assert by_id[1].feature is None and "null content" in by_id[1].error
+
+
+def test_sample_frames(media):
+    out = MM.sample_frames(media, stride=10).collect()
+    vids = [i for i in range(20) if i % 3 == 2]
+    assert {r.media_id for r in out} == set(vids)
+    per = [r for r in out if r.media_id == vids[0]]
+    assert [r.frame_idx for r in sorted(per, key=lambda r: r.frame_idx)] \
+        == [0, 10, 20]
+    for r in per:
+        assert r.frame_time_s == pytest.approx(r.frame_idx / 30.0)
+
+
+def test_resize_meta(media):
+    out = MM.with_resized_meta(media, 224, 224).collect()
+    for r in out:
+        if r.kind == "image":
+            assert r.meta.width == 224 and r.meta.height == 224
+        else:
+            assert r.meta.width == 64
