@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from .. import functions as FN
-from .tables import load_table, register_tables, us
+from .tables import load_table, register_tables, us, us_between, us_cmp
 
 
 @dataclass
@@ -84,7 +84,7 @@ def _date_str(us_col: str) -> F.Column:
     """.format(cutoff=us("1998-09-01")))
 def q01(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
-    return (li.where(F.col("l_shipdate_us") <= us("1998-09-01"))
+    return (li.where(us_cmp("l_shipdate", "<=", us("1998-09-01")))
               .groupBy("l_returnflag", "l_linestatus")
               .agg(_dsum(F.col("l_quantity"), "12,2").alias("sum_qty"),
                    _dsum(F.col("l_extendedprice"), "12,2").alias("sum_base_price"),
@@ -117,7 +117,8 @@ def q02(spark, sf_dir):
     """)
 def q03(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    return (ev.where((F.col("ts_us") >= us("2024-01-10")) & (F.col("ts_us") < us("2024-01-12")))
+    return (ev.where(us_cmp("ts", ">=", us("2024-01-10"))
+                     & us_cmp("ts", "<", us("2024-01-12")))
               .select("event_id", "ts_us", "event_type", "value"))
 
 
@@ -133,7 +134,7 @@ def q03(spark, sf_dir):
 def q04(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (li.where((F.col("l_returnflag") == "A") & (F.col("l_linestatus") == "F")
-                     & F.col("l_shipdate_us").between(us("1996-01-01"), us("1996-12-31"))
+                     & us_between("l_shipdate", us("1996-01-01"), us("1996-12-31"))
                      & F.col("l_quantity").between(10, 20))
               .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
 

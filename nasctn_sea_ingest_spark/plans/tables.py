@@ -51,16 +51,58 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     dtypes = dict(df.dtypes)
     for c in TS_COLS.get(name, []):
         dt = dtypes.get(c)
+        # keep the raw physical column under {c}_raw: time predicates built
+        # by us_cmp()/us_between() compare against it directly, which lets
+        # parquet row-group min/max pruning fire (a filter on the derived
+        # `div 1000` column never reaches PushedFilters)
+        df = df.withColumnRenamed(c, f"{c}_raw")
+        raw = F.col(f"{c}_raw")
         if dt == "bigint":        # raw nanos (nanosAsLong)
-            df = df.withColumn(f"{c}_us", F.expr(f"{c} div 1000"))
+            df = df.withColumn(f"{c}_us", F.expr(f"{c}_raw div 1000"))
         elif dt == "timestamp_ntz":
             df = df.withColumn(
                 f"{c}_us",
-                F.expr(f"timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', {c})"))
+                F.expr(f"timestampdiff(MICROSECOND, "
+                       f"timestamp_ntz'1970-01-01 00:00:00', {c}_raw)"))
         else:                     # instant timestamp
-            df = df.withColumn(f"{c}_us", F.unix_micros(F.col(c)))
+            df = df.withColumn(f"{c}_us", F.unix_micros(raw))
         df = df.withColumn(c, F.timestamp_micros(F.col(f"{c}_us")))
+        _RAW_DTYPE[(name, c)] = dt
     return df
+
+
+# dtype of the raw physical column per (table, ts col) — set by load_table
+_RAW_DTYPE: dict = {}
+
+
+def us_cmp(c: str, op: str, v: int, raw_dtype: str | None = None):
+    """Pushdown-friendly epoch-microsecond comparison: the predicate is
+    expressed against the *raw* parquet column (``{c}_raw``), so it lands in
+    PushedFilters and prunes row groups. Semantically identical to
+    ``col(c_us) <op> v`` (exact: nanos bounds are scaled, not floored)."""
+    raw = F.col(f"{c}_raw")
+    dt = raw_dtype
+    if dt is None:
+        for (_, cc), d in _RAW_DTYPE.items():
+            if cc == c:
+                dt = d
+                break
+    if dt == "bigint":            # nanos: floor(ns/1000) <op> v rewritten
+        bounds = {">=": raw >= v * 1000, ">": raw >= (v + 1) * 1000,
+                  "<": raw < v * 1000, "<=": raw < (v + 1) * 1000}
+        return bounds[op]
+    if dt == "timestamp_ntz":
+        lit = F.expr(f"timestampadd(MICROSECOND, {v}, "
+                     f"timestamp_ntz'1970-01-01 00:00:00')")
+    else:
+        lit = F.timestamp_micros(F.lit(v))
+    return {">=": raw >= lit, ">": raw > lit,
+            "<": raw < lit, "<=": raw <= lit}[op]
+
+
+def us_between(c: str, lo: int, hi: int):
+    """Inclusive [lo, hi] epoch-microsecond range on the raw column."""
+    return us_cmp(c, ">=", lo) & us_cmp(c, "<=", hi)
 
 
 def register_tables(spark: SparkSession, sf_dir: str,
