@@ -44,6 +44,38 @@ def main() -> None:
         total += dt
         print(f"# {q.name}: {dt:.3f}s rows={n}", file=sys.stderr)
 
+    # sigmf decode throughput at reference-realistic geometry (BASELINE.md:
+    # reference reads a 200-sweep zip at ~81 files/s on one core)
+    import shutil
+    import tempfile
+    from nasctn_sea_ingest_spark.sources.ingest import decode_traces, \
+        list_sigmf_refs
+    from nasctn_sea_ingest_spark.sources.synth import build_sweep_series
+    n_files = 200
+    tmp = tempfile.mkdtemp(prefix="sigmf_bench_")
+    try:
+        zpath = build_sweep_series(tmp, n_files, n_channels=15,
+                                   geometry=(625, 400, 560, 151),
+                                   zip_name="bench.zip")
+        refs = list_sigmf_refs(spark, zpath, batch_size=8)
+        # warm the Python worker pool (fork + numpy/pandas imports) so the
+        # measurement is decode throughput, not interpreter startup — the
+        # reference baseline likewise excludes process spin-up
+        decode_traces(list_sigmf_refs(spark, zpath, allow=32,
+                                      batch_size=1)).count()
+        dt = float("inf")
+        for _ in range(2):  # best-of-2: the container shares a noisy host
+            t0 = time.perf_counter()
+            n_rows = decode_traces(refs).where("error IS NULL").count()
+            dt = min(dt, time.perf_counter() - t0)
+            assert n_rows == n_files * 15 * 11
+        timings["x_sigmf_decode_200files"] = round(dt, 3)
+        total += dt
+        print(f"# sigmf decode: {n_files} files in {dt:.3f}s "
+              f"({n_files / dt:.0f} files/s)", file=sys.stderr)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     print(json.dumps({
         "metric": "corpus_total_runtime",
         "value": round(total, 3),

@@ -149,7 +149,11 @@ def list_sigmf_refs(spark: SparkSession, paths: str | list[str],
     if allow is not None:
         refs = refs[:allow]
     n_part = max(1, (len(refs) + batch_size - 1) // batch_size)
-    df = spark.createDataFrame(refs, REF_SCHEMA)
+    # Arrow path (pandas → LocalTableScan): a plain Python list would become
+    # a Python-RDD whose serialization stage forks a Python worker per
+    # partition on EVERY action — measured ~0.5-1 s/task of pure overhead
+    pdf = pd.DataFrame(refs, columns=["path", "member", "size"])
+    df = spark.createDataFrame(pdf, REF_SCHEMA)
     return df.repartition(n_part)
 
 

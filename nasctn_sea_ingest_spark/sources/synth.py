@@ -1,7 +1,14 @@
-"""Synthetic v0.6.0-style ``.sigmf`` files for ingest tests (FIXTURES.md §7):
-invert the decode path — concatenate per-channel float16 traces, xz-compress,
-tar with metadata whose ``core:sha512`` matches. Layout mirrors the golden
-``example_v6.sigmf`` metadata (inspected, not copied)."""
+"""Synthetic v0.6.0-style ``.sigmf`` generator: inverts the decode path —
+concatenate per-channel float16 traces, xz-compress, tar with metadata whose
+``core:sha512`` matches. Layout mirrors the golden ``example_v6.sigmf``
+metadata (inspected, not copied; FIXTURES.md §7).
+
+Used by the test suite (small geometry) and by ``bench.py`` at the
+reference-realistic geometry (15 channels × 5,561 halves/channel) to measure
+decode throughput against BASELINE.md.
+
+Poison options (``bad_hash`` / ``truncate`` / ``no_geolocation``) exercise
+the quarantine and timezone-error paths."""
 
 from __future__ import annotations
 
@@ -20,26 +27,29 @@ PER_CH = 2 * PSD_LEN + 2 * PVT_LEN + 6 * PFP_LEN + APD_LEN
 def build_sigmf(start_iso: str = "2023-09-17T00:00:00.000Z",
                 n_channels: int = 3, task: int = 1, seed: int = 0,
                 bad_hash: bool = False, truncate: bool = False,
-                no_geolocation: bool = False) -> bytes:
+                no_geolocation: bool = False,
+                geometry: tuple = (PSD_LEN, PVT_LEN, PFP_LEN, APD_LEN)) -> bytes:
+    psd_len, pvt_len, pfp_len, apd_len = geometry
     rng = np.random.default_rng(seed)
+    per_ch = 2 * psd_len + 2 * pvt_len + 6 * pfp_len + apd_len
     freqs = [3.545e9 + 10e6 * k for k in range(n_channels)]
     base = np.datetime64(start_iso.rstrip("Z"), "ms")
 
     blocks, captures = [], []
     pvt_peak_max, pvt_rms_median = [], []
     for ch, freq in enumerate(freqs):
-        psd = rng.normal(-170, 5, (2, PSD_LEN))
-        pvt = np.sort(rng.normal(-80, 8, (2, PVT_LEN)), axis=0)[::-1]  # peak>=rms
-        pfp = rng.normal(-85, 6, (6, PFP_LEN))
-        apd = np.clip(np.sort(rng.uniform(0, 1, APD_LEN))[::-1], 0, 1)
+        psd = rng.normal(-170, 5, (2, psd_len))
+        pvt = np.sort(rng.normal(-80, 8, (2, pvt_len)), axis=0)[::-1]  # peak>=rms
+        pfp = rng.normal(-85, 6, (6, pfp_len))
+        apd = np.clip(np.sort(rng.uniform(0, 1, apd_len))[::-1], 0, 1)
         chunk = np.concatenate([psd.ravel(), pvt.ravel(),
                                 pfp.ravel(), apd]).astype(np.float16)
         blocks.append(chunk)
         # summaries from the float16-quantized payload (A11 cross-check)
-        off_pvt = 2 * PSD_LEN
-        q = chunk[off_pvt:off_pvt + 2 * PVT_LEN].astype(np.float64)
-        pvt_peak_max.append(float(q[:PVT_LEN].max()))
-        pvt_rms_median.append(float(np.median(q[PVT_LEN:])))
+        off_pvt = 2 * psd_len
+        q = chunk[off_pvt:off_pvt + 2 * pvt_len].astype(np.float64)
+        pvt_peak_max.append(float(q[:pvt_len].max()))
+        pvt_rms_median.append(float(np.median(q[pvt_len:])))
         ts = base + np.timedelta64(137 * ch, "ms")
         captures.append({
             "core:frequency": freq,
@@ -57,7 +67,7 @@ def build_sigmf(start_iso: str = "2023-09-17T00:00:00.000Z",
                 "reference_level": -25.0, "attenuation": 0.0,
                 "preamp_enable": True,
             },
-            "core:sample_start": ch * PER_CH,
+            "core:sample_start": ch * per_ch,
         })
 
     payload = np.concatenate(blocks).astype(np.float16).tobytes()
@@ -81,20 +91,20 @@ def build_sigmf(start_iso: str = "2023-09-17T00:00:00.000Z",
             "core:version": "v1.0.0",
             "ntia-algorithm:data_products": [
                 {"name": "Power Spectral Density", "series": ["maximum", "mean"],
-                 "length": PSD_LEN, "x_units": "Hz",
+                 "length": psd_len, "x_units": "Hz",
                  "x_start": [-4992000.0], "x_step": [16000.0],
                  "y_units": "dBm/Hz"},
                 {"name": "Power vs. Time", "series": ["maximum", "mean"],
-                 "length": PVT_LEN, "x_units": "s",
+                 "length": pvt_len, "x_units": "s",
                  "x_start": [0.0], "x_step": [0.01], "y_units": "dBm"},
                 {"name": "Periodic Frame Power",
                  "series": ["mean_minimum", "mean_maximum", "mean_mean",
                             "max_minimum", "max_maximum", "max_mean"],
-                 "length": PFP_LEN, "x_units": "s",
+                 "length": pfp_len, "x_units": "s",
                  "x_start": [0.0], "x_step": [1.7857142857142855e-05],
                  "y_units": "dBm"},
                 {"name": "Amplitude Probability Distribution",
-                 "length": APD_LEN, "x_units": "percent",
+                 "length": apd_len, "x_units": "percent",
                  "y_start": [-180.0], "y_step": [1.0], "y_units": "dBm"},
             ],
             "ntia-diagnostics:diagnostics": {
@@ -129,7 +139,8 @@ def build_sigmf(start_iso: str = "2023-09-17T00:00:00.000Z",
 def build_sweep_series(out_dir, n_sweeps: int, n_channels: int = 3,
                        start_iso: str = "2023-09-17T00:00:00.000Z",
                        interval_s: int = 90, zip_name: str | None = None,
-                       prefix: str = "sweep"):
+                       prefix: str = "sweep",
+                       geometry: tuple = (PSD_LEN, PVT_LEN, PFP_LEN, APD_LEN)):
     """Write ``n_sweeps`` files at a fixed cadence; optionally zip them."""
     import os
     import zipfile
@@ -139,7 +150,7 @@ def build_sweep_series(out_dir, n_sweeps: int, n_channels: int = 3,
     for i in range(n_sweeps):
         ts = str(base + np.timedelta64(interval_s * i, "s")) + "Z"
         raw = build_sigmf(start_iso=ts, n_channels=n_channels,
-                          task=i + 1, seed=i)
+                          task=i + 1, seed=i, geometry=geometry)
         blobs.append((f"{prefix}_{i + 1:04d}.sigmf", raw))
     if zip_name:
         zpath = os.path.join(out_dir, zip_name)

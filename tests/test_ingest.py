@@ -17,7 +17,7 @@ from nasctn_sea_ingest_spark.sources.ingest import (
 )
 from nasctn_sea_ingest_spark.sources.sigmf import decode_sigmf
 
-from .sigmf_builder import PSD_LEN, build_sigmf, build_sweep_series
+from nasctn_sea_ingest_spark.sources.synth import PSD_LEN, build_sigmf, build_sweep_series
 
 N_SWEEPS = 6
 N_CH = 3

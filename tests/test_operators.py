@@ -22,7 +22,7 @@ from nasctn_sea_ingest_spark.operators import (
 from nasctn_sea_ingest_spark.sources.ingest import decode_traces, \
     decode_channel_metadata, list_sigmf_refs
 
-from .sigmf_builder import build_sweep_series
+from nasctn_sea_ingest_spark.sources.synth import build_sweep_series
 
 
 @pytest.fixture(scope="module")

@@ -14,7 +14,7 @@ from nasctn_sea_ingest_spark.streaming import (
     stream_to_warehouse,
 )
 
-from .sigmf_builder import build_sigmf, build_sweep_series
+from nasctn_sea_ingest_spark.sources.synth import build_sigmf, build_sweep_series
 
 N1, N2 = 5, 3
 
