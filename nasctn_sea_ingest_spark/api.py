@@ -1,0 +1,107 @@
+"""Reference-shaped public API (`sea_ingest`'s entry points re-expressed;
+reference surface at ``src/sea_ingest/__init__.py:40``):
+
+==============================  =============================================
+reference                       here
+==============================  =============================================
+``read_seamf(file)``            :func:`read_seamf` — dict of pandas frames
+``read_seamf_meta(file)``       :func:`read_seamf_meta`
+``read_seamf_zipfile(zip)``     :func:`read_seamf_zipfile` — eager pandas
+``read_seamf_zipfile_as_ddf``   :func:`read_seamf_zipfile_as_sdf` — dict of
+                                lazy *Spark* DataFrames, one per product
+``trace(dfs, name, ...)``       :func:`nasctn_sea_ingest_spark.functions.trace`
+``localize_timestamps``         :func:`nasctn_sea_ingest_spark.functions.localize`
+==============================  =============================================
+
+The Dask dict-of-ddf shape is kept: one lazy DataFrame per data product,
+all fed by a single shared decode scan (cached so multiple products don't
+re-decode, the analog of the reference's shared delayed graph).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from .sources.ingest import (
+    decode_channel_metadata,
+    decode_sweep_metadata,
+    decode_traces,
+    list_sigmf_refs,
+)
+from .sources.sigmf import decode_sigmf, decode_sigmf_meta
+
+__all__ = ["read_seamf", "read_seamf_meta", "read_seamf_zipfile",
+           "read_seamf_zipfile_as_sdf"]
+
+_PRODUCTS = ("psd", "pvt", "pfp", "apd", "apd_raw")
+
+
+def read_seamf(file, tz: str | None = None,
+               hash_check: bool = True) -> dict[str, pd.DataFrame]:
+    """Single-file decode to a dict of pandas frames (long format: key
+    columns + ``values`` array instead of the reference's wide MultiIndex)."""
+    return decode_sigmf(file, tz=tz, hash_check=hash_check)
+
+
+def read_seamf_meta(file, tz: str | None = None) -> dict:
+    """Metadata-only fast parse (no payload decompression)."""
+    return decode_sigmf_meta(file, tz=tz)
+
+
+def read_seamf_zipfile(spark: SparkSession, path: str,
+                       allow: int | None = None, tz: str | None = None,
+                       errors: str = "raise") -> dict[str, pd.DataFrame]:
+    """Eager multi-file read: decode the archive on the cluster, collect to
+    a dict of pandas frames (reference ``read_seamf_zipfile`` semantics;
+    ``errors='log'`` drops failed files like the reference's log path)."""
+    sdfs = read_seamf_zipfile_as_sdf(spark, path, allow=allow, tz=tz,
+                                     errors=errors)
+    return {k: df.toPandas() for k, df in sdfs.items()}
+
+
+def read_seamf_zipfile_as_sdf(spark: SparkSession, path: str,
+                              allow: int | None = None,
+                              tz: str | None = None,
+                              errors: str = "raise",
+                              batch_size: int = 64) -> dict[str, DataFrame]:
+    """Lazy distributed read: dict of Spark DataFrames keyed per table
+    (``psd pvt pfp apd|apd_raw channel_metadata sweep_metadata``), the
+    direct analog of the reference's dict of Dask DataFrames.
+
+    One shared decode scan feeds every trace product (cached on first
+    action); metadata tables ride the payload-skipping fast path.
+    """
+    if errors not in ("raise", "log"):
+        raise ValueError("errors must be 'raise' or 'log'")
+    refs = list_sigmf_refs(spark, path, allow=allow, batch_size=batch_size)
+    traces = decode_traces(refs, tz=tz).cache()
+    if errors == "raise":
+        def checked(df):
+            bad = df.where(F.col("error").isNotNull()) \
+                    .select("source_file", "error").first()
+            if bad is not None:
+                raise RuntimeError(
+                    f"decode failed for {bad.source_file}: {bad.error}")
+            return df
+        traces = checked(traces)
+    good = traces.where(F.col("error").isNull()).drop("error")
+
+    out: dict[str, DataFrame] = {}
+    for t in _PRODUCTS:
+        df = good.where(F.col("table") == t).drop("table")
+        out[t] = df
+    quarantined = traces.where(F.col("error").isNotNull()) \
+                        .select("source_file").distinct()
+    out["channel_metadata"] = (
+        decode_channel_metadata(refs, tz=tz)
+        .where(F.col("error").isNull())
+        .join(F.broadcast(quarantined), "source_file", "left_anti")
+        .drop("error"))
+    out["sweep_metadata"] = (
+        decode_sweep_metadata(refs, tz=tz)
+        .where(F.col("error").isNull())
+        .join(F.broadcast(quarantined), "source_file", "left_anti")
+        .drop("error"))
+    return out
