@@ -56,16 +56,23 @@ def _minhash_aggs() -> str:
         for j in range(N_HASH))
 
 
-def _band_joins() -> str:
-    """UNION of per-band candidate-pair joins (d1 < d2)."""
-    parts = []
-    for b in range(N_BANDS):
-        cond = " AND ".join(
-            f"a.h{4 * b + i} = b.h{4 * b + i}" for i in range(4))
-        parts.append(
-            f"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM mh a JOIN mh b "
-            f"ON a.doc_id < b.doc_id AND {cond}")
-    return "\nUNION\n".join(parts)
+def _bands_cte() -> str:
+    """Signatures unpivoted to one row per band (doc_id, band, c0..c3)."""
+    return "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, "
+        + ", ".join(f"h{4 * b + i} AS c{i}" for i in range(4))
+        + " FROM mh"
+        for b in range(N_BANDS))
+
+
+def _band_join_select() -> str:
+    """ONE bucket self-join on (band, chunk) + distinct replaces N_BANDS
+    separate self-joins and their union — one shuffle stage instead of
+    four, same candidate set."""
+    cond = " AND ".join(f"a.c{i} = b.c{i}" for i in range(4))
+    return (f"SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 "
+            f"FROM bands a JOIN bands b "
+            f"ON a.band = b.band AND {cond} AND a.doc_id < b.doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -129,8 +136,9 @@ def q24(spark, sf_dir):
     ids AS (SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
             FROM (SELECT DISTINCT shingle FROM sh)),
     j AS (SELECT s.doc_id, i.sid FROM sh s JOIN ids i ON s.shingle = i.shingle),
-    mh AS (SELECT doc_id, {_minhash_aggs()} FROM j GROUP BY doc_id)
-    SELECT d1, d2 FROM ({_band_joins()})
+    mh AS (SELECT doc_id, {_minhash_aggs()} FROM j GROUP BY doc_id),
+    bands AS ({_bands_cte()})
+    {_band_join_select()}
     """)
 def q25(spark, sf_dir):
     register_tables(spark, sf_dir, ["documents"])
@@ -139,8 +147,9 @@ def q25(spark, sf_dir):
     ids AS (SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
             FROM (SELECT DISTINCT shingle FROM sh)),
     j AS (SELECT s.doc_id, i.sid FROM sh s JOIN ids i ON s.shingle = i.shingle),
-    mh AS (SELECT doc_id, {_minhash_aggs()} FROM j GROUP BY doc_id)
-    SELECT d1, d2 FROM ({_band_joins()})
+    mh AS (SELECT doc_id, {_minhash_aggs()} FROM j GROUP BY doc_id),
+    bands AS ({_bands_cte()})
+    {_band_join_select()}
     """)
 
 
