@@ -33,9 +33,31 @@ from .sources.ingest import (
 from .sources.sigmf import decode_sigmf, decode_sigmf_meta
 
 __all__ = ["read_seamf", "read_seamf_meta", "read_seamf_zipfile",
-           "read_seamf_zipfile_as_sdf"]
+           "read_seamf_zipfile_as_sdf", "as_wide"]
 
 _PRODUCTS = ("psd", "pvt", "pfp", "apd", "apd_raw")
+
+_KEY_LEVELS = {
+    "psd": ["datetime", "frequency", "capture_statistic"],
+    "pvt": ["datetime", "frequency", "detector"],
+    "pfp": ["datetime", "frequency", "capture_statistic", "detector"],
+    "apd": ["datetime", "frequency"],
+}
+
+
+def as_wide(table: pd.DataFrame, name: str) -> pd.DataFrame:
+    """Long → the reference's wide matrix shape: MultiIndex rows of the
+    table's key levels, columns = physical x-axis values, cells = trace
+    values (reference layout per SURVEY.md §1.2 — lets users diff outputs
+    against ``sea_ingest`` frame-for-frame)."""
+    import numpy as np
+    levels = _KEY_LEVELS[name]
+    t = table.sort_values(levels, kind="stable")
+    mat = np.stack([np.asarray(v, dtype=np.float32) for v in t["values"]])
+    x0, dx = float(t["x_start"].iloc[0]), float(t["x_step"].iloc[0])
+    cols = x0 + dx * np.arange(mat.shape[1])
+    idx = pd.MultiIndex.from_frame(t[levels])
+    return pd.DataFrame(mat, index=idx, columns=cols)
 
 
 def read_seamf(file, tz: str | None = None,

@@ -341,6 +341,21 @@ def ingest(spark: SparkSession, paths: str | list[str], out_dir: str,
         .drop("error")
     sw_path = out["sweep_metadata"] = os.path.join(out_dir, "sweep_metadata")
     sw.write.mode("overwrite").parquet(sw_path)
+
+    # structured run log (S16 analog of the reference's eliot JSON sink):
+    # one row per ingest run with the counts an operator monitors
+    log_path = out["ingest_log"] = os.path.join(out_dir, "ingest_log")
+    n_refs = refs.count()
+    n_bad = spark.read.parquet(q_path).select("source_file").distinct().count()
+    log_df = spark.createDataFrame(
+        pd.DataFrame([{
+            "run_at": pd.Timestamp.utcnow().tz_localize(None),
+            "n_files": n_refs,
+            "n_quarantined": n_bad,
+            "n_ok": n_refs - n_bad,
+            "out_dir": out_dir,
+        }]))
+    log_df.write.mode("append").parquet(log_path)
     return out
 
 

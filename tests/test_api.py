@@ -47,6 +47,25 @@ def test_zipfile_eager(spark, zpath):
         [np.asarray(v) for v in dfs["psd"]["values"]])).all()
 
 
+def test_as_wide_reference_shape():
+    """as_wide reproduces the reference's MultiIndex matrix layout on the
+    golden v6 file (SURVEY §1.2: 34×625 psd, keyed rows, physical x axis)."""
+    out = api.read_seamf(GOLDEN_V6)
+    wide = api.as_wide(out["psd"], "psd")
+    assert wide.shape == (34, 625)
+    assert list(wide.index.names) == ["datetime", "frequency",
+                                      "capture_statistic"]
+    assert wide.columns[0] == -4_992_000.0
+    assert wide.columns[-1] == pytest.approx(-4_992_000.0 + 624 * 16_000.0)
+    # .xs-style cross-section works like the reference
+    one = wide.xs("max", level="capture_statistic")
+    assert one.shape == (17, 625)
+    pfp = api.as_wide(out["pfp"], "pfp")
+    assert pfp.shape == (102, 560)
+    assert list(pfp.index.names) == ["datetime", "frequency",
+                                     "capture_statistic", "detector"]
+
+
 def test_zipfile_error_modes(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("poison")
     (d / "ok.sigmf").write_bytes(build_sigmf())

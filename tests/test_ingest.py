@@ -134,6 +134,16 @@ def test_partition_pruning(spark, warehouse):
     assert psd.where(F.col("datetime") >= "2023-09-18 00:05:00").count() < psd.count()
 
 
+def test_ingest_log(spark, warehouse):
+    """S16 analog: one structured log row per ingest run with counts."""
+    log = spark.read.parquet(warehouse["ingest_log"]).collect()
+    assert len(log) == 1
+    r = log[0]
+    assert r.n_files == N_SWEEPS * 2 + 2
+    assert r.n_quarantined == 2
+    assert r.n_ok == N_SWEEPS * 2
+
+
 def test_sweep_summary_cross_check(spark, warehouse):
     """Edge-computed max_of_max_channel_powers == array_max of peak PVT
     (A11 — recomputable from the ingested traces)."""
