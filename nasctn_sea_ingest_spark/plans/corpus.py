@@ -649,6 +649,51 @@ def q37(spark, sf_dir):
                          F.round("cos", 5).alias("cos_sim")))
 
 
+@_q("q38_bin_aggregate",
+    "A6 time-axis aggregate per frame-time bin over a span: explode traces, "
+    "GROUP BY bin, linear-domain mean + max (3gpp cell 9 agg_mean/agg_max)",
+    """
+    WITH v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                      generate_subscripts(embedding, 1) - 1 AS i
+               FROM embeddings WHERE vec_id < 100)
+    SELECT i AS bin,
+           round(10.0 * log10(avg(pow(10.0, x / 10.0))), 5) AS db_mean,
+           round(max(x), 5) AS x_max,
+           count(*) AS n
+    FROM v GROUP BY i
+    """)
+def q38(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = (emb.where(F.col("vec_id") < 100)
+             .select(F.posexplode(
+                 F.expr("transform(embedding, x -> cast(x as double))"))
+                 .alias("bin", "x")))
+    return (ex.groupBy("bin")
+              .agg(F.round(10.0 * F.log10(
+                       F.avg(F.pow(F.lit(10.0), F.col("x") / 10.0))), 5)
+                   .alias("db_mean"),
+                   F.round(F.max("x"), 5).alias("x_max"),
+                   F.count("*").alias("n")))
+
+
+@_q("q39_daily_rollup",
+    "tumbling 1-day rollup (batch analog of streaming.daily_rollup; "
+    "F13 date bucketing + exact decimal sums)",
+    """
+    SELECT epoch_us(ts) // 86400000000 AS day_no, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(14,6))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1, 2
+    """)
+def q39(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.expr("ts_us div 86400000000").alias("day_no"),
+                       "event_type")
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.col("value").cast("decimal(14,6)"))
+                    .cast("double").alias("value_sum")))
+
+
 @_q("q34_scalar_stats",
     "A10 scalar stats over a column (3gpp cell 4 print block)",
     """
