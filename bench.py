@@ -73,6 +73,27 @@ def main() -> None:
         total += dt
         print(f"# sigmf decode: {n_files} files in {dt:.3f}s "
               f"({n_files / dt:.0f} files/s)", file=sys.stderr)
+
+        # the reference's headline job (BASELINE.md: full-archive summarize
+        # + 2 sinks, 47.4 s on 8 dask workers): decode once, persist,
+        # write capture_summary + the psd product to two parquet sinks
+        from nasctn_sea_ingest_spark.operators import capture_summary
+        out1 = os.path.join(tmp, "sink_summary")
+        out2 = os.path.join(tmp, "sink_psd")
+        t0 = time.perf_counter()
+        traces = decode_traces(refs).where("error IS NULL").persist()
+        summary = capture_summary(traces)
+        summary.write.mode("overwrite").parquet(out1)
+        (traces.where("table = 'psd'")
+               .write.mode("overwrite").parquet(out2))
+        n_sum = spark.read.parquet(out1).count()
+        traces.unpersist()
+        dt = time.perf_counter() - t0
+        assert n_sum == n_files * 15
+        timings["x_summarize_dual_sink_200files"] = round(dt, 3)
+        total += dt
+        print(f"# summarize+2 sinks: {dt:.3f}s "
+              f"(reference: 47.4s at 8 workers)", file=sys.stderr)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
