@@ -24,7 +24,7 @@ __all__ = [
     "array_midmean", "array_mean_db", "array_sum_db", "array_roll",
     "axis_x", "explode_trace", "trace", "asof_join", "limiter",
     "time_gaps", "pivot_wide", "localize", "rayleigh_amplitude",
-    "noise_floor_dBm",
+    "noise_floor_dBm", "salted_agg",
 ]
 
 
@@ -274,6 +274,46 @@ def limiter(df: DataFrame, group_cols: Sequence[str],
               .crossJoin(F.broadcast(mn))
               .where(F.col("__rn") <= F.col("__mn"))
               .drop("__rn", "__mn"))
+
+
+def salted_agg(df: DataFrame, keys: Sequence[str],
+               aggs: dict, n_salt: int = 16) -> DataFrame:
+    """Two-phase aggregation for skewed grouping keys: a random salt splits
+    each hot key across ``n_salt`` reducers for the partial phase, then a
+    cheap final combine on the true keys. Equivalent to
+    ``df.groupBy(keys).agg(...)`` for algebraic aggregates.
+
+    ``aggs`` maps output alias → (op, column) with op ∈
+    {'sum', 'min', 'max', 'count', 'avg'} ('count' ignores the column).
+
+    When one key holds a disproportionate share of rows (one frequency, one
+    event type), the plain groupBy sends it to a single reducer; salting
+    bounds per-task input at rows/n_salt. AQE's skew handling covers joins —
+    this covers aggregations.
+    """
+    valid = {"sum", "min", "max", "count", "avg"}
+    for alias, (op, _) in aggs.items():
+        if op not in valid:
+            raise ValueError(f"{alias}: op must be one of {sorted(valid)}")
+    salted = df.withColumn("__salt",
+                           (F.rand(seed=0) * n_salt).cast("int"))
+    partial, final = [], []
+    for alias, (op, col) in aggs.items():
+        if op == "count":
+            partial.append(F.count("*").alias(f"__p_{alias}"))
+            final.append(F.sum(f"__p_{alias}").alias(alias))
+        elif op == "avg":
+            partial.append(F.sum(col).alias(f"__ps_{alias}"))
+            partial.append(F.count(col).alias(f"__pc_{alias}"))
+            final.append((F.sum(f"__ps_{alias}")
+                          / F.sum(f"__pc_{alias}")).alias(alias))
+        else:
+            fn = getattr(F, op)
+            partial.append(fn(col).alias(f"__p_{alias}"))
+            final.append(getattr(F, "sum" if op == "sum" else op)
+                         (f"__p_{alias}").alias(alias))
+    part = salted.groupBy(*keys, "__salt").agg(*partial)
+    return part.groupBy(*keys).agg(*final)
 
 
 def time_gaps(df: DataFrame, ts_col: str = "datetime",

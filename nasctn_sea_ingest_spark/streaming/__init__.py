@@ -19,12 +19,14 @@ from collections.abc import Iterator
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from ..functions import array_mean_db
 from ..sources.ingest import TRACE_SCHEMA
 from ..sources.sigmf import decode_sigmf
 
-__all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup"]
+__all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
+           "gap_monitor"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -110,6 +112,69 @@ def stream_to_warehouse(spark: SparkSession, landing_dir: str, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def gap_monitor(trace_stream: DataFrame, expected_interval_s: float = 90.0,
+                factor: float = 2.0) -> DataFrame:
+    """Custom *stateful* streaming operator (``applyInPandasWithState``):
+    per-frequency acquisition-gap alarms that survive micro-batch
+    boundaries — the streaming version of W1 gap detection.
+
+    State per frequency = the last capture timestamp seen (a single row,
+    checkpointed). Each micro-batch compares its captures (and the first
+    one against the carried state) and emits a row per gap >
+    ``factor × expected_interval_s``. Sensors sweep every ~90 s
+    (ntia-scos schedule.interval), so a 2× gap means a missed sweep.
+    """
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    ref = (trace_stream
+           .where((F.col("table") == "pfp")
+                  & (F.col("capture_statistic") == "mean")
+                  & (F.col("detector") == "rms"))
+           .select("frequency", "datetime"))
+
+    out_schema = T.StructType([
+        T.StructField("frequency", T.DoubleType()),
+        T.StructField("gap_start", T.TimestampType()),
+        T.StructField("gap_end", T.TimestampType()),
+        T.StructField("gap_seconds", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("last_us", T.LongType()),
+    ])
+    threshold = factor * expected_interval_s
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        times: list[pd.Timestamp] = []
+        for pdf in pdfs:
+            times.extend(pd.to_datetime(pdf["datetime"]))
+        times.sort()
+        if not times:
+            return
+        prev = None
+        if state.exists:
+            (last_us,) = state.get
+            prev = pd.Timestamp(last_us, unit="us")
+        rows = []
+        for t in times:
+            if prev is not None:
+                gap = (t - prev).total_seconds()
+                if gap > threshold:
+                    rows.append((key[0], prev, t, gap))
+            prev = t
+        state.update((int(times[-1].value // 1000),))
+        if rows:
+            yield pd.DataFrame(rows, columns=["frequency", "gap_start",
+                                              "gap_end", "gap_seconds"])
+
+    # gap alarms are emitted exactly once → append mode (file-sink friendly)
+    return ref.groupBy("frequency").applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)
 
 
 def daily_rollup(trace_stream: DataFrame,

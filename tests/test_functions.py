@@ -228,6 +228,29 @@ def test_rayleigh_and_noise_floor(spark):
     assert r.floor == pytest.approx(-98.98, abs=0.05)
 
 
+def test_salted_agg_equivalence(spark):
+    """Salted two-phase aggregation must equal the plain groupBy for every
+    supported algebraic op, including on a heavily skewed key."""
+    rows = [Row(k="hot", v=float(i % 97)) for i in range(5000)] + \
+           [Row(k=f"cold{i}", v=float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows)
+    aggs = {"n": ("count", "v"), "s": ("sum", "v"), "mn": ("min", "v"),
+            "mx": ("max", "v"), "a": ("avg", "v")}
+    got = {r.k: r for r in FN.salted_agg(df, ["k"], aggs).collect()}
+    want = {r.k: r for r in df.groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s"),
+        F.min("v").alias("mn"), F.max("v").alias("mx"),
+        F.avg("v").alias("a")).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k].n == want[k].n and got[k].mn == want[k].mn \
+            and got[k].mx == want[k].mx, k
+        assert got[k].s == pytest.approx(want[k].s)
+        assert got[k].a == pytest.approx(want[k].a)
+    with pytest.raises(ValueError):
+        FN.salted_agg(df, ["k"], {"m": ("median", "v")})
+
+
 def test_db_roundtrip(spark):
     df = spark.createDataFrame([Row(x=-77.0)])
     r = df.select(FN.power_to_db(FN.db_to_power("x")).alias("p"),

@@ -82,6 +82,43 @@ def test_stream_schema_matches_batch(spark, dirs, tmp_path_factory):
     assert np.allclose(sv["values"], bv["values"])
 
 
+def test_gap_monitor_stateful(spark, tmp_path_factory):
+    """applyInPandasWithState: the per-frequency last-timestamp state must
+    survive micro-batch boundaries, so a gap BETWEEN two availableNow runs
+    is detected on the second run."""
+    from nasctn_sea_ingest_spark.streaming import gap_monitor
+
+    landing = str(tmp_path_factory.mktemp("gap_landing"))
+    out = str(tmp_path_factory.mktemp("gap_out"))
+    ckpt = str(tmp_path_factory.mktemp("gap_ckpt"))
+
+    def run_once():
+        stream = read_sigmf_stream(spark, landing)
+        q = (gap_monitor(stream).writeStream.outputMode("append")
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # run 1: clean 90 s cadence, no gaps
+    build_sweep_series(landing, 4, start_iso="2023-09-17T00:00:00.000Z")
+    run_once()
+    assert spark.read.parquet(out).where("gap_seconds IS NOT NULL") \
+        .count() == 0
+
+    # run 2: next batch starts 30 min after run 1's last sweep → one gap
+    # per frequency, spanning the two runs (state carried via checkpoint)
+    build_sweep_series(landing, 2, start_iso="2023-09-17T00:34:30.000Z",
+                       prefix="later")
+    run_once()
+    gaps = spark.read.parquet(out).where("gap_seconds IS NOT NULL").collect()
+    by_freq = {r.frequency: r for r in gaps}
+    assert len(by_freq) == 3  # one alarm per channel
+    for r in gaps:
+        assert 1500 < r.gap_seconds < 2100
+        assert str(r.gap_start).startswith("2023-09-17 00:04:30")
+
+
 def test_daily_rollup_stream(spark, dirs, tmp_path_factory):
     landing, _, _ = dirs
     out = str(tmp_path_factory.mktemp("rollup"))
