@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data pipelines: token statistics,
+quality scoring, language ID, fingerprinting, token-count estimation.
+Library form of the corpus queries q27–q29 — pure JVM column expressions,
+so they run inside the scan at any scale (no UDFs, no shuffles beyond the
+caller's).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+__all__ = ["token_stats", "quality_score", "language_id", "fingerprint",
+           "token_count_estimate", "STOPWORDS", "LANG_MARKERS"]
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "that", "it", "for")
+
+# tiny high-frequency function-word lexicons (language-ID heuristic)
+LANG_MARKERS = {
+    "en": ("the", "of", "and", "is", "to", "in"),
+    "fr": ("le", "la", "et", "est", "les", "des"),
+    "es": ("el", "los", "y", "es", "las", "una"),
+    "de": ("der", "die", "und", "ist", "das", "ein"),
+}
+
+
+def _words(text_col) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(c), r"\s+")
+
+
+def _hits(w: Column, vocab) -> Column:
+    lst = F.array(*[F.lit(x) for x in vocab])
+    return F.size(F.filter(w, lambda x: F.array_contains(lst, x)))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds token-level statistics: n_tokens, n_distinct, type-token ratio,
+    avg token length, stopword ratio (q27 semantics)."""
+    w = _words(text_col)
+    n = F.size(w)
+    return (df.withColumn("n_tokens", n)
+              .withColumn("n_distinct", F.size(F.array_distinct(w)))
+              .withColumn("ttr", F.col("n_distinct") / F.col("n_tokens"))
+              .withColumn(
+                  "avg_tok_len",
+                  F.aggregate(w, F.lit(0), lambda a, x: a + F.length(x))
+                  / F.col("n_tokens"))
+              .withColumn("stopword_ratio",
+                          _hits(w, STOPWORDS) / F.col("n_tokens")))
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  min_tokens: int = 5, max_avg_tok_len: float = 12.0,
+                  min_stopword_ratio: float = 0.02) -> DataFrame:
+    """Composite document-quality heuristics (C4/Gopher-style rules as
+    column math): length gate, token-length sanity, function-word presence,
+    alpha ratio, repetition (1 − ttr). Adds per-rule booleans and a [0,1]
+    ``quality`` score."""
+    d = token_stats(df, text_col)
+    c = F.col(text_col)
+    alpha_ratio = (F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+                   / F.greatest(F.length(c), F.lit(1)))
+    checks = {
+        "ok_len": F.col("n_tokens") >= min_tokens,
+        "ok_tok_len": F.col("avg_tok_len") <= max_avg_tok_len,
+        "ok_stopwords": F.col("stopword_ratio") >= min_stopword_ratio,
+        "ok_alpha": alpha_ratio >= 0.6,
+        "ok_repetition": F.col("ttr") >= 0.2,
+    }
+    d = d.withColumn("alpha_ratio", alpha_ratio)
+    for name, cond in checks.items():
+        d = d.withColumn(name, cond)
+    score = sum(F.when(F.col(n), 1).otherwise(0) for n in checks) \
+        / F.lit(float(len(checks)))
+    return d.withColumn("quality", score)
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                markers: dict | None = None) -> DataFrame:
+    """Function-word language-ID heuristic (q28 semantics, extensible
+    lexicons): argmax of per-language marker hits, 'und' on ties/zero."""
+    markers = markers or LANG_MARKERS
+    w = _words(text_col)
+    d = df
+    for lang, vocab in markers.items():
+        d = d.withColumn(f"__{lang}", _hits(w, vocab))
+    langs = list(markers)
+    best = F.greatest(*[F.col(f"__{l}") for l in langs])
+    n_best = sum(F.when(F.col(f"__{l}") == best, 1).otherwise(0)
+                 for l in langs)
+    guess = F.lit("und")
+    for l in langs:  # first maximum wins; ties → 'und' via n_best guard
+        guess = F.when((F.col(f"__{l}") == best) & (best > 0)
+                       & (n_best == 1), l).otherwise(guess)
+    return d.withColumn("guessed_lang", guess).drop(
+        *[f"__{l}" for l in langs])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                mod: int = 1_000_000_007) -> DataFrame:
+    """Order-sensitive rolling polynomial hash over the token stream (q29):
+    near-free change detection / shard-stable doc identity."""
+    w = _words(text_col)
+    token_h = F.transform(
+        w, lambda x: (F.length(x) * 131 + F.ascii(x)).cast("bigint"))
+    rolled = F.aggregate(token_h, F.lit(0).cast("bigint"),
+                         lambda a, b: (a * 31 + b) % mod)
+    return df.withColumn("fingerprint", rolled)
+
+
+def token_count_estimate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two LLM-token-count estimators: whitespace words and a BPE-ish
+    subword estimate (word-piece regex: alpha runs, digit runs, single
+    punctuation — close to GPT-style pre-tokenization granularity)."""
+    c = F.col(text_col)
+    words = _words(text_col)
+    pieces = F.regexp_extract_all(
+        c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0)
+    # subword upper bound: alpha runs split to ~4-char BPE pieces
+    bpe_ish = F.aggregate(
+        pieces, F.lit(0),
+        lambda a, p: a + F.when(p.rlike("^[A-Za-z]+$"),
+                                F.ceil(F.length(p) / 4).cast("int"))
+                          .otherwise(F.lit(1)))
+    return (df.withColumn("n_words", F.size(words))
+              .withColumn("n_tokens_bpe_est", bpe_ish))

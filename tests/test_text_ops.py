@@ -1,0 +1,74 @@
+"""Text-operator library tests against pure-Python ground truth."""
+
+import pytest
+from pyspark.sql import Row
+
+from nasctn_sea_ingest_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=0, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=1, text="le chat est sur la table et le chien dort"),
+        Row(doc_id=2, text="el perro y el gato es una historia de los dos"),
+        Row(doc_id=3, text="die katze ist auf der matte und der hund auch"),
+        Row(doc_id=4, text="zzz qqq xxx"),                      # und
+        Row(doc_id=5, text="!!! ??? 123 456 789 000 111 222"),  # low quality
+        Row(doc_id=6, text="word word word word word word word word"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_token_stats(docs):
+    r = {x.doc_id: x for x in TX.token_stats(docs).collect()}
+    assert r[0].n_tokens == 9
+    assert r[0].n_distinct == 8           # 'the' twice
+    assert r[0].ttr == pytest.approx(8 / 9)
+    want_avg = sum(len(w) for w in
+                   "the quick brown fox jumps over the lazy dog".split()) / 9
+    assert r[0].avg_tok_len == pytest.approx(want_avg)
+    assert r[0].stopword_ratio == pytest.approx(2 / 9)
+    assert r[6].ttr == pytest.approx(1 / 8)
+
+
+def test_language_id(docs):
+    r = {x.doc_id: x.guessed_lang for x in TX.language_id(docs).collect()}
+    assert r[0] == "en" and r[1] == "fr" and r[2] == "es" and r[3] == "de"
+    assert r[4] == "und"
+
+
+def test_quality_score(docs):
+    r = {x.doc_id: x for x in TX.quality_score(docs).collect()}
+    assert r[0].quality == 1.0
+    assert r[5].quality <= 0.6           # numeric junk fails alpha+stopwords
+    assert r[5].ok_alpha is False and r[5].ok_stopwords is False
+    assert r[6].ok_repetition is False   # 8× same word
+    assert 0.0 <= r[4].quality <= 1.0
+
+
+def test_fingerprint_order_sensitive(spark):
+    a = spark.createDataFrame([Row(doc_id=0, text="alpha beta gamma"),
+                               Row(doc_id=1, text="gamma beta alpha"),
+                               Row(doc_id=2, text="alpha beta gamma")])
+    r = {x.doc_id: x.fingerprint for x in TX.fingerprint(a).collect()}
+    assert r[0] == r[2]
+    assert r[0] != r[1]
+    # matches the direct rolling-hash computation
+    def py_fp(text):
+        h = 0
+        for w in text.split():
+            h = (h * 31 + (len(w) * 131 + ord(w[0]))) % 1_000_000_007
+        return h
+    assert r[0] == py_fp("alpha beta gamma")
+
+
+def test_token_count_estimate(spark):
+    d = spark.createDataFrame(
+        [Row(doc_id=0, text="hello world"),
+         Row(doc_id=1, text="internationalization, tokenizer-friendly 2024!")])
+    r = {x.doc_id: x for x in TX.token_count_estimate(d).collect()}
+    assert r[0].n_words == 2
+    assert r[0].n_tokens_bpe_est == pytest.approx(2 + 2)  # ceil(5/4)+ceil(5/4)
+    # longer words split into more subword pieces; punctuation counts 1 each
+    assert r[1].n_tokens_bpe_est > r[1].n_words
