@@ -199,6 +199,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     Implementation is the sorted-union window trick: one shuffle on
     (by, on), two running-window passes, no range-explosion — at scale this
     is a single sort-merge pass, vastly cheaper than a range join.
+    SCALE NOTE: with no ``by`` keys the windows are global (one task sorts
+    everything) — that is inherent to an unpartitioned as-of; always pass
+    ``by`` (sensor, frequency, ...) on large tables.
     ``tolerance`` (same units as ``on``) nulls out matches farther than the
     bound. Output: all left columns + matched ``right_cols`` (default: all
     non-key right columns, suffixed on collision) + ``asof_dist``.

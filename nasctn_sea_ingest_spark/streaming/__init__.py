@@ -78,19 +78,26 @@ def read_sigmf_stream(spark: SparkSession, landing_dir: str,
 def stream_to_warehouse(spark: SparkSession, landing_dir: str, out_dir: str,
                         checkpoint_dir: str, tz: str | None = None,
                         available_now: bool = False,
-                        max_files_per_trigger: int | None = None):
+                        max_files_per_trigger: int | None = None,
+                        with_summary: bool = False):
     """Continuous ingest: landing dir → partitioned warehouse appends.
 
     ``foreachBatch`` splits good rows (append to ``traces``, partitioned by
     (table, date)) from quarantined files (append to ``quarantine``) —
     mirroring the batch ``ingest()`` layout so batch and streaming readers
-    share one schema. Returns the started StreamingQuery.
+    share one schema. With ``with_summary`` the per-capture
+    ``capture_summary`` is maintained incrementally (one appended row per
+    capture per micro-batch — captures never split across files, so
+    append-only maintenance is exact). Returns the started StreamingQuery.
     """
+    from ..operators import capture_summary
+
     stream = read_sigmf_stream(spark, landing_dir, tz=tz,
                                max_files_per_trigger=max_files_per_trigger)
 
     tr_path = os.path.join(out_dir, "traces")
     q_path = os.path.join(out_dir, "quarantine")
+    sum_path = os.path.join(out_dir, "capture_summary")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
@@ -104,6 +111,10 @@ def stream_to_warehouse(spark: SparkSession, landing_dir: str, out_dir: str,
                           .select("source_file", "error")
             if bad.limit(1).count():
                 bad.write.mode("append").parquet(q_path)
+            if with_summary:
+                (capture_summary(good.drop("date"))
+                 .withColumn("date", F.to_date("datetime"))
+                 .write.mode("append").partitionBy("date").parquet(sum_path))
         finally:
             batch_df.unpersist()
 

@@ -82,6 +82,34 @@ def test_stream_schema_matches_batch(spark, dirs, tmp_path_factory):
     assert np.allclose(sv["values"], bv["values"])
 
 
+def test_incremental_capture_summary(spark, tmp_path_factory):
+    """with_summary maintains capture_summary append-only across triggers;
+    the union of increments equals the batch operator over all traces."""
+    import pyspark.sql.functions as F
+    from nasctn_sea_ingest_spark.operators import capture_summary
+
+    landing = str(tmp_path_factory.mktemp("cs_landing"))
+    wh = str(tmp_path_factory.mktemp("cs_wh"))
+    ckpt = str(tmp_path_factory.mktemp("cs_ckpt"))
+    build_sweep_series(landing, 3)
+    q = stream_to_warehouse(spark, landing, wh, ckpt, available_now=True,
+                            with_summary=True)
+    q.awaitTermination(120)
+    build_sweep_series(landing, 2, start_iso="2023-09-17T01:00:00.000Z",
+                       prefix="more")
+    q = stream_to_warehouse(spark, landing, wh, ckpt, available_now=True,
+                            with_summary=True)
+    q.awaitTermination(120)
+
+    inc = spark.read.parquet(os.path.join(wh, "capture_summary"))
+    assert inc.count() == 5 * 3  # one row per capture, no duplicates
+    traces = spark.read.parquet(os.path.join(wh, "traces"))
+    want = {(r.datetime, r.frequency): r.median_rms_pfp
+            for r in capture_summary(traces).collect()}
+    got = {(r.datetime, r.frequency): r.median_rms_pfp for r in inc.collect()}
+    assert got == want
+
+
 def test_gap_monitor_stateful(spark, tmp_path_factory):
     """applyInPandasWithState: the per-frequency last-timestamp state must
     survive micro-batch boundaries, so a gap BETWEEN two availableNow runs
