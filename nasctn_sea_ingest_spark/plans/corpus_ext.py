@@ -1,0 +1,245 @@
+"""Extended corpus: the relational surface the reference never needed but a
+Spark engine gets natively (SURVEY.md §2.4/§2.6 "Catalyst provides them"),
+plus the ANN and multimodal scale paths as declared queries.
+
+Scale notes (100 TB):
+
+- set ops and distinct-aggs shuffle on their full key; both are
+  partial-aggregated map-side by Catalyst before the exchange.
+- ROLLUP/CUBE expand to grouping sets in a single pass (one shuffle, the
+  expand operator multiplies rows map-side) — no per-level rescan.
+- RANGE-frame windows sort within (user) partitions only; the frame scan is
+  streaming (one pass per partition), so trailing-window state is O(frame).
+- ANN queries scan candidates pruned by bucket/cell predicates that reach
+  the parquet scan when the table is stored partitioned/bucketed by that
+  key; the exact cosine re-rank touches only the pruned slice.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from ..operators import similarity
+from ..sources.multimodal import extract_features
+from .corpus import _q
+from .tables import load_table, register_tables
+
+US_HOUR = 3_600_000_000
+US_DAY = 86_400_000_000
+
+
+# ---------------------------------------------------------------------------
+# set operations (§2.6 — native INTERSECT / EXCEPT, distinct semantics)
+# ---------------------------------------------------------------------------
+
+@_q("q40_set_ops",
+    "INTERSECT + EXCEPT over nation keys (§2.6: set ops beyond the "
+    "reference's union-only surface)",
+    """
+    SELECT 'both' AS tag, x FROM (
+      SELECT c_nationkey AS x FROM customer
+      INTERSECT
+      SELECT s_nationkey AS x FROM supplier)
+    UNION ALL
+    SELECT 'customer_only' AS tag, x FROM (
+      SELECT c_nationkey AS x FROM customer
+      EXCEPT
+      SELECT s_nationkey AS x FROM supplier)
+    """)
+def q40(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("x"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("x"))
+    both = c.intersect(s).select(F.lit("both").alias("tag"), "x")
+    only = c.subtract(s).select(F.lit("customer_only").alias("tag"), "x")
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# multi-level aggregation (§2.4 — grouping sets family)
+# ---------------------------------------------------------------------------
+
+@_q("q41_rollup",
+    "GROUP BY ROLLUP — subtotal + grand-total levels in one pass "
+    "(§2.4: grouping-sets surface the reference lacks)",
+    """
+    SELECT coalesce(l_returnflag, '(all)') AS rf,
+           coalesce(l_linestatus, '(all)') AS ls,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """)
+def q41(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+                    .cast("double").alias("sum_qty"),
+                   F.count("*").alias("n"))
+              .select(F.coalesce("l_returnflag", F.lit("(all)")).alias("rf"),
+                      F.coalesce("l_linestatus", F.lit("(all)")).alias("ls"),
+                      "sum_qty", "n"))
+
+
+@_q("q42_cube",
+    "GROUP BY CUBE over (event_type, day bucket) — all grouping-set "
+    "combinations in one shuffle (§2.4)",
+    f"""
+    SELECT coalesce(event_type, '(all)') AS et,
+           coalesce(epoch_us(ts) // {US_DAY}, -1) AS day_no,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(14,6))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY CUBE (event_type, epoch_us(ts) // {US_DAY})
+    """)
+def q42(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events") \
+        .withColumn("day_no0", F.expr(f"ts_us div {US_DAY}"))
+    return (ev.cube("event_type", "day_no0")
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.col("value").cast("decimal(14,6)"))
+                    .cast("double").alias("value_sum"))
+              .select(F.coalesce("event_type", F.lit("(all)")).alias("et"),
+                      F.coalesce("day_no0", F.lit(-1)).alias("day_no"),
+                      "n", "value_sum"))
+
+
+# ---------------------------------------------------------------------------
+# window frames (§2.5 — RANGE frames beyond the reference's lag/row_number)
+# ---------------------------------------------------------------------------
+
+@_q("q43_range_frame",
+    "trailing 1-hour RANGE-frame window per user: event count + exact "
+    "decimal sum over a value-range frame (§2.5 extension)",
+    f"""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           count(*) OVER w AS n_1h,
+           CAST(sum(CAST(value AS DECIMAL(14,6))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {US_HOUR} PRECEDING AND CURRENT ROW)
+    """)
+def q43(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts_us")
+               .rangeBetween(-US_HOUR, 0))
+    return ev.select(
+        "event_id", "user_id", "ts_us",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(14,6)")).over(w)
+         .cast("double").alias("sum_1h"))
+
+
+# ---------------------------------------------------------------------------
+# distinct aggregates (§2.4 — native in Catalyst)
+# ---------------------------------------------------------------------------
+
+@_q("q44_distinct_agg",
+    "exact COUNT(DISTINCT ...) per group — the distinct-agg surface "
+    "(§2.4; Catalyst expands to a two-phase aggregate)",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT l_partkey) AS n_part,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """)
+def q44(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                   F.countDistinct("l_partkey").alias("n_part"),
+                   F.count("*").alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# JSON + string/regex scalar functions (§2.7 F12 extension)
+# ---------------------------------------------------------------------------
+
+@_q("q45_json_string",
+    "JSON field extraction (F12 get_json_object), regexp extraction, string "
+    "case/substring math, epoch-derived hour bucket (§2.7)",
+    f"""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           CAST(regexp_extract(props, '([0-9]+)', 1) AS INTEGER) AS k_re,
+           upper(substr(event_type, 1, 3)) AS et3,
+           length(event_type) AS et_len,
+           (epoch_us(ts) % {US_DAY}) // {US_HOUR} AS hour_utc
+    FROM events WHERE event_type IN ('purchase', 'signup')
+    """)
+def q45(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.where(F.col("event_type").isin("purchase", "signup"))
+              .select(
+                  "event_id",
+                  F.get_json_object("props", "$.k").cast("int").alias("k"),
+                  F.regexp_extract("props", "([0-9]+)", 1).cast("int")
+                   .alias("k_re"),
+                  F.upper(F.substring("event_type", 1, 3)).alias("et3"),
+                  F.length("event_type").alias("et_len"),
+                  F.expr(f"(ts_us % {US_DAY}) div {US_HOUR}")
+                   .alias("hour_utc")))
+
+
+# ---------------------------------------------------------------------------
+# ANN scale paths (rows-only: approximate by design, library-tested for
+# recall/exactness in tests/test_llm_ops.py)
+# ---------------------------------------------------------------------------
+
+def _query_vec(spark, sf_dir, vec_id: int = 0):
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.where(F.col("vec_id") == vec_id).select("embedding").first()
+    return emb, [float(x) for x in row[0]]
+
+
+@_q("q46_ann_lsh",
+    "ANN top-k via sign-LSH bucket + multiprobe, exact cosine re-rank "
+    "(similarity.lsh_topk — 100 TB scale path for q22)",
+    None)
+def q46(spark, sf_dir):
+    emb, qvec = _query_vec(spark, sf_dir)
+    out = similarity.lsh_topk(emb.where(F.col("vec_id") != 0), qvec, k=10,
+                              multiprobe_bits=1)
+    return out.select("vec_id", F.round("cos_sim", 5).alias("cos_sim"))
+
+
+@_q("q47_ann_ivf",
+    "ANN top-k via IVF coarse quantizer, n_probe=2 cells, exact cosine "
+    "re-rank (similarity.ivf_topk — 100 TB scale path for q22)",
+    None)
+def q47(spark, sf_dir):
+    emb, qvec = _query_vec(spark, sf_dir)
+    cents = similarity.sample_centroids(emb, n_centroids=8)
+    out = similarity.ivf_topk(emb.where(F.col("vec_id") != 0), qvec, k=10,
+                              centroids=cents, n_probe=2)
+    return out.select("vec_id", F.round("cos_sim", 5).alias("cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (rows-only: the codec is a deterministic stub — the
+# Spark-side schema/batching/partitioning is what this declares)
+# ---------------------------------------------------------------------------
+
+@_q("q48_multimodal_features",
+    "binary media columns + Arrow-batched feature extraction "
+    "(sources.multimodal.extract_features over mapInPandas; stub codec)",
+    None)
+def q48(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit(64).alias("width"), F.lit(64).alias("height"),
+            F.lit(3).alias("channels"), F.lit(16000).alias("sample_rate"),
+            (F.col("n_chars") % 50 + 10).cast("int").alias("n_frames"),
+            ((F.col("n_chars") % 50 + 10) / 25.0).alias("duration_s"),
+        ).alias("meta"))
+    feats = extract_features(media, dim=16)
+    return feats.select(
+        "media_id", "kind", "backend",
+        F.size("feature").alias("dim"),
+        F.round(F.element_at("feature", 1).cast("double"), 5).alias("f0"))
