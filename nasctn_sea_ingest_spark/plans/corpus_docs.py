@@ -3,9 +3,11 @@
 
 These are the LLM-training-data operators the 100 TB deployment needs
 (BASELINE.json north star).  Every query is deterministic on both engines:
-shingle/token ids come from dense ranks over the corpus vocabulary (not
-engine-specific hash functions), so MinHash/SimHash signatures are
-bit-identical between Spark and DuckDB.
+shingle/token ids are md5-derived integers (a standard hash both engines
+compute identically — never an engine-specific hash), so MinHash/SimHash
+signatures are bit-identical between Spark and DuckDB.  The id is computed
+per occurrence with a scalar expression — fully distributive, no global
+row_number sort and no vocabulary join, so the plan scales linearly.
 
 Scale notes (100 TB): the shingle self-join shuffles on the shingle key —
 at scale the corpus would first drop ultra-frequent shingles (stop-shingles)
@@ -47,6 +49,13 @@ sh AS (
                        element_at(w, i + 2)))) AS shingle
   FROM toks WHERE size(w) >= 3
 )"""
+
+
+# portable shingle→integer hash: md5 is bit-identical on both engines; 15
+# hex digits (60 bits) parse into a signed BIGINT without overflow, reduced
+# mod P so the per-hash products below stay < 2^63 under ANSI mode
+_SPARK_SID = f"cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint) % {P_MH}"
+_DUCK_SID = f"cast(('0x' || substr(md5(shingle), 1, 15)) as bigint) % {P_MH}"
 
 
 def _minhash_aggs() -> str:
@@ -129,13 +138,13 @@ def q24(spark, sf_dir):
 
 
 @_q("q25_minhash_lsh",
-    "MinHash + LSH banding near-dup candidates: shingle→dense-id→16 minhashes"
-    "→4 bands→bucket join (LLM-pipeline op, scale path for q24)",
+    "MinHash + LSH banding near-dup candidates: shingle→md5-id→16 minhashes"
+    "→4 bands→bucket join (LLM-pipeline op, scale path for q24); the id is "
+    "a scalar md5 expression, not a vocabulary rank — no global sort, no "
+    "vocab join, one shuffle to the per-doc aggregate",
     f"""
     WITH {_DUCK_SHINGLES},
-    ids AS (SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
-            FROM (SELECT DISTINCT shingle FROM sh)),
-    j AS (SELECT s.doc_id, i.sid FROM sh s JOIN ids i ON s.shingle = i.shingle),
+    j AS (SELECT doc_id, {_DUCK_SID} AS sid FROM sh),
     mh AS (SELECT doc_id, {_minhash_aggs()} FROM j GROUP BY doc_id),
     bands AS ({_bands_cte()})
     {_band_join_select()}
@@ -144,13 +153,15 @@ def q25(spark, sf_dir):
     register_tables(spark, sf_dir, ["documents"])
     return spark.sql(f"""
     WITH {_SPARK_SHINGLES},
-    ids AS (SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
-            FROM (SELECT DISTINCT shingle FROM sh)),
-    j AS (SELECT s.doc_id, i.sid FROM sh s JOIN ids i ON s.shingle = i.shingle),
+    j AS (SELECT doc_id, {_SPARK_SID} AS sid FROM sh),
     mh AS (SELECT doc_id, {_minhash_aggs()} FROM j GROUP BY doc_id),
     bands AS ({_bands_cte()})
     {_band_join_select()}
     """)
+
+
+N_SH_BITS = 32             # simhash signature width
+N_SH_BANDS = 4             # 8-bit bands; pigeonhole: hamming<=3 ⇒ ≥1 equal band
 
 
 def _simhash_bits_sql(intdiv: str) -> tuple[str, str]:
@@ -159,14 +170,37 @@ def _simhash_bits_sql(intdiv: str) -> tuple[str, str]:
     return (
         ",\n         ".join(
             f"sum(CASE WHEN (h {intdiv} {1 << jj}) % 2 = 1 THEN cnt ELSE -cnt END) AS s{jj}"
-            for jj in range(16)),
+            for jj in range(N_SH_BITS)),
         " + ".join(
-            f"(CASE WHEN s{jj} > 0 THEN {1 << jj} ELSE 0 END)" for jj in range(16)))
+            f"(CASE WHEN s{jj} > 0 THEN {1 << jj} ELSE 0 END)"
+            for jj in range(N_SH_BITS)))
+
+
+def _simhash_bands(intdiv: str) -> str:
+    """Signature → one row per 8-bit band. The band-equality join is lossless
+    for hamming<=3 (4 bands, ≤3 differing bits ⇒ some band is untouched), so
+    it returns exactly the all-pairs result without the O(n²) cross join."""
+    return "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash {intdiv} {1 << (8 * b)}) % 256 AS chunk FROM sig"
+        for b in range(N_SH_BANDS))
+
+
+_SIMHASH_SELECT = """
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                    a.simhash AS sh1, b.simhash AS sh2
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.chunk = b.chunk
+              AND a.doc_id < b.doc_id)
+    SELECT d1, d2, CAST(bit_count({xor}) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count({xor}) <= 3
+"""
 
 
 @_q("q26_simhash_hamming",
-    "SimHash near-dup: frequency-weighted 16-bit signatures + Hamming-distance "
-    "pair scan (LLM-pipeline op)",
+    "SimHash near-dup: frequency-weighted 32-bit signatures, 4-band "
+    "pigeonhole LSH join (lossless for hamming<=3 — no all-pairs scan), "
+    "exact Hamming verify (LLM-pipeline op)",
     None)  # oracle filled in below (needs generated SQL)
 def q26(spark, sf_dir):
     register_tables(spark, sf_dir, ["documents"])
@@ -174,16 +208,13 @@ def q26(spark, sf_dir):
     return spark.sql(f"""
     WITH t AS (SELECT doc_id, explode(split(trim(text), ' ')) AS tok FROM documents),
     tc AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY doc_id, tok),
-    ids AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tid
-            FROM (SELECT DISTINCT tok FROM t)),
-    th AS (SELECT tc.doc_id, tc.cnt, (ids.tid * 2654435761) % 4294967296 AS h
-           FROM tc JOIN ids ON tc.tok = ids.tok),
+    th AS (SELECT doc_id, cnt,
+           cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint) % 4294967296 AS h
+           FROM tc),
     bitsums AS (SELECT doc_id, {bits} FROM th GROUP BY doc_id),
-    sig AS (SELECT doc_id, {sig} AS simhash FROM bitsums)
-    SELECT a.doc_id AS d1, b.doc_id AS d2,
-           cast(bit_count(a.simhash ^ b.simhash) as int) AS hamming
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(a.simhash ^ b.simhash) <= 3
+    sig AS (SELECT doc_id, {sig} AS simhash FROM bitsums),
+    bands AS ({_simhash_bands("div")}),
+    {_SIMHASH_SELECT.format(xor="sh1 ^ sh2")}
     """)
 
 
@@ -192,16 +223,13 @@ def _q26_oracle() -> str:
     return f"""
     WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
     tc AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY doc_id, tok),
-    ids AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tid
-            FROM (SELECT DISTINCT tok FROM t)),
-    th AS (SELECT tc.doc_id, tc.cnt, (ids.tid * 2654435761) % 4294967296 AS h
-           FROM tc JOIN ids ON tc.tok = ids.tok),
+    th AS (SELECT doc_id, cnt,
+           cast(('0x' || substr(md5(tok), 1, 15)) as bigint) % 4294967296 AS h
+           FROM tc),
     bitsums AS (SELECT doc_id, {bits} FROM th GROUP BY doc_id),
-    sig AS (SELECT doc_id, {sig} AS simhash FROM bitsums)
-    SELECT a.doc_id AS d1, b.doc_id AS d2,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    sig AS (SELECT doc_id, {sig} AS simhash FROM bitsums),
+    bands AS ({_simhash_bands("//")}),
+    {_SIMHASH_SELECT.format(xor="xor(sh1, sh2)")}
     """
 
 
