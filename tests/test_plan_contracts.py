@@ -95,6 +95,53 @@ def test_asof_join_single_shuffle_per_side(spark, sf):
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p
 
 
+def test_minhash_no_global_sort(spark, sf):
+    """q25's shingle ids are scalar md5 expressions: the plan must contain
+    no single-partition global sort (the row_number-over-vocabulary shape
+    that serializes at scale) and no vocabulary join beyond the one
+    band-bucket self-join."""
+    p = _plan(_q("q25_minhash_lsh").spark(spark, sf))
+    assert "Exchange SinglePartition" not in p
+    assert "row_number" not in p.lower()
+
+
+def test_simhash_banded_not_allpairs(spark, sf):
+    """q26 candidates come from the band-equality join — an equi-join, never
+    a cartesian/broadcast-nested-loop all-pairs scan."""
+    p = _plan(_q("q26_simhash_hamming").spark(spark, sf))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_rollup_cube_single_pass(spark, sf):
+    """ROLLUP/CUBE run as one Expand + one aggregate exchange — no
+    per-grouping-set rescan of the input."""
+    for name in ("q41_rollup", "q42_cube"):
+        p = _plan(_q(name).spark(spark, sf))
+        assert "Expand" in p, name
+        scans = [ln for ln in p.splitlines() if "Scan parquet" in ln]
+        assert len(scans) == 1, name
+
+
+def test_range_window_sorts_within_partitions(spark, sf):
+    """The RANGE-frame window shuffles once on user_id; the sort is within
+    partitions (no global ordering)."""
+    p = _plan(_q("q43_range_frame").spark(spark, sf))
+    assert "Window" in p
+    assert "Exchange SinglePartition" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_ann_prunes_before_rerank(spark, sf):
+    """LSH/IVF ANN queries re-rank only the pruned candidate set: the
+    bucket/cell predicate must appear as a Filter, and top-k must stay
+    partial (TakeOrderedAndProject)."""
+    for name in ("q46_ann_lsh", "q47_ann_ivf"):
+        p = _plan(_q(name).spark(spark, sf))
+        assert "TakeOrderedAndProject" in p, name
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p, name
+
+
 def test_whole_stage_codegen_everywhere(spark, sf):
     """Relational corpus queries stay inside whole-stage codegen (no
     row-at-a-time Python in the hot path)."""
