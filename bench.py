@@ -74,6 +74,24 @@ def main() -> None:
         print(f"# sigmf decode: {n_files} files in {dt:.3f}s "
               f"({n_files / dt:.0f} files/s)", file=sys.stderr)
 
+        # per-core decode rate, measured as the reference's own baseline is
+        # (single-process eager loop over the zip, BASELINE.md 81 files/s) —
+        # immune to scheduler/host noise in the distributed wall number
+        import zipfile as _zf
+        from nasctn_sea_ingest_spark.sources.sigmf import decode_sigmf
+        with _zf.ZipFile(zpath) as z:
+            blobs = [z.read(n) for n in z.namelist() if n.endswith(".sigmf")]
+        core_dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for raw in blobs:
+                decode_sigmf(raw, source="bench")
+            core_dt = min(core_dt, time.perf_counter() - t0)
+        timings["x_sigmf_decode_files_per_sec_per_core"] = \
+            round(len(blobs) / core_dt, 1)
+        print(f"# sigmf decode single-core: {len(blobs) / core_dt:.0f} "
+              f"files/s/core (reference eager loop: 81)", file=sys.stderr)
+
         # the reference's headline job (BASELINE.md: full-archive summarize
         # + 2 sinks, 47.4 s on 8 dask workers): decode once, persist,
         # write capture_summary + the psd product to two parquet sinks

@@ -90,15 +90,21 @@ def lsh_topk(emb: DataFrame, query, k: int, n_planes: int = 8,
 def ivf_assign(emb: DataFrame, centroids: np.ndarray,
                vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its max-dot-product coarse centroid (IVF list).
-    Centroids are a driver-side array (n_centroids × dim, small) unrolled
-    into literal expressions — no shuffle, evaluated inside the scan."""
-    best_cid, best_dot = F.lit(-1), F.lit(float("-inf"))
-    for cid, c in enumerate(centroids):
-        d = _dot_with_lit(vec_col, c)
-        cond = d > best_dot
-        best_cid = F.when(cond, F.lit(cid)).otherwise(best_cid)
-        best_dot = F.when(cond, d).otherwise(best_dot)
-    return emb.withColumn("ivf_cell", best_cid)
+    Centroids are a driver-side array-of-arrays literal (n_centroids × dim,
+    small) — no shuffle, evaluated inside the scan. One ``transform`` over
+    the centroid array keeps the expression tree linear in n_centroids (a
+    chained ``when(d > best, ...)`` fold would re-embed the running-best
+    subtree twice per step — exponential plan size). Ties break to the
+    lowest cell id (``array_position`` returns the first max)."""
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                      for c in centroids])
+    dots = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(c, F.col(vec_col), lambda x, y: x * y.cast("double")),
+            F.lit(0.0), lambda a, v: a + v))
+    cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    return emb.withColumn("ivf_cell", cell)
 
 
 def sample_centroids(emb: DataFrame, n_centroids: int,

@@ -130,6 +130,40 @@ def q43(spark, sf_dir):
          .cast("double").alias("sum_1h"))
 
 
+@_q("q49_window_suite",
+    "ranking + navigation window functions beyond the reference's "
+    "lag/row_number: lead, dense_rank, percent_rank, cume_dist, "
+    "first/last value over running frames (§2.5 extension)",
+    """
+    SELECT event_id, user_id,
+           lead(value, 1) OVER w AS next_value,
+           dense_rank() OVER r AS value_rank,
+           round(percent_rank() OVER r, 6) AS pct_rank,
+           round(cume_dist() OVER r, 6) AS cume,
+           first_value(event_id) OVER w AS first_event,
+           last_value(event_id) OVER
+             (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+           r AS (PARTITION BY user_id ORDER BY value, event_id)
+    """)
+def q49(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    r = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id", "user_id",
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.dense_rank().over(r).alias("value_rank"),
+        F.round(F.percent_rank().over(r), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(r), 6).alias("cume"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(wfull).alias("last_event"))
+
+
 # ---------------------------------------------------------------------------
 # distinct aggregates (§2.4 — native in Catalyst)
 # ---------------------------------------------------------------------------
