@@ -29,11 +29,13 @@ from .sources.ingest import (
     decode_sweep_metadata,
     decode_traces,
     list_sigmf_refs,
+    map_decoded_partitions,
+    write_partitions,
 )
 from .sources.sigmf import decode_sigmf, decode_sigmf_meta
 
 __all__ = ["read_seamf", "read_seamf_meta", "read_seamf_zipfile",
-           "read_seamf_zipfile_as_sdf", "as_wide"]
+           "read_seamf_zipfile_as_sdf", "as_wide", "write_partitions"]
 
 _PRODUCTS = ("psd", "pvt", "pfp", "apd", "apd_raw")
 
@@ -60,11 +62,13 @@ def as_wide(table: pd.DataFrame, name: str) -> pd.DataFrame:
     return pd.DataFrame(mat, index=idx, columns=cols)
 
 
-def read_seamf(file, tz: str | None = None,
-               hash_check: bool = True) -> dict[str, pd.DataFrame]:
+def read_seamf(file, tz: str | None = None, hash_check: bool = True,
+               unpack: str = "frames") -> dict:
     """Single-file decode to a dict of pandas frames (long format: key
-    columns + ``values`` array instead of the reference's wide MultiIndex)."""
-    return decode_sigmf(file, tz=tz, hash_check=hash_check)
+    columns + ``values`` array instead of the reference's wide MultiIndex).
+    ``unpack`` selects the output tier like the reference's
+    ``force_loader_cls``: ``frames`` | ``arrays`` | ``bytes``."""
+    return decode_sigmf(file, tz=tz, hash_check=hash_check, unpack=unpack)
 
 
 def read_seamf_meta(file, tz: str | None = None) -> dict:
@@ -87,17 +91,26 @@ def read_seamf_zipfile_as_sdf(spark: SparkSession, path: str,
                               allow: int | None = None,
                               tz: str | None = None,
                               errors: str = "raise",
-                              batch_size: int = 64) -> dict[str, DataFrame]:
+                              batch_size: int = 64,
+                              partition_func=None) -> dict[str, DataFrame]:
     """Lazy distributed read: dict of Spark DataFrames keyed per table
     (``psd pvt pfp apd|apd_raw channel_metadata sweep_metadata``), the
     direct analog of the reference's dict of Dask DataFrames.
 
     One shared decode scan feeds every trace product (cached on first
     action); metadata tables ride the payload-skipping fast path.
+
+    ``partition_func`` (reference ``ziparchive.py:210-273``) is a per-batch
+    hook ``dict[str, pd.DataFrame] -> dict``: it sees the decoded frames of
+    each ref batch and every frame-valued key it returns becomes a lazy
+    DataFrame in the result (schemas probed from the first file, failures
+    skipped as ``errors='log'`` like the reference's hook path).
     """
     if errors not in ("raise", "log"):
         raise ValueError("errors must be 'raise' or 'log'")
     refs = list_sigmf_refs(spark, path, allow=allow, batch_size=batch_size)
+    if partition_func is not None:
+        return map_decoded_partitions(refs, partition_func, tz=tz)
     traces = decode_traces(refs, tz=tz).cache()
     if errors == "raise":
         def checked(df):

@@ -213,6 +213,120 @@ def decode_traces(refs: DataFrame, tz: str | None = None,
     return refs.mapInPandas(run, TRACE_SCHEMA)
 
 
+def _decode_batch_dict(paths, members, zcache: dict, tz: str | None,
+                       hash_check: bool) -> dict[str, pd.DataFrame]:
+    """Decode a batch of refs into the reference's per-partition shape —
+    one dict of concatenated frames per batch (``ziparchive.py:195-204``'s
+    concat step; long format here). Failed files are skipped, the
+    reference's ``errors='log'`` path."""
+    dicts = []
+    for path, member in zip(paths, members):
+        try:
+            raw = _open_ref(zcache, path, member)
+            dicts.append(decode_sigmf(raw, tz=tz, hash_check=hash_check,
+                                      source=_ref_name(path, member)))
+        except Exception:  # noqa: BLE001 — errors='log'
+            continue
+    keys = {k for d in dicts for k in d}
+    return {k: pd.concat([d[k] for d in dicts if k in d],
+                         ignore_index=True)
+            for k in keys}
+
+
+def map_decoded_partitions(refs: DataFrame, partition_func,
+                           tz: str | None = None, hash_check: bool = True,
+                           probe_limit: int = 8) -> dict[str, DataFrame]:
+    """The reference's ``partition_func`` hook (``ziparchive.py:210-273``,
+    used in ``demos/dask_processing.ipynb`` cell 3): per ref batch, decode
+    to a dict of frames, apply ``partition_func(dict) -> dict``, and expose
+    every frame-valued key of the result as a lazy Spark DataFrame.
+
+    Output schemas are discovered by a driver-side probe — decode the first
+    readable ref (~ms, payload included) and run ``partition_func`` on it —
+    the Spark analog of the reference's first-partition divisions/meta probe
+    (SURVEY.md S12–S13, ``ziparchive.py:281-316``): here it is needed only
+    when a user hook makes the schema dynamic.
+
+    Like the reference's dict-of-ddfs, each returned DataFrame re-runs the
+    shared decode when computed separately; persist the inputs or compute
+    the dict in one action-shaped job if that matters.
+    """
+    spark = refs.sparkSession
+    head = refs.select("path", "member").limit(probe_limit).collect()
+    zcache: dict = {}
+    probe: dict[str, pd.DataFrame] | None = None
+    for r in head:
+        d = _decode_batch_dict([r.path], [r.member], zcache, tz, hash_check)
+        if d:
+            probe = partition_func(d)
+            break
+    for z in zcache.values():
+        z.close()
+    if probe is None:
+        raise RuntimeError("no readable ref to probe partition_func schema")
+    if not isinstance(probe, dict):
+        raise ValueError("partition_func must return a dict")
+
+    out: dict[str, DataFrame] = {}
+    for key, pdf in probe.items():
+        if not isinstance(pdf, pd.DataFrame):
+            continue  # reference keeps scalar/dict values driver-side
+        schema = spark.createDataFrame(pdf.head(10)).schema
+        cols = [f.name for f in schema.fields]
+
+        def run(batches: Iterator[pd.DataFrame], _key=key, _cols=cols
+                ) -> Iterator[pd.DataFrame]:
+            zc: dict = {}
+            for b in batches:
+                d = _decode_batch_dict(b["path"], b["member"], zc, tz,
+                                       hash_check)
+                if not d:
+                    continue
+                r = partition_func(d)
+                if not isinstance(r, dict):
+                    raise ValueError("partition_func must return a dict")
+                got = r.get(_key)
+                if got is not None and len(got):
+                    yield got[_cols]
+
+        out[key] = refs.mapInPandas(run, schema)
+    return out
+
+
+PARTITION_SINK_SCHEMA = T.StructType([
+    T.StructField("partition_id", T.IntegerType(), False),
+    T.StructField("n_rows", T.LongType(), False),
+    T.StructField("out_file", T.StringType(), True),
+])
+
+
+def write_partitions(df: DataFrame, write_fn, path: str) -> pd.DataFrame:
+    """Side-effecting custom sink — the reference's
+    ``ddf.map_partitions(write_fn, path)`` pattern (pickle/zstd sinks in
+    ``demos/dask_processing.ipynb`` cell 8). ``write_fn(pdf, path,
+    partition_id) -> str | None`` runs once per partition on the executor
+    and returns the file it wrote; the returned pandas frame is the
+    structured write log (partition_id, n_rows, out_file).
+
+    For formats Spark writes natively, prefer ``df.write`` — this hook is
+    for sinks Spark has no writer for.
+    """
+    from pyspark import TaskContext
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        parts = [b for b in batches if len(b)]
+        pdf = pd.concat(parts, ignore_index=True) if parts \
+            else pd.DataFrame()
+        out = write_fn(pdf, path, pid) if len(pdf) else None
+        yield pd.DataFrame([(pid, len(pdf), out)],
+                           columns=[f.name for f in
+                                    PARTITION_SINK_SCHEMA.fields])
+
+    log = df.mapInPandas(run, PARTITION_SINK_SCHEMA).toPandas()
+    return log.sort_values("partition_id", ignore_index=True)
+
+
 def _meta_rows(path: str, member: str | None, zcache: dict,
                tz: str | None) -> tuple[list[tuple], tuple]:
     """(channel_metadata rows, sweep_metadata row) via the payload-skipping

@@ -548,14 +548,28 @@ def _try_tz(meta: dict):
 
 
 def decode_sigmf(file, tz: str | None = None, hash_check: bool = True,
-                 source: str = "") -> dict[str, pd.DataFrame]:
+                 source: str = "", unpack: str = "frames"):
     """Decode one ``.sigmf`` file into long-format pandas frames.
 
     Returns a dict with keys ``psd pvt pfp apd apd_raw channel_metadata
     sweep_metadata`` (trace tables only when present for the version).
     Trace rows: datetime, frequency, capture_statistic?, detector?, kind?,
     values (float32 array), x_start, x_step.
+
+    ``unpack`` is the analog of the reference's ``force_loader_cls``
+    override (``seamf.py:981-1058``; the three output tiers timed in
+    BASELINE.md "single-file decode"):
+
+    - ``"frames"`` (default) — the full dict-of-frames above;
+    - ``"arrays"`` — stop after the numpy split: ``{table: float32 ndarray
+      (n_traces x trace_len)}`` plus ``channel_metadata``/``sweep_metadata``
+      frames (reference's ``unpack to np.ndarray`` tier);
+    - ``"bytes"`` — raw decompressed payload, no unpacking:
+      ``{"data": float16 bytes, "meta": parsed JSON}`` (reference's
+      ``force_loader_cls=None`` tier).
     """
+    if unpack not in ("frames", "arrays", "bytes"):
+        raise ValueError("unpack must be 'frames', 'arrays' or 'bytes'")
     meta, lzma_blob = _read_tar(file)
 
     if hash_check:
@@ -563,9 +577,12 @@ def decode_sigmf(file, tz: str | None = None, hash_check: bool = True,
         if digest != meta["global"].get("core:sha512"):
             raise SigmfError("payload sha512 mismatch")
 
+    raw_payload = lzma.decompress(lzma_blob, format=lzma.FORMAT_XZ)
+    if unpack == "bytes":
+        return {"data": raw_payload, "meta": meta}
+
     plan = _plan_for(meta, tz if tz is not None else _try_tz(meta))
-    flat = np.frombuffer(lzma.decompress(lzma_blob, format=lzma.FORMAT_XZ),
-                         dtype=np.float16).astype(np.float32)
+    flat = np.frombuffer(raw_payload, dtype=np.float16).astype(np.float32)
 
     # split the flat vector at the declared trace offsets (R1 analog)
     offsets = [t[0] for t in plan.traces]
@@ -591,7 +608,12 @@ def decode_sigmf(file, tz: str | None = None, hash_check: bool = True,
         recs[table].append((dt, freq, stat, det, kind, flat[off:end],
                             x_start, x_step))
 
-    out: dict[str, pd.DataFrame] = {}
+    out: dict = {}
+    if unpack == "arrays":
+        for table, rows in recs.items():
+            if rows:
+                out[table] = np.stack([r[5] for r in rows])
+        recs = {t: [] for t in TRACE_TABLES}
     for table, rows in recs.items():
         if not rows:
             continue

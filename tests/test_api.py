@@ -66,6 +66,72 @@ def test_as_wide_reference_shape():
                                      "capture_statistic", "detector"]
 
 
+def test_read_seamf_unpack_tiers():
+    """`unpack` reproduces the reference's force_loader_cls output tiers
+    (BASELINE.md single-file decode rows): bytes → raw float16 payload,
+    arrays → stacked ndarrays, frames (default) → dict of frames."""
+    frames = api.read_seamf(GOLDEN_V6)
+    arrays = api.read_seamf(GOLDEN_V6, unpack="arrays")
+    raw = api.read_seamf(GOLDEN_V6, unpack="bytes")
+
+    assert arrays["psd"].shape == (34, 625)
+    assert arrays["pfp"].shape == (102, 560)
+    np.testing.assert_array_equal(
+        arrays["psd"][0], np.asarray(frames["psd"]["values"].iloc[0]))
+    # metadata frames ride along unchanged
+    assert arrays["channel_metadata"].equals(frames["channel_metadata"])
+
+    vals = np.frombuffer(raw["data"], dtype=np.float16)
+    n_frame_vals = sum(
+        sum(len(v) for v in frames[t]["values"])
+        for t in ("psd", "pvt", "pfp", "apd", "apd_raw") if t in frames)
+    assert vals.size == n_frame_vals
+    assert "core:sha512" in raw["meta"]["global"]
+    with pytest.raises(ValueError, match="unpack"):
+        api.read_seamf(GOLDEN_V6, unpack="wat")
+
+
+def _pfunc(d):
+    psd = d["psd"].copy()
+    psd["vmax"] = [float(np.max(v)) for v in psd["values"]]
+    return {"psd_max": psd[["datetime", "frequency", "capture_statistic",
+                            "vmax"]],
+            "note": "non-frame values stay driver-side"}
+
+
+def test_partition_func_hook(spark, zpath):
+    """partition_func sees each decoded batch dict and its frame-valued
+    outputs become lazy DataFrames (reference ziparchive.py:210-273)."""
+    sdfs = api.read_seamf_zipfile_as_sdf(spark, zpath, partition_func=_pfunc)
+    assert set(sdfs) == {"psd_max"}
+    pdf = sdfs["psd_max"].toPandas()
+    assert len(pdf) == 4 * 3 * 2
+    assert pdf["vmax"].notna().all()
+    # row-level parity with the plain decode path
+    plain = api.read_seamf_zipfile(spark, zpath)["psd"]
+    want = sorted(float(np.max(v)) for v in plain["values"])
+    assert want == sorted(pdf["vmax"])
+
+
+def _pickle_sink(pdf, path, pid):
+    import os
+    out = os.path.join(path, f"part-{pid}.pkl")
+    pdf.to_pickle(out)
+    return out
+
+
+def test_write_partitions(spark, tmp_path):
+    """Custom side-effecting sink: write_fn runs once per partition and the
+    returned log accounts for every row (reference map_partitions sink)."""
+    import pandas as pd
+    df = spark.range(0, 100, 1, 4).withColumn("v", F.col("id") * 2)
+    log = api.write_partitions(df, _pickle_sink, str(tmp_path))
+    assert log["n_rows"].sum() == 100
+    back = pd.concat([pd.read_pickle(f) for f in log["out_file"].dropna()])
+    assert sorted(back["id"]) == list(range(100))
+    assert (back["v"] == back["id"] * 2).all()
+
+
 def test_zipfile_error_modes(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("poison")
     (d / "ok.sigmf").write_bytes(build_sigmf())
