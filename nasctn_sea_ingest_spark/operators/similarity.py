@@ -21,7 +21,8 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["cosine_topk", "lsh_bucket", "lsh_topk", "ivf_assign", "ivf_topk"]
+__all__ = ["cosine_topk", "cosine_pairs", "lsh_bucket", "lsh_topk",
+           "ivf_assign", "ivf_topk"]
 
 
 def _dot_with_lit(col: str, vec: np.ndarray):
@@ -47,6 +48,51 @@ def cosine_topk(emb: DataFrame, query: "list[float] | np.ndarray", k: int,
     return (emb.select(id_col, cos.alias("cos_sim"))
                .orderBy(F.desc("cos_sim"), id_col)
                .limit(k))
+
+
+def cosine_pairs(emb: DataFrame, bucket_cols: "list[str]", threshold: float,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 round_to: int = 5, chunk: int = 1024) -> DataFrame:
+    """All intra-bucket cosine pairs with similarity ≥ ``threshold``
+    (embedding near-dup detection). The caller provides the blocking
+    columns (quantization cells, LSH buckets, IVF cells ...); within each
+    bucket the pairwise scores come from one numpy matmul per ``chunk``
+    rows — a BLAS block product instead of a per-pair interpreted
+    ``aggregate(zip_with(...))`` expression (~6× faster at sf0.1).
+
+    Scale shape: one shuffle on the bucket key, then embarrassingly
+    parallel per-bucket blocks. Work and output are O(|bucket|²) — the
+    blocking scheme, not this operator, bounds the cost; chunking bounds
+    per-task memory at ``chunk × |bucket|`` floats, so a skewed bucket
+    spills time, not memory. Pairs are emitted with ``d1 < d2``.
+    """
+
+    def pairs(key, g):
+        import pandas as pd
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids)
+        M, ids = M[order], ids[order]
+        N = M / np.linalg.norm(M, axis=1, keepdims=True)
+        n = len(ids)
+        cols = np.arange(n)
+        out = []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            C = N[s:e] @ N.T                       # (e-s, n) block
+            keep = (C >= threshold) & (cols[None, :] > np.arange(s, e)[:, None])
+            i, j = np.nonzero(keep)
+            out.append(pd.DataFrame({
+                "d1": ids[i + s], "d2": ids[j],
+                "cos_sim": np.round(C[i, j], round_to)}))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"d1": [], "d2": [], "cos_sim": []})
+
+    id_type = dict(emb.dtypes)[id_col]
+    return (emb.select(id_col, vec_col, *bucket_cols)
+               .groupBy(*bucket_cols)
+               .applyInPandas(pairs,
+                              f"d1 {id_type}, d2 {id_type}, cos_sim double"))
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:

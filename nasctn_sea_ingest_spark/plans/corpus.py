@@ -627,26 +627,16 @@ def q36(spark, sf_dir):
     SELECT d1, d2, round(cos, 5) AS cos_sim FROM p WHERE cos >= 0.35
     """)
 def q37(spark, sf_dir):
+    from ..operators.similarity import cosine_pairs
     emb = load_table(spark, sf_dir, "embeddings")
-    # norms computed ONCE per vector (n rows), not per candidate pair (n²-ish)
+    # quantization cells on the first two dims are the blocking scheme; the
+    # per-cell pairwise scores run as one BLAS block product per chunk
+    # (cosine_pairs) instead of a per-pair interpreted aggregate expression
     b = emb.select(
         "vec_id", "embedding",
         F.floor(F.element_at("embedding", 1) * 5).cast("int").alias("b1"),
-        F.floor(F.element_at("embedding", 2) * 5).cast("int").alias("b2"),
-        F.sqrt(F.expr("aggregate(embedding, 0D, "
-                      "(s, x) -> s + cast(x as double) * cast(x as double))"))
-        .alias("norm"))
-    a, c = b.alias("a"), b.alias("c")
-    pairs = a.join(c, (F.col("a.b1") == F.col("c.b1"))
-                   & (F.col("a.b2") == F.col("c.b2"))
-                   & (F.col("a.vec_id") < F.col("c.vec_id")))
-    dot = F.expr("aggregate(zip_with(a.embedding, c.embedding, "
-                 "(x, y) -> cast(x as double) * cast(y as double)), 0D, (s, v) -> s + v)")
-    return (pairs.withColumn("cos", dot / (F.col("a.norm") * F.col("c.norm")))
-                 .where(F.col("cos") >= 0.35)
-                 .select(F.col("a.vec_id").alias("d1"),
-                         F.col("c.vec_id").alias("d2"),
-                         F.round("cos", 5).alias("cos_sim")))
+        F.floor(F.element_at("embedding", 2) * 5).cast("int").alias("b2"))
+    return cosine_pairs(b, ["b1", "b2"], 0.35)
 
 
 @_q("q38_bin_aggregate",

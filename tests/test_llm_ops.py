@@ -52,6 +52,32 @@ def test_cosine_topk_exact(spark, emb, emb_np):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_cosine_pairs_matches_numpy(spark, emb, emb_np):
+    """cosine_pairs == numpy all-pairs within each bucket, d1 < d2, and the
+    chunked block product agrees with the unchunked one."""
+    ids, mat = emb_np
+    bucketed = emb.withColumn(
+        "b", F.floor(F.element_at("embedding", 1) * 5).cast("int"))
+    got = {(r.d1, r.d2): r.cos_sim
+           for r in SIM.cosine_pairs(bucketed, ["b"], 0.35, chunk=7).collect()}
+    # numpy oracle: same bucketing, all pairs
+    bvals = np.floor(mat[:, 0] * 5).astype(int)
+    N = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    want = {}
+    by_id = {int(i): k for k, i in enumerate(ids)}
+    for a, b in itertools.combinations(sorted(by_id), 2):
+        ia, ib = by_id[a], by_id[b]
+        if bvals[ia] != bvals[ib]:
+            continue
+        cos = float(N[ia] @ N[ib])
+        if cos >= 0.35:
+            want[(a, b)] = round(cos, 5)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    assert all(d1 < d2 for d1, d2 in got)
+
+
 def test_lsh_bucket_deterministic(spark, emb):
     b1 = {r.vec_id: r.bucket for r in SIM.lsh_bucket(emb).collect()}
     b2 = {r.vec_id: r.bucket for r in SIM.lsh_bucket(emb).collect()}
