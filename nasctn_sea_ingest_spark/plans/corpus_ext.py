@@ -277,3 +277,120 @@ def q48(spark, sf_dir):
         "media_id", "kind", "backend",
         F.size("feature").alias("dim"),
         F.round(F.element_at("feature", 1).cast("double"), 5).alias("f0"))
+
+
+# ---------------------------------------------------------------------------
+# grouping sets, sessionization, unpivot, interpolated percentiles
+# (§2.4/§2.5/§2.8 extensions — native Catalyst surfaces)
+# ---------------------------------------------------------------------------
+
+@_q("q50_grouping_sets",
+    "explicit GROUPING SETS with grouping() markers — the general form of "
+    "the rollup/cube family (§2.4); one expand + one shuffle",
+    """
+    SELECT coalesce(o_orderpriority, '(all)') AS pri,
+           coalesce(o_orderstatus, '(all)') AS st,
+           CAST(grouping(o_orderpriority) AS INTEGER) AS g_pri,
+           CAST(grouping(o_orderstatus) AS INTEGER) AS g_st,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS rev
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+    """)
+def q50(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupingSets([["o_orderpriority", "o_orderstatus"],
+                            ["o_orderpriority"], []],
+                           "o_orderpriority", "o_orderstatus")
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+                   .cast("double").alias("rev"),
+                  F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+                  F.grouping("o_orderstatus").cast("int").alias("g_st"))
+             .select(F.coalesce("o_orderpriority", F.lit("(all)")).alias("pri"),
+                     F.coalesce("o_orderstatus", F.lit("(all)")).alias("st"),
+                     "g_pri", "g_st", "n", "rev"))
+
+
+US_30MIN = 1_800_000_000
+
+
+@_q("q51_sessionize",
+    "sessionization: 30-min-gap session ids via lag + running sum, then "
+    "per-session stats (the batch analog of streaming session windows)",
+    f"""
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {US_30MIN}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    s AS (
+      SELECT user_id, event_id, ts_us,
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_no
+      FROM g)
+    SELECT user_id, session_no, count(*) AS n_events,
+           min(ts_us) AS t_start_us, max(ts_us) - min(ts_us) AS duration_us
+    FROM s GROUP BY user_id, session_no
+    """)
+def q51(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    is_new = F.when(prev.isNull()
+                    | (F.col("ts_us") - prev > US_30MIN), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts_us", "event_id") \
+                .rowsBetween(Window.unboundedPreceding, 0)
+    s = ev.select("user_id", "event_id", "ts_us",
+                  F.sum(is_new).over(run).cast("bigint").alias("session_no"))
+    return (s.groupBy("user_id", "session_no")
+             .agg(F.count("*").alias("n_events"),
+                  F.min("ts_us").alias("t_start_us"),
+                  (F.max("ts_us") - F.min("ts_us")).alias("duration_us")))
+
+
+@_q("q52_unpivot",
+    "UNPIVOT / melt: wide measure columns to long (measure, val) rows — "
+    "the R4 reshape direction as a native operator (§2.8)",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure,
+           l_extendedprice AS val
+    FROM lineitem WHERE l_orderkey % 10 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey % 10 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey % 10 = 0
+    """)
+def q52(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem") \
+        .where(F.col("l_orderkey") % 10 == 0)
+    return li.unpivot(["l_orderkey", "l_linenumber"],
+                      ["l_extendedprice", "l_discount", "l_tax"],
+                      "measure", "val")
+
+
+@_q("q53_percentile_cont",
+    "interpolated percentiles (percentile_cont semantics) per group — the "
+    "scalar complement of the exact array quantiles in q16 (§2.4)",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 5) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 5) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 5) AS p75,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """)
+def q53(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.round(F.percentile("l_extendedprice", 0.25), 5).alias("p25"),
+                   F.round(F.percentile("l_extendedprice", 0.50), 5).alias("p50"),
+                   F.round(F.percentile("l_extendedprice", 0.75), 5).alias("p75"),
+                   F.count("*").alias("n")))
