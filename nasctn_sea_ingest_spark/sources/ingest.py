@@ -478,3 +478,65 @@ def read_product(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
     partition pruning on ``table`` and ``date``."""
     df = spark.read.parquet(os.path.join(out_dir, "traces"))
     return df.where(F.col("table") == table).drop("table")
+
+
+# --------------------------------------------------------------------------
+# warehouse maintenance: small-file compaction
+# --------------------------------------------------------------------------
+
+def compact_warehouse(spark: SparkSession, dataset_dir: str,
+                      target_file_bytes: int = 128 << 20,
+                      sort_cols: "list[str] | None" = None) -> pd.DataFrame:
+    """Compact a partitioned parquet dataset's small files in place.
+
+    Streaming ingest appends one file set per micro-batch — at a ~90 s
+    sensor cadence that is ~1k files/partition/day, and at 100 TB the file
+    count (not the bytes) becomes the scan bottleneck (driver listing +
+    one task per tiny file). This walks each leaf partition directory,
+    and where it holds more files than ``ceil(bytes / target_file_bytes)``
+    rewrites it to that many files (sorted by ``sort_cols`` — default
+    (datetime, frequency) when present — to restore min/max-stat pruning),
+    then atomically swaps the directory. Untouched partitions are skipped,
+    so the job is incremental and re-runnable.
+
+    The swap is two ``os.rename`` calls — atomic on POSIX/HDFS; on object
+    stores run per-partition-idle (the streaming writer targets *today's*
+    partition, compaction targets closed ones) or use a table format with
+    commit semantics.
+
+    Returns a log frame (partition, n_files_before, n_files_after, bytes).
+    """
+    import math
+    import shutil
+
+    leaves: list[str] = []
+    for root, dirs, files in os.walk(dataset_dir):
+        if any(f.endswith(".parquet") for f in files) \
+                and "_tmp_compact" not in root and "_old_compact" not in root:
+            leaves.append(root)
+
+    log = []
+    for leaf in sorted(leaves):
+        pq = [os.path.join(leaf, f) for f in os.listdir(leaf)
+              if f.endswith(".parquet")]
+        nbytes = sum(os.path.getsize(f) for f in pq)
+        k = max(1, math.ceil(nbytes / target_file_bytes))
+        if len(pq) <= k:
+            log.append((os.path.relpath(leaf, dataset_dir),
+                        len(pq), len(pq), nbytes))
+            continue
+        df = spark.read.parquet(leaf)
+        sort_by = sort_cols or [c for c in ("datetime", "frequency")
+                                if c in df.columns]
+        out = df.coalesce(k)
+        if sort_by:
+            out = out.sortWithinPartitions(*sort_by)
+        tmp = leaf + "_tmp_compact"
+        out.write.mode("overwrite").parquet(tmp)
+        old = leaf + "_old_compact"
+        os.rename(leaf, old)
+        os.rename(tmp, leaf)
+        shutil.rmtree(old)
+        log.append((os.path.relpath(leaf, dataset_dir), len(pq), k, nbytes))
+    return pd.DataFrame(log, columns=["partition", "n_files_before",
+                                      "n_files_after", "bytes"])

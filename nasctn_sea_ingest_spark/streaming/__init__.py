@@ -26,7 +26,7 @@ from ..sources.ingest import TRACE_SCHEMA
 from ..sources.sigmf import decode_sigmf
 
 __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
-           "gap_monitor"]
+           "gap_monitor", "dedup_stream"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -186,6 +186,26 @@ def gap_monitor(trace_stream: DataFrame, expected_interval_s: float = 90.0,
     return ref.groupBy("frequency").applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout)
+
+
+def dedup_stream(trace_stream: DataFrame, watermark: str = "2 days",
+                 keys: "list[str] | None" = None) -> DataFrame:
+    """Streaming exact dedup: drop re-delivered captures — at-least-once
+    landing dirs and sensor re-uploads produce byte-identical files under
+    new names, the streaming face of the batch exact-dedup op (q23 /
+    ``dedup.drop_exact_duplicates``).
+
+    Uses ``dropDuplicatesWithinWatermark``: dedup state is EXPIRED once the
+    event time passes the watermark, so state is bounded by (watermark ×
+    arrival rate) instead of growing forever like plain
+    ``dropDuplicates`` — the property that makes this run indefinitely at
+    100 TB/day. Duplicates arriving later than the watermark are a
+    warehouse-compaction concern, not a streaming one.
+    """
+    keys = keys or ["table", "datetime", "frequency", "capture_statistic",
+                    "detector", "kind"]
+    return (trace_stream.withWatermark("datetime", watermark)
+            .dropDuplicatesWithinWatermark(keys))
 
 
 def daily_rollup(trace_stream: DataFrame,

@@ -167,3 +167,64 @@ def test_daily_rollup_stream(spark, dirs, tmp_path_factory):
         r = rows[0]
         assert r.n_captures > 0
         assert r.max_capture_mean_db >= r.mean_power_db - 1e-9
+
+
+def test_dedup_stream(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark drops re-delivered byte-identical
+    captures landed under new names; state is watermark-bounded."""
+    import glob
+    import shutil
+
+    from nasctn_sea_ingest_spark.streaming import dedup_stream
+
+    landing = str(tmp_path_factory.mktemp("dedup_landing"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_ckpt"))
+    build_sweep_series(landing, 3)
+    src = sorted(glob.glob(os.path.join(landing, "*.sigmf")))[0]
+    shutil.copy(src, os.path.join(landing, "zz_reupload.sigmf"))
+
+    stream = read_sigmf_stream(spark, landing)
+    out = dedup_stream(stream).where(F.col("error").isNull())
+    q = (out.writeStream.format("memory").queryName("dedup_t")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("dedup_t")
+    # 4 files landed (one a re-upload) but only 3 sweeps' captures survive
+    assert got.count() == 3 * 3 * 11
+    keys = ["table", "datetime", "frequency", "capture_statistic",
+            "detector", "kind"]
+    assert got.select(*keys).distinct().count() == 3 * 3 * 11
+
+
+def test_compact_warehouse(spark, tmp_path_factory):
+    """Two streaming appends leave multiple files per partition; compaction
+    rewrites each leaf to its byte-target file count without changing a row."""
+    from nasctn_sea_ingest_spark.sources.ingest import compact_warehouse
+
+    landing = str(tmp_path_factory.mktemp("cmp_landing"))
+    wh = str(tmp_path_factory.mktemp("cmp_wh"))
+    ckpt = str(tmp_path_factory.mktemp("cmp_ckpt"))
+    build_sweep_series(landing, 3)
+    _run(spark, landing, wh, ckpt)
+    build_sweep_series(landing, 2, prefix="second")
+    _run(spark, landing, wh, ckpt)
+
+    tr = os.path.join(wh, "traces")
+    before = spark.read.parquet(tr)
+    n_before = before.count()
+    key = ["table", "source_file", "datetime", "frequency",
+           "capture_statistic", "detector", "kind"]
+    keys_before = sorted(map(tuple, before.select(*key).collect()))
+
+    log = compact_warehouse(spark, tr)
+    assert (log["n_files_after"] <= log["n_files_before"]).all()
+    assert (log["n_files_after"] == 1).all()      # tiny data → one file/leaf
+    assert (log["n_files_before"] > 1).any()      # something was compacted
+
+    after = spark.read.parquet(tr)
+    assert after.count() == n_before
+    assert sorted(map(tuple, after.select(*key).collect())) == keys_before
+    # re-run is a no-op
+    log2 = compact_warehouse(spark, tr)
+    assert (log2["n_files_before"] == log2["n_files_after"]).all()
