@@ -186,14 +186,17 @@ def _simhash_bands(intdiv: str) -> str:
         for b in range(N_SH_BANDS))
 
 
+# the cheap bit_count filter runs on the raw band join BEFORE the distinct,
+# so the dedup shuffle only carries pairs that already pass the hamming gate
 _SIMHASH_SELECT = """
-    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+    cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
                     a.simhash AS sh1, b.simhash AS sh2
              FROM bands a JOIN bands b
                ON a.band = b.band AND a.chunk = b.chunk
-              AND a.doc_id < b.doc_id)
-    SELECT d1, d2, CAST(bit_count({xor}) AS INTEGER) AS hamming
-    FROM cand WHERE bit_count({xor}) <= 3
+              AND a.doc_id < b.doc_id
+             WHERE bit_count({xor_ab}) <= 3)
+    SELECT DISTINCT d1, d2, CAST(bit_count({xor}) AS INTEGER) AS hamming
+    FROM cand
 """
 
 
@@ -214,7 +217,7 @@ def q26(spark, sf_dir):
     bitsums AS (SELECT doc_id, {bits} FROM th GROUP BY doc_id),
     sig AS (SELECT doc_id, {sig} AS simhash FROM bitsums),
     bands AS ({_simhash_bands("div")}),
-    {_SIMHASH_SELECT.format(xor="sh1 ^ sh2")}
+    {_SIMHASH_SELECT.format(xor_ab="a.simhash ^ b.simhash", xor="sh1 ^ sh2")}
     """)
 
 
@@ -229,7 +232,7 @@ def _q26_oracle() -> str:
     bitsums AS (SELECT doc_id, {bits} FROM th GROUP BY doc_id),
     sig AS (SELECT doc_id, {sig} AS simhash FROM bitsums),
     bands AS ({_simhash_bands("//")}),
-    {_SIMHASH_SELECT.format(xor="xor(sh1, sh2)")}
+    {_SIMHASH_SELECT.format(xor_ab="xor(a.simhash, b.simhash)", xor="xor(sh1, sh2)")}
     """
 
 
