@@ -22,7 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 __all__ = ["cosine_topk", "cosine_pairs", "lsh_bucket", "lsh_topk",
-           "ivf_assign", "ivf_topk"]
+           "ivf_assign", "ivf_topk", "train_centroids", "sample_centroids"]
 
 
 def _dot_with_lit(col: str, vec: np.ndarray):
@@ -162,6 +162,25 @@ def sample_centroids(emb: DataFrame, n_centroids: int,
     rows = (emb.orderBy(id_col).limit(n_centroids)
                .select(vec_col).collect())
     return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def train_centroids(emb: DataFrame, n_centroids: int, max_iter: int = 5,
+                    seed: int = 42,
+                    vec_col: str = "embedding") -> np.ndarray:
+    """Train the IVF coarse quantizer with Spark MLlib k-means —
+    distributed Lloyd iterations with k-means|| init, the real scale path
+    that ``sample_centroids`` stubs for tests. Each iteration is one map
+    (assign to nearest center, all centers broadcast) + one tiny aggregate
+    per center; no per-iteration growth in plan or state. Returns the
+    ``n_centroids × dim`` array to feed ``ivf_assign``/``ivf_topk``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(array_to_vector(
+        F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_centroids, maxIter=max_iter, seed=seed,
+                   initMode="k-means||").fit(feats)
+    return np.array(model.clusterCenters(), dtype=np.float64)
 
 
 def ivf_topk(emb: DataFrame, query, k: int, centroids: np.ndarray,

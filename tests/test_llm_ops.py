@@ -114,6 +114,19 @@ def test_ivf_topk(spark, emb, emb_np):
     assert part[0].vec_id == 3  # own cell always probed first
 
 
+def test_train_centroids_kmeans(spark, emb, emb_np):
+    """MLlib-trained coarse quantizer: right shape, deterministic under a
+    seed, and an exhaustive probe over its cells is still exact."""
+    ids, mat = emb_np
+    c1 = SIM.train_centroids(emb, 8, max_iter=3)
+    c2 = SIM.train_centroids(emb, 8, max_iter=3)
+    assert c1.shape == (8, 64) and np.isfinite(c1).all()
+    np.testing.assert_allclose(c1, c2)  # seeded → reproducible
+    q = mat[3]
+    got = SIM.ivf_topk(emb, q, 5, c1, n_probe=8)  # probe all cells → exact
+    assert [r.vec_id for r in got.collect()] == _true_topk(ids, mat, q, 5)
+
+
 # --------------------------------------------------------------------------
 # dedup
 # --------------------------------------------------------------------------
