@@ -22,7 +22,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 __all__ = ["cosine_topk", "cosine_pairs", "lsh_bucket", "lsh_topk",
-           "ivf_assign", "ivf_topk", "train_centroids", "sample_centroids"]
+           "ivf_assign", "ivf_topk", "train_centroids", "sample_centroids",
+           "cosine_topk_batch"]
 
 
 def _dot_with_lit(col: str, vec: np.ndarray):
@@ -162,6 +163,63 @@ def sample_centroids(emb: DataFrame, n_centroids: int,
     rows = (emb.orderBy(id_col).limit(n_centroids)
                .select(vec_col).collect())
     return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def cosine_topk_batch(emb: DataFrame, queries, k: int,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      round_to: int | None = None) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors in one scan —
+    the production shape of similarity search (per-query scans would read
+    the table once per query).
+
+    ``queries`` is a small driver-side mapping ``{query_id: vector}`` (or
+    list of (id, vector)); it ships to executors inside the task closure
+    like a broadcast. Each Arrow batch computes all scores as one
+    ``(batch × dim) @ (dim × n_q)`` BLAS product and keeps only its LOCAL
+    top-k per query, so the shuffle carries ≤ partitions × n_q × k rows —
+    the distributed TakeOrdered shape — and a final per-query window picks
+    the global top-k. Ties break on the lower id, matching
+    ``cosine_topk``.
+    """
+    import pandas as pd
+
+    items = queries.items() if isinstance(queries, dict) else queries
+    qids, qvecs = zip(*items)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qvecs])
+    Qn = (Q / np.linalg.norm(Q, axis=1, keepdims=True)).T  # dim × n_q
+    qid_arr = np.asarray(qids)
+
+    def score(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in b[vec_col]])
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            C = M @ Qn                                   # batch × n_q
+            ids = b[id_col].to_numpy()
+            n_local = min(k, len(ids))
+            # per-query local top-k with (score desc, id asc) tie-break
+            order = np.lexsort((np.broadcast_to(ids[:, None], C.shape),
+                                -C), axis=0)[:n_local]
+            rows = order.ravel(order="F")
+            qcol = np.repeat(qid_arr, n_local)
+            yield pd.DataFrame({
+                "query_id": qcol, id_col: ids[rows],
+                "cos_sim": C[rows, np.repeat(np.arange(len(qid_arr)),
+                                             n_local)]})
+
+    qid_type = "string" if isinstance(qid_arr[0], str) else "bigint"
+    id_type = dict(emb.dtypes)[id_col]
+    local = emb.select(id_col, vec_col).mapInPandas(
+        score, f"query_id {qid_type}, {id_col} {id_type}, cos_sim double")
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), id_col)
+    out = (local.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= k).drop("rn"))
+    if round_to is not None:
+        out = out.withColumn("cos_sim", F.round("cos_sim", round_to))
+    return out
 
 
 def train_centroids(emb: DataFrame, n_centroids: int, max_iter: int = 5,

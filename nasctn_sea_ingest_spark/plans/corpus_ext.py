@@ -394,3 +394,33 @@ def q53(spark, sf_dir):
                    F.round(F.percentile("l_extendedprice", 0.50), 5).alias("p50"),
                    F.round(F.percentile("l_extendedprice", 0.75), 5).alias("p75"),
                    F.count("*").alias("n")))
+
+
+@_q("q54_batch_topk",
+    "batched similarity search: exact cosine top-k for MANY query vectors "
+    "in ONE table scan (similarity.cosine_topk_batch — per-partition BLAS "
+    "local top-k, then a per-query window; the production ANN shape)",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+    s AS (
+      SELECT q.query_id, e.vec_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * x)))
+              * sqrt(list_sum(list_transform(q.qe,
+                  x -> CAST(x AS DOUBLE) * x)))) AS cos
+      FROM embeddings e CROSS JOIN q),
+    r AS (SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id) AS rn
+          FROM s)
+    SELECT query_id, vec_id, round(cos, 5) AS cos_sim FROM r WHERE rn <= 10
+    """)
+def q54(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (emb.where(F.col("vec_id").isin(0, 1, 2, 3))
+                .select("vec_id", "embedding").collect())
+    queries = {int(r.vec_id): [float(x) for x in r.embedding] for r in qrows}
+    return similarity.cosine_topk_batch(emb, queries, 10, round_to=5)

@@ -273,3 +273,19 @@ def test_resize_meta(media):
             assert r.meta.width == 224 and r.meta.height == 224
         else:
             assert r.meta.width == 64
+
+
+def test_cosine_topk_batch(spark, emb, emb_np):
+    """Batch top-k == per-query exact top-k for every query, one scan."""
+    ids, mat = emb_np
+    queries = {int(i): mat[int(i)] for i in (0, 7, 19)}
+    got = SIM.cosine_topk_batch(emb, queries, 5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.cos_sim))
+    assert set(by_q) == set(queries)
+    for qid, qvec in queries.items():
+        want = _true_topk(ids, mat, qvec, 5)
+        rows = sorted(by_q[qid], key=lambda t: (-t[1], t[0]))
+        assert [v for v, _ in rows] == want
+        assert rows[0][0] == qid and rows[0][1] == pytest.approx(1.0)
