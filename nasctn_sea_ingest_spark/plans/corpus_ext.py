@@ -424,3 +424,57 @@ def q54(spark, sf_dir):
                 .select("vec_id", "embedding").collect())
     queries = {int(r.vec_id): [float(x) for x in r.embedding] for r in qrows}
     return similarity.cosine_topk_batch(emb, queries, 10, round_to=5)
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / splitting (training-data pipeline ops; membership
+# is a pure function of the data, so both engines agree row-for-row)
+# ---------------------------------------------------------------------------
+
+_DUCK_HB = ("cast(('0x' || substr(md5(cast(doc_id AS VARCHAR){salt}), 1, 15)) "
+            "AS BIGINT) % 10000")
+
+
+@_q("q55_hash_split",
+    "reproducible train/val/test split + independent 25% subsample, both "
+    "from key hashes (operators.sampling — stable under repartitioning and "
+    "appends, unlike sample()/randomSplit; leakage-proof across runs)",
+    f"""
+    WITH b AS (SELECT doc_id,
+                      {_DUCK_HB.format(salt="")} AS hb,
+                      {_DUCK_HB.format(salt=" || 's1'")} AS hs
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN hb < 8000 THEN 'train'
+                WHEN hb < 9000 THEN 'val' ELSE 'test' END AS split,
+           hs < 2500 AS in_sample
+    FROM b
+    """)
+def q55(spark, sf_dir):
+    from ..operators import sampling
+    d = load_table(spark, sf_dir, "documents")
+    out = sampling.hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1},
+                              "doc_id")
+    return out.select(
+        "doc_id", "split",
+        (sampling.hash_bucket("doc_id", "s1") < 2500).alias("in_sample"))
+
+
+@_q("q56_weighted_mixture",
+    "data mixing: per-source keep rates via key hashes "
+    "(operators.sampling.weighted_mixture — the corpus-mixture op of an "
+    "LLM data pipeline; map-only, no shuffle)",
+    f"""
+    WITH b AS (SELECT doc_id, lang, {_DUCK_HB.format(salt="")} AS hb
+               FROM documents)
+    SELECT doc_id, lang FROM b
+    WHERE (lang = 'en')
+       OR (lang = 'fr' AND hb < 5000)
+       OR (lang = 'es' AND hb < 2500)
+    """)
+def q56(spark, sf_dir):
+    from ..operators import sampling
+    d = load_table(spark, sf_dir, "documents")
+    out = sampling.weighted_mixture(
+        d, {"en": 1.0, "fr": 0.5, "es": 0.25}, "lang", "doc_id")
+    return out.select("doc_id", "lang")

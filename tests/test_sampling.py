@@ -1,0 +1,58 @@
+"""Deterministic sampling/splitting: uniformity, disjointness, stability
+under repartitioning, and mixture allowlist semantics."""
+
+import pyspark.sql.functions as F
+
+from nasctn_sea_ingest_spark.operators import sampling as S
+from nasctn_sea_ingest_spark.plans.tables import load_table
+
+
+def test_deterministic_sample_fraction_and_stability(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()
+    got = S.deterministic_sample(d, 0.3, "doc_id")
+    frac = got.count() / n
+    assert abs(frac - 0.3) < 0.1          # uniform to sampling noise
+    # membership is partitioning-independent
+    ids1 = {r.doc_id for r in got.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in
+            S.deterministic_sample(d.repartition(13), 0.3, "doc_id")
+             .select("doc_id").collect()}
+    assert ids1 == ids2
+    # a different salt is an independent draw
+    ids3 = {r.doc_id for r in
+            S.deterministic_sample(d, 0.3, "doc_id", salt="x")
+             .select("doc_id").collect()}
+    assert ids3 != ids1
+
+
+def test_hash_split_disjoint_exhaustive(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    out = S.hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id")
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = d.count()
+    assert sum(counts.values()) == n      # exhaustive
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / n - 0.8) < 0.1
+    # one row → exactly one split (column, not filter ⇒ disjoint by
+    # construction); re-run is identical
+    again = S.hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1},
+                         "doc_id")
+    assert (out.select("doc_id", "split").exceptAll(
+        again.select("doc_id", "split")).count() == 0)
+
+
+def test_weighted_mixture_allowlist(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    langs = {r.lang for r in d.select("lang").distinct().collect()}
+    rates = {"en": 1.0, "fr": 0.5}
+    out = S.weighted_mixture(d, rates, "lang", "doc_id")
+    got_langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert got_langs <= {"en", "fr"}      # others dropped
+    n_en = d.where(F.col("lang") == "en").count()
+    assert out.where(F.col("lang") == "en").count() == n_en  # rate 1.0 = all
+    if "fr" in langs:
+        n_fr = d.where(F.col("lang") == "fr").count()
+        kept = out.where(F.col("lang") == "fr").count()
+        assert 0 < kept < n_fr
