@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 __all__ = ["hash_bucket", "deterministic_sample", "hash_split",
-           "weighted_mixture"]
+           "weighted_mixture", "upsample"]
 
 N_BUCKETS = 10_000
 
@@ -69,12 +69,39 @@ def hash_split(df: DataFrame, weights: "dict[str, float]", key_col: str,
 def weighted_mixture(df: DataFrame, rates: "dict[str, float]",
                      source_col: str, key_col: str,
                      salt: str = "") -> DataFrame:
-    """Data mixing: per-source keep rates (epochs ≤ 1.0 here; >1.0
-    up-sampling is a separate explode). Sources absent from ``rates``
-    are dropped — the usual allowlist semantics of a mixture spec."""
+    """Data mixing: per-source keep rates. Rates > 1.0 up-sample (repeat
+    epochs, ``upsample`` semantics); rates < 1.0 down-sample by key hash.
+    Sources absent from ``rates`` are dropped — the usual allowlist
+    semantics of a mixture spec. An ``epoch`` column (0-based copy index)
+    marks repeats so downstream shuffles can spread them."""
     b = hash_bucket(key_col, salt)
-    expr = None
+    n_copies = None   # integer copies owed to each row, incl. fractional tail
     for src, rate in rates.items():
-        cond = (F.col(source_col) == src) & (b < int(round(rate * N_BUCKETS)))
-        expr = cond if expr is None else expr | cond
-    return df.where(expr if expr is not None else F.lit(False))
+        whole = int(rate)
+        frac = rate - whole
+        n = F.lit(whole) + (b < int(round(frac * N_BUCKETS))).cast("int")
+        cond = F.col(source_col) == src
+        n_copies = F.when(cond, n) if n_copies is None \
+            else n_copies.when(cond, n)
+    n_copies = F.lit(0) if n_copies is None else n_copies.otherwise(0)
+    out = df.withColumn("_n_copies", n_copies) \
+            .where(F.col("_n_copies") > 0)
+    return (out.withColumn(
+                "epoch",
+                F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))
+               .drop("_n_copies"))
+
+
+def upsample(df: DataFrame, rate: float, key_col: str,
+             salt: str = "") -> DataFrame:
+    """Repeat every row ``floor(rate)`` times plus one more for the
+    hash-chosen fractional share (rate 2.5 → every row twice, half the
+    keys a third time). Deterministic; adds a 0-based ``epoch`` column."""
+    whole = int(rate)
+    frac = rate - whole
+    n = F.lit(whole) + (hash_bucket(key_col, salt)
+                        < int(round(frac * N_BUCKETS))).cast("int")
+    return (df.withColumn("_n", n).where(F.col("_n") > 0)
+              .withColumn("epoch",
+                          F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+              .drop("_n"))

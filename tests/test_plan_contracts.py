@@ -152,3 +152,12 @@ def test_whole_stage_codegen_everywhere(spark, sf):
         p = _plan(df)
         assert "*(" in p or "WholeStageCodegen" in p, name
         assert "BatchEvalPython" not in p and "PythonUDF" not in p, name
+
+
+def test_sampling_is_map_only(spark, sf):
+    """Deterministic sampling/splitting is a scalar predicate in the scan:
+    no Exchange anywhere — membership never needs a shuffle."""
+    for name in ("q55_hash_split", "q56_weighted_mixture"):
+        p = _plan(_q(name).spark(spark, sf))
+        assert "Exchange" not in p, name
+        assert "*(1)" in p, name  # single codegen stage, scan included

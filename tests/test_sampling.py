@@ -56,3 +56,27 @@ def test_weighted_mixture_allowlist(spark, sf_dir):
         n_fr = d.where(F.col("lang") == "fr").count()
         kept = out.where(F.col("lang") == "fr").count()
         assert 0 < kept < n_fr
+
+
+def test_upsample_epochs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()
+    out = S.upsample(d, 2.5, "doc_id")
+    got = out.count()
+    assert abs(got / n - 2.5) < 0.15
+    # every key appears at least twice, epochs are 0-based and contiguous
+    per_key = out.groupBy("doc_id").agg(
+        F.count("*").alias("c"), F.max("epoch").alias("mx")).collect()
+    assert all(r.c in (2, 3) and r.mx == r.c - 1 for r in per_key)
+    # deterministic
+    assert S.upsample(d, 2.5, "doc_id").count() == got
+
+
+def test_weighted_mixture_upsampling_rates(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    out = S.weighted_mixture(d, {"en": 2.0, "fr": 0.5}, "lang", "doc_id")
+    n_en = d.where(F.col("lang") == "en").count()
+    # rate 2.0 → every en row exactly twice (epoch 0 and 1)
+    assert out.where(F.col("lang") == "en").count() == 2 * n_en
+    assert out.where((F.col("lang") == "en") & (F.col("epoch") == 1)) \
+              .count() == n_en
