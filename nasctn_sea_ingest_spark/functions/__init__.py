@@ -22,7 +22,8 @@ __all__ = [
     "db_to_power", "power_to_db", "db_to_env", "env_to_db",
     "array_double", "array_mean", "array_median", "array_quantile",
     "array_midmean", "array_mean_db", "array_sum_db", "array_roll",
-    "axis_x", "explode_trace", "trace", "asof_join", "limiter",
+    "axis_x", "explode_trace", "trace", "asof_join", "interval_join",
+    "limiter",
     "time_gaps", "pivot_wide", "localize", "rayleigh_amplitude",
     "noise_floor_dBm", "salted_agg",
 ]
@@ -260,6 +261,47 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     return u.select(*lcols,
                     *[F.col(f"__chosen.{o}").alias(o) for o in out_names],
                     "asof_dist")
+
+
+# --------------------------------------------------------------------------
+# interval (range) join — bucketed equi-join form of a non-equi join
+# --------------------------------------------------------------------------
+
+def interval_join(points: DataFrame, intervals: DataFrame, t_col: str,
+                  start_col: str, end_col: str, bucket: int,
+                  by: Sequence[str] | None = None,
+                  suffix: str = "_iv") -> DataFrame:
+    """Join each point row to every interval row with
+    ``start <= t <= end`` (inner), without a nested-loop join.
+
+    Spark has no native range join; the naive ``ON t BETWEEN s AND e``
+    plans as BroadcastNestedLoop/cartesian — O(n·m) at scale. This is the
+    standard bucketed rewrite: every interval explodes into the coarse
+    buckets it covers (``sequence(s div B, e div B)``), the join becomes an
+    EQUI-join on (by..., bucket) — shuffle-partitionable, AQE/skew-aware —
+    and the exact ``BETWEEN`` filter runs after. A qualifying pair meets in
+    exactly one bucket (the point's own), so no dedup pass is needed.
+
+    ``bucket`` is the width in ``t``'s units and is the cost dial: work ≈
+    interval rows × (len/B + 1) exploded copies + equi-join on buckets of
+    points. Pick B near the median interval length; pathological long
+    intervals can be split/capped upstream.
+    """
+    by = list(by or [])
+    pb = points.withColumn("__b", (F.col(t_col) / bucket).cast("bigint"))
+    iv_cols = [c for c in intervals.columns]
+    out_names = {c: c + suffix if c in points.columns else c
+                 for c in iv_cols}
+    iv = intervals.select(
+        *[F.col(c).alias(out_names[c]) for c in iv_cols],
+        F.explode(F.sequence(
+            (F.col(start_col) / bucket).cast("bigint"),
+            (F.col(end_col) / bucket).cast("bigint"))).alias("__b"))
+    s, e = out_names[start_col], out_names[end_col]
+    cond = [pb["__b"] == iv["__b"]] + \
+           [pb[k] == iv[out_names[k]] for k in by]
+    j = pb.join(iv, cond).drop("__b")
+    return j.where((F.col(t_col) >= F.col(s)) & (F.col(t_col) <= F.col(e)))
 
 
 # --------------------------------------------------------------------------

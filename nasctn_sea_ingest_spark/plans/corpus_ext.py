@@ -478,3 +478,30 @@ def q56(spark, sf_dir):
     out = sampling.weighted_mixture(
         d, {"en": 1.0, "fr": 0.5, "es": 0.25}, "lang", "doc_id")
     return out.select("doc_id", "lang")
+
+
+US_2H = 7_200_000_000
+
+
+@_q("q57_interval_join",
+    "interval (range) join: events falling inside each user's first-2h "
+    "window, via the bucketed equi-join rewrite (functions.interval_join — "
+    "Spark has no native range join; naive BETWEEN plans nested-loop)",
+    f"""
+    WITH w AS (SELECT user_id AS w_user, min(epoch_us(ts)) AS s_us,
+                      min(epoch_us(ts)) + {US_2H} AS e_us
+               FROM events GROUP BY user_id)
+    SELECT w.w_user, count(*) AS n_events, min(e.event_id) AS first_event
+    FROM w JOIN events e ON epoch_us(e.ts) BETWEEN w.s_us AND w.e_us
+    GROUP BY w.w_user
+    """)
+def q57(spark, sf_dir):
+    from ..functions import interval_join
+    ev = load_table(spark, sf_dir, "events")
+    w = (ev.groupBy(F.col("user_id").alias("w_user"))
+           .agg(F.min("ts_us").alias("s_us"),
+                (F.min("ts_us") + US_2H).alias("e_us")))
+    j = interval_join(ev, w, "ts_us", "s_us", "e_us", bucket=US_2H // 4)
+    return (j.groupBy("w_user")
+             .agg(F.count("*").alias("n_events"),
+                  F.min("event_id").alias("first_event")))

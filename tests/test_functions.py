@@ -257,3 +257,38 @@ def test_db_roundtrip(spark):
                   FN.env_to_db(FN.db_to_env("x")).alias("e")).first()
     assert r.p == pytest.approx(-77.0)
     assert r.e == pytest.approx(-77.0)
+
+
+def test_interval_join_matches_naive(spark, sf_dir):
+    """Bucketed interval join == naive BETWEEN join, across bucket widths
+    (pair meets in exactly one bucket — no dups), incl. by-keys."""
+    from nasctn_sea_ingest_spark.functions import interval_join
+    from nasctn_sea_ingest_spark.plans.tables import load_table
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts_us").cache()
+    w = (ev.groupBy(F.col("user_id").alias("w_user"))
+           .agg(F.min("ts_us").alias("s_us"),
+                (F.min("ts_us") + 3_600_000_000).alias("e_us"))).cache()
+
+    naive = ev.join(w, (F.col("ts_us") >= F.col("s_us"))
+                    & (F.col("ts_us") <= F.col("e_us")))
+    want = sorted((r.event_id, r.w_user) for r in
+                  naive.select("event_id", "w_user").collect())
+    for bucket in (1_000_000_000, 3_600_000_000, 10_000_000_000):
+        got = interval_join(ev, w, "ts_us", "s_us", "e_us", bucket=bucket)
+        rows = sorted((r.event_id, r.w_user) for r in
+                      got.select("event_id", "w_user").collect())
+        assert rows == want, bucket
+
+    # by-keys: only the user's own window
+    w2 = w.withColumnRenamed("w_user", "user_id")
+    got = interval_join(ev, w2, "ts_us", "s_us", "e_us",
+                        bucket=3_600_000_000, by=["user_id"])
+    naive2 = ev.alias("e").join(
+        w2.alias("w"), (F.col("e.user_id") == F.col("w.user_id"))
+        & (F.col("ts_us") >= F.col("s_us"))
+        & (F.col("ts_us") <= F.col("e_us")))
+    assert got.count() == naive2.count()
+    ev.unpersist(); w.unpersist()

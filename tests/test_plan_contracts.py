@@ -161,3 +161,12 @@ def test_sampling_is_map_only(spark, sf):
         p = _plan(_q(name).spark(spark, sf))
         assert "Exchange" not in p, name
         assert "*(1)" in p, name  # single codegen stage, scan included
+
+
+def test_interval_join_is_equi(spark, sf):
+    """The bucketed range-join rewrite must plan as a hash/merge EQUI-join —
+    never the nested-loop/cartesian a naive BETWEEN condition produces."""
+    p = _plan(_q("q57_interval_join").spark(spark, sf))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Join" in p
