@@ -19,6 +19,7 @@ __all__ = [
     "exact_duplicates", "drop_exact_duplicates", "shingle",
     "jaccard_pairs", "minhash_signatures", "lsh_candidates",
     "minhash_dedup_candidates", "simhash64", "simhash_pairs",
+    "dup_clusters", "drop_near_duplicates",
 ]
 
 # 2^31 - 1: keeps h * multiplier + offset far inside int64 under ANSI mode
@@ -189,3 +190,61 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     return (cand.withColumn("hamming", ham)
                 .where(F.col("hamming") <= max_hamming)
                 .select("d1", "d2", "hamming"))
+
+
+def dup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
+                 max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup PAIRS → dedup CLUSTERS.
+
+    Candidate generators (LSH bands, simhash buckets, cosine blocks) emit
+    pairwise edges; keeping "one doc per duplicate *group*" needs the
+    transitive closure — A~B, B~C ⇒ {A,B,C} is one cluster even if (A,C)
+    never collided. Min-label propagation: every node starts labeled with
+    its own id; each round takes the min over itself and its neighbors;
+    fixpoint = every node carries its component's min id (the cluster
+    representative).
+
+    Scale shape: per round one equi-join (edges ⋈ labels, both keyed by
+    node id) + one groupBy-min — all shuffles on the node key, label state
+    is one row per node. Rounds needed = graph diameter; duplicate
+    clusters are near-cliques (diameter ≤ ~3 in practice), and the loop
+    exits as soon as a round changes nothing. ``localCheckpoint`` truncates
+    the growing lineage each round (an iterative algorithm, so there is no
+    single declarative plan — this is the documented Pregel-style pattern).
+
+    Returns (node, cluster): every id that appears in any pair, labeled
+    with its component's min id. Not SQL-expressible without recursion —
+    library-tested against pure-Python union-find.
+    """
+    e = pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
+    edges = e.unionByName(e.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b"))).distinct()
+    edges = edges.localCheckpoint()
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+                   .withColumn("label", F.col("node")))
+    for _ in range(max_iter):
+        neigh = (edges.join(labels.withColumnRenamed("node", "b"), "b")
+                      .groupBy("a").agg(F.min("label").alias("nmin"))
+                      .withColumnRenamed("a", "node"))
+        new = (labels.join(neigh, "node", "left")
+                     .select("node",
+                             F.least("label", F.coalesce("nmin", "label"))
+                              .alias("label"))).localCheckpoint()
+        n_changed = (new.alias("n").join(labels.alias("o"), "node")
+                        .where("n.label <> o.label").count())
+        labels = new
+        if n_changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster"))
+
+
+def drop_near_duplicates(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id", d1: str = "d1",
+                         d2: str = "d2") -> DataFrame:
+    """Keep one representative (min id) per near-dup cluster, plus every
+    document that never paired. The end-to-end dedup shape: candidates →
+    clusters → anti-join the non-representatives out."""
+    clusters = dup_clusters(pairs, d1, d2)
+    losers = clusters.where(F.col("node") != F.col("cluster")) \
+                     .select(F.col("node").alias(id_col))
+    return df.join(F.broadcast(losers), id_col, "left_anti")

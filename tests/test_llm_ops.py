@@ -289,3 +289,25 @@ def test_cosine_topk_batch(spark, emb, emb_np):
         rows = sorted(by_q[qid], key=lambda t: (-t[1], t[0]))
         assert [v for v, _ in rows] == want
         assert rows[0][0] == qid and rows[0][1] == pytest.approx(1.0)
+
+
+def test_dup_clusters_union_find(spark):
+    """Label propagation == union-find, including a path graph (A-B, B-C,
+    C-D: transitive closure without a direct A-D edge)."""
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6), (8, 9), (6, 7)], ["d1", "d2"])
+    got = {r.node: r.cluster for r in DD.dup_clusters(pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0,
+                   5: 5, 6: 5, 7: 5, 8: 8, 9: 8}
+
+
+def test_drop_near_duplicates_end_to_end(spark, docs):
+    """candidates → clusters → keep one per cluster + all unpaired docs."""
+    cand = DD.minhash_dedup_candidates(docs, n_hashes=32, n_bands=16)
+    kept = DD.drop_near_duplicates(docs, cand)
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    # exact dups 0/1/6 collapse to 0; near-dups join their rep's cluster;
+    # doc 5 (unrelated) always survives
+    assert 0 in ids and 5 in ids
+    assert 1 not in ids and 6 not in ids
+    assert len(ids) < 7
