@@ -11,7 +11,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 __all__ = ["token_stats", "quality_score", "language_id", "fingerprint",
-           "token_count_estimate", "STOPWORDS", "LANG_MARKERS"]
+           "token_count_estimate", "scrub_pii", "PII_PATTERNS",
+           "STOPWORDS", "LANG_MARKERS"]
 
 STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "that", "it", "for")
 
@@ -125,3 +126,28 @@ def token_count_estimate(df: DataFrame, text_col: str = "text") -> DataFrame:
                           .otherwise(F.lit(1)))
     return (df.withColumn("n_words", F.size(words))
               .withColumn("n_tokens_bpe_est", bpe_ish))
+
+
+# portable PII patterns: plain character classes only (no lookarounds, no
+# \d/\w shorthand-class dialect differences) so Java (Spark) and RE2-ish
+# (DuckDB) engines match the same spans — oracle-checked by q58
+PII_PATTERNS = {
+    "EMAIL": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
+    "PHONE": "[+]?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}",
+    "IPV4": "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+    "SSN": "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              patterns: "dict[str, str] | None" = None,
+              out_col: str | None = None) -> DataFrame:
+    """Redact PII spans with ``[TYPE]`` placeholders — the pre-training
+    scrub pass of an LLM data pipeline. Pure chained ``regexp_replace``
+    (map-only, codegen, no shuffle); order is dict order, so put more
+    specific patterns (SSN before PHONE) first when they overlap."""
+    patterns = PII_PATTERNS if patterns is None else patterns
+    c = F.col(text_col)
+    for name, pat in patterns.items():
+        c = F.regexp_replace(c, pat, f"[{name}]")
+    return df.withColumn(out_col or text_col, c)

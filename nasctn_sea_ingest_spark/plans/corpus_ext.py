@@ -505,3 +505,41 @@ def q57(spark, sf_dir):
     return (j.groupBy("w_user")
              .agg(F.count("*").alias("n_events"),
                   F.min("event_id").alias("first_event")))
+
+
+def _pii_scrub_sql() -> str:
+    from ..operators.text import PII_PATTERNS
+    expr = "text"
+    for n, p in PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{p}', '[{n}]', 'g')"
+    return f"""
+    WITH t AS (SELECT doc_id,
+                      substr(text, 1, 40) || ' contact user'
+                        || CAST(doc_id AS VARCHAR) || '@example.com or 555 123 4567'
+                        || ' ip 10.0.0.' || CAST(doc_id % 255 AS VARCHAR) AS text
+               FROM documents)
+    SELECT doc_id, {expr} AS text FROM t
+    """
+
+
+@_q("q58_pii_scrub",
+    "PII redaction (email/phone/IP/SSN → typed placeholders) via chained "
+    "regexp_replace — the pre-training scrub pass (operators.text.scrub_pii; "
+    "map-only, portable character-class-only patterns)",
+    None)  # oracle generated below from the same pattern table
+def q58(spark, sf_dir):
+    from ..operators.text import scrub_pii
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 40), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com or 555 123 4567 ip 10.0.0."),
+                 (F.col("doc_id") % 255).cast("string")).alias("text"))
+    return scrub_pii(t)
+
+
+from .corpus import CORPUS as _CORPUS_EXT  # noqa: E402
+for _e in _CORPUS_EXT:
+    if _e.name == "q58_pii_scrub":
+        _e.sql = _pii_scrub_sql()

@@ -72,3 +72,24 @@ def test_token_count_estimate(spark):
     assert r[0].n_tokens_bpe_est == pytest.approx(2 + 2)  # ceil(5/4)+ceil(5/4)
     # longer words split into more subword pieces; punctuation counts 1 each
     assert r[1].n_tokens_bpe_est > r[1].n_words
+
+
+def test_scrub_pii(spark):
+    from nasctn_sea_ingest_spark.operators.text import scrub_pii
+    rows = [
+        (0, "mail a.b+c@x-y.co now"),
+        (1, "call +1 555 867-5309 ok"),
+        (2, "ssn 123-45-6789 leaked"),
+        (3, "host 10.0.0.1 up"),
+        (4, "clean text stays clean"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r.id: r.text for r in scrub_pii(df).collect()}
+    assert got[0] == "mail [EMAIL] now"
+    assert got[1] == "call [PHONE] ok"
+    assert got[2] == "ssn [SSN] leaked"
+    assert got[3] == "host [IPV4] up"
+    assert got[4] == "clean text stays clean"
+    # out_col keeps the original
+    both = scrub_pii(df, out_col="scrubbed").collect()[0]
+    assert both.text != both.scrubbed
