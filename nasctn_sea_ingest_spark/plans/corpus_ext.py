@@ -543,3 +543,20 @@ from .corpus import CORPUS as _CORPUS_EXT  # noqa: E402
 for _e in _CORPUS_EXT:
     if _e.name == "q58_pii_scrub":
         _e.sql = _pii_scrub_sql()
+
+
+@_q("q59_approx_aggs",
+    "sketch aggregates: HLL++ approx_count_distinct and approx_percentile "
+    "per group — the fixed-memory substitutes for q44/q53 at 100 TB "
+    "(rows-only: sketch values are engine-specific by nature; the library "
+    "test bounds their error vs exact)",
+    None)
+def q59(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.approx_count_distinct("l_partkey", 0.02)
+                    .alias("n_part_approx"),
+                   F.percentile_approx("l_extendedprice", 0.5, 10000)
+                    .alias("p50_approx"),
+                   F.count("*").alias("n"))
+              .orderBy("l_returnflag"))

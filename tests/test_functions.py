@@ -292,3 +292,23 @@ def test_interval_join_matches_naive(spark, sf_dir):
         & (F.col("ts_us") <= F.col("e_us")))
     assert got.count() == naive2.count()
     ev.unpersist(); w.unpersist()
+
+
+def test_approx_aggs_error_bounds(spark, sf_dir):
+    """HLL++ distinct counts within rsd bound; approx median within 1% of
+    exact — the contract that lets them replace exact aggs at scale."""
+    import pyspark.sql.functions as F
+    from nasctn_sea_ingest_spark.plans.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = (li.groupBy("l_returnflag")
+             .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+                  F.countDistinct("l_partkey").alias("exact"),
+                  F.percentile_approx("l_extendedprice", 0.5, 10000)
+                   .alias("p50a"),
+                  F.expr("percentile(l_extendedprice, 0.5)").alias("p50"))
+             .collect())
+    assert got
+    for r in got:
+        assert abs(r.approx - r.exact) <= max(3, 0.06 * r.exact)
+        assert abs(r.p50a - r.p50) <= 0.01 * abs(r.p50)
