@@ -560,3 +560,30 @@ def q59(spark, sf_dir):
                     .alias("p50_approx"),
                    F.count("*").alias("n"))
               .orderBy("l_returnflag"))
+
+
+@_q("q60_sequence_pack",
+    "sequence packing: per-language streams, running token sum, "
+    "pack_id = start div 2048 — the GPT-style batch-assembly op "
+    "(operators.packing; one window + one aggregate, no UDF)",
+    """
+    WITH t AS (SELECT lang, doc_id,
+                      len(string_split(trim(text), ' ')) AS n_tok
+               FROM documents),
+    c AS (SELECT lang, doc_id, n_tok,
+                 CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum
+          FROM t)
+    SELECT lang, (cum - n_tok) // 2048 AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY lang, (cum - n_tok) // 2048
+    """)
+def q60(spark, sf_dir):
+    from ..operators.packing import pack_stats
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("lang", "doc_id",
+                 F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tok"))
+    return pack_stats(t, "n_tok", 2048, by=["lang"], order=["doc_id"])

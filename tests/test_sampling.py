@@ -80,3 +80,27 @@ def test_weighted_mixture_upsampling_rates(spark, sf_dir):
     assert out.where(F.col("lang") == "en").count() == 2 * n_en
     assert out.where((F.col("lang") == "en") & (F.col("epoch") == 1)) \
               .count() == n_en
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Pack ids are contiguous per stream; offsets stay < seq_len; token
+    conservation holds; straddling docs keep their start-pack id."""
+    from nasctn_sea_ingest_spark.operators.packing import (
+        assign_packs, pack_stats)
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("lang", "doc_id",
+                 F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tok"))
+    L = 512
+    packed = assign_packs(t, "n_tok", L, by=["lang"], order=["doc_id"])
+    rows = packed.collect()
+    assert all(0 <= r.pack_offset < L for r in rows)
+    # python oracle: replay the greedy concat per lang
+    from collections import defaultdict
+    cum = defaultdict(int)
+    for r in sorted(rows, key=lambda r: (r.lang, r.doc_id)):
+        assert r.pack_id == cum[r.lang] // L
+        assert r.pack_offset == cum[r.lang] % L
+        cum[r.lang] += r.n_tok
+    stats = pack_stats(t, "n_tok", L, by=["lang"], order=["doc_id"])
+    total = stats.agg(F.sum("n_tokens")).first()[0]
+    assert total == t.agg(F.sum("n_tok")).first()[0]  # conservation
