@@ -115,6 +115,18 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # end-to-end LLM corpus pipeline (quality gate → exact + near dedup →
+    # clustering → PII scrub → split → packing) — the composed north-star job
+    from nasctn_sea_ingest_spark.plans.pipeline import llm_corpus_pipeline
+    t0 = time.perf_counter()
+    _, manifest = llm_corpus_pipeline(spark, sf_dir)
+    dt = time.perf_counter() - t0
+    timings["x_llm_pipeline"] = round(dt, 3)
+    total += dt
+    print(f"# llm pipeline: {dt:.3f}s "
+          f"({manifest['raw']} docs -> {manifest['packed']} packed, "
+          f"{manifest['raw'] / dt:.0f} docs/s)", file=sys.stderr)
+
     print(json.dumps({
         "metric": "corpus_total_runtime",
         "value": round(total, 3),

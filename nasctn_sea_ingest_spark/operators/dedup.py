@@ -222,19 +222,22 @@ def dup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     edges = edges.localCheckpoint()
     labels = (edges.select(F.col("a").alias("node")).distinct()
                    .withColumn("label", F.col("node")))
+    # convergence check: labels only ever DECREASE under min-propagation,
+    # so an unchanged sum(label) proves a fixpoint — one cheap aggregate
+    # per round instead of a join-and-count
+    prev_sum = None
     for _ in range(max_iter):
         neigh = (edges.join(labels.withColumnRenamed("node", "b"), "b")
                       .groupBy("a").agg(F.min("label").alias("nmin"))
                       .withColumnRenamed("a", "node"))
-        new = (labels.join(neigh, "node", "left")
-                     .select("node",
-                             F.least("label", F.coalesce("nmin", "label"))
-                              .alias("label"))).localCheckpoint()
-        n_changed = (new.alias("n").join(labels.alias("o"), "node")
-                        .where("n.label <> o.label").count())
-        labels = new
-        if n_changed == 0:
+        labels = (labels.join(neigh, "node", "left")
+                  .select("node",
+                          F.least("label", F.coalesce("nmin", "label"))
+                           .alias("label"))).localCheckpoint()
+        cur = labels.agg(F.sum("label")).first()[0]
+        if cur == prev_sum:
             break
+        prev_sum = cur
     return labels.select("node", F.col("label").alias("cluster"))
 
 

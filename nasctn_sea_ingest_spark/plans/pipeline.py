@@ -1,0 +1,69 @@
+"""End-to-end LLM training-data pipeline: the composition a 100 TB corpus
+job actually runs, built entirely from this engine's operators.
+
+    raw documents
+      → quality gate        (text.quality_score, filter before any shuffle)
+      → exact dedup         (dedup.drop_exact_duplicates)
+      → near-dup candidates (dedup.minhash_dedup_candidates, LSH banding)
+      → cluster + keep one  (dedup.dup_clusters → drop_near_duplicates)
+      → PII scrub           (text.scrub_pii, map-only)
+      → train/val/test      (sampling.hash_split, leakage-proof)
+      → sequence packing    (packing.assign_packs per split×lang stream)
+
+Stage order is the cost order: the cheap map-only gates run first so every
+shuffle downstream (minhash aggregate, band join, clustering) sees only
+surviving rows. Returns the packed corpus and a per-stage row-count
+manifest (the run log an operator actually monitors).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup, sampling, text
+from ..operators.packing import assign_packs
+from .tables import load_table
+
+__all__ = ["llm_corpus_pipeline"]
+
+
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str,
+                        seq_len: int = 2048,
+                        min_quality: float = 0.5,
+                        splits: "dict[str, float] | None" = None,
+                        ) -> "tuple[DataFrame, dict[str, int]]":
+    """Run the full pipeline on the ``documents`` table; returns
+    ``(packed_df, manifest)`` where manifest counts rows surviving each
+    stage. The packed frame carries (doc_id, lang, split, n_tok, pack_id,
+    pack_offset, text)."""
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    manifest: dict[str, int] = {}
+
+    d = load_table(spark, sf_dir, "documents")
+    manifest["raw"] = d.count()
+
+    gated = (text.quality_score(d).where(F.col("quality") >= min_quality)
+             .select("doc_id", "lang", "text"))
+    manifest["quality_gated"] = gated.count()
+
+    # persist at the two fan-out boundaries: `exact` feeds both the minhash
+    # candidate job and the survivor anti-join; `near` feeds every
+    # downstream stage. At cluster scale these are the natural checkpoint/
+    # table-materialization points of the pipeline.
+    exact = dedup.drop_exact_duplicates(gated).persist()
+    manifest["exact_deduped"] = exact.count()
+
+    cand = dedup.minhash_dedup_candidates(exact)
+    near = dedup.drop_near_duplicates(exact, cand).persist()
+    manifest["near_deduped"] = near.count()
+    exact.unpersist()
+
+    scrubbed = text.scrub_pii(near)
+    split = sampling.hash_split(scrubbed, splits, "doc_id")
+    with_tok = split.withColumn(
+        "n_tok", F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    packed = assign_packs(with_tok, "n_tok", seq_len,
+                          by=["split", "lang"], order=["doc_id"])
+    manifest["packed"] = packed.count()
+    return packed, manifest

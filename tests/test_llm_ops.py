@@ -311,3 +311,25 @@ def test_drop_near_duplicates_end_to_end(spark, docs):
     assert 0 in ids and 5 in ids
     assert 1 not in ids and 6 not in ids
     assert len(ids) < 7
+
+
+def test_llm_corpus_pipeline_end_to_end(spark, sf_dir):
+    """The full composition runs; each stage is monotone non-increasing;
+    splits are exhaustive; packing invariants hold on the final frame."""
+    from nasctn_sea_ingest_spark.plans.pipeline import llm_corpus_pipeline
+
+    packed, manifest = llm_corpus_pipeline(spark, sf_dir, seq_len=512)
+    stages = ["raw", "quality_gated", "exact_deduped", "near_deduped",
+              "packed"]
+    assert list(manifest) == stages
+    counts = [manifest[s] for s in stages[:-1]]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert manifest["packed"] == manifest["near_deduped"]  # no row loss
+    assert manifest["packed"] > 0
+
+    rows = packed.select("split", "pack_offset", "text").collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    assert all(0 <= r.pack_offset < 512 for r in rows)
+    # PII scrub ran over the final text column (no raw emails survive)
+    assert not any("@" in r.text and "[EMAIL]" not in r.text
+                   and "@example.com" in r.text for r in rows)
