@@ -26,7 +26,7 @@ from ..sources.ingest import TRACE_SCHEMA
 from ..sources.sigmf import decode_sigmf
 
 __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
-           "gap_monitor", "dedup_stream"]
+           "gap_monitor", "dedup_stream", "document_stream"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -230,3 +230,29 @@ def daily_rollup(trace_stream: DataFrame,
             .select(F.col("day.start").cast("date").alias("date"),
                     "frequency", "n_captures", "mean_power_db",
                     "max_capture_mean_db"))
+
+
+def document_stream(spark: SparkSession, landing_dir: str,
+                    min_quality: float = 0.5,
+                    watermark: str = "1 hour") -> DataFrame:
+    """Streaming LLM-document ingest: tail a landing dir of JSONL files
+    (``{"doc_id": ..., "ts": ..., "lang": ..., "text": ...}``), apply the
+    map-only corpus gates as the stream flows — quality scoring, PII
+    scrubbing — then drop re-delivered doc_ids within the watermark.
+
+    The text operators are ordinary column expressions, so the SAME code
+    path serves batch (``plans.pipeline``) and streaming; only the dedup
+    step switches to its watermark-bounded streaming form. Near-dup/
+    clustering stay batch jobs over the accumulated warehouse (they need
+    corpus-wide joins a stream cannot see).
+    """
+    from ..operators.text import quality_score, scrub_pii
+
+    schema = ("doc_id BIGINT, ts TIMESTAMP, lang STRING, text STRING")
+    raw = (spark.readStream.format("json").schema(schema)
+           .option("pathGlobFilter", "*.jsonl").load(landing_dir))
+    gated = (quality_score(raw).where(F.col("quality") >= min_quality)
+             .select("doc_id", "ts", "lang", "text"))
+    scrubbed = scrub_pii(gated)
+    return (scrubbed.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["doc_id"]))

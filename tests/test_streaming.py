@@ -228,3 +228,41 @@ def test_compact_warehouse(spark, tmp_path_factory):
     # re-run is a no-op
     log2 = compact_warehouse(spark, tr)
     assert (log2["n_files_before"] == log2["n_files_after"]).all()
+
+
+def test_document_stream(spark, tmp_path_factory):
+    """JSONL landing dir → streaming quality gate + PII scrub + doc_id
+    dedup: same column-expression operators as the batch pipeline."""
+    import json
+
+    from nasctn_sea_ingest_spark.streaming import document_stream
+
+    landing = tmp_path_factory.mktemp("docs_landing")
+    ckpt = str(tmp_path_factory.mktemp("docs_ckpt"))
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks away to the river for a drink of water")
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01T00:00:00Z", "lang": "en",
+         "text": good + " mail me at a@b.co"},
+        {"doc_id": 2, "ts": "2024-01-01T00:01:00Z", "lang": "en",
+         "text": "z z z z z z"},                         # fails quality
+        {"doc_id": 1, "ts": "2024-01-01T00:00:00Z", "lang": "en",
+         "text": good + " mail me at a@b.co"},           # re-delivery
+        {"doc_id": 3, "ts": "2024-01-01T00:02:00Z", "lang": "en",
+         "text": good},
+    ]
+    with open(landing / "a.jsonl", "w") as f:
+        for r in rows[:2]:
+            f.write(json.dumps(r) + "\n")
+    with open(landing / "b.jsonl", "w") as f:
+        for r in rows[2:]:
+            f.write(json.dumps(r) + "\n")
+
+    q = (document_stream(spark, str(landing))
+         .writeStream.format("memory").queryName("doc_t")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id: r.text for r in spark.table("doc_t").collect()}
+    assert set(got) == {1, 3}             # dup dropped, low-quality dropped
+    assert "[EMAIL]" in got[1] and "a@b.co" not in got[1]
