@@ -104,3 +104,28 @@ def test_sequence_packing_invariants(spark, sf_dir):
     stats = pack_stats(t, "n_tok", L, by=["lang"], order=["doc_id"])
     total = stats.agg(F.sum("n_tokens")).first()[0]
     assert total == t.agg(F.sum("n_tok")).first()[0]  # conservation
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): the invariants hold for arbitrary specs
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None)
+@given(weights=st.lists(st.floats(0.05, 1.0), min_size=2, max_size=5))
+def test_hash_split_partitions_bucket_space(weights):
+    """Driver-side property: the bucket edges from any weight vector tile
+    [0, N_BUCKETS) exactly — no gaps, no overlap (the disjoint/exhaustive
+    guarantee does not depend on Spark)."""
+    from nasctn_sea_ingest_spark.operators.sampling import N_BUCKETS
+    total = sum(weights)
+    edges = [0]
+    acc = 0.0
+    for w in weights[:-1]:
+        acc += w / total * N_BUCKETS
+        edges.append(int(round(acc)))
+    edges.append(N_BUCKETS)
+    assert edges == sorted(edges)
+    assert edges[0] == 0 and edges[-1] == N_BUCKETS
