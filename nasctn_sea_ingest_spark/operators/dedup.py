@@ -95,8 +95,24 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     """MinHash signatures from xxhash64 shingle hashes under ``n_hashes``
     universal-hash draws — no global token dictionary, no sort: the scale
     path (the oracle-checked corpus variant uses dense ranks instead).
-    Output: (id, sig ARRAY<BIGINT> length n_hashes)."""
-    sh = shingle(df, text_col, id_col, n)
+    Output: (id, sig ARRAY<BIGINT> length n_hashes).
+
+    The shingle stream is NOT deduplicated first: duplicate shingles can't
+    change a min, and skipping the distinct removes one full shuffle (the
+    32 min-aggs partial-aggregate map-side, so the exchange still carries
+    one row per doc). An all-array-expression variant (array_min over
+    nested transforms, zero shuffle) measured 4× SLOWER — higher-order
+    expressions are interpreted, while explode + hash-aggregate runs in
+    whole-stage codegen; the shuffle is not the bottleneck, the hashing
+    is."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]))
+    sh = (df.select(F.col(id_col).alias("id"), grams.alias("g"))
+            .where(F.size("g") > 0)
+            .select("id", F.explode("g").alias("shingle")))
     h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
     mins = [F.min(F.pmod(h * F.lit(2 * j + 1) + F.lit(101 * j + 17),
                          F.lit(_MERSENNE))).alias(f"h{j}")
