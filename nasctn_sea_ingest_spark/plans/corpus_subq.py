@@ -1,0 +1,186 @@
+"""Subquery + multi-way-join corpus: scalar subqueries (uncorrelated and
+correlated), IN-subquery with HAVING, and the classic TPC-H Q3/Q5 join
+shapes over the driver's synthetic star schema.
+
+The reference workload never needs subqueries (its "queries" are pandas
+method chains), but a user switching engines gets them from Catalyst for
+free — this file declares them as oracle-checked corpus entries so the
+surface is verified, not just available.  Spark-side plans express each
+subquery the way Catalyst itself decorrelates them: uncorrelated scalar →
+broadcast one-row cross join; correlated scalar → groupBy + equi-join;
+IN (GROUP BY ... HAVING) → aggregate + left-semi join.
+
+Float parity follows corpus.py rules: money sums in DECIMAL then cast to
+DOUBLE; scalar-subquery thresholds multiplied only by powers of two (0.5)
+so the double math is bit-identical on both engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from .corpus import _dsum, _q
+from .tables import load_table, us, us_cmp
+
+_REV = ("cast(l_extendedprice as decimal(12,2)) * "
+        "(1.00 - cast(l_discount as decimal(4,2)))")
+_REV_SQL = ("CAST(l_extendedprice AS DECIMAL(12,2)) * "
+            "(1.00 - CAST(l_discount AS DECIMAL(4,2)))")
+
+
+@_q("q62_scalar_subquery",
+    "uncorrelated scalar subquery → broadcast one-row cross join "
+    "(Catalyst's own decorrelation shape)",
+    """
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice > (SELECT CAST(sum(CAST(p_retailprice AS
+                             DECIMAL(12,2))) AS DOUBLE) / count(*) FROM part)
+    """)
+def q62(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    avg = p.agg((_dsum(F.col("p_retailprice"), "12,2")
+                 / F.count("*")).alias("avg_price"))
+    return (p.crossJoin(F.broadcast(avg))
+             .where(F.col("p_retailprice") > F.col("avg_price"))
+             .select("p_partkey", "p_name", "p_retailprice"))
+
+
+@_q("q63_correlated_scalar",
+    "correlated scalar subquery (TPC-H Q17 shape: lineitems below half the "
+    "per-part mean quantity) → per-key aggregate + equi-join",
+    """
+    SELECT l.l_partkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS small_qty_revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    WHERE l.l_quantity < 0.5 * (
+        SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               / count(*)
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY l.l_partkey
+    """)
+def q63(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    # one shuffle on l_partkey serves both the aggregate and the join; at
+    # 100 TB this is the plan you want (no per-row re-aggregation, AQE can
+    # still broadcast the avg side if the part count is small)
+    per_part = (li.groupBy(F.col("l_partkey").alias("pk"))
+                  .agg((_dsum(F.col("l_quantity"), "12,2")
+                        / F.count("*")).alias("avg_qty")))
+    return (li.join(per_part, li.l_partkey == per_part.pk)
+              .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+              .groupBy("l_partkey")
+              .agg(_dsum(F.col("l_extendedprice"), "12,2")
+                   .alias("small_qty_revenue"),
+                   F.count("*").alias("n_lines")))
+
+
+@_q("q64_in_having",
+    "IN (GROUP BY ... HAVING) subquery (TPC-H Q18 shape: large-quantity "
+    "orders) → aggregate + left-semi join",
+    """
+    SELECT c.c_name, o.o_orderkey, epoch_us(o.o_orderdate) AS o_orderdate_us,
+           o.o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+    GROUP BY c.c_name, o.o_orderkey, o_orderdate_us, o.o_totalprice
+    """)
+def q64(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (li.groupBy(F.col("l_orderkey").alias("ok"))
+             .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+                  .alias("qty"))
+             .where(F.col("qty") > 150))
+    return (o.join(big, o.o_orderkey == big.ok, "left_semi")
+             .join(c, o.o_custkey == c.c_custkey)
+             .join(li, o.o_orderkey == li.l_orderkey)
+             .groupBy("c_name", "o_orderkey",
+                      F.col("o_orderdate_us"), "o_totalprice")
+             .agg(_dsum(F.col("l_quantity"), "12,2").alias("total_qty")))
+
+
+@_q("q65_shipping_priority",
+    "TPC-H Q3 shape: 3-way join + agg + deterministic top-k "
+    "(P9 limit + W3 sort over a join pipeline)",
+    f"""
+    SELECT l.l_orderkey,
+           CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue,
+           epoch_us(o.o_orderdate) AS o_orderdate_us, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND epoch_us(o.o_orderdate) < {us('1998-01-01')}
+      AND epoch_us(l.l_shipdate) > {us('1998-01-01')}
+    GROUP BY l.l_orderkey, o_orderdate_us, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """)
+def q65(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = us("1998-01-01")
+    return (li.where(us_cmp("l_shipdate", ">", cut))
+              .join(o.where(us_cmp("o_orderdate", "<", cut)),
+                    F.col("l_orderkey") == o.o_orderkey)
+              .join(c.where(F.col("c_mktsegment") == "BUILDING"),
+                    o.o_custkey == c.c_custkey, "left_semi")
+              .groupBy("l_orderkey", "o_orderdate_us", "o_orderpriority")
+              .agg(F.sum(F.expr(_REV)).cast("double").alias("revenue"))
+              .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+              .limit(10)
+              .select("l_orderkey", "revenue", "o_orderdate_us",
+                      "o_orderpriority"))
+
+
+@_q("q66_local_supplier_volume",
+    "TPC-H Q5 shape: 6-way join with non-key cross-condition "
+    "(c_nationkey = s_nationkey); nation/region broadcast",
+    f"""
+    SELECT n.n_name,
+           CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND epoch_us(o.o_orderdate) >= {us('1996-01-01')}
+      AND epoch_us(o.o_orderdate) < {us('1997-01-01')}
+    GROUP BY n.n_name
+    """)
+def q66(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    # restrict nation to the target region first (broadcast, 25 rows), so
+    # the big fact-side joins only carry surviving suppliers/customers
+    asia_n = (n.join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+                     n.n_regionkey == F.col("r_regionkey"))
+               .select("n_nationkey", "n_name"))
+    o_win = o.where(us_cmp("o_orderdate", ">=", us("1996-01-01"))
+                    & us_cmp("o_orderdate", "<", us("1997-01-01")))
+    return (li.join(o_win, li.l_orderkey == o_win.o_orderkey)
+              .join(c, o_win.o_custkey == c.c_custkey)
+              .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+                    & (c.c_nationkey == s.s_nationkey))
+              .join(F.broadcast(asia_n),
+                    s.s_nationkey == asia_n.n_nationkey)
+              .groupBy("n_name")
+              .agg(F.sum(F.expr(_REV)).cast("double").alias("revenue")))
