@@ -170,3 +170,35 @@ def test_interval_join_is_equi(spark, sf):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "Join" in p
+
+
+def test_subquery_shapes(spark, sf):
+    """Subquery corpus must compile to the decorrelated physical shapes:
+    scalar → broadcast (never a shuffled join against a 1-row frame),
+    IN-HAVING → left-semi, Q3 top-k → TakeOrderedAndProject with the
+    segment filter pushed to the customer scan."""
+    p = _plan(_q("q62_scalar_subquery").spark(spark, sf))
+    assert "SortMergeJoin" not in p
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+    p = _plan(_q("q64_in_having").spark(spark, sf))
+    assert "LeftSemi" in p
+
+    p = _plan(_q("q65_shipping_priority").spark(spark, sf))
+    assert "TakeOrderedAndProject" in p
+    assert "LeftSemi" in p
+    assert "c_mktsegment" in p and "= BUILDING" in p.replace(",", " ")
+    assert "CartesianProduct" not in p
+
+
+def test_sixway_join_broadcasts_dims(spark, sf):
+    """TPC-H Q5 shape: supplier + nation⋈region stay broadcast; the
+    non-key cross-condition (c_nationkey = s_nationkey) must not force a
+    cartesian/nested-loop plan."""
+    p = _plan(_q("q66_local_supplier_volume").spark(spark, sf))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # orders date window reaches the scan
+    assert "o_orderdate" in "".join(
+        ln for ln in p.splitlines() if "PushedFilters" in ln or "DataFilters" in ln)
