@@ -92,6 +92,21 @@ def main() -> None:
         print(f"# sigmf decode single-core: {len(blobs) / core_dt:.0f} "
               f"files/s/core (reference eager loop: 81)", file=sys.stderr)
 
+        # records tier: what the distributed ingest path actually runs per
+        # file (no per-file pandas frames; one Arrow batch per task)
+        from nasctn_sea_ingest_spark.sources.sigmf import \
+            decode_sigmf_trace_records
+        rec_dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for raw in blobs:
+                decode_sigmf_trace_records(raw, source="bench")
+            rec_dt = min(rec_dt, time.perf_counter() - t0)
+        timings["x_sigmf_decode_records_per_sec_per_core"] = \
+            round(len(blobs) / rec_dt, 1)
+        print(f"# sigmf decode records tier: {len(blobs) / rec_dt:.0f} "
+              f"files/s/core", file=sys.stderr)
+
         # the reference's headline job (BASELINE.md: full-archive summarize
         # + 2 sinks, 47.4 s on 8 dask workers): decode once, persist,
         # write capture_summary + the psd product to two parquet sinks

@@ -37,7 +37,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from .sigmf import decode_sigmf, decode_sigmf_meta
+from .sigmf import decode_sigmf, decode_sigmf_meta, \
+    decode_sigmf_trace_records
 
 # --------------------------------------------------------------------------
 # schemas
@@ -190,24 +191,11 @@ def decode_traces(refs: DataFrame, tz: str | None = None,
                 src = _ref_name(path, member)
                 try:
                     raw = _open_ref(zcache, path, member)
-                    tables = decode_sigmf(raw, tz=tz, hash_check=hash_check,
-                                          source=src)
+                    recs.extend(decode_sigmf_trace_records(
+                        raw, tz=tz, hash_check=hash_check, source=src))
                 except Exception as e:  # noqa: BLE001 — quarantine
                     recs.append((src, None, None, None, None, None, None,
                                  None, None, None, f"{type(e).__name__}: {e}"))
-                    continue
-                for tname in ("psd", "pvt", "pfp", "apd", "apd_raw"):
-                    df = tables.get(tname)
-                    if df is None:
-                        continue
-                    for r in df.itertuples(index=False):
-                        d = r._asdict()
-                        recs.append((
-                            src, tname,
-                            pd.Timestamp(d["datetime"]), float(d["frequency"]),
-                            d.get("capture_statistic"), d.get("detector"),
-                            d.get("kind"), d["values"],
-                            float(d["x_start"]), float(d["x_step"]), None))
             yield pd.DataFrame(recs, columns=cols)
 
     return refs.mapInPandas(run, TRACE_SCHEMA)

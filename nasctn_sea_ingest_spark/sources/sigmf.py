@@ -535,6 +535,64 @@ def _read_tar(file) -> tuple[dict, bytes]:
     return meta, lzma_blob
 
 
+def _split_traces(plan, flat: np.ndarray) -> dict[str, list]:
+    """Split the flat payload at the declared trace offsets (R1 analog,
+    ``seamf.py:140-157``): table -> [(datetime, frequency, stat, det, kind,
+    values float32, x_start, x_step), ...].
+
+    Traces were emitted per capture in offset order, so the k-th block of
+    traces belongs to the k-th capture (offsets ascend within the file).
+    """
+    offsets = [t[0] for t in plan.traces]
+    bounds = offsets[1:] + [len(flat)]
+    cap_rows = sorted(
+        ((row["datetime"], freq) for freq, row in plan.channel_meta.items()),
+        key=lambda x: x[0])
+    n_caps = len(plan.channel_meta)
+    per_cap = len(plan.traces) // n_caps if n_caps else 0
+
+    recs: dict[str, list] = {t: [] for t in TRACE_TABLES}
+    for i, ((off, table, stat, det, kind), end) in enumerate(
+            zip(plan.traces, bounds)):
+        cap_idx = i // per_cap if per_cap else 0
+        dt, freq = cap_rows[cap_idx]
+        x_start, x_step = plan.axes.get(table, (0.0, 1.0))
+        recs[table].append((dt, freq, stat, det, kind, flat[off:end],
+                            x_start, x_step))
+    return recs
+
+
+def decode_sigmf_trace_records(file, tz: str | None = None,
+                               hash_check: bool = True,
+                               source: str = "") -> list[tuple]:
+    """Distributed-ingest hot path: one ``.sigmf`` file straight to
+    TRACE_SCHEMA-ordered tuples (source, table, datetime, frequency,
+    capture_statistic, detector, kind, values, x_start, x_step, error) —
+    no per-file pandas frames. ``decode_traces`` builds a single frame per
+    Arrow batch from these, which is what lets the Spark path beat the
+    reference's per-file eager loop (``ziparchive.py:422``).
+    """
+    meta, lzma_blob = _read_tar(file)
+    if hash_check:
+        digest = hashlib.sha512(lzma_blob).hexdigest()
+        if digest != meta["global"].get("core:sha512"):
+            raise SigmfError("payload sha512 mismatch")
+    raw_payload = lzma.decompress(lzma_blob, format=lzma.FORMAT_XZ)
+    plan = _plan_for(meta, tz if tz is not None else _try_tz(meta))
+    flat = np.frombuffer(raw_payload, dtype=np.float16).astype(np.float32)
+    recs = _split_traces(plan, flat)
+    out: list[tuple] = []
+    for table in ("psd", "pvt", "pfp", "apd", "apd_raw"):
+        for dt, freq, stat, det, kind, vals, x0, dx in recs.get(table, ()):
+            out.append((
+                source, table, pd.Timestamp(dt), float(freq),
+                stat if table in ("psd", "pfp") else None,
+                det if table in ("pvt", "pfp") else None,
+                kind if table == "apd_raw" else None,
+                vals, float(x0), float(dx), None))
+    return out
+
+
 def decode_sigmf_meta(file, tz: str | None = None) -> dict:
     """Metadata-only fast path (S14): parse JSON, skip decompression."""
     meta, _ = _read_tar(file)
@@ -583,30 +641,7 @@ def decode_sigmf(file, tz: str | None = None, hash_check: bool = True,
 
     plan = _plan_for(meta, tz if tz is not None else _try_tz(meta))
     flat = np.frombuffer(raw_payload, dtype=np.float16).astype(np.float32)
-
-    # split the flat vector at the declared trace offsets (R1 analog)
-    offsets = [t[0] for t in plan.traces]
-    bounds = offsets[1:] + [len(flat)]
-    freq_of_start = {}
-    # map each trace to its capture's (datetime, frequency) via channel order:
-    # traces were emitted per capture in offset order, so recover the capture
-    # row by offset range
-    cap_rows = sorted(
-        ((row["datetime"], freq) for freq, row in plan.channel_meta.items()),
-        key=lambda x: x[0])
-
-    # per-capture base offsets: the k-th block of traces belongs to the k-th
-    # capture (offsets ascend within the file)
-    n_caps = len(plan.channel_meta)
-    per_cap = len(plan.traces) // n_caps if n_caps else 0
-
-    recs: dict[str, list] = {t: [] for t in TRACE_TABLES}
-    for i, ((off, table, stat, det, kind), end) in enumerate(zip(plan.traces, bounds)):
-        cap_idx = i // per_cap if per_cap else 0
-        dt, freq = cap_rows[cap_idx]
-        x_start, x_step = plan.axes.get(table, (0.0, 1.0))
-        recs[table].append((dt, freq, stat, det, kind, flat[off:end],
-                            x_start, x_step))
+    recs = _split_traces(plan, flat)
 
     out: dict = {}
     if unpack == "arrays":
@@ -614,12 +649,14 @@ def decode_sigmf(file, tz: str | None = None, hash_check: bool = True,
             if rows:
                 out[table] = np.stack([r[5] for r in rows])
         recs = {t: [] for t in TRACE_TABLES}
+    # column-wise construction: a dict of ready columns skips pandas'
+    # per-cell type inference over tuple rows (~40% of decode time in
+    # profile; the lzma call is the only bigger cost and is irreducible)
+    _FIELD_IDX = {"datetime": 0, "frequency": 1, "capture_statistic": 2,
+                  "detector": 3, "kind": 4}
     for table, rows in recs.items():
         if not rows:
             continue
-        df = pd.DataFrame(rows, columns=["datetime", "frequency",
-                                         "capture_statistic", "detector",
-                                         "kind", "values", "x_start", "x_step"])
         keep = ["datetime", "frequency"]
         if table in ("psd", "pfp"):
             keep.append("capture_statistic")
@@ -627,7 +664,11 @@ def decode_sigmf(file, tz: str | None = None, hash_check: bool = True,
             keep.append("detector")
         if table == "apd_raw":
             keep.append("kind")
-        out[table] = df[keep + ["values", "x_start", "x_step"]]
+        data = {c: [r[_FIELD_IDX[c]] for r in rows] for c in keep}
+        data["values"] = [r[5] for r in rows]
+        data["x_start"] = np.full(len(rows), rows[0][6])
+        data["x_step"] = np.full(len(rows), rows[0][7])
+        out[table] = pd.DataFrame(data)
 
     ch = pd.DataFrame(list(plan.channel_meta.values()))
     if not ch.empty:
