@@ -26,7 +26,8 @@ from ..sources.ingest import TRACE_SCHEMA
 from ..sources.sigmf import decode_sigmf
 
 __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
-           "gap_monitor", "dedup_stream", "document_stream"]
+           "session_rollup", "gap_monitor", "dedup_stream",
+           "document_stream"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -230,6 +231,36 @@ def daily_rollup(trace_stream: DataFrame,
             .select(F.col("day.start").cast("date").alias("date"),
                     "frequency", "n_captures", "mean_power_db",
                     "max_capture_mean_db"))
+
+
+def session_rollup(trace_stream: DataFrame, gap: str = "10 minutes",
+                   watermark: str = "2 days") -> DataFrame:
+    """Session-window rollup: per frequency, group captures into sensor
+    "uptime sessions" that close after ``gap`` of silence — the streaming
+    native form of the batch gap/sessionize analysis (W1 `datetime.diff()`
+    restart detection, `colormap_plots.ipynb` cell 12; batch corpus q51).
+
+    ``F.session_window`` keeps per-key open-session state bounded by the
+    watermark; a closed session emits (frequency, session start/end,
+    n_captures, mean dB power). Dynamic-gap variants are possible by
+    passing a Column as ``gap``.
+    """
+    ref = trace_stream.where(
+        (F.col("table") == "pfp") & (F.col("capture_statistic") == "mean")
+        & (F.col("detector") == "rms"))
+    per_capture = ref.select(
+        "datetime", "frequency",
+        array_mean_db("values").alias("capture_mean_db"))
+    lin = F.pow(F.lit(10.0), F.col("capture_mean_db") / 10.0)
+    return (per_capture
+            .withWatermark("datetime", watermark)
+            .groupBy(F.session_window("datetime", gap).alias("session"),
+                     "frequency")
+            .agg(F.count("*").alias("n_captures"),
+                 (10.0 * F.log10(F.avg(lin))).alias("mean_power_db"))
+            .select(F.col("session.start").alias("session_start"),
+                    F.col("session.end").alias("session_end"),
+                    "frequency", "n_captures", "mean_power_db"))
 
 
 def document_stream(spark: SparkSession, landing_dir: str,

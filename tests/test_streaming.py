@@ -266,3 +266,46 @@ def test_document_stream(spark, tmp_path_factory):
     got = {r.doc_id: r.text for r in spark.table("doc_t").collect()}
     assert set(got) == {1, 3}             # dup dropped, low-quality dropped
     assert "[EMAIL]" in got[1] and "a@b.co" not in got[1]
+
+
+def test_session_rollup_stream(spark, tmp_path_factory):
+    """Two bursts of sweeps separated by >gap must close into separate
+    sessions per frequency; a third burst past the watermark horizon
+    finalizes the earlier windows in append mode."""
+    from nasctn_sea_ingest_spark.streaming import session_rollup
+
+    landing = str(tmp_path_factory.mktemp("sess_landing"))
+    ckpt = str(tmp_path_factory.mktemp("sess_ckpt"))
+    # burst 1: 4 sweeps at 90 s cadence; burst 2: 3 sweeps an hour later;
+    # day-later burst advances the watermark past both
+    build_sweep_series(landing, 4, start_iso="2023-09-16T00:00:00.000Z",
+                       prefix="a")
+    build_sweep_series(landing, 3, start_iso="2023-09-16T01:00:00.000Z",
+                       prefix="b")
+    build_sweep_series(landing, 1, start_iso="2023-09-18T12:00:00.000Z",
+                       prefix="c")
+
+    stream = read_sigmf_stream(spark, landing)
+    sess = session_rollup(stream, gap="10 minutes", watermark="1 day")
+    q = (sess.writeStream.outputMode("append")
+         .format("memory").queryName("sess_t")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("sess_t").collect()
+    by_start = {}
+    for r in got:
+        by_start.setdefault(str(r.session_start), []).append(r)
+    # the two 2023-09-16 sessions are closed (watermark passed); per
+    # frequency each burst is one session with the burst's capture count
+    starts = sorted(by_start)
+    assert any(s.startswith("2023-09-16 00:00") for s in starts)
+    assert any(s.startswith("2023-09-16 01:00") for s in starts)
+    for s, rows in by_start.items():
+        n = {r.n_captures for r in rows}
+        if s.startswith("2023-09-16 00:00"):
+            assert n == {4}
+        if s.startswith("2023-09-16 01:00"):
+            assert n == {3}
+        for r in rows:
+            assert r.session_end > r.session_start
