@@ -27,7 +27,7 @@ from ..sources.sigmf import decode_sigmf
 
 __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "session_rollup", "gap_monitor", "dedup_stream",
-           "document_stream"]
+           "calibration_join", "document_stream"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -261,6 +261,37 @@ def session_rollup(trace_stream: DataFrame, gap: str = "10 minutes",
             .select(F.col("session.start").alias("session_start"),
                     F.col("session.end").alias("session_end"),
                     "frequency", "n_captures", "mean_power_db"))
+
+
+def calibration_join(trace_stream: DataFrame, cal_stream: DataFrame,
+                     tolerance: str = "1 hour",
+                     trace_watermark: str = "2 hours",
+                     cal_watermark: str = "3 hours") -> DataFrame:
+    """Stream-stream time-interval join: attach calibration records (e.g.
+    the noise-figure series the reference aligns with
+    ``get_indexer(method='nearest')``, ``plots.py:76-77``, J1) to the live
+    capture stream.
+
+    Spark's stream-stream inner join needs watermarks on BOTH sides plus a
+    time-range condition so each side's buffered state is droppable; here a
+    cal record joins captures whose ``datetime`` falls within
+    ``[cal_ts, cal_ts + tolerance]`` on the same frequency. Exact
+    nearest-pick (one row per capture) remains the batch as-of join
+    (`functions.asof_join`) over the warehouse — a stream cannot know a
+    closer record won't still arrive; the interval join is the streaming-
+    sound superset (all candidates within tolerance).
+
+    ``cal_stream`` columns: cal_ts TIMESTAMP, frequency DOUBLE, plus
+    payload columns (nf_db, gain_db, ...).
+    """
+    t = trace_stream.withWatermark("datetime", trace_watermark)
+    c = (cal_stream.withColumnRenamed("frequency", "cal_frequency")
+         .withWatermark("cal_ts", cal_watermark))
+    cond = ((F.col("frequency") == F.col("cal_frequency"))
+            & (F.col("datetime") >= F.col("cal_ts"))
+            & (F.col("datetime")
+               <= F.col("cal_ts") + F.expr(f"INTERVAL {tolerance}")))
+    return t.join(c, cond, "inner").drop("cal_frequency")
 
 
 def document_stream(spark: SparkSession, landing_dir: str,

@@ -309,3 +309,54 @@ def test_session_rollup_stream(spark, tmp_path_factory):
             assert n == {3}
         for r in rows:
             assert r.session_end > r.session_start
+
+
+def test_calibration_join_stream(spark, tmp_path_factory):
+    """Stream-stream interval join: each capture picks up the calibration
+    records (same frequency) whose cal_ts lies within the tolerance window
+    before it; a cal outside the window or on another frequency never
+    matches."""
+    import json
+
+    from nasctn_sea_ingest_spark.streaming import calibration_join
+
+    landing = str(tmp_path_factory.mktemp("cal_landing"))
+    cal_dir = str(tmp_path_factory.mktemp("cal_records"))
+    ckpt = str(tmp_path_factory.mktemp("cal_ckpt"))
+    # 3 sweeps at 90 s cadence from 00:00; 3 channels
+    build_sweep_series(landing, 3, start_iso="2023-09-16T00:00:00.000Z")
+    f0 = 3.545e9
+    cals = [
+        # matches all 3 captures of channel f0 (within 1 h before each)
+        {"cal_ts": "2023-09-15T23:30:00Z", "frequency": f0, "nf_db": 5.0},
+        # matches only the 3rd capture (00:03 onward) of f0+10MHz
+        {"cal_ts": "2023-09-16T00:02:45Z", "frequency": f0 + 10e6,
+         "nf_db": 6.0},
+        # too old: outside every capture's 1 h window
+        {"cal_ts": "2023-09-15T20:00:00Z", "frequency": f0, "nf_db": 9.9},
+    ]
+    with open(os.path.join(cal_dir, "cal.jsonl"), "w") as f:
+        for c in cals:
+            f.write(json.dumps(c) + "\n")
+
+    traces = read_sigmf_stream(spark, landing).where(
+        (F.col("error").isNull()) & (F.col("table") == "psd")
+        & (F.col("capture_statistic") == "max"))
+    cal = (spark.readStream.format("json")
+           .schema("cal_ts TIMESTAMP, frequency DOUBLE, nf_db DOUBLE")
+           .load(cal_dir))
+    joined = calibration_join(traces, cal, tolerance="1 hour")
+    q = (joined.writeStream.format("memory").queryName("cal_t")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("cal_t").select("datetime", "frequency", "nf_db") \
+        .collect()
+    by_nf = {}
+    for r in got:
+        by_nf.setdefault(r.nf_db, set()).add((str(r.datetime), r.frequency))
+    assert 9.9 not in by_nf                      # stale cal never matches
+    assert len(by_nf.get(5.0, set())) == 3       # all three f0 captures
+    assert len(by_nf.get(6.0, set())) == 1       # only the late capture
+    assert all(f == f0 for _, f in by_nf[5.0])
+    assert all(f == f0 + 10e6 for _, f in by_nf[6.0])
