@@ -331,3 +331,26 @@ def q29(spark, sf_dir):
         "doc_id",
         F.expr("aggregate(transform(w, x -> cast(length(x) * 131 + ascii(x) as bigint)), "
                "cast(0 as bigint), (a, b) -> (a * 31 + b) % 1000000007)").alias("fingerprint"))
+
+
+@_q("q67_vocab_topk",
+    "vocabulary build: token explode → count → deterministic top-k (the "
+    "first stage of any tokenizer-training / corpus-stats job; explode + "
+    "hash-agg + TakeOrderedAndProject, never a global sort)",
+    """
+    SELECT tok, count(*) AS n FROM (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 100
+    """)
+def q67(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                       r"\s+")).alias("tok"))
+             .where(F.col("tok") != "")
+             .groupBy("tok").agg(F.count("*").alias("n"))
+             .orderBy(F.desc("n"), F.asc("tok"))
+             .limit(100))
