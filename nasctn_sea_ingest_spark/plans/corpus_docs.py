@@ -354,3 +354,79 @@ def q67(spark, sf_dir):
              .groupBy("tok").agg(F.count("*").alias("n"))
              .orderBy(F.desc("n"), F.asc("tok"))
              .limit(100))
+
+
+@_q("q68_label_centroids",
+    "per-label embedding centroid, long format: posexplode across rows + "
+    "two-key hash-agg (the class-prototype / IVF-seed shape; exact decimal "
+    "sums make the cross-row float reduction order-independent)",
+    """
+    SELECT label, dim,
+           round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10)))
+                      AS DOUBLE) / count(*), 6) AS centroid,
+           count(*) AS n_vecs
+    FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings)
+    GROUP BY label, dim
+    """)
+def q68(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (ex.groupBy("label", (F.col("pos") + 1).alias("dim"))
+              .agg(F.round(
+                       F.sum(F.col("v").cast("double").cast("decimal(20,10)"))
+                        .cast("double") / F.count("*"), 6).alias("centroid"),
+                   F.count("*").alias("n_vecs")))
+
+
+@_q("q69_tfidf_top_terms",
+    "TF-IDF top-3 terms per document: token counts + document-frequency "
+    "join + global-N scalar broadcast + per-doc ranked truncation (the "
+    "keyword-extraction / relevance shape over the corpus)",
+    """
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents)
+      WHERE tok <> ''),
+    tf AS (SELECT doc_id, tok, count(*) AS cnt FROM toks
+           GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS dfreq FROM toks
+           GROUP BY tok),
+    n AS (SELECT count(*) AS total FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.cnt,
+             tf.cnt * ln(CAST(n.total AS DOUBLE) / dfreq) AS tfidf
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, tok, cnt, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tok) AS rn
+      FROM scored)
+    SELECT doc_id, tok, cnt, round(tfidf, 6) AS tfidf
+    FROM ranked WHERE rn <= 3
+    """)
+def q69(spark, sf_dir):
+    from pyspark.sql import Window
+    d = load_table(spark, sf_dir, "documents")
+    toks = (d.select("doc_id",
+                     F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                       r"\s+")).alias("tok"))
+             .where(F.col("tok") != ""))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    dfreq = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("dfreq"))
+    total = d.agg(F.count("*").alias("total"))
+    scored = (tf.join(dfreq, "tok")
+                .crossJoin(F.broadcast(total))
+                .withColumn("tfidf",
+                            F.col("cnt") * F.log(F.col("total")
+                                                 .cast("double")
+                                                 / F.col("dfreq"))))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") <= 3)
+                  .select("doc_id", "tok", "cnt",
+                          F.round("tfidf", 6).alias("tfidf")))
