@@ -33,9 +33,14 @@ from .sources.ingest import (
     write_partitions,
 )
 from .sources.sigmf import decode_sigmf, decode_sigmf_meta
+# re-exports matching the reference's public __all__ (sea_ingest
+# __init__.py:31-37: trace, localize_timestamps)
+from .functions import trace  # noqa: F401
+from .functions import localize as localize_timestamps  # noqa: F401
 
 __all__ = ["read_seamf", "read_seamf_meta", "read_seamf_zipfile",
-           "read_seamf_zipfile_as_sdf", "as_wide", "write_partitions"]
+           "read_seamf_zipfile_as_sdf", "as_wide", "write_partitions",
+           "trace", "localize_timestamps"]
 
 _PRODUCTS = ("psd", "pvt", "pfp", "apd", "apd_raw")
 
