@@ -202,3 +202,19 @@ def test_sixway_join_broadcasts_dims(spark, sf):
     # orders date window reaches the scan
     assert "o_orderdate" in "".join(
         ln for ln in p.splitlines() if "PushedFilters" in ln or "DataFilters" in ln)
+
+
+def test_corpus_text_embedding_shapes(spark, sf):
+    """Vocab top-k must be a partial top-k (TakeOrderedAndProject), never a
+    global sort; TF-IDF's scalar N must broadcast; centroid agg must
+    partial-aggregate map-side (no raw-row exchange)."""
+    p = _plan(_q("q67_vocab_topk").spark(spark, sf))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.split("TakeOrderedAndProject")[0]
+
+    p = _plan(_q("q69_tfidf_top_terms").spark(spark, sf))
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+    p = _plan(_q("q68_label_centroids").spark(spark, sf))
+    assert "partial" in p.lower()  # map-side combine before the exchange
