@@ -107,6 +107,20 @@ def main() -> None:
         print(f"# sigmf decode records tier: {len(blobs) / rec_dt:.0f} "
               f"files/s/core", file=sys.stderr)
 
+        # metadata-only fast path (S14; reference: 0.49-0.60 ms/file,
+        # BASELINE.md "metadata-only parse")
+        from nasctn_sea_ingest_spark.sources.sigmf import decode_sigmf_meta
+        meta_dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for raw in blobs:
+                decode_sigmf_meta(raw)
+            meta_dt = min(meta_dt, time.perf_counter() - t0)
+        timings["x_sigmf_meta_ms_per_file"] = \
+            round(meta_dt / len(blobs) * 1000, 3)
+        print(f"# sigmf meta-only: {meta_dt / len(blobs) * 1000:.3f} ms/file "
+              f"(reference: 0.49-0.60)", file=sys.stderr)
+
         # the reference's headline job (BASELINE.md: full-archive summarize
         # + 2 sinks, 47.4 s on 8 dask workers): decode once, persist,
         # write capture_summary + the psd product to two parquet sinks
@@ -127,6 +141,30 @@ def main() -> None:
         total += dt
         print(f"# summarize+2 sinks: {dt:.3f}s "
               f"(reference: 47.4s at 8 workers)", file=sys.stderr)
+        # lazy dict-of-DataFrames analogs of BASELINE.md's dask numbers:
+        # `.head(10)` first compute 6.24 s; 1-minute `.loc` range 16.6 s
+        # (8 workers). One shared cached decode scan feeds both.
+        from nasctn_sea_ingest_spark.api import read_seamf_zipfile_as_sdf
+        t0 = time.perf_counter()
+        sdfs = read_seamf_zipfile_as_sdf(spark, zpath)
+        head = sdfs["psd"].limit(10).collect()
+        dt = time.perf_counter() - t0
+        assert len(head) == 10
+        timings["x_lazy_head10"] = round(dt, 3)
+        print(f"# lazy head(10): {dt:.3f}s (reference: 6.24s)",
+              file=sys.stderr)
+        t0 = time.perf_counter()
+        n_min = (sdfs["pvt"]
+                 .where("datetime >= timestamp'2023-09-17 00:00:00' AND "
+                        "datetime <  timestamp'2023-09-17 00:01:00'")
+                 .count())
+        dt = time.perf_counter() - t0
+        assert n_min > 0
+        timings["x_lazy_time_range_1min"] = round(dt, 3)
+        total += dt
+        print(f"# lazy 1-min range: {dt:.3f}s (reference: 16.6s)",
+              file=sys.stderr)
+        spark.catalog.clearCache()  # release the shared decode cache
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
