@@ -472,6 +472,34 @@ def read_product(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
 # warehouse maintenance: small-file compaction
 # --------------------------------------------------------------------------
 
+def backfill_partitions(df: DataFrame, dataset_dir: str,
+                        partition_cols: "list[str] | None" = None) -> None:
+    """Idempotent late-data backfill: replace ONLY the partitions present
+    in ``df``, leaving every other partition untouched (dynamic partition
+    overwrite — the MERGE-less upsert of a plain-parquet warehouse).
+
+    The reference reprocesses whole archives when sensors re-upload
+    corrected sweeps; at 100 TB rewriting the dataset for one late day is
+    absurd, and appending would duplicate the day. Dynamic overwrite
+    rewrites exactly the (table, date) leaves the correction touches:
+    cost scales with the size of the correction, re-running the same
+    backfill is a no-op, and readers see whole partitions swap.
+
+    ``df`` must carry the dataset's partition columns (default
+    ``[table, date]`` when present, else ``[date]``).
+    """
+    if partition_cols is None:
+        partition_cols = [c for c in ("table", "date") if c in df.columns]
+        if not partition_cols:
+            raise ValueError("df carries no partition columns")
+    sort_cols = [c for c in ("datetime", "frequency") if c in df.columns]
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    (df.write.mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
+       .partitionBy(*partition_cols).parquet(dataset_dir))
+
+
 def compact_warehouse(spark: SparkSession, dataset_dir: str,
                       target_file_bytes: int = 128 << 20,
                       sort_cols: "list[str] | None" = None) -> pd.DataFrame:

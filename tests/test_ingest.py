@@ -161,3 +161,40 @@ def test_sweep_summary_cross_check(spark, warehouse):
     assert len(rows) == 12
     for r in rows:
         assert np.allclose(r.got, r.want, atol=1e-6)
+
+
+def test_backfill_partitions(spark, tmp_path_factory):
+    """Dynamic partition overwrite replaces only the partitions the
+    correction touches; other partitions and re-runs are untouched/no-ops."""
+    import pandas as pd
+
+    from nasctn_sea_ingest_spark.sources.ingest import backfill_partitions
+
+    out = str(tmp_path_factory.mktemp("bf")) + "/traces"
+    base = spark.createDataFrame(pd.DataFrame({
+        "table": ["psd"] * 4,
+        "date": ["2023-09-16", "2023-09-16", "2023-09-17", "2023-09-17"],
+        "datetime": pd.to_datetime(
+            ["2023-09-16 00:00", "2023-09-16 00:01",
+             "2023-09-17 00:00", "2023-09-17 00:01"]),
+        "frequency": [3.5e9] * 4,
+        "power": [1.0, 2.0, 3.0, 4.0],
+    }))
+    base.write.mode("overwrite").partitionBy("table", "date").parquet(out)
+
+    # corrected day 2: one row, new value
+    fix = spark.createDataFrame(pd.DataFrame({
+        "table": ["psd"],
+        "date": ["2023-09-17"],
+        "datetime": pd.to_datetime(["2023-09-17 00:00"]),
+        "frequency": [3.5e9],
+        "power": [99.0],
+    }))
+    backfill_partitions(fix, out)
+    got = spark.read.parquet(out)
+    assert got.where("date = '2023-09-16'").count() == 2     # untouched
+    d2 = got.where("date = '2023-09-17'").collect()
+    assert len(d2) == 1 and d2[0].power == 99.0              # replaced
+
+    backfill_partitions(fix, out)                            # idempotent
+    assert spark.read.parquet(out).count() == 3
