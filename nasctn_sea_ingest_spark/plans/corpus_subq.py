@@ -184,3 +184,63 @@ def q66(spark, sf_dir):
                     s.s_nationkey == asia_n.n_nationkey)
               .groupBy("n_name")
               .agg(F.sum(F.expr(_REV)).cast("double").alias("revenue")))
+
+
+@_q("q70_late_shipment_priority",
+    "TPC-H Q12 shape: conditional aggregation (CASE inside sum) over a "
+    "fact-fact join — late shipments split by order-priority class",
+    """
+    SELECT p_class,
+           CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)
+             AS late_lines,
+           count(*) AS total_lines
+    FROM (
+      SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'high' ELSE 'low' END AS p_class,
+             epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+               > 60 * 86400000000 AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    GROUP BY p_class
+    """)
+def q70(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    p_class = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                     "high").otherwise("low")
+    late = (F.col("l_shipdate_us") - F.col("o_orderdate_us")
+            > 60 * 86_400_000_000)
+    return (j.select(p_class.alias("p_class"), late.alias("late"))
+             .groupBy("p_class")
+             .agg(F.sum(F.when(F.col("late"), 1).otherwise(0))
+                  .alias("late_lines"),
+                  F.count("*").alias("total_lines")))
+
+
+@_q("q71_promo_revenue_share",
+    "TPC-H Q14 shape: conditional-aggregate ratio — promo share of revenue "
+    "in a ship-date month (decimal-exact numerator/denominator)",
+    f"""
+    SELECT round(
+             CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                           THEN {_REV_SQL} ELSE CAST(0.00 AS DECIMAL(16,4))
+                      END) AS DOUBLE)
+             / CAST(sum({_REV_SQL}) AS DOUBLE) * 100, 6) AS promo_pct,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE epoch_us(l.l_shipdate) >= {us('1997-03-01')}
+      AND epoch_us(l.l_shipdate) < {us('1997-04-01')}
+    """)
+def q71(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    win = li.where(us_cmp("l_shipdate", ">=", us("1997-03-01"))
+                   & us_cmp("l_shipdate", "<", us("1997-04-01")))
+    j = win.join(F.broadcast(p), win.l_partkey == p.p_partkey)
+    rev = F.expr(_REV)
+    promo = F.when(F.col("p_type") == "PROMO", rev) \
+             .otherwise(F.expr("cast(0.00 as decimal(16,4))"))
+    return j.agg(
+        F.round(F.sum(promo).cast("double")
+                / F.sum(rev).cast("double") * 100, 6).alias("promo_pct"),
+        F.count("*").alias("n_lines"))
