@@ -244,3 +244,80 @@ def q71(spark, sf_dir):
         F.round(F.sum(promo).cast("double")
                 / F.sum(rev).cast("double") * 100, 6).alias("promo_pct"),
         F.count("*").alias("n_lines"))
+
+
+@_q("q72_sole_late_supplier",
+    "TPC-H Q21 shape: semi + anti double-correlation — suppliers whose "
+    "late line is the ONLY late line of a multi-supplier order",
+    f"""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey FROM lineitem
+      WHERE epoch_us(l_shipdate) > {us('1998-06-01')}),
+    multi AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1)
+    SELECT l.l_suppkey, count(*) AS numwait
+    FROM late l
+    WHERE EXISTS (SELECT 1 FROM multi m WHERE m.l_orderkey = l.l_orderkey)
+      AND NOT EXISTS (SELECT 1 FROM late l2
+                      WHERE l2.l_orderkey = l.l_orderkey
+                        AND l2.l_suppkey <> l.l_suppkey)
+    GROUP BY l.l_suppkey
+    """)
+def q72(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (li.where(us_cmp("l_shipdate", ">", us("1998-06-01")))
+              .select("l_orderkey", "l_suppkey"))
+    multi = (li.groupBy("l_orderkey")
+               .agg(F.countDistinct("l_suppkey").alias("ns"))
+               .where(F.col("ns") > 1).select("l_orderkey"))
+    other_late = (late.alias("l2")
+                  .select(F.col("l_orderkey").alias("ok2"),
+                          F.col("l_suppkey").alias("sk2")))
+    return (late.join(multi, "l_orderkey", "left_semi")
+                .join(other_late,
+                      (F.col("l_orderkey") == F.col("ok2"))
+                      & (F.col("l_suppkey") != F.col("sk2")), "left_anti")
+                .groupBy("l_suppkey")
+                .agg(F.count("*").alias("numwait")))
+
+
+@_q("q73_event_funnel",
+    "event-funnel conversion: per-user first 'view' then earliest later "
+    "'purchase' via conditional window mins — no self-join (the sequence-"
+    "analysis shape every event warehouse runs)",
+    """
+    WITH u AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               AS first_view_us,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS first_purchase_us
+      FROM events GROUP BY user_id),
+    c AS (
+      SELECT user_id, first_view_us,
+             (SELECT min(epoch_us(e.ts)) FROM events e
+              WHERE e.user_id = u.user_id AND e.event_type = 'purchase'
+                AND epoch_us(e.ts) > u.first_view_us) AS conv_us
+      FROM u WHERE first_view_us IS NOT NULL)
+    SELECT user_id, first_view_us, conv_us,
+           conv_us IS NOT NULL AS converted
+    FROM c
+    """)
+def q73(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (ev.groupBy("user_id")
+                .agg(F.min(F.when(F.col("event_type") == "view",
+                                  F.col("ts_us"))).alias("first_view_us"))
+                .where(F.col("first_view_us").isNotNull()))
+    # conditional re-aggregation against the per-user first view: one
+    # shuffle on user_id for the agg + a broadcast-ready join back
+    purch = ev.where(F.col("event_type") == "purchase") \
+              .select("user_id", F.col("ts_us").alias("p_us"))
+    conv = (purch.join(firsts, "user_id")
+                 .where(F.col("p_us") > F.col("first_view_us"))
+                 .groupBy("user_id")
+                 .agg(F.min("p_us").alias("conv_us")))
+    return (firsts.join(conv, "user_id", "left")
+                  .select("user_id", "first_view_us", "conv_us",
+                          F.col("conv_us").isNotNull().alias("converted")))
