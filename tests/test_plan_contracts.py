@@ -218,3 +218,12 @@ def test_corpus_text_embedding_shapes(spark, sf):
 
     p = _plan(_q("q68_label_centroids").spark(spark, sf))
     assert "partial" in p.lower()  # map-side combine before the exchange
+
+
+def test_double_correlation_stays_hash(spark, sf):
+    """Q21-shape semi+anti: the anti's inequality must ride as a residual
+    on the l_orderkey hash join — never a nested-loop/cartesian plan."""
+    p = _plan(_q("q72_sole_late_supplier").spark(spark, sf))
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
