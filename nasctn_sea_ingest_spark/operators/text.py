@@ -11,8 +11,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 __all__ = ["token_stats", "quality_score", "language_id", "fingerprint",
-           "token_count_estimate", "scrub_pii", "PII_PATTERNS",
-           "STOPWORDS", "LANG_MARKERS"]
+           "token_count_estimate", "scrub_pii", "contamination",
+           "PII_PATTERNS", "STOPWORDS", "LANG_MARKERS"]
 
 STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "that", "it", "for")
 
@@ -151,3 +151,31 @@ def scrub_pii(df: DataFrame, text_col: str = "text",
     for name, pat in patterns.items():
         c = F.regexp_replace(c, pat, f"[{name}]")
     return df.withColumn(out_col or text_col, c)
+
+
+def contamination(train: DataFrame, eval_df: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3, broadcast_eval: bool = True) -> DataFrame:
+    """Train/eval decontamination: training documents that share at least
+    one word ``n``-gram with the evaluation set, with the count of shared
+    distinct shingles — the standard pre-training hygiene pass (flag, then
+    drop or audit, before any benchmark is trusted).
+
+    Shape: distinct shingles per side, equi-join on the shingle, count per
+    train doc. The eval side of a decontamination run is benchmarks —
+    thousands of docs, not billions — so its distinct-shingle frame
+    broadcasts (``broadcast_eval=True``) and the pass is map-side against
+    the full training corpus: no shuffle of train shingles at all. With a
+    large eval side it degrades to one hash join keyed by shingle.
+    Oracle-checked as corpus q74.
+    """
+    from .dedup import shingle
+
+    tr = shingle(train, text_col, id_col, n)
+    ev = shingle(eval_df, text_col, id_col, n).select("shingle").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return (tr.join(ev, "shingle")
+              .groupBy("id")
+              .agg(F.count("*").alias("n_shared_shingles"))
+              .withColumnRenamed("id", id_col))

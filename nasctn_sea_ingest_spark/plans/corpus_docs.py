@@ -430,3 +430,30 @@ def q69(spark, sf_dir):
                   .where(F.col("rn") <= 3)
                   .select("doc_id", "tok", "cnt",
                           F.round("tfidf", 6).alias("tfidf")))
+
+
+_DUCK_HB_DOC = ("cast(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15)) "
+                "AS BIGINT) % 10000")
+
+
+@_q("q74_decontaminate",
+    "train/eval decontamination: train docs sharing a word 3-gram with the "
+    "hash-held-out eval slice, via broadcastable distinct-shingle join "
+    "(text.contamination; pre-training hygiene op)",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    b AS (SELECT doc_id, {_DUCK_HB_DOC} AS hb FROM documents),
+    tr AS (SELECT sh.doc_id, shingle FROM sh JOIN b USING (doc_id)
+           WHERE hb < 9000),
+    ev AS (SELECT DISTINCT shingle FROM sh JOIN b USING (doc_id)
+           WHERE hb >= 9000)
+    SELECT tr.doc_id, count(*) AS n_shared_shingles
+    FROM tr JOIN ev ON tr.shingle = ev.shingle
+    GROUP BY tr.doc_id
+    """)
+def q74(spark, sf_dir):
+    from ..operators.sampling import hash_bucket
+    from ..operators.text import contamination
+    d = load_table(spark, sf_dir, "documents")
+    hb = hash_bucket("doc_id")
+    return contamination(d.where(hb < 9000), d.where(hb >= 9000))

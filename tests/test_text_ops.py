@@ -93,3 +93,26 @@ def test_scrub_pii(spark):
     # out_col keeps the original
     both = scrub_pii(df, out_col="scrubbed").collect()[0]
     assert both.text != both.scrubbed
+
+
+def test_contamination_planted(spark):
+    """A train doc sharing an eval 3-gram is flagged with the right shared
+    count; clean docs are absent."""
+    import pandas as pd
+
+    from nasctn_sea_ingest_spark.operators.text import contamination
+
+    train = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the quick brown fox jumps",      # shares 2 shingles
+                 "totally unrelated content here",  # clean
+                 "quick brown fox elsewhere"],      # shares 1 shingle
+    }))
+    eval_df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100],
+        "text": ["the quick brown fox runs"],
+    }))
+    got = {r.doc_id: r.n_shared_shingles
+           for r in contamination(train, eval_df).collect()}
+    # eval shingles: {the quick brown, quick brown fox, brown fox runs}
+    assert got == {1: 2, 3: 1}
