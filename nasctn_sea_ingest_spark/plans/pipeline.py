@@ -8,6 +8,8 @@ job actually runs, built entirely from this engine's operators.
       → cluster + keep one  (dedup.dup_clusters → drop_near_duplicates)
       → PII scrub           (text.scrub_pii, map-only)
       → train/val/test      (sampling.hash_split, leakage-proof)
+      → decontaminate       (text.contamination: drop train docs sharing
+                             n-grams with val/test — split-leakage guard)
       → sequence packing    (packing.assign_packs per split×lang stream)
 
 Stage order is the cost order: the cheap map-only gates run first so every
@@ -32,6 +34,7 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str,
                         seq_len: int = 2048,
                         min_quality: float = 0.5,
                         splits: "dict[str, float] | None" = None,
+                        decontaminate: bool = True,
                         ) -> "tuple[DataFrame, dict[str, int]]":
     """Run the full pipeline on the ``documents`` table; returns
     ``(packed_df, manifest)`` where manifest counts rows surviving each
@@ -61,6 +64,18 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str,
 
     scrubbed = text.scrub_pii(near)
     split = sampling.hash_split(scrubbed, splits, "doc_id")
+
+    if decontaminate:
+        # split-leakage guard: a train doc sharing an n-gram with val/test
+        # still leaks the benchmark even after doc-level dedup — flag via
+        # the broadcastable distinct-shingle join and drop from train
+        split = split.persist()
+        heldout = split.where(F.col("split") != "train")
+        dirty = text.contamination(split.where(F.col("split") == "train"),
+                                   heldout).select("doc_id")
+        split = (split.join(F.broadcast(dirty), "doc_id", "left_anti"))
+        manifest["decontaminated"] = split.count()
+
     with_tok = split.withColumn(
         "n_tok", F.size(F.split(F.trim(F.col("text")), r"\s+")))
     packed = assign_packs(with_tok, "n_tok", seq_len,

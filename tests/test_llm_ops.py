@@ -320,12 +320,19 @@ def test_llm_corpus_pipeline_end_to_end(spark, sf_dir):
 
     packed, manifest = llm_corpus_pipeline(spark, sf_dir, seq_len=512)
     stages = ["raw", "quality_gated", "exact_deduped", "near_deduped",
-              "packed"]
+              "decontaminated", "packed"]
     assert list(manifest) == stages
     counts = [manifest[s] for s in stages[:-1]]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
-    assert manifest["packed"] == manifest["near_deduped"]  # no row loss
+    assert manifest["packed"] == manifest["decontaminated"]  # no row loss
     assert manifest["packed"] > 0
+
+    # with the guard off, the manifest skips the stage and keeps every
+    # near-deduped row
+    _, m2 = llm_corpus_pipeline(spark, sf_dir, seq_len=512,
+                                decontaminate=False)
+    assert "decontaminated" not in m2
+    assert m2["packed"] == m2["near_deduped"]
 
     rows = packed.select("split", "pack_offset", "text").collect()
     assert {r.split for r in rows} <= {"train", "val", "test"}
