@@ -82,7 +82,7 @@ def main() -> None:
         with _zf.ZipFile(zpath) as z:
             blobs = [z.read(n) for n in z.namelist() if n.endswith(".sigmf")]
         core_dt = float("inf")
-        for _ in range(2):
+        for _ in range(3):  # best-of-3: shared noisy host
             t0 = time.perf_counter()
             for raw in blobs:
                 decode_sigmf(raw, source="bench")
@@ -97,7 +97,7 @@ def main() -> None:
         from nasctn_sea_ingest_spark.sources.sigmf import \
             decode_sigmf_trace_records
         rec_dt = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             for raw in blobs:
                 decode_sigmf_trace_records(raw, source="bench")

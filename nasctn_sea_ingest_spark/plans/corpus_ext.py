@@ -631,3 +631,29 @@ def q61(spark, sf_dir):
         F.aggregate("qvec", F.lit(0).cast("bigint"),
                     lambda a, x: a + x.cast("bigint")).alias("q_sum"),
         F.round(err, 6).alias("max_err"))
+
+
+@_q("q75_rolling_median",
+    "rolling exact median over a bounded ROWS frame (5-row window per "
+    "event_type): Spark lacks a median window aggregate, so the engine "
+    "composes collect_list over the frame with the exact array-median "
+    "expression (functions.array_median) — frame state stays O(frame), "
+    "and the sort is per partition key, never global",
+    """
+    SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+           round(median(value) OVER (
+             PARTITION BY event_type
+             ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_med
+    FROM events
+    """)
+def q75(spark, sf_dir):
+    from pyspark.sql import Window
+    from .. import functions as FN
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+               .rowsBetween(-4, 0))
+    return ev.select(
+        "event_id", "event_type", "ts_us",
+        F.round(FN.array_median(F.collect_list("value").over(w)), 6)
+         .alias("roll_med"))
