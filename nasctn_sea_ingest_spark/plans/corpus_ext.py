@@ -657,3 +657,32 @@ def q75(spark, sf_dir):
         "event_id", "event_type", "ts_us",
         F.round(FN.array_median(F.collect_list("value").over(w)), 6)
          .alias("roll_med"))
+
+
+@_q("q76_embedding_drift",
+    "array-valued window navigation: per-label L2 drift between "
+    "consecutive embeddings (lag of an ARRAY column + zip_with fold — "
+    "the embedding-space monitoring shape; per-row math, one window "
+    "shuffle on the label key)",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             lag(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+               OVER (PARTITION BY label ORDER BY vec_id) AS prev
+      FROM embeddings)
+    SELECT vec_id, label,
+           round(sqrt(list_sum(list_transform(list_zip(e, prev),
+                 p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS l2_drift
+    FROM v WHERE prev IS NOT NULL
+    """)
+def q76(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    ed = F.expr("transform(embedding, x -> cast(x as double))")
+    v = e.select("vec_id", "label", ed.alias("e"),
+                 F.lag(ed).over(w).alias("prev"))
+    diff2 = F.zip_with("e", "prev", lambda a, b: (a - b) * (a - b))
+    l2 = F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
+    return (v.where(F.col("prev").isNotNull())
+             .select("vec_id", "label", F.round(l2, 6).alias("l2_drift")))
