@@ -45,18 +45,37 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
               .where(F.col("__rn") == 1).drop("__rn"))
 
 
+def _gram_stream(df: DataFrame, text_col: str, id_col: str,
+                 n: int) -> DataFrame:
+    """Exploded word n-gram stream (id, shingle), not deduplicated.
+
+    Grams come from ``arrays_zip`` of ``n`` shifted slices of the token
+    array, exploded, then a struct-field concat. The naive per-gram lambda
+    (``transform(sequence(...), i -> concat(element_at(w, i), ...))``)
+    reads clean but CollapseProject inlines the ``split()`` into every
+    ``element_at`` reference — O(words) regex re-splits per GRAM, ~40 µs/
+    gram measured. The zip-of-slices form references the token array once
+    per slice per ROW, and everything after the explode is plain
+    codegen'd column ops (~1 µs/gram, 10×+ on the dedup corpus queries).
+    The repartition spreads the explode across cores when the input is a
+    single small parquet file (its shuffle is one (id, tokens) row per
+    doc — trivial next to the downstream shingle shuffles).
+    """
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = (df.select(F.col(id_col).alias("id"), w.alias("w"))
+              .repartition(df.sparkSession.sparkContext.defaultParallelism,
+                           "id"))
+    n_grams = F.greatest(F.size("w") - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice("w", j + 1, n_grams) for j in range(n)])
+    gram = F.concat_ws(" ", *[F.col(f"s.{j}") for j in range(n)])
+    return (toks.select("id", F.explode(z).alias("s"))
+                .select("id", gram.alias("shingle")))
+
+
 def shingle(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]))
-    return (df.select(F.col(id_col).alias("id"), grams.alias("g"))
-              .where(F.size("g") > 0)
-              .select("id", F.explode("g").alias("shingle"))
-              .distinct())
+    return _gram_stream(df, text_col, id_col, n).distinct()
 
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -105,14 +124,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     expressions are interpreted, while explode + hash-aggregate runs in
     whole-stage codegen; the shuffle is not the bottleneck, the hashing
     is."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]))
-    sh = (df.select(F.col(id_col).alias("id"), grams.alias("g"))
-            .where(F.size("g") > 0)
-            .select("id", F.explode("g").alias("shingle")))
+    sh = _gram_stream(df, text_col, id_col, n)
     h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
     mins = [F.min(F.pmod(h * F.lit(2 * j + 1) + F.lit(101 * j + 17),
                          F.lit(_MERSENNE))).alias(f"h{j}")

@@ -155,11 +155,17 @@ def scrub_pii(df: DataFrame, text_col: str = "text",
 
 def contamination(train: DataFrame, eval_df: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
-                  n: int = 3, broadcast_eval: bool = True) -> DataFrame:
+                  n: int = 13, broadcast_eval: bool = True) -> DataFrame:
     """Train/eval decontamination: training documents that share at least
     one word ``n``-gram with the evaluation set, with the count of shared
     distinct shingles — the standard pre-training hygiene pass (flag, then
     drop or audit, before any benchmark is trusted).
+
+    ``n`` defaults to 13 tokens, the GPT-3/Pile-style decontamination
+    window: long enough that an overlap means the eval text itself
+    appears, not a common phrase (short n on boilerplate-heavy corpora
+    flags nearly everything — corpus q74 uses n=3 against its SQL oracle
+    precisely because the synthetic docs are template-generated).
 
     Shape: distinct shingles per side, equi-join on the shingle, count per
     train doc. The eval side of a decontamination run is benchmarks —

@@ -40,14 +40,24 @@ sh AS (
   FROM toks WHERE len(w) >= 3
 )"""
 
-# Spark SQL: identical semantics
+# Spark SQL: identical semantics. Grams are arrays_zip of shifted slices
+# (split evaluated once per slice per ROW) — the per-gram element_at
+# lambda re-evaluates the split for every reference after CollapseProject
+# inlining (O(words) re-splits per gram; 10×+ slower, see
+# operators/dedup._gram_stream). REPARTITION spreads the explode across
+# cores when the input is one small parquet file.
 _SPARK_SHINGLES = """
-toks AS (SELECT doc_id, split(trim(text), ' ') AS w FROM documents),
+toks AS (SELECT /*+ REPARTITION(32, doc_id) */ doc_id,
+                split(trim(text), ' ') AS w FROM documents),
 sh AS (
-  SELECT DISTINCT doc_id, explode(transform(sequence(1, size(w) - 2),
-           i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ',
-                       element_at(w, i + 2)))) AS shingle
-  FROM toks WHERE size(w) >= 3
+  SELECT DISTINCT doc_id,
+         concat(s.`0`, ' ', s.`1`, ' ', s.`2`) AS shingle
+  FROM (
+    SELECT doc_id, explode(arrays_zip(
+             slice(w, 1, greatest(size(w) - 2, 0)),
+             slice(w, 2, greatest(size(w) - 2, 0)),
+             slice(w, 3, greatest(size(w) - 2, 0)))) AS s
+    FROM toks)
 )"""
 
 
@@ -456,4 +466,4 @@ def q74(spark, sf_dir):
     from ..operators.text import contamination
     d = load_table(spark, sf_dir, "documents")
     hb = hash_bucket("doc_id")
-    return contamination(d.where(hb < 9000), d.where(hb >= 9000))
+    return contamination(d.where(hb < 9000), d.where(hb >= 9000), n=3)

@@ -113,6 +113,6 @@ def test_contamination_planted(spark):
         "text": ["the quick brown fox runs"],
     }))
     got = {r.doc_id: r.n_shared_shingles
-           for r in contamination(train, eval_df).collect()}
+           for r in contamination(train, eval_df, n=3).collect()}
     # eval shingles: {the quick brown, quick brown fox, brown fox runs}
     assert got == {1: 2, 3: 1}
