@@ -62,27 +62,45 @@ def array_double(col) -> Column:
     return F.transform(_c(col), lambda x: x.cast("double"))
 
 
+def _let(value: Column, body) -> Column:
+    """Bind ``value`` once and evaluate ``body(bound)`` — SQL has no let
+    expression, and Catalyst re-evaluates a sub-expression once PER
+    REFERENCE (and per ELEMENT when referenced inside a higher-order
+    lambda): the original midmean cost ~2n array sorts per row through
+    its filter predicate. A one-element ``transform`` materializes the
+    value into the lambda variable, making every reference a lookup.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def _sorted_quantile(vv: Column, q: float) -> Column:
+    """Interpolated quantile of an already-sorted bound array variable."""
+    n = F.size(vv)
+    h = (n - 1).cast("double") * F.lit(float(q))
+    lo_i = F.floor(h).cast("int")
+    frac = h - F.floor(h)
+    lo = F.element_at(vv, lo_i + 1)
+    hi = F.element_at(vv, F.least(lo_i + 2, n))
+    return lo + frac * (hi - lo)
+
+
 def array_mean(col) -> Column:
     """Arithmetic mean over the array (linear domain)."""
-    v = array_double(col)
-    return F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size(v)
+    return _let(array_double(col),
+                lambda v: F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+                / F.size(v))
 
 
 def array_quantile(col, q: float) -> Column:
     """Exact linear-interpolated quantile over the array values — the
     pandas/numpy ``quantile(q, axis=1)`` semantics (A4, 3gpp cell 3):
     h = (n-1)q; v[floor h] + (h - floor h) * (v[floor h + 1] - v[floor h]).
+    The sort is bound once per row (not once per reference).
     """
     if not 0.0 <= q <= 1.0:
         raise ValueError("q must be in [0, 1]")
-    v = F.array_sort(array_double(col))
-    n = F.size(v)
-    h = (n - 1).cast("double") * F.lit(float(q))
-    lo_i = F.floor(h).cast("int")
-    frac = h - F.floor(h)
-    lo = F.element_at(v, lo_i + 1)
-    hi = F.element_at(v, F.least(lo_i + 2, n))
-    return lo + frac * (hi - lo)
+    return _let(F.array_sort(array_double(col)),
+                lambda vv: _sorted_quantile(vv, q))
 
 
 def array_median(col) -> Column:
@@ -92,23 +110,30 @@ def array_median(col) -> Column:
 
 def array_midmean(col, lo: float = 0.25, hi: float = 0.75) -> Column:
     """Trimmed mean of values between exact quantiles [lo, hi] inclusive
-    (A5 ``midmean``, 3gpp cell 4)."""
-    v = array_double(col)
-    lo_v, hi_v = array_quantile(col, lo), array_quantile(col, hi)
-    kept = F.filter(v, lambda x: (x >= lo_v) & (x <= hi_v))
-    # tiny arrays can have nothing inside the exact-quantile band → NULL
-    return F.when(F.size(kept) > 0,
-                  F.aggregate(kept, F.lit(0.0), lambda a, x: a + x)
-                  / F.size(kept))
+    (A5 ``midmean``, 3gpp cell 4). One sort per row: the sorted array,
+    the quantile pair, and the filtered band are each let-bound (the
+    naive form re-sorted inside the filter predicate per element)."""
+    def body(vv):
+        pair = F.struct(_sorted_quantile(vv, lo).alias("lo"),
+                        _sorted_quantile(vv, hi).alias("hi"))
+        return _let(pair, lambda p: _let(
+            F.filter(vv, lambda x: (x >= p["lo"]) & (x <= p["hi"])),
+            # tiny arrays can have nothing inside the band → NULL
+            lambda kept: F.when(
+                F.size(kept) > 0,
+                F.aggregate(kept, F.lit(0.0), lambda a, x: a + x)
+                / F.size(kept))))
+    return _let(F.array_sort(array_double(col)), body)
 
 
 def array_mean_db(col) -> Column:
     """Mean over the array computed in linear power, reported in dB
     (A3: ``dBtopow → mean(axis=1) → powtodB``)."""
-    v = array_double(col)
-    lin_sum = F.aggregate(v, F.lit(0.0),
-                          lambda a, x: a + F.pow(F.lit(10.0), x / 10.0))
-    return 10.0 * F.log10(lin_sum / F.size(v))
+    def body(v):
+        lin_sum = F.aggregate(v, F.lit(0.0),
+                              lambda a, x: a + F.pow(F.lit(10.0), x / 10.0))
+        return 10.0 * F.log10(lin_sum / F.size(v))
+    return _let(array_double(col), body)
 
 
 def array_sum_db(col) -> Column:

@@ -312,3 +312,23 @@ def test_approx_aggs_error_bounds(spark, sf_dir):
     for r in got:
         assert abs(r.approx - r.exact) <= max(3, 0.06 * r.exact)
         assert abs(r.p50a - r.p50) <= 0.01 * abs(r.p50)
+
+
+def test_array_stats_single_sort_per_row(spark):
+    """Regression guard for expression re-evaluation blowup: without the
+    let-binding in functions._let, midmean re-sorted the array inside its
+    filter predicate PER ELEMENT (~2n sorts/row — minutes for this frame).
+    A coarse wall bound is robust: broken ≈ >600 s, fixed ≈ <1 s."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from nasctn_sea_ingest_spark import functions as FN
+
+    df = spark.range(5_000).select(F.expr(
+        "transform(sequence(1, 625), i -> cast(i % 97 as double))")
+        .alias("values"))
+    t0 = time.perf_counter()
+    df.select(F.sum(FN.array_midmean("values")),
+              F.sum(FN.array_quantile("values", 0.9))).collect()
+    assert time.perf_counter() - t0 < 60
