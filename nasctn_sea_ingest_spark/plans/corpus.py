@@ -358,12 +358,18 @@ def q15(spark, sf_dir):
     """)
 def q16(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
+    # one percentile buffer per group for all three quantiles (the scalar
+    # form holds three copies of every group's values at 100 TB)
     return (li.groupBy("l_returnflag")
-              .agg(F.round(F.expr("percentile(l_quantity, 0.25)"), 5).alias("q25"),
-                   F.round(F.expr("percentile(l_quantity, 0.50)"), 5).alias("median_qty"),
-                   F.round(F.expr("percentile(l_quantity, 0.75)"), 5).alias("q75"),
+              .agg(F.expr("percentile(l_quantity, array(0.25D, 0.50D, 0.75D))")
+                    .alias("qs"),
                    F.min("l_quantity").alias("min_qty"),
-                   F.max("l_quantity").alias("max_qty")))
+                   F.max("l_quantity").alias("max_qty"))
+              .select("l_returnflag",
+                      F.round(F.col("qs")[0], 5).alias("q25"),
+                      F.round(F.col("qs")[1], 5).alias("median_qty"),
+                      F.round(F.col("qs")[2], 5).alias("q75"),
+                      "min_qty", "max_qty"))
 
 
 @_q("q17_pivot_wide",
