@@ -412,7 +412,11 @@ def ingest(spark: SparkSession, paths: str | list[str], out_dir: str,
     """
     refs = list_sigmf_refs(spark, paths, allow=allow, batch_size=batch_size)
 
-    traces = decode_traces(refs, tz=tz, hash_check=hash_check)
+    # persist across the two sinks: without it the quarantine write would
+    # re-run the full payload decode (LZMA dominates — a second pass costs
+    # 2× the job's CPU to emit a handful of error rows). MEMORY_AND_DISK
+    # trades ~decoded-dataset spill space for that second decode.
+    traces = decode_traces(refs, tz=tz, hash_check=hash_check).persist()
     good = traces.where(F.col("error").isNull()).drop("error") \
                  .withColumn("date", F.to_date("datetime"))
     bad = traces.where(F.col("error").isNotNull()) \
@@ -425,6 +429,7 @@ def ingest(spark: SparkSession, paths: str | list[str], out_dir: str,
 
     q_path = out["quarantine"] = os.path.join(out_dir, "quarantine")
     bad.write.mode("overwrite").parquet(q_path)
+    traces.unpersist()
 
     # metadata-only parse skips the payload (S14), so payload-corrupt files
     # still yield metadata — drop whole failed files like errors='log' does
