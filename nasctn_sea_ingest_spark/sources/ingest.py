@@ -176,6 +176,23 @@ def _ref_name(path: str, member: str | None) -> str:
 # decode stages (mapInPandas)
 # --------------------------------------------------------------------------
 
+def decode_dir(spark: SparkSession, path: str, tz: str | None = None,
+               hash_check: bool = True) -> DataFrame:
+    """Batch decode of loose ``.sigmf`` files via the ``binaryFile``
+    source — the cluster-scale listing path (SCALE.md §1): file discovery
+    is Spark's own distributed file index, no driver-side zip machinery,
+    and the source splits/parallelizes by file size. Output schema and
+    quarantine semantics match ``decode_traces``; the decode stage is the
+    same records-tier ``mapInPandas`` the streaming ingest runs.
+    """
+    from ..streaming import _decode_content
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", "*.sigmf")
+           .load(path).select("path", "content"))
+    return raw.mapInPandas(
+        lambda it: _decode_content(it, tz, hash_check), TRACE_SCHEMA)
+
+
 def decode_traces(refs: DataFrame, tz: str | None = None,
                   hash_check: bool = True) -> DataFrame:
     """Full decode of every ref into long-format trace rows (one row per

@@ -23,7 +23,7 @@ from pyspark.sql import types as T
 
 from ..functions import array_mean_db
 from ..sources.ingest import TRACE_SCHEMA
-from ..sources.sigmf import decode_sigmf
+from ..sources.sigmf import decode_sigmf_trace_records
 
 __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "session_rollup", "gap_monitor", "dedup_stream",
@@ -37,23 +37,12 @@ def _decode_content(batches: Iterator[pd.DataFrame],
         recs = []
         for path, content in zip(b["path"], b["content"]):
             try:
-                tables = decode_sigmf(bytes(content), tz=tz,
-                                      hash_check=hash_check, source=path)
+                recs.extend(decode_sigmf_trace_records(
+                    bytes(content), tz=tz, hash_check=hash_check,
+                    source=path))
             except Exception as e:  # noqa: BLE001 — quarantine
                 recs.append((path, None, None, None, None, None, None,
                              None, None, None, f"{type(e).__name__}: {e}"))
-                continue
-            for tname in ("psd", "pvt", "pfp", "apd", "apd_raw"):
-                df = tables.get(tname)
-                if df is None:
-                    continue
-                for r in df.itertuples(index=False):
-                    d = r._asdict()
-                    recs.append((path, tname, pd.Timestamp(d["datetime"]),
-                                 float(d["frequency"]),
-                                 d.get("capture_statistic"), d.get("detector"),
-                                 d.get("kind"), d["values"],
-                                 float(d["x_start"]), float(d["x_step"]), None))
         yield pd.DataFrame(recs, columns=cols)
 
 

@@ -198,3 +198,24 @@ def test_backfill_partitions(spark, tmp_path_factory):
 
     backfill_partitions(fix, out)                            # idempotent
     assert spark.read.parquet(out).count() == 3
+
+
+def test_decode_dir_binaryfile(spark, tmp_path_factory):
+    """binaryFile-source batch decode matches the ref-based decode on the
+    same loose files (same schema, same row multiset)."""
+    from nasctn_sea_ingest_spark.sources.ingest import (
+        decode_dir,
+        decode_traces,
+        list_sigmf_refs,
+    )
+
+    d = str(tmp_path_factory.mktemp("loose"))
+    build_sweep_series(d, 4)
+    via_dir = decode_dir(spark, d)
+    via_refs = decode_traces(list_sigmf_refs(spark, d))
+    assert via_dir.schema == via_refs.schema
+    a = via_dir.where("error IS NULL") \
+        .select("table", "datetime", "frequency").collect()
+    b = via_refs.where("error IS NULL") \
+        .select("table", "datetime", "frequency").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
