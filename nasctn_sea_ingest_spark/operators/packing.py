@@ -21,7 +21,7 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-__all__ = ["assign_packs", "pack_stats"]
+__all__ = ["assign_packs", "pack_stats", "write_training_shards"]
 
 
 def assign_packs(df: DataFrame, token_col: str, seq_len: int,
@@ -49,3 +49,23 @@ def pack_stats(df: DataFrame, token_col: str, seq_len: int,
                  F.sum(token_col).cast("bigint").alias("n_tokens"),
                  F.min(first_order).alias("first_doc"),
                  F.max(first_order).alias("last_doc")))
+
+
+def write_training_shards(packed: DataFrame, out_dir: str,
+                          by: Sequence[str] = ("split", "lang"),
+                          order: Sequence[str] = ("pack_id", "pack_offset"),
+                          max_records_per_file: int = 100_000) -> None:
+    """Materialize the packed corpus as training shards: one directory per
+    ``split`` (so a trainer mounts only its split), files bounded at
+    ``max_records_per_file`` rows (shard count tracks corpus size, not
+    partition count), rows sorted by (pack_id, pack_offset) within files
+    so a sequential reader reassembles fixed-length sequences without a
+    sort. Deterministic given ``assign_packs`` output — re-running
+    overwrites byte-identical shards, which makes the sink resumable.
+    """
+    (packed.repartition(*by)
+           .sortWithinPartitions(*by, *order)
+           .write.mode("overwrite")
+           .option("maxRecordsPerFile", max_records_per_file)
+           .partitionBy(by[0])
+           .parquet(out_dir))

@@ -360,3 +360,38 @@ def test_quantize_embeddings_roundtrip(spark, emb, emb_np):
     want = _true_topk(ids, mat, q, 10)
     assert len(set(got) & set(want)) >= 8   # rank agreement
     assert got[0] == 7                       # self still wins
+
+
+def test_write_training_shards(spark, sf_dir, tmp_path_factory):
+    """Shard sink: per-split dirs, row-bounded files, in-file ordering by
+    (pack_id, pack_offset), nothing lost."""
+    import glob
+    import os
+
+    from nasctn_sea_ingest_spark.operators.packing import (
+        assign_packs,
+        write_training_shards,
+    )
+    from nasctn_sea_ingest_spark.operators.sampling import hash_split
+    from nasctn_sea_ingest_spark.plans.tables import load_table
+
+    out = str(tmp_path_factory.mktemp("shards")) + "/corpus"
+    d = load_table(spark, sf_dir, "documents")
+    split = hash_split(d, {"train": 0.8, "val": 0.2}, "doc_id")
+    with_tok = split.withColumn(
+        "n_tok", F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    packed = assign_packs(with_tok, "n_tok", 512,
+                          by=["split", "lang"], order=["doc_id"])
+    write_training_shards(packed, out, max_records_per_file=50)
+
+    back = spark.read.parquet(out)
+    assert back.count() == packed.count()
+    assert {os.path.basename(p) for p in glob.glob(out + "/split=*")} \
+        == {"split=train", "split=val"}
+    for f in glob.glob(out + "/split=*/*.parquet"):
+        pdf = spark.read.parquet(f).toPandas()
+        assert len(pdf) <= 50
+        for lang in pdf["lang"].unique():
+            sub = pdf[pdf["lang"] == lang]
+            key = list(zip(sub["pack_id"], sub["pack_offset"]))
+            assert key == sorted(key)
