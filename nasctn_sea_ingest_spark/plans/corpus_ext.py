@@ -686,3 +686,29 @@ def q76(spark, sf_dir):
     l2 = F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
     return (v.where(F.col("prev").isNotNull())
              .select("vec_id", "label", F.round(l2, 6).alias("l2_drift")))
+
+
+@_q("q77_ntile_nth",
+    "remaining ranking/navigation surface: ntile quartiles + nth_value "
+    "over a full-partition frame (completes the §2.5 window family with "
+    "q43/q49/q51/q75/q76)",
+    """
+    SELECT event_id, user_id,
+           ntile(4) OVER (PARTITION BY user_id
+                          ORDER BY value, event_id) AS quartile,
+           nth_value(event_id, 2) OVER
+             (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_event
+    FROM events
+    """)
+def q77(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    r = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wfull = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    return ev.select(
+        "event_id", "user_id",
+        F.ntile(4).over(r).alias("quartile"),
+        F.nth_value("event_id", 2).over(wfull).alias("second_event"))
