@@ -261,13 +261,26 @@ def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding",
     cosine ranking nearly unchanged. Adds ``q_scale`` FLOAT and ``qvec``
     ARRAY<TINYINT>; drop the float column at write time. Pure column
     expressions — quantization happens inside the scan, no shuffle."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
-    q = F.when(scale > 0, F.transform(
-        v, lambda x: F.round(x / scale).cast("tinyint"))) \
-        .otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
-    return emb.withColumn("q_scale", scale.cast("float")) \
-              .withColumn("qvec", q)
+    from ..functions import _let
+
+    # let-bind v and scale: an unbound ``scale`` reference inside the
+    # per-element round() lambda re-runs the array_max reduction once per
+    # ELEMENT (O(dim²) per row — see functions._let)
+    def body(v):
+        scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+        return _let(scale, lambda s: F.struct(
+            s.cast("float").alias("q_scale"),
+            F.when(s > 0,
+                   F.transform(v, lambda x: F.round(x / s).cast("tinyint")))
+             .otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+             .alias("qvec")))
+
+    packed = _let(F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                  body)
+    return emb.withColumn("__q", packed) \
+              .withColumn("q_scale", F.col("__q.q_scale")) \
+              .withColumn("qvec", F.col("__q.qvec")) \
+              .drop("__q")
 
 
 def dequantize_embeddings(df: DataFrame, out_col: str = "embedding_deq",
