@@ -99,8 +99,9 @@ def read_seamf_zipfile_as_sdf(spark: SparkSession, path: str,
                               batch_size: int = 64,
                               partition_func=None) -> dict[str, DataFrame]:
     """Lazy distributed read: dict of Spark DataFrames keyed per table
-    (``psd pvt pfp apd|apd_raw channel_metadata sweep_metadata``), the
-    direct analog of the reference's dict of Dask DataFrames.
+    (``psd pvt pfp apd|apd_raw channel_metadata sweep_metadata
+    sensor_metadata``), the direct analog of the reference's dict of Dask
+    DataFrames.
 
     One shared decode scan feeds every trace product (cached on first
     action); metadata tables ride the payload-skipping fast path.
@@ -144,4 +145,8 @@ def read_seamf_zipfile_as_sdf(spark: SparkSession, path: str,
         .where(F.col("error").isNull())
         .join(F.broadcast(quarantined), "source_file", "left_anti")
         .drop("error"))
+    # reference read_seamf returns a 7th product key sensor_metadata =
+    # {timezone} (seamf.py:231); it rides the sweep fast path here
+    out["sensor_metadata"] = out["sweep_metadata"].select(
+        "source_file", "timezone")
     return out

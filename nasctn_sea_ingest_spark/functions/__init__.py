@@ -225,9 +225,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     Implementation is the sorted-union window trick: one shuffle on
     (by, on), two running-window passes, no range-explosion — at scale this
     is a single sort-merge pass, vastly cheaper than a range join.
-    SCALE NOTE: with no ``by`` keys the windows are global (one task sorts
-    everything) — that is inherent to an unpartitioned as-of; always pass
-    ``by`` (sensor, frequency, ...) on large tables.
+
+    With no ``by`` keys a naive global window would sort everything in ONE
+    task; instead the unkeyed path range-partitions the union on ``on``
+    (``repartitionByRange`` — every partition holds a contiguous time slice),
+    runs the same running windows per range slice, then fixes the slice
+    boundaries with a tiny per-partition summary (last/first right row of
+    each slice, ≤ one row per partition) broadcast back: row counts per task
+    stay bounded at any input size, so the unkeyed as-of scales like the
+    keyed one (two shuffles instead of one).
     ``tolerance`` (same units as ``on``) nulls out matches farther than the
     bound. Output: all left columns + matched ``right_cols`` (default: all
     non-key right columns, suffixed on collision) + ``asof_dist``.
@@ -256,15 +262,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     # right rows sort before left rows at equal __t so a same-timestamp match
     # is seen as 'backward' at distance 0
     order = [F.col("__t"), F.col("__is_r").desc()]
-    wp = Window.partitionBy(*by).orderBy(*order) \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    wn = Window.partitionBy(*by).orderBy(*order) \
-        .rowsBetween(0, Window.unboundedFollowing)
     r_t = F.when(F.col("__is_r") == 1, F.col("__t"))
-    u = (u.withColumn("__pp", F.last("__p", ignorenulls=True).over(wp))
-          .withColumn("__pt", F.last(r_t, ignorenulls=True).over(wp))
-          .withColumn("__np", F.first("__p", ignorenulls=True).over(wn))
-          .withColumn("__nt", F.first(r_t, ignorenulls=True).over(wn)))
+    if by:
+        wp = Window.partitionBy(*by).orderBy(*order) \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        wn = Window.partitionBy(*by).orderBy(*order) \
+            .rowsBetween(0, Window.unboundedFollowing)
+        u = (u.withColumn("__pp", F.last("__p", ignorenulls=True).over(wp))
+              .withColumn("__pt", F.last(r_t, ignorenulls=True).over(wp))
+              .withColumn("__np", F.first("__p", ignorenulls=True).over(wn))
+              .withColumn("__nt", F.first(r_t, ignorenulls=True).over(wn)))
+    else:
+        u = _unkeyed_running(u, order, r_t)
     u = u.where(F.col("__is_r") == 0)
 
     t = F.col("__t")
@@ -286,6 +295,70 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     return u.select(*lcols,
                     *[F.col(f"__chosen.{o}").alias(o) for o in out_names],
                     "asof_dist")
+
+
+def _unkeyed_running(u: DataFrame, order, r_t) -> DataFrame:
+    """Running prev/next right-row columns for the unkeyed as-of, without a
+    single-task global sort.
+
+    1. Slice the timeline into contiguous ranges via in-plan
+       ``approx_percentile`` boundaries (broadcast 1-row frame).  The slice
+       id ``__pid`` is a *deterministic function of* ``__t`` — crucially NOT
+       ``repartitionByRange`` + ``spark_partition_id()``, whose boundary
+       sampling runs per physical exchange: the plan below branches three
+       ways (rows / per-slice summary / slice domain) and column pruning
+       makes the branches non-identical, defeating exchange reuse, so
+       sampled pids could disagree between branches.  A pure expression
+       cannot disagree.  Equal ``__t`` values always share a slice, so the
+       backward-at-distance-0 tie rule never straddles a boundary.
+    2. Per-slice running windows partitioned by ``__pid`` (one hash shuffle,
+       every task holds one bounded contiguous slice).
+    3. Boundary fix-up: one row per slice (last/first right row), window over
+       that tiny frame (≤ slice-count rows), broadcast-joined back;
+       ``coalesce`` fills the rows whose prev/next right neighbour lives in
+       another slice.
+    """
+    nb = max(2, int(u.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                            "200")))
+    probs = ", ".join(str((i + 1) / nb) for i in range(nb - 1))
+    bounds = u.agg(F.expr(
+        f"approx_percentile(cast(__t as double), array({probs}), 10000)"
+    ).alias("__bounds"))
+    u2 = (u.crossJoin(F.broadcast(bounds))
+           .withColumn("__pid", F.expr(
+               "aggregate(__bounds, 0, "
+               "(a, b) -> a + CASE WHEN cast(__t as double) >= b "
+               "THEN 1 ELSE 0 END)"))
+           .drop("__bounds"))
+    wp = Window.partitionBy("__pid").orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy("__pid").orderBy(*order) \
+        .rowsBetween(0, Window.unboundedFollowing)
+    u2 = (u2.withColumn("__pp", F.last("__p", ignorenulls=True).over(wp))
+            .withColumn("__pt", F.last(r_t, ignorenulls=True).over(wp))
+            .withColumn("__np", F.first("__p", ignorenulls=True).over(wn))
+            .withColumn("__nt", F.first(r_t, ignorenulls=True).over(wn)))
+    rb = (u2.where(F.col("__is_r") == 1)
+            .groupBy("__pid")
+            .agg(F.max_by("__p", "__t").alias("__lastp"),
+                 F.max("__t").alias("__lastt"),
+                 F.min_by("__p", "__t").alias("__firstp"),
+                 F.min("__t").alias("__firstt")))
+    pids = u2.select("__pid").distinct()
+    wprev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    wnext = Window.orderBy("__pid").rowsBetween(1, Window.unboundedFollowing)
+    bb = (pids.join(rb, "__pid", "left")
+              .select("__pid",
+                      F.last("__lastp", ignorenulls=True).over(wprev).alias("__bpp"),
+                      F.last("__lastt", ignorenulls=True).over(wprev).alias("__bpt"),
+                      F.first("__firstp", ignorenulls=True).over(wnext).alias("__bnp"),
+                      F.first("__firstt", ignorenulls=True).over(wnext).alias("__bnt")))
+    u2 = u2.join(F.broadcast(bb), "__pid")
+    return (u2.withColumn("__pp", F.coalesce("__pp", "__bpp"))
+              .withColumn("__pt", F.coalesce("__pt", "__bpt"))
+              .withColumn("__np", F.coalesce("__np", "__bnp"))
+              .withColumn("__nt", F.coalesce("__nt", "__bnt"))
+              .drop("__pid", "__bpp", "__bpt", "__bnp", "__bnt"))
 
 
 # --------------------------------------------------------------------------

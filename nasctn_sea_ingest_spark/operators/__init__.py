@@ -172,20 +172,21 @@ def roll_pfp(pfp: DataFrame, sync: DataFrame) -> DataFrame:
                .drop("shift"))
 
 
-def ul_dl_split(rolled_pfp: DataFrame) -> DataFrame:
+def ul_dl_split(rolled_pfp: DataFrame, trace_length: int | None = None
+                ) -> DataFrame:
     """DL/UL mean power per capture (D5): mask the rolled mean/rms trace
     with the frame_format's downlink mask, mean each side in linear power,
-    report dB. Masks enter as a broadcast-able literal lookup (J5)."""
+    report dB. Masks enter as a broadcast-able literal lookup (J5).
+
+    ``trace_length`` sizes the mask literals; it is a schema constant
+    (``schemas.TRACE_GEOMETRY["pfp"]``, identical across metadata versions),
+    used as the default so building the plan triggers NO Spark job — pass
+    it explicitly for non-standard geometries."""
+    from ..schemas import TRACE_GEOMETRY
+
     ref = rolled_pfp.where((F.col("capture_statistic") == "mean")
                            & (F.col("detector") == "rms"))
-    # per-config boolean mask literals sized to this table's trace length
-    length = ref.select(F.size("values").alias("n")).first()
-    if length is None:
-        return ref.select("datetime", "frequency",
-                          F.lit(None).cast("double").alias("dl_power_db"),
-                          F.lit(None).cast("double").alias("ul_power_db"),
-                          F.lit(None).cast("int").alias("frame_format"))
-    n = length["n"]
+    n = TRACE_GEOMETRY["pfp"][0] if trace_length is None else trace_length
     mask_lit = {cfg: F.array(*[F.lit(bool(b))
                                for b in make_3gpp_downlink_mask(n, cfg)])
                 for cfg in (1, 2)}

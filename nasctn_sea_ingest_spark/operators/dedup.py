@@ -46,7 +46,7 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
 
 
 def _gram_stream(df: DataFrame, text_col: str, id_col: str,
-                 n: int) -> DataFrame:
+                 n: int, spread: bool | None = None) -> DataFrame:
     """Exploded word n-gram stream (id, shingle), not deduplicated.
 
     Grams come from ``arrays_zip`` of ``n`` shifted slices of the token
@@ -57,14 +57,26 @@ def _gram_stream(df: DataFrame, text_col: str, id_col: str,
     gram measured. The zip-of-slices form references the token array once
     per slice per ROW, and everything after the explode is plain
     codegen'd column ops (~1 µs/gram, 10×+ on the dedup corpus queries).
-    The repartition spreads the explode across cores when the input is a
-    single small parquet file (its shuffle is one (id, tokens) row per
-    doc — trivial next to the downstream shingle shuffles).
+
+    ``spread``: repartition the (id, tokens) rows before exploding, to
+    spread the gram work across cores when the input is a single small
+    parquet file. Default ``None`` = automatic: only when the input has
+    fewer partitions than the cluster has slots (a big corpus already has
+    plenty of input splits, and an unconditional repartition would shuffle
+    the token arrays — ~corpus size — for nothing); the partition count
+    follows ``spark.sql.shuffle.partitions`` so AQE/cluster config governs
+    it. Pass ``False`` to guarantee a map-side pipeline (decontamination's
+    broadcast path does).
     """
     w = F.split(F.trim(F.col(text_col)), r"\s+")
-    toks = (df.select(F.col(id_col).alias("id"), w.alias("w"))
-              .repartition(df.sparkSession.sparkContext.defaultParallelism,
-                           "id"))
+    toks = df.select(F.col(id_col).alias("id"), w.alias("w"))
+    sess = df.sparkSession
+    if spread is None:
+        spread = (df.rdd.getNumPartitions()
+                  < sess.sparkContext.defaultParallelism)
+    if spread:
+        nparts = int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
+        toks = toks.repartition(nparts, "id")
     n_grams = F.greatest(F.size("w") - (n - 1), F.lit(0))
     z = F.arrays_zip(*[F.slice("w", j + 1, n_grams) for j in range(n)])
     gram = F.concat_ws(" ", *[F.col(f"s.{j}") for j in range(n)])
@@ -73,9 +85,9 @@ def _gram_stream(df: DataFrame, text_col: str, id_col: str,
 
 
 def shingle(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            n: int = 3) -> DataFrame:
+            n: int = 3, spread: bool | None = None) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle)."""
-    return _gram_stream(df, text_col, id_col, n).distinct()
+    return _gram_stream(df, text_col, id_col, n, spread=spread).distinct()
 
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text",

@@ -54,18 +54,29 @@ def pack_stats(df: DataFrame, token_col: str, seq_len: int,
 def write_training_shards(packed: DataFrame, out_dir: str,
                           by: Sequence[str] = ("split", "lang"),
                           order: Sequence[str] = ("pack_id", "pack_offset"),
+                          split_col: str = "split",
                           max_records_per_file: int = 100_000) -> None:
     """Materialize the packed corpus as training shards: one directory per
-    ``split`` (so a trainer mounts only its split), files bounded at
-    ``max_records_per_file`` rows (shard count tracks corpus size, not
+    ``split_col`` value (so a trainer mounts only its split), files bounded
+    at ``max_records_per_file`` rows (shard count tracks corpus size, not
     partition count), rows sorted by (pack_id, pack_offset) within files
     so a sequential reader reassembles fixed-length sequences without a
     sort. Deterministic given ``assign_packs`` output — re-running
     overwrites byte-identical shards, which makes the sink resumable.
+
+    ``split_col`` must be one of the ``by`` stream keys: the directory
+    layout only isolates splits if the repartition co-locates them.
     """
+    by = list(by)
+    if split_col not in by:
+        raise ValueError(
+            f"split_col {split_col!r} must be one of the stream keys {by} "
+            f"(partitionBy only isolates splits the repartition co-locates)")
+    if split_col not in packed.columns:
+        raise ValueError(f"split_col {split_col!r} not in {packed.columns}")
     (packed.repartition(*by)
            .sortWithinPartitions(*by, *order)
            .write.mode("overwrite")
            .option("maxRecordsPerFile", max_records_per_file)
-           .partitionBy(by[0])
+           .partitionBy(split_col)
            .parquet(out_dir))

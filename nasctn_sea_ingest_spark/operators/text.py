@@ -177,8 +177,11 @@ def contamination(train: DataFrame, eval_df: DataFrame,
     """
     from .dedup import shingle
 
-    tr = shingle(train, text_col, id_col, n)
-    ev = shingle(eval_df, text_col, id_col, n).select("shingle").distinct()
+    # spread=False: the broadcast path is map-side over the train corpus's
+    # own input splits; a repartition here would shuffle every token array
+    tr = shingle(train, text_col, id_col, n, spread=False)
+    ev = (shingle(eval_df, text_col, id_col, n, spread=False)
+          .select("shingle").distinct())
     if broadcast_eval:
         ev = F.broadcast(ev)
     return (tr.join(ev, "shingle")

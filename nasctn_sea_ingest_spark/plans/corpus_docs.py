@@ -123,11 +123,11 @@ def q23(spark, sf_dir):
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT d1, d2,
-           round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard
+           round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
     FROM pairs
     JOIN sizes s1 ON s1.doc_id = d1
     JOIN sizes s2 ON s2.doc_id = d2
-    WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5
+    WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.5
     """)
 def q24(spark, sf_dir):
     register_tables(spark, sf_dir, ["documents"])
@@ -139,11 +139,11 @@ def q24(spark, sf_dir):
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT d1, d2,
-           round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard
+           round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
     FROM pairs
     JOIN sizes s1 ON s1.doc_id = d1
     JOIN sizes s2 ON s2.doc_id = d2
-    WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5
+    WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.5
     """)
 
 

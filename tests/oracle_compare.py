@@ -7,7 +7,6 @@ Sorts columns by name, compares row count, then compares the multiset of rows
 from __future__ import annotations
 
 import math
-from decimal import Decimal
 
 import duckdb
 
@@ -26,8 +25,6 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
-    if isinstance(v, Decimal):
-        return float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -40,8 +37,23 @@ def _key(row):
 
 
 def compare(spark_df, con, sql: str) -> list[str]:
-    """Returns a list of mismatch descriptions (empty = match)."""
+    """Returns a list of mismatch descriptions (empty = match).
+
+    A Decimal-typed Spark output column is an immediate failure: the driver's
+    value hash stringifies without float coercion, so decimal arithmetic that
+    silently rounds differently from DuckDB's DOUBLE (the q24 round-1 bug)
+    must fail locally too.  Corpus rules require casting to DOUBLE before any
+    division/round that reaches the output.
+    """
     problems = []
+    from pyspark.sql.types import DecimalType
+    for f in spark_df.schema.fields:
+        if isinstance(f.dataType, DecimalType):
+            problems.append(
+                f"Decimal-typed output column {f.name!r}: cast to DOUBLE in the "
+                f"query (decimal rounding diverges from DuckDB DOUBLE)")
+    if problems:
+        return problems
     sdf = spark_df.toPandas()
     odf = con.execute(sql).df()
     scols, ocols = sorted(sdf.columns), sorted(odf.columns)

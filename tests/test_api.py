@@ -32,9 +32,13 @@ def zpath(tmp_path_factory):
 def test_zipfile_as_sdf(spark, zpath):
     sdfs = api.read_seamf_zipfile_as_sdf(spark, zpath)
     assert {"psd", "pvt", "pfp", "apd", "channel_metadata",
-            "sweep_metadata"} <= set(sdfs)
+            "sweep_metadata", "sensor_metadata"} <= set(sdfs)
     assert sdfs["psd"].count() == 4 * 3 * 2
     assert sdfs["sweep_metadata"].count() == 4
+    # reference product-key parity: sensor_metadata = {timezone} per file
+    sm = sdfs["sensor_metadata"].toPandas()
+    assert list(sm.columns) == ["source_file", "timezone"]
+    assert len(sm) == 4
     # trace() helper composes with the dict shape, like the reference
     one = trace(sdfs, "pfp", capture_statistic="mean", detector="rms")
     assert one.count() == 4 * 3
@@ -64,6 +68,16 @@ def test_as_wide_reference_shape():
     assert pfp.shape == (102, 560)
     assert list(pfp.index.names) == ["datetime", "frequency",
                                      "capture_statistic", "detector"]
+
+
+def test_read_seamf_sensor_metadata_key():
+    """7-key product parity with reference read_seamf (seamf.py:231):
+    sensor_metadata = {timezone}, also present in arrays tier."""
+    for unpack in ("frames", "arrays"):
+        out = api.read_seamf(GOLDEN_V6, unpack=unpack)
+        sm = out["sensor_metadata"]
+        assert sm["timezone"].iloc[0] == \
+            out["sweep_metadata"]["timezone"].iloc[0]
 
 
 def test_read_seamf_unpack_tiers():

@@ -341,6 +341,38 @@ def test_llm_corpus_pipeline_end_to_end(spark, sf_dir):
     assert not any("@" in r.text and "[EMAIL]" not in r.text
                    and "@example.com" in r.text for r in rows)
 
+    # counts=False: lazy mode — empty manifest, no persists, same rows
+    p2, m3 = llm_corpus_pipeline(spark, sf_dir, seq_len=512, counts=False)
+    assert m3 == {}
+    assert p2.count() == manifest["packed"]
+
+
+def test_llm_corpus_pipeline_releases_caches(spark, sf_dir, monkeypatch):
+    """Every intermediate the pipeline persists must be unpersisted before
+    it returns (round-1 leaked the split frame when its handle was
+    overwritten by the anti-join); only the returned, already-materialized
+    frame may stay cached."""
+    # patch the concrete class (pyspark.sql.DataFrame is the abstract base
+    # in Spark 4; sessions hand out classic.dataframe.DataFrame)
+    from pyspark.sql.classic.dataframe import DataFrame
+    from nasctn_sea_ingest_spark.plans.pipeline import llm_corpus_pipeline
+
+    pinned = []
+    orig = DataFrame.persist
+
+    def recording_persist(self, *a, **k):
+        out = orig(self, *a, **k)
+        pinned.append(out)
+        return out
+
+    monkeypatch.setattr(DataFrame, "persist", recording_persist)
+    packed, manifest = llm_corpus_pipeline(spark, sf_dir, seq_len=512)
+    assert len(pinned) >= 3  # exact, near, split, packed
+    cached = [df for df in pinned
+              if df.storageLevel.useMemory or df.storageLevel.useDisk]
+    assert [id(df) for df in cached] == [id(packed)]
+    packed.unpersist()
+
 
 def test_quantize_embeddings_roundtrip(spark, emb, emb_np):
     """int8 round-trip error ≤ scale/2 per element; top-k over dequantized

@@ -121,7 +121,14 @@ def test_roll_and_uldl_split(spark):
         mask = make_3gpp_downlink_mask(len(r.values), r.frame_format)
         x = np.array(r.values)
         assert x[mask].mean() > x[~mask].mean() + 15  # DL ≈ 0 dB, UL ≈ −20 dB
-    split = ul_dl_split(rolled).collect()
+    # plan construction must trigger NO Spark job (the mask length is a
+    # schema constant, not something the operator should probe with .first())
+    sc = spark.sparkContext
+    sc.setJobGroup("uldl-plan", "plan-only")
+    split_df = ul_dl_split(rolled, trace_length=56)
+    assert list(sc.statusTracker().getJobIdsForGroup("uldl-plan")) == []
+    sc.setJobGroup("uldl-exec", "exec")
+    split = split_df.collect()
     assert len(split) == 2
     for r in split:
         assert r.dl_power_db == pytest.approx(0.0, abs=0.5)

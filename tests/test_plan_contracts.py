@@ -95,6 +95,21 @@ def test_asof_join_single_shuffle_per_side(spark, sf):
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p
 
 
+def test_unkeyed_asof_no_global_sort(spark, sf):
+    """The unkeyed as-of (q11/q35) must NOT run its running windows in one
+    global task: the bulk windows are partitioned by the percentile slice id
+    __pid, and the only SinglePartition exchange allowed is the tiny
+    per-slice boundary summary (≤ slice-count rows)."""
+    for name in ("q11_asof_nearest", "q35_asof_backward"):
+        p = _plan(_q(name).spark(spark, sf))
+        assert "hashpartitioning(__pid" in p, name
+        # every bulk running window (the ones ordering by __is_r) must be
+        # partitioned by the slice id, never a global (unpartitioned) window
+        for ln in p.splitlines():
+            if "windowspecdefinition(" in ln and "__is_r" in ln:
+                assert "__pid" in ln.split("windowspecdefinition(")[1], (name, ln)
+
+
 def test_minhash_no_global_sort(spark, sf):
     """q25's shingle ids are scalar md5 expressions: the plan must contain
     no single-partition global sort (the row_number-over-vocabulary shape

@@ -36,7 +36,8 @@ def all_versions():
 
 def test_tables_per_version(all_versions):
     for v, out in all_versions.items():
-        base = {"psd", "pvt", "pfp", "channel_metadata", "sweep_metadata"}
+        base = {"psd", "pvt", "pfp", "channel_metadata", "sweep_metadata",
+                "sensor_metadata"}
         # v1-v3: variable-length APD pair (apd_raw); v4+: tabular apd
         expected = base | ({"apd_raw"} if v <= 3 else {"apd"})
         assert set(out) == expected, f"v{v}"
