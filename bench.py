@@ -92,6 +92,28 @@ def main() -> None:
         print(f"# sigmf decode single-core: {len(blobs) / core_dt:.0f} "
               f"files/s/core (reference eager loop: 81)", file=sys.stderr)
 
+        # golden-file frames tier: the EXACT file mix BASELINE.md's
+        # "+ unpack to pd.DataFrame: 7.64-7.96 ms/file (~125-131 files/s)"
+        # row was measured on (demos/read_seamf.ipynb cell 7) — the only
+        # decode number directly comparable to the reference's, since the
+        # synthetic bench mix above has ~30% heavier lzma payloads
+        import io as _io
+        gold = [open(f"/root/reference/demos/data/example_v{v}.sigmf",
+                     "rb").read() for v in range(1, 7)]
+        gtz = ["America/Denver"] * 3 + [None] * 3
+        g_dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _r in range(10):
+                for raw, tz in zip(gold, gtz):
+                    decode_sigmf(_io.BytesIO(raw), tz=tz, source="bench")
+            g_dt = min(g_dt, time.perf_counter() - t0)
+        n_gold = 10 * len(gold)
+        timings["x_sigmf_decode_golden_files_per_sec"] = \
+            round(n_gold / g_dt, 1)
+        print(f"# sigmf decode golden files: {n_gold / g_dt:.0f} files/s "
+              f"(reference same files: 125-131)", file=sys.stderr)
+
         # records tier: what the distributed ingest path actually runs per
         # file (no per-file pandas frames; one Arrow batch per task)
         from nasctn_sea_ingest_spark.sources.sigmf import \

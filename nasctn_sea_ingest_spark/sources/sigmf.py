@@ -545,9 +545,7 @@ def _split_traces(plan, flat: np.ndarray) -> dict[str, list]:
     """
     offsets = [t[0] for t in plan.traces]
     bounds = offsets[1:] + [len(flat)]
-    cap_rows = sorted(
-        ((row["datetime"], freq) for freq, row in plan.channel_meta.items()),
-        key=lambda x: x[0])
+    cap_rows = _capture_order(plan)
     n_caps = len(plan.channel_meta)
     per_cap = len(plan.traces) // n_caps if n_caps else 0
 
@@ -560,6 +558,15 @@ def _split_traces(plan, flat: np.ndarray) -> dict[str, list]:
         recs[table].append((dt, freq, stat, det, kind, flat[off:end],
                             x_start, x_step))
     return recs
+
+
+def _capture_order(plan) -> list:
+    """(datetime, frequency) per capture, in the same sorted order
+    ``_split_traces`` assigns rows — each table's rows are this sequence
+    repeated blockwise (k identical-layout traces per capture)."""
+    return sorted(((row["datetime"], freq)
+                   for freq, row in plan.channel_meta.items()),
+                  key=lambda x: x[0])
 
 
 def decode_sigmf_trace_records(file, tz: str | None = None,
@@ -655,6 +662,10 @@ def decode_sigmf(file, tz: str | None = None, hash_check: bool = True,
     # profile; the lzma call is the only bigger cost and is irreducible)
     _FIELD_IDX = {"datetime": 0, "frequency": 1, "capture_statistic": 2,
                   "detector": 3, "kind": 4}
+    cap_rows = _capture_order(plan)
+    n_caps = len(cap_rows)
+    base_dt = pd.DatetimeIndex([d for d, _ in cap_rows]) if n_caps else None
+    base_freq = np.asarray([f for _, f in cap_rows], dtype=np.float64)
     for table, rows in recs.items():
         if not rows:
             continue
@@ -667,21 +678,34 @@ def decode_sigmf(file, tz: str | None = None, hash_check: bool = True,
             keep.append("kind")
         n_rows = len(rows)
         data: dict = {}
-        for c in keep:
-            vals = [r[_FIELD_IDX[c]] for r in rows]
-            # hand pandas ready-typed arrays: per-cell inference over plain
-            # lists (maybe_infer_to_datetimelike etc.) was ~40% of the
-            # frames tier in profile, on top of the irreducible lzma cost
-            if c == "datetime":
-                data[c] = pd.DatetimeIndex(vals)
-            elif c == "frequency":
-                data[c] = np.asarray(vals, dtype=np.float64)
-            else:
-                data[c] = _obj_array(vals)
+        # hand pandas ready-typed arrays: per-cell inference over plain
+        # lists (maybe_infer_to_datetimelike etc.) was ~40% of the frames
+        # tier in profile, on top of the irreducible lzma cost.  Rows are
+        # capture-grouped blocks of identical layout (k traces per capture,
+        # _split_traces contract), so key columns build as repeat/tile of
+        # the per-capture constants instead of per-row conversions —
+        # cell-for-cell parity is pinned by test_values_match_reference_dump.
+        k = n_rows // n_caps if n_caps else 0
+        if k and n_rows == k * n_caps:
+            data["datetime"] = base_dt.repeat(k)
+            data["frequency"] = np.repeat(base_freq, k)
+            for c in keep[2:]:
+                data[c] = np.tile(
+                    _obj_array([rows[j][_FIELD_IDX[c]] for j in range(k)]),
+                    n_caps)
+        else:
+            for c in keep:
+                vals = [r[_FIELD_IDX[c]] for r in rows]
+                if c == "datetime":
+                    data[c] = pd.DatetimeIndex(vals)
+                elif c == "frequency":
+                    data[c] = np.asarray(vals, dtype=np.float64)
+                else:
+                    data[c] = _obj_array(vals)
         data["values"] = _obj_array([r[5] for r in rows])
         data["x_start"] = np.full(n_rows, rows[0][6])
         data["x_step"] = np.full(n_rows, rows[0][7])
-        out[table] = pd.DataFrame(data, copy=False)
+        out[table] = _typed_frame(data, n_rows)
 
     out["channel_metadata"] = _frame_from_dicts(
         sorted(plan.channel_meta.values(), key=lambda d: d["datetime"]),
@@ -690,13 +714,13 @@ def decode_sigmf(file, tz: str | None = None, hash_check: bool = True,
     sweep = dict(plan.sweep_meta)
     sweep["timezone"] = plan.timezone
     sweep["source_file"] = source
-    out["sweep_metadata"] = pd.DataFrame({k: [v] for k, v in sweep.items()},
-                                         copy=False)
+    out["sweep_metadata"] = _frame_from_dicts([sweep])
     # 7th product key, reference parity: seamf.py:231,331 returns
     # sensor_metadata={timezone}; timezone is ALSO kept on sweep_metadata
     # (documented superset divergence — it joins naturally there)
-    out["sensor_metadata"] = pd.DataFrame(
-        {"timezone": [plan.timezone], "source_file": [source]}, copy=False)
+    out["sensor_metadata"] = _typed_frame(
+        {"timezone": _obj_array([plan.timezone]),
+         "source_file": _obj_array([source])}, 1)
     return out
 
 
@@ -705,6 +729,67 @@ def _obj_array(vals: list) -> "np.ndarray":
     a = np.empty(len(vals), dtype=object)
     a[:] = vals
     return a
+
+
+try:  # pandas ≥2 internals fast path; any signature drift falls back
+    from pandas.core.internals.managers import (
+        create_block_manager_from_column_arrays as _pd_cbm)
+except Exception:  # pragma: no cover
+    _pd_cbm = None
+
+
+def _typed_frame(data: dict, n_rows: int) -> "pd.DataFrame":
+    """Frame from ready-typed column arrays, skipping the public
+    constructor's per-column sanitize/homogenize (~half the cost of each
+    frame at decode rates; the values are bit-identical either way —
+    pinned by test_values_match_reference_dump).  Falls back to the plain
+    constructor on any pandas-internals mismatch."""
+    if _pd_cbm is not None:
+        try:
+            arrays = [v._data if isinstance(v, pd.DatetimeIndex) else v
+                      for v in data.values()]
+            mgr = _pd_cbm(arrays, [pd.Index(list(data)), pd.RangeIndex(n_rows)],
+                          consolidate=False, refs=[None] * len(arrays))
+            return pd.DataFrame._from_mgr(mgr, axes=mgr.axes)
+        except Exception:  # pragma: no cover
+            pass
+    return pd.DataFrame(data, copy=False)
+
+
+def _infer_array(vals: list):
+    """Typed array from a scalar list, mirroring pandas' inference for the
+    value universe that occurs in sigmf metadata (json scalars, Timestamps,
+    array-valued extras): all-bool → bool, all-int → int64, numeric with
+    None → float64/NaN, datetimes → DatetimeIndex, anything else → object.
+    Keeps frame dtypes identical to the plain constructor (asserted by
+    test_metadata_frame_dtypes_match_plain_constructor) at a fraction of
+    its per-column sanitize cost."""
+    if all(v is None for v in vals):
+        return _obj_array(vals)
+    if all(isinstance(v, (bool, np.bool_)) for v in vals):
+        return np.asarray(vals, dtype=bool)
+    numeric = True
+    has_none = has_float = False
+    for v in vals:
+        if v is None:
+            has_none = True
+        elif isinstance(v, (bool, np.bool_)):
+            numeric = False
+            break
+        elif isinstance(v, (float, np.floating)):
+            has_float = True
+        elif not isinstance(v, (int, np.integer)):
+            numeric = False
+            break
+    if numeric:
+        if has_none or has_float:
+            return np.asarray([np.nan if v is None else float(v)
+                               for v in vals], dtype=np.float64)
+        return np.asarray(vals, dtype=np.int64)
+    if all(v is None or isinstance(v, (pd.Timestamp, np.datetime64))
+           for v in vals):
+        return pd.DatetimeIndex(vals)
+    return _obj_array(vals)
 
 
 def _frame_from_dicts(dicts, front=()) -> "pd.DataFrame":
@@ -725,5 +810,5 @@ def _frame_from_dicts(dicts, front=()) -> "pd.DataFrame":
         if k in ("datetime", "cal_datetime"):
             data[k] = pd.DatetimeIndex(vals)
         else:
-            data[k] = vals
-    return pd.DataFrame(data, copy=False)
+            data[k] = _infer_array(vals)
+    return _typed_frame(data, len(dicts))
