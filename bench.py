@@ -32,6 +32,11 @@ def main() -> None:
     # warm the JVM/codegen paths once on the smallest data so per-query times
     # measure execution, not first-call JIT
     CORPUS[0].spark(spark, "/root/testdata/sf0.001").count()
+    # ...and the Python worker pool (fork + pandas/pyarrow import per
+    # executor thread): the first mapInPandas query otherwise pays ~2 s of
+    # interpreter startup that isn't that query's cost
+    spark.range(cpus * 4).repartition(cpus).mapInPandas(
+        lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -305,11 +305,11 @@ def _unkeyed_running(u: DataFrame, order, r_t) -> DataFrame:
        ``approx_percentile`` boundaries (broadcast 1-row frame).  The slice
        id ``__pid`` is a *deterministic function of* ``__t`` — crucially NOT
        ``repartitionByRange`` + ``spark_partition_id()``, whose boundary
-       sampling runs per physical exchange: the plan below branches three
-       ways (rows / per-slice summary / slice domain) and column pruning
-       makes the branches non-identical, defeating exchange reuse, so
-       sampled pids could disagree between branches.  A pure expression
-       cannot disagree.  Equal ``__t`` values always share a slice, so the
+       sampling runs per physical exchange: the plan below branches two
+       ways (rows / per-slice summary) and column pruning makes the
+       branches non-identical, defeating exchange reuse, so sampled pids
+       could disagree between branches.  A pure expression cannot
+       disagree.  Equal ``__t`` values always share a slice, so the
        backward-at-distance-0 tie rule never straddles a boundary.
     2. Per-slice running windows partitioned by ``__pid`` (one hash shuffle,
        every task holds one bounded contiguous slice).
@@ -334,17 +334,25 @@ def _unkeyed_running(u: DataFrame, order, r_t) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     wn = Window.partitionBy("__pid").orderBy(*order) \
         .rowsBetween(0, Window.unboundedFollowing)
-    u2 = (u2.withColumn("__pp", F.last("__p", ignorenulls=True).over(wp))
-            .withColumn("__pt", F.last(r_t, ignorenulls=True).over(wp))
-            .withColumn("__np", F.first("__p", ignorenulls=True).over(wn))
-            .withColumn("__nt", F.first(r_t, ignorenulls=True).over(wn)))
+    # per-slice right-row summary from the PRE-window frame (the agg needs
+    # only __pid/__p/__t, so hanging it off the windowed frame would just
+    # lean on Catalyst to prune the window — express the cheap branch
+    # directly instead)
     rb = (u2.where(F.col("__is_r") == 1)
             .groupBy("__pid")
             .agg(F.max_by("__p", "__t").alias("__lastp"),
                  F.max("__t").alias("__lastt"),
                  F.min_by("__p", "__t").alias("__firstp"),
                  F.min("__t").alias("__firstt")))
-    pids = u2.select("__pid").distinct()
+    u2 = (u2.withColumn("__pp", F.last("__p", ignorenulls=True).over(wp))
+            .withColumn("__pt", F.last(r_t, ignorenulls=True).over(wp))
+            .withColumn("__np", F.first("__p", ignorenulls=True).over(wn))
+            .withColumn("__nt", F.first(r_t, ignorenulls=True).over(wn)))
+    # __pid = count of bounds <= __t is 0..nb-1 by construction, so the
+    # slice domain is a local range — NOT a distinct() over the data, which
+    # would rescan the whole union a third time just to enumerate 0..nb-1
+    pids = (u.sparkSession.range(nb)
+            .select(F.col("id").cast("int").alias("__pid")))
     wprev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     wnext = Window.orderBy("__pid").rowsBetween(1, Window.unboundedFollowing)
     bb = (pids.join(rb, "__pid", "left")
