@@ -521,7 +521,19 @@ def _plan_for(meta: dict, tz: str | None) -> _Plan:
 # --------------------------------------------------------------------------
 
 def _read_tar(file) -> tuple[dict, bytes]:
+    """Extract the two sigmf members (.sigmf-meta JSON + .sigmf-data blob).
+
+    Hot path is a direct ustar header walk over in-memory bytes — a
+    ``.sigmf`` is a plain 2-member POSIX tar, and the ``tarfile`` module's
+    generality (sparse members, pax global headers, symlink resolution)
+    costs ~0.3 ms/file, a visible slice of decode once lzma is excluded.
+    Any header this walker doesn't recognize falls back to ``tarfile``."""
+    if isinstance(file, io.BytesIO):
+        file = file.getvalue()
     if isinstance(file, (bytes, bytearray)):
+        got = _walk_ustar(bytes(file))
+        if got is not None:
+            return got
         file = io.BytesIO(file)
     kws = {"name": file} if isinstance(file, str) else {"fileobj": file}
     with tarfile.TarFile(**kws) as tar:
@@ -533,6 +545,66 @@ def _read_tar(file) -> tuple[dict, bytes]:
         meta = json.loads(tar.extractfile(meta_name[0]).read())
         lzma_blob = tar.extractfile(data_name[0]).read()
     return meta, lzma_blob
+
+
+def _walk_ustar(buf: bytes) -> tuple[dict, bytes] | None:
+    """ustar/pax member walk covering the shapes sigmf writers emit:
+    regular files, directories, pax extended headers (``x``, per-member
+    ``path``/``size`` overrides) and GNU long names (``L``).  Anything else
+    (global pax, sparse, links) returns None so the caller falls back to
+    ``tarfile``."""
+    meta = blob = None
+    pos = 0
+    next_name = next_size = None  # pax/L overrides for the next member
+    try:
+        while pos + 512 <= len(buf):
+            hdr = buf[pos:pos + 512]
+            if hdr[:1] == b"\0":  # end-of-archive zero block
+                break
+            size_field = hdr[124:136].split(b"\0", 1)[0].strip()
+            size = int(size_field, 8) if size_field else 0
+            data_end = pos + 512 + size
+            typeflag = hdr[156:157]
+            if typeflag in (b"0", b"\0"):
+                name = next_name if next_name is not None \
+                    else hdr[:100].split(b"\0", 1)[0]
+                if next_size is not None:
+                    size = next_size
+                    data_end = pos + 512 + size
+                data = buf[pos + 512:data_end]
+                if len(data) != size:
+                    return None
+                if name.endswith(b".sigmf-meta"):
+                    if meta is not None:  # duplicates → tarfile path raises
+                        return None
+                    meta = data
+                elif name.endswith(b".sigmf-data"):
+                    if blob is not None:
+                        return None
+                    blob = data
+                next_name = next_size = None
+            elif typeflag == b"x":  # pax extended header: "len key=value\n"
+                rec = buf[pos + 512:data_end]
+                while rec:
+                    sp = rec.index(b" ")
+                    rlen = int(rec[:sp])
+                    kv = rec[sp + 1:rlen - 1]  # strip trailing \n
+                    key, _, val = kv.partition(b"=")
+                    if key == b"path":
+                        next_name = val
+                    elif key == b"size":
+                        next_size = int(val)
+                    rec = rec[rlen:]
+            elif typeflag == b"L":  # GNU long name
+                next_name = buf[pos + 512:data_end].rstrip(b"\0")
+            elif typeflag != b"5":  # directories carry no payload; skip
+                return None
+            pos += 512 + ((size + 511) // 512) * 512
+    except (ValueError, IndexError):
+        return None
+    if meta is None or blob is None:
+        return None
+    return json.loads(meta), blob
 
 
 def _split_traces(plan, flat: np.ndarray) -> dict[str, list]:
@@ -664,7 +736,7 @@ def decode_sigmf(file, tz: str | None = None, hash_check: bool = True,
                   "detector": 3, "kind": 4}
     cap_rows = _capture_order(plan)
     n_caps = len(cap_rows)
-    base_dt = pd.DatetimeIndex([d for d, _ in cap_rows]) if n_caps else None
+    base_dt = _fast_dtindex([d for d, _ in cap_rows]) if n_caps else None
     base_freq = np.asarray([f for _, f in cap_rows], dtype=np.float64)
     for table, rows in recs.items():
         if not rows:
@@ -697,7 +769,7 @@ def decode_sigmf(file, tz: str | None = None, hash_check: bool = True,
             for c in keep:
                 vals = [r[_FIELD_IDX[c]] for r in rows]
                 if c == "datetime":
-                    data[c] = pd.DatetimeIndex(vals)
+                    data[c] = _fast_dtindex(vals)
                 elif c == "frequency":
                     data[c] = np.asarray(vals, dtype=np.float64)
                 else:
@@ -731,6 +803,30 @@ def _obj_array(vals: list) -> "np.ndarray":
     return a
 
 
+_NAT_I8 = np.datetime64("NaT").astype("int64")
+
+
+def _fast_dtindex(vals: list) -> "pd.DatetimeIndex":
+    """DatetimeIndex from a list of same-tz ``pd.Timestamp`` (or None) via
+    the int64 epoch values — skips pandas' per-element sequence inference,
+    which showed up in the decode profile (one index per metadata table per
+    file).  Mixed tz / non-Timestamp input falls back to the public
+    constructor; equality with it is pinned by the decode parity tests."""
+    try:
+        tzs = {v.tz for v in vals if v is not None}
+    except AttributeError:  # not all Timestamps
+        return pd.DatetimeIndex(vals)
+    if len(tzs) > 1:
+        return pd.DatetimeIndex(vals)
+    i8 = np.fromiter(
+        (v.value if v is not None else _NAT_I8 for v in vals),
+        dtype=np.int64, count=len(vals))
+    idx = pd.DatetimeIndex(i8.view("M8[ns]"))
+    if tzs and (tz := next(iter(tzs))) is not None:
+        idx = idx.tz_localize("UTC").tz_convert(tz)
+    return idx
+
+
 try:  # pandas ≥2 internals fast path; any signature drift falls back
     from pandas.core.internals.managers import (
         create_block_manager_from_column_arrays as _pd_cbm)
@@ -738,17 +834,29 @@ except Exception:  # pragma: no cover
     _pd_cbm = None
 
 
+_COL_INDEX_MEMO: dict[tuple, "pd.Index"] = {}
+
+
 def _typed_frame(data: dict, n_rows: int) -> "pd.DataFrame":
     """Frame from ready-typed column arrays, skipping the public
     constructor's per-column sanitize/homogenize (~half the cost of each
     frame at decode rates; the values are bit-identical either way —
     pinned by test_values_match_reference_dump).  Falls back to the plain
-    constructor on any pandas-internals mismatch."""
+    constructor on any pandas-internals mismatch.
+
+    The column Index is memoized: a decode stream re-creates the same
+    handful of column tuples for every file, and ``pd.Index.__new__`` was
+    a visible slice of the frames-tier profile.  (Indexes are immutable,
+    so sharing one across frames is safe.)"""
     if _pd_cbm is not None:
         try:
             arrays = [v._data if isinstance(v, pd.DatetimeIndex) else v
                       for v in data.values()]
-            mgr = _pd_cbm(arrays, [pd.Index(list(data)), pd.RangeIndex(n_rows)],
+            names = tuple(data)
+            cols = _COL_INDEX_MEMO.get(names)
+            if cols is None:
+                cols = _COL_INDEX_MEMO.setdefault(names, pd.Index(names))
+            mgr = _pd_cbm(arrays, [cols, pd.RangeIndex(n_rows)],
                           consolidate=False, refs=[None] * len(arrays))
             return pd.DataFrame._from_mgr(mgr, axes=mgr.axes)
         except Exception:  # pragma: no cover
@@ -788,7 +896,7 @@ def _infer_array(vals: list):
         return np.asarray(vals, dtype=np.int64)
     if all(v is None or isinstance(v, (pd.Timestamp, np.datetime64))
            for v in vals):
-        return pd.DatetimeIndex(vals)
+        return _fast_dtindex(vals)
     return _obj_array(vals)
 
 
@@ -808,7 +916,7 @@ def _frame_from_dicts(dicts, front=()) -> "pd.DataFrame":
     for k in cols:
         vals = [d.get(k) for d in dicts]
         if k in ("datetime", "cal_datetime"):
-            data[k] = pd.DatetimeIndex(vals)
+            data[k] = _fast_dtindex(vals)
         else:
             data[k] = _infer_array(vals)
     return _typed_frame(data, len(dicts))
