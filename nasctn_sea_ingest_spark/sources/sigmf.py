@@ -529,7 +529,11 @@ def _read_tar(file) -> tuple[dict, bytes]:
     costs ~0.3 ms/file, a visible slice of decode once lzma is excluded.
     Any header this walker doesn't recognize falls back to ``tarfile``."""
     if isinstance(file, io.BytesIO):
-        file = file.getvalue()
+        # Honor the stream position like tarfile would (a caller handing us
+        # an unseeked just-written buffer should still see a tar error, not
+        # a silent whole-buffer decode).
+        at = file.tell()
+        file = file.getvalue() if at == 0 else file.getvalue()[at:]
     if isinstance(file, (bytes, bytearray)):
         got = _walk_ustar(bytes(file))
         if got is not None:
@@ -588,6 +592,8 @@ def _walk_ustar(buf: bytes) -> tuple[dict, bytes] | None:
                 while rec:
                     sp = rec.index(b" ")
                     rlen = int(rec[:sp])
+                    if rlen <= sp:  # malformed (e.g. "0 x=y\n"): a valid
+                        return None  # record covers its own length digits
                     kv = rec[sp + 1:rlen - 1]  # strip trailing \n
                     key, _, val = kv.partition(b"=")
                     if key == b"path":
@@ -818,9 +824,12 @@ def _fast_dtindex(vals: list) -> "pd.DatetimeIndex":
         return pd.DatetimeIndex(vals)
     if len(tzs) > 1:
         return pd.DatetimeIndex(vals)
-    i8 = np.fromiter(
-        (v.value if v is not None else _NAT_I8 for v in vals),
-        dtype=np.int64, count=len(vals))
+    try:
+        i8 = np.fromiter(
+            (v.value if v is not None else _NAT_I8 for v in vals),
+            dtype=np.int64, count=len(vals))
+    except OverflowError:  # outside datetime64[ns] range: let the public
+        return pd.DatetimeIndex(vals)  # constructor raise OutOfBoundsDatetime
     idx = pd.DatetimeIndex(i8.view("M8[ns]"))
     if tzs and (tz := next(iter(tzs))) is not None:
         idx = idx.tz_localize("UTC").tz_convert(tz)
@@ -856,7 +865,10 @@ def _typed_frame(data: dict, n_rows: int) -> "pd.DataFrame":
             cols = _COL_INDEX_MEMO.get(names)
             if cols is None:
                 cols = _COL_INDEX_MEMO.setdefault(names, pd.Index(names))
-            mgr = _pd_cbm(arrays, [cols, pd.RangeIndex(n_rows)],
+            # .view() hands each frame its own Index object over the shared
+            # immutable values, so a consumer setting df.columns.name can't
+            # mutate every other decoded frame's columns.
+            mgr = _pd_cbm(arrays, [cols.view(), pd.RangeIndex(n_rows)],
                           consolidate=False, refs=[None] * len(arrays))
             return pd.DataFrame._from_mgr(mgr, axes=mgr.axes)
         except Exception:  # pragma: no cover
