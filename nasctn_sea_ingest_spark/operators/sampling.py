@@ -25,7 +25,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 __all__ = ["hash_bucket", "deterministic_sample", "hash_split",
-           "weighted_mixture", "upsample"]
+           "weighted_mixture", "upsample", "stratified_sample",
+           "seeded_shuffle"]
 
 N_BUCKETS = 10_000
 
@@ -90,6 +91,82 @@ def weighted_mixture(df: DataFrame, rates: "dict[str, float]",
                 "epoch",
                 F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))
                .drop("_n_copies"))
+
+
+def stratified_sample(df: DataFrame, fractions: "dict[str, float]",
+                      stratum_col: str, key_col: str, salt: str = "",
+                      default: float | None = None) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy`` without its
+    partitioning/seed instability): keep ``fractions[stratum]`` of each
+    stratum's rows, chosen by key hash. Strata absent from ``fractions``
+    keep ``default`` (dropped entirely when ``default`` is None).
+
+    Map-only — the whole decision is one scalar predicate in the scan, so
+    at 100 TB it costs a single pass with full codegen and no shuffle,
+    and membership never changes across reruns/appends (the rebalancing
+    primitive an LLM-corpus language/source mix is built from)."""
+    b = hash_bucket(key_col, salt)
+    cut = None
+    for stratum, frac in fractions.items():
+        cond = F.col(stratum_col) == stratum
+        lim = F.lit(int(round(frac * N_BUCKETS)))
+        cut = F.when(cond, lim) if cut is None else cut.when(cond, lim)
+    fallback = F.lit(-1 if default is None
+                     else int(round(default * N_BUCKETS)))
+    cut = fallback if cut is None else cut.otherwise(fallback)
+    return df.where(b < cut)
+
+
+def seeded_shuffle(df: DataFrame, key_col: str, seed: str = "0",
+                   position: bool = True) -> DataFrame:
+    """Deterministic global training order: sort by ``md5(seed || key)``.
+
+    Reproduces bit-identically across engines, cluster sizes, and input
+    partitionings — unlike ``orderBy(rand(seed))``, whose draw depends on
+    partition layout. With ``position=True`` adds a 0-based ``position``
+    column (one extra narrow window pass over the ordered stream).
+
+    Scale note: a total order is inherently a range-partitioned global
+    sort (Spark samples range bounds, then sorts within partitions); the
+    usual 100 TB deployment writes the sorted shards straight out, so the
+    order materializes once. ``position=True`` additionally computes the
+    exact global rank scale-safely — range-partitioned local ranks plus a
+    broadcast per-partition offset frame, never a single-task global
+    Window. Exact global positions cost a second pass over the input for
+    the partition counts (the same 2-job cost as RDD ``zipWithIndex``);
+    when only the ORDER matters (the common training-shard case), pass
+    ``position=False`` for the single-pass form, or ``.persist()`` the
+    input first to make the second pass a cache read.
+    """
+    h = F.md5(F.concat(F.lit(seed), F.lit("|"),
+                       F.col(key_col).cast("string")))
+    out = df.withColumn("_shuffle_key", h)
+    if not position:
+        return out.orderBy("_shuffle_key").drop("_shuffle_key")
+    # Scale-safe global rank (no single-task Window over the whole table):
+    # range-partition on the hash, rank within each range partition, then
+    # add per-partition offsets — the offsets come from a partition-count
+    # side frame (#shuffle-partitions rows, so its own global window and
+    # the broadcast join back are trivially small). Position is the global
+    # rank of the md5 draw, independent of how the ranges were cut.
+    from pyspark.sql import Window
+    ranked = (out.repartitionByRange("_shuffle_key")
+                 .sortWithinPartitions("_shuffle_key")
+                 .withColumn("_pid", F.spark_partition_id())
+                 .withColumn("_local", F.row_number().over(
+                     Window.partitionBy("_pid").orderBy("_shuffle_key"))))
+    pc = ranked.groupBy("_pid").agg(F.count("*").alias("_n"))
+    off = pc.withColumn(
+        "_offset",
+        F.coalesce(F.sum("_n").over(
+            Window.orderBy("_pid")
+                  .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)))
+    return (ranked.join(F.broadcast(off.select("_pid", "_offset")), "_pid")
+                  .withColumn("position",
+                              (F.col("_local") - 1 + F.col("_offset"))
+                              .cast("bigint"))
+                  .drop("_pid", "_local", "_offset", "_shuffle_key"))
 
 
 def upsample(df: DataFrame, rate: float, key_col: str,

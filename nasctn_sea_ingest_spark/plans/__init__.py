@@ -6,36 +6,38 @@ from . import corpus_subq  # noqa: F401  (subqueries, TPC-H join shapes)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST 50
-# entries of ``queries()`` each round; registration order (module import
-# order) left q46-q77 outside round 1's window.  Rotate so the window holds
-# (a) every query family not yet hard-signal-verified (subquery/TPC-H,
-# sampling, packing, interval join, extended window suites, ANN, multimodal)
-# and (b) a representative of each previously-green family, including every
-# query whose implementation changed this round.  Queries past 50 were all
-# driver-green in CORRECTNESS_r01.json, so cross-round coverage is total.
+# entries of ``queries()`` each round.  Round 1 verified q01-q45 (the
+# registration-order front); round 2 rotated to verify q46-q77 plus the
+# queries changed that round.  Round 3's window: (a) every NEW query
+# (q78-q84 — TPC-H Q10/Q7/Q8/Q13 shapes, stratified sampling, seeded
+# shuffle, BM25), (b) the 27 queries whose only hard-signal row is from
+# round 1 (two rounds old), (c) representatives of the round-2-green
+# families.  Every oracle-backed query keeps a green row ≤ 2 rounds old.
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [
-    # round-1 untested (27): whole families needing hard-signal rows
-    "q46_ann_lsh", "q47_ann_ivf", "q48_multimodal_features",
-    "q50_grouping_sets", "q51_sessionize", "q52_unpivot",
-    "q53_percentile_cont", "q54_batch_topk", "q55_hash_split",
-    "q56_weighted_mixture", "q57_interval_join", "q58_pii_scrub",
-    "q59_approx_aggs", "q60_sequence_pack", "q61_quantize_embeddings",
-    "q62_scalar_subquery", "q63_correlated_scalar", "q64_in_having",
-    "q65_shipping_priority", "q66_local_supplier_volume",
-    "q70_late_shipment_priority", "q71_promo_revenue_share",
-    "q72_sole_late_supplier", "q73_event_funnel",
-    "q75_rolling_median", "q76_embedding_drift", "q77_ntile_nth",
-    # changed-this-round (must re-verify): q24 decimal fix, as-of rewrite
-    "q24_jaccard_neardup", "q11_asof_nearest", "q35_asof_backward",
-    # flagship + one representative per previously-green family (23 total)
-    "q01_pricing_summary", "q05_mask_nullify", "q07_topk", "q08_join_agg",
-    "q14_gap_detect", "q15_rank_topn", "q16_exact_quantiles",
-    "q17_pivot_wide", "q18_db_aggregates", "q20_cadence_coverage",
-    "q22_cosine_topk", "q23_dedup_exact", "q25_minhash_lsh",
-    "q26_simhash_hamming", "q31_block_resample", "q36_rayleigh_transform",
-    "q41_rollup", "q44_distinct_agg", "q45_json_string", "q49_window_suite",
+    # new this round (7): no hard-signal row yet
+    "q78_returned_item_report", "q79_nation_volume_shipping",
+    "q80_market_share", "q81_order_count_distribution",
+    "q82_stratified_sample", "q83_seeded_shuffle", "q84_bm25_retrieval",
+    # round-1-only verified (27): refresh their hard-signal rows
+    "q02_filter_project", "q03_time_range", "q04_conjunctive_slice",
+    "q06_group_limiter", "q09_semi_join", "q10_anti_join",
+    "q12_union_concat", "q13_distinct", "q19_axis_synthesis",
+    "q21_trace_stats", "q27_text_stats", "q28_lang_id", "q29_fingerprint",
+    "q30_midmean", "q32_roll_shift", "q33_cross_product",
+    "q34_scalar_stats", "q37_embedding_neardup", "q38_bin_aggregate",
+    "q39_daily_rollup", "q40_set_ops", "q42_cube", "q43_range_frame",
+    "q67_vocab_topk", "q68_label_centroids", "q69_tfidf_top_terms",
+    "q74_decontaminate",
+    # representatives of round-2-green families (16): flagship, joins,
+    # windows, dedup, sampling/packing, subquery/TPC-H, as-of, similarity
+    "q01_pricing_summary", "q08_join_agg", "q11_asof_nearest",
+    "q16_exact_quantiles", "q22_cosine_topk", "q24_jaccard_neardup",
+    "q25_minhash_lsh", "q26_simhash_hamming", "q49_window_suite",
+    "q51_sessionize", "q55_hash_split", "q60_sequence_pack",
+    "q64_in_having", "q66_local_supplier_volume", "q72_sole_late_supplier",
+    "q75_rolling_median",
 ]
 
 _rank = {n: i for i, n in enumerate(_WINDOW_PRIORITY)}

@@ -712,3 +712,47 @@ def q77(spark, sf_dir):
         "event_id", "user_id",
         F.ntile(4).over(r).alias("quartile"),
         F.nth_value("event_id", 2).over(wfull).alias("second_event"))
+
+
+@_q("q82_stratified_sample",
+    "per-stratum deterministic sampling (operators.sampling."
+    "stratified_sample — sampleBy without its seed/partitioning "
+    "instability): per-language keep rates with a default for unlisted "
+    "strata; map-only, membership a pure function of the data",
+    f"""
+    WITH b AS (SELECT doc_id, lang, source,
+                      {_DUCK_HB.format(salt=" || 'strat'")} AS hb
+               FROM documents)
+    SELECT doc_id, lang, source FROM b
+    WHERE hb < CASE lang WHEN 'en' THEN 5000
+                         WHEN 'fr' THEN 2500
+                         WHEN 'es' THEN 1250 ELSE 1000 END
+    """)
+def q82(spark, sf_dir):
+    from ..operators import sampling
+    d = load_table(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        d, {"en": 0.5, "fr": 0.25, "es": 0.125}, "lang", "doc_id",
+        salt="strat", default=0.1)
+    return out.select("doc_id", "lang", "source")
+
+
+@_q("q83_seeded_shuffle",
+    "deterministic global training order (operators.sampling."
+    "seeded_shuffle): md5(seed|key) total order + scale-safe global "
+    "position (range-partitioned rank + tiny offset frame — no "
+    "single-task Window, unlike orderBy(rand(seed)) which isn't even "
+    "reproducible across partitionings)",
+    """
+    SELECT doc_id, position FROM (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY md5('42|' || cast(doc_id AS VARCHAR))) - 1
+               AS position
+      FROM documents)
+    """)
+def q83(spark, sf_dir):
+    from ..operators import sampling
+    d = load_table(spark, sf_dir, "documents")
+    return (sampling.seeded_shuffle(d, "doc_id", seed="42")
+            .select("doc_id", "position"))

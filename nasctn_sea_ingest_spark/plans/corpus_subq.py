@@ -282,6 +282,185 @@ def q72(spark, sf_dir):
                 .agg(F.count("*").alias("numwait")))
 
 
+def _year_us(us_col: str) -> "F.Column":
+    """Calendar year from epoch-micros, timezone-free on both engines
+    (to_date arithmetic — never year(TIMESTAMP), which would read the
+    Spark session timezone)."""
+    days = F.expr(f"cast({us_col} div 86400000000 as int)")
+    return F.year(F.date_add(F.to_date(F.lit("1970-01-01")), days))
+
+
+@_q("q78_returned_item_report",
+    "TPC-H Q10 shape: 4-way join (two fact joins + broadcast dim), "
+    "revenue agg per customer, deterministic top-20 — the classic "
+    "'who returned the most' report",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue,
+           n.n_name, c.c_acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND epoch_us(o.o_orderdate) >= {us('1997-01-01')}
+      AND epoch_us(o.o_orderdate) < {us('1997-07-01')}
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """)
+def q78(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    o_win = o.where(us_cmp("o_orderdate", ">=", us("1997-01-01"))
+                    & us_cmp("o_orderdate", "<", us("1997-07-01")))
+    return (li.where(F.col("l_returnflag") == "R")
+              .join(o_win, li.l_orderkey == o_win.o_orderkey)
+              .join(c, o_win.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+              .agg(F.sum(F.expr(_REV)).cast("double").alias("revenue"))
+              .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+              .limit(20)
+              .select("c_custkey", "c_name", "revenue", "n_name",
+                      "c_acctbal"))
+
+
+@_q("q79_nation_volume_shipping",
+    "TPC-H Q7 shape: 6-way join with a symmetric nation-pair predicate, "
+    "revenue by (supp_nation, cust_nation, year) — both nation dims "
+    "broadcast, year derived timezone-free from epoch-micros",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year, {_REV_SQL} AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    """)
+def q79(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n1 = (n.where(F.col("n_name").isin(*pair))
+           .select(F.col("n_nationkey").alias("nk1"),
+                   F.col("n_name").alias("supp_nation")))
+    n2 = (n.where(F.col("n_name").isin(*pair))
+           .select(F.col("n_nationkey").alias("nk2"),
+                   F.col("n_name").alias("cust_nation")))
+    # nation filters ride broadcast joins INTO the fact scans (supplier /
+    # customer shrink before touching lineitem); the symmetric-pair
+    # predicate is applied post-join on the two broadcast name columns
+    sup = s.join(F.broadcast(n1), s.s_nationkey == F.col("nk1")) \
+           .select("s_suppkey", "supp_nation")
+    cus = c.join(F.broadcast(n2), c.c_nationkey == F.col("nk2")) \
+           .select("c_custkey", "cust_nation")
+    return (li.join(F.broadcast(sup), li.l_suppkey == F.col("s_suppkey"))
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .join(cus, o.o_custkey == F.col("c_custkey"))
+              .where(F.col("supp_nation") != F.col("cust_nation"))
+              .select("supp_nation", "cust_nation",
+                      _year_us("l_shipdate_us").alias("l_year"),
+                      F.expr(_REV).alias("volume"))
+              .groupBy("supp_nation", "cust_nation", "l_year")
+              .agg(F.sum("volume").cast("double").alias("revenue")))
+
+
+@_q("q80_market_share",
+    "TPC-H Q8 shape: 7-way join + conditional-aggregate ratio — one "
+    "nation's share of ECONOMY-part revenue sold into ASIA, per order "
+    "year (region/nation/part broadcast; share = CASE-sum / sum)",
+    f"""
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_8'
+                               THEN volume
+                               ELSE CAST(0.00 AS DECIMAL(16,4)) END)
+                      AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+           count(*) AS n_lines
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year, {_REV_SQL} AS volume,
+             n1.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      JOIN region r ON n2.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY')
+    GROUP BY o_year
+    """)
+def q80(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    asia_keys = (n.join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+                        n.n_regionkey == F.col("r_regionkey"))
+                  .select(F.col("n_nationkey").alias("cnk")))
+    sup = (s.join(F.broadcast(n.select(F.col("n_nationkey").alias("snk"),
+                                       F.col("n_name")
+                                        .alias("supp_nation"))),
+                  s.s_nationkey == F.col("snk"))
+            .select("s_suppkey", "supp_nation"))
+    econ = p.where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    vol = F.expr(_REV)
+    j = (li.join(F.broadcast(econ), li.l_partkey == F.col("p_partkey"))
+           .join(F.broadcast(sup), li.l_suppkey == F.col("s_suppkey"))
+           .join(o, li.l_orderkey == o.o_orderkey)
+           .join(c, o.o_custkey == c.c_custkey)
+           .join(F.broadcast(asia_keys), c.c_nationkey == F.col("cnk"))
+           .select(_year_us("o_orderdate_us").alias("o_year"),
+                   vol.alias("volume"), "supp_nation"))
+    target = F.when(F.col("supp_nation") == "NATION_8",
+                    F.col("volume")) \
+              .otherwise(F.expr("cast(0.00 as decimal(16,4))"))
+    return (j.groupBy("o_year")
+             .agg(F.round(F.sum(target).cast("double")
+                          / F.sum("volume").cast("double"), 6)
+                  .alias("mkt_share"),
+                  F.count("*").alias("n_lines")))
+
+
+@_q("q81_order_count_distribution",
+    "TPC-H Q13 shape: left outer join + two-level aggregation — the "
+    "orders-per-customer histogram (outer-join null handling feeding a "
+    "re-aggregation)",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """)
+def q81(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                 .groupBy("c_custkey")
+                 .agg(F.count("o_orderkey").alias("c_count")))
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
 @_q("q73_event_funnel",
     "event-funnel conversion: per-user first 'view' then earliest later "
     "'purchase' via conditional window mins — no self-join (the sequence-"

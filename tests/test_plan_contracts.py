@@ -242,3 +242,43 @@ def test_double_correlation_stays_hash(spark, sf):
     assert "LeftSemi" in p and "LeftAnti" in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_new_tpch_shapes_broadcast_dims(spark, sf):
+    """Q10/Q7/Q8 shapes: every dimension side rides a broadcast join, the
+    fact-fact joins stay equi, and the returned-item top-20 is a partial
+    top-k."""
+    p = _plan(_q("q78_returned_item_report").spark(spark, sf))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "l_returnflag" in "".join(
+        ln for ln in p.splitlines()
+        if "PushedFilters" in ln or "DataFilters" in ln)
+
+    for name in ("q79_nation_volume_shipping", "q80_market_share"):
+        p = _plan(_q(name).spark(spark, sf))
+        assert p.count("BroadcastHashJoin") >= 2, name
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_stratified_sample_map_only(spark, sf):
+    """q82: per-stratum membership is one scalar predicate in the scan —
+    no Exchange, single codegen stage."""
+    p = _plan(_q("q82_stratified_sample").spark(spark, sf))
+    assert "Exchange" not in p
+    assert "*(1)" in p
+
+
+def test_seeded_shuffle_no_global_window(spark, sf):
+    """q83: the global position must come from range-partitioned local
+    ranks + a broadcast offset frame. Every window over the row stream
+    (ordering by the md5 draw) must be partitioned; the lone permitted
+    SinglePartition exchange is the #partitions-row offset frame."""
+    p = _plan(_q("q83_seeded_shuffle").spark(spark, sf))
+    assert "RangePartitioning" in p or "rangepartitioning" in p
+    assert "BroadcastExchange" in p
+    for ln in p.splitlines():
+        if "windowspecdefinition(_shuffle_key" in ln:
+            assert "_pid" in ln.split("windowspecdefinition")[0] or \
+                "partitionBy" not in ln, ln

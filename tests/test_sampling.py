@@ -106,6 +106,69 @@ def test_sequence_packing_invariants(spark, sf_dir):
     assert total == t.agg(F.sum("n_tok")).first()[0]  # conservation
 
 
+def test_stratified_sample_rates_and_default(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    fracs = {"en": 0.5, "fr": 0.25}
+    out = S.stratified_sample(d, fracs, "lang", "doc_id", salt="t")
+    per = {r.lang: r.n for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    base = {r.lang: r.n for r in
+            d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(per) <= set(fracs)          # default=None drops the rest
+    for lang, frac in fracs.items():
+        if base.get(lang, 0) >= 50:
+            assert abs(per.get(lang, 0) / base[lang] - frac) < 0.15
+    # default keeps unlisted strata at the default rate
+    out2 = S.stratified_sample(d, fracs, "lang", "doc_id", salt="t",
+                               default=1.0)
+    assert out2.count() > out.count()
+    other = out2.where(~F.col("lang").isin(*fracs)).count()
+    assert other == d.where(~F.col("lang").isin(*fracs)).count()
+    # membership is partitioning-independent
+    ids1 = {r.doc_id for r in out.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in
+            S.stratified_sample(d.repartition(13), fracs, "lang",
+                                "doc_id", salt="t")
+             .select("doc_id").collect()}
+    assert ids1 == ids2
+
+
+def test_seeded_shuffle_position_is_exact_global_rank(spark, sf_dir):
+    import hashlib
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = S.seeded_shuffle(d, "doc_id", seed="7")
+    rows = out.select("doc_id", "position").collect()
+    n = len(rows)
+    # positions are a 0..n-1 permutation
+    assert sorted(r.position for r in rows) == list(range(n))
+    # and equal the rank of the md5 draw (python oracle)
+    draw = {r.doc_id: hashlib.md5(f"7|{r.doc_id}".encode()).hexdigest()
+            for r in rows}
+    want = {k: i for i, k in
+            enumerate(sorted(draw, key=lambda k: draw[k]))}
+    assert all(want[r.doc_id] == r.position for r in rows)
+    # stable under input partitioning
+    again = S.seeded_shuffle(d.repartition(17), "doc_id", seed="7")
+    assert {(r.doc_id, r.position) for r in
+            again.select("doc_id", "position").collect()} \
+        == {(r.doc_id, r.position) for r in rows}
+    # different seed → different permutation
+    other = S.seeded_shuffle(d, "doc_id", seed="8")
+    assert {(r.doc_id, r.position) for r in
+            other.select("doc_id", "position").collect()} \
+        != {(r.doc_id, r.position) for r in rows}
+
+
+def test_seeded_shuffle_order_only_sorted(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = S.seeded_shuffle(d, "doc_id", seed="7", position=False)
+    assert "position" not in out.columns
+    ids = [r.doc_id for r in out.collect()]
+    import hashlib
+    assert ids == sorted(ids, key=lambda k:
+                         hashlib.md5(f"7|{k}".encode()).hexdigest())
+
+
 # ---------------------------------------------------------------------------
 # property tests (hypothesis): the invariants hold for arbitrary specs
 # ---------------------------------------------------------------------------
