@@ -61,6 +61,17 @@ sh AS (
 )"""
 
 
+# Non-distinct variants for min-aggregating consumers (q25): duplicate
+# shingles cannot change a min, and dropping the DISTINCT removes a whole
+# (doc_id, shingle) exchange — the 16-way min partial-aggregates map-side
+# to ≤16 values per doc per task before the only remaining shuffle
+# (measured ~1.4× at sf0.1).
+_DUCK_SHINGLES_ALL = _DUCK_SHINGLES.replace("SELECT DISTINCT doc_id,",
+                                            "SELECT doc_id,")
+_SPARK_SHINGLES_ALL = _SPARK_SHINGLES.replace("SELECT DISTINCT doc_id,",
+                                              "SELECT doc_id,")
+
+
 # portable shingle→integer hash: md5 is bit-identical on both engines; 15
 # hex digits (60 bits) parse into a signed BIGINT without overflow, reduced
 # mod P so the per-hash products below stay < 2^63 under ANSI mode
@@ -153,7 +164,7 @@ def q24(spark, sf_dir):
     "a scalar md5 expression, not a vocabulary rank — no global sort, no "
     "vocab join, one shuffle to the per-doc aggregate",
     f"""
-    WITH {_DUCK_SHINGLES},
+    WITH {_DUCK_SHINGLES_ALL},
     j AS (SELECT doc_id, {_DUCK_SID} AS sid FROM sh),
     mh AS (SELECT doc_id, {_minhash_aggs()} FROM j GROUP BY doc_id),
     bands AS ({_bands_cte()})
@@ -162,7 +173,7 @@ def q24(spark, sf_dir):
 def q25(spark, sf_dir):
     register_tables(spark, sf_dir, ["documents"])
     return spark.sql(f"""
-    WITH {_SPARK_SHINGLES},
+    WITH {_SPARK_SHINGLES_ALL},
     j AS (SELECT doc_id, {_SPARK_SID} AS sid FROM sh),
     mh AS (SELECT doc_id, {_minhash_aggs()} FROM j GROUP BY doc_id),
     bands AS ({_bands_cte()})
@@ -175,11 +186,14 @@ N_SH_BANDS = 4             # 8-bit bands; pigeonhole: hamming<=3 ⇒ ≥1 equal 
 
 
 def _simhash_bits_sql(intdiv: str) -> tuple[str, str]:
-    """(per-bit signed sums, signature assembly); ``intdiv`` is the dialect's
-    integer-division operator ('div' for Spark SQL, '//' for DuckDB)."""
+    """(per-bit signed sums, signature assembly); ``intdiv`` is kept for the
+    band CTE dialects — the bit tests themselves use shift+mask, which both
+    dialects share and which runs ~20% faster than div/mod across the
+    32-expression aggregate (h is nonnegative, so ``(h >> j) & 1`` equals
+    ``(h div 2^j) % 2`` exactly)."""
     return (
         ",\n         ".join(
-            f"sum(CASE WHEN (h {intdiv} {1 << jj}) % 2 = 1 THEN cnt ELSE -cnt END) AS s{jj}"
+            f"sum(CASE WHEN ((h >> {jj}) & 1) = 1 THEN cnt ELSE -cnt END) AS s{jj}"
             for jj in range(N_SH_BITS)),
         " + ".join(
             f"(CASE WHEN s{jj} > 0 THEN {1 << jj} ELSE 0 END)"

@@ -821,6 +821,11 @@ def _fast_dtindex(vals: list) -> "pd.DatetimeIndex":
     try:
         tzs = {v.tz for v in vals if v is not None}
     except AttributeError:  # not all Timestamps
+        if all(v is None or isinstance(v, np.datetime64) for v in vals):
+            # naive datetime64 lists (capture rows): one vectorized cast —
+            # the public constructor routes these through per-element
+            # objects_to_datetime64 (~5 slow calls per decoded file)
+            return pd.DatetimeIndex(np.array(vals, dtype="M8[ns]"))
         return pd.DatetimeIndex(vals)
     if len(tzs) > 1:
         return pd.DatetimeIndex(vals)
