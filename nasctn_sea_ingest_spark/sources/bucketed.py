@@ -1,0 +1,57 @@
+"""Bucketed warehouse layout: pre-shuffled storage for zero-exchange joins.
+
+At 100 TB the dominant cost of a fact-fact equi-join is shuffling both
+sides on the key. Spark's bucketing moves that shuffle to WRITE time: a
+table stored ``bucketBy(n, key)`` is already hash-partitioned on disk, so
+a join between two tables bucketed on the same key with the same bucket
+count needs NO Exchange at read time — each task zips bucket i with
+bucket i. ``sortBy`` additionally pre-sorts within buckets, letting the
+sort-merge join skip its sort.
+
+This is the storage-layout change SCALE.md §4 promises for the star
+schema: the query code is unchanged (same join keys), only the writer
+differs. Contract-tested by ``test_bucketed_join_no_shuffle``.
+
+Bucketed tables require the session catalog (``saveAsTable``); plain
+``parquet(path)`` writes cannot record bucket metadata. Readers use
+``spark.table(name)`` — the catalog carries the bucket spec that lets the
+planner drop the Exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["write_bucketed", "read_bucketed"]
+
+
+def write_bucketed(df: DataFrame, table: str, keys: "list[str] | str",
+                   n_buckets: int = 32,
+                   sort_by: "list[str] | None" = None,
+                   mode: str = "overwrite") -> None:
+    """Write ``df`` as a bucketed catalog table.
+
+    ``keys`` — the join key(s) to pre-shuffle on (both join sides must use
+    the same keys AND the same ``n_buckets`` for the exchange to vanish).
+    ``sort_by`` — optional within-bucket sort (lets sort-merge join read
+    the buckets streaming, no per-task sort).
+
+    Sizing: one bucket is one file per write task; pick ``n_buckets`` so a
+    bucket at target scale stays in the 128 MB–1 GB range (same rule as
+    ``spark.sql.files.maxPartitionBytes``). Buckets are append-stable —
+    later writes with the same spec add files per bucket, never reshuffle
+    existing data.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    w = (df.write.format("parquet").mode(mode)
+           .bucketBy(n_buckets, *keys))
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table through the catalog (the bucket spec only
+    survives a catalog read; ``spark.read.parquet(path)`` on the same
+    files would plan a full shuffle again)."""
+    return spark.table(table)

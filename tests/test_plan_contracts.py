@@ -282,3 +282,44 @@ def test_seeded_shuffle_no_global_window(spark, sf):
         if "windowspecdefinition(_shuffle_key" in ln:
             assert "_pid" in ln.split("windowspecdefinition")[0] or \
                 "partitionBy" not in ln, ln
+
+
+def test_bucketed_join_no_shuffle(spark, sf):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with ZERO Exchange (the write-time shuffle replaces the read-time
+    one) — the storage-layout scale path SCALE.md §4 claims for fact-fact
+    joins. With sortBy, the join also needs no per-task Sort."""
+    import pyspark.sql.functions as F
+    from nasctn_sea_ingest_spark.plans.tables import load_table
+    from nasctn_sea_ingest_spark.sources.bucketed import (
+        read_bucketed, write_bucketed)
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, sf, "customer")
+    write_bucketed(o, "t_orders_b", "o_custkey", n_buckets=8,
+                   sort_by=["o_custkey"])
+    write_bucketed(c.withColumnRenamed("c_custkey", "o_custkey"),
+                   "t_customer_b", "o_custkey", n_buckets=8,
+                   sort_by=["o_custkey"])
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (read_bucketed(spark, "t_orders_b")
+             .join(read_bucketed(spark, "t_customer_b"), "o_custkey")
+             .groupBy("c_nationkey")
+             .agg(F.count("*").alias("n")))
+        p = j._jdf.queryExecution().executedPlan().toString()
+        join_part = p.split("HashAggregate")[-1]  # below the final agg
+        assert "SortMergeJoin" in p
+        # the join subtree reads both bucketed scans with no exchange
+        for ln in join_part.splitlines():
+            assert "Exchange hashpartitioning(o_custkey" not in ln, ln
+        assert p.count("Exchange") <= 1  # only the groupBy agg exchange
+        # and the within-bucket sortBy means no Sort above the scans
+        assert "Bucketed: true" in p
+        n = j.count()
+        assert n > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
