@@ -96,7 +96,7 @@ def read_seamf_zipfile_as_sdf(spark: SparkSession, path: str,
                               allow: int | None = None,
                               tz: str | None = None,
                               errors: str = "raise",
-                              batch_size: int = 64,
+                              batch_size: int | None = None,
                               partition_func=None) -> dict[str, DataFrame]:
     """Lazy distributed read: dict of Spark DataFrames keyed per table
     (``psd pvt pfp apd|apd_raw channel_metadata sweep_metadata
@@ -119,15 +119,21 @@ def read_seamf_zipfile_as_sdf(spark: SparkSession, path: str,
         return map_decoded_partitions(refs, partition_func, tz=tz)
     traces = decode_traces(refs, tz=tz).cache()
     if errors == "raise":
-        def checked(df):
-            bad = df.where(F.col("error").isNotNull()) \
-                    .select("source_file", "error").first()
-            if bad is not None:
-                raise RuntimeError(
-                    f"decode failed for {bad.source_file}: {bad.error}")
-            return df
-        traces = checked(traces)
-    good = traces.where(F.col("error").isNull()).drop("error")
+        # LAZY raise (dask-parity: the reference's lazy dict raises when a
+        # partition computes, not at graph-build time — an eager probe here
+        # would decode the whole archive before the first real action).
+        # The check is fused into the `table` column, which every product
+        # filter evaluates, so no downstream projection/filter can prune
+        # past an errored row without raising.
+        msg = F.concat(F.lit("decode failed for "), F.col("source_file"),
+                       F.lit(": "), F.col("error"))
+        good = (traces.withColumn(
+                    "table",
+                    F.when(F.col("error").isNull(), F.col("table"))
+                     .otherwise(F.raise_error(msg).cast("string")))
+                .drop("error"))
+    else:
+        good = traces.where(F.col("error").isNull()).drop("error")
 
     out: dict[str, DataFrame] = {}
     for t in _PRODUCTS:

@@ -123,12 +123,20 @@ def _natural_key(name: str):
 
 def list_sigmf_refs(spark: SparkSession, paths: str | list[str],
                     allow: int | None = None,
-                    batch_size: int = 64) -> DataFrame:
+                    batch_size: int | None = None) -> DataFrame:
     """Enumerate ``.sigmf`` files (plain files, directories, or zip archives)
     into a file-ref DataFrame, natural-sorted, batched into partitions.
 
     ``allow`` keeps only the first N refs (reference ``allow=int`` gate,
     ``ziparchive.py:410-412``).
+
+    ``batch_size=None`` (default) sizes partitions for the session's
+    parallelism (one partition per default-parallelism slot, ≥4 refs
+    each): a fixed batch size either starves a wide cluster (200 files /
+    64 = 4 tasks on 32 cores) or drowns a narrow one in task overhead.
+    Pass an explicit ``batch_size`` to pin refs-per-partition instead —
+    partial reads (`limit`/`head`) decode one partition at minimum, so
+    finer batches also make them cheaper.
     """
     if isinstance(paths, str):
         paths = [paths]
@@ -149,13 +157,23 @@ def list_sigmf_refs(spark: SparkSession, paths: str | list[str],
                          os.path.getsize(p) if os.path.exists(p) else None))
     if allow is not None:
         refs = refs[:allow]
-    n_part = max(1, (len(refs) + batch_size - 1) // batch_size)
+    if batch_size is None:
+        par = spark.sparkContext.defaultParallelism
+        n_part = max(1, min(len(refs) // 4 or 1, par))
+    else:
+        n_part = max(1, (len(refs) + batch_size - 1) // batch_size)
     # Arrow path (pandas → LocalTableScan): a plain Python list would become
     # a Python-RDD whose serialization stage forks a Python worker per
     # partition on EVERY action — measured ~0.5-1 s/task of pure overhead
     pdf = pd.DataFrame(refs, columns=["path", "member", "size"])
-    df = spark.createDataFrame(pdf, REF_SCHEMA)
-    return df.repartition(n_part)
+    pdf["seq"] = range(len(pdf))
+    schema = T.StructType(REF_SCHEMA.fields
+                          + [T.StructField("seq", T.LongType(), False)])
+    df = spark.createDataFrame(pdf, schema)
+    # range-partition on the listing sequence: batches stay CONTIGUOUS
+    # natural-sort runs (S9 ordering contract — collect() returns refs in
+    # listing order; a round-robin repartition would interleave them)
+    return df.repartitionByRange(n_part, "seq").drop("seq")
 
 
 def _open_ref(zcache: dict, path: str, member: str | None) -> bytes:
@@ -414,7 +432,8 @@ def decode_sweep_metadata(refs: DataFrame, tz: str | None = None) -> DataFrame:
 
 def ingest(spark: SparkSession, paths: str | list[str], out_dir: str,
            tz: str | None = None, hash_check: bool = True,
-           allow: int | None = None, batch_size: int = 64) -> dict[str, str]:
+           allow: int | None = None,
+           batch_size: int | None = None) -> dict[str, str]:
     """End-to-end ingest: list → decode → write.
 
     Output layout (the Dask divisions/1-day-repartition analog, §1.5):

@@ -150,7 +150,10 @@ def test_zipfile_error_modes(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("poison")
     (d / "ok.sigmf").write_bytes(build_sigmf())
     (d / "bad.sigmf").write_bytes(build_sigmf(bad_hash=True))
-    with pytest.raises(RuntimeError, match="sha512"):
+    # errors='raise' is LAZY (dask parity): the failure surfaces at the
+    # first action that touches the bad file, as the executor-raised
+    # SparkRuntimeException carrying the decode error text
+    with pytest.raises(Exception, match="sha512"):
         api.read_seamf_zipfile_as_sdf(spark, str(d))["psd"].count()
     sdfs = api.read_seamf_zipfile_as_sdf(spark, str(d), errors="log")
     assert sdfs["psd"].count() == 3 * 2        # bad file dropped
