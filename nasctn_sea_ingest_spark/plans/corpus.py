@@ -596,6 +596,34 @@ def q35(spark, sf_dir):
                       F.col("asof_dist").cast("long").alias("diff_us"))
 
 
+@_q("q85_asof_by_key",
+    "J1 as-of join, BY-KEYED path (the 100 TB form: one shuffle on the by-"
+    "key, per-key sorted-union windows — each user's latest purchase at or "
+    "before each view); oracle = correlated max subquery",
+    """
+    WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS view_us
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, epoch_us(ts) AS t FROM events
+          WHERE event_type = 'purchase')
+    SELECT v.event_id, v.user_id, v.view_us,
+           (SELECT max(p.t) FROM p
+            WHERE p.user_id = v.user_id AND p.t <= v.view_us) AS matched_us
+    FROM v
+    """)
+def q85(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    left = (ev.where(F.col("event_type") == "view")
+              .select("event_id", "user_id",
+                      F.col("ts_us").alias("view_us")))
+    right = (ev.where(F.col("event_type") == "purchase")
+               .select("user_id", F.col("ts_us").alias("view_us"),
+                       F.col("ts_us").alias("p_us")))
+    out = FN.asof_join(left, right, on="view_us", by=["user_id"],
+                       direction="backward", right_cols=["p_us"])
+    return out.select("event_id", "user_id", "view_us",
+                      F.col("p_us").alias("matched_us"))
+
+
 @_q("q36_rayleigh_transform",
     "D8 APD Rayleigh x-transform: x = −10·log10(−ln p) "
     "(seamf_quickplot cell 7 semantics over a synthetic probability)",

@@ -323,3 +323,11 @@ def test_bucketed_join_no_shuffle(spark, sf):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_keyed_asof_partitions_by_key(spark, sf):
+    """q85: the by-keyed as-of runs its running windows partitioned by the
+    by-key — one shuffle, no SinglePartition exchange anywhere."""
+    p = _plan(_q("q85_asof_by_key").spark(spark, sf))
+    assert "hashpartitioning(user_id" in p
+    assert "Exchange SinglePartition" not in p
