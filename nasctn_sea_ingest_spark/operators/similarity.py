@@ -18,12 +18,14 @@ Scale shapes:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 __all__ = ["cosine_topk", "cosine_pairs", "lsh_bucket", "lsh_topk",
            "ivf_assign", "ivf_topk", "train_centroids", "sample_centroids",
-           "cosine_topk_batch", "quantize_embeddings", "dequantize_embeddings"]
+           "cosine_topk_batch", "quantize_embeddings", "dequantize_embeddings",
+           "pq_train", "pq_encode", "pq_topk"]
 
 
 def _dot_with_lit(col: str, vec: np.ndarray):
@@ -292,3 +294,96 @@ def dequantize_embeddings(df: DataFrame, out_col: str = "embedding_deq",
                     lambda x: (x.cast("double")
                                * F.col("q_scale").cast("double"))
                     .cast("float")))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the IVF-PQ companion: 32× vector compression
+# with asymmetric-distance search
+# ---------------------------------------------------------------------------
+
+def pq_train(emb: DataFrame, m: int = 8, k: int = 256, max_iter: int = 5,
+             seed: int = 42, vec_col: str = "embedding") -> np.ndarray:
+    """Train PQ codebooks: split the ``dim`` dimensions into ``m``
+    contiguous subspaces and k-means each subspace independently with
+    MLlib (distributed Lloyd, k-means|| init — ``m`` small driver-side
+    jobs over the same scan). Returns codebooks ``(m, k, dim/m)``.
+
+    At 100 TB the codebooks are tiny driver-side constants (m·k·dsub
+    floats); training cost is m scans — in practice run on a
+    ``deterministic_sample`` of the corpus, exactly like IVF centroid
+    training."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(emb.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = emb.select(array_to_vector(
+            F.slice(F.col(vec_col).cast("array<double>"),
+                    j * dsub + 1, dsub)).alias("features"))
+        model = KMeans(k=k, maxIter=max_iter, seed=seed + j,
+                       initMode="k-means||").fit(sub)
+        books.append(np.array(model.clusterCenters(), dtype=np.float64))
+    return np.stack(books)  # (m, k, dsub)
+
+
+def pq_encode(emb: DataFrame, codebooks: np.ndarray,
+              vec_col: str = "embedding",
+              code_col: str = "pq_code") -> DataFrame:
+    """Encode each vector to ``m`` small centroid ids (ARRAY<SMALLINT> —
+    8-32× smaller than the float32 vector; drop ``vec_col`` at write
+    time). Arrow-batched pandas UDF: per batch, one BLAS distance matrix
+    per subspace (argmin over k centroids), no Python-per-row work. The
+    codebooks ride to executors once per task via closure capture
+    (driver-side constant, no join)."""
+    m, k, dsub = codebooks.shape
+    books = codebooks  # capture
+    sqn = (books ** 2).sum(axis=2)  # (m, k) centroid squared norms
+
+    @F.pandas_udf("array<smallint>")
+    def encode(col: pd.Series) -> pd.Series:
+        x = np.asarray(list(col), dtype=np.float64)  # (n, dim)
+        n = x.shape[0]
+        codes = np.empty((n, m), dtype=np.int16)
+        for j in range(m):
+            xs = x[:, j * dsub:(j + 1) * dsub]            # (n, dsub)
+            # ||x - c||² = ||c||² - 2 x·c (+ ||x||², constant per row)
+            d = sqn[j][None, :] - 2.0 * (xs @ books[j].T)  # (n, k)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return emb.withColumn(code_col, encode(F.col(vec_col)))
+
+
+def pq_topk(encoded: DataFrame, codebooks: np.ndarray, query, kk: int,
+            id_col: str = "vec_id", code_col: str = "pq_code") -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC): build the (m, k)
+    lookup table of squared L2 from each query subvector to every
+    centroid on the driver, then score each row as ``sum_j LUT[j,
+    code[j]]`` — a vectorized gather over the code column, no float
+    vectors touched. Output: (id, adc_dist) ascending, deterministic
+    tie-break on id.
+
+    Scale shape: the scan reads ONLY the code column (32× less IO than
+    the float vectors), the LUT is a broadcast-sized constant, and the
+    top-k compiles to TakeOrderedAndProject. The standard refinement —
+    exact re-rank of the ADC top-R with the float vectors — is
+    ``cosine_topk`` over a ``vec_id`` IN-filter."""
+    m, k, dsub = codebooks.shape
+    q = np.asarray(query, dtype=np.float64)
+    lut = np.empty((m, k), dtype=np.float64)
+    for j in range(m):
+        qs = q[j * dsub:(j + 1) * dsub]
+        lut[j] = ((codebooks[j] - qs[None, :]) ** 2).sum(axis=1)
+
+    @F.pandas_udf("double")
+    def adc(col: pd.Series) -> pd.Series:
+        codes = np.asarray(list(col), dtype=np.int64)   # (n, m)
+        return pd.Series(lut[np.arange(m)[None, :], codes].sum(axis=1))
+
+    return (encoded.select(id_col, adc(F.col(code_col)).alias("adc_dist"))
+                   .orderBy(F.asc("adc_dist"), id_col)
+                   .limit(kk))

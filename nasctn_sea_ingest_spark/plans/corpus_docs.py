@@ -525,32 +525,47 @@ _BM25_TERMS = ("spark", "query", "merge")
     FROM ranked WHERE rn <= 10
     """)
 def q84(spark, sf_dir):
+    # One scan, NO token explode: doc length and per-query-term counts are
+    # array expressions over the split (the query terms are a tiny literal
+    # set, so counting them per doc is a map-side filter+size — the full
+    # (doc, token) stream the naive plan shuffles twice never exists).
+    # Corpus stats and per-term document frequencies fold into a single
+    # one-row aggregate broadcast back; the per-term top-10 windows over
+    # only the docs that contain a query term.
     from pyspark.sql import Window
     d = load_table(spark, sf_dir, "documents")
-    toks = (d.select("doc_id",
-                     F.explode(F.split(F.lower(F.trim(F.col("text"))),
-                                       r"\s+")).alias("tok"))
-             .where(F.col("tok") != ""))
-    # one shuffle on doc_id yields doc lengths; the query-term tf table is
-    # tiny after the IN filter (pushed into the scan), so its df agg and
-    # the dl join back are cheap; corpus stats ride a broadcast one-rower
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
-    stats = dl.agg(
+    w_arr = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                     lambda x: x != "")
+    def _count_term(t):  # bind via closure: a 2-arg lambda would be taken
+        return lambda x: x == t  # as the (element, index) filter variant
+    per_doc = d.select(
+        "doc_id",
+        F.size(w_arr).alias("dlen"),
+        *[F.size(F.filter(w_arr, _count_term(t))).alias(f"tf_{i}")
+          for i, t in enumerate(_BM25_TERMS)])
+    stats = per_doc.agg(
         (F.sum("dlen").cast("double") / F.count("*")).alias("avgdl"),
-        F.count("*").alias("n_docs"))
-    tf = (toks.where(F.col("tok").isin(*_BM25_TERMS))
-              .groupBy("doc_id", "tok").agg(F.count("*").alias("tfreq")))
-    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("dfreq"))
+        F.count("*").alias("n_docs"),
+        *[F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
+          for i in range(len(_BM25_TERMS))])
+    term_rows = F.array(*[
+        F.struct(F.lit(t).alias("tok"),
+                 F.col(f"tf_{i}").cast("long").alias("tfreq"),
+                 F.col(f"df_{i}").cast("long").alias("dfreq"))
+        for i, t in enumerate(_BM25_TERMS)])
+    long = (per_doc.crossJoin(F.broadcast(stats))
+            .select("doc_id", "dlen", "avgdl", "n_docs",
+                    F.explode(term_rows).alias("t"))
+            .select("doc_id", "dlen", "avgdl", "n_docs",
+                    "t.tok", "t.tfreq", "t.dfreq")
+            .where(F.col("tfreq") > 0))
     idf = F.log((F.col("n_docs") - F.col("dfreq") + 0.5)
                 / (F.col("dfreq") + 0.5) + 1.0)
     norm = (F.col("tfreq") * (_BM25_K1 + 1.0)) \
         / (F.col("tfreq") + _BM25_K1 * (1.0 - _BM25_B
                                         + _BM25_B * F.col("dlen")
                                         / F.col("avgdl")))
-    scored = (tf.join(F.broadcast(df_), "tok")
-                .join(dl, "doc_id")
-                .crossJoin(F.broadcast(stats))
-                .withColumn("score", idf * norm))
+    scored = long.withColumn("score", idf * norm)
     w = Window.partitionBy("tok").orderBy(F.desc("score"), F.asc("doc_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
                   .where(F.col("rn") <= 10)
