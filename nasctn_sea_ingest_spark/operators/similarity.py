@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 __all__ = ["cosine_topk", "cosine_pairs", "lsh_bucket", "lsh_topk",
            "ivf_assign", "ivf_topk", "train_centroids", "sample_centroids",
            "cosine_topk_batch", "quantize_embeddings", "dequantize_embeddings",
-           "pq_train", "pq_encode", "pq_topk"]
+           "pq_train", "pq_encode", "pq_topk", "ivfpq_topk"]
 
 
 def _dot_with_lit(col: str, vec: np.ndarray):
@@ -387,3 +387,22 @@ def pq_topk(encoded: DataFrame, codebooks: np.ndarray, query, kk: int,
     return (encoded.select(id_col, adc(F.col(code_col)).alias("adc_dist"))
                    .orderBy(F.asc("adc_dist"), id_col)
                    .limit(kk))
+
+
+def ivfpq_topk(encoded: DataFrame, centroids: np.ndarray,
+               codebooks: np.ndarray, query, kk: int, n_probe: int = 2,
+               id_col: str = "vec_id", code_col: str = "pq_code",
+               cell_col: str = "ivf_cell") -> DataFrame:
+    """IVF-PQ search — the standard billion-vector layout: the table is
+    stored with (``ivf_cell``, ``pq_code``) from ``ivf_assign`` +
+    ``pq_encode`` (float vectors dropped or kept cold). A probe ranks
+    cells by centroid·query on the driver, the scan prunes to the
+    ``n_probe`` best cells (a storage-partition-prunable equality), and
+    ADC scores only the surviving codes. IO per query ≈
+    |probed cells| × (2 + m) bytes/vector — ~30× below a float scan even
+    before cell pruning."""
+    q = np.asarray(query, dtype=np.float64)
+    order = np.argsort(-(centroids @ q))[:n_probe]
+    cand = encoded.where(F.col(cell_col).isin(*[int(c) for c in order]))
+    return pq_topk(cand, codebooks, q, kk, id_col=id_col,
+                   code_col=code_col)

@@ -488,3 +488,28 @@ def test_pq_topk_adc_matches_numpy_and_recall(spark, emb, emb_np, pq_books):
                 .tolist())
     approx = {r.vec_id for r in got}
     assert len(exact & approx) >= 7
+
+
+def test_ivfpq_topk(spark, emb, emb_np, pq_books):
+    """IVF-PQ: probing ALL cells must equal plain PQ ADC; probing few
+    cells returns a subset of the candidates ranked by the same ADC."""
+    ids, mat = emb_np
+    cents = SIM.train_centroids(emb, 4, seed=11)
+    stored = SIM.pq_encode(SIM.ivf_assign(emb, cents), pq_books) \
+        .select("vec_id", "ivf_cell", "pq_code").cache()
+    q = mat[5]
+    full = [(r.vec_id, round(r.adc_dist, 9))
+            for r in SIM.ivfpq_topk(stored, cents, pq_books, q, 10,
+                                    n_probe=4).collect()]
+    plain = [(r.vec_id, round(r.adc_dist, 9))
+             for r in SIM.pq_topk(stored, pq_books, q, 10).collect()]
+    assert full == plain
+    probed = SIM.ivfpq_topk(stored, cents, pq_books, q, 10, n_probe=1)
+    rows = probed.collect()
+    assert 0 < len(rows) <= 10
+    # every returned row really lives in the probed (best) cell
+    best = int(np.argmax(cents @ q))
+    cells = {r.ivf_cell for r in
+             stored.join(probed.select("vec_id"), "vec_id").collect()}
+    assert cells == {best}
+    stored.unpersist()
