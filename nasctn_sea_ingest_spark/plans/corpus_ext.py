@@ -250,6 +250,30 @@ def q47(spark, sf_dir):
     return out.select("vec_id", F.round("cos_sim", 5).alias("cos_sim"))
 
 
+@_q("q86_pq_ann",
+    "ANN top-k via IVF-PQ: per-subspace codebooks (deterministic sampled "
+    "centroids), SMALLINT codes, cell probe + asymmetric-distance scoring "
+    "over the code column only (similarity.pq_encode/ivfpq_topk — the "
+    "billion-vector storage layout: ~30× less IO than a float scan)",
+    None)  # rows-only: approximate by design (like q46/q47)
+def q86(spark, sf_dir):
+    import numpy as np
+    emb, qvec = _query_vec(spark, sf_dir)
+    base = emb.where(F.col("vec_id") != 0)
+    # deterministic sampled codebooks (k-means-free, like q47's
+    # sample_centroids — the MLlib-trained path is pq_train, library-tested)
+    rows = (base.orderBy("vec_id").limit(16)
+            .select("embedding").collect())
+    sub = np.array([r.embedding for r in rows], dtype=np.float64)
+    dim = sub.shape[1]
+    m, dsub = 8, dim // 8
+    books = np.stack([sub[:, j * dsub:(j + 1) * dsub] for j in range(m)])
+    cents = similarity.sample_centroids(base, n_centroids=4)
+    stored = similarity.pq_encode(similarity.ivf_assign(base, cents), books)
+    out = similarity.ivfpq_topk(stored, cents, books, qvec, 10, n_probe=2)
+    return out.select("vec_id", F.round("adc_dist", 5).alias("adc_dist"))
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (rows-only: the codec is a deterministic stub — the
 # Spark-side schema/batching/partitioning is what this declares)
