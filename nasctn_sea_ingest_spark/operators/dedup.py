@@ -20,6 +20,7 @@ __all__ = [
     "jaccard_pairs", "minhash_signatures", "lsh_candidates",
     "minhash_dedup_candidates", "simhash64", "simhash_pairs",
     "dup_clusters", "drop_near_duplicates",
+    "band_buckets", "minhash_signature_expr", "minhash_band_index",
 ]
 
 # 2^31 - 1: keeps h * multiplier + offset far inside int64 under ANSI mode
@@ -146,29 +147,70 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                                       for j in range(n_hashes)]).alias("sig"))
 
 
-def lsh_candidates(sigs: DataFrame, n_bands: int = 8) -> DataFrame:
-    """LSH banding: split each signature into ``n_bands`` bands, bucket-join
-    per band, union candidates. Shuffles on (band, band-hash) — uniform keys,
-    no all-pairs blowup."""
-    n_hashes = None  # derived per-row below; bands sized by slice
+def band_buckets(sigs: DataFrame, n_bands: int = 8,
+                 id_col: str = "id", sig_col: str = "sig",
+                 carry: "list[str] | None" = None) -> DataFrame:
+    """Signatures → one row per LSH band: (id, band, bucket[, carry...]).
+    The bucket is a hash of the band's signature slice — the equi-join key
+    that replaces all-pairs comparison. Stateless (explode + hash), so it
+    runs identically on batch and streaming frames."""
+    carry = carry or []
     banded = sigs.select(
-        "id",
+        F.col(id_col).alias("id"), *carry,
         F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(n_bands - 1)),
             lambda bnd: F.struct(
                 bnd.alias("band"),
-                F.slice(F.col("sig"),
-                        bnd * (F.size("sig") / n_bands).cast("int") + 1,
-                        (F.size("sig") / n_bands).cast("int"))
-                .alias("chunk")))).alias("b")) \
-        .select("id", F.col("b.band").alias("band"),
-                F.hash("b.chunk").alias("bucket"))
+                F.slice(F.col(sig_col),
+                        bnd * (F.size(sig_col) / n_bands).cast("int") + 1,
+                        (F.size(sig_col) / n_bands).cast("int"))
+                .alias("chunk")))).alias("b"))
+    return banded.select("id", *carry, F.col("b.band").alias("band"),
+                         F.hash("b.chunk").alias("bucket"))
+
+
+def lsh_candidates(sigs: DataFrame, n_bands: int = 8) -> DataFrame:
+    """LSH banding: split each signature into ``n_bands`` bands, bucket-join
+    per band, union candidates. Shuffles on (band, band-hash) — uniform keys,
+    no all-pairs blowup."""
+    banded = band_buckets(sigs, n_bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.id") < F.col("b.id")))
              .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
              .distinct())
+
+
+def minhash_signature_expr(text_col: str = "text", n: int = 3,
+                           n_hashes: int = 32):
+    """MinHash signature as a pure COLUMN EXPRESSION (array<bigint> length
+    ``n_hashes``; null-element signature when the text has no n-gram).
+
+    Bit-identical to ``minhash_signatures`` (same xxhash64 + universal-
+    hash family — pinned by ``test_minhash_signature_expr_parity``), but
+    with no explode and no aggregation, so it runs where stateful shapes
+    can't: per-row in a STREAMING select (the batch form needs a groupBy,
+    which append-mode streams disallow without watermark aggregation).
+    On batch frames prefer ``minhash_signatures`` — the explode +
+    hash-aggregate runs in whole-stage codegen and measured ~4× faster
+    than higher-order-lambda evaluation; this form trades that for
+    statelessness."""
+    from ..functions import _let
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_grams = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(w, j + 1, n_grams) for j in range(n)])
+    grams = F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
+
+    def _mh(j):
+        return lambda g: F.array_min(F.transform(
+            g, lambda s: F.pmod(
+                F.pmod(F.xxhash64(s), F.lit(_MERSENNE)) * F.lit(2 * j + 1)
+                + F.lit(101 * j + 17), F.lit(_MERSENNE))))
+
+    return _let(grams,
+                lambda g: F.array(*[_mh(j)(g) for j in range(n_hashes)]))
 
 
 def minhash_dedup_candidates(df: DataFrame, text_col: str = "text",
@@ -291,3 +333,16 @@ def drop_near_duplicates(df: DataFrame, pairs: DataFrame,
     losers = clusters.where(F.col("node") != F.col("cluster")) \
                      .select(F.col("node").alias(id_col))
     return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def minhash_band_index(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       n_hashes: int = 32, n_bands: int = 8) -> DataFrame:
+    """Static LSH band index of a corpus: (id, band, bucket) — the
+    queryable form a continuous-ingest deployment stores (written
+    ``partitionBy(band)`` or bucketed by (band, bucket) so stream-side
+    probes prune). Built with the batch signature path; streaming probes
+    against it with the expression path (same hash family, so buckets
+    align — ``streaming.neardup_stream``)."""
+    return band_buckets(
+        minhash_signatures(df, text_col, id_col, n, n_hashes), n_bands)

@@ -27,7 +27,7 @@ from ..sources.sigmf import decode_sigmf_trace_records
 
 __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "session_rollup", "gap_monitor", "dedup_stream",
-           "calibration_join", "document_stream"]
+           "calibration_join", "document_stream", "neardup_stream"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -307,3 +307,40 @@ def document_stream(spark: SparkSession, landing_dir: str,
     scrubbed = scrub_pii(gated)
     return (scrubbed.withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(["doc_id"]))
+
+
+def neardup_stream(doc_stream: DataFrame, band_index: DataFrame,
+                   n: int = 3, n_hashes: int = 32,
+                   n_bands: int = 8) -> DataFrame:
+    """Streaming near-dup detection against a static corpus: flag each
+    arriving document whose MinHash-LSH band bucket collides with an
+    indexed document (``dedup.minhash_band_index`` over the accumulated
+    warehouse). Output: one row per (arriving doc × matched corpus doc ×
+    colliding band) — dedupe downstream per sink needs.
+
+    The stream side computes signatures with the pure-expression path
+    (``dedup.minhash_signature_expr`` — per-row, stateless, append-mode
+    safe; the batch groupBy form is not available to a stream), banded
+    with the same stateless explode, then a STREAM-STATIC equi-join on
+    (band, bucket). Both sides use the same hash family, so buckets
+    align. At 100 TB the index is stored bucketed by (band, bucket),
+    making each micro-batch probe a pruned co-located join; the index
+    refreshes by periodic batch rebuild (near-dup state cannot live in
+    the stream — it is corpus-wide by definition; this split is the
+    standard lambda shape for continuous ingest).
+    """
+    from ..operators.dedup import band_buckets, minhash_signature_expr
+
+    sig = minhash_signature_expr("text", n=n, n_hashes=n_hashes)
+    carry = [c for c in doc_stream.columns if c != "text"]
+    s = (doc_stream.withColumn("sig", sig)
+         # no n-gram (short text) → null-element signature: never matches
+         .where(F.col("sig")[0].isNotNull()))
+    banded = band_buckets(s, n_bands, id_col="doc_id", sig_col="sig",
+                          carry=[c for c in carry if c != "doc_id"])
+    idx = band_index.select(F.col("id").alias("matched_id"),
+                            "band", "bucket")
+    return (banded.join(idx, ["band", "bucket"])
+                  .where(F.col("id") != F.col("matched_id"))
+                  .select(F.col("id").alias("doc_id"), "matched_id",
+                          "band"))

@@ -360,3 +360,68 @@ def test_calibration_join_stream(spark, tmp_path_factory):
     assert len(by_nf.get(6.0, set())) == 1       # only the late capture
     assert all(f == f0 for _, f in by_nf[5.0])
     assert all(f == f0 + 10e6 for _, f in by_nf[6.0])
+
+
+def test_minhash_signature_expr_parity(spark):
+    """The stateless expression signature must be bit-identical to the
+    batch groupBy signature (same hash family) — index compatibility."""
+    import pyspark.sql.functions as F
+    from nasctn_sea_ingest_spark.operators import dedup as DD
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog near the bank"),
+        (2, "pack my box with five dozen liquor jugs for the long trip"),
+        (3, "the quick brown fox jumps over the lazy dog near the bend"),
+        (4, "to be"),            # < n tokens: no gram
+    ]
+    d = spark.createDataFrame(texts, "doc_id long, text string")
+    batch = {r.id: list(r.sig)
+             for r in DD.minhash_signatures(d, n_hashes=8).collect()}
+    expr = {r.doc_id: list(r.sig) for r in
+            d.select("doc_id", DD.minhash_signature_expr(
+                "text", n_hashes=8).alias("sig")).collect()}
+    assert set(batch) == {1, 2, 3}        # doc 4 has no gram → no batch row
+    for k, v in batch.items():
+        assert expr[k] == v
+    assert expr[4][0] is None             # expression path: null signature
+
+
+def test_neardup_stream(spark, tmp_path_factory):
+    """Arriving docs probe the static LSH band index: a near-copy of an
+    indexed doc is flagged with its source; novel docs pass silently."""
+    import json
+
+    from nasctn_sea_ingest_spark.operators.dedup import minhash_band_index
+    from nasctn_sea_ingest_spark.streaming import neardup_stream
+
+    base = ("the quick brown fox jumps over the lazy dog and runs into "
+            "the deep green forest before the rain starts falling hard")
+    corpus = spark.createDataFrame(
+        [(100, base),
+         (101, "completely different text about spark query engines and "
+               "the planning of distributed joins across many machines")],
+        "doc_id long, text string")
+    index = minhash_band_index(corpus)
+
+    landing = tmp_path_factory.mktemp("nd_landing")
+    ckpt = str(tmp_path_factory.mktemp("nd_ckpt"))
+    rows = [
+        {"doc_id": 7, "text": base.replace("hard", "softly")},  # near-dup
+        {"doc_id": 8, "text": "a totally novel document that resembles "
+                              "nothing stored in the corpus index at all "
+                              "and speaks only of gardening in winter"},
+    ]
+    with open(landing / "a.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (spark.readStream.format("json")
+              .schema("doc_id BIGINT, text STRING")
+              .option("pathGlobFilter", "*.jsonl").load(str(landing)))
+    q = (neardup_stream(stream, index)
+         .writeStream.format("memory").queryName("nd_t")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("nd_t").collect()
+    flagged = {(r.doc_id, r.matched_id) for r in got}
+    assert (7, 100) in flagged            # near-copy matched to its source
+    assert all(d != 8 for d, _ in flagged)  # novel doc unflagged
