@@ -20,7 +20,7 @@ _WINDOW_PRIORITY = [
     "q78_returned_item_report", "q79_nation_volume_shipping",
     "q80_market_share", "q81_order_count_distribution",
     "q82_stratified_sample", "q83_seeded_shuffle", "q84_bm25_retrieval",
-    "q85_asof_by_key", "q86_pq_ann",
+    "q85_asof_by_key", "q86_pq_ann", "q87_bpe_pair_counts",
     # round-1-only verified (27): refresh their hard-signal rows
     "q02_filter_project", "q03_time_range", "q04_conjunctive_slice",
     "q06_group_limiter", "q09_semi_join", "q10_anti_join",

@@ -571,3 +571,28 @@ def q84(spark, sf_dir):
                   .where(F.col("rn") <= 10)
                   .select("tok", "doc_id", "tfreq",
                           F.round("score", 6).alias("bm25")))
+
+
+@_q("q87_bpe_pair_counts",
+    "tokenizer training stage 2: corpus-wide adjacent-token-pair counts "
+    "(the argmax of one BPE merge iteration), top-20 — zip-of-slices "
+    "pair stream, hash-agg with map-side combine, TakeOrdered top-k",
+    """
+    WITH toks AS (SELECT string_split(trim(text), ' ') AS w FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1])) AS pair
+      FROM toks WHERE len(w) >= 2)
+    SELECT pair, count(*) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 20
+    """)
+def q87(spark, sf_dir):
+    from ..operators.dedup import _gram_stream
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _gram_stream(d, "text", "doc_id", n=2)
+    return (pairs.groupBy(F.col("shingle").alias("pair"))
+                 .agg(F.count("*").alias("n_occurrences"))
+                 .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+                 .limit(20))
