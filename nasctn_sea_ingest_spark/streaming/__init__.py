@@ -27,7 +27,8 @@ from ..sources.sigmf import decode_sigmf_trace_records
 
 __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "session_rollup", "gap_monitor", "dedup_stream",
-           "calibration_join", "document_stream", "neardup_stream"]
+           "calibration_join", "document_stream", "neardup_stream",
+           "sliding_rollup"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -220,6 +221,34 @@ def daily_rollup(trace_stream: DataFrame,
             .select(F.col("day.start").cast("date").alias("date"),
                     "frequency", "n_captures", "mean_power_db",
                     "max_capture_mean_db"))
+
+
+def sliding_rollup(trace_stream: DataFrame, window: str = "1 hour",
+                   slide: str = "15 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Watermarked SLIDING-window rollup of the mean/rms PFP stream —
+    the moving-average monitoring view (each capture lands in
+    window/slide overlapping windows; a tumbling window is the
+    slide == window special case, ``daily_rollup``). State per key is
+    (windows-overlapping-watermark × frequencies) rows — bounded, like
+    every watermarked agg here. Emits per (window, frequency) capture
+    count and dB-domain mean power."""
+    ref = trace_stream.where(
+        (F.col("table") == "pfp") & (F.col("capture_statistic") == "mean")
+        & (F.col("detector") == "rms"))
+    per_capture = ref.select(
+        "datetime", "frequency",
+        array_mean_db("values").alias("capture_mean_db"))
+    lin = F.pow(F.lit(10.0), F.col("capture_mean_db") / 10.0)
+    return (per_capture
+            .withWatermark("datetime", watermark)
+            .groupBy(F.window("datetime", window, slide).alias("w"),
+                     "frequency")
+            .agg(F.count("*").alias("n_captures"),
+                 (10.0 * F.log10(F.avg(lin))).alias("mean_power_db"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "frequency", "n_captures", "mean_power_db"))
 
 
 def session_rollup(trace_stream: DataFrame, gap: str = "10 minutes",

@@ -425,3 +425,33 @@ def test_neardup_stream(spark, tmp_path_factory):
     flagged = {(r.doc_id, r.matched_id) for r in got}
     assert (7, 100) in flagged            # near-copy matched to its source
     assert all(d != 8 for d, _ in flagged)  # novel doc unflagged
+
+
+def test_sliding_rollup_stream(spark, tmp_path_factory):
+    """Sliding windows overlap: each capture lands in window/slide
+    windows, and every window's dB mean is finite."""
+    from nasctn_sea_ingest_spark.streaming import (read_sigmf_stream,
+                                                   sliding_rollup)
+    landing = str(tmp_path_factory.mktemp("slide_landing"))
+    build_sweep_series(landing, 5)
+    ckpt = str(tmp_path_factory.mktemp("slide_ckpt"))
+    stream = read_sigmf_stream(spark, landing)
+    roll = sliding_rollup(stream, window="1 hour", slide="30 minutes",
+                          watermark="0 seconds")
+    # complete mode: assert window semantics without waiting for the
+    # watermark to close trailing windows (append-mode emission timing is
+    # covered by test_daily_rollup_stream)
+    q = (roll.writeStream.outputMode("complete")
+         .format("memory").queryName("slide_t")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.table("slide_t").collect()
+    assert rows
+    import math
+    for r in rows:
+        assert r.n_captures > 0 and math.isfinite(r.mean_power_db)
+        assert (r.window_end - r.window_start).total_seconds() == 3600
+    # overlap: some capture time is covered by >= 2 windows (slide < window)
+    spans = {(r.window_start, r.window_end) for r in rows}
+    assert len(spans) >= 2
