@@ -28,6 +28,7 @@ from ..functions import (
 __all__ = [
     "capture_summary", "make_3gpp_downlink_mask", "pfp_frame_sync",
     "roll_pfp", "ul_dl_split", "apd_series", "stitch_psd",
+    "theil_sen_slope", "robust_trend",
 ]
 
 
@@ -230,3 +231,61 @@ def stitch_psd(psd: DataFrame) -> DataFrame:
     center frequency → absolute-frequency rows spanning all channels."""
     ex = explode_trace(psd)
     return ex.withColumn("x_abs", F.col("frequency") + F.col("x")).drop("x")
+
+
+# --------------------------------------------------------------------------
+# robust per-group trend (grouped-agg pandas UDF — the §2.11 UDAF surface)
+# --------------------------------------------------------------------------
+
+def theil_sen_slope(x: np.ndarray, y: np.ndarray,
+                    max_pairs: int = 250_000) -> float:
+    """Median of pairwise slopes (Theil–Sen estimator) — the robust trend
+    a sensor-drift monitor wants (one stuck capture can't swing it, unlike
+    least squares). All-pairs is O(n²); beyond ``max_pairs`` the pairs are
+    subsampled DETERMINISTICALLY (fixed stride over the pair index space),
+    bounding memory/compute per group while keeping the estimate stable
+    run-to-run."""
+    n = len(x)
+    if n < 2:
+        return float("nan")
+    ii, jj = np.triu_indices(n, k=1)
+    if len(ii) > max_pairs:
+        step = len(ii) // max_pairs + 1
+        ii, jj = ii[::step], jj[::step]
+    dx = x[jj] - x[ii]
+    ok = dx != 0
+    if not ok.any():
+        return float("nan")
+    return float(np.median((y[jj] - y[ii])[ok] / dx[ok]))
+
+
+def robust_trend(df: DataFrame, by: "list[str]", x_col: str, y_col: str,
+                 max_pairs: int = 250_000) -> DataFrame:
+    """Per-group Theil–Sen slope of ``y_col`` against ``x_col`` — e.g.
+    dB-per-day calibration drift per frequency. This is the engine's
+    grouped-agg pandas UDF surface (SURVEY §2.11): a true UDAF shape —
+    Arrow ships each group's two columns to one vectorized numpy call,
+    the groupBy shuffles once on ``by`` like any aggregate. The estimator
+    is order-insensitive, so Spark's nondeterministic within-group row
+    order cannot change the result.
+
+    Scale: per-group memory is O(min(n², max_pairs)) pair slopes; groups
+    are independent tasks. For groups with billions of rows, pre-bucket
+    ``x`` (e.g. daily medians via groupBy) and run the estimator over the
+    bucketed series — same call, bounded n.
+    """
+    @F.pandas_udf("double")
+    def _ts(xs: pd.Series, ys: pd.Series) -> float:
+        return theil_sen_slope(
+            np.asarray(xs, dtype=np.float64),
+            np.asarray(ys, dtype=np.float64), max_pairs)
+
+    # Spark disallows mixing a grouped-agg pandas UDF with JVM aggregates
+    # in one agg(), so the group size rides a second tiny pandas agg
+    @F.pandas_udf("long")
+    def _n(xs: pd.Series) -> int:
+        return len(xs)
+
+    return (df.groupBy(*by)
+              .agg(_ts(F.col(x_col), F.col(y_col)).alias("trend_slope"),
+                   _n(F.col(x_col)).alias("n_points")))

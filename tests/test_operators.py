@@ -162,3 +162,37 @@ def test_stitch_psd(sweep_tables):
     assert xs == sorted(xs)
     assert xs[0] == pytest.approx(3.545e9 - 4_992_000.0)
     assert xs[-1] == pytest.approx(3.565e9 - 4_992_000.0 + 31 * 16_000.0)
+
+
+def test_robust_trend_theil_sen(spark):
+    """Grouped-agg pandas UDF: slope recovers a planted trend and shrugs
+    off an outlier that wrecks least squares; matches the numpy estimator
+    exactly; order/partitioning-insensitive."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from nasctn_sea_ingest_spark.operators import (robust_trend,
+                                                   theil_sen_slope)
+    rs = np.random.RandomState(3)
+    rows = []
+    for g, slope in (("a", 2.0), ("b", -0.5)):
+        x = np.arange(40, dtype=float)
+        y = slope * x + 1.0 + rs.normal(0, 0.01, 40)
+        y[7] = 1e6          # gross outlier
+        rows += [(g, float(xi), float(yi)) for xi, yi in zip(x, y)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r for r in robust_trend(df, ["g"], "x", "y").collect()}
+    for g, slope in (("a", 2.0), ("b", -0.5)):
+        assert abs(got[g].trend_slope - slope) < 0.05   # outlier-immune
+        assert got[g].n_points == 40
+    # exact parity with the driver-side estimator + partition stability
+    want = {}
+    for g in ("a", "b"):
+        sub = [(x, y) for gg, x, y in rows if gg == g]
+        xs = np.array([p[0] for p in sub]); ys = np.array([p[1] for p in sub])
+        want[g] = theil_sen_slope(xs, ys)
+    again = {r.g: r.trend_slope
+             for r in robust_trend(df.repartition(13), ["g"], "x", "y")
+                 .collect()}
+    for g in ("a", "b"):
+        assert again[g] == got[g].trend_slope == want[g]
