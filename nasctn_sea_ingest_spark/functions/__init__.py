@@ -25,7 +25,7 @@ __all__ = [
     "axis_x", "explode_trace", "trace", "asof_join", "interval_join",
     "limiter",
     "time_gaps", "pivot_wide", "localize", "rayleigh_amplitude",
-    "noise_floor_dBm", "salted_agg",
+    "noise_floor_dBm", "salted_agg", "exact_median_large",
 ]
 
 
@@ -512,3 +512,42 @@ def noise_floor_dBm(nf_col, enbw_hz=10e6, temp_k: float = 290.0) -> Column:
     ktb_dbm_hz = 10.0 * math.log10(1.380649e-23 * temp_k) + 30.0
     bw = _c(enbw_hz) if isinstance(enbw_hz, (Column, str)) else F.lit(float(enbw_hz))
     return F.lit(ktb_dbm_hz) + 10.0 * F.log10(bw) + _c(nf_col)
+
+
+def exact_median_large(df: DataFrame, keys: Sequence[str],
+                       value_col: str) -> DataFrame:
+    """Exact per-group median for groups too large to buffer (the
+    pathological case SCALE.md §3 reserves this for — ``percentile``
+    collects one group's values into one aggregation buffer; a
+    billion-row group OOMs it).
+
+    Two passes, both scalable: (1) value-compress — count per (key,
+    value), so downstream state is one row per DISTINCT value, not per
+    input row; (2) rank — a cumulative-count window per key over the
+    compressed values locates the value(s) covering the middle ranks
+    (count + offset-rank). Even-sized groups average the two middle
+    values, matching ``percentile(col, 0.5)`` exactly. The per-key
+    window sorts only the distinct-value stream; keys process in
+    parallel, and heavily duplicated data (the usual reason a group is
+    huge) compresses proportionally.
+    """
+    from pyspark.sql import Window
+    keys = list(keys)
+    vc = (df.groupBy(*keys, value_col)
+            .agg(F.count("*").alias("_c")))
+    w = Window.partitionBy(*keys).orderBy(value_col)
+    cum = (vc.withColumn("_hi", F.sum("_c").over(w))
+             .withColumn("_lo", F.col("_hi") - F.col("_c")))
+    tot = df.groupBy(*keys).agg(F.count("*").alias("_n"))
+    j = cum.join(tot, keys)
+    r1 = F.floor((F.col("_n") - 1) / 2)     # zero-based middle ranks
+    r2 = F.floor(F.col("_n") / 2)
+    v = F.col(value_col).cast("double")
+    sel = j.select(
+        *keys,
+        F.when((F.col("_lo") <= r1) & (r1 < F.col("_hi")), v).alias("_v1"),
+        F.when((F.col("_lo") <= r2) & (r2 < F.col("_hi")), v).alias("_v2"),
+        F.col("_n"))
+    return (sel.groupBy(*keys)
+               .agg(((F.max("_v1") + F.max("_v2")) / 2.0).alias("median"),
+                    F.max("_n").alias("n")))

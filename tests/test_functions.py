@@ -332,3 +332,31 @@ def test_array_stats_single_sort_per_row(spark):
     df.select(F.sum(FN.array_midmean("values")),
               F.sum(FN.array_quantile("values", 0.9))).collect()
     assert time.perf_counter() - t0 < 60
+
+
+def test_exact_median_large_matches_percentile(spark):
+    """Value-compressed two-pass median == percentile(0.5) exactly, for
+    odd/even group sizes, heavy duplication, and negative values."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from nasctn_sea_ingest_spark import functions as FN
+
+    rs = np.random.RandomState(11)
+    rows = []
+    for g, n in (("odd", 101), ("even", 100), ("dups", 400), ("one", 1)):
+        if g == "dups":
+            vals = rs.choice([-3.5, 0.0, 1.25, 7.0], n)
+        else:
+            vals = np.round(rs.normal(0, 10, n), 3)
+        rows += [(g, float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r.g: (r.median, r.n)
+           for r in FN.exact_median_large(df, ["g"], "v").collect()}
+    want = {r.g: r.m for r in
+            df.groupBy("g").agg(F.expr("percentile(v, 0.5)").alias("m"))
+              .collect()}
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g][0] == want[g], g
+    assert got["one"][1] == 1 and got["even"][1] == 100
