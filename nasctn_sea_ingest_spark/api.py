@@ -139,18 +139,34 @@ def read_seamf_zipfile_as_sdf(spark: SparkSession, path: str,
     for t in _PRODUCTS:
         df = good.where(F.col("table") == t).drop("table")
         out[t] = df
-    quarantined = traces.where(F.col("error").isNotNull()) \
-                        .select("source_file").distinct()
-    out["channel_metadata"] = (
-        decode_channel_metadata(refs, tz=tz)
-        .where(F.col("error").isNull())
-        .join(F.broadcast(quarantined), "source_file", "left_anti")
-        .drop("error"))
-    out["sweep_metadata"] = (
-        decode_sweep_metadata(refs, tz=tz)
-        .where(F.col("error").isNull())
-        .join(F.broadcast(quarantined), "source_file", "left_anti")
-        .drop("error"))
+
+    def _meta(df: DataFrame) -> DataFrame:
+        if errors == "raise":
+            # same lazy-raise contract as the trace products: a metadata
+            # action over an errored file must raise, not silently drop.
+            # The check rides a FILTER (a projection would be pruned away
+            # by count()-style actions that read no columns): good rows
+            # short-circuit the OR; an errored row evaluates raise_error.
+            m = F.concat(F.lit("decode failed for "), F.col("source_file"),
+                         F.lit(": "), F.col("error"))
+            return (df.where(F.col("error").isNull()
+                             | F.raise_error(m).cast("boolean"))
+                    .drop("error"))
+        quarantined = traces.where(F.col("error").isNotNull()) \
+                            .select("source_file").distinct()
+        return (df.where(F.col("error").isNull())
+                  .join(F.broadcast(quarantined), "source_file",
+                        "left_anti")
+                  .drop("error"))
+
+    # in raise mode the metadata stage verifies the payload sha512 too
+    # (no decompression — SigmfError lands in the error column, and the
+    # fused raise fires on the first metadata action)
+    _hc = errors == "raise"
+    out["channel_metadata"] = _meta(
+        decode_channel_metadata(refs, tz=tz, hash_check=_hc))
+    out["sweep_metadata"] = _meta(
+        decode_sweep_metadata(refs, tz=tz, hash_check=_hc))
     # reference read_seamf returns a 7th product key sensor_metadata =
     # {timezone} (seamf.py:231); it rides the sweep fast path here
     out["sensor_metadata"] = out["sweep_metadata"].select(

@@ -533,6 +533,9 @@ def exact_median_large(df: DataFrame, keys: Sequence[str],
     """
     from pyspark.sql import Window
     keys = list(keys)
+    # percentile() ignores NULLs; drop them before counting/ranking so a
+    # nullable column can't shift the middle ranks (or become the median)
+    df = df.where(F.col(value_col).isNotNull())
     vc = (df.groupBy(*keys, value_col)
             .agg(F.count("*").alias("_c")))
     w = Window.partitionBy(*keys).orderBy(value_col)

@@ -124,19 +124,19 @@ def seeded_shuffle(df: DataFrame, key_col: str, seed: str = "0",
     Reproduces bit-identically across engines, cluster sizes, and input
     partitionings — unlike ``orderBy(rand(seed))``, whose draw depends on
     partition layout. With ``position=True`` adds a 0-based ``position``
-    column (one extra narrow window pass over the ordered stream).
+    column (exact global rank of the draw; output order is unspecified —
+    ``.orderBy("position")`` when materializing ordered shards).
 
-    Scale note: a total order is inherently a range-partitioned global
-    sort (Spark samples range bounds, then sorts within partitions); the
-    usual 100 TB deployment writes the sorted shards straight out, so the
-    order materializes once. ``position=True`` additionally computes the
-    exact global rank scale-safely — range-partitioned local ranks plus a
-    broadcast per-partition offset frame, never a single-task global
-    Window. Exact global positions cost a second pass over the input for
-    the partition counts (the same 2-job cost as RDD ``zipWithIndex``);
-    when only the ORDER matters (the common training-shard case), pass
-    ``position=False`` for the single-pass form, or ``.persist()`` the
-    input first to make the second pass a cache read.
+    Scale note: ``position=False`` is a plain range-partitioned global
+    sort (single pass; the usual 100 TB deployment writes the sorted
+    shards straight out). ``position=True`` computes the exact global
+    rank scale-safely with DATA-DERIVED buckets (the draw's hex prefix):
+    per-bucket rank windows plus a ≤4096-row broadcast offset frame,
+    never a single-task global Window, and no dependence on physical
+    partitioning or sampled range bounds — recomputation of any branch
+    reproduces identical buckets. Exact positions cost a second pass
+    over the input for the bucket counts (the same 2-job cost as RDD
+    ``zipWithIndex``); ``.persist()`` the input to make it a cache read.
     """
     h = F.md5(F.concat(F.lit(seed), F.lit("|"),
                        F.col(key_col).cast("string")))
@@ -144,15 +144,19 @@ def seeded_shuffle(df: DataFrame, key_col: str, seed: str = "0",
     if not position:
         return out.orderBy("_shuffle_key").drop("_shuffle_key")
     # Scale-safe global rank (no single-task Window over the whole table):
-    # range-partition on the hash, rank within each range partition, then
-    # add per-partition offsets — the offsets come from a partition-count
-    # side frame (#shuffle-partitions rows, so its own global window and
-    # the broadcast join back are trivially small). Position is the global
-    # rank of the md5 draw, independent of how the ranges were cut.
+    # bucket by the draw's first 3 hex chars — a PURE FUNCTION of the data
+    # whose integer value is also the buckets' sort order (hex prefixes
+    # are lexicographic), so local rank within bucket + cumulative bucket
+    # counts compose into the exact global rank. Nothing depends on
+    # physical layout (no spark_partition_id, no sampled range bounds):
+    # any recomputation of either branch reproduces identical buckets, so
+    # the plan is correct even when exchange reuse doesn't fire. The
+    # offset frame is ≤4096 rows — its global window and the broadcast
+    # join back are trivially small; the md5 draw makes bucket sizes
+    # uniform (~n/4096), so the per-bucket rank windows are balanced.
     from pyspark.sql import Window
-    ranked = (out.repartitionByRange("_shuffle_key")
-                 .sortWithinPartitions("_shuffle_key")
-                 .withColumn("_pid", F.spark_partition_id())
+    pid = F.conv(F.substring("_shuffle_key", 1, 3), 16, 10).cast("int")
+    ranked = (out.withColumn("_pid", pid)
                  .withColumn("_local", F.row_number().over(
                      Window.partitionBy("_pid").orderBy("_shuffle_key"))))
     pc = ranked.groupBy("_pid").agg(F.count("*").alias("_n"))

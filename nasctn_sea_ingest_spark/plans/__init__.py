@@ -9,14 +9,16 @@ from . import corpus_subq  # noqa: F401  (subqueries, TPC-H join shapes)
 # entries of ``queries()`` each round.  Round 1 verified q01-q45 (the
 # registration-order front); round 2 rotated to verify q46-q77 plus the
 # queries changed that round.  Round 3's window: (a) every NEW query
-# (q78-q84 — TPC-H Q10/Q7/Q8/Q13 shapes, stratified sampling, seeded
-# shuffle, BM25), (b) the 27 queries whose only hard-signal row is from
-# round 1 (two rounds old), (c) representatives of the round-2-green
-# families.  Every oracle-backed query keeps a green row ≤ 2 rounds old.
+# (q78-q87 — TPC-H Q10/Q7/Q8/Q13 shapes, stratified sampling, seeded
+# shuffle, BM25, keyed as-of, IVF-PQ, BPE pair counts), (b) the 27
+# queries whose only hard-signal row is from round 1 (two rounds old),
+# (c) representatives of the round-2-green families.  Exactly 50 entries
+# — every oracle-backed query keeps a green row ≤ 2 rounds old
+# (asserted by test_driver_window_covers_unverified_families).
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [
-    # new this round (8): no hard-signal row yet
+    # new this round (10): no hard-signal row yet
     "q78_returned_item_report", "q79_nation_volume_shipping",
     "q80_market_share", "q81_order_count_distribution",
     "q82_stratified_sample", "q83_seeded_shuffle", "q84_bm25_retrieval",
@@ -31,15 +33,15 @@ _WINDOW_PRIORITY = [
     "q39_daily_rollup", "q40_set_ops", "q42_cube", "q43_range_frame",
     "q67_vocab_topk", "q68_label_centroids", "q69_tfidf_top_terms",
     "q74_decontaminate",
-    # representatives of round-2-green families (16): flagship, joins,
+    # representatives of round-2-green families (13): flagship, joins,
     # windows, dedup, sampling/packing, subquery/TPC-H, as-of, similarity
     "q01_pricing_summary", "q08_join_agg", "q11_asof_nearest",
     "q16_exact_quantiles", "q22_cosine_topk", "q24_jaccard_neardup",
     "q25_minhash_lsh", "q26_simhash_hamming", "q49_window_suite",
-    "q51_sessionize", "q55_hash_split", "q60_sequence_pack",
-    "q64_in_having", "q66_local_supplier_volume", "q72_sole_late_supplier",
-    "q75_rolling_median",
+    "q51_sessionize", "q55_hash_split", "q64_in_having",
+    "q72_sole_late_supplier",
 ]
+assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 
 _rank = {n: i for i, n in enumerate(_WINDOW_PRIORITY)}
 CORPUS.sort(key=lambda q: (_rank.get(q.name, len(_rank)), q.name))

@@ -186,14 +186,18 @@ N_SH_BANDS = 4             # 8-bit bands; pigeonhole: hamming<=3 ⇒ ≥1 equal 
 
 
 def _simhash_bits_sql(intdiv: str) -> tuple[str, str]:
-    """(per-bit signed sums, signature assembly); ``intdiv`` is kept for the
-    band CTE dialects — the bit tests themselves use shift+mask, which both
-    dialects share and which runs ~20% faster than div/mod across the
-    32-expression aggregate (h is nonnegative, so ``(h >> j) & 1`` equals
-    ``(h div 2^j) % 2`` exactly)."""
+    """(per-bit signed sums, signature assembly); ``intdiv`` selects the
+    dialect ('div' → Spark SQL, '//' → DuckDB). The bit tests use
+    shift+mask (~20% faster than div/mod across the 32-expression
+    aggregate; h is nonnegative so ``(h >> j) & 1 == (h div 2^j) % 2``),
+    spelled per dialect: DuckDB has the ``>>`` operator, while Spark SQL
+    only gained ``>>`` syntax in 4.0 — ``shiftright()`` keeps the
+    declared pyspark>=3.5 floor."""
+    shift = ("((h >> {j}) & 1)" if intdiv == "//"
+             else "(shiftright(h, {j}) & 1)")
     return (
         ",\n         ".join(
-            f"sum(CASE WHEN ((h >> {jj}) & 1) = 1 THEN cnt ELSE -cnt END) AS s{jj}"
+            f"sum(CASE WHEN {shift.format(j=jj)} = 1 THEN cnt ELSE -cnt END) AS s{jj}"
             for jj in range(N_SH_BITS)),
         " + ".join(
             f"(CASE WHEN s{jj} > 0 THEN {1 << jj} ELSE 0 END)"
@@ -542,7 +546,11 @@ def q84(spark, sf_dir):
         "doc_id",
         F.size(w_arr).alias("dlen"),
         *[F.size(F.filter(w_arr, _count_term(t))).alias(f"tf_{i}")
-          for i, t in enumerate(_BM25_TERMS)])
+          for i, t in enumerate(_BM25_TERMS)]) \
+        .where(F.col("dlen") > 0)
+    # dlen > 0 matches the oracle's dl CTE, which only contains docs with
+    # ≥1 nonempty token — a whitespace-only doc must not inflate n_docs
+    # or the avgdl denominator
     stats = per_doc.agg(
         (F.sum("dlen").cast("double") / F.count("*")).alias("avgdl"),
         F.count("*").alias("n_docs"),
@@ -561,11 +569,15 @@ def q84(spark, sf_dir):
             .where(F.col("tfreq") > 0))
     idf = F.log((F.col("n_docs") - F.col("dfreq") + 0.5)
                 / (F.col("dfreq") + 0.5) + 1.0)
-    norm = (F.col("tfreq") * (_BM25_K1 + 1.0)) \
+    # association mirrors the oracle's left-to-right parse
+    # `idf * a / b` = (idf * a) / b — `idf * (a/b)` can differ by an ulp,
+    # enough to flip round(score, 6) at a rounding boundary
+    scored = long.withColumn(
+        "score",
+        (idf * (F.col("tfreq") * (_BM25_K1 + 1.0)))
         / (F.col("tfreq") + _BM25_K1 * (1.0 - _BM25_B
                                         + _BM25_B * F.col("dlen")
-                                        / F.col("avgdl")))
-    scored = long.withColumn("score", idf * norm)
+                                        / F.col("avgdl"))))
     w = Window.partitionBy("tok").orderBy(F.desc("score"), F.asc("doc_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
                   .where(F.col("rn") <= 10)
@@ -578,7 +590,8 @@ def q84(spark, sf_dir):
     "(the argmax of one BPE merge iteration), top-20 — zip-of-slices "
     "pair stream, hash-agg with map-side combine, TakeOrdered top-k",
     """
-    WITH toks AS (SELECT string_split(trim(text), ' ') AS w FROM documents),
+    WITH toks AS (SELECT string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents),
     pairs AS (
       SELECT unnest(list_transform(generate_series(1, len(w) - 1),
                     i -> w[i] || ' ' || w[i+1])) AS pair

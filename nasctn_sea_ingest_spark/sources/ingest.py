@@ -172,8 +172,12 @@ def list_sigmf_refs(spark: SparkSession, paths: str | list[str],
     df = spark.createDataFrame(pdf, schema)
     # range-partition on the listing sequence: batches stay CONTIGUOUS
     # natural-sort runs (S9 ordering contract — collect() returns refs in
-    # listing order; a round-robin repartition would interleave them)
-    return df.repartitionByRange(n_part, "seq").drop("seq")
+    # listing order; a round-robin repartition would interleave them).
+    # The within-partition sort is required: a range reduce partition can
+    # fetch from multiple map chunks in nondeterministic order on a real
+    # cluster; rangepartitioning alone only bounds the ranges.
+    return (df.repartitionByRange(n_part, "seq")
+              .sortWithinPartitions("seq").drop("seq"))
 
 
 def _open_ref(zcache: dict, path: str, member: str | None) -> bytes:
@@ -351,12 +355,13 @@ def write_partitions(df: DataFrame, write_fn, path: str) -> pd.DataFrame:
 
 
 def _meta_rows(path: str, member: str | None, zcache: dict,
-               tz: str | None) -> tuple[list[tuple], tuple]:
+               tz: str | None, hash_check: bool = False
+               ) -> tuple[list[tuple], tuple]:
     """(channel_metadata rows, sweep_metadata row) via the payload-skipping
     fast path (S14)."""
     src = _ref_name(path, member)
     raw = _open_ref(zcache, path, member)
-    plan = decode_sigmf_meta(raw, tz=tz)["plan"]
+    plan = decode_sigmf_meta(raw, tz=tz, hash_check=hash_check)["plan"]
 
     def ts(v):
         return pd.Timestamp(v) if v is not None else None
@@ -394,7 +399,7 @@ def _meta_rows(path: str, member: str | None, zcache: dict,
 
 
 def _meta_stage(refs: DataFrame, schema: T.StructType, pick: int,
-                tz: str | None) -> DataFrame:
+                tz: str | None, hash_check: bool = False) -> DataFrame:
     cols = [f.name for f in schema.fields]
     n_fill = len(cols) - 2
 
@@ -404,7 +409,8 @@ def _meta_stage(refs: DataFrame, schema: T.StructType, pick: int,
             recs = []
             for path, member in zip(b["path"], b["member"]):
                 try:
-                    both = _meta_rows(path, member, zcache, tz)
+                    both = _meta_rows(path, member, zcache, tz,
+                                      hash_check)
                     got = both[pick]
                     recs.extend(got if pick == 0 else [got])
                 except Exception as e:  # noqa: BLE001
@@ -416,14 +422,16 @@ def _meta_stage(refs: DataFrame, schema: T.StructType, pick: int,
     return refs.mapInPandas(run, schema)
 
 
-def decode_channel_metadata(refs: DataFrame, tz: str | None = None) -> DataFrame:
+def decode_channel_metadata(refs: DataFrame, tz: str | None = None,
+                            hash_check: bool = False) -> DataFrame:
     """Per-capture metadata rows via metadata-only parse (no LZMA)."""
-    return _meta_stage(refs, CHANNEL_META_SCHEMA, 0, tz)
+    return _meta_stage(refs, CHANNEL_META_SCHEMA, 0, tz, hash_check)
 
 
-def decode_sweep_metadata(refs: DataFrame, tz: str | None = None) -> DataFrame:
+def decode_sweep_metadata(refs: DataFrame, tz: str | None = None,
+                          hash_check: bool = False) -> DataFrame:
     """One metadata row per file via metadata-only parse (no LZMA)."""
-    return _meta_stage(refs, SWEEP_META_SCHEMA, 1, tz)
+    return _meta_stage(refs, SWEEP_META_SCHEMA, 1, tz, hash_check)
 
 
 # --------------------------------------------------------------------------

@@ -361,12 +361,10 @@ def neardup_stream(doc_stream: DataFrame, band_index: DataFrame,
     from ..operators.dedup import band_buckets, minhash_signature_expr
 
     sig = minhash_signature_expr("text", n=n, n_hashes=n_hashes)
-    carry = [c for c in doc_stream.columns if c != "text"]
     s = (doc_stream.withColumn("sig", sig)
          # no n-gram (short text) → null-element signature: never matches
          .where(F.col("sig")[0].isNotNull()))
-    banded = band_buckets(s, n_bands, id_col="doc_id", sig_col="sig",
-                          carry=[c for c in carry if c != "doc_id"])
+    banded = band_buckets(s, n_bands, id_col="doc_id", sig_col="sig")
     idx = band_index.select(F.col("id").alias("matched_id"),
                             "band", "bucket")
     return (banded.join(idx, ["band", "bucket"])

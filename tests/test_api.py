@@ -155,6 +155,10 @@ def test_zipfile_error_modes(spark, tmp_path_factory):
     # SparkRuntimeException carrying the decode error text
     with pytest.raises(Exception, match="sha512"):
         api.read_seamf_zipfile_as_sdf(spark, str(d))["psd"].count()
+    # ... and metadata products raise too (never silently drop the file)
+    with pytest.raises(Exception, match="sha512"):
+        api.read_seamf_zipfile_as_sdf(spark, str(d))["sweep_metadata"] \
+            .count()
     sdfs = api.read_seamf_zipfile_as_sdf(spark, str(d), errors="log")
     assert sdfs["psd"].count() == 3 * 2        # bad file dropped
     assert sdfs["sweep_metadata"].count() == 1  # metadata dropped too

@@ -350,6 +350,7 @@ def test_exact_median_large_matches_percentile(spark):
         else:
             vals = np.round(rs.normal(0, 10, n), 3)
         rows += [(g, float(v)) for v in vals]
+    rows += [("odd", None), ("even", None)]   # NULLs: ignored like percentile
     df = spark.createDataFrame(rows, "g string, v double")
     got = {r.g: (r.median, r.n)
            for r in FN.exact_median_large(df, ["g"], "v").collect()}

@@ -271,17 +271,18 @@ def test_stratified_sample_map_only(spark, sf):
 
 
 def test_seeded_shuffle_no_global_window(spark, sf):
-    """q83: the global position must come from range-partitioned local
-    ranks + a broadcast offset frame. Every window over the row stream
-    (ordering by the md5 draw) must be partitioned; the lone permitted
-    SinglePartition exchange is the #partitions-row offset frame."""
+    """q83: the global position must come from data-bucketed local ranks
+    (hash-prefix _pid) + a broadcast offset frame. Every window ordering
+    by the md5 draw over the ROW STREAM must be partitioned by _pid; the
+    lone SinglePartition shape allowed is the tiny offset frame's
+    cumulative window (input ≤4096 rows)."""
     p = _plan(_q("q83_seeded_shuffle").spark(spark, sf))
-    assert "RangePartitioning" in p or "rangepartitioning" in p
+    assert "hashpartitioning(_pid" in p
     assert "BroadcastExchange" in p
     for ln in p.splitlines():
-        if "windowspecdefinition(_shuffle_key" in ln:
-            assert "_pid" in ln.split("windowspecdefinition")[0] or \
-                "partitionBy" not in ln, ln
+        if "windowspecdefinition(" in ln and "_shuffle_key" in ln:
+            # row-stream windows: partition spec (first arg) must be _pid
+            assert ln.split("windowspecdefinition(")[1].startswith("_pid"), ln
 
 
 def test_bucketed_join_no_shuffle(spark, sf):
