@@ -127,6 +127,10 @@ def seeded_shuffle(df: DataFrame, key_col: str, seed: str = "0",
     column (exact global rank of the draw; output order is unspecified —
     ``.orderBy("position")`` when materializing ordered shards).
 
+    ``key_col`` must be UNIQUE per row (it is the row's identity in the
+    permutation): duplicate keys share one draw, and their relative
+    order/positions degrade to an arbitrary tie-break.
+
     Scale note: ``position=False`` is a plain range-partitioned global
     sort (single pass; the usual 100 TB deployment writes the sorted
     shards straight out). ``position=True`` computes the exact global

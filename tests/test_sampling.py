@@ -192,3 +192,16 @@ def test_hash_split_partitions_bucket_space(weights):
     edges.append(N_BUCKETS)
     assert edges == sorted(edges)
     assert edges[0] == 0 and edges[-1] == N_BUCKETS
+
+
+def test_stratified_sample_edge_fractions(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    n_en = d.where(F.col("lang") == "en").count()
+    # fraction 1.0 keeps every row of the stratum; 0.0 keeps none
+    full = S.stratified_sample(d, {"en": 1.0}, "lang", "doc_id")
+    assert full.count() == n_en
+    none = S.stratified_sample(d, {"en": 0.0}, "lang", "doc_id")
+    assert none.count() == 0
+    # default=0.0 and absent default both drop unlisted strata
+    assert S.stratified_sample(d, {"en": 1.0}, "lang", "doc_id",
+                               default=0.0).count() == n_en
