@@ -1,0 +1,91 @@
+"""Per-query run log — the query-library analog of the reference's
+eliot-style per-action context (``dask_ops.py:15-93``; its ingest-side
+counterpart here is the ``ingest_log`` table ``sources/ingest.py``).
+
+The reference wraps each dask action in a logged context with timings.
+Here a :class:`QueryLog` wraps DataFrame actions: each ``run`` records
+name, wall duration, row count, and a digest of the executed physical
+plan (so a plan regression — lost pushdown, new exchange — shows up as a
+digest change in the log even before it shows up as a slowdown).
+
+Driver-side only and O(#queries) memory: the log never touches executor
+state, and ``to_df`` turns it into a small DataFrame for warehouse
+append alongside ``ingest_log``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["QueryLog"]
+
+
+def plan_digest(df: DataFrame) -> str:
+    """Stable digest of the executed plan SHAPE: expression ids (#123),
+    plan ids, and locations are stripped so only structural changes
+    (operators, exchanges, pushed filters) alter the digest."""
+    p = df._jdf.queryExecution().executedPlan().toString()
+    p = re.sub(r"#\d+L?", "#", p)
+    p = re.sub(r"plan_id=\d+", "plan_id=", p)
+    p = re.sub(r"Location: \S+", "Location:", p)
+    return hashlib.sha256(p.encode()).hexdigest()[:16]
+
+
+@dataclass
+class _Entry:
+    name: str
+    started_at: float
+    wall_s: float
+    rows: int
+    plan_digest: str
+    error: str | None = None
+
+
+@dataclass
+class QueryLog:
+    """Collects one record per executed query.
+
+    >>> qlog = QueryLog()
+    >>> n = qlog.run("daily_rollup", df)         # runs df.count()
+    >>> qlog.run("head", df2, action=lambda d: len(d.take(10)))
+    >>> qlog.to_df(spark).show()
+    """
+    entries: "list[_Entry]" = field(default_factory=list)
+
+    def run(self, name: str, df: DataFrame, action=None):
+        """Execute ``action(df)`` (default ``df.count()``), recording
+        wall time, row count (when the action returns an int), the plan
+        digest, and any error (re-raised after logging)."""
+        t0 = time.time()
+        t = time.perf_counter()
+        err = None
+        out: object = -1
+        try:
+            out = action(df) if action is not None else df.count()
+            return out
+        except Exception as e:  # noqa: BLE001 — log then re-raise
+            err = f"{type(e).__name__}: {e}"
+            raise
+        finally:
+            try:
+                digest = plan_digest(df)
+            except Exception:  # pragma: no cover — plan unavailable
+                digest = ""
+            self.entries.append(_Entry(
+                name=name, started_at=t0,
+                wall_s=round(time.perf_counter() - t, 6),
+                rows=out if isinstance(out, int) else -1,
+                plan_digest=digest, error=err))
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        """The log as a DataFrame (append it next to ``ingest_log``)."""
+        return spark.createDataFrame(
+            [(e.name, e.started_at, e.wall_s, e.rows, e.plan_digest,
+              e.error) for e in self.entries],
+            "name string, started_at double, wall_s double, rows long, "
+            "plan_digest string, error string")

@@ -361,3 +361,36 @@ def test_exact_median_large_matches_percentile(spark):
     for g in want:
         assert got[g][0] == want[g], g
     assert got["one"][1] == 1 and got["even"][1] == 100
+
+
+def test_query_log(spark, sf_dir):
+    """QueryLog records wall/rows/plan digest per action, survives errors,
+    and the digest tracks plan SHAPE (stable across expr-id renumbering,
+    changed by a structural change)."""
+    import pytest
+    import pyspark.sql.functions as F
+
+    from nasctn_sea_ingest_spark.plans.tables import load_table
+    from nasctn_sea_ingest_spark.querylog import QueryLog, plan_digest
+
+    qlog = QueryLog()
+    d = load_table(spark, sf_dir, "documents")
+    n = qlog.run("count_docs", d)
+    assert n == d.count()
+    got = qlog.run("take3", d, action=lambda df: len(df.take(3)))
+    assert got == 3
+    with pytest.raises(Exception):
+        qlog.run("boom", d.select(F.raise_error(F.lit("x"))),
+                 action=lambda df: df.collect())
+    log = qlog.to_df(spark).collect()
+    assert [r.name for r in log] == ["count_docs", "take3", "boom"]
+    assert log[0].rows == n and log[0].error is None
+    assert log[1].rows == 3
+    assert log[2].error and "boom" != log[2].plan_digest
+    assert all(r.wall_s >= 0 for r in log)
+    # digest is shape-stable: same query twice → same digest; a structural
+    # change (added filter) → different digest
+    assert plan_digest(d.select("doc_id")) == \
+        plan_digest(d.select("doc_id"))
+    assert plan_digest(d.select("doc_id")) != \
+        plan_digest(d.select("doc_id").where(F.col("doc_id") > 5))
