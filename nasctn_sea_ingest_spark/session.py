@@ -44,6 +44,13 @@ def get_spark(app_name: str = "nasctn-sea-ingest-spark",
     b = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    # local[N] runs executor tasks inside the driver JVM: Spark's 1g
+    # default heap shared by N concurrent tasks spills/GCs long before the
+    # machine is used (~15% on the shuffle-heavy dedup queries at 32
+    # threads). Only effective on the FIRST session of the process; on a
+    # real cluster executor memory comes from the deploy config instead.
+    conf.setdefault("spark.driver.memory",
+                    os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
