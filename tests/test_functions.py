@@ -394,3 +394,44 @@ def test_query_log(spark, sf_dir):
         plan_digest(d.select("doc_id"))
     assert plan_digest(d.select("doc_id")) != \
         plan_digest(d.select("doc_id").where(F.col("doc_id") > 5))
+
+
+from hypothesis import given as _given, settings as _settings, \
+    strategies as _st  # noqa: E402
+
+
+@_settings(max_examples=12, deadline=None)
+@_given(
+    data=_st.data(),
+    direction=_st.sampled_from(["nearest", "backward", "forward"]),
+    tol=_st.sampled_from([None, 50, 500]),
+)
+def test_asof_join_property_vs_merge_asof(spark, data, direction, tol):
+    """Randomized keyed as-of equivalence with pandas merge_asof across
+    directions and tolerances (unique timestamps per side per key)."""
+    keys = ["a", "b"]
+    lrows, rrows = [], []
+    for k in keys:
+        lts = sorted(data.draw(_st.sets(
+            _st.integers(0, 3000), min_size=1, max_size=25)))
+        rts = sorted(data.draw(_st.sets(
+            _st.integers(0, 3000), min_size=1, max_size=12)))
+        lrows += [(k, int(t)) for t in lts]
+        rrows += [(k, int(t), float(hash((k, t)) % 1000)) for t in rts]
+    left = spark.createDataFrame(lrows, "k string, t long")
+    right = spark.createDataFrame(rrows, "k string, t long, rval double")
+    got = {(r.k, r.t): r.rval
+           for r in FN.asof_join(left, right, on="t", by=["k"],
+                                 direction=direction,
+                                 tolerance=tol).collect()}
+    lpd = pd.DataFrame(lrows, columns=["k", "t"]).sort_values("t")
+    rpd = pd.DataFrame(rrows, columns=["k", "t", "rval"]).sort_values("t")
+    want = pd.merge_asof(lpd, rpd, on="t", by="k", direction=direction,
+                         tolerance=tol)
+    assert len(got) == len(want)
+    for _, w in want.iterrows():
+        g = got[(w.k, w.t)]
+        if np.isnan(w.rval):
+            assert g is None, (w.k, w.t, direction, tol)
+        else:
+            assert g == w.rval, (w.k, w.t, direction, tol)
