@@ -332,3 +332,16 @@ def test_keyed_asof_partitions_by_key(spark, sf):
     p = _plan(_q("q85_asof_by_key").spark(spark, sf))
     assert "hashpartitioning(user_id" in p
     assert "Exchange SinglePartition" not in p
+
+
+def test_ivfpq_prunes_cells_before_adc(spark, sf):
+    """q86: the IVF cell filter must reach the scan side (a pruned
+    equality, storage-partition-prunable at scale), ADC runs as one
+    Arrow-batched projection (never row-at-a-time Python), and the top-k
+    compiles to TakeOrderedAndProject — no cartesian anywhere."""
+    p = _plan(_q("q86_pq_ann").spark(spark, sf))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p           # Arrow path only
+    assert "ArrowEvalPython" in p
+    assert "Filter " in p                       # cell predicate prunes rows
