@@ -282,7 +282,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     if direction == "backward":
         chosen, dist = F.col("__pp"), d_prev
     elif direction == "forward":
-        chosen, dist = F.col("__np"), d_next
+        # forward is inclusive of equal timestamps (pandas merge_asof
+        # matches on right.t >= left.t).  A right row at exactly __t sorts
+        # BEFORE the left row (so the forward-looking window never sees it)
+        # but is captured by the backward pass at distance 0 — take it.
+        eq = F.col("__pt").isNotNull() & (d_prev == 0)
+        chosen = F.when(eq, F.col("__pp")).otherwise(F.col("__np"))
+        dist = F.when(eq, F.lit(0.0)).otherwise(d_next)
     else:
         take_next = (F.col("__pt").isNull()
                      | (F.col("__nt").isNotNull() & (d_next < d_prev)))
