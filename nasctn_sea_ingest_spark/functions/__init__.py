@@ -25,7 +25,7 @@ __all__ = [
     "axis_x", "explode_trace", "trace", "asof_join", "interval_join",
     "limiter",
     "time_gaps", "pivot_wide", "localize", "rayleigh_amplitude",
-    "noise_floor_dBm", "salted_agg", "exact_median_large",
+    "noise_floor_dBm", "salted_agg", "exact_median_large", "zorder_key",
 ]
 
 
@@ -560,3 +560,31 @@ def exact_median_large(df: DataFrame, keys: Sequence[str],
     return (sel.groupBy(*keys)
                .agg(((F.max("_v1") + F.max("_v2")) / 2.0).alias("median"),
                     F.max("_n").alias("n")))
+
+
+def zorder_key(cols: Sequence, bits: int = 8) -> Column:
+    """Morton/Z-order interleave of the low ``bits`` bits of each column:
+    bit ``i`` of column ``j`` lands at position ``i*k + j`` of the key.
+    Inputs must already be small non-negative ints (bucketed/modded by the
+    caller); the key fits a BIGINT for ``bits * k <= 63``.
+
+    This is the write-time multi-dimensional clustering primitive (the
+    layout trick behind Delta/Iceberg ``OPTIMIZE ZORDER BY``): sorting by
+    the interleaved key makes every contiguous file hold a small rectangle
+    of the key space, so parquet min/max footer stats prune scans on ANY
+    of the interleaved dimensions, not just the leading sort column —
+    see ``sources.bucketed.zorder_write`` and its file-stats contract
+    test. Pure bit arithmetic (2·k·bits codegen'd ops, no UDF, no
+    shuffle); shiftright/shiftleft built-ins keep the pyspark>=3.5 floor
+    (the ``>>`` SQL operator is 4.0-only).
+    """
+    k = len(cols)
+    if bits * k > 63:
+        raise ValueError(f"zorder_key: {bits} bits x {k} cols > 63")
+    z = F.lit(0).cast("bigint")
+    for j, c in enumerate(cols):
+        x = _c(c).cast("bigint")
+        for i in range(bits):
+            z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)),
+                                i * k + j)
+    return z

@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame
 __all__ = ["cosine_topk", "cosine_pairs", "lsh_bucket", "lsh_topk",
            "ivf_assign", "ivf_topk", "train_centroids", "sample_centroids",
            "cosine_topk_batch", "quantize_embeddings", "dequantize_embeddings",
-           "pq_train", "pq_encode", "pq_topk", "ivfpq_topk"]
+           "pq_train", "pq_encode", "pq_topk", "ivfpq_topk",
+           "semantic_dedup"]
 
 
 def _dot_with_lit(col: str, vec: np.ndarray):
@@ -96,6 +97,36 @@ def cosine_pairs(emb: DataFrame, bucket_cols: "list[str]", threshold: float,
                .groupBy(*bucket_cols)
                .applyInPandas(pairs,
                               f"d1 {id_type}, d2 {id_type}, cos_sim double"))
+
+
+def semantic_dedup(emb: DataFrame, cluster_cols: "list[str]",
+                   threshold: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop every vector
+    that has a smaller-id neighbor with cosine ≥ ``threshold`` inside its
+    semantic cluster. Returns the DROP LIST — one row per removed vector:
+    ``(id, dup_of = smallest dominating neighbor, n_dups, max_cos)`` —
+    so callers audit before they delete (left-anti join to apply).
+
+    ``cluster_cols`` is any precomputed partition of the space: k-means
+    cell ids from ``train_centroids``+``ivf_assign`` (the SemDeDup paper's
+    choice), an LSH ``bucket``, or an existing label column. Keep-lowest-id
+    is the deterministic stand-in for the paper's keep-one-per-group rule —
+    no connected components needed, because domination by ANY smaller id
+    removes a row (transitivity is irrelevant to membership of the drop
+    set).
+
+    Scale shape = ``cosine_pairs``: one shuffle on the cluster key, one
+    BLAS block matmul per cluster chunk, O(|cluster|²) work bounded by the
+    clustering granularity; then a hash-agg on the victim id.
+    Oracle-checked as corpus q92 (label clusters).
+    """
+    pairs = cosine_pairs(emb, cluster_cols, threshold,
+                         id_col=id_col, vec_col=vec_col)
+    return (pairs.groupBy(F.col("d2").alias(id_col))
+                 .agg(F.min("d1").alias("dup_of"),
+                      F.count("*").alias("n_dups"),
+                      F.max("cos_sim").alias("max_cos")))
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:

@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 
 __all__ = ["token_stats", "quality_score", "language_id", "fingerprint",
            "token_count_estimate", "scrub_pii", "contamination",
+           "chunk_dedup", "repetition_stats",
            "PII_PATTERNS", "STOPWORDS", "LANG_MARKERS"]
 
 STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "that", "it", "for")
@@ -151,6 +152,106 @@ def scrub_pii(df: DataFrame, text_col: str = "text",
     for name, pat in patterns.items():
         c = F.regexp_replace(c, pat, f"[{name}]")
     return df.withColumn(out_col or text_col, c)
+
+
+def chunk_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", chunk_words: int = 10) -> DataFrame:
+    """Corpus-wide exact chunk dedup (Lee et al. 2022, *Deduplicating
+    Training Data Makes Language Models Better*, at fixed word-chunk
+    granularity instead of suffix-array substrings): split every document
+    into non-overlapping ``chunk_words``-word chunks, keep only the FIRST
+    occurrence of each repeated chunk (global order = (id, chunk_idx)),
+    and reassemble documents from the surviving chunks.
+
+    Returns ``(id_col, n_chunks, n_kept, text_clean)``; ``text_clean`` is
+    NULL when every chunk of the document was a repeat (fully boilerplate
+    documents vanish — the Lee-et-al. behavior).
+
+    Scale shape: one explode + hash-agg by (doc, chunk_idx) to build
+    chunks, one shuffle on the chunk text (the dedup key — the chunk must
+    travel anyway to be reassembled), one shuffle back on the doc id.
+    Chunk occurrence counting is a window over the chunk key, so partial
+    aggregation bounds no state beyond each chunk group; skew = identical
+    boilerplate chunks, bounded by corpus repetition, the quantity this
+    operator removes. Oracle-checked as corpus q88.
+    """
+    from pyspark.sql import Window
+
+    w = df.select(F.col(id_col).alias("__id"),
+                  F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                   .alias("pos", "word"))
+    ch = (w.groupBy("__id", F.expr(f"pos div {chunk_words}")
+                             .alias("chunk_idx"))
+           .agg(F.array_join(
+               F.transform(F.array_sort(F.collect_list(
+                   F.struct("pos", "word"))), lambda s: s["word"]),
+               " ").alias("chunk")))
+    win = Window.partitionBy("chunk").orderBy("__id", "chunk_idx")
+    ranked = ch.withColumn("rn", F.row_number().over(win))
+    kept = F.when(F.col("rn") == 1, F.struct("chunk_idx", "chunk"))
+    return (ranked.groupBy("__id")
+            .agg(F.count("*").alias("n_chunks"),
+                 # count(non-null when), not sum(int): both engines emit
+                 # BIGINT (DuckDB's sum(INT) is HUGEINT → dtype mismatch)
+                 F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+                 F.nullif(F.array_join(
+                     F.transform(F.array_sort(F.collect_list(kept)),
+                                 lambda s: s["chunk"]), " "),
+                     F.lit("")).alias("text_clean"))
+            .withColumnRenamed("__id", id_col))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     top_bigram_max: float = 0.20,
+                     dup_trigram_max: float = 0.30) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    table A1): fraction of all word bigrams taken by the single most
+    frequent bigram, and fraction of trigram occurrences that are
+    duplicates; ``repetitive`` flags documents over either threshold.
+
+    Pure column expressions — no shuffle, no UDF; runs inside the scan.
+    The top-bigram count is a single O(n log n) pass: sort the bigram
+    array, then a run-length ``aggregate`` over the sorted runs (state is
+    three scalars, not a frequency map — memory stays O(1) beyond the
+    array the row already holds, where a distinct×scan expression would be
+    O(n²) on long documents). n-gram streams are zip_with/arrays_zip of
+    shifted slices, evaluated once per row (an ``element_at`` lambda would
+    re-evaluate the split per gram after CollapseProject inlining).
+    Oracle-checked as corpus q91.
+    """
+    w = _words(text_col)
+    m = F.greatest(F.size(w) - 1, F.lit(0))
+    bg = F.zip_with(F.slice(w, 1, m), F.slice(w, 2, m),
+                    lambda a, b: F.concat(a, F.lit(" "), b))
+    m3 = F.greatest(F.size(w) - 2, F.lit(0))
+    tg = F.transform(
+        F.arrays_zip(F.slice(w, 1, m3), F.slice(w, 2, m3),
+                     F.slice(w, 3, m3)),
+        lambda s: F.concat(s["0"], F.lit(" "), s["1"], F.lit(" "), s["2"]))
+    run0 = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+    top_bg = F.aggregate(
+        F.array_sort(bg), run0,
+        lambda st, x: F.struct(
+            x.alias("prev"),
+            F.when(x == st["prev"], st["run"] + 1).otherwise(F.lit(1))
+             .alias("run"),
+            F.greatest(st["best"],
+                       F.when(x == st["prev"], st["run"] + 1)
+                        .otherwise(F.lit(1))).alias("best")),
+        lambda st: st["best"])
+    n_bi, n_tri = F.size(bg), F.size(tg)
+    frac_top = F.when(n_bi > 0, top_bg.cast("double") / n_bi)
+    frac_dup = F.when(
+        n_tri > 0,
+        1.0 - F.size(F.array_distinct(tg)).cast("double") / n_tri)
+    return (df.withColumn("n_bigrams", n_bi)
+              .withColumn("top_bigram_frac", frac_top)
+              .withColumn("dup_trigram_frac", frac_dup)
+              .withColumn("repetitive",
+                          F.coalesce(frac_top > top_bigram_max, F.lit(False))
+                          | F.coalesce(frac_dup > dup_trigram_max,
+                                       F.lit(False))))
 
 
 def contamination(train: DataFrame, eval_df: DataFrame,

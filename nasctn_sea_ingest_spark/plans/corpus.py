@@ -599,7 +599,9 @@ def q35(spark, sf_dir):
 @_q("q85_asof_by_key",
     "J1 as-of join, BY-KEYED path (the 100 TB form: one shuffle on the by-"
     "key, per-key sorted-union windows — each user's latest purchase at or "
-    "before each view); oracle = correlated max subquery",
+    "before each view, plus the FORWARD leg: first purchase at or after, "
+    "both inclusive of equal timestamps like pandas merge_asof); oracle = "
+    "correlated max/min subqueries",
     """
     WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS view_us
                FROM events WHERE event_type = 'view'),
@@ -607,7 +609,9 @@ def q35(spark, sf_dir):
           WHERE event_type = 'purchase')
     SELECT v.event_id, v.user_id, v.view_us,
            (SELECT max(p.t) FROM p
-            WHERE p.user_id = v.user_id AND p.t <= v.view_us) AS matched_us
+            WHERE p.user_id = v.user_id AND p.t <= v.view_us) AS matched_us,
+           (SELECT min(p.t) FROM p
+            WHERE p.user_id = v.user_id AND p.t >= v.view_us) AS next_us
     FROM v
     """)
 def q85(spark, sf_dir):
@@ -618,10 +622,15 @@ def q85(spark, sf_dir):
     right = (ev.where(F.col("event_type") == "purchase")
                .select("user_id", F.col("ts_us").alias("view_us"),
                        F.col("ts_us").alias("p_us")))
-    out = FN.asof_join(left, right, on="view_us", by=["user_id"],
-                       direction="backward", right_cols=["p_us"])
-    return out.select("event_id", "user_id", "view_us",
-                      F.col("p_us").alias("matched_us"))
+    back = FN.asof_join(left, right, on="view_us", by=["user_id"],
+                        direction="backward", right_cols=["p_us"])
+    fwd = FN.asof_join(left, right, on="view_us", by=["user_id"],
+                       direction="forward", right_cols=["p_us"])
+    return (back.select("event_id", "user_id", "view_us",
+                        F.col("p_us").alias("matched_us"))
+                .join(fwd.select("event_id",
+                                 F.col("p_us").alias("next_us")),
+                      "event_id"))
 
 
 @_q("q36_rayleigh_transform",

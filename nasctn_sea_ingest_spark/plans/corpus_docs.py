@@ -609,3 +609,75 @@ def q87(spark, sf_dir):
                  .agg(F.count("*").alias("n_occurrences"))
                  .orderBy(F.desc("n_occurrences"), F.asc("pair"))
                  .limit(20))
+
+
+@_q("q88_chunk_dedup",
+    "corpus-wide exact chunk dedup (Lee et al. 2022 ExactSubstr at 10-word "
+    "chunk granularity): repeated chunks keep only their first occurrence "
+    "(global (doc, idx) order), documents reassembled from survivors — "
+    "operators.text.chunk_dedup; fully-boilerplate docs go NULL",
+    """
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents),
+    wpos AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos,
+                    unnest(w) AS word
+             FROM toks),
+    chunks AS (SELECT doc_id, pos // 10 AS chunk_idx,
+                      string_agg(word, ' ' ORDER BY pos) AS chunk
+               FROM wpos GROUP BY doc_id, pos // 10),
+    ranked AS (SELECT doc_id, chunk_idx, chunk,
+                      row_number() OVER (PARTITION BY chunk
+                                         ORDER BY doc_id, chunk_idx) AS rn
+               FROM chunks)
+    SELECT doc_id, count(*) AS n_chunks,
+           count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+           nullif(string_agg(CASE WHEN rn = 1 THEN chunk END,
+                             ' ' ORDER BY chunk_idx), '') AS text_clean
+    FROM ranked GROUP BY doc_id
+    """)
+def q88(spark, sf_dir):
+    from ..operators.text import chunk_dedup
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_dedup(d, chunk_words=10)
+
+
+@_q("q91_repetition_filter",
+    "Gopher-style within-doc repetition gates (Rae et al. 2021 A1): "
+    "top-bigram occupancy + duplicate-trigram fraction, flag over "
+    "thresholds — operators.text.repetition_stats (sorted run-length "
+    "aggregate, zero shuffle; oracle takes the unnest/group-by road)",
+    """
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents),
+    g AS (SELECT doc_id, w,
+                 list_transform(generate_series(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1]) AS bg,
+                 list_transform(generate_series(1, len(w) - 2),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   AS tg
+          FROM toks WHERE len(w) >= 3),
+    bgc AS (SELECT doc_id, b, count(*) AS c
+            FROM (SELECT doc_id, unnest(bg) AS b FROM g) GROUP BY doc_id, b),
+    bgm AS (SELECT doc_id, max(c) AS top_c FROM bgc GROUP BY doc_id),
+    tgs AS (SELECT doc_id, count(*) AS n_tri, count(DISTINCT t) AS n_tri_d
+            FROM (SELECT doc_id, unnest(tg) AS t FROM g) GROUP BY doc_id)
+    SELECT g.doc_id, len(bg) AS n_bigrams,
+           round(CAST(top_c AS DOUBLE) / len(bg), 6) AS top_bigram_frac,
+           round(CAST(n_tri - n_tri_d AS DOUBLE) / n_tri, 6)
+             AS dup_trigram_frac,
+           CAST((CAST(top_c AS DOUBLE) / len(bg) > 0.20
+                 OR CAST(n_tri - n_tri_d AS DOUBLE) / n_tri > 0.30) AS INT)
+             AS repetitive
+    FROM g JOIN bgm ON g.doc_id = bgm.doc_id
+           JOIN tgs ON g.doc_id = tgs.doc_id
+    """)
+def q91(spark, sf_dir):
+    from ..operators.text import repetition_stats
+    d = load_table(spark, sf_dir, "documents")
+    r = (repetition_stats(d, top_bigram_max=0.20, dup_trigram_max=0.30)
+         .where(F.size(F.split(F.trim("text"), r"\s+")) >= 3))
+    return r.select(
+        "doc_id", "n_bigrams",
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        F.round("dup_trigram_frac", 6).alias("dup_trigram_frac"),
+        F.col("repetitive").cast("int").alias("repetitive"))

@@ -780,3 +780,128 @@ def q83(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return (sampling.seeded_shuffle(d, "doc_id", seed="42")
             .select("doc_id", "position"))
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout, grouped regression, semantic dedup (q89, q90, q92)
+# ---------------------------------------------------------------------------
+
+def _duck_interleave(x: str, y: str, bits: int = 8) -> str:
+    """DuckDB Morton interleave: bit i of x → 2i, of y → 2i+1."""
+    terms = [f"((({c} >> {i}) & 1) << {i * 2 + j})"
+             for i in range(bits) for j, c in enumerate((x, y))]
+    return " + ".join(terms)
+
+
+@_q("q89_zorder_cells",
+    "Z-order layout clustering (functions.zorder_key / sources.bucketed."
+    "zorder_write — the OPTIMIZE ZORDER primitive): range-scale both keys "
+    "to a 256-cell grid, Morton-interleave, then show that every "
+    "1024-wide z-cell bounds a small RECTANGLE of (x, y) — the property "
+    "that makes parquet min/max stats prune on either dimension",
+    f"""
+    WITH s AS (SELECT min(l_orderkey) AS mn1, max(l_orderkey) AS mx1,
+                      min(l_partkey) AS mn2, max(l_partkey) AS mx2
+               FROM lineitem),
+    c AS (SELECT (l_orderkey - mn1) * 256 // (mx1 - mn1 + 1) AS x,
+                 (l_partkey - mn2) * 256 // (mx2 - mn2 + 1) AS y
+          FROM lineitem, s),
+    z AS (SELECT x, y, {_duck_interleave('x', 'y')} AS zval FROM c)
+    SELECT zval // 1024 AS zcell, count(*) AS n,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max
+    FROM z GROUP BY zval // 1024
+    """)
+def q89(spark, sf_dir):
+    from ..functions import zorder_key
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(F.min("l_orderkey").alias("mn1"),
+                   F.max("l_orderkey").alias("mx1"),
+                   F.min("l_partkey").alias("mn2"),
+                   F.max("l_partkey").alias("mx2"))
+    c = (li.crossJoin(F.broadcast(stats))
+           .select(F.expr("(l_orderkey - mn1) * 256 div (mx1 - mn1 + 1)")
+                    .alias("x"),
+                   F.expr("(l_partkey - mn2) * 256 div (mx2 - mn2 + 1)")
+                    .alias("y")))
+    z = c.withColumn("zval", zorder_key(["x", "y"], bits=8))
+    return (z.groupBy(F.expr("zval div 1024").alias("zcell"))
+             .agg(F.count("*").alias("n"),
+                  F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+                  F.min("y").alias("y_min"), F.max("y").alias("y_max")))
+
+
+@_q("q90_grouped_regression",
+    "per-group OLS trend of extendedprice ~ quantity (slope / intercept / "
+    "r²) from EXACT decimal moments cast to double — the one-pass "
+    "map-side-combine shape of F.regr_slope/regr_r2, with summation made "
+    "engine-exact so the oracle hash is stable (regr_* built-ins "
+    "accumulate in streaming double order, which differs per engine)",
+    """
+    WITH m AS (SELECT l_returnflag, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    """)
+def q90(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(d2("l_quantity")).cast("double").alias("sx"),
+        F.sum(d2("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(d2("l_quantity") * d2("l_quantity")).cast("double")
+         .alias("sxx"),
+        F.sum(d2("l_quantity") * d2("l_extendedprice")).cast("double")
+         .alias("sxy"),
+        F.sum(d2("l_extendedprice") * d2("l_extendedprice")).cast("double")
+         .alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag", "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         .alias("r2"))
+
+
+@_q("q92_semantic_dedup",
+    "SemDeDup (Abbas et al. 2023) drop list over label clusters: any "
+    "vector with a smaller-id same-cluster neighbor at cosine >= 0.35 is "
+    "dropped, reporting its dominating neighbor — operators.similarity."
+    "semantic_dedup (cosine_pairs BLAS blocks inside, keep-lowest-id "
+    "rule; 0.35 is the demo threshold for this synthetic space)",
+    """
+    WITH p AS (SELECT a.vec_id AS d1, c.vec_id AS d2,
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(a.embedding[i] AS DOUBLE)
+                      * CAST(c.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(a.embedding,
+                        x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(list_sum(list_transform(c.embedding,
+                        x -> CAST(x AS DOUBLE) * x)))) AS cos
+               FROM embeddings a JOIN embeddings c
+                 ON a.label = c.label AND a.vec_id < c.vec_id)
+    SELECT d2 AS vec_id, min(d1) AS dup_of, count(*) AS n_dups,
+           max(round(cos, 5)) AS max_cos
+    FROM p WHERE cos >= 0.35 GROUP BY d2
+    """)
+def q92(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, ["label"], threshold=0.35)

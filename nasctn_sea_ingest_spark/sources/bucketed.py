@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_bucketed", "read_bucketed"]
+__all__ = ["write_bucketed", "read_bucketed", "zorder_write"]
 
 
 def write_bucketed(df: DataFrame, table: str, keys: "list[str] | str",
@@ -55,3 +55,45 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     survives a catalog read; ``spark.read.parquet(path)`` on the same
     files would plan a full shuffle again)."""
     return spark.table(table)
+
+
+def zorder_write(df: DataFrame, path: str, cols: "list[str]",
+                 bits: int = 8, n_files: int = 32,
+                 mode: str = "overwrite") -> None:
+    """Write ``df`` Z-order-clustered on ``cols``: range-partition + sort
+    by the interleaved ``functions.zorder_key`` so each output file covers
+    a small RECTANGLE of the (col₁, col₂, …) space instead of a stripe of
+    the leading column only — parquet footer min/max stats then prune
+    scans filtered on ANY clustered dimension (the layout behind
+    Delta/Iceberg ``OPTIMIZE ZORDER BY``, here as a plain-parquet
+    operator).
+
+    Each column is first scaled to a RANGE-PRESERVING ``2^bits``-bucket
+    grid — ``(v - min) * 2^bits / (max - min + 1)`` from a one-row
+    write-time stats pass (the same pre-pass Delta's OPTIMIZE runs;
+    low-bit masking would interleave *hash-like* coordinates, and the raw
+    column min/max recorded in each footer would stay wide — no pruning).
+    One tiny driver collect (1 row, write-time), one repartitionByRange
+    shuffle — the same cost as any clustered write — no UDF. Verified by
+    the file-stats contract test (``tests/test_layout.py``): the mean
+    per-file min/max width of EVERY clustered column shrinks vs a
+    single-column sort layout.
+    """
+    from ..functions import zorder_key
+    import pyspark.sql.functions as F
+
+    stats = df.agg(*[f(c).alias(f"{w}_{i}")
+                     for i, c in enumerate(cols)
+                     for w, f in (("mn", F.min), ("mx", F.max))]).first()
+    n_cells = 1 << bits
+    zcols = []
+    for i, c in enumerate(cols):
+        mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
+        span = int(mx) - int(mn) + 1
+        zcols.append(((F.col(c).cast("bigint") - int(mn)) * n_cells
+                      / span).cast("bigint"))
+    z = df.withColumn("__z", zorder_key(zcols, bits=bits))
+    (z.repartitionByRange(n_files, "__z")
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(mode).parquet(path))

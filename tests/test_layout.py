@@ -1,0 +1,88 @@
+"""Z-order layout contracts: the interleaved key's bit math, and the
+file-stats property that justifies it — after ``zorder_write`` every
+parquet file's min/max footer range is narrow on BOTH clustered columns,
+so a filter on either dimension prunes files (a single-column sort only
+prunes its leading column)."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+import pyspark.sql.functions as F
+
+from nasctn_sea_ingest_spark.functions import zorder_key
+from nasctn_sea_ingest_spark.sources.bucketed import zorder_write
+
+
+def _interleave(x: int, y: int, bits: int = 8) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_bit_math(spark):
+    df = spark.createDataFrame(
+        [(x, y) for x in (0, 1, 5, 170, 255) for y in (0, 3, 128, 255)],
+        "x long, y long")
+    got = df.select("x", "y",
+                    zorder_key(["x", "y"], bits=8).alias("z")).collect()
+    for r in got:
+        assert r.z == _interleave(r.x, r.y)
+
+
+def test_zorder_key_width_guard():
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b", "c"], bits=22)
+
+
+def _file_ranges(path, col):
+    """Per-file (min, max) of ``col`` from parquet footer stats."""
+    out = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            out.append((lo, hi))
+    return out
+
+
+def test_zorder_write_bounds_both_dimensions(spark, tmp_path):
+    """On a uniform 2-D grid, Z-order files bound BOTH columns to a small
+    fraction of their domain; a lexicographic (x, y) sort leaves y's
+    per-file range at ~full domain. This is the pruning contract: a
+    predicate on y alone skips most Z-order files but no sorted-by-x
+    files."""
+    n = 256
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y"))
+
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "xsort")
+    zorder_write(grid, zpath, ["x", "y"], bits=8, n_files=16)
+    (grid.repartitionByRange(16, "x", "y").sortWithinPartitions("x", "y")
+         .write.mode("overwrite").parquet(spath))
+
+    def mean_width(path, col):
+        r = _file_ranges(path, col)
+        assert len(r) >= 8
+        return sum(hi - lo for lo, hi in r) / len(r)
+
+    # Z-order: 16 files over a 256×256 grid → ~4×4 blocks of 64-wide
+    # cells; both dims well under half the domain per file
+    assert mean_width(zpath, "x") < 0.55 * n
+    assert mean_width(zpath, "y") < 0.55 * n
+    # x-sort: x is narrow but y spans ~the whole domain per file
+    assert mean_width(spath, "x") < 0.25 * n
+    assert mean_width(spath, "y") > 0.9 * n

@@ -513,3 +513,43 @@ def test_ivfpq_topk(spark, emb, emb_np, pq_books):
              stored.join(probed.select("vec_id"), "vec_id").collect()}
     assert cells == {best}
     stored.unpersist()
+
+
+def test_semantic_dedup_vs_numpy(spark, emb, emb_np):
+    """SemDeDup drop list over label clusters matches a numpy brute-force
+    recount: same victims, same dominating neighbor, same pair counts."""
+    ids, mat = emb_np
+    labels = {r.vec_id: r.label
+              for r in emb.select("vec_id", "label").collect()}
+    N = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    tau = 0.30
+    want = {}
+    order = np.argsort(ids)
+    sids = ids[order]
+    for ai, i in enumerate(order):
+        doms = [int(sids[bi]) for bi, j in enumerate(order[:ai])
+                if labels[int(sids[ai])] == labels[int(sids[bi])]
+                and float(N[i] @ N[j]) >= tau]
+        if doms:
+            want[int(sids[ai])] = (min(doms), len(doms))
+    got = {r.vec_id: (r.dup_of, r.n_dups)
+           for r in SIM.semantic_dedup(emb, ["label"],
+                                       threshold=tau).collect()}
+    assert got == want
+    assert want  # the fixture must actually produce near-dups at this tau
+
+
+def test_semantic_dedup_with_trained_clusters(spark, emb):
+    """The SemDeDup paper's composition: k-means cells from
+    train_centroids + ivf_assign feed cluster_cols; the drop list only
+    names vectors that share a cell with their dominating neighbor."""
+    cents = SIM.train_centroids(emb, 4, seed=7)
+    cells = SIM.ivf_assign(emb, cents)
+    dropped = SIM.semantic_dedup(cells, ["ivf_cell"], threshold=0.30)
+    cell_of = {r.vec_id: r.ivf_cell
+               for r in cells.select("vec_id", "ivf_cell").collect()}
+    rows = dropped.collect()
+    assert rows
+    for r in rows:
+        assert r.dup_of < r.vec_id
+        assert cell_of[r.dup_of] == cell_of[r.vec_id]

@@ -116,3 +116,56 @@ def test_contamination_planted(spark):
            for r in contamination(train, eval_df, n=3).collect()}
     # eval shingles: {the quick brown, quick brown fox, brown fox runs}
     assert got == {1: 2, 3: 1}
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    """Repeated chunks survive only at their globally-first (doc, idx)
+    position; fully-duplicated docs collapse to NULL; counts line up."""
+    import pandas as pd
+
+    from nasctn_sea_ingest_spark.operators.text import chunk_dedup
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b c d e f g h i j k l m n o p q r s t",
+                 # doc1 chunk0 == doc0 chunk0 → dropped; tail unique
+                 "a b c d e f g h i j x y z w v u t s r q",
+                 # exact duplicate of doc0 → all chunks dropped
+                 "a b c d e f g h i j k l m n o p q r s t",
+                 "solo short doc"],
+    }))
+    got = {r.doc_id: r for r in chunk_dedup(df, chunk_words=10).collect()}
+    assert (got[0].n_chunks, got[0].n_kept) == (2, 2)
+    assert got[0].text_clean == "a b c d e f g h i j k l m n o p q r s t"
+    assert (got[1].n_chunks, got[1].n_kept) == (2, 1)
+    assert got[1].text_clean == "x y z w v u t s r q"
+    assert (got[2].n_chunks, got[2].n_kept) == (2, 0)
+    assert got[2].text_clean is None
+    assert got[3].text_clean == "solo short doc"
+
+
+def test_repetition_stats_vs_python(spark):
+    """Sorted-run-length top-bigram count and distinct-trigram fraction
+    match a plain-Python recount on varied docs."""
+    import pandas as pd
+
+    from nasctn_sea_ingest_spark.operators.text import repetition_stats
+
+    texts = ["q q q q q q q q q r",
+             "a b a b a b c d c d",
+             "one two three four five six seven",
+             "x y x y x y x y z z z x y"]
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    for i, t in enumerate(texts):
+        w = t.split()
+        bg = [f"{a} {b}" for a, b in zip(w, w[1:])]
+        tg = [f"{a} {b} {c}" for a, b, c in zip(w, w[1:], w[2:])]
+        top = max(bg.count(x) for x in set(bg))
+        assert got[i].n_bigrams == len(bg)
+        assert got[i].top_bigram_frac == pytest.approx(top / len(bg))
+        assert got[i].dup_trigram_frac == pytest.approx(
+            1.0 - len(set(tg)) / len(tg))
+        assert got[i].repetitive == (top / len(bg) > 0.20
+                                     or 1.0 - len(set(tg)) / len(tg) > 0.30)
