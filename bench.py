@@ -62,7 +62,11 @@ def main() -> None:
         zpath = build_sweep_series(tmp, n_files, n_channels=15,
                                    geometry=(625, 400, 560, 151),
                                    zip_name="bench.zip")
-        refs = list_sigmf_refs(spark, zpath, batch_size=8)
+        # adaptive partition sizing (no pinned batch_size): one contiguous
+        # batch per available slot — A/B'd vs batch_size=8 on this host
+        # (wash at 200 files) and it tracks SPARK_GRAFT_CPUS instead of
+        # assuming 25 partitions saturate the session
+        refs = list_sigmf_refs(spark, zpath)
         # warm the Python worker pool (fork + numpy/pandas imports) so the
         # measurement is decode throughput, not interpreter startup — the
         # reference baseline likewise excludes process spin-up
