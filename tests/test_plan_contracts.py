@@ -16,6 +16,13 @@ def _q(name):
     return next(q for q in CORPUS if q.name == name)
 
 
+def _final(df) -> str:
+    """Executed plan, final-plan section only (after collect(), AQE's
+    toString appends the Initial Plan too — counting nodes across both
+    double-counts every exchange)."""
+    return _plan(df).split("== Initial Plan ==")[0]
+
+
 @pytest.fixture(scope="module")
 def sf(sf_dir):
     return sf_dir
@@ -345,3 +352,58 @@ def test_ivfpq_prunes_cells_before_adc(spark, sf):
     assert "BatchEvalPython" not in p           # Arrow path only
     assert "ArrowEvalPython" in p
     assert "Filter " in p                       # cell predicate prunes rows
+
+
+def test_repetition_stats_map_only(spark, sf):
+    """q91's Gopher gates are pure column math: no Exchange, no Python —
+    the sorted run-length aggregate runs inside the scan's codegen stage
+    (the DuckDB oracle takes the unnest/group-by road; the Spark plan must
+    not)."""
+    p = _plan(_q("q91_repetition_filter").spark(spark, sf))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_chunk_dedup_shuffle_inventory(spark, sf):
+    """q88 needs exactly three exchanges — (doc, chunk_idx) chunk build,
+    the chunk-key window, doc reassembly — and no more (a fourth would
+    mean the window repartitioned what the agg already owned)."""
+    df = _q("q88_chunk_dedup").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert p.count("Exchange hashpartitioning") == 3, p
+
+
+def test_zorder_cells_single_shuffle_broadcast_stats(spark, sf):
+    """q89: the min/max stats row joins by BROADCAST (never a shuffled
+    join for a 1-row frame) and the cell rollup is the only hash
+    exchange; the Morton key itself is codegen'd bit math, no Python."""
+    df = _q("q89_zorder_cells").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_grouped_regression_one_pass(spark, sf):
+    """q90: all five moments come from ONE partial/final hash aggregate
+    (map-side combine) — one exchange, no join back, no Python."""
+    df = _q("q90_grouped_regression").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_semantic_dedup_clusters_then_blas(spark, sf):
+    """q92: one shuffle on the cluster key feeds the Arrow-batched
+    pairwise stage (FlatMapGroupsInPandas), then the per-victim agg —
+    no cartesian/broadcast-nested-loop anywhere."""
+    df = _q("q92_semantic_dedup").spark(spark, sf)
+    df.collect()
+    p = _plan(df)
+    assert "FlatMapGroupsInPandas" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
