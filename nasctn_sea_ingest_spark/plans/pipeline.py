@@ -3,9 +3,13 @@ job actually runs, built entirely from this engine's operators.
 
     raw documents
       → quality gate        (text.quality_score, filter before any shuffle)
+      → repetition gate     (text.repetition_stats, Gopher A1 — same scan,
+                             zero extra shuffle)
       → exact dedup         (dedup.drop_exact_duplicates)
       → near-dup candidates (dedup.minhash_dedup_candidates, LSH banding)
       → cluster + keep one  (dedup.dup_clusters → drop_near_duplicates)
+      → chunk dedup         (text.chunk_dedup: cross-doc boilerplate
+                             chunks removed, docs rewritten)
       → PII scrub           (text.scrub_pii, map-only)
       → train/val/test      (sampling.hash_split, leakage-proof)
       → decontaminate       (text.contamination: drop train docs sharing
@@ -36,6 +40,8 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str,
                         splits: "dict[str, float] | None" = None,
                         decontaminate: bool = True,
                         counts: bool = True,
+                        repetition_gate: bool = True,
+                        drop_boilerplate: bool = True,
                         ) -> "tuple[DataFrame, dict[str, int]]":
     """Run the full pipeline on the ``documents`` table; returns
     ``(packed_df, manifest)`` where manifest counts rows surviving each
@@ -63,18 +69,40 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str,
         return df
 
     d = load_table(spark, sf_dir, "documents")
+    # the map-heavy gates (quality/repetition column math) parallelize by
+    # INPUT SPLIT; a small local corpus arrives as one parquet split and
+    # would run the whole scan in a single task. Spread it once, keyed on
+    # doc_id so the layout stays deterministic. At warehouse scale the
+    # input has >= cores splits and this exchange never fires.
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par, "doc_id")
     scored = text.quality_score(d)
+    keep = F.col("quality") >= min_quality
+    if repetition_gate:
+        # Gopher A1 repetition gates ride the SAME map-only scan as the
+        # quality score — an extra column expression, not an extra stage
+        scored = text.repetition_stats(scored)
+        keep_rep = keep & ~F.col("repetitive")
     if counts:
         # raw + gated counts in ONE scan (separate .count() calls on the
         # un-persisted frames would re-run the quality gate per action)
-        row = scored.agg(
-            F.count("*").alias("raw"),
-            F.count(F.when(F.col("quality") >= min_quality, 1)).alias("gated"),
-        ).first()
+        aggs = [F.count("*").alias("raw"),
+                F.count(F.when(keep, 1)).alias("gated")]
+        if repetition_gate:
+            aggs.append(F.count(F.when(keep_rep, 1)).alias("rep"))
+        row = scored.agg(*aggs).first()
         manifest["raw"], manifest["quality_gated"] = row["raw"], row["gated"]
+        if repetition_gate:
+            manifest["repetition_gated"] = row["rep"]
 
-    gated = (scored.where(F.col("quality") >= min_quality)
+    gated = (scored.where(keep_rep if repetition_gate else keep)
              .select("doc_id", "lang", "text"))
+    if counts and repetition_gate:
+        # the repetition flag is interpreted-eval array math (HOF lambdas
+        # never codegen); cache the gate's survivors so the flag runs once,
+        # not once per downstream consumer
+        gated = _pin(gated)
 
     # persist at the fan-out boundaries: `exact` feeds both the minhash
     # candidate job and the survivor anti-join; `near` feeds every
@@ -89,6 +117,22 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str,
     near = _pin(dedup.drop_near_duplicates(exact, cand))
     if counts:
         manifest["near_deduped"] = near.count()
+
+    if drop_boilerplate:
+        # doc-level dedup leaves cross-document boilerplate (shared
+        # headers, templates) intact; the chunk pass deletes the repeated
+        # chunks themselves and rewrites the documents (Lee et al. 2022).
+        # Docs whose every chunk was boilerplate disappear with the
+        # inner join (text_clean NULL).
+        ch = text.chunk_dedup(near)
+        near = (near.drop("text")
+                    .join(ch.where(F.col("text_clean").isNotNull())
+                            .select("doc_id",
+                                    F.col("text_clean").alias("text")),
+                          "doc_id"))
+        if counts:
+            near = _pin(near)
+            manifest["chunk_deduped"] = near.count()
 
     scrubbed = text.scrub_pii(near)
     split = sampling.hash_split(scrubbed, splits, "doc_id")

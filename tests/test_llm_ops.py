@@ -319,19 +319,21 @@ def test_llm_corpus_pipeline_end_to_end(spark, sf_dir):
     from nasctn_sea_ingest_spark.plans.pipeline import llm_corpus_pipeline
 
     packed, manifest = llm_corpus_pipeline(spark, sf_dir, seq_len=512)
-    stages = ["raw", "quality_gated", "exact_deduped", "near_deduped",
-              "decontaminated", "packed"]
+    stages = ["raw", "quality_gated", "repetition_gated", "exact_deduped",
+              "near_deduped", "chunk_deduped", "decontaminated", "packed"]
     assert list(manifest) == stages
     counts = [manifest[s] for s in stages[:-1]]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
     assert manifest["packed"] == manifest["decontaminated"]  # no row loss
     assert manifest["packed"] > 0
 
-    # with the guard off, the manifest skips the stage and keeps every
-    # near-deduped row
+    # with the guards off, the manifest skips those stages and keeps every
+    # near-deduped row end-to-end
     _, m2 = llm_corpus_pipeline(spark, sf_dir, seq_len=512,
-                                decontaminate=False)
-    assert "decontaminated" not in m2
+                                decontaminate=False, repetition_gate=False,
+                                drop_boilerplate=False)
+    assert {"decontaminated", "repetition_gated",
+            "chunk_deduped"}.isdisjoint(m2)
     assert m2["packed"] == m2["near_deduped"]
 
     rows = packed.select("split", "pack_offset", "text").collect()

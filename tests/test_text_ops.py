@@ -169,3 +169,44 @@ def test_repetition_stats_vs_python(spark):
             1.0 - len(set(tg)) / len(tg))
         assert got[i].repetitive == (top / len(bg) > 0.20
                                      or 1.0 - len(set(tg)) / len(tg) > 0.30)
+
+
+from hypothesis import given as _given, settings as _settings, \
+    strategies as _st, HealthCheck as _HC
+
+
+def _chunk_dedup_py(texts, k=3):
+    """Pure-Python mirror of text.chunk_dedup semantics."""
+    chunks = []          # (doc, idx, chunk) in global (doc, idx) order
+    for doc, t in enumerate(texts):
+        w = t.split()
+        for idx in range(0, (len(w) + k - 1) // k):
+            chunks.append((doc, idx, " ".join(w[idx * k:(idx + 1) * k])))
+    seen = set()
+    out = {}
+    for doc, idx, ch in sorted(chunks):
+        n_chunks, n_kept, kept = out.get(doc, (0, 0, []))
+        first = ch not in seen
+        seen.add(ch)
+        out[doc] = (n_chunks + 1, n_kept + first, kept + [ch] if first
+                    else kept)
+    return {doc: (n, m, " ".join(kept) or None)
+            for doc, (n, m, kept) in out.items()}
+
+
+@_settings(max_examples=10, deadline=None,
+           suppress_health_check=[_HC.function_scoped_fixture])
+@_given(_st.lists(
+    _st.lists(_st.sampled_from("abc"), min_size=1, max_size=20)
+    .map(" ".join), min_size=1, max_size=12))
+def test_chunk_dedup_property_vs_python(spark, texts):
+    """Randomized docs over a 3-letter alphabet (forcing heavy chunk
+    collisions, partial tail chunks, whole-doc wipeouts) match the
+    pure-Python mirror exactly."""
+    from nasctn_sea_ingest_spark.operators.text import chunk_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.n_chunks, r.n_kept, r.text_clean)
+           for r in chunk_dedup(df, chunk_words=3).collect()}
+    assert got == _chunk_dedup_py(texts, k=3)
