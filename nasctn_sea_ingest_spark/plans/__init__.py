@@ -18,13 +18,14 @@ from . import corpus_subq  # noqa: F401  (subqueries, TPC-H join shapes)
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [
-    # new this round (15): no hard-signal row yet
+    # new this round (17): no hard-signal row yet
     "q78_returned_item_report", "q79_nation_volume_shipping",
     "q80_market_share", "q81_order_count_distribution",
     "q82_stratified_sample", "q83_seeded_shuffle", "q84_bm25_retrieval",
     "q85_asof_by_key", "q86_pq_ann", "q87_bpe_pair_counts",
     "q88_chunk_dedup", "q89_zorder_cells", "q90_grouped_regression",
-    "q91_repetition_filter", "q92_semantic_dedup",
+    "q91_repetition_filter", "q92_semantic_dedup", "q93_salted_skew_agg",
+    "q94_exact_median_large",
     # round-1-only verified (27): refresh their hard-signal rows
     "q02_filter_project", "q03_time_range", "q04_conjunctive_slice",
     "q06_group_limiter", "q09_semi_join", "q10_anti_join",
@@ -35,13 +36,12 @@ _WINDOW_PRIORITY = [
     "q39_daily_rollup", "q40_set_ops", "q42_cube", "q43_range_frame",
     "q67_vocab_topk", "q68_label_centroids", "q69_tfidf_top_terms",
     "q74_decontaminate",
-    # representatives of round-2-green families (8): flagship, joins,
-    # as-of rewrite, dedup trio (q24 decimal fix re-verify), similarity,
-    # windows/sessionize — every family not otherwise in the window keeps
-    # an r02 row ≤ 2 rounds old, so dropping its representative is safe
-    "q01_pricing_summary", "q08_join_agg", "q11_asof_nearest",
-    "q22_cosine_topk", "q24_jaccard_neardup", "q25_minhash_lsh",
-    "q26_simhash_hamming", "q51_sessionize",
+    # representatives of round-2-green families (6): flagship, as-of
+    # rewrite, dedup trio (q24 decimal fix re-verify), sessionize — every
+    # family not otherwise in the window keeps an r02 row ≤ 2 rounds old
+    # (joins ride the new q78-q81 TPC-H entries, similarity rides q92)
+    "q01_pricing_summary", "q11_asof_nearest", "q24_jaccard_neardup",
+    "q25_minhash_lsh", "q26_simhash_hamming", "q51_sessionize",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 

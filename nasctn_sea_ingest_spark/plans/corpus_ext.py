@@ -905,3 +905,58 @@ def q90(spark, sf_dir):
 def q92(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(emb, ["label"], threshold=0.35)
+
+
+@_q("q93_salted_skew_agg",
+    "skew-safe two-phase aggregation (functions.salted_agg): event_type "
+    "has ~5 hot keys, so a plain groupBy funnels 20% of the table into "
+    "one reducer — the salt splits each hot key across 16 partial "
+    "reducers, then a cheap final combine; decimal sums make the result "
+    "bit-equal to the plain GROUP BY the oracle runs",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(14,6))) AS DOUBLE) AS value_sum,
+           min(value) AS value_min, max(value) AS value_max
+    FROM events GROUP BY event_type
+    """)
+def q93(spark, sf_dir):
+    from ..functions import salted_agg
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev, ["event_type"],
+        {"n": ("count", "value"),
+         # exact decimal partials: the salted re-combine must not depend
+         # on float summation order
+         "value_sum": ("sum", F.col("value").cast("decimal(14,6)")),
+         "value_min": ("min", F.col("value")),
+         "value_max": ("max", F.col("value"))})
+    return out.select("event_type", "n",
+                      F.col("value_sum").cast("double").alias("value_sum"),
+                      "value_min", "value_max")
+
+
+@_q("q94_exact_median_large",
+    "exact per-group median at any-cardinality scale (functions."
+    "exact_median_large): value-compressed two-pass — per-(group, value) "
+    "counts, cumulative-rank window over the COMPRESSED rows, middle "
+    "ranks interpolated; the oracle ranks raw rows with a window",
+    """
+    WITH r AS (SELECT event_type, value,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY value) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM events WHERE value IS NOT NULL)
+    SELECT event_type,
+           CAST(sum(CASE WHEN rn = (n + 1) // 2 OR rn = n // 2 + 1
+                         THEN value END) AS DOUBLE)
+             / count(CASE WHEN rn = (n + 1) // 2 OR rn = n // 2 + 1
+                          THEN 1 END) AS median,
+           max(n) AS n
+    FROM r GROUP BY event_type
+    """)
+def q94(spark, sf_dir):
+    from ..functions import exact_median_large
+    ev = load_table(spark, sf_dir, "events")
+    return (exact_median_large(ev.select("event_type", "value"),
+                               ["event_type"], "value")
+            .select("event_type", "median", "n"))
