@@ -38,6 +38,8 @@ def main() -> None:
     spark.range(cpus * 4).repartition(cpus).mapInPandas(
         lambda it: it, "id long").count()
 
+    import gc
+
     timings: dict[str, float] = {}
     total = 0.0
     for q in CORPUS:
@@ -48,6 +50,14 @@ def main() -> None:
         timings[q.name] = round(dt, 3)
         total += dt
         print(f"# {q.name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        # per-query isolation, OUTSIDE the timed window: drop leftover
+        # cached blocks and break py4j reference cycles so the JVM can
+        # release analyzed plans — without this, driver-side analysis
+        # degrades measurably over a 100-query session (the later queries
+        # were paying for the earlier ones' garbage, ~2× on the heavy
+        # multi-stage entries)
+        spark.catalog.clearCache()
+        gc.collect()
 
     # sigmf decode throughput at reference-realistic geometry (BASELINE.md:
     # reference reads a 200-sweep zip at ~81 files/s on one core)
@@ -205,9 +215,11 @@ def main() -> None:
     # end-to-end LLM corpus pipeline (quality gate → exact + near dedup →
     # clustering → PII scrub → split → packing) — the composed north-star job
     from nasctn_sea_ingest_spark.plans.pipeline import llm_corpus_pipeline
+    gc.collect()  # session hygiene outside the timed window
     t0 = time.perf_counter()
-    _, manifest = llm_corpus_pipeline(spark, sf_dir)
+    packed, manifest = llm_corpus_pipeline(spark, sf_dir)
     dt = time.perf_counter() - t0
+    packed.unpersist(True)
     timings["x_llm_pipeline"] = round(dt, 3)
     total += dt
     print(f"# llm pipeline: {dt:.3f}s "

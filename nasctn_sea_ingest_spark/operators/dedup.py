@@ -302,6 +302,16 @@ def dup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     edges = e.unionByName(e.select(F.col("b").alias("a"),
                                    F.col("a").alias("b"))).distinct()
     edges = edges.localCheckpoint()
+    # Size the iteration to the GRAPH, not the session: every round pays
+    # (tasks × scheduling) per shuffle, so a 1000-pair candidate graph on
+    # 32 shuffle partitions spends its whole wall-clock on empty tasks.
+    # The edge count is free (edges just materialized); ~2M edges per
+    # partition keeps rounds single-digit-task locally while a 100 TB run
+    # (billions of edges) keeps its full parallelism.
+    n_e = edges.count()
+    p = max(1, -(-n_e // 2_000_000))
+    if p < edges.rdd.getNumPartitions():
+        edges = edges.coalesce(p)  # narrow — no shuffle, no re-materialize
     labels = (edges.select(F.col("a").alias("node")).distinct()
                    .withColumn("label", F.col("node")))
     # convergence check: labels only ever DECREASE under min-propagation,

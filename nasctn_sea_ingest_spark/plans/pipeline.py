@@ -77,32 +77,37 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str,
     par = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < par:
         d = d.repartition(par, "doc_id")
-    scored = text.quality_score(d)
+    # both gates in ONE Arrow map-only pass (value-identical to the
+    # quality_score/repetition_stats expression forms, ~5× faster than
+    # their interpreted higher-order lambdas — see gate_flags_fast)
+    scored = text.gate_flags_fast(d.select("doc_id", "lang", "text"))
     keep = F.col("quality") >= min_quality
     if repetition_gate:
-        # Gopher A1 repetition gates ride the SAME map-only scan as the
-        # quality score — an extra column expression, not an extra stage
-        scored = text.repetition_stats(scored)
         keep_rep = keep & ~F.col("repetitive")
     if counts:
-        # raw + gated counts in ONE scan (separate .count() calls on the
-        # un-persisted frames would re-run the quality gate per action)
-        aggs = [F.count("*").alias("raw"),
-                F.count(F.when(keep, 1)).alias("gated")]
+        # The gate flags are interpreted-eval array math (HOF lambdas
+        # never codegen — ~0.5 ms/doc), so they must run exactly ONCE:
+        # pin the flagged frame, then both the manifest aggregate and the
+        # surviving-row selection read the cache instead of re-running
+        # the expressions per action.
+        flag_cols = ["doc_id", "lang", "text", keep.alias("__keep")]
         if repetition_gate:
-            aggs.append(F.count(F.when(keep_rep, 1)).alias("rep"))
+            flag_cols.append(keep_rep.alias("__keep_rep"))
+        scored = _pin(scored.select(*flag_cols))
+        aggs = [F.count("*").alias("raw"),
+                F.count(F.when(F.col("__keep"), 1)).alias("gated")]
+        if repetition_gate:
+            aggs.append(F.count(F.when(F.col("__keep_rep"), 1)).alias("rep"))
         row = scored.agg(*aggs).first()
         manifest["raw"], manifest["quality_gated"] = row["raw"], row["gated"]
         if repetition_gate:
             manifest["repetition_gated"] = row["rep"]
-
-    gated = (scored.where(keep_rep if repetition_gate else keep)
-             .select("doc_id", "lang", "text"))
-    if counts and repetition_gate:
-        # the repetition flag is interpreted-eval array math (HOF lambdas
-        # never codegen); cache the gate's survivors so the flag runs once,
-        # not once per downstream consumer
-        gated = _pin(gated)
+        gated = (scored.where(F.col("__keep_rep" if repetition_gate
+                                    else "__keep"))
+                 .select("doc_id", "lang", "text"))
+    else:
+        gated = (scored.where(keep_rep if repetition_gate else keep)
+                 .select("doc_id", "lang", "text"))
 
     # persist at the fan-out boundaries: `exact` feeds both the minhash
     # candidate job and the survivor anti-join; `near` feeds every
@@ -157,6 +162,8 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str,
         packed = packed.persist()
         manifest["packed"] = packed.count()
         # packed is materialized, so every upstream cache can be released
+        # (blocking=True: the blocks are gone when we return, not "soon" —
+        # leaked blocks otherwise degrade long sessions)
         for df in pinned:
-            df.unpersist()
+            df.unpersist(True)
     return packed, manifest

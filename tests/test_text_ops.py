@@ -210,3 +210,32 @@ def test_chunk_dedup_property_vs_python(spark, texts):
     got = {r.doc_id: (r.n_chunks, r.n_kept, r.text_clean)
            for r in chunk_dedup(df, chunk_words=3).collect()}
     assert got == _chunk_dedup_py(texts, k=3)
+
+
+def test_gate_flags_fast_parity(spark):
+    """The fused Arrow gate is value-identical to the column-expression
+    forms (quality_score + repetition_stats) on real corpus documents
+    plus hand-picked whitespace/empty/unicode edge cases."""
+    import pyspark.sql.functions as F
+
+    real = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", F.lit("en").alias("lang"), "text").limit(300))
+    edge = spark.createDataFrame(
+        [(9000001, "en", ""), (9000002, "en", "   "),
+         (9000003, "en", "\tword\tword\t"),
+         (9000004, "en", "a"), (9000005, "en", "a b"),
+         (9000006, "en", "Héllo wörld ünïcode tèxt hère öfter"),
+         (9000007, "en", "x " * 200)],
+        "doc_id long, lang string, text string")
+    docs = real.unionByName(edge)
+
+    expr = TX.repetition_stats(TX.quality_score(docs)) \
+        .select("doc_id", "quality", "repetitive")
+    fast = TX.gate_flags_fast(docs).select("doc_id", "quality", "repetitive")
+    e = {r.doc_id: r for r in expr.collect()}
+    f = {r.doc_id: r for r in fast.collect()}
+    assert set(e) == set(f) and len(e) > 100
+    for k in e:
+        assert e[k].quality == f[k].quality, (k, e[k], f[k])
+        assert bool(e[k].repetitive) == bool(f[k].repetitive), \
+            (k, e[k], f[k])
