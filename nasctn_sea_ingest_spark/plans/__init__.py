@@ -36,12 +36,13 @@ _WINDOW_PRIORITY = [
     "q39_daily_rollup", "q40_set_ops", "q42_cube", "q43_range_frame",
     "q67_vocab_topk", "q68_label_centroids", "q69_tfidf_top_terms",
     "q74_decontaminate",
-    # representatives of round-2-green families (6): flagship, as-of
-    # rewrite, dedup trio (q24 decimal fix re-verify), sessionize — every
-    # family not otherwise in the window keeps an r02 row ≤ 2 rounds old
-    # (joins ride the new q78-q81 TPC-H entries, similarity rides q92)
-    "q01_pricing_summary", "q11_asof_nearest", "q24_jaccard_neardup",
-    "q25_minhash_lsh", "q26_simhash_hamming", "q51_sessionize",
+    # new in round 3 (6): TPC-H completion shapes (Q4/Q6/Q15/Q19/Q22/Q9)
+    # — no hard-signal row yet.  They displace the round-2-green
+    # representatives (q01/q11/q24/q25/q26/q51 all have fresh r02 rows;
+    # their families stay covered by q78-q81/q85/q88/q92 in-window).
+    "q95_order_priority_check", "q96_forecast_revenue",
+    "q97_top_revenue_supplier", "q98_disjunctive_predicate",
+    "q99_global_sales_opportunity", "q100_product_type_profit",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 

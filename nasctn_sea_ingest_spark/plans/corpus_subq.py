@@ -500,3 +500,209 @@ def q73(spark, sf_dir):
     return (firsts.join(conv, "user_id", "left")
                   .select("user_id", "first_view_us", "conv_us",
                           F.col("conv_us").isNotNull().alias("converted")))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (round 3).  With q01/q63/q64/q65/q66/q70/q71/q72/q78-q81
+# this file covers 18 of the 22 TPC-H query shapes; the remaining four
+# (Q2/Q11/Q16/Q20) all require the PARTSUPP table, which the driver's
+# synthetic schema does not ship — their defining operator shapes
+# (correlated min-subquery, HAVING-over-scalar-subquery, NOT IN + distinct
+# count, nested IN chains) are each exercised by other entries below.
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+@_q("q95_order_priority_check",
+    "TPC-H Q4 shape: correlated EXISTS with a non-equi condition "
+    "(late line on the order) -> left-semi join on key + range, priority "
+    "histogram",
+    f"""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE epoch_us(o.o_orderdate) >= {us('1997-01-01')}
+      AND epoch_us(o.o_orderdate) < {us('1997-04-01')}
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+                        > 30 * 86400000000)
+    GROUP BY o.o_orderpriority
+    """)
+def q95(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o_win = o.where(us_cmp("o_orderdate", ">=", us("1997-01-01"))
+                    & us_cmp("o_orderdate", "<", us("1997-04-01")))
+    late = li.select("l_orderkey", "l_shipdate_us")
+    # semi-join carries the equi-key (shuffle key) plus the correlated
+    # range condition; at 100 TB the orders window filter pushes to the
+    # scan and only surviving orderkeys shuffle
+    return (o_win.join(late,
+                       (o_win.o_orderkey == late.l_orderkey)
+                       & (late.l_shipdate_us - o_win.o_orderdate_us
+                          > 30 * _DAY_US),
+                       "left_semi")
+                 .groupBy("o_orderpriority")
+                 .agg(F.count("*").alias("order_count")))
+
+
+@_q("q96_forecast_revenue",
+    "TPC-H Q6 shape: pure scan -> filter -> scalar aggregate (the "
+    "pushdown/pruning benchmark: every predicate lands in PushedFilters)",
+    f"""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE epoch_us(l_shipdate) >= {us('1997-01-01')}
+      AND epoch_us(l_shipdate) < {us('1998-01-01')}
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """)
+def q96(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.where(us_cmp("l_shipdate", ">=", us("1997-01-01"))
+                     & us_cmp("l_shipdate", "<", us("1998-01-01"))
+                     & (F.col("l_discount") >= 0.05)
+                     & (F.col("l_discount") <= 0.07)
+                     & (F.col("l_quantity") < 24))
+              .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
+                         * F.col("l_discount").cast("decimal(4,2)"))
+                    .cast("double").alias("revenue"),
+                   F.count("*").alias("n_lines")))
+
+
+@_q("q97_top_revenue_supplier",
+    "TPC-H Q15 shape: aggregate view + uncorrelated MAX scalar subquery, "
+    "equality on a decimal-exact total (deterministic on both engines)",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum({_REV_SQL}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE epoch_us(l_shipdate) >= {us('1997-10-01')}
+        AND epoch_us(l_shipdate) < {us('1998-01-01')}
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """)
+def q97(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (li.where(us_cmp("l_shipdate", ">=", us("1997-10-01"))
+                    & us_cmp("l_shipdate", "<", us("1998-01-01")))
+             .groupBy("l_suppkey")
+             .agg(F.sum(F.expr(_REV)).cast("double")
+                   .alias("total_revenue")))
+    # the one-row max side broadcasts; rev is computed once and reused for
+    # both the max and the equality filter (Spark reuses the exchange)
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (rev.crossJoin(F.broadcast(mx))
+               .where(F.col("total_revenue") == F.col("mx"))
+               .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+               .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@_q("q98_disjunctive_predicate",
+    "TPC-H Q19 shape: disjunction of brand/size/quantity conjunction "
+    "bands across a lineitem-part join (OR-of-ANDs predicate "
+    "normalization; part side broadcast)",
+    f"""
+    SELECT CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue, count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1  AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#7'  AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """)
+def q98(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    # part-only disjuncts (brand IN ...) pre-filter the broadcast side;
+    # the mixed part+lineitem disjunction applies post-join — Catalyst
+    # additionally derives the IN prefilter itself via constraint
+    # propagation, but stating it keeps the broadcast side minimal
+    p_pre = p.where(F.col("p_brand").isin("Brand#3", "Brand#7",
+                                          "Brand#11"))
+    band = (
+        ((F.col("p_brand") == "Brand#3")
+         & F.col("p_size").between(1, 15)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11))
+        | ((F.col("p_brand") == "Brand#7")
+           & F.col("p_size").between(1, 25)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#11")
+           & F.col("p_size").between(1, 35)
+           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30)))
+    return (li.join(F.broadcast(p_pre), li.l_partkey == p_pre.p_partkey)
+              .where(band)
+              .agg(F.sum(F.expr(_REV)).cast("double").alias("revenue"),
+                   F.count("*").alias("n_lines")))
+
+
+@_q("q99_global_sales_opportunity",
+    "TPC-H Q22 shape: above-average-balance customers with no orders — "
+    "uncorrelated AVG scalar subquery + anti-join, per-nation rollup",
+    """
+    WITH pos AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               / count(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.00)
+    SELECT c.c_nationkey, count(*) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             AS totacctbal
+    FROM customer c, pos
+    WHERE c.c_acctbal > pos.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """)
+def q99(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = (c.where(F.col("c_acctbal") > 0.00)
+                .agg((_dsum(F.col("c_acctbal"), "12,2")
+                      / F.count("*")).alias("avg_bal")))
+    return (c.crossJoin(F.broadcast(avg_bal))
+             .where(F.col("c_acctbal") > F.col("avg_bal"))
+             .join(o.select("o_custkey"),
+                   c.c_custkey == F.col("o_custkey"), "left_anti")
+             .groupBy("c_nationkey")
+             .agg(F.count("*").alias("numcust"),
+                  _dsum(F.col("c_acctbal"), "12,2").alias("totacctbal")))
+
+
+@_q("q100_product_type_profit",
+    "TPC-H Q9 shape (partsupp-free): part-name token filter riding a "
+    "5-way join, profit rollup by supplier nation and order year",
+    f"""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           CAST(sum({_REV_SQL}) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    """)
+def q100(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    red = p.where(F.col("p_name").like("%red%")).select("p_partkey")
+    sup_n = (s.join(F.broadcast(n),
+                    s.s_nationkey == n.n_nationkey)
+              .select("s_suppkey", F.col("n_name").alias("nation")))
+    return (li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
+              .join(F.broadcast(sup_n), li.l_suppkey == F.col("s_suppkey"))
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .groupBy("nation", _year_us("o_orderdate_us").alias("o_year"))
+              .agg(F.sum(F.expr(_REV)).cast("double").alias("sum_profit")))

@@ -52,7 +52,7 @@ def test_driver_window_covers_unverified_families():
     (round-1-only) inside the first 50 — so each oracle-backed query keeps
     a driver-green row at most two rounds old."""
     names = [q.name for q in CORPUS]
-    assert len(names) == len(set(names)) == 94
+    assert len(names) == len(set(names)) == 100
     window = set(names[:50])
     new_this_round = {
         "q78_returned_item_report", "q79_nation_volume_shipping",
@@ -62,6 +62,9 @@ def test_driver_window_covers_unverified_families():
         "q88_chunk_dedup", "q89_zorder_cells", "q90_grouped_regression",
         "q91_repetition_filter", "q92_semantic_dedup",
         "q93_salted_skew_agg", "q94_exact_median_large",
+        "q95_order_priority_check", "q96_forecast_revenue",
+        "q97_top_revenue_supplier", "q98_disjunctive_predicate",
+        "q99_global_sales_opportunity", "q100_product_type_profit",
     }
     round1_only = {
         "q02_filter_project", "q03_time_range", "q04_conjunctive_slice",

@@ -365,13 +365,16 @@ def test_repetition_stats_map_only(spark, sf):
 
 
 def test_chunk_dedup_shuffle_inventory(spark, sf):
-    """q88 needs exactly three exchanges — (doc, chunk_idx) chunk build,
-    the chunk-key window, doc reassembly — and no more (a fourth would
-    mean the window repartitioned what the agg already owned)."""
+    """q88 needs exactly two exchanges — the chunk-key window (first-
+    occurrence pick) and the doc reassembly agg — and no more.  The
+    slice-based chunk build emits (doc_id, chunk_idx, chunk) straight out
+    of the scan's generate, so there is no third (doc, chunk_idx) build
+    shuffle; a third exchange would mean the window repartitioned what
+    the scan already produced."""
     df = _q("q88_chunk_dedup").spark(spark, sf)
     df.collect()
     p = _final(df)
-    assert p.count("Exchange hashpartitioning") == 3, p
+    assert p.count("Exchange hashpartitioning") == 2, p
 
 
 def test_zorder_cells_single_shuffle_broadcast_stats(spark, sf):
