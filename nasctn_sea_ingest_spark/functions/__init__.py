@@ -26,6 +26,7 @@ __all__ = [
     "limiter",
     "time_gaps", "pivot_wide", "localize", "rayleigh_amplitude",
     "noise_floor_dBm", "salted_agg", "exact_median_large", "zorder_key",
+    "merge_upsert",
 ]
 
 
@@ -588,3 +589,26 @@ def zorder_key(cols: Sequence, bits: int = 8) -> Column:
             z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)),
                                 i * k + j)
     return z
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame,
+                 keys: "Sequence[str]",
+                 order_by: "Sequence[str]") -> DataFrame:
+    """Last-wins MERGE/upsert for a plain-parquet warehouse: rows from
+    ``updates`` replace same-key rows in ``base``; unmatched keys pass
+    through; within a key the row with the greatest ``order_by`` tuple
+    wins (make the last column a unique id for determinism).
+
+    Shape: ``unionByName`` + one window on the merge key — a single
+    shuffle, the MERGE-less upsert companion of
+    ``ingest.backfill_partitions``.  At 100 TB with a small update batch,
+    flip the plan: broadcast the update keys, anti-join the base, and
+    union — same result, no base shuffle; this helper declares the
+    general (both-sides-large) form, which is also what a sort-merge
+    MERGE INTO executes.
+    """
+    u = base.unionByName(updates)
+    w = Window.partitionBy(*[F.col(k) for k in keys]) \
+              .orderBy(*[F.col(c).desc() for c in order_by])
+    return (u.withColumn("__rn", F.row_number().over(w))
+             .where(F.col("__rn") == 1).drop("__rn"))

@@ -681,3 +681,47 @@ def q91(spark, sf_dir):
         F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
         F.round("dup_trigram_frac", 6).alias("dup_trigram_frac"),
         F.col("repetitive").cast("int").alias("repetitive"))
+
+
+@_q("q101_unigram_logprob",
+    "corpus-trained unigram LM quality score (CCNet-style): train token "
+    "counts over the whole corpus (the wordcount agg), broadcast the tiny "
+    "vocabulary back, score each doc by its mean negative log-probability. "
+    "Per-token -ln p is quantized to fixed-point BIGINT *before* the "
+    "per-doc sum, so the aggregate is integer-exact and order-independent "
+    "on both engines (float sums over shuffled rows are not)",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+               FROM documents),
+    v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+    n AS (SELECT count(*) AS total FROM t),
+    s AS (SELECT tok,
+                 CAST(round(-ln(CAST(cnt AS DOUBLE) / total)
+                            * 1000000000) AS BIGINT) AS nll_e9
+          FROM v, n)
+    SELECT t.doc_id, count(*) AS n_tokens,
+           round(CAST(sum(s.nll_e9) AS DOUBLE) / 1e9 / count(*), 6)
+             AS avg_nll
+    FROM t JOIN s USING (tok)
+    GROUP BY t.doc_id
+    """)
+def q101(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    # 100 TB shape: tokenize once (one explode over the scan), wordcount
+    # agg (map-side combine on the hot token keys), vocabulary is tiny
+    # relative to the corpus -> broadcast joins back; the only full
+    # shuffle is the per-doc rollup on doc_id
+    t = d.select("doc_id",
+                 F.explode(F.split(F.trim(F.col("text")), " "))
+                  .alias("tok"))
+    v = t.groupBy("tok").agg(F.count("*").alias("cnt"))
+    n = t.agg(F.count("*").alias("total"))
+    s = (v.crossJoin(F.broadcast(n))
+          .select("tok",
+                  F.expr("CAST(round(-ln(CAST(cnt AS DOUBLE) / total) "
+                         "* 1000000000) AS BIGINT)").alias("nll_e9")))
+    return (t.join(F.broadcast(s), "tok")
+             .groupBy("doc_id")
+             .agg(F.count("*").alias("n_tokens"),
+                  F.round(F.sum("nll_e9").cast("double") / 1e9
+                          / F.count("*"), 6).alias("avg_nll")))

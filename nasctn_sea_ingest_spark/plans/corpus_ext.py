@@ -23,7 +23,7 @@ from pyspark.sql import Window
 from ..operators import similarity
 from ..sources.multimodal import extract_features
 from .corpus import _q
-from .tables import load_table, register_tables
+from .tables import load_table, register_tables, us
 
 US_HOUR = 3_600_000_000
 US_DAY = 86_400_000_000
@@ -275,28 +275,25 @@ def q86(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# multimodal plumbing (rows-only: the codec is a deterministic stub — the
-# Spark-side schema/batching/partitioning is what this declares)
+# multimodal plumbing (rows-only: features are codec-derived vectors with
+# no SQL analog — the Spark-side schema/batching/partitioning plus the REAL
+# WAV-PCM / BMP decode paths are what this declares)
 # ---------------------------------------------------------------------------
 
 @_q("q48_multimodal_features",
-    "binary media columns + Arrow-batched feature extraction "
-    "(sources.multimodal.extract_features over mapInPandas; stub codec)",
+    "binary media columns + Arrow-batched feature extraction: real "
+    "WAV-PCM (stdlib wave + FFT bands) and 24-bit BMP (numpy pixel parse) "
+    "decodes, sha256 stub only for video containers "
+    "(sources.multimodal synthesize_media -> extract_features)",
     None)
 def q48(spark, sf_dir):
+    from ..sources.multimodal import synthesize_media
     d = load_table(spark, sf_dir, "documents")
-    media = d.select(
+    keys = d.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
-        F.encode("text", "UTF-8").alias("content"),
-        F.struct(
-            F.lit(64).alias("width"), F.lit(64).alias("height"),
-            F.lit(3).alias("channels"), F.lit(16000).alias("sample_rate"),
-            (F.col("n_chars") % 50 + 10).cast("int").alias("n_frames"),
-            ((F.col("n_chars") % 50 + 10) / 25.0).alias("duration_s"),
-        ).alias("meta"))
-    feats = extract_features(media, dim=16)
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"))
+    feats = extract_features(synthesize_media(keys), dim=16)
     return feats.select(
         "media_id", "kind", "backend",
         F.size("feature").alias("dim"),
@@ -960,3 +957,93 @@ def q94(spark, sf_dir):
     return (exact_median_large(ev.select("event_type", "value"),
                                ["event_type"], "value")
             .select("event_type", "median", "n"))
+
+
+# ---------------------------------------------------------------------------
+# warehouse maintenance + profiling (round 3): last-wins upsert,
+# equal-width histogram, winsorized robust mean
+# ---------------------------------------------------------------------------
+
+@_q("q102_merge_upsert",
+    "last-wins MERGE/upsert (functions.merge_upsert): late 'update' events "
+    "replace the per-user snapshot row from the base slice — unionByName + "
+    "one key-window, the MERGE-less upsert of a plain-parquet warehouse",
+    f"""
+    WITH u AS (
+      SELECT * FROM events WHERE epoch_us(ts) <  {us('2024-03-01')}
+      UNION ALL
+      SELECT * FROM events WHERE epoch_us(ts) >= {us('2024-03-01')}),
+    r AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC)
+               AS rn
+      FROM u)
+    SELECT user_id, event_id, ts_us, event_type, value
+    FROM r WHERE rn = 1
+    """)
+def q102(spark, sf_dir):
+    from ..functions import merge_upsert
+    ev = load_table(spark, sf_dir, "events") \
+        .select("user_id", "event_id", "ts_us", "event_type", "value")
+    cut = us("2024-03-01")
+    base = ev.where(F.col("ts_us") < cut)
+    upd = ev.where(F.col("ts_us") >= cut)
+    return merge_upsert(base, upd, keys=["user_id"],
+                        order_by=["ts_us", "event_id"])
+
+
+@_q("q103_histogram",
+    "two-pass equal-width histogram (data profiling): global min/max "
+    "broadcast back into a portable floor-division bucketizer — "
+    "bucket arithmetic is plain IEEE ops, identical on both engines",
+    """
+    WITH s AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+               FROM lineitem)
+    SELECT least(CAST(floor((l_extendedprice - lo)
+                            / ((hi - lo) / 20.0)) AS INT), 19) AS bin,
+           count(*) AS n
+    FROM lineitem, s
+    GROUP BY bin
+    """)
+def q103(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.agg(F.min("l_extendedprice").alias("lo"),
+               F.max("l_extendedprice").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    bin_ = F.least(F.floor((F.col("l_extendedprice") - F.col("lo"))
+                           / width).cast("int"), F.lit(19))
+    return (li.crossJoin(F.broadcast(s))
+              .groupBy(bin_.alias("bin"))
+              .agg(F.count("*").alias("n")))
+
+
+@_q("q104_winsorized_mean",
+    "winsorized robust mean per group: clamp to the interpolated "
+    "[p05, p95] band (q53's percentile_cont), then average — the clamped "
+    "values are quantized to fixed-point BIGINT before the sum so the "
+    "aggregate is order-independent on both engines",
+    """
+    WITH b AS (
+      SELECT lang, quantile_cont(n_chars, 0.05) AS p05,
+                   quantile_cont(n_chars, 0.95) AS p95
+      FROM documents GROUP BY lang)
+    SELECT d.lang, count(*) AS n,
+           round(CAST(sum(CAST(round(least(greatest(
+                     CAST(n_chars AS DOUBLE), p05), p95) * 1000000)
+                   AS BIGINT)) AS DOUBLE) / 1e6 / count(*), 6) AS wmean
+    FROM documents d JOIN b USING (lang)
+    GROUP BY d.lang
+    """)
+def q104(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    b = d.groupBy("lang").agg(F.percentile("n_chars", 0.05).alias("p05"),
+                              F.percentile("n_chars", 0.95).alias("p95"))
+    clamped = F.least(F.greatest(F.col("n_chars").cast("double"),
+                                 F.col("p05")), F.col("p95"))
+    q = F.round(clamped * 1000000).cast("bigint")
+    return (d.join(F.broadcast(b), "lang")
+             .groupBy("lang")
+             .agg(F.count("*").alias("n"),
+                  F.round(F.sum(q).cast("double") / 1e6 / F.count("*"), 6)
+                   .alias("wmean")))

@@ -3,16 +3,27 @@ opaque ``BINARY`` columns with typed metadata, plus Arrow-batched decode /
 feature-extract / frame-sample stages.
 
 The Spark-side plumbing — schemas, ``mapInPandas`` batch shapes, frame
-explosion, partition parallelism — is real and tested. The *codec* step is
-pluggable: real decoders (PIL / soundfile / cv2) are used when importable;
-this container has none, so the default backend is a clearly-marked
-deterministic STUB that derives features from a SHA-256 of the payload.
-Swapping in a real backend changes only ``_decode_backend``.
+explosion, partition parallelism — is real and tested. Codecs are a
+per-kind chain (first decoder that accepts the payload wins, reported in
+the ``backend`` column):
+
+- audio: **real** WAV-PCM decode (stdlib ``wave`` + numpy; 8/16/32-bit,
+  any channel count) → FFT band-energy features;
+- image: **real** uncompressed 24-bit BMP decode (pure numpy header +
+  pixel-array parse) → grid-pooled luminance features;
+- anything undecodable (and all video containers — no codec lib ships in
+  this container): a clearly-marked deterministic STUB that derives a
+  unit vector from a SHA-256 of the payload.
+
+Heavier codecs (PIL / soundfile / cv2) slot in by prepending to
+``_CODEC_CHAIN`` — nothing else changes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -22,7 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 __all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "extract_features",
-           "sample_frames", "with_resized_meta"]
+           "sample_frames", "with_resized_meta", "decode_wav", "decode_bmp",
+           "encode_wav", "encode_bmp"]
 
 MEDIA_META = T.StructType([
     T.StructField("width", T.IntegerType(), True),
@@ -60,24 +72,180 @@ def _stub_feature(content: bytes, dim: int) -> np.ndarray:
     return v / np.linalg.norm(v)
 
 
-def _decode_backend(kind: str):
-    """Pick the best available decoder for ``kind``. Returns
-    (name, fn(content, dim) -> np.ndarray)."""
-    if kind == "image":
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """Real WAV-PCM decode (stdlib ``wave``): returns (mono float32 samples
+    in [-1, 1], sample_rate). Raises on non-WAV / non-PCM payloads so the
+    codec chain can fall through."""
+    with wave.open(io.BytesIO(content), "rb") as w:
+        rate = w.getframerate()
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, "u1").astype(np.float32) - 128.0) / 128.0
+    elif sw == 4:
+        x = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM width {sw}")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    if x.size == 0:
+        raise ValueError("empty WAV payload")
+    return x, rate
+
+
+def _wav_feature(content: bytes, dim: int) -> np.ndarray:
+    """Band-energy spectrum of a decoded WAV: |rfft| averaged into ``dim``
+    equal-width frequency bands, unit-normalized. Real DSP — a 440 Hz tone
+    peaks in the band containing 440/(rate/2) (pinned by test)."""
+    x, _rate = decode_wav(content)
+    spec = np.abs(np.fft.rfft(x))
+    v = np.array([b.mean() if b.size else 0.0
+                  for b in np.array_split(spec, dim)], dtype=np.float32)
+    n = float(np.linalg.norm(v))
+    return v / n if n > 0 else v
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Real uncompressed 24-bit BMP decode (pure numpy): returns an RGB
+    uint8 array of shape (height, width, 3). Raises on anything else."""
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(content[10:14], "little")
+    w = int.from_bytes(content[18:22], "little", signed=True)
+    h = int.from_bytes(content[22:26], "little", signed=True)
+    bpp = int.from_bytes(content[28:30], "little")
+    comp = int.from_bytes(content[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={comp})")
+    stride = (w * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    rows = abs(h)
+    a = np.frombuffer(content, np.uint8, count=stride * rows, offset=off)
+    a = a.reshape(rows, stride)[:, :w * 3].reshape(rows, w, 3)
+    if h > 0:  # positive height = bottom-up storage
+        a = a[::-1]
+    return a[..., ::-1]  # BGR -> RGB
+
+
+def _bmp_feature(content: bytes, dim: int) -> np.ndarray:
+    """Grid-pooled luminance of a decoded BMP: mean luma over a g×g block
+    grid (g = floor(sqrt(dim))), padded with per-channel means to ``dim``,
+    unit-normalized."""
+    img = decode_bmp(content).astype(np.float32) / 255.0
+    luma = img @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    g = max(1, int(dim ** 0.5))
+    hh, ww = luma.shape
+    cells = [c.mean() for r in np.array_split(luma, g, axis=0)
+             for c in np.array_split(r, g, axis=1)]
+    pad = [img[..., k % 3].mean() for k in range(dim - len(cells))] \
+        if dim > len(cells) else []
+    v = np.asarray((cells + pad)[:dim], dtype=np.float32)
+    n = float(np.linalg.norm(v))
+    return v / n if n > 0 else v
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Encode mono float samples in [-1, 1] as 16-bit PCM WAV bytes
+    (stdlib ``wave``) — the round-trip partner of :func:`decode_wav` for
+    tests and synthetic corpora."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm16 = (pcm * 32767.0).round().astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(int(rate))
+        w.writeframes(pcm16.tobytes())
+    return buf.getvalue()
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Encode an RGB uint8 array (h, w, 3) as an uncompressed bottom-up
+    24-bit BMP — the round-trip partner of :func:`decode_bmp`."""
+    a = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = a.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = rows.tobytes()
+    header = (b"BM" + (54 + len(pix)).to_bytes(4, "little") + b"\0\0\0\0"
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little", signed=True)
+              + h.to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + len(pix).to_bytes(4, "little")
+              + (2835).to_bytes(4, "little") * 2
+              + (0).to_bytes(4, "little") * 2)
+    return header + pix
+
+
+# per-kind codec chains: first decoder that accepts the payload wins.
+# Real codec libs (PIL / soundfile / cv2), when present, prepend here.
+_CODEC_CHAIN: dict[str, list] = {
+    "audio": [("wav-pcm", _wav_feature), ("stub-sha256", _stub_feature)],
+    "image": [("bmp-raw", _bmp_feature), ("stub-sha256", _stub_feature)],
+    "video": [("stub-sha256", _stub_feature)],
+}
+
+
+def _feature(kind: str, content: bytes, dim: int):
+    """Run the codec chain for ``kind``; returns (vector, backend_name).
+    The stub tail accepts anything, so only a truly broken payload (or
+    null) surfaces as a row error."""
+    chain = _CODEC_CHAIN.get(kind, _CODEC_CHAIN["video"])
+    for name, fn in chain[:-1]:
         try:
-            from PIL import Image  # noqa: F401 — real path, absent here
-            raise NotImplementedError(
-                "real image decode path present but not wired in this build")
-        except ImportError:
-            return "stub-sha256", _stub_feature
-    if kind == "audio":
-        try:
-            import soundfile  # noqa: F401
-            raise NotImplementedError(
-                "real audio decode path present but not wired in this build")
-        except ImportError:
-            return "stub-sha256", _stub_feature
-    return "stub-sha256", _stub_feature
+            return fn(content, dim), name
+        except Exception:  # noqa: BLE001 — fall through the chain
+            pass
+    name, fn = chain[-1]
+    return fn(content, dim), name
+
+
+def synthesize_media(keys: DataFrame, rate: int = 8000,
+                     dur_s: float = 0.064, size: int = 16) -> DataFrame:
+    """Deterministic real-payload media table from a (media_id, kind)
+    frame: audio rows carry an actual 16-bit PCM WAV (a pure tone whose
+    frequency is derived from media_id), image rows an actual 24-bit BMP
+    (seeded noise), video rows opaque seeded bytes (no container codec in
+    this environment). Arrow-batched; payload construction is embarrassingly
+    parallel and scales with the input partitioning."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = int(rate * dur_s)
+        t = np.arange(n) / rate
+        for b in batches:
+            recs = []
+            for mid, kind in zip(b["media_id"], b["kind"]):
+                mid = int(mid)
+                if kind == "audio":
+                    f0 = 200.0 + (mid % 32) * (rate / 2 - 400.0) / 32.0
+                    content = encode_wav(0.5 * np.sin(2 * np.pi * f0 * t),
+                                         rate)
+                    meta = {"width": None, "height": None, "channels": 1,
+                            "sample_rate": rate, "n_frames": n,
+                            "duration_s": dur_s}
+                elif kind == "image":
+                    rng = np.random.default_rng(mid)
+                    content = encode_bmp(rng.integers(
+                        0, 256, (size, size, 3)).astype(np.uint8))
+                    meta = {"width": size, "height": size, "channels": 3,
+                            "sample_rate": None, "n_frames": 1,
+                            "duration_s": 0.0}
+                else:
+                    rng = np.random.default_rng(mid)
+                    content = rng.bytes(256)
+                    meta = {"width": size, "height": size, "channels": 3,
+                            "sample_rate": None, "n_frames": 30,
+                            "duration_s": 1.0}
+                recs.append((mid, kind, content, meta))
+            yield pd.DataFrame(recs, columns=["media_id", "kind",
+                                              "content", "meta"])
+
+    return keys.select("media_id", "kind").mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
@@ -85,18 +253,14 @@ def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
     per input row). Per-row failures land in ``error``, not the job."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        backends: dict = {}
         for b in batches:
             recs = []
             for mid, kind, content in zip(b["media_id"], b["kind"],
                                           b["content"]):
                 try:
-                    if kind not in backends:
-                        backends[kind] = _decode_backend(kind)
-                    name, fn = backends[kind]
                     if content is None:
                         raise ValueError("null content")
-                    feat = fn(bytes(content), dim)
+                    feat, name = _feature(kind, bytes(content), dim)
                     recs.append((mid, kind, feat, name, None))
                 except Exception as e:  # noqa: BLE001
                     recs.append((mid, kind, None, None,

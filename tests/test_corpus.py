@@ -52,7 +52,7 @@ def test_driver_window_covers_unverified_families():
     (round-1-only) inside the first 50 — so each oracle-backed query keeps
     a driver-green row at most two rounds old."""
     names = [q.name for q in CORPUS]
-    assert len(names) == len(set(names)) == 100
+    assert len(names) == len(set(names)) == 104
     window = set(names[:50])
     new_this_round = {
         "q78_returned_item_report", "q79_nation_volume_shipping",
@@ -65,13 +65,15 @@ def test_driver_window_covers_unverified_families():
         "q95_order_priority_check", "q96_forecast_revenue",
         "q97_top_revenue_supplier", "q98_disjunctive_predicate",
         "q99_global_sales_opportunity", "q100_product_type_profit",
+        "q101_unigram_logprob", "q102_merge_upsert", "q103_histogram",
+        "q104_winsorized_mean",
     }
     round1_only = {
-        "q02_filter_project", "q03_time_range", "q04_conjunctive_slice",
+        "q03_time_range", "q04_conjunctive_slice",
         "q06_group_limiter", "q09_semi_join", "q10_anti_join",
-        "q12_union_concat", "q13_distinct", "q19_axis_synthesis",
+        "q12_union_concat",
         "q21_trace_stats", "q27_text_stats", "q28_lang_id",
-        "q29_fingerprint", "q30_midmean", "q32_roll_shift",
+        "q30_midmean", "q32_roll_shift",
         "q33_cross_product", "q34_scalar_stats", "q37_embedding_neardup",
         "q38_bin_aggregate", "q39_daily_rollup", "q40_set_ops", "q42_cube",
         "q43_range_frame", "q67_vocab_topk", "q68_label_centroids",

@@ -435,3 +435,23 @@ def test_asof_join_property_vs_merge_asof(spark, data, direction, tol):
             assert g is None, (w.k, w.t, direction, tol)
         else:
             assert g == w.rval, (w.k, w.t, direction, tol)
+
+
+def test_merge_upsert_last_wins(spark):
+    from nasctn_sea_ingest_spark.functions import merge_upsert
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 11, "b"), (3, 12, "c")],
+        "k long, v long, payload string")
+    upd = spark.createDataFrame(
+        [(2, 20, "B"), (2, 19, "Bold"), (4, 21, "D")],
+        "k long, v long, payload string")
+    got = {r.k: (r.v, r.payload)
+           for r in merge_upsert(base, upd, ["k"], ["v"]).collect()}
+    # unmatched base keys pass through, updated key takes the HIGHEST v
+    # across both sides, insert-only keys appear
+    assert got == {1: (10, "a"), 2: (20, "B"), 3: (12, "c"), 4: (21, "D")}
+    # ties on the version column resolve by the trailing unique column
+    tie = merge_upsert(base, spark.createDataFrame(
+        [(1, 10, "z")], "k long, v long, payload string"),
+        ["k"], ["v", "payload"]).where("k = 1").collect()
+    assert tie[0].payload == "z"

@@ -266,6 +266,60 @@ def test_sample_frames(media):
         assert r.frame_time_s == pytest.approx(r.frame_idx / 30.0)
 
 
+def test_wav_codec_round_trip_and_spectrum():
+    """Real audio path: encode a pure tone, decode bit-near, and the FFT
+    band feature must peak in the band containing the tone frequency."""
+    rate, dur, f0 = 16000, 0.25, 440.0
+    t = np.arange(int(rate * dur)) / rate
+    tone = 0.5 * np.sin(2 * np.pi * f0 * t)
+    wav = MM.encode_wav(tone, rate)
+    x, r = MM.decode_wav(wav)
+    assert r == rate and len(x) == len(tone)
+    assert np.abs(x - tone).max() < 1e-3  # 16-bit quantization only
+    dim = 32
+    feat = MM._wav_feature(wav, dim)
+    assert int(np.argmax(feat)) == int(f0 / (rate / 2) * dim)
+
+
+def test_bmp_codec_round_trip_exact():
+    """Real image path: BMP encode/decode is pixel-exact for any width
+    (incl. non-multiple-of-4 strides)."""
+    rng = np.random.default_rng(3)
+    for w in (5, 6, 16):
+        img = rng.integers(0, 256, (7, w, 3)).astype(np.uint8)
+        assert np.array_equal(MM.decode_bmp(MM.encode_bmp(img)), img)
+
+
+def test_codec_chain_backends(spark):
+    """synthesize_media payloads hit the REAL codecs: audio rows decode as
+    wav-pcm, image rows as bmp-raw; only video (no container codec in this
+    env) falls back to the sha256 stub. Undecodable payloads also fall back
+    rather than erroring."""
+    keys = spark.createDataFrame(
+        [(i, ("image", "audio", "video")[i % 3]) for i in range(9)],
+        "media_id long, kind string")
+    out = MM.extract_features(MM.synthesize_media(keys), dim=16).collect()
+    by_kind = {}
+    for row in out:
+        assert row.error is None and len(row.feature) == 16
+        by_kind.setdefault(row.kind, set()).add(row.backend)
+    assert by_kind == {"image": {"bmp-raw"}, "audio": {"wav-pcm"},
+                       "video": {"stub-sha256"}}
+
+
+def test_audio_feature_tracks_frequency(spark):
+    """Different media_ids synthesize different tone frequencies, and the
+    decoded band-energy features separate them (argmax band increases with
+    the tone) — i.e. the feature is genuinely spectral, not hash noise."""
+    keys = spark.createDataFrame(
+        [(i, "audio") for i in (0, 8, 16, 24)], "media_id long, kind string")
+    rows = {r.media_id: np.argmax(r.feature)
+            for r in MM.extract_features(MM.synthesize_media(keys),
+                                         dim=16).collect()}
+    peaks = [int(rows[i]) for i in (0, 8, 16, 24)]
+    assert peaks == sorted(peaks) and len(set(peaks)) == 4, peaks
+
+
 def test_resize_meta(media):
     out = MM.with_resized_meta(media, 224, 224).collect()
     for r in out:
