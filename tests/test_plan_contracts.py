@@ -410,3 +410,117 @@ def test_semantic_dedup_clusters_then_blas(spark, sf):
     assert "FlatMapGroupsInPandas" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+# ---------------------------------------------------------------------------
+# round 3: TPC-H completion + maintenance/profiling queries
+# ---------------------------------------------------------------------------
+
+def test_q95_semi_join_with_pushed_window(spark, sf):
+    """Q4 shape: the correlated EXISTS compiles to ONE left-semi join (no
+    per-row subquery re-execution) and the order-date window reaches the
+    orders scan as a data filter."""
+    df = _q("q95_order_priority_check").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "LeftSemi" in p
+    assert p.count("Exchange hashpartitioning") <= 1
+    assert "o_orderdate" in p.split("DataFilters")[1][:200]
+
+
+def test_q96_full_pushdown_no_shuffle(spark, sf):
+    """Q6 shape: every predicate lands in the scan's DataFilters and the
+    only exchange is the scalar-agg gather (never a hash shuffle)."""
+    df = _q("q96_forecast_revenue").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert p.count("Exchange hashpartitioning") == 0
+    scan = p.split("DataFilters")[1]
+    assert "l_discount" in scan[:400] and "l_quantity" in scan[:400]
+
+
+def test_q97_broadcast_max_row(spark, sf):
+    """Q15 shape: the MAX scalar subquery joins by broadcast (1 row), the
+    supplier dim joins by broadcast; the revenue agg shuffles at most
+    twice (once per branch — Catalyst may also reuse the exchange)."""
+    df = _q("q97_top_revenue_supplier").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert p.count("BroadcastHashJoin") >= 2
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in p
+
+
+def test_q98_disjunction_prefilters_broadcast_side(spark, sf):
+    """Q19 shape: the brand IN-list derived from the disjunction reaches
+    the part scan (broadcast side stays minimal) and the join is
+    broadcast, not shuffled."""
+    df = _q("q98_disjunctive_predicate").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "IN (Brand#3,Brand#7,Brand#11)" in p
+
+
+def test_q99_anti_join_no_cartesian(spark, sf):
+    """Q22 shape: NOT EXISTS compiles to a left-anti join; the one-row
+    average side must NOT produce a cartesian product."""
+    df = _q("q99_global_sales_opportunity").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q100_dims_broadcast_single_rollup_shuffle(spark, sf):
+    """Q9 shape: part/supplier/nation all ride broadcast joins into the
+    lineitem scan; the only hash exchange is the final rollup, and the
+    name filter is pushed as Contains."""
+    df = _q("q100_product_type_profit").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert p.count("BroadcastHashJoin") >= 3
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Contains(p_name" in p
+
+
+def test_q101_wordcount_broadcast_vocab(spark, sf):
+    """Unigram LM: exactly two hash exchanges (token wordcount, per-doc
+    rollup); the vocabulary and the one-row total join back by broadcast —
+    the token stream is never shuffled twice."""
+    df = _q("q101_unigram_logprob").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q102_upsert_single_shuffle(spark, sf):
+    """merge_upsert: union + key window = ONE hash exchange total; the
+    window must not re-shuffle what the union already routed."""
+    df = _q("q102_merge_upsert").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Union" in p
+
+
+def test_q103_histogram_two_pass(spark, sf):
+    """Histogram: stats row broadcast (nested-loop on 1 row is fine and
+    stays 1 row at any scale), one hash exchange for the bin rollup."""
+    df = _q("q103_histogram").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in p
+
+
+def test_q104_winsorize_broadcast_bounds(spark, sf):
+    """Winsorized mean: per-group percentile bounds join back by
+    broadcast; two hash exchanges (bounds agg + final rollup)."""
+    df = _q("q104_winsorized_mean").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "BroadcastHashJoin" in p
+    assert p.count("Exchange hashpartitioning") == 2
