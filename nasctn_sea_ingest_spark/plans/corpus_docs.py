@@ -537,17 +537,23 @@ def q84(spark, sf_dir):
     # one-row aggregate broadcast back; the per-term top-10 windows over
     # only the docs that contain a query term.
     from pyspark.sql import Window
+    from ..functions import _let
     d = load_table(spark, sf_dir, "documents")
     w_arr = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
                      lambda x: x != "")
     def _count_term(t):  # bind via closure: a 2-arg lambda would be taken
         return lambda x: x == t  # as the (element, index) filter variant
-    per_doc = d.select(
-        "doc_id",
-        F.size(w_arr).alias("dlen"),
-        *[F.size(F.filter(w_arr, _count_term(t))).alias(f"tf_{i}")
-          for i, t in enumerate(_BM25_TERMS)]) \
-        .where(F.col("dlen") > 0)
+    # let-bind the regex split ONCE per row: dlen + one tf per term is
+    # len(terms)+1 references, and Catalyst re-evaluates the split for
+    # every reference after CollapseProject inlining (interleaved A/B at
+    # sf0.1: ~15% on this stage for 3 terms; grows with the term count)
+    counts = _let(w_arr, lambda v: F.struct(
+        F.size(v).alias("dlen"),
+        *[F.size(F.filter(v, _count_term(t))).alias(f"tf_{i}")
+          for i, t in enumerate(_BM25_TERMS)]))
+    per_doc = (d.select("doc_id", counts.alias("__c"))
+                .select("doc_id", "__c.*")
+                .where(F.col("dlen") > 0))
     # dlen > 0 matches the oracle's dl CTE, which only contains docs with
     # ≥1 nonempty token — a whitespace-only doc must not inflate n_docs
     # or the avgdl denominator
