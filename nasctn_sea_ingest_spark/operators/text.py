@@ -10,9 +10,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from ..functions import _let
+
 __all__ = ["token_stats", "quality_score", "language_id", "fingerprint",
            "token_count_estimate", "scrub_pii", "contamination",
-           "chunk_dedup", "repetition_stats",
+           "chunk_dedup", "repetition_stats", "chunk_overlap",
            "PII_PATTERNS", "STOPWORDS", "LANG_MARKERS"]
 
 STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "that", "it", "for")
@@ -361,3 +363,43 @@ def contamination(train: DataFrame, eval_df: DataFrame,
               .groupBy("id")
               .agg(F.count("*").alias("n_shared_shingles"))
               .withColumnRenamed("id", id_col))
+
+
+def chunk_overlap(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", size: int = 20,
+                  stride: int = 10) -> DataFrame:
+    """Overlapping word-window chunking (the RAG / retrieval-index
+    chunker): windows of ``size`` words starting every ``stride`` words
+    (``stride < size`` ⇒ ``size - stride`` words of overlap, the usual
+    context-preservation trick). Chunk k covers words
+    ``[k*stride, k*stride + size)``; the final window may be shorter, and
+    every word belongs to ≥ 1 chunk.
+
+    Returns one row per chunk: ``(id_col, chunk_idx, n_words, chunk)``.
+
+    Scale shape: chunks are built by array slicing inside the scan (same
+    pattern as :func:`chunk_dedup`) — one ``transform`` over start
+    indices, one explode emitting a row per chunk. Map-only: no shuffle,
+    full codegen around the explode, output size = input words ×
+    (size/stride) amortized. Oracle-checked as corpus q105.
+    """
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def chunks(w):
+        n = F.size(w)
+        n_chunks = (F.ceil((F.greatest(n - size, F.lit(0)))
+                           / F.lit(stride)) + 1).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda k: F.struct(
+                k.alias("chunk_idx"),
+                F.slice(w, k * stride + 1, size).alias("w")))
+
+    c = F.explode(_let(words, chunks)).alias("c")
+    return (df.where(F.trim(F.col(text_col)) != "")
+              .select(id_col, c)
+              .select(id_col, F.col("c.chunk_idx").alias("chunk_idx"),
+                      F.size("c.w").alias("n_words"),
+                      F.array_join("c.w", " ").alias("chunk")))

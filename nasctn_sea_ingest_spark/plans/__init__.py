@@ -26,11 +26,12 @@ _WINDOW_PRIORITY = [
     "q88_chunk_dedup", "q89_zorder_cells", "q90_grouped_regression",
     "q91_repetition_filter", "q92_semantic_dedup", "q93_salted_skew_agg",
     "q94_exact_median_large",
-    # round-1-only verified (23 of 27): refresh their hard-signal rows.
-    # Four trivial r01-green projections/aggs (q02 filter-project, q13
-    # distinct, q19 axis synthesis, q29 fingerprint) rotate OUT to make
-    # room for the round-3 entries — unchanged since their green row.
-    "q03_time_range", "q04_conjunctive_slice",
+    # round-1-only verified (21 of 27): refresh their hard-signal rows.
+    # Six trivial r01-green projections/aggs (q02 filter-project, q13
+    # distinct, q19 axis synthesis, q29 fingerprint, q03 time-range, q04
+    # conjunctive slice — the last two pinned by pushdown plan contracts)
+    # rotate OUT to make room for the round-3 entries; they re-enter the
+    # round-4 window.
     "q06_group_limiter", "q09_semi_join", "q10_anti_join",
     "q12_union_concat",
     "q21_trace_stats", "q27_text_stats", "q28_lang_id",
@@ -39,16 +40,17 @@ _WINDOW_PRIORITY = [
     "q39_daily_rollup", "q40_set_ops", "q42_cube", "q43_range_frame",
     "q67_vocab_topk", "q68_label_centroids", "q69_tfidf_top_terms",
     "q74_decontaminate",
-    # new in round 3 (10): TPC-H completion shapes (Q4/Q6/Q15/Q19/Q22/Q9),
-    # unigram-LM scoring, merge-upsert, histogram, winsorized mean — no
-    # hard-signal row yet.  They displace the round-2-green
-    # representatives (q01/q11/q24/q25/q26/q51 all have fresh r02 rows;
-    # their families stay covered by q78-q81/q85/q88/q92 in-window).
+    # new in round 3 (12): TPC-H completion shapes (Q4/Q6/Q15/Q19/Q22/Q9),
+    # unigram-LM scoring, merge-upsert, histogram, winsorized mean,
+    # overlapping RAG chunking, balanced sampling — no hard-signal row
+    # yet.  They displace the round-2-green representatives (q01/q11/q24/
+    # q25/q26/q51 all have fresh r02 rows; their families stay covered by
+    # q78-q81/q85/q88/q92 in-window).
     "q95_order_priority_check", "q96_forecast_revenue",
     "q97_top_revenue_supplier", "q98_disjunctive_predicate",
     "q99_global_sales_opportunity", "q100_product_type_profit",
     "q101_unigram_logprob", "q102_merge_upsert", "q103_histogram",
-    "q104_winsorized_mean",
+    "q104_winsorized_mean", "q105_chunk_overlap", "q106_balanced_sample",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 

@@ -731,3 +731,48 @@ def q101(spark, sf_dir):
              .agg(F.count("*").alias("n_tokens"),
                   F.round(F.sum("nll_e9").cast("double") / 1e9
                           / F.count("*"), 6).alias("avg_nll")))
+
+
+@_q("q105_chunk_overlap",
+    "overlapping word-window chunking (text.chunk_overlap — the RAG "
+    "retrieval-index chunker): size-20 windows every 10 words, chunks "
+    "built by array slicing in the scan, map-only",
+    """
+    WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+               FROM documents WHERE trim(text) <> ''),
+    k AS (SELECT doc_id, w,
+                 unnest(generate_series(0,
+                   CAST(ceil(greatest(len(w) - 20, 0) / 10.0) AS INT)))
+                   AS chunk_idx
+          FROM d)
+    SELECT doc_id, chunk_idx,
+           len(w[chunk_idx * 10 + 1 : chunk_idx * 10 + 20]) AS n_words,
+           array_to_string(w[chunk_idx * 10 + 1 : chunk_idx * 10 + 20], ' ')
+             AS chunk
+    FROM k
+    """)
+def q105(spark, sf_dir):
+    from ..operators.text import chunk_overlap
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_overlap(d, size=20, stride=10)
+
+
+@_q("q106_balanced_sample",
+    "deterministic class-balanced sample (sampling.balanced_sample): "
+    "exactly min(n, |stratum|) docs per language by md5 rank — "
+    "WindowGroupLimit keeps the shuffle at O(tasks x n)",
+    """
+    SELECT doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 40
+    """)
+def q106(spark, sf_dir):
+    from ..operators.sampling import balanced_sample
+    d = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "source")
+    return balanced_sample(d, 40, "lang", "doc_id")

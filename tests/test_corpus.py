@@ -52,7 +52,7 @@ def test_driver_window_covers_unverified_families():
     (round-1-only) inside the first 50 — so each oracle-backed query keeps
     a driver-green row at most two rounds old."""
     names = [q.name for q in CORPUS]
-    assert len(names) == len(set(names)) == 104
+    assert len(names) == len(set(names)) == 106
     window = set(names[:50])
     new_this_round = {
         "q78_returned_item_report", "q79_nation_volume_shipping",
@@ -66,10 +66,10 @@ def test_driver_window_covers_unverified_families():
         "q97_top_revenue_supplier", "q98_disjunctive_predicate",
         "q99_global_sales_opportunity", "q100_product_type_profit",
         "q101_unigram_logprob", "q102_merge_upsert", "q103_histogram",
-        "q104_winsorized_mean",
+        "q104_winsorized_mean", "q105_chunk_overlap",
+        "q106_balanced_sample",
     }
     round1_only = {
-        "q03_time_range", "q04_conjunctive_slice",
         "q06_group_limiter", "q09_semi_join", "q10_anti_join",
         "q12_union_concat",
         "q21_trace_stats", "q27_text_stats", "q28_lang_id",

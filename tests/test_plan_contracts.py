@@ -524,3 +524,26 @@ def test_q104_winsorize_broadcast_bounds(spark, sf):
     p = _final(df)
     assert "BroadcastHashJoin" in p
     assert p.count("Exchange hashpartitioning") == 2
+
+
+def test_q105_chunking_map_only(spark, sf):
+    """Overlapping chunking is array slicing in the scan: no Exchange, no
+    Python — one generate stage wrapped in codegen."""
+    df = _q("q105_chunk_overlap").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Generate explode" in p
+
+
+def test_q106_balanced_sample_rank_limit_pushdown(spark, sf):
+    """Balanced sampling gets Spark's rank-limit pushdown: a PARTIAL
+    WindowGroupLimit before the stratum exchange bounds the shuffle at
+    O(tasks x n) rows."""
+    df = _q("q106_balanced_sample").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert p.count("WindowGroupLimit") == 2  # Partial + Final
+    assert "Partial" in p.split("WindowGroupLimit")[2]
+    assert p.count("Exchange hashpartitioning") == 1

@@ -205,3 +205,29 @@ def test_stratified_sample_edge_fractions(spark, sf_dir):
     # default=0.0 and absent default both drop unlisted strata
     assert S.stratified_sample(d, {"en": 1.0}, "lang", "doc_id",
                                default=0.0).count() == n_en
+
+
+def test_balanced_sample_exact_counts_and_determinism(spark):
+    from nasctn_sea_ingest_spark.operators.sampling import balanced_sample
+    import pyspark.sql.functions as F
+    rows = [(i, ["en", "fr", "de"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = balanced_sample(df, 20, "lang", "doc_id")
+    counts = {r.lang: r.n for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 20, "fr": 20, "de": 20}
+    # small stratum: capped at its size, not padded
+    small = df.where("lang = 'en' and doc_id < 30")  # 10 en rows
+    got = balanced_sample(small, 20, "lang", "doc_id").count()
+    assert got == 10
+    # deterministic across repartitionings
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in
+               balanced_sample(df.repartition(13), 20, "lang",
+                               "doc_id").collect())
+    assert a == b
+    # salt changes the draw
+    c = sorted(r.doc_id for r in
+               balanced_sample(df, 20, "lang", "doc_id",
+                               salt="v2").collect())
+    assert a != c

@@ -239,3 +239,33 @@ def test_gate_flags_fast_parity(spark):
         assert e[k].quality == f[k].quality, (k, e[k], f[k])
         assert bool(e[k].repetitive) == bool(f[k].repetitive), \
             (k, e[k], f[k])
+
+
+def test_chunk_overlap_windows(spark):
+    """Windows of `size` every `stride` words; overlap preserved; final
+    short window kept; whitespace-only docs emit nothing."""
+    rows = [Row(doc_id=0, text=" ".join(f"w{i}" for i in range(10))),
+            Row(doc_id=1, text="a b"),
+            Row(doc_id=2, text="   ")]
+    df = spark.createDataFrame(rows)
+    out = TX.chunk_overlap(df, size=8, stride=4)
+    got = {(r.doc_id, r.chunk_idx): (r.n_words, r.chunk)
+           for r in out.collect()}
+    # doc 0: 10 words -> starts at 0 and 4 -> [0:8], [4:10]
+    assert got[(0, 0)] == (8, " ".join(f"w{i}" for i in range(8)))
+    assert got[(0, 1)] == (6, " ".join(f"w{i}" for i in range(4, 10)))
+    # doc 1 fits in one window
+    assert got[(1, 0)] == (2, "a b")
+    # doc 2 is whitespace-only: no chunks
+    assert {k[0] for k in got} == {0, 1}
+    # every word of doc 0 appears in >= 1 chunk; overlap region in 2
+    joined = (got[(0, 0)][1] + " " + got[(0, 1)][1]).split()
+    assert set(joined) == {f"w{i}" for i in range(10)}
+    assert joined.count("w4") == 2  # overlap
+
+def test_chunk_overlap_validates_args(spark):
+    df = spark.createDataFrame([Row(doc_id=0, text="x")])
+    with pytest.raises(ValueError):
+        TX.chunk_overlap(df, size=4, stride=5)
+    with pytest.raises(ValueError):
+        TX.chunk_overlap(df, size=0, stride=0)
