@@ -151,7 +151,9 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     (stdlib ``wave``) — the round-trip partner of :func:`decode_wav` for
     tests and synthetic corpora."""
     pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
-    pcm16 = (pcm * 32767.0).round().astype("<i2")
+    # symmetric 1/32768 scale (matches decode_wav's /32768), clipped at
+    # the int16 ceiling so +1.0 maps to 32767 — error <= 1/32768 everywhere
+    pcm16 = np.clip((pcm * 32768.0).round(), -32768, 32767).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)

@@ -609,3 +609,49 @@ def test_semantic_dedup_with_trained_clusters(spark, emb):
     for r in rows:
         assert r.dup_of < r.vec_id
         assert cell_of[r.dup_of] == cell_of[r.vec_id]
+
+
+# --------------------------------------------------------------------------
+# codec property tests (pure python — no Spark session needed)
+# --------------------------------------------------------------------------
+
+from hypothesis import given as _given, settings as _settings, \
+    strategies as _st
+
+
+@_settings(max_examples=40, deadline=None)
+@_given(n=_st.integers(1, 5000),
+        rate=_st.sampled_from([8000, 16000, 22050, 44100]),
+        seed=_st.integers(0, 2**31 - 1))
+def test_wav_round_trip_property(n, rate, seed):
+    """encode->decode is within 16-bit quantization error for ANY mono
+    float signal in [-1, 1], any length, common rates."""
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1.0, 1.0, n)
+    y, r = MM.decode_wav(MM.encode_wav(x, rate))
+    assert r == rate and len(y) == n
+    assert np.abs(y - x).max() <= 1.0 / 32768 + 1e-9
+
+
+@_settings(max_examples=40, deadline=None)
+@_given(h=_st.integers(1, 40), w=_st.integers(1, 40),
+        seed=_st.integers(0, 2**31 - 1))
+def test_bmp_round_trip_property(h, w, seed):
+    """BMP encode->decode is pixel-exact for ANY (h, w) including widths
+    whose 3-byte rows need 4-byte stride padding."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    assert np.array_equal(MM.decode_bmp(MM.encode_bmp(img)), img)
+
+
+def test_decode_wav_rejects_garbage():
+    for payload in (b"", b"RIFFgarbage", b"\x00" * 64):
+        with pytest.raises(Exception):
+            MM.decode_wav(payload)
+
+
+def test_decode_bmp_rejects_unsupported():
+    with pytest.raises(ValueError):
+        MM.decode_bmp(b"BM" + b"\x00" * 60)  # bpp=0 -> unsupported
+    with pytest.raises(ValueError):
+        MM.decode_bmp(b"PNG not bmp")

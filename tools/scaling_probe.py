@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Empirical scaling probe: run the shuffle-heavy document operators on
+1x / 4x / 16x copies of the sf0.1 documents table and report warm-run
+times (2nd execution — excludes per-plan codegen, measures data work).
+
+A plan that "survives 100x" should scale ~linearly in rows here: the
+replicas get fresh doc_ids, so dedup candidate sets / vocabulary sizes
+grow with the corpus the way real data would (replicated text means every
+chunk/shingle is a cross-copy duplicate — the worst case for dedup skew,
+which is exactly what we want to stress).
+
+Usage: python tools/scaling_probe.py [scales ...]  (default: 1 4 16)
+Results land in SCALE.md §"Measured scaling" (updated by hand).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from nasctn_sea_ingest_spark import get_spark  # noqa: E402
+from nasctn_sea_ingest_spark.plans import CORPUS  # noqa: E402
+
+QUERIES = ["q23_dedup_exact", "q25_minhash_lsh", "q26_simhash_hamming",
+           "q88_chunk_dedup", "q84_bm25_retrieval", "q101_unigram_logprob",
+           "q105_chunk_overlap", "q106_balanced_sample"]
+
+
+def main() -> None:
+    scales = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    base_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark(app_name="scaling-probe", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    byname = {q.name: q for q in CORPUS}
+    docs = spark.read.parquet(f"{base_sf}/documents.parquet")
+    n0 = docs.count()
+    tmp = tempfile.mkdtemp(prefix="scaling_probe_")
+    try:
+        for s in scales:
+            d = os.path.join(tmp, f"x{s}")
+            os.makedirs(d, exist_ok=True)
+            # k replicas with disjoint doc_id ranges (fresh keys, duplicate
+            # text across replicas — dedup worst case)
+            rep = docs
+            for k in range(1, s):
+                rep = rep.unionByName(
+                    docs.withColumn("doc_id", F.col("doc_id") + k * n0))
+            rep.repartition(cpus).write.mode("overwrite") \
+               .parquet(f"{d}/documents.parquet")
+            rows = {}
+            for name in QUERIES:
+                q = byname[name]
+                q.spark(spark, d).count()          # warm: codegen + JIT
+                t0 = time.perf_counter()
+                n = q.spark(spark, d).count()
+                rows[name] = (time.perf_counter() - t0, n)
+                spark.catalog.clearCache()
+            print(f"scale x{s} ({n0 * s} docs):")
+            for name, (dt, n) in rows.items():
+                print(f"  {name:28s} {dt:7.2f}s  rows={n}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
