@@ -248,10 +248,22 @@ def simhash64(df: DataFrame, text_col: str = "text",
     return sums.select("id", sig.alias("simhash"))
 
 
-def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(sigs: DataFrame, max_hamming: int = 3,
+                  max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance. Candidates come from
     16-bit chunk equality (pigeonhole: ≤3 differing bits over 4 chunks ⇒
-    some chunk identical) — bucket joins, not an all-pairs scan."""
+    some chunk identical) — bucket joins, not an all-pairs scan.
+
+    ``max_bucket`` bounds the output at adversarial duplicate density:
+    the pair count inside one (chunk_no, chunk) bucket is O(|bucket|²) —
+    inherent to pair enumeration, measured in SCALE.md §9 (a 16×
+    all-copies corpus emits 260× the pairs). Buckets larger than
+    ``max_bucket`` are dropped before the self-join; members of an
+    over-full bucket still pair through their other 3 chunks unless those
+    are over-full too — i.e. the guard only suppresses pairs inside
+    mega-clusters, which downstream clustering would collapse into one
+    component from a tiny edge sample anyway. Same pattern as
+    ``jaccard_pairs(max_doc_freq=...)``'s stop-shingle guard."""
     chunks = sigs.select(
         "id", "simhash",
         F.explode(F.array(*[
@@ -260,6 +272,13 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
                       .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
             for c in range(4)])).alias("c")) \
         .select("id", "simhash", "c.chunk_no", "c.chunk")
+    if max_bucket is not None:
+        big = (chunks.groupBy("chunk_no", "chunk")
+                     .agg(F.count("*").alias("bn"))
+                     .where(F.col("bn") > max_bucket)
+                     .select("chunk_no", "chunk"))
+        chunks = chunks.join(F.broadcast(big), ["chunk_no", "chunk"],
+                             "left_anti")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (a.join(b, (F.col("a.chunk_no") == F.col("b.chunk_no"))
                    & (F.col("a.chunk") == F.col("b.chunk"))

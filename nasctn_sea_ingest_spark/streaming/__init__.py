@@ -28,7 +28,7 @@ from ..sources.sigmf import decode_sigmf_trace_records
 __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "session_rollup", "gap_monitor", "dedup_stream",
            "calibration_join", "document_stream", "neardup_stream",
-           "sliding_rollup"]
+           "sliding_rollup", "upsert_stream"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -371,3 +371,69 @@ def neardup_stream(doc_stream: DataFrame, band_index: DataFrame,
                   .where(F.col("id") != F.col("matched_id"))
                   .select(F.col("id").alias("doc_id"), "matched_id",
                           "band"))
+
+
+def upsert_stream(updates: DataFrame, out_dir: str, checkpoint_dir: str,
+                  keys: "list[str]", order_by: "list[str]",
+                  n_buckets: int = 64,
+                  available_now: bool = False):
+    """Micro-batch MERGE: maintain a last-wins keyed snapshot under
+    ``out_dir`` from a stream of update rows — the streaming face of
+    ``functions.merge_upsert`` for a plain-parquet warehouse (no table
+    format needed).
+
+    Layout: the snapshot is partitioned by ``kb = pmod(hash(keys), n)``
+    (key-bucketed). Each micro-batch (1) collapses itself last-wins,
+    (2) reads ONLY the snapshot buckets its keys touch (partition
+    pruning), (3) merges, (4) rewrites just those buckets via dynamic
+    partition overwrite. Cost per batch is O(touched buckets), not
+    O(snapshot) — size ``n_buckets`` so one bucket ≈ a few hundred MB at
+    your steady-state snapshot size. Within a batch, ties on ``order_by``
+    resolve by the trailing column, so make its last element unique
+    (e.g. an event id) for exact-once-equivalent determinism.
+    """
+    from ..functions import merge_upsert
+
+    key_cols = [F.col(k) for k in keys]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.columns:
+            return
+        b = merge_upsert(batch_df.limit(0), batch_df, keys, order_by) \
+            .withColumn("kb", F.pmod(F.hash(*key_cols), n_buckets))
+        b.persist()
+        try:
+            touched = [r.kb for r in b.select("kb").distinct().collect()]
+            if not touched:
+                return
+            try:
+                existing = spark.read.parquet(out_dir) \
+                    .where(F.col("kb").isin(touched))
+            except Exception:  # first batch: no snapshot yet
+                existing = b.limit(0)
+            # localCheckpoint breaks the file lineage: Spark (rightly)
+            # refuses to overwrite a path that the same plan reads, and
+            # the merged frame reads the buckets it is about to rewrite.
+            # Materialized size = the touched buckets only — the same
+            # bound the whole design rests on.
+            merged = merge_upsert(existing, b, keys, order_by) \
+                .localCheckpoint(eager=True)
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                                  "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           "dynamic")
+            try:
+                (merged.write.mode("overwrite").partitionBy("kb")
+                       .parquet(out_dir))
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                               prev)
+        finally:
+            b.unpersist()
+
+    writer = (updates.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -655,3 +655,24 @@ def test_decode_bmp_rejects_unsupported():
         MM.decode_bmp(b"BM" + b"\x00" * 60)  # bpp=0 -> unsupported
     with pytest.raises(ValueError):
         MM.decode_bmp(b"PNG not bmp")
+
+
+def test_simhash_pairs_max_bucket_guard(spark):
+    """Adversarial duplicate density: a 12-copy mega-cluster overflows
+    every chunk bucket at max_bucket=8, so its O(n^2) internal pairs are
+    suppressed — while a small near-dup pair elsewhere still collides
+    through its (small) buckets. Signatures are constructed directly so
+    the chunk geometry is exact."""
+    S = 0x1111_2222_3333_4444
+    T = 0x5555_6666_7777_0001
+    rows = [Row(id=i, simhash=S) for i in range(12)]
+    rows += [Row(id=20, simhash=T), Row(id=21, simhash=T ^ 0x10000)]
+    sigs = spark.createDataFrame(rows, "id long, simhash long")
+    unguarded = {(r.d1, r.d2)
+                 for r in DD.simhash_pairs(sigs, max_hamming=3).collect()}
+    assert (0, 1) in unguarded and (20, 21) in unguarded
+    guarded = {(r.d1, r.d2)
+               for r in DD.simhash_pairs(sigs, max_hamming=3,
+                                         max_bucket=8).collect()}
+    assert (20, 21) in guarded
+    assert not any(d1 < 12 and d2 < 12 for d1, d2 in guarded)

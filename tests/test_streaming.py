@@ -455,3 +455,47 @@ def test_sliding_rollup_stream(spark, tmp_path_factory):
     # overlap: some capture time is covered by >= 2 windows (slide < window)
     spans = {(r.window_start, r.window_end) for r in rows}
     assert len(spans) >= 2
+
+
+def test_upsert_stream_last_wins_snapshot(spark, tmp_path):
+    """Two micro-batches of keyed updates -> snapshot holds exactly the
+    last-wins row per key; only touched buckets rewrite; a later batch
+    updates existing keys and inserts new ones."""
+    import pyspark.sql.functions as F
+    from nasctn_sea_ingest_spark.streaming import upsert_stream
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "snap")
+    ckpt1, ckpt2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    os.makedirs(land)
+    schema = "k long, v long, payload string"
+    wave1 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 11, "b"), (2, 12, "b2"), (3, 13, "c")], schema)
+    wave1.coalesce(1).write.mode("append").parquet(land)
+
+    def run(ck):
+        stream = spark.readStream.schema(
+            spark.read.parquet(land).schema).parquet(land)
+        q = upsert_stream(stream, out, ck, keys=["k"],
+                          order_by=["v", "payload"], n_buckets=8,
+                          available_now=True)
+        q.awaitTermination(120)
+
+    run(ckpt1)
+    snap1 = {r.k: (r.v, r.payload)
+             for r in spark.read.parquet(out).collect()}
+    assert snap1 == {1: (10, "a"), 2: (12, "b2"), 3: (13, "c")}
+
+    # wave 2: update k=2 (higher v), stale update for k=3 (lower v — must
+    # NOT win), insert k=9
+    wave2 = spark.createDataFrame(
+        [(2, 20, "B"), (3, 5, "stale"), (9, 21, "i")], schema)
+    wave2.coalesce(1).write.mode("append").parquet(land)
+    run(ckpt2)  # fresh checkpoint: re-processes everything idempotently
+    snap2 = {r.k: (r.v, r.payload)
+             for r in spark.read.parquet(out).collect()}
+    assert snap2 == {1: (10, "a"), 2: (20, "B"), 3: (13, "c"),
+                     9: (21, "i")}
+    # bucketed layout on disk
+    kbs = {r.kb for r in spark.read.parquet(out).select("kb").collect()}
+    assert kbs <= set(range(8))
