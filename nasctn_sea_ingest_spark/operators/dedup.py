@@ -258,12 +258,15 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3,
     the pair count inside one (chunk_no, chunk) bucket is O(|bucket|²) —
     inherent to pair enumeration, measured in SCALE.md §9 (a 16×
     all-copies corpus emits 260× the pairs). Buckets larger than
-    ``max_bucket`` are dropped before the self-join; members of an
-    over-full bucket still pair through their other 3 chunks unless those
-    are over-full too — i.e. the guard only suppresses pairs inside
-    mega-clusters, which downstream clustering would collapse into one
-    component from a tiny edge sample anyway. Same pattern as
-    ``jaccard_pairs(max_doc_freq=...)``'s stop-shingle guard."""
+    ``max_bucket`` are dropped before the self-join. This is RECALL
+    TRADED FOR A BOUND, like every stop-key guard: a pair whose only
+    shared chunk is an over-full bucket is lost — mostly pairs inside a
+    mega-cluster (downstream clustering collapses those from any edge
+    sample anyway), but also the occasional outsider whose sole
+    collision chunk is the hot one. Size ``max_bucket`` well above the
+    expected duplicate-cluster size so only pathological buckets
+    trigger. Same contract as ``jaccard_pairs(max_doc_freq=...)``'s
+    stop-shingle guard."""
     chunks = sigs.select(
         "id", "simhash",
         F.explode(F.array(*[

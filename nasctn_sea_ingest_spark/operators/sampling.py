@@ -205,9 +205,14 @@ def balanced_sample(df: DataFrame, n_per_stratum: int, stratum_col: str,
     the exchange, so the shuffle carries O(tasks × n) rows, not the
     corpus. Skewed strata are bounded identically. Oracle-checked as
     corpus q106.
+
+    Rows with a NULL key are excluded: they have no identity to rank by
+    (every NULL row would tie, making the selection partitioning-
+    dependent — the opposite of this function's contract).
     """
     from pyspark.sql import Window
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
     w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col))
-    return (df.withColumn("__rk", F.row_number().over(w))
+    return (df.where(F.col(key_col).isNotNull())
+              .withColumn("__rk", F.row_number().over(w))
               .where(F.col("__rk") <= int(n_per_stratum)).drop("__rk"))

@@ -721,7 +721,10 @@ def q101(spark, sf_dir):
                  F.explode(F.split(F.trim(F.col("text")), " "))
                   .alias("tok"))
     v = t.groupBy("tok").agg(F.count("*").alias("cnt"))
-    n = t.agg(F.count("*").alias("total"))
+    # the corpus token total is the sum of the vocabulary counts — derive
+    # it from the tiny wordcount aggregate instead of a second full
+    # scan+explode of the corpus (a whole wasted pass at 100 TB)
+    n = v.agg(F.sum("cnt").alias("total"))
     s = (v.crossJoin(F.broadcast(n))
           .select("tok",
                   F.expr("CAST(round(-ln(CAST(cnt AS DOUBLE) / total) "

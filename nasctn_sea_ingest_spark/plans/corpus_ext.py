@@ -1000,8 +1000,10 @@ def q102(spark, sf_dir):
     """
     WITH s AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
                FROM lineitem)
-    SELECT least(CAST(floor((l_extendedprice - lo)
-                            / ((hi - lo) / 20.0)) AS INT), 19) AS bin,
+    SELECT CASE WHEN hi = lo THEN 0
+                ELSE least(CAST(floor((l_extendedprice - lo)
+                                      / ((hi - lo) / 20.0)) AS INT), 19)
+           END AS bin,
            count(*) AS n
     FROM lineitem, s
     GROUP BY bin
@@ -1011,8 +1013,13 @@ def q103(spark, sf_dir):
     s = li.agg(F.min("l_extendedprice").alias("lo"),
                F.max("l_extendedprice").alias("hi"))
     width = (F.col("hi") - F.col("lo")) / 20.0
-    bin_ = F.least(F.floor((F.col("l_extendedprice") - F.col("lo"))
-                           / width).cast("int"), F.lit(19))
+    # degenerate range (hi == lo) puts everything in bin 0 explicitly —
+    # without the guard Spark's double /0.0 and DuckDB's diverge, and the
+    # single-value case is unrepresentable
+    bin_ = F.when(F.col("hi") == F.col("lo"), F.lit(0)) \
+            .otherwise(F.least(
+                F.floor((F.col("l_extendedprice") - F.col("lo"))
+                        / width).cast("int"), F.lit(19)))
     return (li.crossJoin(F.broadcast(s))
               .groupBy(bin_.alias("bin"))
               .agg(F.count("*").alias("n")))

@@ -386,20 +386,28 @@ def upsert_stream(updates: DataFrame, out_dir: str, checkpoint_dir: str,
     (key-bucketed). Each micro-batch (1) collapses itself last-wins,
     (2) reads ONLY the snapshot buckets its keys touch (partition
     pruning), (3) merges, (4) rewrites just those buckets via dynamic
-    partition overwrite. Cost per batch is O(touched buckets), not
+    partition overwrite (a per-WRITE option — never the session conf, so
+    concurrent queries on one session can't race each other into a
+    static-mode full wipe). Cost per batch is O(touched buckets), not
     O(snapshot) — size ``n_buckets`` so one bucket ≈ a few hundred MB at
     your steady-state snapshot size. Within a batch, ties on ``order_by``
     resolve by the trailing column, so make its last element unique
     (e.g. an event id) for exact-once-equivalent determinism.
+
+    ``n_buckets`` is baked into the on-disk layout; it is recorded in an
+    ``_upsert_meta`` sidecar on first write and validated every batch —
+    restarting with a different value raises instead of silently leaving
+    stale duplicate keys in unread buckets.
     """
+    from pyspark.errors import AnalysisException
+
     from ..functions import merge_upsert
 
     key_cols = [F.col(k) for k in keys]
+    meta_path = os.path.join(out_dir, "_upsert_meta")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if not batch_df.columns:
-            return
         b = merge_upsert(batch_df.limit(0), batch_df, keys, order_by) \
             .withColumn("kb", F.pmod(F.hash(*key_cols), n_buckets))
         b.persist()
@@ -408,10 +416,25 @@ def upsert_stream(updates: DataFrame, out_dir: str, checkpoint_dir: str,
             if not touched:
                 return
             try:
+                stored = spark.read.json(meta_path).collect()[0].n_buckets
+                if int(stored) != int(n_buckets):
+                    raise ValueError(
+                        f"upsert_stream: snapshot at {out_dir} was built "
+                        f"with n_buckets={stored}, got {n_buckets} — the "
+                        "bucket count is part of the layout and cannot "
+                        "change without rebuilding the snapshot")
                 existing = spark.read.parquet(out_dir) \
                     .where(F.col("kb").isin(touched))
-            except Exception:  # first batch: no snapshot yet
+            except AnalysisException as e:
+                # ONLY path-not-found means "first batch"; any other
+                # analysis error (corrupt footer, permissions) must fail
+                # the batch — an empty `existing` here would silently
+                # delete every untouched key in the rewritten buckets
+                if "PATH_NOT_FOUND" not in str(e):
+                    raise
                 existing = b.limit(0)
+                spark.createDataFrame([(int(n_buckets),)], "n_buckets int") \
+                    .coalesce(1).write.mode("overwrite").json(meta_path)
             # localCheckpoint breaks the file lineage: Spark (rightly)
             # refuses to overwrite a path that the same plan reads, and
             # the merged frame reads the buckets it is about to rewrite.
@@ -419,16 +442,9 @@ def upsert_stream(updates: DataFrame, out_dir: str, checkpoint_dir: str,
             # bound the whole design rests on.
             merged = merge_upsert(existing, b, keys, order_by) \
                 .localCheckpoint(eager=True)
-            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                                  "static")
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                           "dynamic")
-            try:
-                (merged.write.mode("overwrite").partitionBy("kb")
-                       .parquet(out_dir))
-            finally:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                               prev)
+            (merged.write.mode("overwrite")
+                   .option("partitionOverwriteMode", "dynamic")
+                   .partitionBy("kb").parquet(out_dir))
         finally:
             b.unpersist()
 

@@ -485,13 +485,17 @@ def test_q100_dims_broadcast_single_rollup_shuffle(spark, sf):
 
 
 def test_q101_wordcount_broadcast_vocab(spark, sf):
-    """Unigram LM: exactly two hash exchanges (token wordcount, per-doc
-    rollup); the vocabulary and the one-row total join back by broadcast —
-    the token stream is never shuffled twice."""
+    """Unigram LM: exactly two REAL hash exchanges (token wordcount,
+    per-doc rollup); the corpus total derives from the wordcount via a
+    ReusedExchange — never a third corpus scan; the vocabulary and the
+    one-row total join back by broadcast."""
     df = _q("q101_unigram_logprob").spark(spark, sf)
     df.collect()
     p = _final(df)
-    assert p.count("Exchange hashpartitioning") == 2
+    real = p.count("Exchange hashpartitioning") - p.count("ReusedExchange")
+    assert real == 2, p
+    assert "ReusedExchange" in p  # total = sum(vocab counts), not a rescan
+    assert p.count("Scan parquet") <= 2
     assert "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 

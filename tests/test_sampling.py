@@ -231,3 +231,13 @@ def test_balanced_sample_exact_counts_and_determinism(spark):
                balanced_sample(df, 20, "lang", "doc_id",
                                salt="v2").collect())
     assert a != c
+
+
+def test_balanced_sample_excludes_null_keys(spark):
+    from nasctn_sea_ingest_spark.operators.sampling import balanced_sample
+    df = spark.createDataFrame(
+        [(None, "en"), (1, "en"), (2, "en"), (None, "fr"), (3, "fr")],
+        "doc_id long, lang string")
+    out = balanced_sample(df, 10, "lang", "doc_id").collect()
+    # null-key rows have no identity to rank by -> excluded, not sampled
+    assert sorted(r.doc_id for r in out) == [1, 2, 3]

@@ -43,6 +43,10 @@ def main() -> None:
     byname = {q.name: q for q in CORPUS}
     docs = spark.read.parquet(f"{base_sf}/documents.parquet")
     n0 = docs.count()
+    # replica id offset must clear the real id RANGE, not the row count —
+    # sparse doc_ids would otherwise collide replicas with base rows and
+    # silently measure merged keys
+    id_off = docs.agg(F.max("doc_id")).first()[0] + 1
     tmp = tempfile.mkdtemp(prefix="scaling_probe_")
     try:
         for s in scales:
@@ -53,7 +57,7 @@ def main() -> None:
             rep = docs
             for k in range(1, s):
                 rep = rep.unionByName(
-                    docs.withColumn("doc_id", F.col("doc_id") + k * n0))
+                    docs.withColumn("doc_id", F.col("doc_id") + k * id_off))
             rep.repartition(cpus).write.mode("overwrite") \
                .parquet(f"{d}/documents.parquet")
             rows = {}
