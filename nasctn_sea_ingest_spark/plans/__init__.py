@@ -26,13 +26,13 @@ _WINDOW_PRIORITY = [
     "q88_chunk_dedup", "q89_zorder_cells", "q90_grouped_regression",
     "q91_repetition_filter", "q92_semantic_dedup", "q93_salted_skew_agg",
     "q94_exact_median_large",
-    # round-1-only verified (21 of 27): refresh their hard-signal rows.
-    # Six trivial r01-green projections/aggs (q02 filter-project, q13
-    # distinct, q19 axis synthesis, q29 fingerprint, q03 time-range, q04
-    # conjunctive slice — the last two pinned by pushdown plan contracts)
-    # rotate OUT to make room for the round-3 entries; they re-enter the
-    # round-4 window.
-    "q06_group_limiter", "q09_semi_join", "q10_anti_join",
+    # round-1-only verified (19 of 27): refresh their hard-signal rows.
+    # Eight r01-green entries rotate OUT to make room for the round-3
+    # queries (q02/q13/q19/q29 trivial projections; q03/q04 pushdown
+    # slices; q06 limiter; q09 semi-join — all unchanged since r01 and
+    # each pinned by a plan contract or trivially shaped); they re-enter
+    # the round-4 window.
+    "q10_anti_join",
     "q12_union_concat",
     "q21_trace_stats", "q27_text_stats", "q28_lang_id",
     "q30_midmean", "q32_roll_shift", "q33_cross_product",
@@ -40,9 +40,10 @@ _WINDOW_PRIORITY = [
     "q39_daily_rollup", "q40_set_ops", "q42_cube", "q43_range_frame",
     "q67_vocab_topk", "q68_label_centroids", "q69_tfidf_top_terms",
     "q74_decontaminate",
-    # new in round 3 (12): TPC-H completion shapes (Q4/Q6/Q15/Q19/Q22/Q9),
+    # new in round 3 (14): TPC-H completion shapes (Q4/Q6/Q15/Q19/Q22/Q9),
     # unigram-LM scoring, merge-upsert, histogram, winsorized mean,
-    # overlapping RAG chunking, balanced sampling — no hard-signal row
+    # overlapping RAG chunking, balanced sampling, MAD outliers, cohort
+    # retention — no hard-signal row
     # yet.  They displace the round-2-green representatives (q01/q11/q24/
     # q25/q26/q51 all have fresh r02 rows; their families stay covered by
     # q78-q81/q85/q88/q92 in-window).
@@ -51,6 +52,7 @@ _WINDOW_PRIORITY = [
     "q99_global_sales_opportunity", "q100_product_type_profit",
     "q101_unigram_logprob", "q102_merge_upsert", "q103_histogram",
     "q104_winsorized_mean", "q105_chunk_overlap", "q106_balanced_sample",
+    "q107_mad_outliers", "q108_cohort_retention",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 

@@ -1054,3 +1054,76 @@ def q104(spark, sf_dir):
              .agg(F.count("*").alias("n"),
                   F.round(F.sum(q).cast("double") / 1e6 / F.count("*"), 6)
                    .alias("wmean")))
+
+
+@_q("q107_mad_outliers",
+    "robust per-group outlier detection: modified z-score from the "
+    "median and MAD (two exact-percentile aggregates broadcast back; "
+    "the robust-stats complement of q104's winsorize)",
+    """
+    WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+               FROM events GROUP BY event_type),
+    d AS (SELECT e.event_type, e.event_id, e.value, m.med,
+                 abs(e.value - m.med) AS adev
+          FROM events e JOIN m USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM d GROUP BY event_type)
+    SELECT d.event_type, d.event_id,
+           round((d.value - d.med) / (1.4826 * mad.mad), 6) AS rz
+    FROM d JOIN mad USING (event_type)
+    WHERE abs(d.value - d.med) > 3.5 * (1.4826 * mad.mad)
+    """)
+def q107(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_type", "event_id", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med"))
+    d = (ev.join(F.broadcast(med), "event_type")
+           .withColumn("adev", F.abs(F.col("value") - F.col("med"))))
+    mad = d.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad"))
+    scale = 1.4826 * F.col("mad")
+    return (d.join(F.broadcast(mad), "event_type")
+             .where(F.col("adev") > 3.5 * scale)
+             .select("event_type", "event_id",
+                     F.round((F.col("value") - F.col("med")) / scale, 6)
+                      .alias("rz")))
+
+
+@_q("q108_cohort_retention",
+    "cohort retention: users grouped by first-activity day, retained if "
+    "active on day+1 / week 2 — min-agg cohort assignment + conditional "
+    "distinct counts (the canonical product-analytics rollup)",
+    f"""
+    WITH f AS (SELECT user_id,
+                      min(epoch_us(ts) // {US_DAY}) AS cohort_day
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, epoch_us(ts) // {US_DAY} AS day
+          FROM events)
+    SELECT f.cohort_day, count(DISTINCT f.user_id) AS cohort_size,
+           count(DISTINCT CASE WHEN a.day = f.cohort_day + 1
+                               THEN a.user_id END) AS retained_d1,
+           count(DISTINCT CASE WHEN a.day >= f.cohort_day + 7
+                                AND a.day < f.cohort_day + 14
+                               THEN a.user_id END) AS retained_w2
+    FROM f JOIN a USING (user_id)
+    GROUP BY f.cohort_day
+    """)
+def q108(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events") \
+        .select("user_id", F.expr(f"ts_us div {US_DAY}").alias("day"))
+    # one shuffle on user_id serves the cohort min-agg, the distinct
+    # day set, and the join (co-partitioned); the final rollup keys on
+    # cohort_day (~hundreds of values) and collapses map-side
+    f = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    a = ev.distinct()
+    j = f.join(a, "user_id")
+    return (j.groupBy("cohort_day")
+             .agg(F.countDistinct("user_id").alias("cohort_size"),
+                  F.countDistinct(F.when(
+                      F.col("day") == F.col("cohort_day") + 1,
+                      F.col("user_id"))).alias("retained_d1"),
+                  F.countDistinct(F.when(
+                      (F.col("day") >= F.col("cohort_day") + 7)
+                      & (F.col("day") < F.col("cohort_day") + 14),
+                      F.col("user_id"))).alias("retained_w2")))
