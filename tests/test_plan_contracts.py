@@ -551,3 +551,27 @@ def test_q106_balanced_sample_rank_limit_pushdown(spark, sf):
     assert p.count("WindowGroupLimit") == 2  # Partial + Final
     assert "Partial" in p.split("WindowGroupLimit")[2]
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_q107_percentiles_broadcast_back(spark, sf):
+    """MAD outliers: both percentile aggregates join back by broadcast
+    (event_type has a handful of values); the event stream is never
+    shuffled for the joins."""
+    df = _q("q107_mad_outliers").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_q108_single_user_shuffle(spark, sf):
+    """Cohort retention: the user_id exchange serves cohort-min, distinct
+    and join (co-partitioned); plus the small cohort_day rollup —
+    no third full-data shuffle."""
+    df = _q("q108_cohort_retention").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "CartesianProduct" not in p
+    # exchanges: user_id (shared), distinct-day, cohort_day rollup(s for
+    # the distinct-agg expansion) — all keyed; none single-partition
+    assert "Exchange SinglePartition" not in p
