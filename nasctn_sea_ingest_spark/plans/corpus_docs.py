@@ -779,3 +779,30 @@ def q106(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents") \
         .select("doc_id", "lang", "source")
     return balanced_sample(d, 40, "lang", "doc_id")
+
+
+@_q("q109_feature_hashing",
+    "hashing-trick featurization (hashingTF): tokens -> md5 buckets -> "
+    "per-(doc, bucket) counts, long form — the vocabulary-free "
+    "vectorizer (no fit pass, no vocab broadcast; one explode + one "
+    "two-key hash-agg, fully map-combinable)",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+               FROM documents),
+    b AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 64
+                   AS bucket
+          FROM t)
+    SELECT doc_id, bucket, count(*) AS cnt
+    FROM b GROUP BY doc_id, bucket
+    """)
+def q109(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id",
+                 F.explode(F.split(F.trim(F.col("text")), " "))
+                  .alias("tok"))
+    bucket = (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+               .cast("bigint") % 64)
+    return (t.select("doc_id", bucket.alias("bucket"))
+             .groupBy("doc_id", "bucket")
+             .agg(F.count("*").alias("cnt")))

@@ -1127,3 +1127,53 @@ def q108(spark, sf_dir):
                       (F.col("day") >= F.col("cohort_day") + 7)
                       & (F.col("day") < F.col("cohort_day") + 14),
                       F.col("user_id"))).alias("retained_w2")))
+
+
+@_q("q110_ohlc_bars",
+    "time-bar downsampling (OHLC): open/high/low/close + decimal volume "
+    "per (event_type, hour) — first/last via rank-1 window picks "
+    "(portable and tie-deterministic on both engines; min_by/arg_min "
+    "struct-ordering corners differ across dialects)",
+    f"""
+    WITH w AS (SELECT event_type, epoch_us(ts) // {US_HOUR} AS hour_no,
+                      value, epoch_us(ts) AS t_us, event_id
+               FROM events),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY event_type, hour_no
+                                    ORDER BY t_us, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, hour_no
+                                    ORDER BY t_us DESC, event_id DESC)
+                   AS rn_d
+          FROM w)
+    SELECT event_type, hour_no,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(sum(CAST(value AS DECIMAL(14,6))) AS DOUBLE) AS volume,
+           count(*) AS n
+    FROM r GROUP BY event_type, hour_no
+    """)
+def q110(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_us div {US_HOUR}").alias("hour_no"),
+        "value", "ts_us", "event_id")
+    # one shuffle on (event_type, hour_no) serves both rank windows AND
+    # the final aggregate (co-partitioned; the second window only re-sorts
+    # within partitions)
+    wa = Window.partitionBy("event_type", "hour_no") \
+               .orderBy(F.asc("ts_us"), F.asc("event_id"))
+    wd = Window.partitionBy("event_type", "hour_no") \
+               .orderBy(F.desc("ts_us"), F.desc("event_id"))
+    r = ev.select(
+        "event_type", "hour_no", "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"))
+    return (r.groupBy("event_type", "hour_no")
+             .agg(F.max(F.when(F.col("rn_a") == 1, F.col("value")))
+                   .alias("open"),
+                  F.max("value").alias("high"), F.min("value").alias("low"),
+                  F.max(F.when(F.col("rn_d") == 1, F.col("value")))
+                   .alias("close"),
+                  F.sum(F.col("value").cast("decimal(14,6)"))
+                   .cast("double").alias("volume"),
+                  F.count("*").alias("n")))
