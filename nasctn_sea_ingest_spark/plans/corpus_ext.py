@@ -1177,3 +1177,114 @@ def q110(spark, sf_dir):
                   F.sum(F.col("value").cast("decimal(14,6)"))
                    .cast("double").alias("volume"),
                   F.count("*").alias("n")))
+
+
+@_q("q111_forward_fill",
+    "regular-grid resampling with forward fill: per-user hourly grid "
+    "(sequence explode) left-joined with the hour's last observation, "
+    "gaps filled by last_value IGNORE NULLS over an explicit ROWS frame "
+    "(the timeseries densification every monitoring warehouse runs)",
+    f"""
+    WITH span AS (
+      SELECT user_id, min(epoch_us(ts) // {US_HOUR}) AS lo,
+             max(epoch_us(ts) // {US_HOUR}) AS hi
+      FROM events GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi)) AS hour_no
+      FROM span),
+    obs AS (
+      SELECT user_id, hour_no, value FROM (
+        SELECT user_id, epoch_us(ts) // {US_HOUR} AS hour_no, value,
+               row_number() OVER (
+                 PARTITION BY user_id, epoch_us(ts) // {US_HOUR}
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1)
+    SELECT g.user_id, g.hour_no, o.value AS observed,
+           last_value(o.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour_no
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM grid g LEFT JOIN obs o
+      ON g.user_id = o.user_id AND g.hour_no = o.hour_no
+    """)
+def q111(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"ts_us div {US_HOUR}").alias("hour_no"),
+        "value", "ts_us", "event_id")
+    # one user_id-keyed shuffle family: span agg, last-per-hour window,
+    # grid join, and the fill window are all co-partitioned on user_id
+    span = ev.groupBy("user_id").agg(F.min("hour_no").alias("lo"),
+                                     F.max("hour_no").alias("hi"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi")).alias("hour_no"))
+    w_last = Window.partitionBy("user_id", "hour_no") \
+                   .orderBy(F.desc("ts_us"), F.desc("event_id"))
+    obs = (ev.withColumn("rn", F.row_number().over(w_last))
+             .where(F.col("rn") == 1)
+             .select("user_id", "hour_no", "value"))
+    w_fill = Window.partitionBy("user_id").orderBy("hour_no") \
+                   .rowsBetween(Window.unboundedPreceding, 0)
+    return (grid.join(obs, ["user_id", "hour_no"], "left")
+                .select("user_id", "hour_no",
+                        F.col("value").alias("observed"),
+                        F.last("value", ignorenulls=True).over(w_fill)
+                         .alias("filled")))
+
+
+@_q("q112_constraint_audit",
+    "data-quality constraint audit (dbt-tests/Deequ shape): not-null, "
+    "uniqueness, accepted values, range, and referential rules compile "
+    "to ONE aggregate per table + one anti-join per FK — the report is "
+    "O(rules), never O(rows) (operators/quality.audit)",
+    """
+    SELECT 'orders.o_orderkey.unique' AS rule,
+           count(*) - count(DISTINCT o_orderkey) AS violations FROM orders
+    UNION ALL
+    SELECT 'orders.o_orderpriority.accepted_values',
+           count(CASE WHEN o_orderpriority NOT IN
+                  ('1-URGENT', '2-HIGH', '3-MEDIUM',
+                   '4-NOT SPECIFIED', '5-LOW')
+                  AND o_orderpriority IS NOT NULL THEN 1 END) FROM orders
+    UNION ALL
+    SELECT 'lineitem.l_quantity.range',
+           count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.l_discount.range',
+           count(CASE WHEN l_discount < 0.00 OR l_discount > 0.10 THEN 1
+                 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'customer.c_name.not_null',
+           count(CASE WHEN c_name IS NULL THEN 1 END) FROM customer
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+           (SELECT count(*) FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer.c_custkey',
+           (SELECT count(*) FROM orders o2
+            WHERE o2.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o2.o_custkey))
+    """)
+def q112(spark, sf_dir):
+    from ..operators import quality as Q
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    return Q.audit(
+        {"orders": (o, [Q.unique(["o_orderkey"]),
+                        Q.accepted_values("o_orderpriority",
+                                          ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                                           "4-NOT SPECIFIED", "5-LOW"])]),
+         "lineitem": (li, [Q.in_range("l_quantity", 1, 50),
+                           Q.in_range("l_discount", 0.00, 0.10)]),
+         "customer": (c, [Q.not_null("c_name")])},
+        referential_rules=[
+            ("lineitem.l_orderkey->orders.o_orderkey",
+             li, "l_orderkey", o, "o_orderkey"),
+            ("orders.o_custkey->customer.c_custkey",
+             o, "o_custkey", c, "c_custkey")])

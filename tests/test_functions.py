@@ -455,3 +455,28 @@ def test_merge_upsert_last_wins(spark):
         [(1, 10, "z")], "k long, v long, payload string"),
         ["k"], ["v", "payload"]).where("k = 1").collect()
     assert tie[0].payload == "z"
+
+
+def test_quality_audit_planted_violations(spark):
+    from nasctn_sea_ingest_spark.operators import quality as Q
+    o = spark.createDataFrame(
+        [(1, "1-URGENT"), (2, "9-BOGUS"), (2, None), (4, "2-HIGH")],
+        "o_orderkey long, o_orderpriority string")
+    li = spark.createDataFrame(
+        [(1, 5.0), (99, 60.0), (None, 2.0)],
+        "l_orderkey long, l_quantity double")
+    rep = {r.rule: r.violations for r in Q.audit(
+        {"orders": (o, [Q.unique(["o_orderkey"]),
+                        Q.not_null("o_orderpriority"),
+                        Q.accepted_values("o_orderpriority",
+                                          ["1-URGENT", "2-HIGH"])]),
+         "lineitem": (li, [Q.in_range("l_quantity", 1, 50)])},
+        referential_rules=[("lineitem.fk", li, "l_orderkey",
+                            o, "o_orderkey")]).collect()}
+    assert rep == {
+        "orders.o_orderkey.unique": 1,          # key 2 twice
+        "orders.o_orderpriority.not_null": 1,
+        "orders.o_orderpriority.accepted_values": 1,  # 9-BOGUS (null ok)
+        "lineitem.l_quantity.range": 1,         # 60.0
+        "lineitem.fk": 1,                       # 99 orphan (null ignored)
+    }
