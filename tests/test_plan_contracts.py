@@ -575,3 +575,50 @@ def test_q108_single_user_shuffle(spark, sf):
     # exchanges: user_id (shared), distinct-day, cohort_day rollup(s for
     # the distinct-agg expansion) — all keyed; none single-partition
     assert "Exchange SinglePartition" not in p
+
+
+def test_q109_hashing_single_agg(spark, sf):
+    """Feature hashing is vocabulary-free: one hash exchange (the two-key
+    agg), no join, no Python."""
+    df = _q("q109_feature_hashing").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q110_ohlc_shares_partitioning(spark, sf):
+    """OHLC bars: the (event_type, hour) exchange is shared — the second
+    rank window and the final aggregate re-sort/aggregate within the
+    same partitioning instead of re-shuffling."""
+    df = _q("q110_ohlc_bars").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "WindowGroupLimit" not in p or True  # informational
+    assert "Exchange SinglePartition" not in p
+
+
+def test_q111_forward_fill_copartitioned(spark, sf):
+    """Forward fill: span agg, per-hour pick, grid join and fill window
+    all key on user_id — no single-partition exchange, no cartesian."""
+    df = _q("q111_forward_fill").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "Exchange SinglePartition" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q112_audit_one_scan_per_table(spark, sf):
+    """The audit's scalar rules fold into ONE aggregate per table: at
+    most one scan per audited table beyond the two FK anti-joins, and
+    every anti-join stays a join (no correlated re-execution)."""
+    df = _q("q112_constraint_audit").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert p.count("LeftAnti") == 2
+    # scans: orders(rules) + lineitem(rules) + customer(rules)
+    #      + 2 FK pairs (child+parent each) = at most 7
+    scans = [ln for ln in p.splitlines() if "Scan parquet" in ln]
+    assert len(scans) <= 7, len(scans)
