@@ -26,7 +26,7 @@ __all__ = [
     "limiter",
     "time_gaps", "pivot_wide", "localize", "rayleigh_amplitude",
     "noise_floor_dBm", "salted_agg", "exact_median_large", "zorder_key",
-    "merge_upsert",
+    "merge_upsert", "snapshot_diff",
 ]
 
 
@@ -612,3 +612,32 @@ def merge_upsert(base: DataFrame, updates: DataFrame,
               .orderBy(*[F.col(c).desc() for c in order_by])
     return (u.withColumn("__rn", F.row_number().over(w))
              .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def snapshot_diff(base: DataFrame, current: DataFrame,
+                  keys: "Sequence[str]",
+                  compare: "Sequence[str]") -> DataFrame:
+    """Change-data-capture diff of two keyed snapshots: one row per key
+    whose state changed — ``op`` ∈ insert / delete / update, with the
+    old and new compare-column structs. Unchanged keys are dropped.
+
+    Shape: ONE full-outer sort-merge join on the key (the canonical
+    snapshot-diff plan; both sides shuffle once). Comparison is
+    null-safe (``<=>``) per column so NULL→value transitions count as
+    updates. At 100 TB, key-bucketed snapshot layouts (see
+    ``streaming.upsert_stream``) make this join zero-shuffle.
+    """
+    b = base.select(*keys, F.struct(*[F.col(c) for c in compare])
+                    .alias("__old"))
+    c = current.select(*keys, F.struct(*[F.col(c) for c in compare])
+                       .alias("__new"))
+    j = b.join(c, list(keys), "full_outer")
+    same = F.col("__old").eqNullSafe(F.col("__new"))
+    op = (F.when(F.col("__old").isNull(), "insert")
+           .when(F.col("__new").isNull(), "delete")
+           .otherwise("update"))
+    return (j.where(F.col("__old").isNull() | F.col("__new").isNull()
+                    | ~same)
+             .select(*keys, op.alias("op"),
+                     F.col("__old").alias("old"),
+                     F.col("__new").alias("new")))

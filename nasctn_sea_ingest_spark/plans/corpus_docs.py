@@ -806,3 +806,46 @@ def q109(spark, sf_dir):
     return (t.select("doc_id", bucket.alias("bucket"))
              .groupBy("doc_id", "bucket")
              .agg(F.count("*").alias("cnt")))
+
+
+@_q("q113_bigram_condprob",
+    "bigram conditional-probability table P(w2|w1) (the LM/tokenizer "
+    "statistic one step past q87's pair counts): bigram counts via "
+    "zip-of-slices, continuation totals re-aggregated from the PAIR "
+    "counts (never a second corpus pass), integer-exact division",
+    """
+    WITH toks AS (SELECT string_split(trim(text), ' ') AS w
+                  FROM documents),
+    bg AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1])) AS bigram
+           FROM toks WHERE len(w) >= 2),
+    c2 AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                  split_part(bigram, ' ', 2) AS w2,
+                  count(*) AS cnt2
+           FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(cnt2) AS cnt1 FROM c2 GROUP BY w1)
+    SELECT c2.w1, c2.w2, c2.cnt2,
+           round(CAST(c2.cnt2 AS DOUBLE) / cnt1, 6) AS p
+    FROM c2 JOIN c1 USING (w1)
+    WHERE c2.cnt2 >= 20
+    """)
+def q113(spark, sf_dir):
+    register_tables(spark, sf_dir, ["documents"])
+    # zip-of-slices (one split per row, no per-gram re-split) — same
+    # rewrite as the shingle stream; the continuation totals come from
+    # the tiny pair-count aggregate, broadcast back
+    return spark.sql("""
+    WITH toks AS (SELECT /*+ REPARTITION(32, doc_id) */ doc_id,
+                         split(trim(text), ' ') AS w FROM documents),
+    bg AS (SELECT s.`0` AS w1, s.`1` AS w2 FROM (
+             SELECT explode(arrays_zip(
+                      slice(w, 1, greatest(size(w) - 1, 0)),
+                      slice(w, 2, greatest(size(w) - 1, 0)))) AS s
+             FROM toks)),
+    c2 AS (SELECT w1, w2, count(*) AS cnt2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(cnt2) AS cnt1 FROM c2 GROUP BY w1)
+    SELECT /*+ BROADCAST(c1) */ c2.w1, c2.w2, c2.cnt2,
+           round(CAST(c2.cnt2 AS DOUBLE) / cnt1, 6) AS p
+    FROM c2 JOIN c1 USING (w1)
+    WHERE c2.cnt2 >= 20
+    """)

@@ -1288,3 +1288,40 @@ def q112(spark, sf_dir):
              li, "l_orderkey", o, "o_orderkey"),
             ("orders.o_custkey->customer.c_custkey",
              o, "o_custkey", c, "c_custkey")])
+
+
+@_q("q114_snapshot_diff",
+    "CDC snapshot diff (functions.snapshot_diff): insert/delete/update "
+    "classification of two keyed snapshots via ONE full-outer join — "
+    "base and current derived deterministically from orders",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+      WHERE o_orderkey % 7 <> 0),
+    cur AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS v
+      FROM orders WHERE o_orderkey % 3 <> 0)
+    SELECT coalesce(b.k, c.k) AS k,
+           CASE WHEN b.k IS NULL THEN 'insert'
+                WHEN c.k IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           b.v AS old_v, c.v AS new_v
+    FROM base b FULL OUTER JOIN cur c ON b.k = c.k
+    WHERE b.k IS NULL OR c.k IS NULL OR b.v <> c.v
+    """)
+def q114(spark, sf_dir):
+    from ..functions import snapshot_diff
+    o = load_table(spark, sf_dir, "orders")
+    base = (o.where(F.col("o_orderkey") % 7 != 0)
+             .select(F.col("o_orderkey").alias("k"),
+                     F.col("o_totalprice").alias("v")))
+    cur = (o.where(F.col("o_orderkey") % 3 != 0)
+            .select(F.col("o_orderkey").alias("k"),
+                    F.when(F.col("o_orderkey") % 5 == 0,
+                           F.col("o_totalprice") + 1.0)
+                     .otherwise(F.col("o_totalprice")).alias("v")))
+    d = snapshot_diff(base, cur, keys=["k"], compare=["v"])
+    return d.select("k", "op", F.col("old.v").alias("old_v"),
+                    F.col("new.v").alias("new_v"))

@@ -480,3 +480,22 @@ def test_quality_audit_planted_violations(spark):
         "lineitem.l_quantity.range": 1,         # 60.0
         "lineitem.fk": 1,                       # 99 orphan (null ignored)
     }
+
+
+def test_snapshot_diff_classification(spark):
+    from nasctn_sea_ingest_spark.functions import snapshot_diff
+    base = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c"), (4, 40.0, "d")],
+        "k long, v double, tag string")
+    cur = spark.createDataFrame(
+        [(2, 21.0, "b"), (3, 30.0, "c"), (4, 40.0, "d"), (5, 50.0, "e")],
+        "k long, v double, tag string")
+    got = {r.k: r.op for r in
+           snapshot_diff(base, cur, ["k"], ["v", "tag"]).collect()}
+    # k=1 deleted, k=2 value change, k=3 NULL->value (null-safe compare
+    # counts as update), k=4 unchanged (absent), k=5 inserted
+    assert got == {1: "delete", 2: "update", 3: "update", 5: "insert"}
+    row = {r.k: r for r in
+           snapshot_diff(base, cur, ["k"], ["v", "tag"]).collect()}
+    assert row[2].old.v == 20.0 and row[2].new.v == 21.0
+    assert row[1].new is None and row[5].old is None
