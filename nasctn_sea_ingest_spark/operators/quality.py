@@ -39,10 +39,20 @@ def in_range(col: str, lo, hi) -> "tuple[str, Column]":
             F.count(F.when((F.col(col) < lo) | (F.col(col) > hi), 1)))
 
 
-def unique(cols: "list[str]") -> "tuple[str, DataFrame]":
+def unique(cols: "list[str]") -> "tuple[str, list[str]]":
     """Marker for a uniqueness rule over a key tuple (resolved in audit:
-    total rows minus distinct keys)."""
-    return ("+".join(cols) + ".unique", cols)  # type: ignore[return-value]
+    extra rows among fully-non-null keys; NULL-bearing keys are excluded
+    from the check, dbt's `unique` semantics)."""
+    return ("+".join(cols) + ".unique", cols)
+
+
+def referential(name: str, child: DataFrame, child_col: str,
+                parent: DataFrame, parent_col: str
+                ) -> "tuple[str, DataFrame, str, DataFrame, str]":
+    """Referential-integrity rule: non-null ``child_col`` values with no
+    matching ``parent_col`` row (orphans), counted via left-anti join.
+    Pass the returned tuple in :func:`audit`'s ``referential_rules``."""
+    return (name, child, child_col, parent, parent_col)
 
 
 def audit(table_rules: "dict[str, tuple[DataFrame, list]]",
@@ -57,20 +67,32 @@ def audit(table_rules: "dict[str, tuple[DataFrame, list]]",
     fold into ONE aggregate over ONE scan; each :func:`unique` rule adds
     a count-distinct to the same aggregate.
 
-    ``referential_rules`` entries are ``(name, child_df, child_col,
-    parent_df, parent_col)`` — orphaned child keys counted via left-anti
-    join.
+    ``referential_rules`` entries come from :func:`referential` (or are
+    equivalent ``(name, child_df, child_col, parent_df, parent_col)``
+    tuples) — orphaned child keys counted via left-anti join.
     """
+    if not table_rules and not referential_rules:
+        raise ValueError("audit: no rules given")
     parts: list[DataFrame] = []
     for tname, (df, rules) in table_rules.items():
+        if not rules:
+            raise ValueError(f"audit: empty rule list for table {tname!r}")
         aggs = []
         for rule in rules:
             name, payload = rule
             if name.endswith(".unique"):
                 cols = payload
-                key = F.concat_ws("\x00",
-                                  *[F.col(c).cast("string") for c in cols])
-                aggs.append((F.count("*") - F.count_distinct(key))
+                # NULL-bearing keys are excluded (dbt `unique` semantics):
+                # a struct key would otherwise conflate (1, NULL)/(NULL, 1)
+                # -like tuples under string encodings, and SQL's
+                # count(DISTINCT col) ignores NULLs anyway
+                nonnull = F.lit(True)
+                for c in cols:
+                    nonnull = nonnull & F.col(c).isNotNull()
+                key = F.when(nonnull,
+                             F.struct(*[F.col(c) for c in cols]))
+                aggs.append((F.count(F.when(nonnull, 1))
+                             - F.count_distinct(key))
                             .alias(f"{tname}.{name}"))
             else:
                 aggs.append(payload.alias(f"{tname}.{name}"))

@@ -1112,9 +1112,13 @@ def q107(spark, sf_dir):
 def q108(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events") \
         .select("user_id", F.expr(f"ts_us div {US_DAY}").alias("day"))
-    # one shuffle on user_id serves the cohort min-agg, the distinct
-    # day set, and the join (co-partitioned); the final rollup keys on
-    # cohort_day (~hundreds of values) and collapses map-side
+    # ONE explicit user_id exchange feeds everything downstream: a
+    # HashPartitioning(user_id) satisfies ClusteredDistribution for the
+    # (user_id, day) distinct (subset rule), the per-user min-agg, and
+    # the equi-join — without it, `ev.distinct()` plans its own
+    # (user_id, day) exchange and the data full-shuffles twice
+    # (plan contract pins the single full-data exchange + reuse)
+    ev = ev.repartition("user_id")
     f = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     a = ev.distinct()
     j = f.join(a, "user_id")

@@ -471,8 +471,8 @@ def test_quality_audit_planted_violations(spark):
                         Q.accepted_values("o_orderpriority",
                                           ["1-URGENT", "2-HIGH"])]),
          "lineitem": (li, [Q.in_range("l_quantity", 1, 50)])},
-        referential_rules=[("lineitem.fk", li, "l_orderkey",
-                            o, "o_orderkey")]).collect()}
+        referential_rules=[Q.referential("lineitem.fk", li, "l_orderkey",
+                                         o, "o_orderkey")]).collect()}
     assert rep == {
         "orders.o_orderkey.unique": 1,          # key 2 twice
         "orders.o_orderpriority.not_null": 1,
@@ -480,6 +480,19 @@ def test_quality_audit_planted_violations(spark):
         "lineitem.l_quantity.range": 1,         # 60.0
         "lineitem.fk": 1,                       # 99 orphan (null ignored)
     }
+    # unique semantics: NULL-bearing keys are excluded, and multi-column
+    # tuples are compared as tuples (no string-encoding collisions)
+    t = spark.createDataFrame(
+        [(1, None), (None, 1), (2, 2), (2, 2), (None, None)],
+        "a int, b int")
+    rep2 = {r.rule: r.violations
+            for r in Q.audit({"t": (t, [Q.unique(["a", "b"])])}).collect()}
+    assert rep2 == {"t.a+b.unique": 1}  # only the (2,2) duplicate
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        Q.audit({})
+    with _pt.raises(ValueError):
+        Q.audit({"t": (t, [])})
 
 
 def test_snapshot_diff_classification(spark):

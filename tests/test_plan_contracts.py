@@ -565,16 +565,21 @@ def test_q107_percentiles_broadcast_back(spark, sf):
 
 
 def test_q108_single_user_shuffle(spark, sf):
-    """Cohort retention: the user_id exchange serves cohort-min, distinct
-    and join (co-partitioned); plus the small cohort_day rollup —
-    no third full-data shuffle."""
+    """Cohort retention: ONE full-data exchange — the explicit user_id
+    repartition — feeds the min-agg, the (user_id, day) distinct
+    (HashPartitioning(user_id) satisfies the ClusteredDistribution
+    subset rule) and the join via a ReusedExchange; every other exchange
+    keys on cohort_day (the tiny post-rollup stream)."""
     df = _q("q108_cohort_retention").spark(spark, sf)
     df.collect()
     p = _final(df)
     assert "CartesianProduct" not in p
-    # exchanges: user_id (shared), distinct-day, cohort_day rollup(s for
-    # the distinct-agg expansion) — all keyed; none single-partition
     assert "Exchange SinglePartition" not in p
+    user_exchanges = [ln for ln in p.splitlines()
+                      if "Exchange hashpartitioning(user_id" in ln
+                      and "ReusedExchange" not in ln]
+    assert len(user_exchanges) == 1, user_exchanges
+    assert "ReusedExchange" in p  # distinct rides the same exchange
 
 
 def test_q109_hashing_single_agg(spark, sf):
@@ -596,7 +601,6 @@ def test_q110_ohlc_shares_partitioning(spark, sf):
     df.collect()
     p = _final(df)
     assert p.count("Exchange hashpartitioning") <= 2
-    assert "WindowGroupLimit" not in p or True  # informational
     assert "Exchange SinglePartition" not in p
 
 
