@@ -30,7 +30,8 @@ from nasctn_sea_ingest_spark.plans import CORPUS  # noqa: E402
 
 QUERIES = ["q23_dedup_exact", "q25_minhash_lsh", "q26_simhash_hamming",
            "q88_chunk_dedup", "q84_bm25_retrieval", "q101_unigram_logprob",
-           "q105_chunk_overlap", "q106_balanced_sample"]
+           "q105_chunk_overlap", "q106_balanced_sample",
+           "q109_feature_hashing", "q113_bigram_condprob"]
 
 
 def main() -> None:
