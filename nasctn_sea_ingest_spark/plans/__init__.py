@@ -26,23 +26,24 @@ _WINDOW_PRIORITY = [
     "q88_chunk_dedup", "q89_zorder_cells", "q90_grouped_regression",
     "q91_repetition_filter", "q92_semantic_dedup", "q93_salted_skew_agg",
     "q94_exact_median_large",
-    # round-1-only verified (13 of 27): refresh their hard-signal rows.
-    # Fourteen r01-green entries rotate OUT to make room for the round-3
+    # round-1-only verified (12 of 27): refresh their hard-signal rows.
+    # Fifteen r01-green entries rotate OUT to make room for the round-3
     # queries (q02/q13/q19/q29 trivial projections; q03/q04 pushdown
-    # slices; q06 limiter; q09/q10 semi/anti; q12 union; q30/q32
+    # slices; q06 limiter; q09/q10 semi/anti; q12 union; q21/q30/q32
     # row-local array ops with numpy property tests; q33 cross product;
     # q34 scalar stats — all unchanged since r01); they re-enter the
     # round-4 window.
-    "q21_trace_stats", "q27_text_stats", "q28_lang_id",
+    "q27_text_stats", "q28_lang_id",
     "q37_embedding_neardup", "q38_bin_aggregate",
     "q39_daily_rollup", "q40_set_ops", "q42_cube", "q43_range_frame",
     "q67_vocab_topk", "q68_label_centroids", "q69_tfidf_top_terms",
     "q74_decontaminate",
-    # new in round 3 (20): TPC-H completion shapes (Q4/Q6/Q15/Q19/Q22/Q9),
+    # new in round 3 (21): TPC-H completion shapes (Q4/Q6/Q15/Q19/Q22/Q9),
     # unigram-LM scoring, merge-upsert, histogram, winsorized mean,
     # overlapping RAG chunking, balanced sampling, MAD outliers, cohort
     # retention, feature hashing, OHLC bars, forward fill, constraint
-    # audit, bigram LM table, CDC snapshot diff — no hard-signal row
+    # audit, bigram LM table, CDC snapshot diff, PageRank — no
+    # hard-signal row
     # yet.  They displace the round-2-green representatives (q01/q11/q24/
     # q25/q26/q51 all have fresh r02 rows; their families stay covered by
     # q78-q81/q85/q88/q92 in-window).
@@ -53,7 +54,7 @@ _WINDOW_PRIORITY = [
     "q104_winsorized_mean", "q105_chunk_overlap", "q106_balanced_sample",
     "q107_mad_outliers", "q108_cohort_retention", "q109_feature_hashing",
     "q110_ohlc_bars", "q111_forward_fill", "q112_constraint_audit",
-    "q113_bigram_condprob", "q114_snapshot_diff",
+    "q113_bigram_condprob", "q114_snapshot_diff", "q115_pagerank",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 

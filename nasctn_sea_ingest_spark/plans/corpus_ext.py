@@ -1329,3 +1329,23 @@ def q114(spark, sf_dir):
     d = snapshot_diff(base, cur, keys=["k"], compare=["v"])
     return d.select("k", "op", F.col("old.v").alias("old_v"),
                     F.col("new.v").alias("new_v"))
+
+
+@_q("q115_pagerank",
+    "PageRank over the supplier->customer trade graph (operators/"
+    "graph.pagerank: one join + one agg per power-iteration round, "
+    "edges repartitioned once, localCheckpoint-bounded lineage; "
+    "rows-only: iterative fixed point is not single-statement SQL — "
+    "the library test pins exact numpy power-iteration parity)",
+    None)
+def q115(spark, sf_dir):
+    from ..operators.graph import pagerank
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    edges = (li.join(o, li.l_orderkey == o.o_orderkey)
+               .select(F.col("l_suppkey").alias("src"),
+                       F.col("o_custkey").alias("dst")))
+    r = pagerank(edges, max_iter=10)
+    return r.select("node",
+                    F.round(F.col("rank") * 1e9).cast("bigint")
+                     .alias("rank_e9"))

@@ -52,7 +52,7 @@ def test_driver_window_covers_unverified_families():
     (round-1-only) inside the first 50 — so each oracle-backed query keeps
     a driver-green row at most two rounds old."""
     names = [q.name for q in CORPUS]
-    assert len(names) == len(set(names)) == 114
+    assert len(names) == len(set(names)) == 115
     window = set(names[:50])
     new_this_round = {
         "q78_returned_item_report", "q79_nation_volume_shipping",
@@ -70,10 +70,10 @@ def test_driver_window_covers_unverified_families():
         "q106_balanced_sample", "q107_mad_outliers",
         "q108_cohort_retention", "q109_feature_hashing", "q110_ohlc_bars",
         "q111_forward_fill", "q112_constraint_audit",
-        "q113_bigram_condprob", "q114_snapshot_diff",
+        "q113_bigram_condprob", "q114_snapshot_diff", "q115_pagerank",
     }
     round1_only = {
-        "q21_trace_stats", "q27_text_stats", "q28_lang_id",
+        "q27_text_stats", "q28_lang_id",
         "q37_embedding_neardup",
         "q38_bin_aggregate", "q39_daily_rollup", "q40_set_ops", "q42_cube",
         "q43_range_frame", "q67_vocab_topk", "q68_label_centroids",

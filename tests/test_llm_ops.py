@@ -676,3 +676,50 @@ def test_simhash_pairs_max_bucket_guard(spark):
                                          max_bucket=8).collect()}
     assert (20, 21) in guarded
     assert not any(d1 < 12 and d2 < 12 for d1, d2 in guarded)
+
+
+# --------------------------------------------------------------------------
+# graph: PageRank vs numpy power iteration
+# --------------------------------------------------------------------------
+
+def _np_pagerank(edges, n, d=0.85, iters=100):
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = r[deg == 0].sum()
+        nxt += d * dangling / n
+        for s, t in edges:
+            nxt[t] += d * r[s] / deg[s]
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_numpy(spark):
+    from nasctn_sea_ingest_spark.operators.graph import pagerank
+    # 6 nodes incl. a dangling node (5) and a hub (0)
+    edges = [(0, 1), (0, 2), (0, 3), (1, 0), (2, 0), (3, 4), (4, 0),
+             (1, 5), (2, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank
+           for r in pagerank(df, max_iter=100, tol=1e-12).collect()}
+    want = _np_pagerank(edges, 6)
+    assert set(got) == set(range(6))
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    for i in range(6):
+        assert got[i] == pytest.approx(want[i], abs=1e-6), i
+    # the hub outranks the dangling leaf
+    assert got[0] > got[5]
+
+
+def test_pagerank_empty_and_self_contained(spark):
+    from nasctn_sea_ingest_spark.operators.graph import pagerank
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty).count() == 0
+    # 2-cycle: symmetric ranks of 0.5 each
+    two = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(two, tol=1e-12).collect()}
+    assert got[1] == pytest.approx(0.5, abs=1e-9)
+    assert got[2] == pytest.approx(0.5, abs=1e-9)
