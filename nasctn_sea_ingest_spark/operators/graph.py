@@ -22,14 +22,17 @@ __all__ = ["pagerank"]
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              damping: float = 0.85, max_iter: int = 20,
-             tol: float = 1.0e-6) -> DataFrame:
+             tol: "float | None" = 1.0e-6) -> DataFrame:
     """PageRank over a directed edge list; returns ``(node, rank)`` with
     ranks summing to 1 (probability form).
 
     Semantics match the classic formulation: dangling nodes (no out-
     edges) redistribute their mass uniformly; teleport factor
     ``1 - damping``. Stops after ``max_iter`` rounds or when the L1
-    delta between successive rank vectors drops below ``tol``.
+    delta between successive rank vectors drops below ``tol``;
+    ``tol=None`` runs exactly ``max_iter`` rounds and SKIPS the
+    per-round delta join+aggregate — the fixed-budget form, ~2x fewer
+    jobs per round when the iteration count is chosen up front.
 
     Scale shape per round: ranks(join)edges shuffles ranks on the node
     id against the ONCE-repartitioned edge list, contributions aggregate
@@ -55,27 +58,34 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     teleport = (1.0 - damping) / n
     for _ in range(max_iter):
         with_deg = ranks.join(deg, ranks.node == deg.src, "left")
-        # dangling mass: total rank sitting on nodes with no out-edges
-        dangling = (with_deg.where(F.col("deg").isNull())
-                    .agg(F.sum("rank")).first()[0] or 0.0)
+        # dangling mass (rank on nodes with no out-edges) stays a 1-row
+        # FRAME broadcast into the update — never a collected scalar, so
+        # each round is exactly ONE action (the eager checkpoint)
+        dang = (with_deg.where(F.col("deg").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                      .alias("__dmass")))
         contrib = (with_deg.where(F.col("deg").isNotNull())
                    .select("node", (F.col("rank") / F.col("deg"))
                            .alias("share"))
                    .join(e, F.col("node") == e.src)
                    .groupBy(F.col("dst").alias("node"))
                    .agg(F.sum("share").alias("inflow")))
-        base = teleport + damping * dangling / n
         new_ranks = (nodes.join(contrib, "node", "left")
+                     .crossJoin(F.broadcast(dang))
                      .select("node",
-                             (F.lit(base) + damping
+                             (F.lit(teleport)
+                              + damping * F.col("__dmass") / n
+                              + damping
                               * F.coalesce(F.col("inflow"), F.lit(0.0)))
                              .alias("rank"))
                      .localCheckpoint(eager=True))
-        delta = (new_ranks.alias("a")
-                 .join(ranks.alias("b"), "node")
-                 .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
-                 .first()[0])
+        if tol is not None:
+            delta = (new_ranks.alias("a")
+                     .join(ranks.alias("b"), "node")
+                     .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
+                     .first()[0])
+            if delta is not None and delta < tol:
+                ranks = new_ranks
+                break
         ranks = new_ranks
-        if delta is not None and delta < tol:
-            break
     return ranks

@@ -1345,7 +1345,7 @@ def q115(spark, sf_dir):
     edges = (li.join(o, li.l_orderkey == o.o_orderkey)
                .select(F.col("l_suppkey").alias("src"),
                        F.col("o_custkey").alias("dst")))
-    r = pagerank(edges, max_iter=10)
+    r = pagerank(edges, max_iter=10, tol=None)
     return r.select("node",
                     F.round(F.col("rank") * 1e9).cast("bigint")
                      .alias("rank_e9"))
