@@ -250,13 +250,34 @@ def main() -> None:
           f"({manifest['raw']} docs -> {manifest['packed']} packed, "
           f"{manifest['raw'] / dt:.0f} docs/s)", file=sys.stderr)
 
-    print(json.dumps({
-        "metric": "corpus_total_runtime",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    # The driver keeps only the LAST 2000 bytes of stdout and json-parses
+    # what it finds there (BENCH_r01/r02 recorded parsed=null because the
+    # full-name line ran ~4.5 KB and was truncated mid-line).  Emit a line
+    # guaranteed to fit: qNN short keys, 2-3 significant decimals, and if
+    # the corpus ever outgrows even that, drop the fastest entries first
+    # (the slow ones are the ones worth reading against BASELINE.md).
+    # The full-name map still goes to bench_full.json next to this script.
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json"), "w") as fh:
+        json.dump({"metric": "corpus_total_runtime", "value": round(total, 3),
+                   "unit": "sec", "queries": timings, "sf": sf_val}, fh)
+
+    def _round(v: float) -> float:
+        return round(v, 3 if abs(v) < 10 else 2)
+
+    compact = {(k.split("_")[0] if k.startswith("q") else k): _round(v)
+               for k, v in timings.items()}
+    payload = {"metric": "corpus_total_runtime", "value": round(total, 3),
+               "unit": "sec", "queries": compact, "sf": sf_val}
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:
+        by_cost = sorted(compact, key=compact.get)
+        while len(line) > 1900 and by_cost:
+            compact.pop(by_cost.pop(0))
+            payload["queries_omitted"] = len(timings) - len(compact)
+            line = json.dumps(payload, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
