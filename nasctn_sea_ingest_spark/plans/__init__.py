@@ -3,6 +3,7 @@ from .corpus import CORPUS, Query  # noqa: F401
 from . import corpus_docs  # noqa: F401  (registers document-pipeline queries)
 from . import corpus_ext  # noqa: F401  (set ops, rollup/cube, ANN, multimodal)
 from . import corpus_subq  # noqa: F401  (subqueries, TPC-H join shapes)
+from . import corpus_r3  # noqa: F401  (basket/ER/skyline/IVM families)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST 50

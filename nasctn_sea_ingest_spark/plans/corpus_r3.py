@@ -1,0 +1,306 @@
+"""Round-3 corpus: analytics families a 100 TB training-data warehouse runs
+that rounds 1-2 had not yet declared as oracle-checked queries — market-basket
+co-occurrence, exact weighted median, entity-resolution blocking, series
+autocorrelation from exact moments, event-sequence mining, skyline (Pareto
+frontier), and incremental partial-aggregate merge.
+
+Scale notes (100 TB):
+
+- q116 co-purchase: the pair expansion is bounded per order (TPC-H orders
+  carry <= 7 lines, so <= 21 pairs) — the self-join shuffles BOTH sides on
+  l_orderkey (co-partitioned equi-join, no broadcast of a big side), and the
+  pair count is map-side partially aggregated before its shuffle.  Hot-part
+  skew cannot concentrate on the *join* key (orderkey is unique per group);
+  only the final (p1, p2) count shuffles by pair, where partial agg has
+  already collapsed duplicates.
+- q117 weighted median: one shuffle on the group key; both windows (running
+  cumulative weight and the per-group total) share the same partitioning,
+  and the pick is a streaming filter + min — no second sort, no collect.
+- q118 blocking: the classic entity-resolution shape — candidate pairs come
+  from an equi-join on a block key whose group size is bounded by key design
+  (here: all-but-last-two digits), so the quadratic compare is O(B^2) per
+  block, never O(N^2) global.
+- q119 autocorrelation: the daily pre-aggregate collapses the table before
+  the window; lag+moments run over ~thousands of rows per series regardless
+  of base-table size.  Moments are exact DECIMAL sums -> one final DOUBLE
+  expression, so the oracle hash is engine-stable.
+- q121 skyline: expressed as per-price pre-aggregate + one running-max
+  window over the *distinct price* sequence (not the base table), then an
+  equi-join back — O(n log n) with a single range partitioner, versus the
+  oracle's quadratic NOT EXISTS spec.
+- q122 merge: the incremental-view-maintenance identity — aggregates are
+  merged from partial states (count/sum/min/max are associative), so a 100 TB
+  rollup refresh scans only the delta partition, never the full history.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from .corpus import _q
+from .tables import load_table, us, us_cmp
+
+US_DAY = 86_400_000_000
+
+
+# ---------------------------------------------------------------------------
+# market-basket co-occurrence
+# ---------------------------------------------------------------------------
+
+@_q("q116_copurchase_pairs",
+    "market-basket co-occurrence mining: part pairs appearing in the same "
+    "order at least twice (A12 distinct + J self-equi-join + A hash-agg); "
+    "the per-order pair expansion is bounded by order size, making the "
+    "classic frequent-itemset first pass shuffle-safe at any scale",
+    """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+    FROM d a JOIN d b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING count(*) >= 2
+    """)
+def q116(spark, sf_dir):
+    d = (load_table(spark, sf_dir, "lineitem")
+         .select("l_orderkey", "l_partkey").distinct())
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+    return (pairs.groupBy(F.col("a.l_partkey").alias("p1"),
+                          F.col("b.l_partkey").alias("p2"))
+            .agg(F.count("*").alias("n_orders"))
+            .where(F.col("n_orders") >= 2))
+
+
+# ---------------------------------------------------------------------------
+# exact weighted median
+# ---------------------------------------------------------------------------
+
+@_q("q117_weighted_median",
+    "exact weighted median (weight = quantity) of extendedprice per "
+    "returnflag via deterministic cumulative DECIMAL weights (A1/A4 "
+    "family extended to weighted order statistics; the picked value is an "
+    "existing cell, so no float arithmetic touches the output)",
+    """
+    WITH c AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cumw,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+               PARTITION BY l_returnflag) AS totw
+      FROM lineitem)
+    SELECT l_returnflag, min(price) AS weighted_median
+    FROM c WHERE 2 * cumw >= totw
+    GROUP BY l_returnflag
+    """)
+def q117(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = Window.partitionBy("l_returnflag")
+    run = part.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    w = F.col("l_quantity").cast("decimal(18,2)")
+    c = li.select(
+        "l_returnflag", F.col("l_extendedprice").alias("price"),
+        F.sum(w).over(run).alias("cumw"),
+        F.sum(w).over(part).alias("totw"))
+    return (c.where(F.lit(2) * F.col("cumw") >= F.col("totw"))
+             .groupBy("l_returnflag")
+             .agg(F.min("price").alias("weighted_median")))
+
+
+# ---------------------------------------------------------------------------
+# entity-resolution blocking
+# ---------------------------------------------------------------------------
+
+@_q("q118_blocked_match",
+    "entity-resolution blocking + pairwise edit-distance compare: "
+    "customers block on all-but-last-two name characters (bounded block "
+    "size by construction), candidate pairs inside a block match at "
+    "levenshtein = 1; per-block match counts (the dedup-candidate "
+    "generator shape of Magellan/dedupe-style ER pipelines)",
+    """
+    WITH b AS (SELECT c_custkey, c_name,
+                      substring(c_name, 1, length(c_name) - 2) AS blk
+               FROM customer)
+    SELECT a.blk AS block, count(*) AS n_pairs,
+           CAST(sum(a.c_custkey + c.c_custkey) AS BIGINT) AS pair_key_sum
+    FROM b a JOIN b c ON a.blk = c.blk AND a.c_custkey < c.c_custkey
+    WHERE levenshtein(a.c_name, c.c_name) = 1
+    GROUP BY a.blk
+    """)
+def q118(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name",
+        F.expr("substring(c_name, 1, length(c_name) - 2)").alias("blk"))
+    a, b = cust.alias("a"), cust.alias("b")
+    pairs = a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+    return (pairs
+            .where(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) == 1)
+            .groupBy(F.col("a.blk").alias("block"))
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum(F.col("a.c_custkey")
+                       + F.col("b.c_custkey")).alias("pair_key_sum")))
+
+
+# ---------------------------------------------------------------------------
+# series autocorrelation from exact moments
+# ---------------------------------------------------------------------------
+
+@_q("q119_autocorr_daily",
+    "lag-1 autocorrelation of the daily revenue series per returnflag, "
+    "computed from exact DECIMAL moments (q90's engine-exact regression "
+    "trick applied to time-series diagnostics; daily pre-aggregate "
+    "collapses the base table before the lag window)",
+    f"""
+    WITH d AS (
+      SELECT l_returnflag, epoch_us(l_shipdate) // {US_DAY} AS day_no,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS rev
+      FROM lineitem GROUP BY l_returnflag, epoch_us(l_shipdate) // {US_DAY}),
+    p AS (
+      SELECT l_returnflag, rev,
+             lag(rev) OVER (PARTITION BY l_returnflag ORDER BY day_no) AS prev
+      FROM d),
+    m AS (
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(prev) AS DOUBLE) AS sx,
+             CAST(sum(rev) AS DOUBLE) AS sy,
+             CAST(sum(prev * prev) AS DOUBLE) AS sxx,
+             CAST(sum(prev * rev) AS DOUBLE) AS sxy,
+             CAST(sum(rev * rev) AS DOUBLE) AS syy
+      FROM p WHERE prev IS NOT NULL GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS autocorr_lag1
+    FROM m
+    """)
+def q119(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    d = (li.groupBy("l_returnflag",
+                    F.expr(f"l_shipdate_us div {US_DAY}").alias("day_no"))
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 # re-narrow to (18,2): the engines' sum-type widening rules
+                 # differ (Spark 28,2 vs DuckDB 38,2), and the lag products
+                 # must fit DECIMAL(38) on BOTH engines to stay exact
+                .cast("decimal(18,2)").alias("rev")))
+    w = Window.partitionBy("l_returnflag").orderBy("day_no")
+    p = d.select("l_returnflag", "rev", F.lag("rev").over(w).alias("prev"))
+    m = (p.where(F.col("prev").isNotNull())
+          .groupBy("l_returnflag")
+          .agg(F.count("*").alias("n"),
+               F.sum("prev").cast("double").alias("sx"),
+               F.sum("rev").cast("double").alias("sy"),
+               F.sum(F.col("prev") * F.col("prev")).cast("double")
+                .alias("sxx"),
+               F.sum(F.col("prev") * F.col("rev")).cast("double")
+                .alias("sxy"),
+               F.sum(F.col("rev") * F.col("rev")).cast("double")
+                .alias("syy")))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    return m.select(
+        "l_returnflag", "n",
+        F.round((n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         .alias("autocorr_lag1"))
+
+
+# ---------------------------------------------------------------------------
+# event-sequence mining
+# ---------------------------------------------------------------------------
+
+@_q("q120_event_bigrams",
+    "sequential-pattern first pass: per-user consecutive event-type "
+    "transitions (lag over a deterministic per-user order) counted "
+    "globally — the Markov-transition / clickstream-mining shape (W1 "
+    "window family over the events table)",
+    """
+    WITH s AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events)
+    SELECT prev, event_type AS curr, count(*) AS n
+    FROM s WHERE prev IS NOT NULL
+    GROUP BY prev, event_type
+    """)
+def q120(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s = ev.select("event_type",
+                  F.lag("event_type").over(w).alias("prev"))
+    return (s.where(F.col("prev").isNotNull())
+             .groupBy("prev", F.col("event_type").alias("curr"))
+             .agg(F.count("*").alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# skyline / Pareto frontier
+# ---------------------------------------------------------------------------
+
+@_q("q121_pareto_frontier",
+    "skyline query (Borzsony et al., ICDE 2001): parts not strictly "
+    "dominated on (lower retailprice, larger size).  Oracle states the "
+    "quadratic NOT EXISTS spec; the Spark plan is the O(n log n) "
+    "sort-based skyline — per-price max-size pre-aggregate, one running "
+    "max over the distinct-price sequence, equi-join back",
+    """
+    SELECT p1.p_partkey, p1.p_retailprice, p1.p_size
+    FROM part p1
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part p2
+      WHERE p2.p_retailprice < p1.p_retailprice AND p2.p_size > p1.p_size)
+    """)
+def q121(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    g = (part.groupBy("p_retailprice")
+             .agg(F.max("p_size").alias("mx")))
+    w = (Window.orderBy("p_retailprice")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    best = g.select("p_retailprice", F.max("mx").over(w).alias("best_prev"))
+    return (part.join(best, "p_retailprice")
+            .where(F.col("best_prev").isNull()
+                   | (F.col("best_prev") <= F.col("p_size")))
+            .select("p_partkey", "p_retailprice", "p_size"))
+
+
+# ---------------------------------------------------------------------------
+# incremental partial-aggregate merge
+# ---------------------------------------------------------------------------
+
+@_q("q122_partial_agg_merge",
+    "incremental-view-maintenance identity: merge a stored aggregate "
+    "state (orders before 1999) with the delta partition (1999+) via "
+    "associative combine (sum-of-sums / min-of-mins) and match the "
+    "oracle's full recompute bit-for-bit — the pattern that turns a "
+    "100 TB rollup refresh into a delta-only scan",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """)
+def q122(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    split = us("1999-01-01")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .alias("dec_total"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"))
+
+    state = partial(orders.where(us_cmp("o_orderdate", "<", split)))
+    delta = partial(orders.where(us_cmp("o_orderdate", ">=", split)))
+    return (state.unionByName(delta)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("n").alias("n"),
+                 F.sum("dec_total").cast("double").alias("total_price"),
+                 F.min("min_price").alias("min_price"),
+                 F.max("max_price").alias("max_price")))
