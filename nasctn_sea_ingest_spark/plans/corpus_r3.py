@@ -62,13 +62,20 @@ US_DAY = 86_400_000_000
     HAVING count(*) >= 2
     """)
 def q116(spark, sf_dir):
-    d = (load_table(spark, sf_dir, "lineitem")
-         .select("l_orderkey", "l_partkey").distinct())
-    a, b = d.alias("a"), d.alias("b")
-    pairs = a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-    return (pairs.groupBy(F.col("a.l_partkey").alias("p1"),
-                          F.col("b.l_partkey").alias("p2"))
+    # NOT the oracle's self-join: one groupBy(l_orderkey) collects the
+    # (bounded, <= 7-element) part set per order, and the upper-triangle
+    # pair expansion happens map-side in a higher-order array expression —
+    # 2 shuffles total vs 4 for distinct + self-join + count, and no join
+    # at all (contract-tested)
+    baskets = (load_table(spark, sf_dir, "lineitem")
+               .groupBy("l_orderkey")
+               .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")))
+    pairs = baskets.select(F.explode(F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, "
+        "y AS p2))))")).alias("pr"))
+    return (pairs.groupBy(F.col("pr.p1").alias("p1"),
+                          F.col("pr.p2").alias("p2"))
             .agg(F.count("*").alias("n_orders"))
             .where(F.col("n_orders") >= 2))
 

@@ -626,3 +626,91 @@ def test_q112_audit_one_scan_per_table(spark, sf):
     #      + 2 FK pairs (child+parent each) = at most 7
     scans = [ln for ln in p.splitlines() if "Scan parquet" in ln]
     assert len(scans) <= 7, len(scans)
+
+
+# ---------------------------------------------------------------------------
+# round-3 families (q116-q122)
+# ---------------------------------------------------------------------------
+
+def test_q116_basket_pairs_no_join(spark, sf):
+    """Co-purchase pairs must run as groupBy + map-side array expansion —
+    2 exchanges (orderkey, pair), ZERO joins — not the oracle's
+    distinct + self-join (4 shuffles)."""
+    df = _q("q116_copurchase_pairs").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 2, p
+
+
+def test_q117_weighted_median_single_shuffle(spark, sf):
+    """Both windows (running cumw, per-group total) and the final min-agg
+    share the l_returnflag partitioning: exactly ONE exchange."""
+    df = _q("q117_weighted_median").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Exchange SinglePartition" not in p
+
+
+def test_q118_blocking_is_equi_join(spark, sf):
+    """ER blocking must join on the block key (bounded groups), never
+    degrade to a cartesian/nested-loop compare."""
+    df = _q("q118_blocked_match").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q119_autocorr_preaggregates(spark, sf):
+    """The daily rollup must partially aggregate map-side BEFORE its
+    exchange (the lag window sees ~days rows, not the base table), and
+    the lag window must be keyed (no global sort)."""
+    df = _q("q119_autocorr_daily").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "Exchange SinglePartition" not in p
+    first_exchange = p.index("Exchange hashpartitioning")
+    assert "HashAggregate" in p[first_exchange:], \
+        "no partial aggregate below the first exchange"
+    # partial + final pairs for the day rollup and the moments rollup
+    assert p.count("HashAggregate") >= 4
+
+
+def test_q120_bigrams_two_exchanges(spark, sf):
+    """Per-user lag window + global transition count: one exchange per
+    re-keying, nothing else."""
+    df = _q("q120_event_bigrams").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert "Exchange SinglePartition" not in p
+
+
+def test_q121_skyline_windows_aggregated_side(spark, sf):
+    """The sort-based skyline's sequential sweep must run over the
+    per-price PRE-AGGREGATE (distinct prices), not the base table, and
+    the join back must stay an equi-join."""
+    df = _q("q121_pareto_frontier").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "CartesianProduct" not in p and \
+        "BroadcastNestedLoopJoin" not in p
+    # the single-partition exchange (inherent to the 1-D sweep) must sit
+    # above a HashAggregate, i.e. consume the collapsed price sequence
+    sp = p.index("Exchange SinglePartition")
+    assert "HashAggregate" in p[sp:], \
+        "skyline sweep runs on un-aggregated rows"
+
+
+def test_q122_merge_pushes_both_slices(spark, sf):
+    """IVM merge: each partial scan must push its orderdate slice to
+    parquet (at 100 TB the state side is a stored rollup; the contract
+    here is that the delta slice prunes)."""
+    df = _q("q122_partial_agg_merge").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in p or \
+        "GreaterThanOrEqual(o_orderdate" in p
+    assert "LessThan(o_orderdate" in p
