@@ -311,3 +311,43 @@ def q122(spark, sf_dir):
                  F.sum("dec_total").cast("double").alias("total_price"),
                  F.min("min_price").alias("min_price"),
                  F.max("max_price").alias("max_price")))
+
+
+# ---------------------------------------------------------------------------
+# batch model inference
+# ---------------------------------------------------------------------------
+
+# deterministic 64-dim "trained" weight vector, embedded as a literal in
+# both dialects (integer-derived values are float-exact)
+_W = [round((((i * 37) % 19) - 9) / 10, 1) for i in range(64)]
+_BIAS = -0.25
+
+
+@_q("q123_model_scoring",
+    "batch model inference: logistic scoring of every embedding against "
+    "a broadcast literal weight vector (the 'apply the trained classifier "
+    "to the corpus' map-only shape — no shuffle until the final top-k, "
+    "which is a partial TakeOrdered) with sequential-fold dot product so "
+    "both engines produce bit-identical doubles before the rounding",
+    f"""
+    SELECT vec_id, label,
+           round(1.0 / (1.0 + exp(-({_BIAS} + list_sum(
+             list_transform(generate_series(1, 64),
+               i -> CAST(embedding[i] AS DOUBLE)
+                  * (list_value({', '.join(str(w) for w in _W)}))[i]))))),
+             6) AS score
+    FROM embeddings
+    ORDER BY score DESC, vec_id
+    LIMIT 50
+    """)
+def q123(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    lits = ", ".join(f"{w}D" for w in _W)
+    z = F.expr(
+        f"aggregate(zip_with(embedding, array({lits}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v)")
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(_BIAS) + z))),
+                    6).alias("score")
+    return (emb.select("vec_id", "label", score)
+               .orderBy(F.desc("score"), "vec_id")
+               .limit(50))

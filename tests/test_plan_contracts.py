@@ -714,3 +714,14 @@ def test_q122_merge_pushes_both_slices(spark, sf):
     assert "PushedFilters: [IsNotNull(o_orderdate)" in p or \
         "GreaterThanOrEqual(o_orderdate" in p
     assert "LessThan(o_orderdate" in p
+
+
+def test_q123_scoring_map_only(spark, sf):
+    """Batch inference must stay map-only: literal weights fold into the
+    projection, and the top-k is a partial TakeOrdered — zero exchanges
+    beyond the driver merge."""
+    df = _q("q123_model_scoring").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange hashpartitioning" not in p

@@ -33,6 +33,19 @@ QUERIES = ["q23_dedup_exact", "q25_minhash_lsh", "q26_simhash_hamming",
            "q105_chunk_overlap", "q106_balanced_sample",
            "q109_feature_hashing", "q113_bigram_condprob"]
 
+# Relational round-3 families: replicate the named table with the id
+# column(s) shifted per replica (disjoint keys, duplicated value
+# distributions — group counts grow with scale the way real data would).
+# Every other table the query reads is symlinked from the base sf dir.
+REL_QUERIES = {
+    "q116_copurchase_pairs": ("lineitem", ["l_orderkey"]),
+    "q117_weighted_median": ("lineitem", ["l_orderkey"]),
+    "q119_autocorr_daily": ("lineitem", ["l_orderkey"]),
+    "q120_event_bigrams": ("events", ["event_id", "user_id"]),
+    "q121_pareto_frontier": ("part", ["p_partkey"]),
+    "q122_partial_agg_merge": ("orders", ["o_orderkey"]),
+}
+
 
 def main() -> None:
     scales = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
@@ -48,9 +61,10 @@ def main() -> None:
     # sparse doc_ids would otherwise collide replicas with base rows and
     # silently measure merged keys
     id_off = docs.agg(F.max("doc_id")).first()[0] + 1
+    families = os.environ.get("SPARK_GRAFT_PROBE", "docs,rel").split(",")
     tmp = tempfile.mkdtemp(prefix="scaling_probe_")
     try:
-        for s in scales:
+        for s in (scales if "docs" in families else []):
             d = os.path.join(tmp, f"x{s}")
             os.makedirs(d, exist_ok=True)
             # k replicas with disjoint doc_id ranges (fresh keys, duplicate
@@ -70,6 +84,40 @@ def main() -> None:
                 rows[name] = (time.perf_counter() - t0, n)
                 spark.catalog.clearCache()
             print(f"scale x{s} ({n0 * s} docs):")
+            for name, (dt, n) in rows.items():
+                print(f"  {name:28s} {dt:7.2f}s  rows={n}")
+        # relational round-3 families: one replicated driver table each
+        for s in (scales if "rel" in families else []):
+            rows = {}
+            for name, (table, id_cols) in REL_QUERIES.items():
+                d = os.path.join(tmp, f"rel_{table}_x{s}")
+                if not os.path.exists(d):
+                    os.makedirs(d)
+                    base = spark.read.parquet(f"{base_sf}/{table}.parquet")
+                    offs = {c: base.agg(F.max(c)).first()[0] + 1
+                            for c in id_cols}
+                    rep = base
+                    for k in range(1, s):
+                        shifted = base
+                        for c, off in offs.items():
+                            shifted = shifted.withColumn(
+                                c, F.col(c) + k * off)
+                        rep = rep.unionByName(shifted)
+                    rep.repartition(cpus).write.mode("overwrite") \
+                       .parquet(f"{d}/{table}.parquet")
+                    for other in ("region nation customer supplier part "
+                                  "orders lineitem events documents "
+                                  "embeddings").split():
+                        if other != table:
+                            os.symlink(f"{base_sf}/{other}.parquet",
+                                       f"{d}/{other}.parquet")
+                q = byname[name]
+                q.spark(spark, d).count()
+                t0 = time.perf_counter()
+                n = q.spark(spark, d).count()
+                rows[name] = (time.perf_counter() - t0, n)
+                spark.catalog.clearCache()
+            print(f"relational scale x{s}:")
             for name, (dt, n) in rows.items():
                 print(f"  {name:28s} {dt:7.2f}s  rows={n}")
     finally:
