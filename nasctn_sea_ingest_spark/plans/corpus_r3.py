@@ -103,17 +103,17 @@ def q116(spark, sf_dir):
     GROUP BY l_returnflag
     """)
 def q117(spark, sf_dir):
+    # NOT the oracle's whole-group cumulative window (3 keys would
+    # serialize the table into 3 tasks — measured 13 s at 16× sf0.1):
+    # histogram-refinement weighted median, windows only over bounded
+    # compressed streams.  functions.weighted_median_large docstring has
+    # the algorithm; the library test pins equality with the brute-force
+    # window form.
+    from ..functions import weighted_median_large
     li = load_table(spark, sf_dir, "lineitem")
-    part = Window.partitionBy("l_returnflag")
-    run = part.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    w = F.col("l_quantity").cast("decimal(18,2)")
-    c = li.select(
-        "l_returnflag", F.col("l_extendedprice").alias("price"),
-        F.sum(w).over(run).alias("cumw"),
-        F.sum(w).over(part).alias("totw"))
-    return (c.where(F.lit(2) * F.col("cumw") >= F.col("totw"))
-             .groupBy("l_returnflag")
-             .agg(F.min("price").alias("weighted_median")))
+    return weighted_median_large(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity",
+        bucket_width=1000.0, weight_type="decimal(18,2)")
 
 
 # ---------------------------------------------------------------------------

@@ -512,3 +512,49 @@ def test_snapshot_diff_classification(spark):
            snapshot_diff(base, cur, ["k"], ["v", "tag"]).collect()}
     assert row[2].old.v == 20.0 and row[2].new.v == 21.0
     assert row[1].new is None and row[5].old is None
+
+
+def test_weighted_median_large_matches_bruteforce(spark):
+    """Histogram-refinement weighted median == the brute-force
+    cumulative-window definition (min v with 2*cumw(<=v) >= totw), for
+    duplicated values, integer/fractional weights, negative values,
+    bucket widths that straddle the boundary, and single-row groups."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from nasctn_sea_ingest_spark import functions as FN
+
+    rs = np.random.RandomState(7)
+    rows = []
+    for g, n in (("a", 500), ("b", 401), ("dups", 300), ("one", 1)):
+        vals = (rs.choice([-2.5, 0.0, 3.25, 9.0], n) if g == "dups"
+                else np.round(rs.normal(0, 50, n), 2))
+        wts = rs.randint(1, 9, n)
+        rows += [(g, float(v), float(w)) for v, w in zip(vals, wts)]
+    rows += [("a", None, 1.0), ("b", 1.0, None)]   # ignored
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+
+    run = Window.partitionBy("g").orderBy("v")
+    tot = Window.partitionBy("g")
+    wd = F.col("w").cast("decimal(18,2)")
+    brute = (df.where(F.col("v").isNotNull() & F.col("w").isNotNull())
+             .select("g", "v", F.sum(wd).over(run).alias("cumw"),
+                     F.sum(wd).over(tot).alias("totw"))
+             .where(F.lit(2) * F.col("cumw") >= F.col("totw"))
+             .groupBy("g").agg(F.min("v").alias("m")))
+    want = {r.g: r.m for r in brute.collect()}
+    for width in (1.0, 7.5, 1000.0):
+        got = {r.g: r.weighted_median
+               for r in FN.weighted_median_large(
+                   df, ["g"], "v", "w", bucket_width=width,
+                   weight_type="decimal(18,2)").collect()}
+        assert got == want, (width, got, want)
+
+
+def test_weighted_median_large_rejects_bad_width():
+    import pytest as _pytest
+
+    from nasctn_sea_ingest_spark import functions as FN
+    with _pytest.raises(ValueError):
+        FN.weighted_median_large(None, ["g"], "v", "w", bucket_width=0)

@@ -643,14 +643,22 @@ def test_q116_basket_pairs_no_join(spark, sf):
     assert p.count("Exchange hashpartitioning") == 2, p
 
 
-def test_q117_weighted_median_single_shuffle(spark, sf):
-    """Both windows (running cumw, per-group total) and the final min-agg
-    share the l_returnflag partitioning: exactly ONE exchange."""
+def test_q117_weighted_median_compressed_windows(spark, sf):
+    """Histogram-refinement weighted median: every Window must consume a
+    COMPRESSED stream (a HashAggregate sits between the deepest Window
+    and the base scan — the few-key cumulative window over raw rows
+    would serialize each group into one task), and the boundary-bucket
+    restriction must come back as a broadcast join."""
     df = _q("q117_weighted_median").spark(spark, sf)
     df.collect()
     p = _final(df)
-    assert p.count("Exchange hashpartitioning") == 1, p
     assert "Exchange SinglePartition" not in p
+    assert "Window" in p
+    # below (after, in top-down print) the deepest Window there is still
+    # an aggregate before any scan — windows never see raw rows
+    assert "HashAggregate" in p[p.rindex("Window"):], p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
 
 
 def test_q118_blocking_is_equi_join(spark, sf):
