@@ -10,12 +10,17 @@ the ``backend`` column):
 - audio: **real** WAV-PCM decode (stdlib ``wave`` + numpy; 8/16/32-bit,
   any channel count) → FFT band-energy features;
 - image: **real** uncompressed 24-bit BMP decode (pure numpy header +
-  pixel-array parse) → grid-pooled luminance features;
-- anything undecodable (and all video containers — no codec lib ships in
-  this container): a clearly-marked deterministic STUB that derives a
-  unit vector from a SHA-256 of the payload.
+  pixel-array parse) → grid-pooled luminance features, plus a **real**
+  nearest-neighbor pixel resize stage (:func:`resize_images`);
+- video: **real** RAWV decode — an uncompressed frame container
+  (``RAWV`` header + concatenated raw RGB24 frames, the shape an
+  ffmpeg-free pipeline lands after demux) with O(1) frame seek →
+  per-frame grid-pooled luma features (:func:`frame_features`);
+- anything undecodable (e.g. compressed containers — no codec lib ships
+  in this environment): a clearly-marked deterministic STUB that derives
+  a unit vector from a SHA-256 of the payload.
 
-Heavier codecs (PIL / soundfile / cv2) slot in by prepending to
+Heavier codecs (PIL / soundfile / cv2 / pyav) slot in by prepending to
 ``_CODEC_CHAIN`` — nothing else changes.
 """
 
@@ -33,8 +38,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 __all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "extract_features",
-           "sample_frames", "with_resized_meta", "decode_wav", "decode_bmp",
-           "encode_wav", "encode_bmp"]
+           "sample_frames", "frame_features", "with_resized_meta",
+           "resize_images", "resize_nearest", "decode_wav", "decode_bmp",
+           "encode_wav", "encode_bmp", "encode_rawv", "decode_rawv_frame",
+           "decode_rawv_header"]
 
 MEDIA_META = T.StructType([
     T.StructField("width", T.IntegerType(), True),
@@ -146,6 +153,76 @@ def _bmp_feature(content: bytes, dim: int) -> np.ndarray:
     return v / n if n > 0 else v
 
 
+def encode_rawv(frames: np.ndarray, fps: float = 30.0) -> bytes:
+    """Encode an (n, h, w, 3) uint8 frame stack as a RAWV container:
+    16-byte header (magic, w, h, n_frames, fps·1000) + raw RGB24 frames.
+    Uncompressed by design — frame k starts at ``16 + k*h*w*3``, so any
+    frame decodes in O(1) without touching the rest of the payload."""
+    n, h, w, c = frames.shape
+    if c != 3 or frames.dtype != np.uint8:
+        raise ValueError("RAWV frames must be (n, h, w, 3) uint8")
+    hdr = (b"RAWV" + w.to_bytes(3, "little") + h.to_bytes(3, "little")
+           + n.to_bytes(3, "little") + int(fps * 1000).to_bytes(3, "little"))
+    return hdr + frames.tobytes()
+
+
+def decode_rawv_header(content: bytes) -> tuple[int, int, int, float]:
+    """(width, height, n_frames, fps) of a RAWV payload; raises if not."""
+    if len(content) < 16 or content[:4] != b"RAWV":
+        raise ValueError("not a RAWV payload")
+    w = int.from_bytes(content[4:7], "little")
+    h = int.from_bytes(content[7:10], "little")
+    n = int.from_bytes(content[10:13], "little")
+    fps = int.from_bytes(content[13:16], "little") / 1000.0
+    if len(content) != 16 + n * h * w * 3:
+        raise ValueError("truncated RAWV payload")
+    return w, h, n, fps
+
+
+def decode_rawv_frame(content: bytes, idx: int) -> np.ndarray:
+    """O(1) single-frame decode: RGB uint8 (h, w, 3) for frame ``idx``."""
+    w, h, n, _ = decode_rawv_header(content)
+    if not 0 <= idx < n:
+        raise IndexError(f"frame {idx} out of range (n={n})")
+    sz = h * w * 3
+    return np.frombuffer(content, np.uint8, count=sz,
+                         offset=16 + idx * sz).reshape(h, w, 3)
+
+
+def _grid_luma(img: np.ndarray, dim: int) -> list:
+    """Mean luminance over a g×g block grid of an RGB uint8 array."""
+    luma = (img.astype(np.float32) / 255.0) \
+        @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    g = max(1, int(dim ** 0.5))
+    return [c.mean() for r in np.array_split(luma, g, axis=0)
+            for c in np.array_split(r, g, axis=1)]
+
+
+def _rawv_feature(content: bytes, dim: int) -> np.ndarray:
+    """Real video feature: grid-pooled luma of the MIDDLE frame plus the
+    mean |frame-to-frame| luma delta over a coarse stride (a motion
+    statistic), unit-normalized to ``dim``."""
+    w, h, n, _ = decode_rawv_header(content)
+    cells = _grid_luma(decode_rawv_frame(content, n // 2), dim)
+    stride = max(1, n // 4)
+    lumas = [np.mean(_grid_luma(decode_rawv_frame(content, i), 4))
+             for i in range(0, n, stride)]
+    motion = float(np.mean(np.abs(np.diff(lumas)))) if len(lumas) > 1 else 0.0
+    v = np.asarray((cells + [motion] * max(0, dim - len(cells)))[:dim],
+                   dtype=np.float32)
+    nrm = float(np.linalg.norm(v))
+    return v / nrm if nrm > 0 else v
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Real nearest-neighbor resize of an (h, w, 3) uint8 array — index
+    maps only, no interpolation libs."""
+    h, w = img.shape[:2]
+    ri = (np.arange(height) * h // height).clip(0, h - 1)
+    ci = (np.arange(width) * w // width).clip(0, w - 1)
+    return img[ri][:, ci]
+
+
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     """Encode mono float samples in [-1, 1] as 16-bit PCM WAV bytes
     (stdlib ``wave``) — the round-trip partner of :func:`decode_wav` for
@@ -189,7 +266,7 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
 _CODEC_CHAIN: dict[str, list] = {
     "audio": [("wav-pcm", _wav_feature), ("stub-sha256", _stub_feature)],
     "image": [("bmp-raw", _bmp_feature), ("stub-sha256", _stub_feature)],
-    "video": [("stub-sha256", _stub_feature)],
+    "video": [("rawv-frames", _rawv_feature), ("stub-sha256", _stub_feature)],
 }
 
 
@@ -239,7 +316,9 @@ def synthesize_media(keys: DataFrame, rate: int = 8000,
                             "duration_s": 0.0}
                 else:
                     rng = np.random.default_rng(mid)
-                    content = rng.bytes(256)
+                    frames = rng.integers(
+                        0, 256, (30, size, size, 3)).astype(np.uint8)
+                    content = encode_rawv(frames, fps=30.0)
                     meta = {"width": size, "height": size, "channels": 3,
                             "sample_rate": None, "n_frames": 30,
                             "duration_s": 1.0}
@@ -288,6 +367,91 @@ def sample_frames(media: DataFrame, stride: int = 10) -> DataFrame:
                     F.col("frame_idx") * F.col("meta.duration_s")
                     / F.col("meta.n_frames"))
                 .drop("meta"))
+
+
+FRAME_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame_time_s", T.DoubleType(), True),
+    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    T.StructField("error", T.StringType(), True),
+])
+
+
+def frame_features(media: DataFrame, stride: int = 10,
+                   dim: int = 16) -> DataFrame:
+    """REAL per-frame feature extraction for RAWV videos: every
+    ``stride``-th frame decodes (O(1) seek into the uncompressed
+    container) to a grid-pooled luma vector — the video analog of
+    :func:`extract_features`'s per-row path, emitting N frame rows per
+    video.  Arrow-batched; per-row failures land in ``error``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            recs = []
+            for mid, content in zip(b["media_id"], b["content"]):
+                mid = int(mid)
+                try:
+                    if content is None:
+                        raise ValueError("null content")
+                    raw = bytes(content)
+                    _, _, n, fps = decode_rawv_header(raw)
+                    for i in range(0, n, max(1, int(stride))):
+                        cells = _grid_luma(decode_rawv_frame(raw, i), dim)
+                        v = np.asarray(
+                            (cells + [0.0] * max(0, dim - len(cells)))[:dim],
+                            dtype=np.float32)
+                        nrm = float(np.linalg.norm(v))
+                        recs.append((mid, i, i / fps if fps else None,
+                                     v / nrm if nrm > 0 else v, None))
+                except Exception as e:  # noqa: BLE001
+                    recs.append((mid, -1, None, None,
+                                 f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(recs, columns=[
+                "media_id", "frame_idx", "frame_time_s", "feature", "error"])
+
+    return (media.where(F.col("kind") == "video")
+            .select("media_id", "content")
+            .mapInPandas(run, FRAME_FEATURE_SCHEMA))
+
+
+RESIZED_SCHEMA = T.StructType(list(MEDIA_SCHEMA.fields)
+                              + [T.StructField("error", T.StringType(), True)])
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL pixel resize for image rows: decode BMP → nearest-neighbor
+    index-map → re-encode BMP, rewriting the typed metadata to match.
+    Non-image rows pass through; an image that fails to decode keeps its
+    payload and reports in ``error``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = b.copy()
+            errs = [None] * len(b)
+            contents = list(out["content"])
+            metas = list(out["meta"])
+            for i, (kind, content) in enumerate(zip(b["kind"],
+                                                    b["content"])):
+                if kind != "image":
+                    continue
+                try:
+                    if content is None:
+                        raise ValueError("null content")
+                    img = decode_bmp(bytes(content))
+                    contents[i] = encode_bmp(
+                        resize_nearest(img, width, height))
+                    m = dict(metas[i]) if metas[i] is not None else {}
+                    m.update(width=width, height=height, channels=3)
+                    metas[i] = m
+                except Exception as e:  # noqa: BLE001
+                    errs[i] = f"{type(e).__name__}: {e}"
+            out["content"] = contents
+            out["meta"] = metas
+            out["error"] = errs
+            yield out
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
 
 
 def with_resized_meta(media: DataFrame, width: int, height: int) -> DataFrame:

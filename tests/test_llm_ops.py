@@ -292,9 +292,8 @@ def test_bmp_codec_round_trip_exact():
 
 def test_codec_chain_backends(spark):
     """synthesize_media payloads hit the REAL codecs: audio rows decode as
-    wav-pcm, image rows as bmp-raw; only video (no container codec in this
-    env) falls back to the sha256 stub. Undecodable payloads also fall back
-    rather than erroring."""
+    wav-pcm, image rows as bmp-raw, video rows as rawv-frames. Undecodable
+    payloads fall back to the sha256 stub rather than erroring."""
     keys = spark.createDataFrame(
         [(i, ("image", "audio", "video")[i % 3]) for i in range(9)],
         "media_id long, kind string")
@@ -304,7 +303,7 @@ def test_codec_chain_backends(spark):
         assert row.error is None and len(row.feature) == 16
         by_kind.setdefault(row.kind, set()).add(row.backend)
     assert by_kind == {"image": {"bmp-raw"}, "audio": {"wav-pcm"},
-                       "video": {"stub-sha256"}}
+                       "video": {"rawv-frames"}}
 
 
 def test_audio_feature_tracks_frequency(spark):
@@ -723,3 +722,65 @@ def test_pagerank_empty_and_self_contained(spark):
     got = {r.node: r.rank for r in pagerank(two, tol=1e-12).collect()}
     assert got[1] == pytest.approx(0.5, abs=1e-9)
     assert got[2] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_rawv_codec_round_trip_and_seek():
+    """Real video container: encode/decode is frame-exact, header parses,
+    and single-frame seek returns the same bytes as a full scan would."""
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, (12, 5, 7, 3)).astype(np.uint8)
+    raw = MM.encode_rawv(frames, fps=24.0)
+    w, h, n, fps = MM.decode_rawv_header(raw)
+    assert (w, h, n, fps) == (7, 5, 12, 24.0)
+    for i in (0, 6, 11):
+        assert np.array_equal(MM.decode_rawv_frame(raw, i), frames[i])
+    with pytest.raises(IndexError):
+        MM.decode_rawv_frame(raw, 12)
+    with pytest.raises(ValueError):
+        MM.decode_rawv_header(raw[:-1])   # truncated
+
+
+def test_frame_features_real_decode(spark):
+    """Per-frame feature rows: stride-sampled indices, fps-derived times,
+    unit-norm features that differ across (random) frames."""
+    keys = spark.createDataFrame([(2, "video"), (5, "video"), (0, "image")],
+                                 "media_id long, kind string")
+    media = MM.synthesize_media(keys)
+    out = MM.frame_features(media, stride=10, dim=16).collect()
+    assert {r.media_id for r in out} == {2, 5}       # images excluded
+    per = sorted((r for r in out if r.media_id == 2),
+                 key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in per] == [0, 10, 20]
+    for r in per:
+        assert r.error is None
+        assert r.frame_time_s == pytest.approx(r.frame_idx / 30.0)
+        assert np.linalg.norm(r.feature) == pytest.approx(1.0, abs=1e-5)
+    assert not np.allclose(per[0].feature, per[1].feature)
+
+
+def test_resize_images_real_pixels(spark):
+    """resize_images rewrites PIXELS, not just metadata: a 2x nearest-
+    neighbor upscale decodes to exactly pixel-doubled rows/cols; videos
+    pass through untouched; junk images report per-row errors."""
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (4, 6, 3)).astype(np.uint8)
+    rows = [Row(media_id=0, kind="image", content=MM.encode_bmp(img),
+                meta=None),
+            Row(media_id=1, kind="video", content=b"vvvv", meta=None),
+            Row(media_id=2, kind="image", content=b"junk", meta=None)]
+    out = {r.media_id: r for r in MM.resize_images(
+        spark.createDataFrame(rows, MM.MEDIA_SCHEMA), 12, 8).collect()}
+    up = MM.decode_bmp(bytes(out[0].content))
+    assert up.shape == (8, 12, 3)
+    assert np.array_equal(up, np.repeat(np.repeat(img, 2, 0), 2, 1))
+    assert out[0].meta.width == 12 and out[0].meta.height == 8
+    assert out[0].error is None
+    assert bytes(out[1].content) == b"vvvv" and out[1].error is None
+    assert out[2].error is not None and bytes(out[2].content) == b"junk"
+
+
+def test_resize_nearest_downscale():
+    img = np.arange(6 * 6 * 3, dtype=np.uint8).reshape(6, 6, 3)
+    small = MM.resize_nearest(img, 3, 2)
+    assert small.shape == (2, 3, 3)
+    assert np.array_equal(small, img[[0, 3]][:, [0, 2, 4]])
