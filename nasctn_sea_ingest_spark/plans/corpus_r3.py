@@ -351,3 +351,30 @@ def q123(spark, sf_dir):
     return (emb.select("vec_id", "label", score)
                .orderBy(F.desc("score"), "vec_id")
                .limit(50))
+
+
+# ---------------------------------------------------------------------------
+# mergeable-sketch rollup
+# ---------------------------------------------------------------------------
+
+@_q("q124_sketch_rollup",
+    "re-aggregatable distinct-count sketches (Apache DataSketches HLL via "
+    "hll_sketch_agg / hll_union_agg): per-day user sketches roll up to "
+    "per-event-type totals by UNIONING THE SKETCHES, never re-scanning "
+    "raw rows — the only viable repeated-distinct shape at 100 TB "
+    "(rows-only: sketch binaries are engine-specific; the library test "
+    "bounds estimate error vs exact and pins merge=direct equality)",
+    None)
+def q124(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    US_DAY_ = 86_400_000_000
+    daily = (ev.groupBy("event_type",
+                        F.expr(f"ts_us div {US_DAY_}").alias("day_no"))
+               .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+                    F.count("*").alias("n")))
+    return (daily.groupBy("event_type")
+            .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+                  .cast("bigint").alias("approx_users"),
+                 F.sum("n").alias("n_events"),
+                 F.count("*").alias("n_days"))
+            .orderBy("event_type"))

@@ -558,3 +558,31 @@ def test_weighted_median_large_rejects_bad_width():
     from nasctn_sea_ingest_spark import functions as FN
     with _pytest.raises(ValueError):
         FN.weighted_median_large(None, ["g"], "v", "w", bucket_width=0)
+
+
+def test_sketch_rollup_merge_equals_direct(spark):
+    """HLL sketch-union rollup: merging per-day sketches must give the
+    SAME estimate as sketching the whole column directly (the mergeable
+    property that lets a 100 TB warehouse keep per-partition sketches),
+    and the estimate must sit within HLL(lgK=14) error of exact."""
+    import pyspark.sql.functions as F
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    from nasctn_sea_ingest_spark.plans import CORPUS
+    q = next(q for q in CORPUS if q.name == "q124_sketch_rollup")
+    sf = "/root/testdata/sf0.001"
+    got = {r.event_type: r.approx_users for r in q.spark(spark, sf).collect()}
+    from nasctn_sea_ingest_spark.plans.tables import load_table
+    ev = load_table(spark, sf, "events")
+    direct = {r.event_type: r.d for r in
+              ev.groupBy("event_type")
+                .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))")
+                      .cast("bigint").alias("d")).collect()}
+    exact = {r.event_type: r.e for r in
+             ev.groupBy("event_type")
+               .agg(F.countDistinct("user_id").alias("e")).collect()}
+    assert got == direct                       # merge path == direct path
+    for k in exact:
+        assert abs(got[k] - exact[k]) <= max(3, 0.05 * exact[k]), \
+            (k, got[k], exact[k])
