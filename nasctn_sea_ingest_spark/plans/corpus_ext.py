@@ -282,9 +282,10 @@ def q86(spark, sf_dir):
 
 @_q("q48_multimodal_features",
     "binary media columns + Arrow-batched feature extraction: real "
-    "WAV-PCM (stdlib wave + FFT bands) and 24-bit BMP (numpy pixel parse) "
-    "decodes, sha256 stub only for video containers "
-    "(sources.multimodal synthesize_media -> extract_features)",
+    "WAV-PCM (stdlib wave + FFT bands), 24-bit BMP (numpy pixel parse) "
+    "and RAWV video (uncompressed frame container, middle-frame grid "
+    "luma + motion statistic) decodes; sha256 stub only for undecodable "
+    "payloads (sources.multimodal synthesize_media -> extract_features)",
     None)
 def q48(spark, sf_dir):
     from ..sources.multimodal import synthesize_media
