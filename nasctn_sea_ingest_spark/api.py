@@ -9,6 +9,9 @@ reference                       here
 ``read_seamf_zipfile(zip)``     :func:`read_seamf_zipfile` — eager pandas
 ``read_seamf_zipfile_as_ddf``   :func:`read_seamf_zipfile_as_sdf` — dict of
                                 lazy *Spark* DataFrames, one per product
+``..._as_delayed(zip)``         :func:`read_seamf_zipfile_as_delayed` — list
+                                of per-partition lazy reads + ``compute``
+``restore_multiindex(dfs)``     :func:`restore_multiindex`
 ``trace(dfs, name, ...)``       :func:`nasctn_sea_ingest_spark.functions.trace`
 ``localize_timestamps``         :func:`nasctn_sea_ingest_spark.functions.localize`
 ==============================  =============================================
@@ -39,7 +42,8 @@ from .functions import trace  # noqa: F401
 from .functions import localize as localize_timestamps  # noqa: F401
 
 __all__ = ["read_seamf", "read_seamf_meta", "read_seamf_zipfile",
-           "read_seamf_zipfile_as_sdf", "as_wide", "write_partitions",
+           "read_seamf_zipfile_as_sdf", "read_seamf_zipfile_as_delayed",
+           "compute", "restore_multiindex", "as_wide", "write_partitions",
            "trace", "localize_timestamps"]
 
 _PRODUCTS = ("psd", "pvt", "pfp", "apd", "apd_raw")
@@ -115,6 +119,14 @@ def read_seamf_zipfile_as_sdf(spark: SparkSession, path: str,
     if errors not in ("raise", "log"):
         raise ValueError("errors must be 'raise' or 'log'")
     refs = list_sigmf_refs(spark, path, allow=allow, batch_size=batch_size)
+    return _sdfs_from_refs(refs, tz=tz, errors=errors,
+                           partition_func=partition_func)
+
+
+def _sdfs_from_refs(refs: DataFrame, tz: str | None, errors: str,
+                    partition_func=None) -> dict[str, DataFrame]:
+    """Dict-of-lazy-DataFrames from a file-ref frame (shared by the
+    zipfile, directory and delayed-batch entry points)."""
     if partition_func is not None:
         return map_decoded_partitions(refs, partition_func, tz=tz)
     traces = decode_traces(refs, tz=tz).cache()
@@ -172,3 +184,66 @@ def read_seamf_zipfile_as_sdf(spark: SparkSession, path: str,
     out["sensor_metadata"] = out["sweep_metadata"].select(
         "source_file", "timezone")
     return out
+
+
+class SparkDelayed:
+    """One partition of a delayed archive read: ``.compute()`` decodes just
+    this batch of files and returns the dict of pandas frames (reference
+    ``read_seamf_zipfile_as_delayed`` semantics, ``ziparchive.py:208-235``:
+    each dask.delayed computes to one partition's dict)."""
+
+    def __init__(self, spark: SparkSession, rows, tz, errors, partition_func):
+        self._spark, self._rows = spark, rows
+        self._tz, self._errors, self._pf = tz, errors, partition_func
+
+    def __len__(self):
+        return len(self._rows)
+
+    def compute(self) -> dict[str, pd.DataFrame]:
+        from .sources.ingest import REF_SCHEMA
+        pdf = pd.DataFrame([(r.path, r.member, r.size) for r in self._rows],
+                           columns=["path", "member", "size"])
+        refs = self._spark.createDataFrame(pdf, REF_SCHEMA).coalesce(1)
+        sdfs = _sdfs_from_refs(refs, tz=self._tz, errors=self._errors,
+                               partition_func=self._pf)
+        return {k: df.toPandas() for k, df in sdfs.items()}
+
+
+def read_seamf_zipfile_as_delayed(spark: SparkSession, path: str,
+                                  partition_func=None,
+                                  limit_count: int | None = None,
+                                  partition_size: int = 40,
+                                  tz: str | None = None,
+                                  errors: str = "log") -> list:
+    """List of lazy per-partition reads, ``partition_size`` files each —
+    the reference's list-of-dask.delayed entry point. ``compute(objs)``
+    (or each object's ``.compute()``) yields that partition's dict of
+    pandas frames. The listing itself is a driver-side archive scan, the
+    same cost the reference pays at graph-build time."""
+    rows = list_sigmf_refs(spark, path, allow=limit_count).collect()
+    return [SparkDelayed(spark, rows[i:i + partition_size], tz, errors,
+                         partition_func)
+            for i in range(0, len(rows), max(1, int(partition_size)))]
+
+
+def compute(delayeds) -> list:
+    """dask.compute analog for :class:`SparkDelayed` lists."""
+    return [d.compute() for d in delayeds]
+
+
+_RESTORE_LEVELS = dict(_KEY_LEVELS,
+                       channel_metadata=["datetime", "frequency"])
+
+
+def restore_multiindex(dfs: dict) -> dict:
+    """Reference ``restore_multiindex`` (``ziparchive.py:450-458``) for the
+    long layout: sets each product table's key levels as a (Multi)Index,
+    in place, and returns the dict. ``sweep_metadata`` /
+    ``sensor_metadata`` have no datetime index and pass through, like the
+    reference's hard-coded skip."""
+    for name, df in dfs.items():
+        levels = [c for c in _RESTORE_LEVELS.get(name, [])
+                  if isinstance(df, pd.DataFrame) and c in df.columns]
+        if levels:
+            dfs[name] = df.set_index(levels)
+    return dfs

@@ -162,3 +162,39 @@ def test_zipfile_error_modes(spark, tmp_path_factory):
     sdfs = api.read_seamf_zipfile_as_sdf(spark, str(d), errors="log")
     assert sdfs["psd"].count() == 3 * 2        # bad file dropped
     assert sdfs["sweep_metadata"].count() == 1  # metadata dropped too
+
+
+@pytest.fixture(scope="module")
+def zpath12(tmp_path_factory):
+    d = tmp_path_factory.mktemp("zips12")
+    return build_sweep_series(str(d), 12, zip_name="b.zip")
+
+
+def test_read_seamf_zipfile_as_delayed(spark, zpath12):
+    """Delayed analog: list of per-partition lazy reads; each .compute()
+    yields that partition's dict of pandas frames only."""
+    objs = api.read_seamf_zipfile_as_delayed(spark, zpath12,
+                                             limit_count=12,
+                                             partition_size=5)
+    assert [len(o) for o in objs] == [5, 5, 2]
+    got = objs[0].compute()
+    assert set(got) >= {"psd", "pvt", "pfp", "channel_metadata",
+                        "sweep_metadata", "sensor_metadata"}
+    assert got["sweep_metadata"].shape[0] == 5          # ONLY this batch
+    assert got["psd"]["source_file"].nunique() == 5
+    # compute() helper mirrors dask.compute over the list
+    all_parts = api.compute(objs[1:])
+    assert [p["sweep_metadata"].shape[0] for p in all_parts] == [5, 2]
+
+
+def test_restore_multiindex(spark, zpath):
+    dfs = api.read_seamf_zipfile(spark, zpath, allow=3, errors="log")
+    out = api.restore_multiindex(dfs)
+    assert list(out["psd"].index.names) == ["datetime", "frequency",
+                                            "capture_statistic"]
+    assert list(out["pfp"].index.names) == ["datetime", "frequency",
+                                            "capture_statistic", "detector"]
+    assert list(out["channel_metadata"].index.names) == ["datetime",
+                                                         "frequency"]
+    # sweep/sensor metadata pass through unindexed (reference skip)
+    assert out["sweep_metadata"].index.name is None
