@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_bucketed", "read_bucketed", "zorder_write"]
+__all__ = ["write_bucketed", "read_bucketed", "zorder_write", "file_stats"]
 
 
 def write_bucketed(df: DataFrame, table: str, keys: "list[str] | str",
@@ -97,3 +97,54 @@ def zorder_write(df: DataFrame, path: str, cols: "list[str]",
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode(mode).parquet(path))
+
+
+def file_stats(spark: SparkSession, path: str,
+               cols: "list[str]") -> DataFrame:
+    """Per-file parquet footer stats for the named columns — the layout
+    health audit behind every pruning claim: narrow per-file min/max
+    ranges mean row-group/file skipping fires; a column whose per-file
+    ranges all span the whole domain will never prune.
+
+    Distributed: the file list fans out over executors and each task
+    reads ONLY footers (pyarrow metadata, no data pages), so auditing a
+    100 TB table costs one metadata read per file.  Values are reported
+    as strings for type-generality.  One row per (file, column).
+    """
+    import glob as _glob
+    import os as _os
+
+    import pandas as _pd
+
+    files = sorted(_glob.glob(_os.path.join(path, "**", "*.parquet"),
+                              recursive=True))
+    fdf = spark.createDataFrame(_pd.DataFrame({"file": files}))
+
+    def read(batches):
+        import pyarrow.parquet as pq
+        for b in batches:
+            recs = []
+            for f in b["file"]:
+                meta = pq.ParquetFile(f).metadata
+                agg = {c: [None, None] for c in cols}
+                rows = meta.num_rows
+                for rg in range(meta.num_row_groups):
+                    g = meta.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        name = c.path_in_schema
+                        if name in agg and c.statistics is not None:
+                            lo, hi = agg[name]
+                            s = c.statistics
+                            agg[name] = [
+                                s.min if lo is None else min(lo, s.min),
+                                s.max if hi is None else max(hi, s.max)]
+                for c, (lo, hi) in agg.items():
+                    recs.append((f, c,
+                                 None if lo is None else str(lo),
+                                 None if hi is None else str(hi), rows))
+            yield _pd.DataFrame(recs, columns=["file", "col", "min", "max",
+                                               "n_rows"])
+
+    return fdf.mapInPandas(
+        read, "file string, col string, min string, max string, n_rows long")

@@ -86,3 +86,34 @@ def test_zorder_write_bounds_both_dimensions(spark, tmp_path):
     # x-sort: x is narrow but y spans ~the whole domain per file
     assert mean_width(spath, "x") < 0.25 * n
     assert mean_width(spath, "y") > 0.9 * n
+
+
+def test_file_stats_report(spark, tmp_path):
+    """file_stats reads ONLY footers, one row per (file, column), and its
+    ranges agree with a direct pyarrow read of the same footers."""
+    from nasctn_sea_ingest_spark.sources.bucketed import file_stats
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 10000).selectExpr("id", "id % 97 AS k")
+    df.repartitionByRange(4, "id").write.mode("overwrite").parquet(path)
+    rep = file_stats(spark, path, ["id", "k"]).toPandas()
+    files = sorted(rep["file"].unique())
+    assert len(files) == 4 and set(rep["col"]) == {"id", "k"}
+    assert rep["n_rows"].astype(int).groupby(rep["file"]).first().sum() \
+        == 10000
+    # id was range-partitioned: per-file id ranges are disjoint slices
+    ids = rep[rep["col"] == "id"].sort_values("min", key=lambda s:
+                                              s.astype(int))
+    los = ids["min"].astype(int).tolist()
+    his = ids["max"].astype(int).tolist()
+    assert all(his[i] < los[i + 1] for i in range(len(los) - 1))
+    # agreement with direct footer reads
+    want = dict(zip(*[iter(sum([[ (f, c) for c in ("id",)] for f in files],
+                              []))]*1)) if False else None
+    for f in files:
+        got = rep[(rep["file"] == f) & (rep["col"] == "id")].iloc[0]
+        lo, hi = _file_ranges(os.path.dirname(f), "id")[0] if False \
+            else (None, None)
+    # (direct comparison: reuse _file_ranges on the directory)
+    ranges = sorted(_file_ranges(path, "id"))
+    assert ranges == sorted((int(l), int(h)) for l, h in zip(los, his))
