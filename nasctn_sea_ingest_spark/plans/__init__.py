@@ -18,6 +18,15 @@ from . import corpus_r3  # noqa: F401  (basket/ER/skyline/IVM families)
 # (asserted by test_driver_window_covers_unverified_families).
 # ---------------------------------------------------------------------------
 
+# ROUND-4 ROTATION (do this FIRST next round, before the driver's verify
+# runs on round 4's final state): the 50-slot window should become
+# (a) q116-q124 + any new round-4 queries (no hard-signal row yet),
+# (b) the 15 r01-only greens rotated out this round — q02 q03 q04 q06
+#     q09 q10 q12 q13 q19 q21 q29 q30 q32 q33 q34 (their only green row
+#     will then be two rounds old),
+# (c) fill to 50 with the oldest r02 greens (q01 q05 q07 q08 q11 q14-q18
+#     q20 q22-q26 q31 q35 q36 q41 q44 q45 ... — green rows from round 2).
+# Keep test_driver_window_covers_unverified_families in sync.
 _WINDOW_PRIORITY = [
     # new this round (17): no hard-signal row yet
     "q78_returned_item_report", "q79_nation_volume_shipping",
