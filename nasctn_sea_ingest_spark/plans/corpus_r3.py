@@ -378,3 +378,55 @@ def q124(spark, sf_dir):
                  F.sum("n").alias("n_events"),
                  F.count("*").alias("n_days"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# running-peak / max-drawdown
+# ---------------------------------------------------------------------------
+
+@_q("q125_max_drawdown",
+    "max drawdown of the cumulative daily revenue series per returnflag: "
+    "running cumulative sum, running peak (cummax), peak-minus-current "
+    "deviation, global max with its day — all in exact DECIMAL (order-"
+    "independent, engine-stable) over the collapsed daily pre-aggregate",
+    f"""
+    WITH d AS (
+      SELECT l_returnflag, epoch_us(l_shipdate) // {US_DAY} AS day_no,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS rev
+      FROM lineitem GROUP BY l_returnflag, epoch_us(l_shipdate) // {US_DAY}),
+    c0 AS (
+      SELECT l_returnflag, day_no,
+             sum(rev) OVER (PARTITION BY l_returnflag
+                            ORDER BY day_no) AS cum
+      FROM d),
+    c AS (
+      SELECT l_returnflag, day_no, cum,
+             max(cum) OVER (PARTITION BY l_returnflag
+                            ORDER BY day_no) AS peak
+      FROM c0),
+    dd AS (
+      SELECT l_returnflag, day_no, peak - cum AS drawdown FROM c)
+    SELECT l_returnflag,
+           CAST(max(drawdown) AS DOUBLE) AS max_drawdown,
+           min(CASE WHEN drawdown = md THEN day_no END) AS trough_day
+    FROM (SELECT *, max(drawdown) OVER (PARTITION BY l_returnflag) AS md
+          FROM dd)
+    GROUP BY l_returnflag
+    """)
+def q125(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    d = (li.groupBy("l_returnflag",
+                    F.expr(f"l_shipdate_us div {US_DAY}").alias("day_no"))
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("decimal(18,2)").alias("rev")))
+    w = Window.partitionBy("l_returnflag").orderBy("day_no")
+    c = (d.withColumn("cum", F.sum("rev").over(w))
+          .withColumn("peak", F.max(F.col("cum")).over(w)))
+    dd = c.withColumn("drawdown", F.col("peak") - F.col("cum"))
+    md = dd.withColumn(
+        "md", F.max("drawdown").over(Window.partitionBy("l_returnflag")))
+    return (md.groupBy("l_returnflag")
+            .agg(F.max("drawdown").cast("double").alias("max_drawdown"),
+                 F.min(F.when(F.col("drawdown") == F.col("md"), F.col("day_no")))
+                  .alias("trough_day")))

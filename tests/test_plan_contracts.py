@@ -733,3 +733,14 @@ def test_q123_scoring_map_only(spark, sf):
     p = _final(df)
     assert "TakeOrderedAndProject" in p
     assert "Exchange hashpartitioning" not in p
+
+
+def test_q125_drawdown_windows_collapsed_series(spark, sf):
+    """Max drawdown: all three windows and the final agg key on
+    l_returnflag over the DAILY pre-aggregate — a HashAggregate sits
+    below the deepest Window, and no single-partition exchange exists."""
+    df = _q("q125_max_drawdown").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "Exchange SinglePartition" not in p
+    assert "HashAggregate" in p[p.rindex("Window"):], p
