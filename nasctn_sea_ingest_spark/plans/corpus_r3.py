@@ -430,3 +430,110 @@ def q125(spark, sf_dir):
             .agg(F.max("drawdown").cast("double").alias("max_drawdown"),
                  F.min(F.when(F.col("drawdown") == F.col("md"), F.col("day_no")))
                   .alias("trough_day")))
+
+
+# ---------------------------------------------------------------------------
+# experimentation analytics (A/B test)
+# ---------------------------------------------------------------------------
+
+@_q("q126_ab_test",
+    "two-proportion A/B test per event source: users hash-split into "
+    "deterministic arms (md5 bucket, the q55 split rule), conversion = "
+    "users with a purchase / users with a view; z-score computed from "
+    "integer counts only (engine-exact until one rounded double) — the "
+    "experimentation-analytics rollup every event warehouse runs",
+    """
+    WITH arms AS (
+      SELECT user_id,
+             CASE WHEN cast(('0x' || substr(md5(cast(user_id AS VARCHAR)),
+                                            1, 15)) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+             max(CASE WHEN event_type = 'purchase' AND value > 150.0
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id),
+    per AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS conv
+      FROM arms WHERE viewed = 1 GROUP BY arm)
+    SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b,
+           CASE WHEN a.conv + b.conv = 0 OR a.conv + b.conv = a.n + b.n
+                THEN NULL
+                ELSE round((CAST(a.conv AS DOUBLE) / a.n
+                            - CAST(b.conv AS DOUBLE) / b.n)
+                           / sqrt((CAST(a.conv + b.conv AS DOUBLE)
+                                   / (a.n + b.n))
+                                  * (1.0 - CAST(a.conv + b.conv AS DOUBLE)
+                                           / (a.n + b.n))
+                                  * (1.0 / a.n + 1.0 / b.n)), 6)
+           END AS z_score
+    FROM (SELECT * FROM per WHERE arm = 'A') a,
+         (SELECT * FROM per WHERE arm = 'B') b
+    """)
+def q126(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    arms = (ev.groupBy("user_id")
+            .agg(F.max(F.when(F.col("event_type") == "view", 1)
+                       .otherwise(0)).alias("viewed"),
+                 F.max(F.when((F.col("event_type") == "purchase")
+                              & (F.col("value") > 150.0), 1)
+                       .otherwise(0)).alias("converted"))
+            .withColumn("arm", F.when(
+                F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                                   1, 15), 16, 10).cast("bigint") % 2 == 0,
+                F.lit("A")).otherwise(F.lit("B"))))
+    # NOT the oracle's arm-vs-arm self-join (Catalyst would duplicate the
+    # whole per-user pipeline — two full scans): conditional aggregation
+    # pivots the 2-row rollup in the same pipeline, one scan, one user
+    # exchange (contract-tested)
+    viewers = arms.where(F.col("viewed") == 1)
+    j = viewers.agg(
+        F.count(F.when(F.col("arm") == "A", 1)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")))
+         .cast("bigint").alias("conv_a"),
+        F.count(F.when(F.col("arm") == "B", 1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")))
+         .cast("bigint").alias("conv_b"))
+    na, ca = F.col("n_a").cast("double"), F.col("conv_a").cast("double")
+    nb, cb = F.col("n_b").cast("double"), F.col("conv_b").cast("double")
+    tot = F.col("conv_a") + F.col("conv_b")
+    pool = (ca + cb) / (F.col("n_a") + F.col("n_b"))
+    z = (ca / F.col("n_a") - cb / F.col("n_b")) \
+        / F.sqrt(pool * (F.lit(1.0) - pool)
+                 * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    # degenerate arms (no conversions anywhere, or all converted) have an
+    # undefined z; the guard keeps the expression out of ANSI div-by-zero
+    # on BOTH engines
+    guarded = F.when((tot == 0) | (tot == F.col("n_a") + F.col("n_b")),
+                     F.lit(None).cast("double")).otherwise(F.round(z, 6))
+    return j.select("n_a", "conv_a", "n_b", "conv_b",
+                    guarded.alias("z_score"))
+
+
+# ---------------------------------------------------------------------------
+# equi-depth histogram
+# ---------------------------------------------------------------------------
+
+@_q("q127_equidepth_histogram",
+    "equi-depth (quantile-bucketed) histogram per event_type: ntile(8) "
+    "over a deterministic value order, then per-bucket count/min/max — "
+    "the profiling complement to q103's equal-width bins (optimizer "
+    "statistics collection shape)",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             ntile(8) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS bucket
+      FROM events)
+    SELECT event_type, bucket, count(*) AS n,
+           min(value) AS lo, max(value) AS hi
+    FROM r GROUP BY event_type, bucket
+    """)
+def q127(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select("event_type", "value",
+                  F.ntile(8).over(w).alias("bucket"))
+    return (r.groupBy("event_type", "bucket")
+            .agg(F.count("*").alias("n"),
+                 F.min("value").alias("lo"), F.max("value").alias("hi")))

@@ -744,3 +744,29 @@ def test_q125_drawdown_windows_collapsed_series(spark, sf):
     p = _final(df)
     assert "Exchange SinglePartition" not in p
     assert "HashAggregate" in p[p.rindex("Window"):], p
+
+
+def test_q126_ab_test_single_pipeline(spark, sf):
+    """A/B rollup: conditional aggregation pivots the arms in ONE
+    pipeline — one scan, one per-user exchange, zero joins (the oracle's
+    arm self-join spec would duplicate the whole per-user pipeline)."""
+    df = _q("q126_ab_test").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "Join" not in p
+    scans = [ln for ln in p.splitlines() if "Scan parquet" in ln]
+    assert len(scans) == 1, scans
+    user_ex = [ln for ln in p.splitlines()
+               if "Exchange hashpartitioning(user_id" in ln
+               and "ReusedExchange" not in ln]
+    assert len(user_ex) == 1, user_ex
+
+
+def test_q127_equidepth_shares_partitioning(spark, sf):
+    """ntile window and the per-bucket aggregate both key on event_type:
+    one full-data exchange, no single-partition window."""
+    df = _q("q127_equidepth_histogram").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "Exchange SinglePartition" not in p
+    assert p.count("Exchange hashpartitioning") == 1, p
