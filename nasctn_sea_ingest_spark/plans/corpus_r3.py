@@ -537,3 +537,45 @@ def q127(spark, sf_dir):
     return (r.groupBy("event_type", "bucket")
             .agg(F.count("*").alias("n"),
                  F.min("value").alias("lo"), F.max("value").alias("hi")))
+
+
+# ---------------------------------------------------------------------------
+# graph: triangle counting
+# ---------------------------------------------------------------------------
+
+@_q("q128_triangle_count",
+    "triangle count over the co-purchase graph (edges = part pairs "
+    "co-ordered >= 2 times, canonically u < v so each triangle counts "
+    "once): the classic two-equi-join massive-shuffle graph workload — "
+    "edge generation reuses q116's join-free map-side pair expansion, "
+    "and the closing join probes (u, v) pairs directly",
+    """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM d a JOIN d b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM e ab JOIN e bc ON ab.v = bc.u
+                      JOIN e ac ON ac.u = ab.u AND ac.v = bc.v)
+             AS n_triangles
+    """)
+def q128(spark, sf_dir):
+    baskets = (load_table(spark, sf_dir, "lineitem")
+               .groupBy("l_orderkey")
+               .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")))
+    pairs = baskets.select(F.explode(F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, "
+        "y AS v))))")).alias("pr"))
+    e = (pairs.groupBy(F.col("pr.u").alias("u"), F.col("pr.v").alias("v"))
+         .agg(F.count("*").alias("n")).where(F.col("n") >= 2)
+         .select("u", "v"))
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = (ab.join(bc, F.col("ab.v") == F.col("bc.u"))
+             .join(ac, (F.col("ac.u") == F.col("ab.u"))
+                   & (F.col("ac.v") == F.col("bc.v"))))
+    return (e.agg(F.count("*").cast("bigint").alias("n_edges"))
+            .crossJoin(tri.agg(F.count("*").cast("bigint")
+                               .alias("n_triangles"))))

