@@ -780,9 +780,13 @@ def test_q128_triangles_equi_joins_only(spark, sf):
     p = _final(df)
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p \
         or "BroadcastHashJoin" in p
-    # a cartesian over full edge frames would be a disaster at scale; the
-    # one in this plan joins two single-row aggregates
-    for ln in p.splitlines():
-        if "CartesianProduct" in ln or "BroadcastNestedLoopJoin" in ln:
-            pass  # structurally verified below: both inputs are aggregates
+    # the only tolerable product is the final stats join: its inputs are
+    # 1-row aggregates, so any nested-loop/cartesian node must sit ABOVE
+    # (before, in top-down print) every HashAggregate-consuming join
+    nl = [i for i, ln in enumerate(p.splitlines())
+          if "CartesianProduct" in ln or "BroadcastNestedLoopJoin" in ln]
+    eq = [i for i, ln in enumerate(p.splitlines())
+          if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+          or "BroadcastHashJoin" in ln]
+    assert all(i < min(eq) for i in nl), (nl, eq)
     assert p.count("Scan parquet") <= 2
