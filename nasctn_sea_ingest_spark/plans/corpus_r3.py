@@ -579,3 +579,48 @@ def q128(spark, sf_dir):
     return (e.agg(F.count("*").cast("bigint").alias("n_edges"))
             .crossJoin(tri.agg(F.count("*").cast("bigint")
                                .alias("n_triangles"))))
+
+
+# ---------------------------------------------------------------------------
+# complex-event-processing: sequence pattern match
+# ---------------------------------------------------------------------------
+
+@_q("q129_sequence_pattern",
+    "CEP / MATCH_RECOGNIZE analog: each user's event-type sequence "
+    "(deterministically ordered) string-encodes to initials and a regex "
+    "finds view-then-eventual-purchase journeys — the pattern-over-"
+    "ordered-stream shape; per-user state is one bounded string, grouped "
+    "rollup by user bucket",
+    """
+    WITH s AS (
+      SELECT user_id, user_id % 10 AS bucket,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY epoch_us(ts), event_id) AS seq
+      FROM events GROUP BY user_id),
+    m AS (SELECT bucket,
+                 CASE WHEN regexp_matches(seq, 'v[^p]*p') THEN 1 ELSE 0 END
+                   AS hit,
+                 length(seq) AS n_ev
+          FROM s)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(hit) AS BIGINT) AS n_matched,
+           CAST(sum(n_ev) AS BIGINT) AS n_events
+    FROM m GROUP BY bucket
+    """)
+def q129(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    seq = (ev.select("user_id", "ts_us", "event_id",
+                     F.substring("event_type", 1, 1).alias("c"))
+           .groupBy("user_id")
+           .agg(F.expr(
+               "array_join(transform(array_sort(collect_list("
+               "struct(ts_us, event_id, c))), x -> x.c), '')").alias("seq"))
+           .withColumn("bucket", F.col("user_id") % 10))
+    m = seq.select(
+        "bucket",
+        F.when(F.col("seq").rlike("v[^p]*p"), 1).otherwise(0).alias("hit"),
+        F.length("seq").alias("n_ev"))
+    return (m.groupBy("bucket")
+            .agg(F.count("*").cast("bigint").alias("n_users"),
+                 F.sum("hit").cast("bigint").alias("n_matched"),
+                 F.sum("n_ev").cast("bigint").alias("n_events")))
