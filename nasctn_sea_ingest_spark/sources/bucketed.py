@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_bucketed", "read_bucketed", "zorder_write", "file_stats"]
+__all__ = ["write_bucketed", "read_bucketed", "zorder_write", "file_stats", "write_with_blooms"]
 
 
 def write_bucketed(df: DataFrame, table: str, keys: "list[str] | str",
@@ -148,3 +148,19 @@ def file_stats(spark: SparkSession, path: str,
 
     return fdf.mapInPandas(
         read, "file string, col string, min string, max string, n_rows long")
+
+
+def write_with_blooms(df: DataFrame, path: str, bloom_cols: "list[str]",
+                      fpp: float = 0.01, mode: str = "overwrite") -> None:
+    """Parquet write with per-column BLOOM FILTERS in the footers — the
+    point-lookup complement to min/max stats: range stats prune sorted/
+    clustered columns, blooms prune membership probes on HIGH-CARDINALITY
+    UNSORTED columns (`WHERE id = X` over 100 TB touches only files whose
+    bloom admits X; min/max on a shuffled id column prunes nothing).
+    ~1.2 bytes/row/column at 1% fpp — footer-resident, read with the
+    metadata, never the data pages."""
+    w = df.write.mode(mode)
+    for c in bloom_cols:
+        w = (w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+              .option(f"parquet.bloom.filter.fpp#{c}", str(fpp)))
+    w.parquet(path)
