@@ -44,6 +44,13 @@ REL_QUERIES = {
     "q120_event_bigrams": ("events", ["event_id", "user_id"]),
     "q121_pareto_frontier": ("part", ["p_partkey"]),
     "q122_partial_agg_merge": ("orders", ["o_orderkey"]),
+    "q123_model_scoring": ("embeddings", ["vec_id"]),
+    "q124_sketch_rollup": ("events", ["event_id", "user_id"]),
+    "q125_max_drawdown": ("lineitem", ["l_orderkey"]),
+    "q126_ab_test": ("events", ["event_id", "user_id"]),
+    "q127_equidepth_histogram": ("events", ["event_id", "user_id"]),
+    "q128_triangle_count": ("lineitem", ["l_orderkey"]),
+    "q129_sequence_pattern": ("events", ["event_id", "user_id"]),
 }
 
 
