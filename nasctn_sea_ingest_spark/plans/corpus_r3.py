@@ -2,7 +2,10 @@
 that rounds 1-2 had not yet declared as oracle-checked queries — market-basket
 co-occurrence, exact weighted median, entity-resolution blocking, series
 autocorrelation from exact moments, event-sequence mining, skyline (Pareto
-frontier), and incremental partial-aggregate merge.
+frontier), incremental partial-aggregate merge, batch model inference,
+mergeable HLL sketch rollups, max drawdown, A/B-test stats, equi-depth
+histograms, graph triangle counting, and CEP sequence-pattern matching
+(q116–q129).
 
 Scale notes (100 TB):
 
