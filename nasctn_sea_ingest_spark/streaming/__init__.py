@@ -28,7 +28,7 @@ from ..sources.sigmf import decode_sigmf_trace_records
 __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "session_rollup", "gap_monitor", "dedup_stream",
            "calibration_join", "document_stream", "neardup_stream",
-           "sliding_rollup", "upsert_stream"]
+           "sliding_rollup", "upsert_stream", "sketch_rollup_stream"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -442,6 +442,63 @@ def upsert_stream(updates: DataFrame, out_dir: str, checkpoint_dir: str,
             # bound the whole design rests on.
             merged = merge_upsert(existing, b, keys, order_by) \
                 .localCheckpoint(eager=True)
+            (merged.write.mode("overwrite")
+                   .option("partitionOverwriteMode", "dynamic")
+                   .partitionBy("kb").parquet(out_dir))
+        finally:
+            b.unpersist()
+
+    writer = (updates.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def sketch_rollup_stream(updates: DataFrame, out_dir: str,
+                         checkpoint_dir: str, keys: "list[str]",
+                         value_col: str, lg_k: int = 14,
+                         n_buckets: int = 16,
+                         available_now: bool = False):
+    """Incrementally maintained distinct-count sketches: each micro-batch
+    HLL-sketches its own rows per key and UNIONS into the stored per-key
+    sketch (DataSketches HLL union is associative and idempotent-ish at
+    sketch level), so "distinct users ever / per key" stays queryable at
+    any moment without ever re-scanning history — state per key is one
+    ~2^lg_k-byte sketch no matter how many rows flowed through.
+
+    Storage layout mirrors :func:`upsert_stream`: key-bucketed parquet
+    with dynamic partition overwrite of ONLY the touched buckets. Read
+    the estimates with ``hll_sketch_estimate(sketch)`` over the snapshot.
+    """
+    from pyspark.errors import AnalysisException
+
+    key_cols = [F.col(k) for k in keys]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        b = (batch_df.groupBy(*keys)
+             .agg(F.expr(f"hll_sketch_agg({value_col}, {lg_k})")
+                  .alias("sketch"))
+             .withColumn("kb", F.pmod(F.hash(*key_cols), n_buckets)))
+        b.persist()
+        try:
+            touched = [r.kb for r in b.select("kb").distinct().collect()]
+            if not touched:
+                return
+            try:
+                existing = spark.read.parquet(out_dir) \
+                    .where(F.col("kb").isin(touched))
+            except AnalysisException as e:
+                if "PATH_NOT_FOUND" not in str(e):
+                    raise
+                existing = b.limit(0)
+            merged = (existing.unionByName(b)
+                      .groupBy(*keys)
+                      .agg(F.expr("hll_union_agg(sketch)").alias("sketch"))
+                      .withColumn("kb", F.pmod(F.hash(*key_cols),
+                                               n_buckets))
+                      .localCheckpoint(eager=True))
             (merged.write.mode("overwrite")
                    .option("partitionOverwriteMode", "dynamic")
                    .partitionBy("kb").parquet(out_dir))

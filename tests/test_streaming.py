@@ -499,3 +499,49 @@ def test_upsert_stream_last_wins_snapshot(spark, tmp_path):
     # bucketed layout on disk
     kbs = {r.kb for r in spark.read.parquet(out).select("kb").collect()}
     assert kbs <= set(range(8))
+
+
+def test_sketch_rollup_stream_incremental_distinct(spark, tmp_path):
+    """Streaming HLL maintenance: per-key sketches union across
+    micro-batches (and across full idempotent reprocessing — distinct
+    counting is re-union-safe), estimates track exact distincts, state
+    stays one sketch row per key."""
+    import pyspark.sql.functions as F
+    from nasctn_sea_ingest_spark.streaming import sketch_rollup_stream
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "sk")
+    os.makedirs(land)
+    schema = "etype string, user long"
+    wave1 = spark.createDataFrame(
+        [("A", u) for u in range(200)] + [("B", u) for u in range(50)],
+        schema)
+    wave1.coalesce(1).write.mode("append").parquet(land)
+
+    def run(ck):
+        stream = spark.readStream.schema(
+            spark.read.parquet(land).schema).parquet(land)
+        q = sketch_rollup_stream(stream, out, str(tmp_path / ck),
+                                 keys=["etype"], value_col="user",
+                                 available_now=True)
+        q.awaitTermination(120)
+
+    run("c1")
+    est1 = {r.etype: r.est for r in
+            spark.read.parquet(out)
+                 .select("etype", F.expr("hll_sketch_estimate(sketch)")
+                         .alias("est")).collect()}
+    assert abs(est1["A"] - 200) <= 10 and abs(est1["B"] - 50) <= 4
+
+    # wave 2 overlaps wave 1 (users 150..299 for A): distinct grows to 300
+    wave2 = spark.createDataFrame(
+        [("A", u) for u in range(150, 300)], schema)
+    wave2.coalesce(1).write.mode("append").parquet(land)
+    run("c2")  # fresh checkpoint: full reprocess must stay correct
+    snap = spark.read.parquet(out)
+    assert snap.count() == 2                     # one sketch row per key
+    est2 = {r.etype: r.est for r in
+            snap.select("etype", F.expr("hll_sketch_estimate(sketch)")
+                        .alias("est")).collect()}
+    assert abs(est2["A"] - 300) <= 15
+    assert abs(est2["B"] - 50) <= 4
