@@ -567,7 +567,8 @@ def exact_median_large(df: DataFrame, keys: Sequence[str],
 def weighted_median_large(df: DataFrame, keys: Sequence[str],
                           value_col: str, weight_col: str,
                           bucket_width: float = 1.0,
-                          weight_type: str = "decimal(28,6)") -> DataFrame:
+                          weight_type: str = "decimal(28,6)",
+                          broadcast_bound: bool = True) -> DataFrame:
     """Exact weighted median (min v with 2·cumweight(≤v) ≥ totalweight)
     per key, for groups too large to run one cumulative-weight window
     over (a single window per key serializes the whole group into one
@@ -612,7 +613,11 @@ def weighted_median_large(df: DataFrame, keys: Sequence[str],
                         (F.col("_s._thru") - F.col("_s._bw"))
                         .alias("_before"),
                         F.col("_s._tot").alias("_tot")))
-    in_b = vals.join(F.broadcast(bound), keys + ["_b"])
+    # the boundary frame is ONE ROW PER KEY: broadcast it for the usual
+    # few-to-thousands-of-keys case; pass broadcast_bound=False when the
+    # key domain is huge (millions+) and let AQE pick the join strategy
+    bnd = F.broadcast(bound) if broadcast_bound else bound
+    in_b = vals.join(bnd, keys + ["_b"])
     wv = Window.partitionBy(*keys).orderBy("_v")
     ranked = in_b.withColumn("_cum", F.sum("_w").over(wv))
     return (ranked
