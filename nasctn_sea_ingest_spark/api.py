@@ -199,14 +199,43 @@ class SparkDelayed:
     def __len__(self):
         return len(self._rows)
 
-    def compute(self) -> dict[str, pd.DataFrame]:
+    def _refs(self):
         from .sources.ingest import REF_SCHEMA
         pdf = pd.DataFrame([(r.path, r.member, r.size) for r in self._rows],
                            columns=["path", "member", "size"])
-        refs = self._spark.createDataFrame(pdf, REF_SCHEMA).coalesce(1)
-        sdfs = _sdfs_from_refs(refs, tz=self._tz, errors=self._errors,
-                               partition_func=self._pf)
-        return {k: df.toPandas() for k, df in sdfs.items()}
+        return self._spark.createDataFrame(pdf, REF_SCHEMA).coalesce(1)
+
+    def compute(self) -> dict[str, pd.DataFrame]:
+        refs = self._refs()
+        if self._pf is not None:
+            sdfs = _sdfs_from_refs(refs, tz=self._tz, errors=self._errors,
+                                   partition_func=self._pf)
+            return {k: df.toPandas() for k, df in sdfs.items()}
+        # ONE decode pass collected client-side, split per table in pandas —
+        # the reference's delayed partition materializes the whole dict the
+        # same way (ziparchive.py:265-277), and it avoids parking a .cache()
+        # per compute() call in executor memory (the lazy-sdf path caches
+        # because its consumers are lazy; here everything is consumed NOW)
+        traces = decode_traces(refs, tz=self._tz).toPandas()
+        bad = traces["error"].notnull()
+        if self._errors == "raise" and bad.any():
+            f = traces.loc[bad].iloc[0]
+            raise RuntimeError(
+                f"decode failed for {f['source_file']}: {f['error']}")
+        good = traces.loc[~bad].drop(columns=["error"])
+        out = {t: good.loc[good["table"] == t].drop(columns=["table"])
+                      .reset_index(drop=True)
+               for t in _PRODUCTS}
+        failed = set(traces.loc[bad, "source_file"])
+        for name, fn in (("channel_metadata", decode_channel_metadata),
+                         ("sweep_metadata", decode_sweep_metadata)):
+            m = fn(refs, tz=self._tz,
+                   hash_check=self._errors == "raise").toPandas()
+            m = m.loc[m["error"].isnull()
+                      & ~m["source_file"].isin(failed)]                  .drop(columns=["error"]).reset_index(drop=True)
+            out[name] = m
+        out["sensor_metadata"] =             out["sweep_metadata"][["source_file", "timezone"]]
+        return out
 
 
 def read_seamf_zipfile_as_delayed(spark: SparkSession, path: str,
