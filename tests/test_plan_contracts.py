@@ -790,3 +790,18 @@ def test_q128_triangles_equi_joins_only(spark, sf):
           or "BroadcastHashJoin" in ln]
     assert all(i < min(eq) for i in nl), (nl, eq)
     assert p.count("Scan parquet") <= 2
+
+
+def test_q124_sketch_partial_agg(spark, sf):
+    """Sketch rollup: the per-day HLL build must partially aggregate
+    map-side before its exchange (sketches merge in the combiner), and
+    the day→total union must not reshuffle by anything wider than
+    event_type."""
+    df = _q("q124_sketch_rollup").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "hll_sketch_agg" in p and "hll_union_agg" in p
+    first_ex = p.index("Exchange hashpartitioning")
+    assert "HashAggregate" in p[first_ex:] or \
+        "ObjectHashAggregate" in p[first_ex:]
+    assert "Exchange SinglePartition" not in p
