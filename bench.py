@@ -273,7 +273,11 @@ def main() -> None:
                "unit": "sec", "queries": compact, "sf": sf_val}
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1900:
-        by_cost = sorted(compact, key=compact.get)
+        # drop the FASTEST corpus entries first; never drop x_* metrics —
+        # those are the BASELINE.md comparison points regardless of value
+        # (x_sigmf_meta_ms_per_file is 0.2 and must survive)
+        by_cost = sorted((k for k in compact if not k.startswith("x_")),
+                         key=compact.get)
         while len(line) > 1900 and by_cost:
             compact.pop(by_cost.pop(0))
             payload["queries_omitted"] = len(timings) - len(compact)
