@@ -139,3 +139,28 @@ def test_write_with_blooms_lands_in_files(spark, tmp_path):
     delta = total(bloomed) - total(plain)
     # 20k distinct values at 1% fpp -> >= ~10 KiB of bloom bitset
     assert delta > 8_000, delta
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Warehouse shards written before a column existed must read
+    coherently next to new shards: mergeSchema unions the schemas and
+    old rows surface NULL for the added column (the additive-evolution
+    contract our documents/traces layouts rely on)."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "docs")
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string")
+    old.write.mode("append").parquet(path)
+    new = spark.createDataFrame(
+        [(3, "gamma", 0.9)], "doc_id long, text string, quality double")
+    new.write.mode("append").parquet(path)
+
+    got = (spark.read.option("mergeSchema", "true").parquet(path)
+           .orderBy("doc_id").collect())
+    assert [r.doc_id for r in got] == [1, 2, 3]
+    assert got[0].quality is None and got[2].quality == 0.9
+    # filters on the evolved column still prune correctly over old shards
+    n = (spark.read.option("mergeSchema", "true").parquet(path)
+         .where(F.col("quality") >= 0.5).count())
+    assert n == 1
