@@ -627,3 +627,49 @@ def q129(spark, sf_dir):
             .agg(F.count("*").cast("bigint").alias("n_users"),
                  F.sum("hit").cast("bigint").alias("n_matched"),
                  F.sum("n_ev").cast("bigint").alias("n_events")))
+
+
+# ---------------------------------------------------------------------------
+# marketing attribution
+# ---------------------------------------------------------------------------
+
+@_q("q130_first_touch_attribution",
+    "first-touch attribution: every purchase credits the user's EARLIEST "
+    "event inside the trailing 1-hour window (RANGE frame over epoch "
+    "micros, streaming per user partition — no per-purchase interval "
+    "join); the earliest event is picked via an order-preserving "
+    "ts*100+type encoding so both engines break ties identically",
+    """
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+             CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                  WHEN 'signup' THEN 3 WHEN 'error' THEN 4
+                  WHEN 'purchase' THEN 5 ELSE 9 END AS tc
+      FROM events),
+    w AS (
+      SELECT user_id, event_type,
+             min(ts_us * 100 + tc) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+               AS first_code
+      FROM t)
+    SELECT first_code % 100 AS first_touch_tc,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM w WHERE event_type = 'purchase'
+    GROUP BY first_code % 100
+    """)
+def q130(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    tc = (F.when(F.col("event_type") == "click", 1)
+           .when(F.col("event_type") == "view", 2)
+           .when(F.col("event_type") == "signup", 3)
+           .when(F.col("event_type") == "error", 4)
+           .when(F.col("event_type") == "purchase", 5).otherwise(9))
+    t = ev.select("user_id", "event_type", "ts_us",
+                  (F.col("ts_us") * 100 + tc).alias("code"))
+    w = (Window.partitionBy("user_id").orderBy("ts_us")
+         .rangeBetween(-3_600_000_000, 0))
+    coded = t.withColumn("first_code", F.min("code").over(w))
+    return (coded.where(F.col("event_type") == "purchase")
+            .groupBy((F.col("first_code") % 100).alias("first_touch_tc"))
+            .agg(F.count("*").cast("bigint").alias("n_purchases")))

@@ -52,7 +52,7 @@ def test_driver_window_covers_unverified_families():
     (round-1-only) inside the first 50 — so each oracle-backed query keeps
     a driver-green row at most two rounds old."""
     names = [q.name for q in CORPUS]
-    assert len(names) == len(set(names)) == 129
+    assert len(names) == len(set(names)) == 130
     window = set(names[:50])
     new_this_round = {
         "q78_returned_item_report", "q79_nation_volume_shipping",

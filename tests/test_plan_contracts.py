@@ -805,3 +805,15 @@ def test_q124_sketch_partial_agg(spark, sf):
     assert "HashAggregate" in p[first_ex:] or \
         "ObjectHashAggregate" in p[first_ex:]
     assert "Exchange SinglePartition" not in p
+
+
+def test_q130_attribution_range_window(spark, sf):
+    """First-touch attribution must be ONE trailing range-frame window
+    per user (streaming frame, bounded state) + a tiny rollup — no
+    per-purchase interval join, no single-partition exchange."""
+    df = _q("q130_first_touch_attribution").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "Window" in p and "Join" not in p
+    assert "Exchange SinglePartition" not in p
+    assert p.count("Exchange hashpartitioning") == 2, p
