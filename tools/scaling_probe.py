@@ -51,6 +51,7 @@ REL_QUERIES = {
     "q127_equidepth_histogram": ("events", ["event_id", "user_id"]),
     "q128_triangle_count": ("lineitem", ["l_orderkey"]),
     "q129_sequence_pattern": ("events", ["event_id", "user_id"]),
+    "q130_first_touch_attribution": ("events", ["event_id", "user_id"]),
 }
 
 
