@@ -20,7 +20,7 @@ from . import corpus_r3  # noqa: F401  (basket/ER/skyline/IVM families)
 
 # ROUND-4 ROTATION (do this FIRST next round, before the driver's verify
 # runs on round 4's final state): the 50-slot window should become
-# (a) q116-q124 + any new round-4 queries (no hard-signal row yet),
+# (a) q116-q130 + any new round-4 queries (no hard-signal row yet),
 # (b) the 15 r01-only greens rotated out this round — q02 q03 q04 q06
 #     q09 q10 q12 q13 q19 q21 q29 q30 q32 q33 q34 (their only green row
 #     will then be two rounds old),
