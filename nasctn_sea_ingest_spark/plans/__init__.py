@@ -18,53 +18,55 @@ from . import corpus_r3  # noqa: F401  (basket/ER/skyline/IVM families)
 # (asserted by test_driver_window_covers_unverified_families).
 # ---------------------------------------------------------------------------
 
-# ROUND-4 ROTATION (do this FIRST next round, before the driver's verify
-# runs on round 4's final state): the 50-slot window should become
-# (a) q116-q130 + any new round-4 queries (no hard-signal row yet),
-# (b) the 15 r01-only greens rotated out this round — q02 q03 q04 q06
-#     q09 q10 q12 q13 q19 q21 q29 q30 q32 q33 q34 (their only green row
-#     will then be two rounds old),
-# (c) fill to 50 with the oldest r02 greens (q01 q05 q07 q08 q11 q14-q18
-#     q20 q22-q26 q31 q35 q36 q41 q44 q45 ... — green rows from round 2).
-# Keep test_driver_window_covers_unverified_families in sync.
+# ROUND-4 WINDOW (this rotation executed first thing in round 4, per the
+# staged plan): after round 3 the per-query latest-green rounds are
+#   r03: q27 q28 q37-q40 q42 q43 q67-q69 q74 q78-q115   (fresh)
+#   r02: q01 q05 q07 q08 q11 q14-q18 q20 q22-q26 q31 q35 q36 q41
+#        q44-q66 q70-q73 q75-q77                        (one round old)
+#   r01: q02-q04 q06 q09 q10 q12 q13 q19 q21 q29 q30 q32-q34 (two rounds old)
+#   none: q116-q130                                     (new in r03)
+# so the 50-slot window is (a) the 15 never-driver-checked queries,
+# (b) any NEW round-4 queries, (c) the 15 r01-only greens, (d) fill to 50
+# with the lowest-numbered r02 greens.  Keep
+# test_driver_window_covers_unverified_families in sync.
+#
+# ROUND-5 ROTATION (do this FIRST next round): window should become
+# (a) any new round-5 queries, (b) the r02-only greens left un-refreshed
+# this round — q44-q66 q70-q73 q75-q77 minus those with r04 rows (their
+# green rows will then be three rounds old: q44 q45 q46 q47 q48 q49 q50
+# q51 q52 q53 q54 q55 q56 q57 q58 q59 q60 q61 q62 q63 q64 q65 q66 q70
+# q71 q72 q73 q75 q76 q77 — 30 queries), (c) fill to 50 with the oldest
+# r03 greens (q27 q28 q37-q40 q42 q43 q67-q69 q74, then q78+).
 _WINDOW_PRIORITY = [
-    # new this round (17): no hard-signal row yet
-    "q78_returned_item_report", "q79_nation_volume_shipping",
-    "q80_market_share", "q81_order_count_distribution",
-    "q82_stratified_sample", "q83_seeded_shuffle", "q84_bm25_retrieval",
-    "q85_asof_by_key", "q86_pq_ann", "q87_bpe_pair_counts",
-    "q88_chunk_dedup", "q89_zorder_cells", "q90_grouped_regression",
-    "q91_repetition_filter", "q92_semantic_dedup", "q93_salted_skew_agg",
-    "q94_exact_median_large",
-    # round-1-only verified (12 of 27): refresh their hard-signal rows.
-    # Fifteen r01-green entries rotate OUT to make room for the round-3
-    # queries (q02/q13/q19/q29 trivial projections; q03/q04 pushdown
-    # slices; q06 limiter; q09/q10 semi/anti; q12 union; q21/q30/q32
-    # row-local array ops with numpy property tests; q33 cross product;
-    # q34 scalar stats — all unchanged since r01); they re-enter the
-    # round-4 window.
-    "q27_text_stats", "q28_lang_id",
-    "q37_embedding_neardup", "q38_bin_aggregate",
-    "q39_daily_rollup", "q40_set_ops", "q42_cube", "q43_range_frame",
-    "q67_vocab_topk", "q68_label_centroids", "q69_tfidf_top_terms",
-    "q74_decontaminate",
-    # new in round 3 (21): TPC-H completion shapes (Q4/Q6/Q15/Q19/Q22/Q9),
-    # unigram-LM scoring, merge-upsert, histogram, winsorized mean,
-    # overlapping RAG chunking, balanced sampling, MAD outliers, cohort
-    # retention, feature hashing, OHLC bars, forward fill, constraint
-    # audit, bigram LM table, CDC snapshot diff, PageRank — no
-    # hard-signal row
-    # yet.  They displace the round-2-green representatives (q01/q11/q24/
-    # q25/q26/q51 all have fresh r02 rows; their families stay covered by
-    # q78-q81/q85/q88/q92 in-window).
-    "q95_order_priority_check", "q96_forecast_revenue",
-    "q97_top_revenue_supplier", "q98_disjunctive_predicate",
-    "q99_global_sales_opportunity", "q100_product_type_profit",
-    "q101_unigram_logprob", "q102_merge_upsert", "q103_histogram",
-    "q104_winsorized_mean", "q105_chunk_overlap", "q106_balanced_sample",
-    "q107_mad_outliers", "q108_cohort_retention", "q109_feature_hashing",
-    "q110_ohlc_bars", "q111_forward_fill", "q112_constraint_audit",
-    "q113_bigram_condprob", "q114_snapshot_diff", "q115_pagerank",
+    # (a) new in round 3, never driver-checked (15): basket pairs,
+    # weighted median, ER blocking, autocorrelation, event bigrams,
+    # skyline, partial-agg merge (IVM), batch model scoring, HLL sketch
+    # rollup (rows-only), drawdown, A/B test, equi-depth histogram,
+    # triangle counting, sequence pattern (funnel regex), first-touch
+    # attribution.
+    "q116_copurchase_pairs", "q117_weighted_median", "q118_blocked_match",
+    "q119_autocorr_daily", "q120_event_bigrams", "q121_pareto_frontier",
+    "q122_partial_agg_merge", "q123_model_scoring", "q124_sketch_rollup",
+    "q125_max_drawdown", "q126_ab_test", "q127_equidepth_histogram",
+    "q128_triangle_count", "q129_sequence_pattern",
+    "q130_first_touch_attribution",
+    # (c) round-1-only greens (15): their single hard-signal row is two
+    # rounds old; refresh.
+    "q02_filter_project", "q03_time_range", "q04_conjunctive_slice",
+    "q06_group_limiter", "q09_semi_join", "q10_anti_join",
+    "q12_union_concat", "q13_distinct", "q19_axis_synthesis",
+    "q21_trace_stats", "q29_fingerprint", "q30_midmean", "q32_roll_shift",
+    "q33_cross_product", "q34_scalar_stats",
+    # (d) fill: the 20 lowest-numbered r02 greens (one round old).  The
+    # remaining r02 greens (q44-q66, q70-q73, q75-q77) rotate in next
+    # round before they go three rounds stale.
+    "q01_pricing_summary", "q05_mask_nullify", "q07_topk", "q08_join_agg",
+    "q11_asof_nearest", "q14_gap_detect", "q15_rank_topn",
+    "q16_exact_quantiles", "q17_pivot_wide", "q18_db_aggregates",
+    "q20_cadence_coverage", "q22_cosine_topk", "q23_dedup_exact",
+    "q24_jaccard_neardup", "q25_minhash_lsh", "q26_simhash_hamming",
+    "q31_block_resample", "q35_asof_backward", "q36_rayleigh_transform",
+    "q41_rollup",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 

@@ -54,30 +54,23 @@ def test_driver_window_covers_unverified_families():
     names = [q.name for q in CORPUS]
     assert len(names) == len(set(names)) == 130
     window = set(names[:50])
+    # round 4: never-driver-checked = q116-q130 (new in r03, outside r03's
+    # window) plus any query added this round.
     new_this_round = {
-        "q78_returned_item_report", "q79_nation_volume_shipping",
-        "q80_market_share", "q81_order_count_distribution",
-        "q82_stratified_sample", "q83_seeded_shuffle", "q84_bm25_retrieval",
-        "q85_asof_by_key", "q86_pq_ann", "q87_bpe_pair_counts",
-        "q88_chunk_dedup", "q89_zorder_cells", "q90_grouped_regression",
-        "q91_repetition_filter", "q92_semantic_dedup",
-        "q93_salted_skew_agg", "q94_exact_median_large",
-        "q95_order_priority_check", "q96_forecast_revenue",
-        "q97_top_revenue_supplier", "q98_disjunctive_predicate",
-        "q99_global_sales_opportunity", "q100_product_type_profit",
-        "q101_unigram_logprob", "q102_merge_upsert", "q103_histogram",
-        "q104_winsorized_mean", "q105_chunk_overlap",
-        "q106_balanced_sample", "q107_mad_outliers",
-        "q108_cohort_retention", "q109_feature_hashing", "q110_ohlc_bars",
-        "q111_forward_fill", "q112_constraint_audit",
-        "q113_bigram_condprob", "q114_snapshot_diff", "q115_pagerank",
+        "q116_copurchase_pairs", "q117_weighted_median",
+        "q118_blocked_match", "q119_autocorr_daily", "q120_event_bigrams",
+        "q121_pareto_frontier", "q122_partial_agg_merge",
+        "q123_model_scoring", "q124_sketch_rollup", "q125_max_drawdown",
+        "q126_ab_test", "q127_equidepth_histogram", "q128_triangle_count",
+        "q129_sequence_pattern", "q130_first_touch_attribution",
     }
+    # queries whose only green row is from round 1 (two rounds old).
     round1_only = {
-        "q27_text_stats", "q28_lang_id",
-        "q37_embedding_neardup",
-        "q38_bin_aggregate", "q39_daily_rollup", "q40_set_ops", "q42_cube",
-        "q43_range_frame", "q67_vocab_topk", "q68_label_centroids",
-        "q69_tfidf_top_terms", "q74_decontaminate",
+        "q02_filter_project", "q03_time_range", "q04_conjunctive_slice",
+        "q06_group_limiter", "q09_semi_join", "q10_anti_join",
+        "q12_union_concat", "q13_distinct", "q19_axis_synthesis",
+        "q21_trace_stats", "q29_fingerprint", "q30_midmean",
+        "q32_roll_shift", "q33_cross_product", "q34_scalar_stats",
     }
     must_be_inside = new_this_round | round1_only
     assert must_be_inside <= window, must_be_inside - window
