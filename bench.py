@@ -265,9 +265,24 @@ def main() -> None:
                    "unit": "sec", "queries": timings, "sf": sf_val}, fh)
 
     def _round(v: float) -> float:
-        return round(v, 3 if abs(v) < 10 else 2)
+        return round(v, 2 if abs(v) < 100 else 1)
 
-    compact = {(k.split("_")[0] if k.startswith("q") else k): _round(v)
+    # short aliases for the x_* metrics (full names stay in bench_full.json;
+    # r03 measured the long names alone cost ~190 bytes — enough to push 9
+    # per-query timings out of the 2000-byte stdout tail)
+    _short_x = {
+        "x_sigmf_decode_200files": "x_dec200",
+        "x_sigmf_decode_files_per_sec_per_core": "x_fps_core",
+        "x_sigmf_decode_golden_files_per_sec": "x_fps_gold",
+        "x_sigmf_decode_records_per_sec_per_core": "x_fps_rec",
+        "x_sigmf_meta_ms_per_file": "x_meta_ms",
+        "x_summarize_dual_sink_200files": "x_sink",
+        "x_lazy_head10": "x_head10",
+        "x_lazy_time_range_1min": "x_range1m",
+        "x_llm_pipeline": "x_llm",
+    }
+    compact = {(k.split("_")[0] if k.startswith("q")
+                else _short_x.get(k, k)): _round(v)
                for k, v in timings.items()}
     payload = {"metric": "corpus_total_runtime", "value": round(total, 3),
                "unit": "sec", "queries": compact, "sf": sf_val}

@@ -231,10 +231,12 @@ class SparkDelayed:
                          ("sweep_metadata", decode_sweep_metadata)):
             m = fn(refs, tz=self._tz,
                    hash_check=self._errors == "raise").toPandas()
-            m = m.loc[m["error"].isnull()
-                      & ~m["source_file"].isin(failed)]                  .drop(columns=["error"]).reset_index(drop=True)
+            m = (m.loc[m["error"].isnull()
+                       & ~m["source_file"].isin(failed)]
+                 .drop(columns=["error"]).reset_index(drop=True))
             out[name] = m
-        out["sensor_metadata"] =             out["sweep_metadata"][["source_file", "timezone"]]
+        out["sensor_metadata"] = \
+            out["sweep_metadata"][["source_file", "timezone"]]
         return out
 
 

@@ -332,12 +332,31 @@ def dequantize_embeddings(df: DataFrame, out_col: str = "embedding_deq",
 # with asymmetric-distance search
 # ---------------------------------------------------------------------------
 
+def _vector_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector width of an ``array<float>`` column: from column metadata
+    (``{"dim": N}``, set by the embedding sources / ``VectorUDT`` ml_attr)
+    when available — no Spark action — else a documented one-row probe
+    (the only caller-visible action in this module; pass ``dim=``
+    explicitly to avoid it)."""
+    md = df.schema[vec_col].metadata or {}
+    for key in ("dim", "num_attrs"):
+        if key in md:
+            return int(md[key])
+    if "ml_attr" in md and "num_attrs" in md["ml_attr"]:
+        return int(md["ml_attr"]["num_attrs"])
+    return len(df.select(vec_col).first()[0])
+
 def pq_train(emb: DataFrame, m: int = 8, k: int = 256, max_iter: int = 5,
-             seed: int = 42, vec_col: str = "embedding") -> np.ndarray:
+             seed: int = 42, vec_col: str = "embedding",
+             dim: int | None = None) -> np.ndarray:
     """Train PQ codebooks: split the ``dim`` dimensions into ``m``
     contiguous subspaces and k-means each subspace independently with
     MLlib (distributed Lloyd, k-means|| init — ``m`` small driver-side
     jobs over the same scan). Returns codebooks ``(m, k, dim/m)``.
+
+    ``dim`` defaults from the schema when ``vec_col`` has a known width
+    (metadata set by the embedding sources); pass it explicitly otherwise
+    so no Spark action runs before the first KMeans fit.
 
     At 100 TB the codebooks are tiny driver-side constants (m·k·dsub
     floats); training cost is m scans — in practice run on a
@@ -346,7 +365,8 @@ def pq_train(emb: DataFrame, m: int = 8, k: int = 256, max_iter: int = 5,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    dim = len(emb.select(vec_col).first()[0])
+    if dim is None:
+        dim = _vector_dim(emb, vec_col)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m

@@ -504,9 +504,15 @@ def q126(spark, sf_dir):
     z = (ca / F.col("n_a") - cb / F.col("n_b")) \
         / F.sqrt(pool * (F.lit(1.0) - pool)
                  * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    # an empty arm makes the oracle's A-cross-B return ZERO rows; mirror
+    # that (and keep /n_a out of ANSI div-by-zero) by dropping the rollup
+    # row when either arm has no viewers.  count() never yields NULL, so
+    # the predicate is two-valued.
+    j = j.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
     # degenerate arms (no conversions anywhere, or all converted) have an
     # undefined z; the guard keeps the expression out of ANSI div-by-zero
-    # on BOTH engines
+    # on BOTH engines.  With both arms non-empty, conv_* sums are non-NULL,
+    # so tot comparisons are two-valued too.
     guarded = F.when((tot == 0) | (tot == F.col("n_a") + F.col("n_b")),
                      F.lit(None).cast("double")).otherwise(F.round(z, 6))
     return j.select("n_a", "conv_a", "n_b", "conv_b",
@@ -549,9 +555,13 @@ def q127(spark, sf_dir):
 @_q("q128_triangle_count",
     "triangle count over the co-purchase graph (edges = part pairs "
     "co-ordered >= 2 times, canonically u < v so each triangle counts "
-    "once): the classic two-equi-join massive-shuffle graph workload — "
-    "edge generation reuses q116's join-free map-side pair expansion, "
-    "and the closing join probes (u, v) pairs directly",
+    "once): the classic graph workload — edge generation reuses q116's "
+    "join-free map-side pair expansion; the closure uses DEGREE "
+    "ORIENTATION (each edge points low-(degree, id) -> high), so the "
+    "wedge self-join fans out on out-degree, bounded by O(sqrt(m)) per "
+    "vertex [Schank & Wagner 2005] instead of skewing on high-degree "
+    "hub parts; each triangle is emitted exactly once from its "
+    "lowest-key apex",
     """
     WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
@@ -575,10 +585,36 @@ def q128(spark, sf_dir):
     e = (pairs.groupBy(F.col("pr.u").alias("u"), F.col("pr.v").alias("v"))
          .agg(F.count("*").alias("n")).where(F.col("n") >= 2)
          .select("u", "v"))
-    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
-    tri = (ab.join(bc, F.col("ab.v") == F.col("bc.u"))
-             .join(ac, (F.col("ac.u") == F.col("ab.u"))
-                   & (F.col("ac.v") == F.col("bc.v"))))
+    # Degree orientation: point every edge from its lower-(degree, id)
+    # endpoint to the higher one.  Max out-degree in the oriented graph is
+    # O(sqrt(m)), so the wedge self-join below cannot skew on hub
+    # vertices the way the naive ab.v = bc.u closure does — the wedge
+    # count drops from sum(deg^2) to sum(outdeg^2) <= m^1.5.
+    deg = (e.select(F.col("u").alias("x"))
+           .unionAll(e.select(F.col("v").alias("x")))
+           .groupBy("x").agg(F.count("*").alias("d")))
+    ed = (e.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")),
+                 "u")
+          .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")),
+                "v"))
+    fwd = (F.col("du") < F.col("dv")) | \
+          ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    o = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dt"))
+    # wedges from a shared apex s, canonically ordered by (deg, id) so the
+    # candidate closing edge is itself in oriented form; closure = one
+    # equi-join against the oriented edge set.
+    w1, w2 = o.alias("w1"), o.alias("w2")
+    wedges = (w1.join(w2, F.col("w1.s") == F.col("w2.s"))
+              .where((F.col("w1.dt") < F.col("w2.dt"))
+                     | ((F.col("w1.dt") == F.col("w2.dt"))
+                        & (F.col("w1.t") < F.col("w2.t"))))
+              .select(F.col("w1.t").alias("cs"), F.col("w2.t").alias("ct")))
+    tri = wedges.join(
+        o.select(F.col("s").alias("cs"), F.col("t").alias("ct")),
+        ["cs", "ct"])
     return (e.agg(F.count("*").cast("bigint").alias("n_edges"))
             .crossJoin(tri.agg(F.count("*").cast("bigint")
                                .alias("n_triangles"))))

@@ -110,22 +110,46 @@ def file_stats(spark: SparkSession, path: str,
     reads ONLY footers (pyarrow metadata, no data pages), so auditing a
     100 TB table costs one metadata read per file.  Values are reported
     as strings for type-generality.  One row per (file, column).
-    """
-    import glob as _glob
-    import os as _os
 
+    Listing goes through the Hadoop FileSystem API, so any configured
+    scheme works (``s3a://``, ``hdfs://``, local) — not just
+    locally-mounted paths — and the explicit one-column schema keeps an
+    empty match list a valid (empty) result instead of a
+    schema-inference error.
+    """
     import pandas as _pd
 
-    files = sorted(_glob.glob(_os.path.join(path, "**", "*.parquet"),
-                              recursive=True))
-    fdf = spark.createDataFrame(_pd.DataFrame({"file": files}))
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    files = []
+    if fs.exists(hpath):
+        it = fs.listFiles(hpath, True)  # recursive; footers read on executors
+        while it.hasNext():
+            p = it.next().getPath().toString()
+            if p.endswith(".parquet"):
+                files.append(p)
+    fdf = spark.createDataFrame([(f,) for f in sorted(files)],
+                                "file string")
+
+    def _open_meta(f):
+        import pyarrow.parquet as pq
+        if f.startswith("file:"):  # Hadoop local URI form file:/x or file:///x
+            local = f[5:]
+            while local.startswith("//"):
+                local = local[1:]
+            return pq.ParquetFile(local).metadata
+        if "://" in f:  # remote scheme: resolve through pyarrow.fs
+            from pyarrow import fs as pafs
+            fsys, rel = pafs.FileSystem.from_uri(f)
+            return pq.ParquetFile(rel, filesystem=fsys).metadata
+        return pq.ParquetFile(f).metadata
 
     def read(batches):
-        import pyarrow.parquet as pq
         for b in batches:
             recs = []
             for f in b["file"]:
-                meta = pq.ParquetFile(f).metadata
+                meta = _open_meta(f)
                 agg = {c: [None, None] for c in cols}
                 rows = meta.num_rows
                 for rg in range(meta.num_row_groups):

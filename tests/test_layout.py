@@ -107,16 +107,24 @@ def test_file_stats_report(spark, tmp_path):
     los = ids["min"].astype(int).tolist()
     his = ids["max"].astype(int).tolist()
     assert all(his[i] < los[i + 1] for i in range(len(los) - 1))
-    # agreement with direct footer reads
-    want = dict(zip(*[iter(sum([[ (f, c) for c in ("id",)] for f in files],
-                              []))]*1)) if False else None
-    for f in files:
-        got = rep[(rep["file"] == f) & (rep["col"] == "id")].iloc[0]
-        lo, hi = _file_ranges(os.path.dirname(f), "id")[0] if False \
-            else (None, None)
-    # (direct comparison: reuse _file_ranges on the directory)
+    # agreement with direct footer reads on the same directory
     ranges = sorted(_file_ranges(path, "id"))
     assert ranges == sorted((int(l), int(h)) for l, h in zip(los, his))
+
+
+def test_file_stats_empty_and_missing_paths(spark, tmp_path):
+    """An empty directory (or a path that doesn't exist yet) is a valid
+    audit target: zero rows, stable schema — not a schema-inference
+    error (r03 advice: the old local-glob + inferred-schema path blew up
+    on empty matches and couldn't see non-local URIs at all)."""
+    from nasctn_sea_ingest_spark.sources.bucketed import file_stats
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    rep = file_stats(spark, str(empty), ["id"])
+    assert rep.columns == ["file", "col", "min", "max", "n_rows"]
+    assert rep.count() == 0
+    assert file_stats(spark, str(tmp_path / "nope"), ["id"]).count() == 0
 
 
 def test_write_with_blooms_lands_in_files(spark, tmp_path):
@@ -127,7 +135,9 @@ def test_write_with_blooms_lands_in_files(spark, tmp_path):
     territory is present in the file tail."""
     from nasctn_sea_ingest_spark.sources.bucketed import write_with_blooms
 
-    df = spark.range(0, 20000).selectExpr("id", "id * 7 % 19997 AS probe")         .repartition(1)
+    df = (spark.range(0, 20000)
+          .selectExpr("id", "id * 7 % 19997 AS probe")
+          .repartition(1))
     plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
     df.write.mode("overwrite").parquet(plain)
     write_with_blooms(df, bloomed, ["probe"])

@@ -489,8 +489,9 @@ def test_write_training_shards(spark, sf_dir, tmp_path_factory):
 # --------------------------------------------------------------------------
 
 @pytest.fixture(scope="module")
-def pq_books(spark, emb):
-    return SIM.pq_train(emb, m=16, k=16, max_iter=5, seed=7)
+def pq_books(spark, emb, emb_np):
+    return SIM.pq_train(emb, m=16, k=16, max_iter=5, seed=7,
+                        dim=emb_np[1].shape[1])
 
 
 def test_pq_train_shapes(pq_books, emb_np):
@@ -498,6 +499,28 @@ def test_pq_train_shapes(pq_books, emb_np):
     m, k, dsub = pq_books.shape
     assert (m, k, dsub) == (16, 16, mat.shape[1] // 16)
     assert np.isfinite(pq_books).all()
+
+
+def test_pq_train_no_dim_probe(spark, emb, emb_np, monkeypatch):
+    """With ``dim=`` given (callers know their embedding width) pq_train
+    must run NO Spark action before the first KMeans fit — the r03-flagged
+    one-row probe only fires as the documented fallback."""
+    def boom(df, col):
+        raise AssertionError("dim probe ran despite explicit dim=")
+    monkeypatch.setattr(SIM, "_vector_dim", boom)
+    books = SIM.pq_train(emb, m=16, k=4, max_iter=1, seed=7,
+                         dim=emb_np[1].shape[1])
+    assert books.shape == (16, 4, emb_np[1].shape[1] // 16)
+    # ...and the schema-metadata path resolves dim with zero jobs
+    from pyspark.sql import functions as F
+    monkeypatch.undo()
+    md = emb.withColumn(
+        "embedding",
+        F.col("embedding").alias("embedding", metadata={"dim": 64}))
+    sc = spark.sparkContext
+    sc.setJobGroup("pq-dim-plan", "plan-only")
+    assert SIM._vector_dim(md, "embedding") == 64
+    assert list(sc.statusTracker().getJobIdsForGroup("pq-dim-plan")) == []
 
 
 def test_pq_encode_matches_numpy(spark, emb, emb_np, pq_books):

@@ -774,12 +774,20 @@ def test_q127_equidepth_shares_partitioning(spark, sf):
 
 def test_q128_triangles_equi_joins_only(spark, sf):
     """Triangle closing must be equi-joins on edge endpoints; the only
-    non-equi product allowed is the final 1-row × 1-row stats join."""
+    non-equi product allowed is the final 1-row × 1-row stats join.
+    The closure must also be DEGREE-ORIENTED: a projection flips each
+    edge to point low-(degree, id) → high (the `CASE WHEN du < dv`
+    expressions below), bounding the wedge join's per-vertex fan-out by
+    O(sqrt(m)) instead of skewing on hub degrees."""
     df = _q("q128_triangle_count").spark(spark, sf)
     df.collect()
     p = _final(df)
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p \
         or "BroadcastHashJoin" in p
+    # orientation step present: the CASE WHEN that compares endpoint
+    # degrees (du/dv) to pick the edge direction
+    import re as _re
+    assert _re.search(r"CASE WHEN \(\(du#\d+L? < dv#\d+L?\)", p), p
     # the only tolerable product is the final stats join: its inputs are
     # 1-row aggregates, so any nested-loop/cartesian node must sit ABOVE
     # (before, in top-down print) every HashAggregate-consuming join

@@ -2,7 +2,7 @@
 scanned for scale anti-patterns. Occurrences are ALLOWLISTED with a
 justification — each one is a tiny-by-construction shape — so any NEW
 cartesian / nested-loop / single-partition exchange / row-wise Python
-stage appearing anywhere in the 129-query corpus fails this test, not a
+stage appearing anywhere in the query corpus (every CORPUS entry) fails this test, not a
 production run at 1000× the data.
 
 (The per-query contracts in test_plan_contracts.py pin what GOOD plans
