@@ -4,6 +4,8 @@ from . import corpus_docs  # noqa: F401  (registers document-pipeline queries)
 from . import corpus_ext  # noqa: F401  (set ops, rollup/cube, ANN, multimodal)
 from . import corpus_subq  # noqa: F401  (subqueries, TPC-H join shapes)
 from . import corpus_r3  # noqa: F401  (basket/ER/skyline/IVM families)
+from . import corpus_partsupp  # noqa: F401  (TPC-H Q2/Q11/Q16/Q20; only
+#   registers when the driver ships partsupp.parquet — no-op until then)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST 50
@@ -69,6 +71,14 @@ _WINDOW_PRIORITY = [
     "q41_rollup",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
+
+# If the driver ships partsupp mid-round, its four queries have no
+# hard-signal row at all — they pre-empt the front of the window and the
+# same number of fill entries drop off the 50-slot tail.
+if corpus_partsupp.REGISTERED:
+    _WINDOW_PRIORITY = (
+        [q.name for q in corpus_partsupp.REGISTERED]
+        + _WINDOW_PRIORITY)[:50]
 
 _rank = {n: i for i, n in enumerate(_WINDOW_PRIORITY)}
 CORPUS.sort(key=lambda q: (_rank.get(q.name, len(_rank)), q.name))

@@ -17,8 +17,11 @@ TABLE_NAMES = [
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
     con = duckdb.connect()
-    for t in TABLE_NAMES:
+    names = TABLE_NAMES + (["partsupp"] if os.path.exists(
+        f"{sf_dir}/partsupp.parquet") else [])
+    for t in names:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
