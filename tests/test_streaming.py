@@ -501,6 +501,114 @@ def test_upsert_stream_last_wins_snapshot(spark, tmp_path):
     assert kbs <= set(range(8))
 
 
+def _delete_commit_marker(ckpt):
+    """Simulate a crash after the sink write but before the checkpoint
+    commit: drop the newest commits/N marker (and its local-FS .crc
+    sidecar, which only exists on ChecksumFileSystem — a real HDFS/S3
+    checkpoint has no such artifact)."""
+    cdir = os.path.join(ckpt, "commits")
+    latest = sorted(f for f in os.listdir(cdir) if not f.startswith("."))[-1]
+    os.remove(os.path.join(cdir, latest))
+    crc = os.path.join(cdir, f".{latest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_upsert_stream_crash_replay_idempotent(spark, tmp_path):
+    """Exactly-once audit: crash AFTER the batch's snapshot write but
+    BEFORE the checkpoint commit (the replay window) must not duplicate
+    or lose rows.  Simulated faithfully: run a batch, delete its
+    ``commits/N`` marker (offsets stay), restart from the checkpoint —
+    Structured Streaming re-executes the same batch against the
+    already-updated snapshot; last-wins MERGE makes the rewrite
+    idempotent.
+
+    The session-wide HDFSMetadataLog cache would mask the replay (it
+    remembers the deleted commit file); a real crash kills the JVM and
+    that cache with it, so disabling it here is the faithful simulation.
+    """
+    from nasctn_sea_ingest_spark.streaming import upsert_stream
+
+    spark.conf.set("spark.sql.streaming.metadataCache.enabled", "false")
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "k long, v long, payload string"
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 11, "b"), (3, 13, "c")], schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(land).schema).parquet(land)
+        q = upsert_stream(stream, out, ckpt, keys=["k"],
+                          order_by=["v", "payload"], n_buckets=8,
+                          available_now=True)
+        q.awaitTermination(120)
+        q.stop()  # release the checkpoint registration before a restart
+        q.awaitTermination(30)
+
+    run()
+    snap1 = sorted((r.k, r.v, r.payload)
+                   for r in spark.read.parquet(out).collect())
+    assert [t[0] for t in snap1] == [1, 2, 3]
+
+    # crash window: the snapshot write landed, the commit marker did not
+    _delete_commit_marker(ckpt)
+    run()  # restart → replays the uncommitted batch over the new snapshot
+    snap2 = sorted((r.k, r.v, r.payload)
+                   for r in spark.read.parquet(out).collect())
+    assert snap2 == snap1  # no dup keys, no lost rows, same values
+
+    # post-replay liveness: a genuinely new batch still applies exactly once
+    spark.createDataFrame([(2, 20, "B"), (9, 21, "i")], schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    run()
+    snap3 = {r.k: (r.v, r.payload)
+             for r in spark.read.parquet(out).collect()}
+    assert snap3 == {1: (10, "a"), 2: (20, "B"), 3: (13, "c"),
+                     9: (21, "i")}
+    spark.conf.unset("spark.sql.streaming.metadataCache.enabled")
+
+
+def test_sketch_rollup_stream_crash_replay_bounded(spark, tmp_path):
+    """Same replay window for the HLL rollup: re-unioning a batch's
+    sketch into a snapshot that already contains it is a register-max
+    merge — the estimate must be bit-identical after replay."""
+    from nasctn_sea_ingest_spark.streaming import sketch_rollup_stream
+
+    spark.conf.set("spark.sql.streaming.metadataCache.enabled", "false")
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "sk")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "etype string, user long"
+    spark.createDataFrame([("A", u) for u in range(200)], schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(land).schema).parquet(land)
+        q = sketch_rollup_stream(stream, out, ckpt, keys=["etype"],
+                                 value_col="user", available_now=True)
+        q.awaitTermination(120)
+        q.stop()  # release the checkpoint registration before a restart
+        q.awaitTermination(30)
+
+    def estimate():
+        return spark.read.parquet(out).select(
+            F.expr("hll_sketch_estimate(sketch)").alias("e")).first().e
+
+    run()
+    est1 = estimate()
+    _delete_commit_marker(ckpt)
+    run()  # replay the batch into the already-merged snapshot
+    assert estimate() == est1
+    assert spark.read.parquet(out).count() == 1  # still one row per key
+    spark.conf.unset("spark.sql.streaming.metadataCache.enabled")
+
+
 def test_sketch_rollup_stream_incremental_distinct(spark, tmp_path):
     """Streaming HLL maintenance: per-key sketches union across
     micro-batches (and across full idempotent reprocessing — distinct
