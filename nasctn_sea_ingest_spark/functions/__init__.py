@@ -22,8 +22,8 @@ __all__ = [
     "db_to_power", "power_to_db", "db_to_env", "env_to_db",
     "array_double", "array_mean", "array_median", "array_quantile",
     "array_midmean", "array_mean_db", "array_sum_db", "array_roll",
-    "axis_x", "explode_trace", "trace", "asof_join", "interval_join",
-    "limiter",
+    "axis_x", "explode_trace", "trace", "asof_join", "register_asof_view",
+    "interval_join", "limiter",
     "time_gaps", "pivot_wide", "localize", "rayleigh_amplitude",
     "noise_floor_dBm", "salted_agg", "exact_median_large",
     "weighted_median_large", "zorder_key",
@@ -375,6 +375,39 @@ def _unkeyed_running(u: DataFrame, order, r_t) -> DataFrame:
               .withColumn("__np", F.coalesce("__np", "__bnp"))
               .withColumn("__nt", F.coalesce("__nt", "__bnt"))
               .drop("__pid", "__bpp", "__bpt", "__bnp", "__bnt"))
+
+
+def register_asof_view(spark, name: str, left: str, right: str, on: str,
+                       by: Sequence[str] | None = None,
+                       direction: str = "nearest",
+                       tolerance=None,
+                       right_cols: Sequence[str] | None = None,
+                       suffix: str = "_right") -> DataFrame:
+    """SQL surface for :func:`asof_join` — the engine's MATCH_NEAREST
+    analog for pure-SQL clients (the workload's most-used custom
+    operator, reference ``trace_handling.py`` nearest-capture
+    alignment).
+
+    ``left`` / ``right`` name existing tables or temp views; the as-of
+    result is registered as temp view ``name`` and returned.  The view
+    holds the LOGICAL plan, not data: a client's ``spark.sql("SELECT ...
+    FROM <name> WHERE ...")`` composes through Catalyst, so projections
+    prune into the underlying scans and filters on the ``by`` keys push
+    below the as-of shuffle — same plan quality as the DataFrame call,
+    zero materialization.
+
+    Example (pure SQL after one registration call)::
+
+        register_asof_view(spark, "readings_cal", "readings", "cal",
+                           on="ts", by=["sensor"])
+        spark.sql(\"\"\"SELECT sensor, ts, gain, asof_dist
+                      FROM readings_cal WHERE sensor = 'a7'\"\"\")
+    """
+    out = asof_join(spark.table(left), spark.table(right), on=on, by=by,
+                    direction=direction, tolerance=tolerance,
+                    right_cols=right_cols, suffix=suffix)
+    out.createOrReplaceTempView(name)
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -176,6 +176,43 @@ def test_asof_join_tolerance(spark):
     assert got[0] == 1.0 and got[1] is None
 
 
+def test_register_asof_view_pure_sql(spark):
+    """The MATCH_NEAREST-style SQL surface: after one registration call a
+    pure-SQL client queries the as-of result with spark.sql only, gets
+    the exact DataFrame-API values, and key filters compose into the
+    plan below the as-of shuffle (the view is a logical plan, not
+    data)."""
+    data_l, data_r = [], []
+    for grp in ("a", "b"):
+        lts = sorted(RNG.choice(5_000, 30, replace=False).tolist())
+        rts = sorted(RNG.choice(5_000, 9, replace=False).tolist())
+        data_l += [Row(g=grp, t=int(t), lid=f"{grp}{i}")
+                   for i, t in enumerate(lts)]
+        data_r += [Row(g=grp, t=int(t), rv=f"{grp}v{i}")
+                   for i, t in enumerate(rts)]
+    spark.createDataFrame(data_l).createOrReplaceTempView("asof_l")
+    spark.createDataFrame(data_r).createOrReplaceTempView("asof_r")
+    FN.register_asof_view(spark, "asof_lr", "asof_l", "asof_r",
+                          on="t", by=["g"])
+
+    got = spark.sql(
+        "SELECT lid, rv, asof_dist FROM asof_lr WHERE g = 'a'")
+    want = {(r.lid, r.rv, r.asof_dist)
+            for r in FN.asof_join(
+                spark.table("asof_l"), spark.table("asof_r"),
+                on="t", by=["g"]).where("g = 'a'")
+            .select("lid", "rv", "asof_dist").collect()}
+    assert {tuple(r) for r in got.collect()} == want
+    assert len(want) == 30
+    # the g-filter reaches the scans (below the as-of window shuffle):
+    # no 'b' rows survive into the window input
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Filter") >= 1 and "Window" in plan
+    # SQL-side aggregation over the view also composes
+    n = spark.sql("SELECT count(*) AS n FROM asof_lr").first().n
+    assert n == 60
+
+
 # --------------------------------------------------------------------------
 # limiter / gaps / pivot / scalars
 # --------------------------------------------------------------------------
