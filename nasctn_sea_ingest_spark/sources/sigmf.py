@@ -665,16 +665,31 @@ def decode_sigmf_trace_records(file, tz: str | None = None,
     raw_payload = lzma.decompress(lzma_blob, format=lzma.FORMAT_XZ)
     plan = _plan_for(meta, tz if tz is not None else _try_tz(meta))
     flat = np.frombuffer(raw_payload, dtype=np.float16).astype(np.float32)
-    recs = _split_traces(plan, flat)
+    # Fused split+emit: one pass over the offset plan straight to final
+    # tuples (the _split_traces intermediate built every record twice —
+    # measurably slower on a path where everything-but-lzma is ~0.8
+    # ms/file).  Timestamps stay datetime64[us] (Arrow takes them
+    # directly; per-row pd.Timestamp wrapping bought nothing).
+    cap_rows = [(dt, float(freq)) for dt, freq in _capture_order(plan)]
+    traces = plan.traces
+    n = len(traces)
+    per_cap = n // len(cap_rows) if cap_rows else 0
+    axes = plan.axes
+    buckets: dict[str, list] = {t: [] for t in TRACE_TABLES}
+    for i in range(n):
+        off, table, stat, det, kind = traces[i]
+        end = traces[i + 1][0] if i + 1 < n else len(flat)
+        dt, freq = cap_rows[i // per_cap] if per_cap else cap_rows[0]
+        x0, dx = axes.get(table, (0.0, 1.0))
+        buckets[table].append((
+            source, table, dt, freq,
+            stat if table in ("psd", "pfp") else None,
+            det if table in ("pvt", "pfp") else None,
+            kind if table == "apd_raw" else None,
+            flat[off:end], float(x0), float(dx), None))
     out: list[tuple] = []
     for table in ("psd", "pvt", "pfp", "apd", "apd_raw"):
-        for dt, freq, stat, det, kind, vals, x0, dx in recs.get(table, ()):
-            out.append((
-                source, table, pd.Timestamp(dt), float(freq),
-                stat if table in ("psd", "pfp") else None,
-                det if table in ("pvt", "pfp") else None,
-                kind if table == "apd_raw" else None,
-                vals, float(x0), float(dx), None))
+        out.extend(buckets.get(table, ()))
     return out
 
 
