@@ -585,18 +585,28 @@ def q128(spark, sf_dir):
     e = (pairs.groupBy(F.col("pr.u").alias("u"), F.col("pr.v").alias("v"))
          .agg(F.count("*").alias("n")).where(F.col("n") >= 2)
          .select("u", "v"))
+    # The edge list feeds degree counting, the orientation join, and the
+    # edge-count stat — three branches whose differing projections defeat
+    # physical exchange reuse (measured: the basket expansion re-executed
+    # per branch, 4.5x the query).  A LAZY localCheckpoint materializes e
+    # exactly once at first action and shares the RDD across branches —
+    # the standard multi-pass-graph persist, O(edges) like any shuffle.
+    e = e.localCheckpoint(eager=False)
     # Degree orientation: point every edge from its lower-(degree, id)
     # endpoint to the higher one.  Max out-degree in the oriented graph is
     # O(sqrt(m)), so the wedge self-join below cannot skew on hub
     # vertices the way the naive ab.v = bc.u closure does — the wedge
     # count drops from sum(deg^2) to sum(outdeg^2) <= m^1.5.
-    deg = (e.select(F.col("u").alias("x"))
-           .unionAll(e.select(F.col("v").alias("x")))
+    deg = (e.select(F.explode(F.array("u", "v")).alias("x"))
            .groupBy("x").agg(F.count("*").alias("d")))
-    ed = (e.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")),
-                 "u")
-          .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")),
-                "v"))
+    # deg has one row per VERTEX = per part key — a dimension-bounded
+    # frame at any data scale, so the attach joins broadcast (the
+    # checkpoint boundary hides stats from AQE; without the hint they
+    # degrade to sort-merge over the full edge list)
+    ed = (e.join(F.broadcast(deg.select(F.col("x").alias("u"),
+                                        F.col("d").alias("du"))), "u")
+          .join(F.broadcast(deg.select(F.col("x").alias("v"),
+                                       F.col("d").alias("dv"))), "v"))
     fwd = (F.col("du") < F.col("dv")) | \
           ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
     o = ed.select(
