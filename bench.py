@@ -50,7 +50,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    for q in CORPUS:
+    # canonical numeric order, NOT the driver-window rotation order: the
+    # rotation reshuffles CORPUS every round, and position changes showed
+    # up as phantom 2-4x "regressions" (whichever queries run first absorb
+    # JIT/codegen/footer-cache warmup).  A stable order keeps BENCH_rN
+    # comparable round over round.
+    for q in sorted(CORPUS, key=lambda q: int(q.name[1:].split("_")[0])):
         t0 = time.perf_counter()
         df = q.spark(spark, sf_dir)
         n = df.count()

@@ -6,6 +6,8 @@ from . import corpus_subq  # noqa: F401  (subqueries, TPC-H join shapes)
 from . import corpus_r3  # noqa: F401  (basket/ER/skyline/IVM families)
 from . import corpus_partsupp  # noqa: F401  (TPC-H Q2/Q11/Q16/Q20; only
 #   registers when the driver ships partsupp.parquet — no-op until then)
+from . import corpus_r4  # noqa: F401  (PPJoin set-similarity, TWAP,
+#   corpus-KL drift, recursive-CTE rollup)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST 50
@@ -34,13 +36,16 @@ from . import corpus_partsupp  # noqa: F401  (TPC-H Q2/Q11/Q16/Q20; only
 #
 # ROUND-5 ROTATION (do this FIRST next round): window should become
 # (a) any new round-5 queries, (b) the r02-only greens left un-refreshed
-# this round — q44-q66 q70-q73 q75-q77 minus those with r04 rows (their
-# green rows will then be three rounds old: q44 q45 q46 q47 q48 q49 q50
-# q51 q52 q53 q54 q55 q56 q57 q58 q59 q60 q61 q62 q63 q64 q65 q66 q70
-# q71 q72 q73 q75 q76 q77 — 30 queries), (c) fill to 50 with the oldest
-# r03 greens (q27 q28 q37-q40 q42 q43 q67-q69 q74, then q78+).
+# this round — their green rows will then be three rounds old: q31 q35
+# q36 q41 q44-q66 q70-q73 q75-q77 (34 queries), (c) fill to 50 with the
+# oldest r03 greens (q27 q28 q37-q40 q42 q43 q67-q69 q74, then q78+).
 _WINDOW_PRIORITY = [
-    # (a) new in round 3, never driver-checked (15): basket pairs,
+    # (a) NEW in round 4 (4): PPJoin exact set-similarity join, TWAP,
+    # corpus-KL drift, recursive-CTE hierarchy rollup.  They displace the
+    # last four round-2 fill entries (q31/q35/q36/q41 → round-5 window).
+    "q135_setsim_prefix_join", "q136_twap", "q137_corpus_kl",
+    "q138_recursive_rollup",
+    # (b) new in round 3, never driver-checked (15): basket pairs,
     # weighted median, ER blocking, autocorrelation, event bigrams,
     # skyline, partial-agg merge (IVM), batch model scoring, HLL sketch
     # rollup (rows-only), drawdown, A/B test, equi-depth histogram,
@@ -67,8 +72,6 @@ _WINDOW_PRIORITY = [
     "q16_exact_quantiles", "q17_pivot_wide", "q18_db_aggregates",
     "q20_cadence_coverage", "q22_cosine_topk", "q23_dedup_exact",
     "q24_jaccard_neardup", "q25_minhash_lsh", "q26_simhash_hamming",
-    "q31_block_resample", "q35_asof_backward", "q36_rayleigh_transform",
-    "q41_rollup",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 

@@ -52,11 +52,13 @@ def test_driver_window_covers_unverified_families():
     (round-1-only) inside the first 50 — so each oracle-backed query keeps
     a driver-green row at most two rounds old."""
     names = [q.name for q in CORPUS]
-    assert len(names) == len(set(names)) == 130
+    assert len(names) == len(set(names)) == 134
     window = set(names[:50])
     # round 4: never-driver-checked = q116-q130 (new in r03, outside r03's
-    # window) plus any query added this round.
+    # window) plus the queries added this round (q135-q138).
     new_this_round = {
+        "q135_setsim_prefix_join", "q136_twap", "q137_corpus_kl",
+        "q138_recursive_rollup",
         "q116_copurchase_pairs", "q117_weighted_median",
         "q118_blocked_match", "q119_autocorr_daily", "q120_event_bigrams",
         "q121_pareto_frontier", "q122_partial_agg_merge",

@@ -48,6 +48,8 @@ ALLOW = {
     ("q126_ab_test", "single"): "2-row arm pivot reduction",
     ("q128_triangle_count", "bnlj"): "1-row x 1-row stats join",
     ("q128_triangle_count", "single"): "1-row count reductions",
+    ("q137_corpus_kl", "bnlj"): "corpus-totals (na/nb/V) 1-row broadcast",
+    ("q137_corpus_kl", "single"): "corpus-totals scalar aggregate",
 }
 
 
