@@ -24,30 +24,30 @@ from pyspark.sql import Window
 from .corpus import _q
 from .tables import load_table, register_tables
 
-# portable whitespace tokenizer (same dialect pair as q67/q24)
-_SPARK_TOKS = ("array_remove(array_distinct(split(lower(trim(text)), "
-               "'\\\\s+')), '')")
-_DUCK_TOKS = ("list_distinct(list_filter(string_split_regex(lower(trim("
-              "text)), '\\s+'), x -> x <> ''))")
+from .corpus_docs import _DUCK_SHINGLES, _SPARK_SHINGLES
 
 
 @_q("q135_setsim_prefix_join",
-    "EXACT set-similarity self-join at Jaccard >= 0.6 via PPJoin-style "
-    "prefix filtering: tokens ranked rarest-first by document frequency, "
-    "each doc emits only its first (len - ceil(0.6*len) + 1) tokens, "
-    "candidates come from an equi-join on those prefixes (lossless: any "
-    "qualifying pair must share a prefix token), then one "
-    "array_intersect verifies. The oracle is the exhaustive ground "
-    "truth (token-join intersections over ALL pairs) — proving the "
-    "filter drops nothing. Threshold kept integral: 5*inter >= 3*union.",
+    "EXACT set-similarity self-join at Jaccard >= 0.6 over word 3-gram "
+    "SHINGLE sets via PPJoin-style prefix filtering: shingles ranked "
+    "rarest-first by global document frequency, each doc emits only its "
+    "first (l - ceil(0.6 l) + 1) shingles, candidates come from an "
+    "equi-join on those prefixes (lossless: any qualifying pair must "
+    "share a prefix element) narrowed by the Jaccard length filter "
+    "(5*min(l) >= 3*max(l)), then one array_intersect verifies.  The "
+    "oracle is the exhaustive ground truth (shingle-join intersections "
+    "over ALL pairs) — proving the filter drops nothing.  This is the "
+    "exact-answer complement of q25 MinHash-LSH (which can miss pairs); "
+    "thresholds stay integral (5*inter >= 3*union) so no float enters "
+    "any predicate.",
     f"""
-    WITH d AS (
-      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+    WITH {_DUCK_SHINGLES},
     sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS l
-              FROM d GROUP BY doc_id),
+              FROM sh GROUP BY doc_id),
     pairs AS (
-      SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS inter
-      FROM d a JOIN d b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT da, db, inter, s1.l + s2.l - inter AS uni
     FROM pairs
@@ -56,17 +56,16 @@ _DUCK_TOKS = ("list_distinct(list_filter(string_split_regex(lower(trim("
     WHERE 5 * inter >= 3 * (s1.l + s2.l - inter)
     """)
 def q135(spark, sf_dir):
-    d = (load_table(spark, sf_dir, "documents")
-         .select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
-         .where(F.size("toks") > 0))
-    tok = d.select("doc_id", F.explode("toks").alias("tok"))
-    # global document frequency ranks tokens rarest-first — the standard
-    # PPJoin ordering that minimizes prefix-bucket sizes (a stopword in a
-    # prefix would put half the corpus in one candidate bucket)
-    dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
-    ranked = (tok.join(dfreq, "tok")
+    register_tables(spark, sf_dir, ["documents"])
+    sh = spark.sql(f"WITH {_SPARK_SHINGLES} SELECT doc_id, shingle FROM sh")
+    # global shingle frequency ranks prefix elements rarest-first -- the
+    # standard PPJoin ordering that minimizes candidate-bucket sizes (a
+    # corpus-wide common shingle in a prefix would put half the corpus
+    # into one bucket)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (sh.join(dfreq, "shingle")
               .withColumn("rn", F.row_number().over(
-                  Window.partitionBy("doc_id").orderBy("df", "tok")))
+                  Window.partitionBy("doc_id").orderBy("df", "shingle")))
               .withColumn("l", F.count("*").over(
                   Window.partitionBy("doc_id"))))
     # prefix length = l - ceil(0.6 l) + 1, in INTEGER arithmetic:
@@ -74,22 +73,27 @@ def q135(spark, sf_dir):
     prefix = ranked.where(
         F.col("rn") <= F.col("l") - F.expr("(3 * l + 4) div 5") + 1)
     a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+    # Jaccard length filter inside the candidate join: J >= 0.6 forces
+    # 0.6*max(|A|,|B|) <= min(|A|,|B|) -- integral as 5*min >= 3*max
+    cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (5 * F.least("a.l", "b.l")
+                      >= 3 * F.greatest("a.l", "b.l")))
             .select(F.col("a.doc_id").alias("da"),
                     F.col("b.doc_id").alias("db"))
             .distinct())
-    sizes = d.select(F.col("doc_id"), F.col("toks"),
-                     F.size("toks").cast("bigint").alias("l"))
+    sets = (sh.groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("ss"))
+            .select("doc_id", "ss", F.size("ss").cast("bigint").alias("l")))
     out = (cand
-           .join(sizes.select(F.col("doc_id").alias("da"),
-                              F.col("toks").alias("ta"),
-                              F.col("l").alias("la")), "da")
-           .join(sizes.select(F.col("doc_id").alias("db"),
-                              F.col("toks").alias("tb"),
-                              F.col("l").alias("lb")), "db")
+           .join(sets.select(F.col("doc_id").alias("da"),
+                             F.col("ss").alias("sa"),
+                             F.col("l").alias("la")), "da")
+           .join(sets.select(F.col("doc_id").alias("db"),
+                             F.col("ss").alias("sb"),
+                             F.col("l").alias("lb")), "db")
            .withColumn("inter",
-                       F.size(F.array_intersect("ta", "tb")).cast("bigint"))
+                       F.size(F.array_intersect("sa", "sb")).cast("bigint"))
            .withColumn("uni", F.col("la") + F.col("lb") - F.col("inter"))
            .where(5 * F.col("inter") >= 3 * F.col("uni"))
            .select("da", "db", "inter", "uni"))

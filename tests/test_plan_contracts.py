@@ -825,3 +825,56 @@ def test_q130_attribution_range_window(spark, sf):
     assert "Window" in p and "Join" not in p
     assert "Exchange SinglePartition" not in p
     assert p.count("Exchange hashpartitioning") == 2, p
+
+
+def test_q135_setsim_prefix_equi_joins(spark, sf):
+    """PPJoin: candidate generation must be an EQUI-join on prefix
+    tokens (never an all-pairs product), and verification must read
+    token ARRAYS (array_intersect), not re-explode per pair."""
+    df = _q("q135_setsim_prefix_join").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "CartesianProduct" not in p and \
+        "BroadcastNestedLoopJoin" not in p
+    assert "array_intersect" in p
+    # prefix filter present: the rank-vs-length bound compiled in
+    assert "div 5" in p or "DIV 5" in p, p
+
+
+def test_q136_twap_single_window_exchange(spark, sf):
+    """TWAP: the lead() window and the per-type aggregate share the
+    event_type partitioning — one full-data exchange, no
+    single-partition stage."""
+    df = _q("q136_twap").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "Exchange SinglePartition" not in p.split("Sort ")[0]
+    ex = [ln for ln in p.splitlines()
+          if "Exchange hashpartitioning(event_type" in ln
+          and "ReusedExchange" not in ln]
+    assert len(ex) == 1, ex
+
+
+def test_q137_kl_partial_aggregation(spark, sf):
+    """Corpus KL: token counts must partially aggregate map-side before
+    the token exchange; the corpus totals ride a 1-row broadcast (the
+    allowlisted BNLJ), never a re-scan per term."""
+    df = _q("q137_corpus_kl").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    first_ex = p.index("Exchange hashpartitioning")
+    assert "HashAggregate" in p[first_ex:]
+    # the whole corpus is scanned exactly once (totals derive from the
+    # same token-count aggregate, not a second pass over documents)
+    assert p.count("Scan parquet") <= 2, p
+
+
+def test_q138_recursive_cte_executes_iteratively(spark, sf):
+    """Recursive rollup: the plan must contain the recursive union loop
+    (declarative iteration), anchored equi-joins against the part dim,
+    and no cartesian growth."""
+    df = _q("q138_recursive_rollup").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "UnionLoop" in p or "CTERelation" in p or "Recursion" in p, p
+    assert "CartesianProduct" not in p

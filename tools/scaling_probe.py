@@ -31,7 +31,8 @@ from nasctn_sea_ingest_spark.plans import CORPUS  # noqa: E402
 QUERIES = ["q23_dedup_exact", "q25_minhash_lsh", "q26_simhash_hamming",
            "q88_chunk_dedup", "q84_bm25_retrieval", "q101_unigram_logprob",
            "q105_chunk_overlap", "q106_balanced_sample",
-           "q109_feature_hashing", "q113_bigram_condprob"]
+           "q109_feature_hashing", "q113_bigram_condprob",
+           "q135_setsim_prefix_join", "q137_corpus_kl"]
 
 # Relational round-3 families: replicate the named table with the id
 # column(s) shifted per replica (disjoint keys, duplicated value
@@ -52,6 +53,8 @@ REL_QUERIES = {
     "q128_triangle_count": ("lineitem", ["l_orderkey"]),
     "q129_sequence_pattern": ("events", ["event_id", "user_id"]),
     "q130_first_touch_attribution": ("events", ["event_id", "user_id"]),
+    "q136_twap": ("events", ["event_id", "user_id"]),
+    "q138_recursive_rollup": ("part", ["p_partkey"]),
 }
 
 
