@@ -146,8 +146,16 @@ def q118(spark, sf_dir):
     a, b = cust.alias("a"), cust.alias("b")
     pairs = a.join(b, (F.col("a.blk") == F.col("b.blk"))
                    & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+    # edit distance 1 forces |len diff| <= 1 (free short-circuit before
+    # the DP), and the thresholded levenshtein(a, b, 1) runs a banded
+    # early-exit DP — O(len) per pair instead of O(len^2); it returns -1
+    # past the bound, so `= 1` is unchanged semantically (oracle
+    # untouched)
     return (pairs
-            .where(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) == 1)
+            .where((F.abs(F.length(F.col("a.c_name"))
+                          - F.length(F.col("b.c_name"))) <= 1)
+                   & (F.levenshtein(F.col("a.c_name"), F.col("b.c_name"),
+                                    1) == 1))
             .groupBy(F.col("a.blk").alias("block"))
             .agg(F.count("*").alias("n_pairs"),
                  F.sum(F.col("a.c_custkey")
