@@ -28,7 +28,8 @@ from ..sources.sigmf import decode_sigmf_trace_records
 __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "session_rollup", "gap_monitor", "dedup_stream",
            "calibration_join", "document_stream", "neardup_stream",
-           "sliding_rollup", "upsert_stream", "sketch_rollup_stream"]
+           "sliding_rollup", "upsert_stream", "sketch_rollup_stream",
+           "heavy_hitters_stream"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -510,3 +511,105 @@ def sketch_rollup_stream(updates: DataFrame, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def heavy_hitters_stream(events: DataFrame, key_col: str, item_col: str,
+                         capacity: int = 64, k: int = 10,
+                         api: str = "auto") -> DataFrame:
+    """Streaming heavy hitters (trending items) per key group: each
+    group keeps a Misra–Gries summary of ``capacity`` counters in typed
+    state and emits its current top-``k`` estimate every micro-batch.
+
+    State per key is O(capacity) REGARDLESS of stream length or item
+    cardinality — the property that makes "top items ever, right now"
+    answerable over an unbounded 100 TB stream where exact per-item
+    counts would grow without bound.  Guarantees (classic Misra–Gries):
+    ``est <= true <= est + N/(capacity+1)`` and every item with true
+    frequency > N/(capacity+1) is retained; with ``capacity`` >= the
+    group's distinct-item count the summary is exact.
+
+    ``api``: ``"tws"`` uses Spark 4.x ``transformWithStateInPandas``
+    (typed ValueState; requires the ``protobuf`` wire layer),
+    ``"applyInPandasWithState"`` the 3.x-compatible GroupState API,
+    ``"auto"`` picks tws when protobuf is importable (this container
+    ships without it, so auto falls back — same summary, same outputs).
+
+    Emitted columns: ``(key, item, est bigint, n_processed bigint,
+    rank int)`` — append mode, processing-time (no event-time
+    semantics needed for a monotone summary).
+    """
+    cap, topk, item = int(capacity), int(k), item_col
+    out_schema = (f"{key_col} string, item string, est bigint, "
+                  "n_processed bigint, rank int")
+    state_schema = "items array<string>, counts array<bigint>, n bigint"
+
+    def _merge(cur: dict, n: int, pdfs) -> "tuple[list, int]":
+        for pdf in pdfs:
+            for it, c in pdf[item].astype(str).value_counts().items():
+                cur[it] = cur.get(it, 0) + int(c)
+                n += int(c)
+        if len(cur) > cap:
+            # Misra–Gries merge: subtract the (len-cap)-th smallest
+            # count from every counter, drop the non-positive — the
+            # standard summary merge preserving the N/(cap+1) bound
+            cut = sorted(cur.values())[len(cur) - cap - 1]
+            cur = {it: c - cut for it, c in cur.items() if c > cut}
+        return sorted(cur.items(), key=lambda kv: (-kv[1], kv[0])), n
+
+    if api == "auto":
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+            api = "tws"
+        except ImportError:
+            api = "applyInPandasWithState"
+
+    if api == "tws":
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor, StatefulProcessorHandle)
+
+        class _MG(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._st = handle.getValueState("mg", state_schema)
+
+            def handleInputRows(self, key, rows, timer_values):
+                cur, n = {}, 0
+                if self._st.exists():
+                    items, counts, n = self._st.get()
+                    cur = dict(zip(items, counts))
+                ordered, n = _merge(cur, n, rows)
+                self._st.update(([it for it, _ in ordered],
+                                 [int(c) for _, c in ordered], int(n)))
+                yield pd.DataFrame(
+                    [(key[0], it, int(c), int(n), r + 1)
+                     for r, (it, c) in enumerate(ordered[:topk])],
+                    columns=[key_col, "item", "est", "n_processed",
+                             "rank"])
+
+            def close(self) -> None:
+                pass
+
+        return (events.groupBy(key_col)
+                .transformWithStateInPandas(statefulProcessor=_MG(),
+                                            outputStructType=out_schema,
+                                            outputMode="Append",
+                                            timeMode="None"))
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        cur, n = {}, 0
+        if state.exists:
+            items, counts, n = state.get
+            cur = dict(zip(items, counts))
+        ordered, n = _merge(cur, n, pdfs)
+        state.update(([it for it, _ in ordered],
+                      [int(c) for _, c in ordered], int(n)))
+        yield pd.DataFrame(
+            [(key[0], it, int(c), int(n), r + 1)
+             for r, (it, c) in enumerate(ordered[:topk])],
+            columns=[key_col, "item", "est", "n_processed", "rank"])
+
+    return (events.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.NoTimeout))

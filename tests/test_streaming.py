@@ -653,3 +653,81 @@ def test_sketch_rollup_stream_incremental_distinct(spark, tmp_path):
                         .alias("est")).collect()}
     assert abs(est2["A"] - 300) <= 15
     assert abs(est2["B"] - 50) <= 4
+
+
+def test_heavy_hitters_stream_exact_and_bounded(spark, tmp_path):
+    """transformWithStateInPandas Misra-Gries summary: with capacity >=
+    distinct items the estimates are EXACT vs batch groupBy counts and
+    survive micro-batch boundaries (state carried); with a tight
+    capacity the classic bound holds (est <= true, every item with
+    true freq > N/(cap+1) retained)."""
+    from collections import Counter
+
+    from nasctn_sea_ingest_spark.streaming import heavy_hitters_stream
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "hh")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "etype string, item string"
+    # zipf-ish: item_i appears (20 - i) times
+    wave1 = [("A", f"it{i:02d}") for i in range(12) for _ in range(20 - i)]
+    wave2 = [("A", f"it{i:02d}") for i in range(6) for _ in range(10)] + \
+            [("B", "solo")] * 7
+    spark.createDataFrame(wave1, schema).coalesce(1) \
+        .write.mode("append").parquet(land)
+
+    def run(capacity, k, out_dir, ck):
+        stream = spark.readStream.schema(
+            spark.read.parquet(land).schema).parquet(land)
+        q = (heavy_hitters_stream(stream, "etype", "item",
+                                  capacity=capacity, k=k)
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    run(64, 5, out, ckpt)
+    spark.createDataFrame(wave2, schema).coalesce(1) \
+        .write.mode("append").parquet(land)
+    run(64, 5, out, ckpt)  # second trigger: state must carry over
+
+    true = Counter((e, i) for e, i in wave1 + wave2)
+    snap = spark.read.parquet(out)
+    # latest batch per key = rows with the max n_processed for that key
+    latest = {r.etype: [] for r in snap.collect()}
+    by_key_n = {}
+    for r in snap.collect():
+        by_key_n.setdefault(r.etype, 0)
+        by_key_n[r.etype] = max(by_key_n[r.etype], r.n_processed)
+    for r in snap.collect():
+        if r.n_processed == by_key_n[r.etype]:
+            latest[r.etype].append(r)
+    a = sorted(latest["A"], key=lambda r: r.rank)
+    # exact mode: top-5 of A = it00..it04 with cumulative true counts
+    want = Counter()
+    for e, i in wave1 + wave2:
+        if e == "A":
+            want[i] += 1
+    top5 = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r.item, r.est) for r in a] == top5
+    assert [r for r in latest["B"]][0].item == "solo"
+    assert latest["B"][0].est == 7
+
+    # tight capacity: MG bound, never overestimates, big items retained
+    out2, ck2 = str(tmp_path / "hh2"), str(tmp_path / "ck2")
+    run(4, 4, out2, ck2)
+    snap2 = spark.read.parquet(out2)
+    rows = [r for r in snap2.collect() if r.etype == "A"
+            if r.n_processed == max(x.n_processed for x in snap2.collect()
+                                    if x.etype == "A")]
+    n_a = rows[0].n_processed
+    bound = n_a / (4 + 1)
+    kept = {r.item: r.est for r in rows}
+    for it, est in kept.items():
+        assert est <= want[it], (it, est, want[it])
+    for it, cnt in want.items():
+        if cnt > bound:
+            assert it in kept, (it, cnt, bound)
