@@ -182,8 +182,8 @@ def q137(spark, sf_dir):
     register_tables(spark, sf_dir, ["documents"])
     return spark.sql("""
     WITH d AS (
-      SELECT CASE WHEN conv(substr(md5(cast(doc_id AS STRING)), 1, 15),
-                            16, 10) % 2 = 0
+      SELECT CASE WHEN CAST(conv(substr(md5(cast(doc_id AS STRING)), 1, 15),
+                             16, 10) AS BIGINT) % 2 = 0
                   THEN 0 ELSE 1 END AS half,
              explode(split(lower(trim(text)), '\\\\s+')) AS tok
       FROM documents),

@@ -115,7 +115,10 @@ def file_stats(spark: SparkSession, path: str,
     scheme works (``s3a://``, ``hdfs://``, local) — not just
     locally-mounted paths — and the explicit one-column schema keeps an
     empty match list a valid (empty) result instead of a
-    schema-inference error.
+    schema-inference error.  Footer reads on the executors use
+    ``pyarrow.fs``, which does not know Hadoop's ``s3a``/``s3n`` scheme
+    names — those are rewritten to ``s3://`` before ``from_uri`` — and
+    ``hdfs://`` footers additionally require libhdfs on the executors.
     """
     import pandas as _pd
 
@@ -141,6 +144,10 @@ def file_stats(spark: SparkSession, path: str,
             return pq.ParquetFile(local).metadata
         if "://" in f:  # remote scheme: resolve through pyarrow.fs
             from pyarrow import fs as pafs
+            # pyarrow rejects Hadoop's s3a/s3n scheme names; same store.
+            for hadoop_scheme in ("s3a://", "s3n://"):
+                if f.startswith(hadoop_scheme):
+                    f = "s3://" + f[len(hadoop_scheme):]
             fsys, rel = pafs.FileSystem.from_uri(f)
             return pq.ParquetFile(rel, filesystem=fsys).metadata
         return pq.ParquetFile(f).metadata
