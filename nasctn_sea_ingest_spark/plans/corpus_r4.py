@@ -58,6 +58,13 @@ from .corpus_docs import _DUCK_SHINGLES, _SPARK_SHINGLES
 def q135(spark, sf_dir):
     register_tables(spark, sf_dir, ["documents"])
     sh = spark.sql(f"WITH {_SPARK_SHINGLES} SELECT doc_id, shingle FROM sh")
+    # The shingle relation feeds THREE branches — global document
+    # frequency, the ranked prefix windows, and the verification sets —
+    # whose differing projections defeat physical exchange reuse (round 4
+    # shipped with the explode re-executing per branch).  A LAZY
+    # localCheckpoint (the q128 multi-branch persist) materializes the
+    # explode exactly once at first action; O(shingles) like any shuffle.
+    sh = sh.localCheckpoint(eager=False)
     # global shingle frequency ranks prefix elements rarest-first -- the
     # standard PPJoin ordering that minimizes candidate-bucket sizes (a
     # corpus-wide common shingle in a prefix would put half the corpus
@@ -82,9 +89,12 @@ def q135(spark, sf_dir):
             .select(F.col("a.doc_id").alias("da"),
                     F.col("b.doc_id").alias("db"))
             .distinct())
-    sets = (sh.groupBy("doc_id")
-            .agg(F.collect_set("shingle").alias("ss"))
-            .select("doc_id", "ss", F.size("ss").cast("bigint").alias("l")))
+    # verification sets come from the ranked relation (one row per
+    # distinct (doc, shingle), already hash-partitioned on doc_id by the
+    # window exchange) — not a fresh pass over sh
+    sets = (ranked.groupBy("doc_id")
+            .agg(F.collect_list("shingle").alias("ss"),
+                 F.max("l").cast("bigint").alias("l")))
     out = (cand
            .join(sets.select(F.col("doc_id").alias("da"),
                              F.col("ss").alias("sa"),

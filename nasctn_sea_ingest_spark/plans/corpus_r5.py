@@ -1,0 +1,384 @@
+"""Round-5 corpus extensions: decay-weighted smoothing (EWMA), an
+order-independent table fingerprint, per-dimension embedding profiling,
+token<->label mutual information, and gap interpolation over a sparse
+series.
+
+Like the round-4 set, these fill genuine workload gaps rather than
+re-covering SURVEY.md §2: q139/q143 are the irregular-time-series
+smoothing and repair shapes (monitoring, sensor pipelines), q140 is the
+cross-engine data-integrity check every 100 TB migration runs (copy
+verified by checksum, not by re-reading both sides through one engine),
+q141/q142 are embedding-column and feature-selection audits from the
+LLM-pipeline toolbox.
+
+Float parity per corpus.py rules: money sums in DECIMAL, transcendental
+per-term values rounded then summed as DECIMAL (associative —
+order-proof), per-row scalar expressions on integer inputs are
+deterministic as-is, no raw timestamps (day indexes are epoch-micros
+div 86400000000).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from .corpus import _q
+from .tables import load_table, register_tables
+
+_DAY_US = 86_400_000_000
+
+
+@_q("q139_ewma_daily",
+    "exponentially-weighted moving average over the per-day revenue "
+    "series of each event_type (half-life = 1 day, 8-day support): "
+    "EWMA(d) = sum_k 0.5^k * v(d-k) / sum_k 0.5^k over the days that "
+    "exist — decay smoothing for irregular series, expressed as an "
+    "offset-explode EQUI-join (day-k key match), never a range/theta "
+    "join.  Weighted terms are EXACT decimals (v carries 2 digits, "
+    "0.5^k at most 9), summed losslessly — order-proof with no "
+    "rounding anywhere; only the final quotient is floor-quantized to "
+    "6 decimals (pure IEEE ops, engine-identical)",
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS v
+      FROM events GROUP BY 1, 2),
+    contrib AS (
+      SELECT d.event_type, d.day,
+             CAST(d2.v * CAST(pow(0.5, t.k) AS DECIMAL(11,9))
+                  AS DECIMAL(30,11)) AS term,
+             CAST(pow(0.5, t.k) AS DECIMAL(11,9)) AS w
+      FROM daily d
+      CROSS JOIN generate_series(0, 7) AS t(k)
+      JOIN daily d2 ON d2.event_type = d.event_type
+                   AND d2.day = d.day - t.k)
+    SELECT event_type, CAST(day AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           floor(CAST(sum(term) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+                 * 1000000) / 1000000.0 AS ewma
+    FROM contrib GROUP BY event_type, day
+    ORDER BY event_type, day
+    """)
+def q139(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.expr(f"ts_us div {_DAY_US}").alias("day"))
+             .agg(F.sum(F.col("value").cast("decimal(12,2)"))
+                  .cast("decimal(18,2)").alias("v")))
+    # the daily relation anchors the output AND supplies the decayed
+    # contributors — two branches over one aggregate; materialize once
+    # (lazy localCheckpoint, the q128/q135 multi-branch persist)
+    daily = daily.localCheckpoint(eager=False)
+    anchors = daily.select(
+        "event_type", "day",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k"))
+    # contributor side renamed BEFORE the join: anchors and d2 share the
+    # checkpointed lineage, so same-name refs would be an ambiguous
+    # self-join
+    d2 = daily.select(F.col("event_type").alias("c_type"),
+                      F.col("day").alias("c_day"),
+                      F.col("v").alias("c_v"))
+    # terms are EXACT decimals, no rounding anywhere: v carries 2
+    # decimal digits and 0.5^k (k<=7) carries 9, so v*w is exact in
+    # DECIMAL(30,11) — per-term round() was the first attempt and both
+    # engines disagreed on its half boundaries
+    wdec = F.pow(F.lit(0.5), F.col("k")).cast("decimal(11,9)")
+    contrib = (anchors.join(
+        d2, (F.col("event_type") == F.col("c_type"))
+        & (F.col("c_day") == F.col("day") - F.col("k")))
+        .select("event_type", "day",
+                (F.col("c_v") * wdec).cast("decimal(30,11)").alias("term"),
+                wdec.alias("w")))
+    # floor-quantize rather than round(x, 6): the quotient double is
+    # bit-identical on both engines, but round() is BigDecimal-exact in
+    # Spark vs FP-trick in DuckDB and the two disagree on half
+    # boundaries (hit at sf0.001, day 19752).  floor(x*1e6)/1e6 is pure
+    # IEEE arithmetic — identical everywhere.
+    q6 = (F.floor(F.sum("term").cast("double")
+                  / F.sum("w").cast("double") * 1000000)
+          / F.lit(1000000.0))
+    return (contrib.groupBy("event_type", "day")
+            .agg(F.count("*").cast("bigint").alias("n_obs"),
+                 q6.alias("ewma"))
+            .select("event_type", F.col("day").cast("bigint").alias("day"),
+                    "n_obs", "ewma")
+            .orderBy("event_type", "day"))
+
+
+@_q("q140_table_fingerprint",
+    "order-independent table fingerprint per l_returnflag partition: "
+    "each row canonicalizes its key columns to one string, hashes to a "
+    "60-bit integer (md5 prefix — identical bytes on any engine, unlike "
+    "engine-native hash()), and the partition digest is bit_xor(h) + "
+    "row count + a modular checksum.  XOR is commutative/associative, "
+    "so the digest is independent of row order, partitioning, and "
+    "parallelism — the cross-engine integrity check a 100 TB copy is "
+    "verified with (source and destination compute digests "
+    "independently; only 3 rows cross the wire)",
+    """
+    WITH h AS (
+      SELECT l_returnflag,
+             CAST(('0x' || substr(md5(concat_ws('|',
+                    CAST(l_orderkey AS VARCHAR),
+                    CAST(l_partkey AS VARCHAR),
+                    CAST(l_suppkey AS VARCHAR),
+                    CAST(l_linenumber AS VARCHAR),
+                    l_returnflag, l_linestatus)), 1, 15)) AS BIGINT) AS hv
+      FROM lineitem)
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(hv) AS BIGINT) AS fingerprint,
+           CAST(sum(hv % 1000003) AS BIGINT) AS mod_checksum
+    FROM h GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
+def q140(spark, sf_dir):
+    register_tables(spark, sf_dir, ["lineitem"])
+    return spark.sql("""
+    WITH h AS (
+      SELECT l_returnflag,
+             CAST(conv(substr(md5(concat_ws('|',
+                    CAST(l_orderkey AS STRING),
+                    CAST(l_partkey AS STRING),
+                    CAST(l_suppkey AS STRING),
+                    CAST(l_linenumber AS STRING),
+                    l_returnflag, l_linestatus)), 1, 15), 16, 10)
+                  AS BIGINT) AS hv
+      FROM lineitem)
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(hv) AS BIGINT) AS fingerprint,
+           CAST(sum(hv % 1000003) AS BIGINT) AS mod_checksum
+    FROM h GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
+
+
+@_q("q141_embedding_dim_profile",
+    "per-dimension profile of the embedding column (the feature-audit "
+    "pass before training: dead dimensions, scale outliers, drift "
+    "candidates): posexplode each vector, then per dimension n / mean / "
+    "population std / min / max.  Components are rounded to fixed "
+    "decimals and summed as DECIMAL (order-proof); float32 inputs are "
+    "exact in DECIMAL(20,8) so sum(x) carries no FP reorder noise at "
+    "all.  Map-side explode + one 64-key aggregate — no shuffle wider "
+    "than the dimension count at any data scale",
+    """
+    WITH x AS (
+      SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    s AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(x, 8) AS DECIMAL(20,8)))
+                  AS DOUBLE) AS sx,
+             CAST(sum(CAST(round(x * x, 12) AS DECIMAL(30,12)))
+                  AS DOUBLE) AS sxx,
+             round(min(x), 6) AS min_x, round(max(x), 6) AS max_x
+      FROM x GROUP BY dim)
+    SELECT CAST(dim AS INT) AS dim, n,
+           round(sx / n, 6) AS mean_x,
+           round(sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)), 6)
+             AS std_x,
+           min_x, max_x
+    FROM s ORDER BY dim
+    """)
+def q141(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode("embedding").alias("pos", "xf")) \
+         .select((F.col("pos") + 1).alias("dim"),
+                 F.col("xf").cast("double").alias("x"))
+    s = (x.groupBy("dim")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum(F.round("x", 8).cast("decimal(20,8)"))
+              .cast("double").alias("sx"),
+              F.sum(F.round(F.col("x") * F.col("x"), 12)
+                    .cast("decimal(30,12)")).cast("double").alias("sxx"),
+              F.round(F.min("x"), 6).alias("min_x"),
+              F.round(F.max("x"), 6).alias("max_x")))
+    mean = F.col("sx") / F.col("n")
+    var = F.greatest(F.col("sxx") / F.col("n") - mean * mean, F.lit(0.0))
+    return (s.select(F.col("dim").cast("int").alias("dim"), "n",
+                     F.round(mean, 6).alias("mean_x"),
+                     F.round(F.sqrt(var), 6).alias("std_x"),
+                     "min_x", "max_x")
+            .orderBy("dim"))
+
+
+@_q("q142_token_label_mi",
+    "feature selection by mutual information between token PRESENCE "
+    "(distinct per doc) and the binary label lang='en': per token the "
+    "2x2 contingency table comes from one distinct-pair aggregate plus "
+    "broadcast 1-row corpus totals, MI = sum nij/N * ln(N*nij/(ni*nj)) "
+    "with empty cells contributing zero.  Every MI value is a scalar "
+    "expression over INTEGER counts — bit-identical on both engines, no "
+    "DECIMAL machinery needed.  Top 20 tokens by MI (token tiebreak), "
+    "min document frequency 5",
+    """
+    WITH dt AS (
+      SELECT DISTINCT doc_id, CAST(lang = 'en' AS INT) AS is_en, tok
+      FROM (SELECT doc_id, lang,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                     AS tok
+            FROM documents)
+      WHERE tok <> '' AND length(tok) >= 3),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CAST(lang = 'en' AS INT)) AS BIGINT) AS n_en
+            FROM documents),
+    c AS (SELECT tok, CAST(sum(is_en) AS BIGINT) AS n11,
+                 CAST(sum(1 - is_en) AS BIGINT) AS n10
+          FROM dt GROUP BY tok HAVING count(*) >= 5),
+    m AS (
+      SELECT tok, n11, n10, n_docs, n_en,
+             n_en - n11 AS n01, n_docs - n_en - n10 AS n00,
+             n11 + n10 AS dfreq
+      FROM c CROSS JOIN tot),
+    mi AS (
+      SELECT tok, dfreq, n11, n10,
+        round(
+          (CASE WHEN n11 > 0 THEN (CAST(n11 AS DOUBLE)/n_docs)
+              * ln(CAST(n_docs AS DOUBLE)*n11/(CAST(dfreq AS DOUBLE)*n_en))
+            ELSE 0 END)
+        + (CASE WHEN n10 > 0 THEN (CAST(n10 AS DOUBLE)/n_docs)
+              * ln(CAST(n_docs AS DOUBLE)*n10
+                   /(CAST(dfreq AS DOUBLE)*(n_docs - n_en)))
+            ELSE 0 END)
+        + (CASE WHEN n01 > 0 THEN (CAST(n01 AS DOUBLE)/n_docs)
+              * ln(CAST(n_docs AS DOUBLE)*n01
+                   /(CAST(n_docs - dfreq AS DOUBLE)*n_en))
+            ELSE 0 END)
+        + (CASE WHEN n00 > 0 THEN (CAST(n00 AS DOUBLE)/n_docs)
+              * ln(CAST(n_docs AS DOUBLE)*n00
+                   /(CAST(n_docs - dfreq AS DOUBLE)*(n_docs - n_en)))
+            ELSE 0 END), 10) AS mi
+      FROM m)
+    SELECT tok, dfreq, n11, n10, mi
+    FROM mi ORDER BY mi DESC, tok LIMIT 20
+    """)
+def q142(spark, sf_dir):
+    register_tables(spark, sf_dir, ["documents"])
+    return spark.sql("""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, CAST(lang = 'en' AS INT) AS is_en, tok
+      FROM (SELECT doc_id, lang,
+                   explode(split(lower(trim(text)), '\\\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> '' AND length(tok) >= 3),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CAST(lang = 'en' AS INT)) AS BIGINT) AS n_en
+            FROM documents),
+    c AS (SELECT tok, CAST(sum(is_en) AS BIGINT) AS n11,
+                 CAST(sum(1 - is_en) AS BIGINT) AS n10
+          FROM dt GROUP BY tok HAVING count(*) >= 5),
+    m AS (
+      SELECT tok, n11, n10, n_docs, n_en,
+             n_en - n11 AS n01, n_docs - n_en - n10 AS n00,
+             n11 + n10 AS dfreq
+      FROM c CROSS JOIN tot),
+    mi AS (
+      SELECT tok, dfreq, n11, n10,
+        round(
+          (CASE WHEN n11 > 0 THEN (CAST(n11 AS DOUBLE)/n_docs)
+              * ln(CAST(n_docs AS DOUBLE)*n11/(CAST(dfreq AS DOUBLE)*n_en))
+            ELSE 0 END)
+        + (CASE WHEN n10 > 0 THEN (CAST(n10 AS DOUBLE)/n_docs)
+              * ln(CAST(n_docs AS DOUBLE)*n10
+                   /(CAST(dfreq AS DOUBLE)*(n_docs - n_en)))
+            ELSE 0 END)
+        + (CASE WHEN n01 > 0 THEN (CAST(n01 AS DOUBLE)/n_docs)
+              * ln(CAST(n_docs AS DOUBLE)*n01
+                   /(CAST(n_docs - dfreq AS DOUBLE)*n_en))
+            ELSE 0 END)
+        + (CASE WHEN n00 > 0 THEN (CAST(n00 AS DOUBLE)/n_docs)
+              * ln(CAST(n_docs AS DOUBLE)*n00
+                   /(CAST(n_docs - dfreq AS DOUBLE)*(n_docs - n_en)))
+            ELSE 0 END), 10) AS mi
+      FROM m)
+    SELECT tok, dfreq, n11, n10, mi
+    FROM mi ORDER BY mi DESC, tok LIMIT 20
+    """)
+
+
+@_q("q143_gap_interpolation",
+    "linear interpolation over a gapped daily series (sensor/metric "
+    "repair before feature extraction): per event_type, the day grid "
+    "spans min..max day (explode of a sequence — no driver loop), a "
+    "deterministic mask (day mod 3 = 0) plus genuinely absent days form "
+    "the gaps, and each gap fills from its bracketing observations via "
+    "two IGNORE-NULLS window walks (last obs before, first obs after) "
+    "— one window shuffle on the series key, O(1) state per row, no "
+    "self-join.  Leading/trailing gaps (no bracket) are dropped",
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS v
+      FROM events GROUP BY 1, 2),
+    grid AS (
+      SELECT event_type, unnest(range(d0, d1 + 1)) AS day
+      FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+            FROM daily GROUP BY event_type)),
+    masked AS (
+      SELECT g.event_type, g.day,
+             CASE WHEN g.day % 3 = 0 THEN NULL ELSE dd.v END AS v
+      FROM grid g LEFT JOIN daily dd
+        ON dd.event_type = g.event_type AND dd.day = g.day),
+    walked AS (
+      SELECT event_type, day, v,
+             last_value(v IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER w_prev AS pd,
+             first_value(v IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER w_next AS nd
+      FROM masked
+      WINDOW w_prev AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_next AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, CAST(day AS BIGINT) AS day,
+           CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'interp' END AS src,
+           round(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                      ELSE CAST(pv AS DOUBLE)
+                           + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                             * (day - pd) / (nd - pd) END, 6) AS filled
+    FROM walked
+    WHERE v IS NOT NULL OR (pd IS NOT NULL AND nd IS NOT NULL)
+    ORDER BY event_type, day
+    """)
+def q143(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.expr(f"ts_us div {_DAY_US}").alias("day"))
+             .agg(F.sum(F.col("value").cast("decimal(12,2)"))
+                  .cast("decimal(18,2)").alias("v")))
+    daily = daily.localCheckpoint(eager=False)
+    grid = (daily.groupBy("event_type")
+            .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+            .select("event_type",
+                    F.explode(F.sequence("d0", "d1")).alias("day")))
+    masked = (grid.join(daily, ["event_type", "day"], "left")
+              .select("event_type", "day",
+                      F.when(F.col("day") % 3 == 0, F.lit(None))
+                      .otherwise(F.col("v")).alias("v")))
+    wp = (Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = (Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    walked = masked.select(
+        "event_type", "day", "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("pd"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("nd"))
+    interp = (F.col("pv").cast("double")
+              + (F.col("nv").cast("double") - F.col("pv").cast("double"))
+              * (F.col("day") - F.col("pd"))
+              / (F.col("nd") - F.col("pd")))
+    return (walked
+            .where(F.col("v").isNotNull()
+                   | (F.col("pd").isNotNull() & F.col("nd").isNotNull()))
+            .select("event_type", F.col("day").cast("bigint").alias("day"),
+                    F.when(F.col("v").isNotNull(), F.lit("obs"))
+                    .otherwise(F.lit("interp")).alias("src"),
+                    F.round(F.when(F.col("v").isNotNull(),
+                                   F.col("v").cast("double"))
+                            .otherwise(interp), 6).alias("filled"))
+            .orderBy("event_type", "day"))

@@ -3,8 +3,12 @@
 The driver's schema has no partsupp table, so these queries stay
 unregistered in the shipped corpus — but the shapes must be correct the
 moment the table appears.  This test builds an sf_dir with the real
-sf0.001 tables plus a deterministic synthetic partsupp, registers the
-four queries, oracle-checks each against DuckDB, then restores CORPUS.
+test-harness tables plus a deterministic synthetic partsupp, registers
+the four queries, oracle-checks each against DuckDB, then restores
+CORPUS.  The source scale follows $SPARK_GRAFT_TEST_SF_DIR, so the
+per-round full sf0.01 pytest run exercises the quartet end-to-end at
+driver scale (sf0.01 part x supplier -> ~66k synthetic partsupp rows),
+not just the sf0.001 unit shapes.
 """
 
 import os
@@ -16,7 +20,8 @@ from nasctn_sea_ingest_spark.plans import CORPUS, corpus_partsupp
 
 from .oracle_compare import compare, duck_con
 
-SF_SRC = "/root/testdata/sf0.001"
+SF_SRC = os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                        "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="module")

@@ -878,3 +878,16 @@ def test_q138_recursive_cte_executes_iteratively(spark, sf):
     p = _final(df)
     assert "UnionLoop" in p or "CTERelation" in p or "Recursion" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_q135_single_shingle_materialization(spark, sf):
+    """q135's shingle relation must materialize ONCE: a lazy
+    localCheckpoint shared by the document-frequency, prefix-window, and
+    verification-set branches, so every leaf of the final plan is the
+    checkpointed RDD — no parquet re-scan of documents in any branch
+    (round 4 shipped with the explode re-executing per branch)."""
+    df = _q("q135_setsim_prefix_join").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "Scan ExistingRDD" in p, p
+    assert "Scan parquet" not in p, p

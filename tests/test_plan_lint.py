@@ -50,6 +50,9 @@ ALLOW = {
     ("q128_triangle_count", "single"): "1-row count reductions",
     ("q137_corpus_kl", "bnlj"): "corpus-totals (na/nb/V) 1-row broadcast",
     ("q137_corpus_kl", "single"): "corpus-totals scalar aggregate",
+    ("q142_token_label_mi", "bnlj"): "corpus-totals (N/N_en) 1-row broadcast",
+    ("q142_token_label_mi", "single"): "corpus-totals scalar aggregate + "
+                                       "global top-20 TakeOrdered",
 }
 
 

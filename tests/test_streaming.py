@@ -731,3 +731,64 @@ def test_heavy_hitters_stream_exact_and_bounded(spark, tmp_path):
     for it, cnt in want.items():
         if cnt > bound:
             assert it in kept, (it, cnt, bound)
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs the protobuf wire layer; "
+           "this container ships without it (the GroupState fallback is "
+           "covered by test_heavy_hitters_stream_exact_and_bounded). "
+           "Gated like the partsupp TPC-H quartet: the day the "
+           "environment ships protobuf, this exercises the tws path "
+           "for free.")
+def test_heavy_hitters_tws_path(spark, tmp_path):
+    """Same Misra-Gries summary through the Spark 4.x typed-state API
+    (api='tws'): exact top-k parity vs batch counts across two
+    micro-batches, state carried in a ValueState."""
+    from collections import Counter
+
+    from nasctn_sea_ingest_spark.streaming import heavy_hitters_stream
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "hh_tws")
+    ckpt = str(tmp_path / "ck_tws")
+    os.makedirs(land)
+    schema = "etype string, item string"
+    wave1 = [("A", f"it{i:02d}") for i in range(8) for _ in range(9 - i)]
+    wave2 = [("A", "it00")] * 4 + [("B", "solo")] * 3
+    spark.createDataFrame(wave1, schema).coalesce(1) \
+        .write.mode("append").parquet(land)
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(land).schema).parquet(land)
+        q = (heavy_hitters_stream(stream, "etype", "item",
+                                  capacity=64, k=3, api="tws")
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    run()
+    spark.createDataFrame(wave2, schema).coalesce(1) \
+        .write.mode("append").parquet(land)
+    run()  # state must carry across the restart
+
+    snap = spark.read.parquet(out).collect()
+    n_max = max(r.n_processed for r in snap if r.etype == "A")
+    latest_a = sorted((r for r in snap
+                       if r.etype == "A" and r.n_processed == n_max),
+                      key=lambda r: r.rank)
+    want = Counter(i for e, i in wave1 + wave2 if e == "A")
+    top3 = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(r.item, r.est) for r in latest_a] == top3
