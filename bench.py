@@ -67,30 +67,38 @@ def main() -> None:
     # JIT/codegen/footer-cache warmup).  A stable order keeps BENCH_rN
     # comparable round over round.
     for q in sorted(CORPUS, key=lambda q: int(q.name[1:].split("_")[0])):
-        t0 = time.perf_counter()
+        # untimed first pass: row count for the log line, plan digest
+        # source, and per-query warmup
         df = q.spark(spark, sf_dir)
         n = df.count()
-        dt = time.perf_counter() - t0
-        # best-of-2 for EVERY entry (round 5; rounds 2-4 only re-ran
-        # entries over 1.2 s): host noise lands ±0.1-0.3 s on even the
-        # smallest queries, and the round-4 "+17% regression" turned out
-        # to be single-run noise + cold-position drift, not plans — the
-        # r3/r4 codebases re-benched interleaved best-of-2 are within 2%
-        # on position-matched queries.  min() reports the query's data
-        # cost, not the worst noise roll; ~+2 min of bench wall at sf0.1
-        t0 = time.perf_counter()
-        q.spark(spark, sf_dir).count()
-        dt = min(dt, time.perf_counter() - t0)
-        timings[q.name] = round(dt, 3)
-        total += dt
-        # plan-shape digest, OUTSIDE the timed window: a digest diff vs
-        # the committed snapshot localizes "which plan changed" instantly
-        # when a round's aggregate drifts (round 4's +17% took a manual
-        # bisect precisely because this record didn't exist)
+        # plan-shape digest: a digest diff vs the committed snapshot
+        # localizes "which plan changed" instantly when a round's
+        # aggregate drifts (round 4's +17% took a manual bisect precisely
+        # because this record didn't exist)
         try:
             digests[q.name] = plan_digest(df)
         except Exception:
             digests[q.name] = ""
+        # timed runs execute the FULL plan through the noop sink.  Round
+        # 5 found that .count() (the r1-r4 action) lets Catalyst prune
+        # every expression the count doesn't need — final projections,
+        # per-row hashes, global sorts: q140's md5+bit_xor fingerprint
+        # timed 0.35 s under count() vs 2.52 s actually computed at 16x.
+        # The noop sink materializes every output column JVM-side with no
+        # driver transfer — the honest distributed action.  Best-of-2 for
+        # EVERY entry (rounds 2-4: only entries over 1.2 s): host noise
+        # lands ±0.1-0.3 s on even the smallest queries and the round-4
+        # "+17% regression" was single-run noise + cold-position drift,
+        # not plans (SCALE.md section 12); min() reports the query's data
+        # cost, not the worst noise roll.
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.spark(spark, sf_dir).write.format("noop") \
+             .mode("overwrite").save()
+            dt = min(dt, time.perf_counter() - t0)
+        timings[q.name] = round(dt, 3)
+        total += dt
         print(f"# {q.name}: {dt:.3f}s rows={n}", file=sys.stderr)
         # per-query isolation, OUTSIDE the timed window: drop leftover
         # cached blocks and break py4j reference cycles so the JVM can
@@ -148,7 +156,9 @@ def main() -> None:
         with _zf.ZipFile(zpath) as z:
             blobs = [z.read(n) for n in z.namelist() if n.endswith(".sigmf")]
         core_dt = float("inf")
-        for _ in range(3):  # best-of-3: shared noisy host
+        for _ in range(5):  # best-of-5: this tier swung 99.6-136 files/s
+            # for IDENTICAL binaries across round-5's interleaved reruns
+            # (SCALE.md section 12) -- more rolls, tighter floor
             t0 = time.perf_counter()
             for raw in blobs:
                 decode_sigmf(raw, source="bench")
@@ -168,7 +178,7 @@ def main() -> None:
                      "rb").read() for v in range(1, 7)]
         gtz = ["America/Denver"] * 3 + [None] * 3
         g_dt = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             for _r in range(10):
                 for raw, tz in zip(gold, gtz):
@@ -185,7 +195,7 @@ def main() -> None:
         from nasctn_sea_ingest_spark.sources.sigmf import \
             decode_sigmf_trace_records
         rec_dt = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             for raw in blobs:
                 decode_sigmf_trace_records(raw, source="bench")

@@ -382,3 +382,160 @@ def q143(spark, sf_dir):
                                    F.col("v").cast("double"))
                             .otherwise(interp), 6).alias("filled"))
             .orderBy("event_type", "day"))
+
+
+@_q("q144_rolling_corr",
+    "trailing 7-day Pearson correlation between the click and purchase "
+    "daily-revenue series: the window's sufficient statistics (n, Sx, "
+    "Sy, Sxx, Syy, Sxy) accumulate as EXACT decimal sums gathered by "
+    "the q139 offset-explode equi-join — never a range join, and never "
+    "a streaming corr() whose update order (and hence low bits) is "
+    "engine-private.  corr is then one scalar DOUBLE expression over "
+    "exact sums, floor-quantized to 6 decimals.  The day-grid output "
+    "is date-range-bound, so the shuffle is fixed at any input scale",
+    """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CASE WHEN event_type = 'click'
+                           THEN CAST(value AS DECIMAL(12,2)) END)
+                  AS DECIMAL(18,2)) AS vc,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(12,2)) END)
+                  AS DECIMAL(18,2)) AS vp
+      FROM events GROUP BY 1),
+    s AS (SELECT day, vc, vp FROM daily
+          WHERE vc IS NOT NULL AND vp IS NOT NULL),
+    g AS (
+      SELECT a.day, CAST(count(*) AS BIGINT) AS n,
+             sum(c.vc) AS sx, sum(c.vp) AS sy,
+             sum(CAST(c.vc * c.vc AS DECIMAL(32,4))) AS sxx,
+             sum(CAST(c.vp * c.vp AS DECIMAL(32,4))) AS syy,
+             sum(CAST(c.vc * c.vp AS DECIMAL(32,4))) AS sxy
+      FROM s a
+      CROSS JOIN generate_series(0, 6) AS t(k)
+      JOIN s c ON c.day = a.day - t.k
+      GROUP BY a.day),
+    r AS (
+      SELECT day, n,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den2
+      FROM g WHERE n >= 3)
+    SELECT CAST(day AS BIGINT) AS day, n,
+           floor(cov_n / sqrt(den2) * 1000000) / 1000000.0 AS corr7
+    FROM r WHERE den2 > 0
+    ORDER BY day
+    """)
+def q144(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(12,2)")
+    daily = (ev.groupBy(F.expr(f"ts_us div {_DAY_US}").alias("day"))
+             .agg(F.sum(F.when(F.col("event_type") == "click", vdec))
+                  .cast("decimal(18,2)").alias("vc"),
+                  F.sum(F.when(F.col("event_type") == "purchase", vdec))
+                  .cast("decimal(18,2)").alias("vp")))
+    s = (daily.where(F.col("vc").isNotNull() & F.col("vp").isNotNull())
+         # anchors and contributors both read this relation — one
+         # materialization (q139's shared-checkpoint pattern)
+         .localCheckpoint(eager=False))
+    anchors = s.select("day",
+                       F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"))
+    c = s.select(F.col("day").alias("c_day"),
+                 F.col("vc").alias("c_vc"), F.col("vp").alias("c_vp"))
+    g = (anchors.join(c, F.col("c_day") == F.col("day") - F.col("k"))
+         .groupBy("day")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum("c_vc").alias("sx"), F.sum("c_vp").alias("sy"),
+              F.sum((F.col("c_vc") * F.col("c_vc"))
+                    .cast("decimal(32,4)")).alias("sxx"),
+              F.sum((F.col("c_vp") * F.col("c_vp"))
+                    .cast("decimal(32,4)")).alias("syy"),
+              F.sum((F.col("c_vc") * F.col("c_vp"))
+                    .cast("decimal(32,4)")).alias("sxy"))
+         .where(F.col("n") >= 3))
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy").cast("double") \
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den2 = (nd * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")) \
+        * (nd * F.col("syy").cast("double")
+           - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    return (g.select(F.col("day").cast("bigint").alias("day"), "n",
+                     (F.floor(cov_n / F.sqrt(den2) * 1000000)
+                      / F.lit(1000000.0)).alias("corr7"),
+                     den2.alias("_d2"))
+            .where(F.col("_d2") > 0).drop("_d2")
+            .orderBy("day"))
+
+
+@_q("q145_reachability",
+    "bounded multi-hop graph reachability, declaratively: from each "
+    "low-id part, every part reachable within 3 hops over the "
+    "co-purchase graph (q116's support>=2 edges, undirected), via "
+    "WITH RECURSIVE — count of distinct reached nodes and the hop "
+    "radius per source.  Each iteration is one equi-join of the "
+    "frontier against the edge list; the edge list is built ONCE and "
+    "checkpointed (a naive CTE reference would re-run the basket "
+    "self-join every iteration).  The frontier is DEDUPED at every "
+    "hop (SELECT DISTINCT in the recursive term; the oracle uses "
+    "UNION, Spark does not support it in recursion yet), so state is "
+    "bounded by src x nodes per hop even on dense graphs — raw UNION "
+    "ALL path multiplicity is degree^3 and blew Spark's recursion row "
+    "limit on the 16x densified probe graph",
+    """
+    WITH RECURSIVE
+    d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+           FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                            AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+    e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    srcs AS (SELECT DISTINCT u AS src FROM e WHERE u <= 50),
+    r AS (
+      SELECT src, src AS node, 0 AS depth FROM srcs
+      UNION
+      SELECT r.src, e.v AS node, r.depth + 1
+      FROM r JOIN e ON e.u = r.node WHERE r.depth < 3)
+    SELECT src, CAST(count(DISTINCT node) - 1 AS BIGINT) AS n_reach,
+           CAST(max(depth) AS INT) AS radius
+    FROM r GROUP BY src ORDER BY src
+    """)
+def q145(spark, sf_dir):
+    register_tables(spark, sf_dir, ["lineitem"])
+    # the loop's total row production is the union of per-hop frontiers —
+    # on a dense graph that IS the answer's size (srcs x reachable
+    # nodes), so the 1M default guardrail trips on output-driven state
+    # long before anything pathological (hit on the 16x densified probe
+    # graph).  Raise the guardrail; the per-hop DISTINCT above keeps the
+    # state bounded by srcs x nodes regardless.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
+    e0 = spark.sql("""
+      WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2""")
+    # undirected edge list, materialized ONCE: the recursive loop joins
+    # the frontier against it every iteration, and a plain CTE reference
+    # would re-run the lineitem self-join per hop
+    e = (e0.selectExpr("u", "v")
+         .unionByName(e0.selectExpr("v AS u", "u AS v"))
+         .localCheckpoint(eager=False))
+    e.createOrReplaceTempView("copurchase_edges_r5")
+    return spark.sql("""
+    WITH RECURSIVE
+    srcs AS (SELECT DISTINCT u AS src FROM copurchase_edges_r5
+             WHERE u <= 50),
+    r AS (
+      SELECT src, src AS node, 0 AS depth FROM srcs
+      UNION ALL
+      SELECT DISTINCT r.src, e.v AS node, r.depth + 1
+      FROM r JOIN copurchase_edges_r5 e ON e.u = r.node
+      WHERE r.depth < 3)
+    SELECT src, CAST(count(DISTINCT node) - 1 AS BIGINT) AS n_reach,
+           CAST(max(depth) AS INT) AS radius
+    FROM r GROUP BY src ORDER BY src
+    """)

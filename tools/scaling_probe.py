@@ -32,7 +32,8 @@ QUERIES = ["q23_dedup_exact", "q25_minhash_lsh", "q26_simhash_hamming",
            "q88_chunk_dedup", "q84_bm25_retrieval", "q101_unigram_logprob",
            "q105_chunk_overlap", "q106_balanced_sample",
            "q109_feature_hashing", "q113_bigram_condprob",
-           "q135_setsim_prefix_join", "q137_corpus_kl"]
+           "q135_setsim_prefix_join", "q137_corpus_kl",
+           "q142_token_label_mi"]
 
 # Relational round-3 families: replicate the named table with the id
 # column(s) shifted per replica (disjoint keys, duplicated value
@@ -55,6 +56,12 @@ REL_QUERIES = {
     "q130_first_touch_attribution": ("events", ["event_id", "user_id"]),
     "q136_twap": ("events", ["event_id", "user_id"]),
     "q138_recursive_rollup": ("part", ["p_partkey"]),
+    "q139_ewma_daily": ("events", ["event_id", "user_id"]),
+    "q140_table_fingerprint": ("lineitem", ["l_orderkey"]),
+    "q141_embedding_dim_profile": ("embeddings", ["vec_id"]),
+    "q143_gap_interpolation": ("events", ["event_id", "user_id"]),
+    "q144_rolling_corr": ("events", ["event_id", "user_id"]),
+    "q145_reachability": ("lineitem", ["l_orderkey"]),
 }
 
 
@@ -89,9 +96,14 @@ def main() -> None:
             rows = {}
             for name in QUERIES:
                 q = byname[name]
-                q.spark(spark, d).count()          # warm: codegen + JIT
+                n = q.spark(spark, d).count()      # warm: codegen + JIT
+                # timed run executes the FULL plan via the noop sink —
+                # count() lets Catalyst prune final projections/sorts
+                # and under-measures compute-heavy plans (bench.py has
+                # the same contract since round 5)
                 t0 = time.perf_counter()
-                n = q.spark(spark, d).count()
+                q.spark(spark, d).write.format("noop") \
+                 .mode("overwrite").save()
                 rows[name] = (time.perf_counter() - t0, n)
                 spark.catalog.clearCache()
             print(f"scale x{s} ({n0 * s} docs):")
@@ -123,9 +135,10 @@ def main() -> None:
                             os.symlink(f"{base_sf}/{other}.parquet",
                                        f"{d}/{other}.parquet")
                 q = byname[name]
-                q.spark(spark, d).count()
+                n = q.spark(spark, d).count()      # warm
                 t0 = time.perf_counter()
-                n = q.spark(spark, d).count()
+                q.spark(spark, d).write.format("noop") \
+                 .mode("overwrite").save()
                 rows[name] = (time.perf_counter() - t0, n)
                 spark.catalog.clearCache()
             print(f"relational scale x{s}:")
