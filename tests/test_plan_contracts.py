@@ -891,3 +891,69 @@ def test_q135_single_shingle_materialization(spark, sf):
     p = _final(df)
     assert "Scan ExistingRDD" in p, p
     assert "Scan parquet" not in p, p
+
+
+def test_q139_ewma_offset_equijoin(spark, sf):
+    """EWMA must be an equi-join on the day-offset key — no range/theta
+    join (BNLJ/cartesian), and the daily aggregate materializes once
+    (checkpointed leaves, no double events scan)."""
+    df = _q("q139_ewma_daily").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "BroadcastNestedLoopJoin" not in p and \
+        "CartesianProduct" not in p, p
+    assert "Scan ExistingRDD" in p, p
+    assert "Scan parquet" not in p, p
+
+
+def test_q140_fingerprint_scan_is_narrow(spark, sf):
+    """The fingerprint reads exactly the six key columns (column
+    pruning reaches the scan) and aggregates with map-side partials —
+    one exchange on the 3-key group."""
+    df = _q("q140_table_fingerprint").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "l_extendedprice" not in p and "l_shipdate" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_q141_dim_profile_single_aggregate(spark, sf):
+    """posexplode fans out map-side; ONE hash exchange on the dim key
+    (64 groups), partial aggregation below it."""
+    df = _q("q141_embedding_dim_profile").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Generate posexplode" in p or "Generate" in p, p
+
+
+def test_q142_mi_take_ordered_no_global_sort(spark, sf):
+    """Top-20 by MI must be TakeOrderedAndProject (partial top-k per
+    partition), never a global sort of the vocabulary."""
+    df = _q("q142_token_label_mi").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_q143_interpolation_single_series_exchange(spark, sf):
+    """Both window walks key on event_type: they must share ONE
+    full-data hash exchange (plus the checkpointed daily leaves — no
+    parquet re-scan, no self-join)."""
+    df = _q("q143_gap_interpolation").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "Scan parquet" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p and \
+        "CartesianProduct" not in p, p
+
+
+def test_q145_reachability_is_union_loop(spark, sf):
+    """The traversal must be the declarative UnionLoop (one equi-join
+    per hop) over the checkpointed edge list, with per-hop frontier
+    dedup (a distinct aggregate inside the loop)."""
+    df = _q("q145_reachability").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "UnionLoop" in p, p
+    assert "CartesianProduct" not in p, p
