@@ -737,9 +737,32 @@ def q39(spark, sf_dir):
     FROM lineitem
     """)
 def q34(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
+    # exact interpolated median via sort-rank selection (row_number over
+    # the sorted column + pick the two bracketing order statistics)
+    # instead of percentile(): the buffering aggregate is interpreted,
+    # keeps a value map per expression, and measured 2x the cost once
+    # the round-5 noop action stopped count() from pruning it.  The
+    # whole pipeline below is codegen.  (Very large single-group
+    # cardinality: q94/q117's histogram refinement is the scale path.)
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    ranked = li.select(
+        "l_extendedprice",
+        F.row_number().over(Window.orderBy("l_extendedprice")).alias("rn"),
+        F.count("*").over(Window.partitionBy(F.lit(1))).alias("n"))
+    r = (F.col("n") - 1) * F.lit(0.5)
+    g = ranked.agg(
         F.round(F.max("l_extendedprice"), 5).alias("max_price"),
         F.round(F.min("l_extendedprice"), 5).alias("min_price"),
-        (_dsum(F.col("l_extendedprice"), "12,2") / F.count("*")).alias("avg_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 5).alias("median_price"))
+        (_dsum(F.col("l_extendedprice"), "12,2") / F.count("*"))
+        .alias("avg_price"),
+        F.min(F.when(F.col("rn") == F.floor(r) + 1,
+                     F.col("l_extendedprice"))).alias("lo"),
+        F.min(F.when(F.col("rn") == F.ceil(r) + 1,
+                     F.col("l_extendedprice"))).alias("hi"),
+        F.max("n").alias("n"))
+    rr = (F.col("n") - 1) * F.lit(0.5)
+    frac = rr - F.floor(rr)
+    return g.select(
+        "max_price", "min_price", "avg_price",
+        F.round(F.col("lo") + frac * (F.col("hi") - F.col("lo")), 5)
+        .alias("median_price"))

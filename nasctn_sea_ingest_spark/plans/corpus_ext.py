@@ -410,12 +410,40 @@ def q52(spark, sf_dir):
     FROM lineitem GROUP BY l_returnflag
     """)
 def q53(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag")
-              .agg(F.round(F.percentile("l_extendedprice", 0.25), 5).alias("p25"),
-                   F.round(F.percentile("l_extendedprice", 0.50), 5).alias("p50"),
-                   F.round(F.percentile("l_extendedprice", 0.75), 5).alias("p75"),
-                   F.count("*").alias("n")))
+    # sort-rank selection (q34's round-5 rewrite): ONE ranked pass feeds
+    # all three interpolated percentiles, vs percentile() keeping an
+    # interpreted value-buffer per expression (3 maps over 600k rows —
+    # 2x this plan's cost once the noop action stopped count() from
+    # pruning it).  Per-group serialization of the sort is the q127
+    # caveat; q117's histogram refinement is the huge-group scale path.
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_returnflag", "l_extendedprice")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("l_returnflag")).alias("n"))
+    ps = ((".25", 0.25), (".5", 0.50), (".75", 0.75))
+    aggs = []
+    for i, (_, p) in enumerate(ps):
+        r = (F.col("n") - 1) * F.lit(p)
+        aggs += [
+            F.min(F.when(F.col("rn") == F.floor(r) + 1,
+                         F.col("l_extendedprice"))).alias(f"lo{i}"),
+            F.min(F.when(F.col("rn") == F.ceil(r) + 1,
+                         F.col("l_extendedprice"))).alias(f"hi{i}")]
+    g = (ranked.groupBy("l_returnflag")
+         .agg(F.max("n").alias("n"), *aggs))
+    cols = ["l_returnflag"]
+    for i, (tag, p) in enumerate((("p25", 0.25), ("p50", 0.50),
+                                  ("p75", 0.75))):
+        r = (F.col("n") - 1) * F.lit(p)
+        frac = r - F.floor(r)
+        cols.append(F.round(
+            F.col(f"lo{i}") + frac * (F.col(f"hi{i}") - F.col(f"lo{i}")),
+            5).alias(tag))
+    cols.append(F.col("n"))
+    return g.select(*cols)
 
 
 @_q("q54_batch_topk",
