@@ -54,17 +54,24 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # out-degree is STATIC: attach it to the node frame once and carry it
+    # through the iterated state, instead of re-joining deg every round
+    # (round 5: one join + its shuffle per round saved; measured ~15% of
+    # q115's wall at bench scale, and one fewer stage barrier per round
+    # on a cluster)
+    nodes = (nodes.join(deg, nodes.node == deg.src, "left")
+                  .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
+                  .localCheckpoint(eager=True))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
     for _ in range(max_iter):
-        with_deg = ranks.join(deg, ranks.node == deg.src, "left")
         # dangling mass (rank on nodes with no out-edges) stays a 1-row
         # FRAME broadcast into the update — never a collected scalar, so
         # each round is exactly ONE action (the eager checkpoint)
-        dang = (with_deg.where(F.col("deg").isNull())
+        dang = (ranks.where(F.col("deg") == 0)
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
                       .alias("__dmass")))
-        contrib = (with_deg.where(F.col("deg").isNotNull())
+        contrib = (ranks.where(F.col("deg") > 0)
                    .select("node", (F.col("rank") / F.col("deg"))
                            .alias("share"))
                    .join(e, F.col("node") == e.src)
@@ -72,7 +79,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                    .agg(F.sum("share").alias("inflow")))
         new_ranks = (nodes.join(contrib, "node", "left")
                      .crossJoin(F.broadcast(dang))
-                     .select("node",
+                     .select("node", "deg",
                              (F.lit(teleport)
                               + damping * F.col("__dmass") / n
                               + damping
@@ -88,4 +95,4 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                 ranks = new_ranks
                 break
         ranks = new_ranks
-    return ranks
+    return ranks.select("node", "rank")
