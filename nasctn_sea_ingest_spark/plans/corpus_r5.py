@@ -539,3 +539,45 @@ def q145(spark, sf_dir):
            CAST(max(depth) AS INT) AS radius
     FROM r GROUP BY src ORDER BY src
     """)
+
+
+@_q("q146_weighted_sample",
+    "deterministic weighted sampling WITHOUT replacement (Efraimidis-"
+    "Spirakis exponential keys): each document draws u from its md5 "
+    "hash (portable uniform in (0,1], the q55 split-rule trick), key = "
+    "-ln(u)/w with weight w = its char length, and the top-10 keys per "
+    "lang are the sample — provably equivalent to sequential weighted "
+    "draws, fully deterministic on any engine, and distributed as one "
+    "map-side key computation + per-group top-k (no sort of the "
+    "corpus, no sequential state).  The standard reservoir-A-ES shape "
+    "for weighted corpus subsampling at 100 TB",
+    """
+    WITH k AS (
+      SELECT doc_id, lang, n_chars,
+             -ln((CAST(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 13))
+                       AS BIGINT) + 1.0) / 4503599627370497.0)
+               / n_chars AS es_key
+      FROM documents WHERE n_chars > 0),
+    r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                       ORDER BY es_key, doc_id) AS rn
+          FROM k)
+    SELECT lang, doc_id, n_chars,
+           floor(es_key * 1e9) / 1e9 AS es_key9, rn
+    FROM r WHERE rn <= 10 ORDER BY lang, rn
+    """)
+def q146(spark, sf_dir):
+    register_tables(spark, sf_dir, ["documents"])
+    return spark.sql("""
+    WITH k AS (
+      SELECT doc_id, lang, n_chars,
+             -ln((CAST(conv(substr(md5(cast(doc_id AS STRING)), 1, 13),
+                            16, 10) AS BIGINT) + 1.0) / 4503599627370497.0)
+               / n_chars AS es_key
+      FROM documents WHERE n_chars > 0),
+    r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                       ORDER BY es_key, doc_id) AS rn
+          FROM k)
+    SELECT lang, doc_id, n_chars,
+           floor(es_key * 1e9) / 1e9 AS es_key9, rn
+    FROM r WHERE rn <= 10 ORDER BY lang, rn
+    """)
