@@ -27,7 +27,7 @@ __all__ = [
     "time_gaps", "pivot_wide", "localize", "rayleigh_amplitude",
     "noise_floor_dBm", "salted_agg", "exact_median_large",
     "weighted_median_large", "zorder_key",
-    "merge_upsert", "snapshot_diff",
+    "merge_upsert", "snapshot_diff", "keyed_lead",
 ]
 
 
@@ -747,3 +747,56 @@ def snapshot_diff(base: DataFrame, current: DataFrame,
              .select(*keys, op.alias("op"),
                      F.col("__old").alias("old"),
                      F.col("__new").alias("new")))
+
+
+def keyed_lead(df: DataFrame, by: Sequence[str], order: Sequence[str],
+               cols: Sequence[str], suffix: str = "__next") -> DataFrame:
+    """``lead(col)`` per ``by`` group in ``order`` — WITHOUT the few-key
+    window's parallelism ceiling.
+
+    A plain ``Window.partitionBy(by)`` gives one task per key: with 5
+    event types, a 100 TB series sorts in 5 tasks no matter the cluster
+    (the q127 serialization caveat, measured on q136's TWAP at 16×).
+    Here the order domain is sliced into contiguous ranges (seeded-
+    sample ``approx_percentile`` bounds — a deterministic expression of
+    the order value, the as-of join's slicing trick), the lead runs per
+    ``(by, slice)`` with full parallelism, and the one row per (key,
+    slice) whose successor lives in the NEXT slice is repaired from a
+    broadcast per-(key, slice) first-row summary (lead of that summary
+    over pid within each key skips empty slices correctly).
+
+    Returns ``df`` plus ``{c}{suffix}`` for each ``c`` in ``cols``.
+    Rows that are their key's global last keep NULL leads.  Cost: one
+    hash shuffle on (by, pid) + a keys×slices broadcast — versus the
+    naive form's one shuffle on (by) with key-count parallelism.
+    """
+    by, order, cols = list(by), list(order), list(cols)
+    t0 = F.col(order[0]).cast("double")
+    nb = max(2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                             "200")))
+    probs = ", ".join(str((i + 1) / nb) for i in range(nb - 1))
+    bounds = df.sample(0.1, seed=7).agg(F.expr(
+        f"approx_percentile(cast({order[0]} as double), array({probs}), "
+        "2000)").alias("__bounds"))
+    u = (df.crossJoin(F.broadcast(bounds))
+           .withColumn("__pid", F.expr(
+               f"aggregate(coalesce(__bounds, array()), 0, (a, b) -> a + "
+               f"CASE WHEN cast({order[0]} as double) >= b THEN 1 ELSE 0 "
+               "END)"))
+           .drop("__bounds"))
+    w = Window.partitionBy(*by, "__pid").orderBy(*[F.col(c) for c in order])
+    nxt_in = F.lead(F.struct(*[F.col(c) for c in cols])).over(w)
+    u = u.withColumn("__nx", nxt_in)
+    # per-(key, slice) FIRST row's payload: repairs the slice-boundary
+    # lead.  min_by on the order tuple keeps it one aggregate.
+    summ = (u.groupBy(*by, "__pid")
+             .agg(F.min_by(F.struct(*[F.col(c) for c in cols]),
+                           F.struct(*[F.col(c) for c in order]))
+                  .alias("__first")))
+    wk = Window.partitionBy(*by).orderBy("__pid")
+    summ = summ.select(*by, "__pid",
+                       F.lead("__first").over(wk).alias("__bnx"))
+    u = u.join(F.broadcast(summ), by + ["__pid"], "left")
+    u = u.withColumn("__nx", F.coalesce("__nx", "__bnx"))
+    out_cols = [F.col(f"__nx.{c}").alias(c + suffix) for c in cols]
+    return u.select(*df.columns, *out_cols)

@@ -134,12 +134,20 @@ def q135(spark, sf_dir):
     GROUP BY event_type ORDER BY event_type
     """)
 def q136(spark, sf_dir):
+    from ..functions import keyed_lead
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
-    s = ev.select(
+    # keyed_lead, not Window.partitionBy(event_type): a handful of event
+    # types caps the plain window at key-count parallelism (measured 2x
+    # at the 16x probe; at 100 TB it is 5 tasks for the whole table).
+    # The sliced form runs per (key, time-range) with a broadcast
+    # boundary repair — same rows, same leads.
+    led = keyed_lead(ev.select("event_type", "ts_us", "event_id", "value"),
+                     by=["event_type"], order=["ts_us", "event_id"],
+                     cols=["ts_us"])
+    s = led.select(
         "event_type",
         F.col("value").cast("decimal(12,2)").alias("v"),
-        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dur"))
+        (F.col("ts_us__next") - F.col("ts_us")).alias("dur"))
     return (s.where(F.col("dur").isNotNull())
             .groupBy("event_type")
             .agg(F.count("dur").cast("bigint").alias("n_spans"),

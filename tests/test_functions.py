@@ -623,3 +623,28 @@ def test_sketch_rollup_merge_equals_direct(spark):
     for k in exact:
         assert abs(got[k] - exact[k]) <= max(3, 0.05 * exact[k]), \
             (k, got[k], exact[k])
+
+
+def test_keyed_lead_matches_naive_window(spark, sf_dir):
+    """Slice-parallel keyed lead == plain Window.partitionBy lead, row for
+    row (including series-end NULLs), on the events series."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from nasctn_sea_ingest_spark.functions import keyed_lead
+    from nasctn_sea_ingest_spark.plans.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_type", "ts_us", "event_id", "value")
+    got = keyed_lead(ev, by=["event_type"], order=["ts_us", "event_id"],
+                     cols=["ts_us", "event_id"])
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    want = ev.select(
+        "event_type", "ts_us", "event_id", "value",
+        F.lead("ts_us").over(w).alias("ts_us__next"),
+        F.lead("event_id").over(w).alias("event_id__next"))
+    key = ["event_type", "event_id"]
+    diff = (got.select(*key, "ts_us__next", "event_id__next")
+            .exceptAll(want.select(*key, "ts_us__next", "event_id__next")))
+    assert diff.count() == 0
+    assert got.count() == want.count()

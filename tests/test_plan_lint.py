@@ -44,6 +44,8 @@ ALLOW = {
     ("q11_asof_nearest", "single"): "boundary summary (<= slices rows)",
     ("q35_asof_backward", "bnlj"): "slice-boundary summary broadcast",
     ("q35_asof_backward", "single"): "boundary summary (<= slices rows)",
+    ("q136_twap", "bnlj"): "keyed_lead slice-bounds 1-row broadcast",
+    ("q136_twap", "single"): "bounds sketch scalar aggregate",
     ("q121_pareto_frontier", "single"): "sweep over per-price pre-aggregate",
     ("q126_ab_test", "single"): "2-row arm pivot reduction",
     ("q128_triangle_count", "bnlj"): "1-row x 1-row stats join",
