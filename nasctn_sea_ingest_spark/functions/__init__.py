@@ -769,6 +769,10 @@ def keyed_lead(df: DataFrame, by: Sequence[str], order: Sequence[str],
     Rows that are their key's global last keep NULL leads.  Cost: one
     hash shuffle on (by, pid) + a keys×slices broadcast — versus the
     naive form's one shuffle on (by) with key-count parallelism.
+
+    For a keyed ``lag``, negate a numeric order column (lag over ts ==
+    lead over -ts).  ``time_gaps`` with a low-cardinality ``by`` should
+    route through this for the same reason.
     """
     by, order, cols = list(by), list(order), list(cols)
     t0 = F.col(order[0]).cast("double")
