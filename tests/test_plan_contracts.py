@@ -841,18 +841,30 @@ def test_q135_setsim_prefix_equi_joins(spark, sf):
     assert "div 5" in p or "DIV 5" in p, p
 
 
-def test_q136_twap_single_window_exchange(spark, sf):
-    """TWAP: the lead() window and the per-type aggregate share the
-    event_type partitioning — one full-data exchange, no
-    single-partition stage."""
+def test_q136_twap_slice_parallel_lead(spark, sf):
+    """TWAP via keyed_lead: the full-data lead() window partitions on
+    (event_type, __pid) — slice-parallel, never key-count-bounded — and
+    every event_type-only exchange carries map-side-combined aggregate
+    partials, not raw rows.  The one SinglePartition exchange is the
+    sampled 1-row bounds sketch (approx_percentile), nothing else."""
     df = _q("q136_twap").spark(spark, sf)
     df.collect()
     p = _final(df)
-    assert "Exchange SinglePartition" not in p.split("Sort ")[0]
-    ex = [ln for ln in p.splitlines()
-          if "Exchange hashpartitioning(event_type" in ln
-          and "ReusedExchange" not in ln]
-    assert len(ex) == 1, ex
+    # the lead over the raw series runs per (key, slice)
+    assert "windowspecdefinition(event_type" in p
+    full_lead = [ln for ln in p.splitlines()
+                 if "windowspecdefinition(event_type" in ln
+                 and "__pid" in ln and "lead(_w0" in ln]
+    assert full_lead, p
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if ("Exchange hashpartitioning(event_type" in ln
+                and "__pid" not in ln and "ReusedExchange" not in ln):
+            # fed by an aggregate: only combined partials cross the wire
+            assert "Aggregate" in lines[i + 1], ln
+    assert p.count("Exchange SinglePartition") <= 1
+    if "Exchange SinglePartition" in p:
+        assert "approx_percentile" in p
 
 
 def test_q137_kl_partial_aggregation(spark, sf):
