@@ -9,7 +9,9 @@ from . import corpus_partsupp  # noqa: F401  (TPC-H Q2/Q11/Q16/Q20; only
 from . import corpus_r4  # noqa: F401  (PPJoin set-similarity, TWAP,
 #   corpus-KL drift, recursive-CTE rollup)
 from . import corpus_r5  # noqa: F401  (EWMA, table fingerprint,
-#   embedding-dimension profile, token-label MI, gap interpolation)
+#   embedding-dimension profile, token-label MI, gap interpolation,
+#   rolling corr, reachability, weighted sampling, streaks, SCD2,
+#   k-means step, CUSUM, Benford)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST 50

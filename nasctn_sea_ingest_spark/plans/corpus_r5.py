@@ -1,7 +1,9 @@
 """Round-5 corpus extensions: decay-weighted smoothing (EWMA), an
 order-independent table fingerprint, per-dimension embedding profiling,
-token<->label mutual information, and gap interpolation over a sparse
-series.
+token<->label mutual information, gap interpolation over a sparse
+series, rolling correlation, bounded reachability, weighted sampling,
+gaps-and-islands streaks, SCD2 change-log compaction, a Lloyd k-means
+step, CUSUM changepoint detection, and a Benford first-digit audit.
 
 Like the round-4 set, these fill genuine workload gaps rather than
 re-covering SURVEY.md §2: q139/q143 are the irregular-time-series
@@ -580,4 +582,337 @@ def q146(spark, sf_dir):
     SELECT lang, doc_id, n_chars,
            floor(es_key * 1e9) / 1e9 AS es_key9, rn
     FROM r WHERE rn <= 10 ORDER BY lang, rn
+    """)
+
+
+@_q("q147_order_streaks",
+    "gaps-and-islands: longest run of CONSECUTIVE order days per "
+    "customer (day - row_number() island key, the classic streak "
+    "rewrite — no self-join, no recursion).  Every window and the "
+    "island aggregate share the o_custkey partitioning, so the whole "
+    "query is ONE shuffle on customer at any scale; all outputs are "
+    "integers (day indexes, counts) — nothing to round",
+    """
+    WITH d AS (
+      SELECT DISTINCT o_custkey,
+             epoch_us(o_orderdate) // 86400000000 AS day
+      FROM orders),
+    i AS (
+      SELECT o_custkey, day,
+             day - row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY day) AS island
+      FROM d),
+    runs AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS len,
+             CAST(min(day) AS BIGINT) AS start_day
+      FROM i GROUP BY o_custkey, island),
+    best AS (
+      SELECT o_custkey, len, start_day,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY len DESC, start_day) AS rk,
+             CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT)
+               AS n_runs,
+             CAST(sum(len) OVER (PARTITION BY o_custkey) AS BIGINT)
+               AS n_days
+      FROM runs)
+    SELECT o_custkey, len AS best_len, start_day AS best_start,
+           n_runs, n_days
+    FROM best WHERE rk = 1 ORDER BY o_custkey
+    """)
+def q147(spark, sf_dir):
+    register_tables(spark, sf_dir, ["orders"])
+    return spark.sql("""
+    WITH d AS (
+      SELECT DISTINCT o_custkey,
+             o_orderdate_us div 86400000000 AS day
+      FROM orders),
+    i AS (
+      SELECT o_custkey, day,
+             day - row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY day) AS island
+      FROM d),
+    runs AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS len,
+             CAST(min(day) AS BIGINT) AS start_day
+      FROM i GROUP BY o_custkey, island),
+    best AS (
+      SELECT o_custkey, len, start_day,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY len DESC, start_day) AS rk,
+             CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT)
+               AS n_runs,
+             CAST(sum(len) OVER (PARTITION BY o_custkey) AS BIGINT)
+               AS n_days
+      FROM runs)
+    SELECT o_custkey, len AS best_len, start_day AS best_start,
+           n_runs, n_days
+    FROM best WHERE rk = 1 ORDER BY o_custkey
+    """)
+
+
+@_q("q148_scd2_compaction",
+    "SCD type-2 dimension build from a change log: per user the event "
+    "stream (ordered by ts, event_id tiebreak) is compacted into "
+    "validity intervals — a change flag via lag(), version = running "
+    "sum of flags, one row per run with valid_from / valid_to "
+    "(lead of the next run's start; -1 = current).  The standard "
+    "CDC-to-warehouse dimension rebuild; every window partitions on "
+    "user_id so the whole plan is one shuffle, and all outputs are "
+    "integer epoch-micros and counts",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id)
+               AS prev
+      FROM events),
+    f AS (
+      SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+                     THEN 1 ELSE 0 END AS chg
+      FROM s),
+    g AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS ver
+      FROM f),
+    runs AS (
+      SELECT user_id, CAST(ver AS BIGINT) AS version, event_type,
+             CAST(min(ts_us) AS BIGINT) AS valid_from_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM g GROUP BY user_id, ver, event_type),
+    scd AS (
+      SELECT *, lead(valid_from_us) OVER (PARTITION BY user_id
+                                          ORDER BY version) AS v_to
+      FROM runs)
+    SELECT user_id, version, event_type, valid_from_us,
+           CAST(coalesce(v_to, -1) AS BIGINT) AS valid_to_us, n_events
+    FROM scd ORDER BY user_id, version
+    """)
+def q148(spark, sf_dir):
+    register_tables(spark, sf_dir, ["events"])
+    return spark.sql("""
+    WITH s AS (
+      SELECT user_id, event_id, ts_us, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id) AS prev
+      FROM events),
+    f AS (
+      SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+                     THEN 1 ELSE 0 END AS chg
+      FROM s),
+    g AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS ver
+      FROM f),
+    runs AS (
+      SELECT user_id, CAST(ver AS BIGINT) AS version, event_type,
+             CAST(min(ts_us) AS BIGINT) AS valid_from_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM g GROUP BY user_id, ver, event_type),
+    scd AS (
+      SELECT *, lead(valid_from_us) OVER (PARTITION BY user_id
+                                          ORDER BY version) AS v_to
+      FROM runs)
+    SELECT user_id, version, event_type, valid_from_us,
+           CAST(coalesce(v_to, -1) AS BIGINT) AS valid_to_us, n_events
+    FROM scd ORDER BY user_id, version
+    """)
+
+
+@_q("q149_kmeans_step",
+    "one exact Lloyd iteration of k-means (k=8, centroids seeded from "
+    "the 8 lowest vec_ids): assign every embedding to its nearest "
+    "centroid by squared L2, then recompute centroid means.  Distances "
+    "are sums of per-dimension DECIMAL terms (each squared diff is a "
+    "deterministic double, rounded to 12 digits before the exact sum) "
+    "so the argmin is order-proof on both engines; ties break by cid. "
+    "The distance stage is a BROADCAST equi-join on dimension (k*D "
+    "centroid rows ship to every executor — the standard distributed "
+    "k-means shape, N*D*k work with no all-pairs shuffle); the "
+    "assignment and the mean recompute both shuffle on vec_id/cid "
+    "only.  Output: the new centroids' first 8 dimensions",
+    """
+    WITH c AS (
+      SELECT vec_id AS cid,
+             unnest(range(1, len(embedding) + 1)) AS cdim,
+             CAST(unnest(embedding) AS DOUBLE) AS c
+      FROM embeddings WHERE vec_id < 8),
+    p AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    d AS (
+      SELECT p.vec_id, c.cid,
+             sum(CAST(round((p.x - c.c) * (p.x - c.c), 12)
+                      AS DECIMAL(30,12))) AS d2
+      FROM p JOIN c ON c.cdim = p.dim
+      GROUP BY p.vec_id, c.cid),
+    a AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2, cid) AS rk
+      FROM d),
+    m AS (SELECT vec_id, cid FROM a WHERE rk = 1),
+    nc AS (
+      SELECT m.cid, p.dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(p.x, 8) AS DECIMAL(20,8)))
+                  AS DOUBLE) AS sx
+      FROM m JOIN p ON p.vec_id = m.vec_id
+      WHERE p.dim <= 8
+      GROUP BY m.cid, p.dim)
+    SELECT CAST(cid AS BIGINT) AS cid, CAST(dim AS INT) AS dim, n,
+           floor(sx / n * 1000000) / 1000000.0 AS new_c
+    FROM nc ORDER BY cid, dim
+    """)
+def q149(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def exploded(df, id_alias, dim_alias, val_alias):
+        return (df.select(F.col("vec_id").alias(id_alias),
+                          F.posexplode("embedding").alias("pos", "xf"))
+                .select(id_alias, (F.col("pos") + 1).alias(dim_alias),
+                        F.col("xf").cast("double").alias(val_alias)))
+
+    # points re-derive from the parquet scan per branch (map-only explode
+    # — cheaper at scale than checkpointing the N*D exploded relation)
+    p = exploded(e, "vec_id", "dim", "x")
+    c = exploded(e.where("vec_id < 8"), "cid", "cdim", "c")
+    d = (p.join(F.broadcast(c), F.col("dim") == F.col("cdim"))
+         .groupBy("vec_id", "cid")
+         .agg(F.sum(F.round((F.col("x") - F.col("c"))
+                            * (F.col("x") - F.col("c")), 12)
+                    .cast("decimal(30,12)")).alias("d2")))
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    m = (d.withColumn("rk", F.row_number().over(w))
+         .where("rk = 1").select("vec_id", "cid"))
+    nc = (m.join(exploded(e, "vec_id", "dim", "x").where("dim <= 8"),
+                 ["vec_id"])
+          .groupBy("cid", "dim")
+          .agg(F.count("*").cast("bigint").alias("n"),
+               F.sum(F.round("x", 8).cast("decimal(20,8)"))
+               .cast("double").alias("sx")))
+    return (nc.select(F.col("cid").cast("bigint").alias("cid"),
+                      F.col("dim").cast("int").alias("dim"), "n",
+                      (F.floor(F.col("sx") / F.col("n") * 1000000)
+                       / F.lit(1000000.0)).alias("new_c"))
+            .orderBy("cid", "dim"))
+
+
+@_q("q150_cusum_changepoint",
+    "CUSUM changepoint detection per event_type: the daily revenue "
+    "series (integer cents via floor(v*100+0.5) — pure IEEE, no "
+    "round-half mode ambiguity) is centered EXACTLY by scaling "
+    "(dev = v*n_days - total, all BIGINT — no mean division, no "
+    "floats), and the candidate changepoint is the day of max "
+    "|running sum|.  One shuffle builds the daily aggregate, the "
+    "per-type totals broadcast back, and the cumulative window "
+    "re-uses the event_type partitioning — integer-exact end to end",
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS vc
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(vc) AS BIGINT) AS total
+      FROM daily GROUP BY 1),
+    c AS (
+      SELECT d.event_type, d.day, s.n_days,
+             sum(d.vc * s.n_days - s.total)
+               OVER (PARTITION BY d.event_type ORDER BY d.day
+                     ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM daily d JOIN stats s ON s.event_type = d.event_type),
+    r AS (
+      SELECT event_type, day, n_days, cusum,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(cusum) DESC, day) AS rk
+      FROM c)
+    SELECT event_type, CAST(day AS BIGINT) AS cp_day,
+           CAST(cusum AS BIGINT) AS cusum_scaled, n_days
+    FROM r WHERE rk = 1 ORDER BY event_type
+    """)
+def q150(spark, sf_dir):
+    register_tables(spark, sf_dir, ["events"])
+    return spark.sql("""
+    WITH daily AS (
+      SELECT event_type, ts_us div 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS vc
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(vc) AS BIGINT) AS total
+      FROM daily GROUP BY 1),
+    c AS (
+      SELECT d.event_type, d.day, s.n_days,
+             sum(d.vc * s.n_days - s.total)
+               OVER (PARTITION BY d.event_type ORDER BY d.day
+                     ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM daily d JOIN stats s ON s.event_type = d.event_type),
+    r AS (
+      SELECT event_type, day, n_days, cusum,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(cusum) DESC, day) AS rk
+      FROM c)
+    SELECT event_type, CAST(day AS BIGINT) AS cp_day,
+           CAST(cusum AS BIGINT) AS cusum_scaled, n_days
+    FROM r WHERE rk = 1 ORDER BY event_type
+    """)
+
+
+@_q("q151_benford_audit",
+    "Benford's-law first-digit audit per l_returnflag (the fraud / "
+    "data-quality screen over a money column): the leading digit comes "
+    "from integer string math (floor then substr of the BIGINT — never "
+    "float log10 of the value, whose 1-ulp engine differences could "
+    "flip a power-of-10 boundary), expected counts are n*log10(1+1/d), "
+    "and each digit row carries its chi-square term.  One digit "
+    "histogram shuffle + a broadcast per-flag total — O(27) output "
+    "rows at any scale",
+    """
+    WITH digits AS (
+      SELECT l_returnflag,
+             CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS d
+      FROM lineitem WHERE l_extendedprice >= 1),
+    counts AS (
+      SELECT l_returnflag, d, CAST(count(*) AS BIGINT) AS n_obs
+      FROM digits GROUP BY 1, 2),
+    tot AS (
+      SELECT l_returnflag, CAST(sum(n_obs) AS BIGINT) AS n_tot
+      FROM counts GROUP BY 1)
+    SELECT c.l_returnflag, c.d, c.n_obs,
+           floor(t.n_tot * log10(1.0 + 1.0 / c.d) * 1000000)
+             / 1000000.0 AS expected6,
+           floor(pow(c.n_obs - t.n_tot * log10(1.0 + 1.0 / c.d), 2)
+                 / (t.n_tot * log10(1.0 + 1.0 / c.d)) * 1000000)
+             / 1000000.0 AS chi2_term6
+    FROM counts c JOIN tot t ON t.l_returnflag = c.l_returnflag
+    ORDER BY c.l_returnflag, c.d
+    """)
+def q151(spark, sf_dir):
+    register_tables(spark, sf_dir, ["lineitem"])
+    return spark.sql("""
+    WITH digits AS (
+      SELECT l_returnflag,
+             CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                              AS STRING), 1, 1) AS INT) AS d
+      FROM lineitem WHERE l_extendedprice >= 1),
+    counts AS (
+      SELECT l_returnflag, d, CAST(count(*) AS BIGINT) AS n_obs
+      FROM digits GROUP BY 1, 2),
+    tot AS (
+      SELECT l_returnflag, CAST(sum(n_obs) AS BIGINT) AS n_tot
+      FROM counts GROUP BY 1)
+    SELECT c.l_returnflag, c.d, c.n_obs,
+           floor(t.n_tot * log10(1.0 + 1.0 / c.d) * 1e6)
+             / 1e6 AS expected6,
+           floor(pow(c.n_obs - t.n_tot * log10(1.0 + 1.0 / c.d), 2)
+                 / (t.n_tot * log10(1.0 + 1.0 / c.d)) * 1e6)
+             / 1e6 AS chi2_term6
+    FROM counts c JOIN tot t ON t.l_returnflag = c.l_returnflag
+    ORDER BY c.l_returnflag, c.d
     """)

@@ -969,3 +969,80 @@ def test_q145_reachability_is_union_loop(spark, sf):
     p = _final(df)
     assert "UnionLoop" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_q147_streaks_custkey_partitioned(spark, sf):
+    """Gaps-and-islands: every window (island key, best-run rank, the
+    per-customer totals) runs under o_custkey hash partitioning — no
+    single-partition window, no extra exchange between the island
+    window, the run aggregate, and the ranking windows."""
+    df = _q("q147_order_streaks").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "Exchange SinglePartition" not in p
+    # all windows partition on o_custkey
+    import re
+    for m in re.finditer(r"windowspecdefinition\((\w+)", p):
+        assert m.group(1) == "o_custkey", m.group(0)
+    # the island window and the downstream run-agg + ranking windows
+    # share one custkey exchange: at most 2 data exchanges before the
+    # final rangepartitioning sort (distinct pre-agg + custkey window)
+    hashex = [ln for ln in p.splitlines()
+              if "Exchange hashpartitioning" in ln
+              and "ReusedExchange" not in ln]
+    assert len(hashex) <= 2, hashex
+
+
+def test_q148_scd2_single_user_shuffle(spark, sf):
+    """SCD2 compaction: lag, running version sum, run aggregate, and
+    valid_to lead ALL reuse the user_id partitioning — exactly one
+    full-data hash exchange in the plan."""
+    df = _q("q148_scd2_compaction").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "Exchange SinglePartition" not in p
+    hashex = [ln for ln in p.splitlines()
+              if "Exchange hashpartitioning" in ln
+              and "ReusedExchange" not in ln]
+    assert len(hashex) == 1, hashex
+    assert "user_id" in hashex[0]
+
+
+def test_q149_kmeans_broadcast_centroids(spark, sf):
+    """Lloyd step: the N*D*k distance stage joins exploded points to
+    centroids via BROADCAST hash join (the hinted k*D side) — never a
+    shuffled or nested-loop join — and the top-1 assignment runs
+    through WindowGroupLimit (rank pushdown), not a full per-vector
+    sort of all k candidates."""
+    df = _q("q149_kmeans_step").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
+
+
+def test_q150_cusum_reuses_type_partitioning(spark, sf):
+    """CUSUM: the cumulative-sum and argmax windows both partition on
+    event_type, and the per-type totals attach via broadcast — the
+    daily aggregate's exchange is the only full-data shuffle."""
+    df = _q("q150_cusum_changepoint").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "Exchange SinglePartition" not in p
+    assert "BroadcastHashJoin" in p
+    import re
+    for m in re.finditer(r"windowspecdefinition\((\w+)", p):
+        assert m.group(1) == "event_type", m.group(0)
+
+
+def test_q151_benford_broadcast_totals(spark, sf):
+    """Benford audit: the per-flag totals join back by broadcast; the
+    digit histogram is the only aggregate over full data and its
+    map-side partial bounds every exchange at O(flags x 9) rows."""
+    df = _q("q151_benford_audit").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "BroadcastHashJoin" in p
+    assert "Exchange SinglePartition" not in p
