@@ -868,7 +868,10 @@ def q150(spark, sf_dir):
     "data-quality screen over a money column): the leading digit comes "
     "from integer string math (floor then substr of the BIGINT — never "
     "float log10 of the value, whose 1-ulp engine differences could "
-    "flip a power-of-10 boundary), expected counts are n*log10(1+1/d), "
+    "flip a power-of-10 boundary), and the Benford probabilities are "
+    "fixed DECIMAL literals (n_tot*p is an exact decimal product — "
+    "runtime log10 differs by 1 ulp between JVM and C libm, which "
+    "flipped a floor-quantize boundary at sf0.1), "
     "and each digit row carries its chi-square term.  One digit "
     "histogram shuffle + a broadcast per-flag total — O(27) output "
     "rows at any scale",
@@ -885,10 +888,37 @@ def q150(spark, sf_dir):
       SELECT l_returnflag, CAST(sum(n_obs) AS BIGINT) AS n_tot
       FROM counts GROUP BY 1)
     SELECT c.l_returnflag, c.d, c.n_obs,
-           floor(t.n_tot * log10(1.0 + 1.0 / c.d) * 1000000)
+           floor(CAST(t.n_tot * (CASE c.d
+               WHEN 1 THEN CAST(0.301029995663981 AS DECIMAL(16,15))
+               WHEN 2 THEN CAST(0.176091259055681 AS DECIMAL(16,15))
+               WHEN 3 THEN CAST(0.124938736608300 AS DECIMAL(16,15))
+               WHEN 4 THEN CAST(0.096910013008056 AS DECIMAL(16,15))
+               WHEN 5 THEN CAST(0.079181246047625 AS DECIMAL(16,15))
+               WHEN 6 THEN CAST(0.066946789630613 AS DECIMAL(16,15))
+               WHEN 7 THEN CAST(0.057991946977687 AS DECIMAL(16,15))
+               WHEN 8 THEN CAST(0.051152522447381 AS DECIMAL(16,15))
+               ELSE CAST(0.045757490560675 AS DECIMAL(16,15)) END) AS DOUBLE) * 1000000)
              / 1000000.0 AS expected6,
-           floor(pow(c.n_obs - t.n_tot * log10(1.0 + 1.0 / c.d), 2)
-                 / (t.n_tot * log10(1.0 + 1.0 / c.d)) * 1000000)
+           floor(pow(c.n_obs - CAST(t.n_tot * (CASE c.d
+               WHEN 1 THEN CAST(0.301029995663981 AS DECIMAL(16,15))
+               WHEN 2 THEN CAST(0.176091259055681 AS DECIMAL(16,15))
+               WHEN 3 THEN CAST(0.124938736608300 AS DECIMAL(16,15))
+               WHEN 4 THEN CAST(0.096910013008056 AS DECIMAL(16,15))
+               WHEN 5 THEN CAST(0.079181246047625 AS DECIMAL(16,15))
+               WHEN 6 THEN CAST(0.066946789630613 AS DECIMAL(16,15))
+               WHEN 7 THEN CAST(0.057991946977687 AS DECIMAL(16,15))
+               WHEN 8 THEN CAST(0.051152522447381 AS DECIMAL(16,15))
+               ELSE CAST(0.045757490560675 AS DECIMAL(16,15)) END) AS DOUBLE), 2)
+                 / CAST(t.n_tot * (CASE c.d
+               WHEN 1 THEN CAST(0.301029995663981 AS DECIMAL(16,15))
+               WHEN 2 THEN CAST(0.176091259055681 AS DECIMAL(16,15))
+               WHEN 3 THEN CAST(0.124938736608300 AS DECIMAL(16,15))
+               WHEN 4 THEN CAST(0.096910013008056 AS DECIMAL(16,15))
+               WHEN 5 THEN CAST(0.079181246047625 AS DECIMAL(16,15))
+               WHEN 6 THEN CAST(0.066946789630613 AS DECIMAL(16,15))
+               WHEN 7 THEN CAST(0.057991946977687 AS DECIMAL(16,15))
+               WHEN 8 THEN CAST(0.051152522447381 AS DECIMAL(16,15))
+               ELSE CAST(0.045757490560675 AS DECIMAL(16,15)) END) AS DOUBLE) * 1000000)
              / 1000000.0 AS chi2_term6
     FROM counts c JOIN tot t ON t.l_returnflag = c.l_returnflag
     ORDER BY c.l_returnflag, c.d
@@ -908,11 +938,197 @@ def q151(spark, sf_dir):
       SELECT l_returnflag, CAST(sum(n_obs) AS BIGINT) AS n_tot
       FROM counts GROUP BY 1)
     SELECT c.l_returnflag, c.d, c.n_obs,
-           floor(t.n_tot * log10(1.0 + 1.0 / c.d) * 1e6)
+           floor(CAST(t.n_tot * (CASE c.d
+               WHEN 1 THEN CAST(0.301029995663981 AS DECIMAL(16,15))
+               WHEN 2 THEN CAST(0.176091259055681 AS DECIMAL(16,15))
+               WHEN 3 THEN CAST(0.124938736608300 AS DECIMAL(16,15))
+               WHEN 4 THEN CAST(0.096910013008056 AS DECIMAL(16,15))
+               WHEN 5 THEN CAST(0.079181246047625 AS DECIMAL(16,15))
+               WHEN 6 THEN CAST(0.066946789630613 AS DECIMAL(16,15))
+               WHEN 7 THEN CAST(0.057991946977687 AS DECIMAL(16,15))
+               WHEN 8 THEN CAST(0.051152522447381 AS DECIMAL(16,15))
+               ELSE CAST(0.045757490560675 AS DECIMAL(16,15)) END) AS DOUBLE) * 1e6)
              / 1e6 AS expected6,
-           floor(pow(c.n_obs - t.n_tot * log10(1.0 + 1.0 / c.d), 2)
-                 / (t.n_tot * log10(1.0 + 1.0 / c.d)) * 1e6)
+           floor(pow(c.n_obs - CAST(t.n_tot * (CASE c.d
+               WHEN 1 THEN CAST(0.301029995663981 AS DECIMAL(16,15))
+               WHEN 2 THEN CAST(0.176091259055681 AS DECIMAL(16,15))
+               WHEN 3 THEN CAST(0.124938736608300 AS DECIMAL(16,15))
+               WHEN 4 THEN CAST(0.096910013008056 AS DECIMAL(16,15))
+               WHEN 5 THEN CAST(0.079181246047625 AS DECIMAL(16,15))
+               WHEN 6 THEN CAST(0.066946789630613 AS DECIMAL(16,15))
+               WHEN 7 THEN CAST(0.057991946977687 AS DECIMAL(16,15))
+               WHEN 8 THEN CAST(0.051152522447381 AS DECIMAL(16,15))
+               ELSE CAST(0.045757490560675 AS DECIMAL(16,15)) END) AS DOUBLE), 2)
+                 / CAST(t.n_tot * (CASE c.d
+               WHEN 1 THEN CAST(0.301029995663981 AS DECIMAL(16,15))
+               WHEN 2 THEN CAST(0.176091259055681 AS DECIMAL(16,15))
+               WHEN 3 THEN CAST(0.124938736608300 AS DECIMAL(16,15))
+               WHEN 4 THEN CAST(0.096910013008056 AS DECIMAL(16,15))
+               WHEN 5 THEN CAST(0.079181246047625 AS DECIMAL(16,15))
+               WHEN 6 THEN CAST(0.066946789630613 AS DECIMAL(16,15))
+               WHEN 7 THEN CAST(0.057991946977687 AS DECIMAL(16,15))
+               WHEN 8 THEN CAST(0.051152522447381 AS DECIMAL(16,15))
+               ELSE CAST(0.045757490560675 AS DECIMAL(16,15)) END) AS DOUBLE) * 1e6)
              / 1e6 AS chi2_term6
     FROM counts c JOIN tot t ON t.l_returnflag = c.l_returnflag
     ORDER BY c.l_returnflag, c.d
+    """)
+
+
+@_q("q152_gini_inequality",
+    "Gini coefficient of per-user revenue inside each event_type (the "
+    "inequality / data-balance audit for training-mix curation): "
+    "G = (2*sum(rank*s) - (n+1)*total) / (n*total) over ascending "
+    "(s, user_id) ranks — integer cents end to end, so the only float "
+    "op is the final division (deterministic IEEE, floor-quantized). "
+    "The rank window and both aggregates share the event_type "
+    "partitioning downstream of one (event_type, user_id) rollup — "
+    "two bounded shuffles at any scale, no sort of raw rows",
+    """
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, s,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY s, user_id) AS rn
+      FROM per_user),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(s) AS BIGINT) AS total_cents,
+             CAST(sum(rn * s) AS BIGINT) AS a
+      FROM ranked GROUP BY event_type)
+    SELECT event_type, n_users, total_cents,
+           floor((2.0 * a - (n_users + 1.0) * total_cents)
+                 / (CAST(n_users AS DOUBLE) * total_cents) * 1000000)
+             / 1000000.0 AS gini6
+    FROM g ORDER BY event_type
+    """)
+def q152(spark, sf_dir):
+    register_tables(spark, sf_dir, ["events"])
+    return spark.sql("""
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, s,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY s, user_id) AS rn
+      FROM per_user),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(s) AS BIGINT) AS total_cents,
+             CAST(sum(rn * s) AS BIGINT) AS a
+      FROM ranked GROUP BY event_type)
+    SELECT event_type, n_users, total_cents,
+           floor((2.0 * a - (n_users + 1.0) * total_cents)
+                 / (CAST(n_users AS DOUBLE) * total_cents) * 1e6)
+             / 1e6 AS gini6
+    FROM g ORDER BY event_type
+    """)
+
+
+@_q("q153_theil_sen_slope",
+    "Theil-Sen robust trend per event_type: the median of all pairwise "
+    "slopes of the daily-revenue series (integer cents over integer "
+    "day gaps — each slope is one deterministic double, floor-"
+    "quantized to 9 digits BEFORE the median so both engines rank "
+    "identical values).  The pair generation is a per-type equi-join "
+    "of the DAILY aggregate against itself (O(d^2) per type where d = "
+    "distinct days — bounded by the calendar, never by row count; the "
+    "q24-style honest quadratic over a pre-shrunk relation), and the "
+    "exact median interpolates the two middle quantized slopes",
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS vc
+      FROM events GROUP BY 1, 2),
+    slopes AS (
+      SELECT a.event_type,
+             floor(CAST(b.vc - a.vc AS DOUBLE) / (b.day - a.day)
+                   * 1000000000) / 1000000000.0 AS slope9
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day > a.day)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(quantile_cont(slope9, 0.5) * 1000000) / 1000000.0
+             AS ts_slope6
+    FROM slopes GROUP BY event_type ORDER BY event_type
+    """)
+def q153(spark, sf_dir):
+    register_tables(spark, sf_dir, ["events"])
+    return spark.sql("""
+    WITH daily AS (
+      SELECT event_type, ts_us div 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS vc
+      FROM events GROUP BY 1, 2),
+    slopes AS (
+      SELECT a.event_type,
+             floor(CAST(b.vc - a.vc AS DOUBLE) / (b.day - a.day)
+                   * 1e9) / 1e9 AS slope9
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day > a.day)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(percentile(slope9, 0.5) * 1e6) / 1e6 AS ts_slope6
+    FROM slopes GROUP BY event_type ORDER BY event_type
+    """)
+
+
+@_q("q154_column_entropy",
+    "column-profiling audit: Shannon entropy + distinct count for each "
+    "DISCRETE column of the events table (event_type, user_id, day, "
+    "props — value-as-string only for types whose string form is "
+    "engine-identical, never raw doubles).  H = ln(N) - sum(c*ln c)/N "
+    "with the c*ln(c) terms rounded then summed as DECIMAL (the q142 "
+    "order-proof trick).  Unpivot is map-side (stack/UNION ALL), the "
+    "per-column value counts are one shuffle keyed by (column, value), "
+    "and the final reduce is O(columns)",
+    """
+    WITH stacked AS (
+      SELECT 'event_type' AS col, event_type AS val FROM events
+      UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+      UNION ALL SELECT 'day',
+        CAST(epoch_us(ts) // 86400000000 AS VARCHAR) FROM events
+      UNION ALL SELECT 'props', props FROM events),
+    counts AS (
+      SELECT col, val, CAST(count(*) AS BIGINT) AS c
+      FROM stacked WHERE val IS NOT NULL GROUP BY 1, 2),
+    percol AS (
+      SELECT col, CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CAST(round(c * ln(c), 6) AS DECIMAL(30,6)))
+                  AS DOUBLE) AS sclogc
+      FROM counts GROUP BY col)
+    SELECT col, n_distinct, n,
+           floor((ln(n) - sclogc / n) * 1000000) / 1000000.0
+             AS entropy6
+    FROM percol ORDER BY col
+    """)
+def q154(spark, sf_dir):
+    register_tables(spark, sf_dir, ["events"])
+    return spark.sql("""
+    WITH stacked AS (
+      SELECT stack(4,
+        'event_type', event_type,
+        'user_id', CAST(user_id AS STRING),
+        'day', CAST(ts_us div 86400000000 AS STRING),
+        'props', props) AS (col, val)
+      FROM events),
+    counts AS (
+      SELECT col, val, CAST(count(*) AS BIGINT) AS c
+      FROM stacked WHERE val IS NOT NULL GROUP BY 1, 2),
+    percol AS (
+      SELECT col, CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CAST(round(c * ln(c), 6) AS DECIMAL(30,6)))
+                  AS DOUBLE) AS sclogc
+      FROM counts GROUP BY col)
+    SELECT col, n_distinct, n,
+           floor((ln(n) - sclogc / n) * 1e6) / 1e6 AS entropy6
+    FROM percol ORDER BY col
     """)

@@ -1046,3 +1046,40 @@ def test_q151_benford_broadcast_totals(spark, sf):
     p = _final(df)
     assert "BroadcastHashJoin" in p
     assert "Exchange SinglePartition" not in p
+
+
+def test_q152_gini_shared_type_partitioning(spark, sf):
+    """Gini: the rank window and the final aggregate run on the
+    event_type partitioning downstream of the (event_type, user_id)
+    rollup — no single-partition stage anywhere."""
+    df = _q("q152_gini_inequality").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "Exchange SinglePartition" not in p
+    import re
+    for m in re.finditer(r"windowspecdefinition\((\w+)", p):
+        assert m.group(1) == "event_type", m.group(0)
+
+
+def test_q153_theil_sen_joins_aggregates_only(spark, sf):
+    """Theil-Sen: the pairwise slope stage is an equi-join of the DAILY
+    aggregate against itself (day-bounded sides — never raw events),
+    so every join input comes from a HashAggregate; no cartesian."""
+    df = _q("q153_theil_sen_slope").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Exchange SinglePartition" not in p
+
+
+def test_q154_entropy_mapside_unpivot(spark, sf):
+    """Column entropy: the 4-way unpivot is a map-side Generate (one
+    events scan feeds all columns — never 4 scans or a union of
+    shuffles), and no single-partition stage exists."""
+    df = _q("q154_column_entropy").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "Exchange SinglePartition" not in p
+    assert p.count("Scan parquet") == 1, p.count("Scan parquet")
+    assert "Generate" in p

@@ -62,6 +62,19 @@ REL_QUERIES = {
     "q143_gap_interpolation": ("events", ["event_id", "user_id"]),
     "q144_rolling_corr": ("events", ["event_id", "user_id"]),
     "q145_reachability": ("lineitem", ["l_orderkey"]),
+    "q146_weighted_sample": ("documents", ["doc_id"]),
+    # custkey shifts too: replicas bring NEW customers (streak groups grow
+    # with scale) instead of stacking duplicate days on the same ones
+    "q147_order_streaks": ("orders", ["o_orderkey", "o_custkey"]),
+    "q148_scd2_compaction": ("events", ["event_id", "user_id"]),
+    # vec_id shifts keep the k=8 seed centroids = the base copy's lowest
+    # ids; the point side (and the N*k distance stage) grows linearly
+    "q149_kmeans_step": ("embeddings", ["vec_id"]),
+    "q150_cusum_changepoint": ("events", ["event_id", "user_id"]),
+    "q151_benford_audit": ("lineitem", ["l_orderkey"]),
+    "q152_gini_inequality": ("events", ["event_id", "user_id"]),
+    "q153_theil_sen_slope": ("events", ["event_id", "user_id"]),
+    "q154_column_entropy": ("events", ["event_id", "user_id"]),
 }
 
 
@@ -110,9 +123,12 @@ def main() -> None:
             for name, (dt, n) in rows.items():
                 print(f"  {name:28s} {dt:7.2f}s  rows={n}")
         # relational round-3 families: one replicated driver table each
+        only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
+        rel_items = {n: v for n, v in REL_QUERIES.items()
+                     if not only or n in only.split(",")}
         for s in (scales if "rel" in families else []):
             rows = {}
-            for name, (table, id_cols) in REL_QUERIES.items():
+            for name, (table, id_cols) in rel_items.items():
                 d = os.path.join(tmp, f"rel_{table}_x{s}")
                 if not os.path.exists(d):
                     os.makedirs(d)
