@@ -29,7 +29,7 @@ __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "session_rollup", "gap_monitor", "dedup_stream",
            "calibration_join", "document_stream", "neardup_stream",
            "sliding_rollup", "upsert_stream", "sketch_rollup_stream",
-           "heavy_hitters_stream"]
+           "heavy_hitters_stream", "weighted_reservoir_stream"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -608,6 +608,119 @@ def heavy_hitters_stream(events: DataFrame, key_col: str, item_col: str,
             [(key[0], it, int(c), int(n), r + 1)
              for r, (it, c) in enumerate(ordered[:topk])],
             columns=[key_col, "item", "est", "n_processed", "rank"])
+
+    return (events.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.NoTimeout))
+
+
+def weighted_reservoir_stream(events: DataFrame, key_col: str,
+                              id_col: str, weight_col: str,
+                              r: int = 10, api: str = "auto") -> DataFrame:
+    """Streaming weighted reservoir sampling WITHOUT replacement per key
+    group (Efraimidis–Spirakis A-ES, the streaming form of q146): each
+    row draws a deterministic uniform from md5(id) — the q55/q146
+    portable-hash trick — scores it ``es = -ln(u) / w``, and the group
+    keeps the ``r`` SMALLEST scores in typed state.
+
+    Because the score is a pure per-row function, the reservoir is a
+    running top-``r`` by (es, id): exactly mergeable across micro-
+    batches, so the stream's final reservoir EQUALS the batch A-ES
+    sample over the same rows (asserted by the parity test), state is
+    O(r) per key regardless of stream length, and a replay of any batch
+    is idempotent (same ids → same scores → same top-r).  That is the
+    property a 100 TB training-mix subsampler needs: a restartable,
+    shardable weighted sample with no sequential draw state.
+
+    ``api`` as in :func:`heavy_hitters_stream`: ``"tws"`` needs the
+    protobuf wire layer, ``"auto"`` falls back to the GroupState API in
+    containers without it (identical outputs).
+
+    Emitted columns per micro-batch (append mode): ``(key, id, weight
+    double, es_key double, n_seen bigint, rank int)``.
+    """
+    import hashlib
+    import math
+
+    res, wcol = int(r), weight_col
+    out_schema = (f"{key_col} string, id string, weight double, "
+                  "es_key double, n_seen bigint, rank int")
+    state_schema = ("ids array<string>, ws array<double>, "
+                    "keys array<double>, n bigint")
+
+    def _es(ident: str, w: float) -> float:
+        # 52-bit md5 prefix -> uniform in (0, 1], exactly q146's rule —
+        # deterministic on any engine/worker, replay-stable
+        u = (int(hashlib.md5(ident.encode()).hexdigest()[:13], 16) + 1.0) \
+            / 4503599627370497.0
+        return -math.log(u) / w
+
+    def _merge(cur: dict, n: int, pdfs) -> "tuple[list, int]":
+        for pdf in pdfs:
+            for ident, w in zip(pdf[id_col].astype(str),
+                                pdf[wcol].astype(float)):
+                if w > 0 and ident not in cur:
+                    cur[ident] = (_es(ident, w), w)
+                    n += 1
+        ordered = sorted(cur.items(), key=lambda kv: (kv[1][0], kv[0]))
+        return ordered[:res], n
+
+    def _rows(key, ordered, n):
+        return pd.DataFrame(
+            [(key[0], ident, float(w), float(es), int(n), rk + 1)
+             for rk, (ident, (es, w)) in enumerate(ordered)],
+            columns=[key_col, "id", "weight", "es_key", "n_seen",
+                     "rank"])
+
+    if api == "auto":
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+            api = "tws"
+        except ImportError:
+            api = "applyInPandasWithState"
+
+    if api == "tws":
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor, StatefulProcessorHandle)
+
+        class _Res(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._st = handle.getValueState("res", state_schema)
+
+            def handleInputRows(self, key, rows, timer_values):
+                cur, n = {}, 0
+                if self._st.exists():
+                    ids, ws, keys, n = self._st.get()
+                    cur = {i: (k, w) for i, k, w in zip(ids, keys, ws)}
+                ordered, n = _merge(cur, n, rows)
+                self._st.update(([i for i, _ in ordered],
+                                 [float(v[1]) for _, v in ordered],
+                                 [float(v[0]) for _, v in ordered],
+                                 int(n)))
+                yield _rows(key, ordered, n)
+
+            def close(self) -> None:
+                pass
+
+        return (events.groupBy(key_col)
+                .transformWithStateInPandas(statefulProcessor=_Res(),
+                                            outputStructType=out_schema,
+                                            outputMode="Append",
+                                            timeMode="None"))
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        cur, n = {}, 0
+        if state.exists:
+            ids, ws, keys, n = state.get
+            cur = {i: (k, w) for i, k, w in zip(ids, keys, ws)}
+        ordered, n = _merge(cur, n, pdfs)
+        state.update(([i for i, _ in ordered],
+                      [float(v[1]) for _, v in ordered],
+                      [float(v[0]) for _, v in ordered], int(n)))
+        yield _rows(key, ordered, n)
 
     return (events.groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, state_schema,

@@ -792,3 +792,106 @@ def test_heavy_hitters_tws_path(spark, tmp_path):
     want = Counter(i for e, i in wave1 + wave2 if e == "A")
     top3 = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert [(r.item, r.est) for r in latest_a] == top3
+
+
+def test_weighted_reservoir_stream_matches_batch(spark, tmp_path):
+    """Streaming A-ES weighted reservoir: the final per-key reservoir
+    after two micro-batches EQUALS the batch Efraimidis-Spirakis top-r
+    over the union of both waves (deterministic md5 uniforms make the
+    sample a pure running top-r — exactly mergeable), and state carries
+    across the restart."""
+    import hashlib
+    import math
+
+    from nasctn_sea_ingest_spark.streaming import weighted_reservoir_stream
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "wr")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "lang string, doc string, w double"
+    wave1 = [("en", f"d{i:03d}", float(10 + (i * 37) % 90))
+             for i in range(40)] + \
+            [("fr", f"f{i:03d}", float(5 + i)) for i in range(6)]
+    wave2 = [("en", f"d{i:03d}", float(10 + (i * 37) % 90))
+             for i in range(40, 70)] + \
+            [("fr", f"f{i:03d}", float(5 + i)) for i in range(6, 9)]
+    spark.createDataFrame(wave1, schema).coalesce(1) \
+        .write.mode("append").parquet(land)
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(land).schema).parquet(land)
+        q = (weighted_reservoir_stream(stream, "lang", "doc", "w", r=8)
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    run()
+    spark.createDataFrame(wave2, schema).coalesce(1) \
+        .write.mode("append").parquet(land)
+    run()  # reservoir must merge with carried state, not restart
+
+    def es(ident, w):
+        u = (int(hashlib.md5(ident.encode()).hexdigest()[:13], 16)
+             + 1.0) / 4503599627370497.0
+        return -math.log(u) / w
+
+    snap = spark.read.parquet(out).collect()
+    for lang, rows in (("en", wave1 + wave2), ("fr", wave1 + wave2)):
+        pool = [(d, w) for lg, d, w in rows if lg == lang]
+        want = sorted(((es(d, w), d, w) for d, w in pool))[:8]
+        n_max = max(r.n_seen for r in snap if r.lang == lang)
+        got = sorted((r for r in snap
+                      if r.lang == lang and r.n_seen == n_max),
+                     key=lambda r: r.rank)
+        assert n_max == len(pool)
+        assert [(r.id, r.weight) for r in got] == \
+            [(d, w) for _, d, w in want]
+        for r, (k, _, _) in zip(got, want):
+            assert abs(r.es_key - k) < 1e-12
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs the protobuf wire layer; "
+           "this container ships without it (the GroupState fallback is "
+           "covered by test_weighted_reservoir_stream_matches_batch).")
+def test_weighted_reservoir_tws_path(spark, tmp_path):
+    """Same reservoir through the Spark 4.x typed-state API."""
+    import hashlib
+    import math
+
+    from nasctn_sea_ingest_spark.streaming import weighted_reservoir_stream
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "wr_tws")
+    ckpt = str(tmp_path / "ck_tws")
+    os.makedirs(land)
+    schema = "lang string, doc string, w double"
+    wave = [("en", f"d{i:03d}", float(1 + i)) for i in range(20)]
+    spark.createDataFrame(wave, schema).coalesce(1) \
+        .write.mode("append").parquet(land)
+    stream = spark.readStream.schema(
+        spark.read.parquet(land).schema).parquet(land)
+    q = (weighted_reservoir_stream(stream, "lang", "doc", "w", r=5,
+                                   api="tws")
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    q.awaitTermination(30)
+
+    def es(ident, w):
+        u = (int(hashlib.md5(ident.encode()).hexdigest()[:13], 16)
+             + 1.0) / 4503599627370497.0
+        return -math.log(u) / w
+
+    want = sorted((es(d, w), d) for _, d, w in wave)[:5]
+    got = sorted(spark.read.parquet(out).collect(),
+                 key=lambda r: r.rank)
+    assert [r.id for r in got] == [d for _, d in want]
