@@ -29,7 +29,8 @@ __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "session_rollup", "gap_monitor", "dedup_stream",
            "calibration_join", "document_stream", "neardup_stream",
            "sliding_rollup", "upsert_stream", "sketch_rollup_stream",
-           "heavy_hitters_stream", "weighted_reservoir_stream"]
+           "heavy_hitters_stream", "weighted_reservoir_stream",
+           "cusum_monitor_stream"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -726,3 +727,65 @@ def weighted_reservoir_stream(events: DataFrame, key_col: str,
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append",
                                     GroupStateTimeout.NoTimeout))
+
+
+def cusum_monitor_stream(events: DataFrame, key_col: str, value_col: str,
+                         order_col: str, baseline: DataFrame,
+                         alert_scaled: int | None = None) -> DataFrame:
+    """Streaming CUSUM drift monitor per key — the production form of
+    q150's changepoint detector: a batch-computed BASELINE (per key:
+    ``n_obs`` observations summing to ``total_cents``) broadcasts onto
+    the stream via a stream-static join, and each arriving value adds
+    its division-free deviation ``vc * n_obs - total_cents`` (exact
+    BIGINT, q150's centering trick — no float mean, no rounding drift
+    across micro-batches) to a running sum carried in typed state.
+
+    Emits one row per key per micro-batch with the current cusum, its
+    running max |cusum|, and an ``alert`` flag once that peak crosses
+    ``alert_scaled`` (same v*n-scaled units).  State is 3 integers per
+    key regardless of stream length.  Rows are applied in
+    ``(order_col, value)`` order inside each batch and batches are
+    assumed time-ordered (the monitoring contract — same as
+    :func:`gap_monitor`); with in-order arrival the final cusum equals
+    the batch computation over the same rows (parity-tested).
+    """
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    joined = (events
+              .withColumn("_vc", F.expr(
+                  f"CAST(floor({value_col} * 100 + 0.5) AS BIGINT)"))
+              .join(F.broadcast(baseline), key_col)
+              .select(key_col, F.col(order_col).alias("_ord"), "_vc",
+                      F.col("n_obs").cast("long").alias("_n"),
+                      F.col("total_cents").cast("long").alias("_tot")))
+
+    out_schema = (f"{key_col} string, n_seen bigint, cusum_scaled bigint, "
+                  "max_abs_cusum bigint, alert boolean")
+    state_schema = "cusum long, peak long, n long"
+    limit = int(alert_scaled) if alert_scaled is not None else None
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        cusum, peak, n = state.get if state.exists else (0, 0, 0)
+        rows = []
+        for pdf in pdfs:
+            rows.append(pdf[["_ord", "_vc", "_n", "_tot"]])
+        if not rows:
+            return
+        batch = pd.concat(rows).sort_values(["_ord", "_vc"])
+        for vc, nb, tot in zip(batch["_vc"], batch["_n"], batch["_tot"]):
+            cusum += int(vc) * int(nb) - int(tot)
+            peak = max(peak, abs(cusum))
+            n += 1
+        state.update((int(cusum), int(peak), int(n)))
+        yield pd.DataFrame(
+            [(key[0], int(n), int(cusum), int(peak),
+              bool(limit is not None and peak > limit))],
+            columns=[key_col, "n_seen", "cusum_scaled", "max_abs_cusum",
+                     "alert"])
+
+    return joined.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)

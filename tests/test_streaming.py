@@ -895,3 +895,74 @@ def test_weighted_reservoir_tws_path(spark, tmp_path):
     got = sorted(spark.read.parquet(out).collect(),
                  key=lambda r: r.rank)
     assert [r.id for r in got] == [d for _, d in want]
+
+
+def test_cusum_monitor_stream_matches_batch(spark, tmp_path):
+    """Streaming CUSUM vs a batch baseline: after two in-order waves
+    the carried cusum equals the python-computed batch value (integer-
+    exact centering — no cross-batch float drift), and the alert fires
+    only after the planted level shift in wave 2."""
+    from nasctn_sea_ingest_spark.streaming import cusum_monitor_stream
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "cu")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "k string, ord bigint, v double"
+    # baseline window: stable around 10.00 for both keys
+    base_rows = [("A", i, 10.0 + (i % 3) * 0.01) for i in range(30)] + \
+                [("B", i, 20.0) for i in range(10)]
+    # wave 2: A shifts up hard; B stays on baseline
+    wave2 = [("A", 100 + i, 14.0) for i in range(10)] + \
+            [("B", 100 + i, 20.0) for i in range(4)]
+
+    def stats(rows, key):
+        vcs = [round(v * 100) for k, _, v in rows if k == key]
+        return len(vcs), sum(vcs)
+
+    base = spark.createDataFrame(
+        [("A", *stats(base_rows, "A")), ("B", *stats(base_rows, "B"))],
+        "k string, n_obs bigint, total_cents bigint")
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(land).schema).parquet(land)
+        q = (cusum_monitor_stream(stream, "k", "v", "ord", base,
+                                  alert_scaled=10_000)
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    spark.createDataFrame(base_rows, schema).coalesce(1) \
+        .write.mode("append").parquet(land)
+    run()
+    snap1 = {r.k: r for r in spark.read.parquet(out).collect()}
+    # on-baseline wave: small cusum, no alert for either key
+    assert not snap1["A"].alert and not snap1["B"].alert
+
+    spark.createDataFrame(wave2, schema).coalesce(1) \
+        .write.mode("append").parquet(land)
+    run()  # state must carry across the restart
+
+    def batch_cusum(key):
+        n, tot = stats(base_rows, key)
+        cusum, peak = 0, 0
+        rows = sorted(((o, round(v * 100))
+                       for k, o, v in base_rows + wave2 if k == key))
+        for _, vc in rows:
+            cusum += vc * n - tot
+            peak = max(peak, abs(cusum))
+        return len(rows), cusum, peak
+
+    snap = spark.read.parquet(out).collect()
+    for key, shifted in (("A", True), ("B", False)):
+        n_max = max(r.n_seen for r in snap if r.k == key)
+        last = next(r for r in snap
+                    if r.k == key and r.n_seen == n_max)
+        want_n, want_cusum, want_peak = batch_cusum(key)
+        assert (last.n_seen, last.cusum_scaled, last.max_abs_cusum) == \
+            (want_n, want_cusum, want_peak)
+        assert last.alert == shifted
