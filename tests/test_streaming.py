@@ -966,3 +966,61 @@ def test_cusum_monitor_stream_matches_batch(spark, tmp_path):
         assert (last.n_seen, last.cusum_scaled, last.max_abs_cusum) == \
             (want_n, want_cusum, want_peak)
         assert last.alert == shifted
+
+
+def test_stateful_monitor_crash_replay(spark, tmp_path):
+    """Crash-replay audit for the round-5 stateful monitors: delete the
+    newest commit marker (sink wrote, checkpoint didn't) and restart.
+    The state store must roll back to the pre-batch version and
+    re-apply exactly once — the reservoir keeps its contents and the
+    CUSUM does NOT double-add the replayed batch's deviations (the
+    failure a naive externally-kept state would show).  Duplicate
+    emitted rows in the append sink are permitted (consumers take the
+    max-n_seen row, as here); duplicated STATE is not."""
+    from nasctn_sea_ingest_spark.streaming import (cusum_monitor_stream,
+                                                   weighted_reservoir_stream)
+
+    spark.conf.set("spark.sql.streaming.metadataCache.enabled", "false")
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    schema = "k string, ord bigint, v double"
+    rows = [("A", i, 10.0 + i) for i in range(12)]
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("append").parquet(land)
+    base = spark.createDataFrame(
+        [("A", len(rows), sum(round(v * 100) for _, _, v in rows))],
+        "k string, n_obs bigint, total_cents bigint")
+
+    def run(kind, out, ckpt):
+        stream = spark.readStream.schema(
+            spark.read.parquet(land).schema).parquet(land)
+        if kind == "res":
+            df = weighted_reservoir_stream(stream, "k", "ord", "v", r=5)
+        else:
+            df = cusum_monitor_stream(stream, "k", "v", "ord", base)
+        q = (df.writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    for kind, latest_cols in (
+            ("res", lambda r: (r.id, r.es_key, r.rank)),
+            ("cusum", lambda r: (r.cusum_scaled, r.max_abs_cusum))):
+        out = str(tmp_path / f"out_{kind}")
+        ckpt = str(tmp_path / f"ck_{kind}")
+        run(kind, out, ckpt)
+        snap1 = spark.read.parquet(out).collect()
+        n1 = max(r.n_seen for r in snap1)
+        state1 = sorted(latest_cols(r) for r in snap1 if r.n_seen == n1)
+        _delete_commit_marker(ckpt)
+        run(kind, out, ckpt)  # replay of the same batch
+        snap2 = spark.read.parquet(out).collect()
+        n2 = max(r.n_seen for r in snap2)
+        state2 = sorted(latest_cols(r) for r in snap2 if r.n_seen == n2)
+        # state version rolled back and re-applied exactly once:
+        # n_seen unchanged (12, not 24) and identical latest state
+        assert n2 == n1 == len(rows), (kind, n1, n2)
+        assert state2 == state1, kind
+    spark.conf.unset("spark.sql.streaming.metadataCache.enabled")
