@@ -804,3 +804,65 @@ def keyed_lead(df: DataFrame, by: Sequence[str], order: Sequence[str],
     u = u.withColumn("__nx", F.coalesce("__nx", "__bnx"))
     out_cols = [F.col(f"__nx.{c}").alias(c + suffix) for c in cols]
     return u.select(*df.columns, *out_cols)
+
+
+def table_fingerprint(df: DataFrame, cols: Sequence[str],
+                      by: Sequence[str] | None = None) -> DataFrame:
+    """Order-independent integrity digest per partition group (the
+    library form of corpus q140): each row canonicalizes ``cols`` to one
+    ``|``-joined string, hashes to a 60-bit integer via md5 (identical
+    bytes on any engine — never the engine-private ``hash()``), and the
+    group digest is ``(n_rows, bit_xor(h), sum(h mod 1000003))``.
+
+    XOR and the modular sum are commutative/associative/invertible, so
+    digests are independent of row order, partitioning, and parallelism
+    AND mergeable/updatable in O(delta) — see
+    :func:`merge_fingerprint`.  A 100 TB copy is verified with
+    ``by``-cardinality rows crossing the wire, each side computing its
+    digest independently (cross-engine: the same md5-prefix rule runs
+    anywhere; DuckDB spelling in q140's oracle).
+    """
+    by = list(by or [])
+    canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    hdf = df.select(*by, h.alias("_hv"))
+    grouped = hdf.groupBy(*by) if by else hdf.groupBy()
+    # unlike q140's oracle (raw sum), the checksum is reduced mod p so it
+    # stays bounded under repeated merge_fingerprint folds
+    return grouped.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.expr("bit_xor(_hv)").cast("bigint").alias("fingerprint"),
+        (F.sum(F.col("_hv") % 1000003) % 1000003)
+        .cast("bigint").alias("mod_checksum"))
+
+
+def merge_fingerprint(a: DataFrame, b: DataFrame,
+                      by: Sequence[str] | None = None) -> DataFrame:
+    """Combine two :func:`table_fingerprint` outputs as if their inputs
+    had been fingerprinted together: counts add, XOR digests XOR, the
+    modular checksums add (mod 1000003 keeps them bounded).  This is the
+    O(delta) maintenance path — a warehouse keeps per-partition digests
+    and folds each ingest batch's digest in, never re-reading history;
+    parity with a from-scratch fingerprint is the mergeability test.
+
+    Groups present in only one side pass through unchanged (full outer
+    join semantics), so a delta touching 3 of 10 000 partitions costs 3
+    updated rows.
+    """
+    by = list(by or [])
+    an = a.select(*by, F.col("n_rows").alias("_na"),
+                  F.col("fingerprint").alias("_fa"),
+                  F.col("mod_checksum").alias("_ca"))
+    bn = b.select(*by, F.col("n_rows").alias("_nb"),
+                  F.col("fingerprint").alias("_fb"),
+                  F.col("mod_checksum").alias("_cb"))
+    j = (an.join(bn, by, "full_outer") if by
+         else an.crossJoin(bn))
+    z = F.lit(0).cast("bigint")
+    return j.select(
+        *by,
+        (F.coalesce("_na", z) + F.coalesce("_nb", z)).alias("n_rows"),
+        (F.coalesce("_fa", z).bitwiseXOR(F.coalesce("_fb", z)))
+        .alias("fingerprint"),
+        ((F.coalesce("_ca", z) + F.coalesce("_cb", z)) % 1000003)
+        .alias("mod_checksum"))

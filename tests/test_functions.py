@@ -648,3 +648,48 @@ def test_keyed_lead_matches_naive_window(spark, sf_dir):
             .exceptAll(want.select(*key, "ts_us__next", "event_id__next")))
     assert diff.count() == 0
     assert got.count() == want.count()
+
+
+def test_table_fingerprint_mergeable_and_order_free(spark):
+    """Digest of the whole == merge of digests of disjoint parts (the
+    O(delta) maintenance contract), independent of row order and
+    partitioning; any single-cell mutation flips the digest."""
+    rows = [(i, f"v{i % 7}", i * 3.5) for i in range(200)]
+    schema = "id long, grp string, val double"
+    full = spark.createDataFrame(rows, schema)
+    shuffled = spark.createDataFrame(rows[::-1], schema).repartition(13)
+
+    fp_full = {r.grp: (r.n_rows, r.fingerprint, r.mod_checksum)
+               for r in FN.table_fingerprint(
+                   full, ["id", "grp", "val"], by=["grp"]).collect()}
+    fp_shuf = {r.grp: (r.n_rows, r.fingerprint, r.mod_checksum)
+               for r in FN.table_fingerprint(
+                   shuffled, ["id", "grp", "val"], by=["grp"]).collect()}
+    assert fp_full == fp_shuf  # order/partitioning independence
+
+    a = spark.createDataFrame(rows[:90], schema)
+    b = spark.createDataFrame(rows[90:], schema)
+    merged = {r.grp: (r.n_rows, r.fingerprint, r.mod_checksum)
+              for r in FN.merge_fingerprint(
+                  FN.table_fingerprint(a, ["id", "grp", "val"], by=["grp"]),
+                  FN.table_fingerprint(b, ["id", "grp", "val"], by=["grp"]),
+                  by=["grp"]).collect()}
+    assert merged == fp_full  # mergeability
+
+    # sensitivity: one mutated cell changes that group's digest only
+    mut = rows.copy()
+    mut[17] = (17, rows[17][1], 999.25)
+    fp_mut = {r.grp: (r.n_rows, r.fingerprint, r.mod_checksum)
+              for r in FN.table_fingerprint(
+                  spark.createDataFrame(mut, schema),
+                  ["id", "grp", "val"], by=["grp"]).collect()}
+    changed = {g for g in fp_full if fp_mut[g] != fp_full[g]}
+    assert changed == {rows[17][1]}
+
+    # global (no by): merge of two halves == whole, single row
+    g_full = FN.table_fingerprint(full, ["id", "grp", "val"]).collect()[0]
+    g_merge = FN.merge_fingerprint(
+        FN.table_fingerprint(a, ["id", "grp", "val"]),
+        FN.table_fingerprint(b, ["id", "grp", "val"])).collect()[0]
+    assert (g_full.n_rows, g_full.fingerprint, g_full.mod_checksum) == \
+        (g_merge.n_rows, g_merge.fingerprint, g_merge.mod_checksum)
