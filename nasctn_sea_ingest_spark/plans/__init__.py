@@ -39,6 +39,15 @@ from . import corpus_r5  # noqa: F401  (EWMA, table fingerprint,
 # oracle-backed query's newest green row ever older than two rounds —
 # self-maintaining (asserted by test_driver_window_covers_unverified_families
 # without hard-coded lists).
+#
+# SATURATION (round-5 end): at 150 oracle-backed queries the rotation is
+# exactly 3 x 50 with zero slack — each round's window is entirely
+# consumed by the two-rounds-stale cohort, so registering ANY new oracle
+# corpus query now fails the staleness test by design.  New capability
+# belongs on the pytest-verified library/streaming surface, or must
+# REPLACE an existing corpus entry; relaxing the invariant to three
+# rounds is the conscious alternative if a future family is worth more
+# than freshness cadence.
 
 
 def _latest_driver_round() -> dict[str, int]:
