@@ -638,6 +638,12 @@ def weighted_reservoir_stream(events: DataFrame, key_col: str,
     protobuf wire layer, ``"auto"`` falls back to the GroupState API in
     containers without it (identical outputs).
 
+    ``n_seen`` counts arrivals not currently in the reservoir — exact
+    for unique-id streams (the sampling contract); a re-delivered id
+    that was already EVICTED re-counts, because exact distinct-counting
+    would need O(ids) state.  The sample itself is immune: the
+    re-delivery recomputes the identical score and is evicted again.
+
     Emitted columns per micro-batch (append mode): ``(key, id, weight
     double, es_key double, n_seen bigint, rank int)``.
     """
