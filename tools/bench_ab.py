@@ -14,6 +14,11 @@ per-query delta; host drift shows up as both trees moving together
 Usage::
 
     python tools/bench_ab.py <refA> <refB> [n_rounds]
+    python tools/bench_ab.py --decode <refA> <refB> [n_rounds]
+
+``--decode`` A/Bs the single-core sigmf decode tier instead of the
+query corpus (one shared synthetic zip, best-of-5 per run per ref —
+the §12 finding-4 comparison).
 
 Each ref runs in its own ``git worktree`` and its own subprocess (one
 Spark session per run — a shared session would import one codebase
@@ -33,6 +38,23 @@ import os
 import subprocess
 import sys
 import tempfile
+
+DECODE_RUNNER = r"""
+import json, sys, time, zipfile
+sys.path.insert(0, sys.argv[1])
+from nasctn_sea_ingest_spark.sources.sigmf import decode_sigmf
+with zipfile.ZipFile(sys.argv[2]) as z:
+    blobs = [z.read(n) for n in z.namelist() if n.endswith(".sigmf")]
+for raw in blobs[:20]:
+    decode_sigmf(raw, source="bench")          # warm imports/JIT
+best = float("inf")
+for _ in range(5):
+    t0 = time.perf_counter()
+    for raw in blobs:
+        decode_sigmf(raw, source="bench")
+    best = min(best, time.perf_counter() - t0)
+print(json.dumps({"files_per_sec": round(len(blobs) / best, 1)}))
+"""
 
 RUNNER = r"""
 import json, sys, time
@@ -75,9 +97,48 @@ def _run(tree: str, sf: str, cpus: str) -> dict:
     return json.loads(r.stdout.strip().splitlines()[-1])
 
 
+def _decode_ab(repo: str, ref_a: str, ref_b: str, rounds: int) -> None:
+    """Interleaved single-core decode-tier A/B over one shared zip."""
+    base = tempfile.mkdtemp(prefix="bench_ab_dec_")
+    sys.path.insert(0, repo)
+    from nasctn_sea_ingest_spark.sources.synth import build_sweep_series
+    zpath = build_sweep_series(base, 200, n_channels=15,
+                               geometry=(625, 400, 560, 151),
+                               zip_name="ab.zip")
+    trees = {}
+    try:
+        for tag, ref in (("a", ref_a), ("b", ref_b)):
+            trees[tag] = _worktree(repo, ref, base, tag)
+        best: dict[str, float] = {}
+        for rnd in range(rounds):
+            for tag, ref in (("a", ref_a), ("b", ref_b)):
+                r = subprocess.run(
+                    [sys.executable, "-c", DECODE_RUNNER, trees[tag],
+                     zpath], capture_output=True, text=True, check=True)
+                fps = json.loads(r.stdout.strip().splitlines()[-1])[
+                    "files_per_sec"]
+                best[tag] = max(best.get(tag, 0.0), fps)
+                print(f"# round {rnd} {tag}={ref}: {fps} files/s/core",
+                      file=sys.stderr)
+        print(json.dumps({"decode_fps_a": best["a"],
+                          "decode_fps_b": best["b"]}))
+    finally:
+        for d in trees.values():
+            subprocess.run(["git", "-C", repo, "worktree", "remove",
+                            "--force", d], capture_output=True)
+
+
 def main() -> None:
-    if len(sys.argv) < 3:
+    args = [a for a in sys.argv[1:] if a != "--decode"]
+    decode = "--decode" in sys.argv[1:]
+    if len(args) < 2:
         sys.exit(__doc__)
+    if decode:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        _decode_ab(repo, args[0], args[1],
+                   int(args[2]) if len(args) > 2 else 2)
+        return
+    sys.argv = [sys.argv[0]] + args
     ref_a, ref_b = sys.argv[1], sys.argv[2]
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
