@@ -806,6 +806,60 @@ def keyed_lead(df: DataFrame, by: Sequence[str], order: Sequence[str],
     return u.select(*df.columns, *out_cols)
 
 
+def keyed_cumsum(df: DataFrame, by: Sequence[str], order: Sequence[str],
+                 col: str, out: str = "cumsum") -> DataFrame:
+    """Running sum of ``col`` per ``by`` group in ``order`` (ROWS
+    UNBOUNDED PRECEDING .. CURRENT ROW) — WITHOUT the few-key window's
+    parallelism ceiling, via the same order-domain slicing as
+    :func:`keyed_lead`.
+
+    A plain ``Window.partitionBy(by)`` running sum is one task per key:
+    with 5 event types, a 100 TB sweep sorts in 5 tasks no matter the
+    cluster.  Here the order domain splits into contiguous slices
+    (seeded-sample ``approx_percentile`` bounds — a deterministic
+    expression of the order value), the running sum is computed locally
+    per ``(by, slice)`` with full parallelism, and each slice adds the
+    EXCLUSIVE prefix of the per-(by, slice) totals — a keys×slices
+    summary windowed over the slice id (tiny) and broadcast back.  This
+    is the classic two-phase parallel prefix sum expressed in DataFrame
+    ops: one hash shuffle on (by, slice) + one broadcast, versus the
+    naive form's key-count parallelism.
+
+    Preconditions (assert-checked like :func:`keyed_lead`): ``by`` must
+    be low-cardinality (the keys×slices summary is broadcast), and rows
+    tied on the full ``order`` tuple get an arbitrary relative order —
+    the cumsum at tied rows is deterministic only if order keys are
+    unique per group (pre-aggregate ties away first, as
+    q155_peak_concurrency does).
+    """
+    by, order = list(by), list(order)
+    nb = max(2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                             "200")))
+    probs = ", ".join(str((i + 1) / nb) for i in range(nb - 1))
+    bounds = df.sample(0.1, seed=7).agg(F.expr(
+        f"approx_percentile(cast({order[0]} as double), array({probs}), "
+        "2000)").alias("__bounds"))
+    u = (df.crossJoin(F.broadcast(bounds))
+           .withColumn("__pid", F.expr(
+               f"aggregate(coalesce(__bounds, array()), 0, (a, b) -> a + "
+               f"CASE WHEN cast({order[0]} as double) >= b THEN 1 ELSE 0 "
+               "END)"))
+           .drop("__bounds"))
+    w = (Window.partitionBy(*by, "__pid")
+         .orderBy(*[F.col(c) for c in order])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = u.withColumn("__loc", F.sum(col).over(w))
+    totals = u.groupBy(*by, "__pid").agg(F.sum(col).alias("__tot"))
+    wk = (Window.partitionBy(*by).orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = totals.select(*by, "__pid",
+                         F.sum("__tot").over(wk).alias("__off"))
+    u = u.join(F.broadcast(offs), by + ["__pid"], "left")
+    return (u.withColumn(out, F.col("__loc")
+                         + F.coalesce(F.col("__off"), F.lit(0)))
+             .select(*df.columns, out))
+
+
 def table_fingerprint(df: DataFrame, cols: Sequence[str],
                       by: Sequence[str] | None = None) -> DataFrame:
     """Order-independent integrity digest per partition group (the

@@ -12,6 +12,8 @@ from . import corpus_r5  # noqa: F401  (EWMA, table fingerprint,
 #   embedding-dimension profile, token-label MI, gap interpolation,
 #   rolling corr, reachability, weighted sampling, streaks, SCD2,
 #   k-means step, CUSUM, Benford)
+from . import corpus_r6  # noqa: F401  (peak-concurrency sweep line,
+#   seasonal day-of-week anomaly z-scores)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST 50
@@ -40,14 +42,56 @@ from . import corpus_r5  # noqa: F401  (EWMA, table fingerprint,
 # self-maintaining (asserted by test_driver_window_covers_unverified_families
 # without hard-coded lists).
 #
-# SATURATION (round-5 end): at 150 oracle-backed queries the rotation is
-# exactly 3 x 50 with zero slack — each round's window is entirely
-# consumed by the two-rounds-stale cohort, so registering ANY new oracle
-# corpus query now fails the staleness test by design.  New capability
-# belongs on the pytest-verified library/streaming surface, or must
-# REPLACE an existing corpus entry; relaxing the invariant to three
-# rounds is the conscious alternative if a future family is worth more
-# than freshness cadence.
+# SATURATION POLICY (decided round 6): at 150 oracle-backed queries the
+# rotation was exactly 3 x 50 with zero slack — no new family could
+# register, and a rewritten query could not re-enter the window, without
+# failing the staleness test.  Round 6 resolves this by RETIREMENT, not
+# by relaxing the ≤2-rounds-stale invariant: eight thin entries whose
+# operator surface is redundantly covered move to ``RETIRED`` below.
+# Retired queries keep a HARD correctness signal — ``tests/test_corpus``
+# oracle-checks them against DuckDB at sf0.001 on every CI run, exactly
+# as it does live corpus entries — they just no longer occupy driver
+# window slots or bench lines.  At 144 live queries the steady-state
+# window has ~6 slack slots per round for new families and for
+# ``RECHECK`` re-entries (queries whose plan/semantics were rewritten
+# since their last driver row — the round-5 advisor's gap: a rewrite
+# used to go driver-scale-unverified for up to two rounds).
+
+# Retired round 6 (2 per freshness cohort so every upcoming round gains
+# slack, not just this one).  Rationale per entry — the operator surface
+# each one exercised and where it remains covered:
+#   r03 cohort: q39_daily_rollup   (F13 date naming — q03 time-range +
+#                 warehouse `date` partition pytest), q94_exact_median_
+#                 large (A1/A4 — q16 exact quantiles, q117 weighted
+#                 median; its 16x scale probe lives in SCALE.md §5),
+#                 q103_histogram (q127 equidepth histogram supersedes),
+#                 q104_winsorized_mean (A5 — q30 midmean is the same
+#                 trimmed-mean family over the same helper).
+#   r04 cohort: q19_axis_synthesis (F10 — the axis expression also runs
+#                 inside q31/q38's explode paths), q33_cross_product
+#                 (J2 — the judge-named thinnest; the cartesian shape is
+#                 also plan-linted).  Both were the round-5 verdict's
+#                 explicit replacement candidates.
+#   r05 cohort: q44_distinct_agg (A12/§2.6 — q13 distinct + the TPC-H
+#                 count-distinct shapes q78/q81), q59_approx_aggs (rows-
+#                 only by design — its driver row was only a row-count;
+#                 the library exactness/error-bound pytest suite is and
+#                 remains the real signal).
+RETIRED_NAMES = frozenset({
+    "q39_daily_rollup", "q94_exact_median_large", "q103_histogram",
+    "q104_winsorized_mean", "q19_axis_synthesis", "q33_cross_product",
+    "q44_distinct_agg", "q59_approx_aggs",
+})
+
+# Queries whose plan or semantics were REWRITTEN since their last driver
+# row: they pre-empt the window front (sorted with the never-checked
+# group) so the rewrite gets a driver-scale oracle row THIS round instead
+# of waiting out the rotation.  Clear entries once their fresh row lands.
+#   q140: round-6 canonicalization fix — NULL encoding + delimiter
+#         escaping in table_fingerprint (ADVICE round 5, medium).
+RECHECK = frozenset({
+    "q140_table_fingerprint",
+})
 
 
 def _latest_driver_round() -> dict[str, int]:
@@ -74,8 +118,9 @@ def _latest_driver_round() -> dict[str, int]:
 
 
 def _window_order(names: list[str]) -> list[str]:
-    """Oldest-green-first driver window: never-checked queries lead, then
-    ascending latest-green round, query number breaking ties."""
+    """Oldest-green-first driver window: never-checked queries and
+    ``RECHECK`` rewrites lead, then ascending latest-green round, query
+    number breaking ties."""
     import re
 
     latest = _latest_driver_round()
@@ -83,10 +128,17 @@ def _window_order(names: list[str]) -> list[str]:
     def key(name: str):
         m = re.match(r"q(\d+)", name)
         num = int(m.group(1)) if m else 10**9
-        return (latest.get(name, -1), num)
+        rnd = -1 if name in RECHECK else latest.get(name, -1)
+        return (rnd, num)
 
     return sorted(names, key=key)
 
+
+# Retirement split: retired queries leave the driver corpus (window,
+# bench, queries()/oracle_sql()) but stay oracle-checked by pytest —
+# tests/test_corpus parametrizes over CORPUS + RETIRED.
+RETIRED: list[Query] = [q for q in CORPUS if q.name in RETIRED_NAMES]
+CORPUS[:] = [q for q in CORPUS if q.name not in RETIRED_NAMES]
 
 _WINDOW_PRIORITY = _window_order([q.name for q in CORPUS])[:50]
 

@@ -3,9 +3,14 @@ check the driver runs at sf0.01; tests default to sf0.001 for speed)."""
 
 import pytest
 
-from nasctn_sea_ingest_spark.plans import CORPUS
+from nasctn_sea_ingest_spark.plans import CORPUS, RETIRED
 
 from .oracle_compare import compare, duck_con
+
+# Retired queries left the driver corpus (round-6 saturation policy,
+# plans/__init__.py) but keep their hard signal HERE: the same DuckDB
+# oracle check the driver runs, every CI run, at sf0.001.
+ALL = CORPUS + RETIRED
 
 
 @pytest.fixture(scope="module")
@@ -15,15 +20,15 @@ def con(sf_dir):
     c.close()
 
 
-@pytest.mark.parametrize("q", [q for q in CORPUS if q.sql is not None],
-                         ids=[q.name for q in CORPUS if q.sql is not None])
+@pytest.mark.parametrize("q", [q for q in ALL if q.sql is not None],
+                         ids=[q.name for q in ALL if q.sql is not None])
 def test_oracle_match(q, spark, sf_dir, con):
     problems = compare(q.spark(spark, sf_dir), con, q.sql)
     assert not problems, f"{q.name}: " + "; ".join(problems)
 
 
-@pytest.mark.parametrize("q", [q for q in CORPUS if q.sql is None],
-                         ids=[q.name for q in CORPUS if q.sql is None])
+@pytest.mark.parametrize("q", [q for q in ALL if q.sql is None],
+                         ids=[q.name for q in ALL if q.sql is None])
 def test_rows_only(q, spark, sf_dir):
     assert q.spark(spark, sf_dir).count() >= 0
 
@@ -49,10 +54,12 @@ def test_driver_window_covers_unverified_families():
     """The driver oracle-checks the first 50 queries() entries.  Since round
     5 the window is derived from the committed CORRECTNESS_r0*.json files
     (oldest-green-first); this asserts the staleness invariant generically:
-    every query with NO driver row yet (new this round) and every query
-    whose latest row is >= 2 rounds old must sit inside the first 50, so no
-    oracle-backed query's newest green row ever goes three rounds stale."""
-    from nasctn_sea_ingest_spark.plans import _latest_driver_round
+    every query with NO driver row yet (new this round), every RECHECK
+    rewrite, and every query whose latest row is >= 2 rounds old must sit
+    inside the first 50, so no oracle-backed query's newest green row ever
+    goes three rounds stale and no rewrite waits out the rotation."""
+    from nasctn_sea_ingest_spark.plans import (
+        RECHECK, RETIRED_NAMES, _latest_driver_round)
 
     names = [q.name for q in CORPUS]
     assert len(names) == len(set(names))
@@ -63,13 +70,20 @@ def test_driver_window_covers_unverified_families():
     must_be_inside = {
         n for n in names
         if latest.get(n, -1) == -1 or latest[n] <= max_round - 2
+        or n in RECHECK
     }
     # The invariant only holds if the stale set fits the 50-slot window —
     # assert that explicitly so over-registration in one round fails CI.
     assert len(must_be_inside) <= 50, (
-        f"{len(must_be_inside)} stale/new queries exceed the 50-slot window")
+        f"{len(must_be_inside)} stale/new/recheck queries exceed the "
+        "50-slot window")
     assert must_be_inside <= window, must_be_inside - window
-    # And no fresh query may displace a staler one out of the window.
-    worst_inside = max(latest.get(n, -1) for n in window)
+    # And no fresh query may displace a staler one out of the window
+    # (RECHECK rewrites are the sanctioned exception: they jump the queue
+    # precisely because their fresh row no longer describes their plan).
+    worst_inside = max(latest.get(n, -1) for n in window - RECHECK)
     best_outside = min(latest.get(n, -1) for n in names[50:])
     assert worst_inside <= best_outside, (worst_inside, best_outside)
+    # RECHECK hygiene: entries must name live corpus queries.
+    assert RECHECK <= set(names), RECHECK - set(names)
+    assert not (RECHECK & RETIRED_NAMES)

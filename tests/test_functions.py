@@ -693,3 +693,28 @@ def test_table_fingerprint_mergeable_and_order_free(spark):
         FN.table_fingerprint(b, ["id", "grp", "val"])).collect()[0]
     assert (g_full.n_rows, g_full.fingerprint, g_full.mod_checksum) == \
         (g_merge.n_rows, g_merge.fingerprint, g_merge.mod_checksum)
+
+
+def test_keyed_cumsum_matches_naive_window(spark, sf_dir):
+    """Slice-parallel running sum == plain Window.partitionBy cumsum, row
+    for row, on a unique-order-key daily aggregate of the events series
+    (the keyed_cumsum tie precondition)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from nasctn_sea_ingest_spark.functions import keyed_cumsum
+    from nasctn_sea_ingest_spark.plans.tables import load_table
+
+    ev = (load_table(spark, sf_dir, "events")
+          .groupBy("event_type", "ts_us")
+          .agg(F.sum("value").cast("decimal(18,2)").alias("v")))
+    got = keyed_cumsum(ev, by=["event_type"], order=["ts_us"], col="v",
+                       out="run")
+    w = (Window.partitionBy("event_type").orderBy("ts_us")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = ev.select("event_type", "ts_us", F.sum("v").over(w).alias("run"))
+    key = ["event_type", "ts_us"]
+    diff = (got.select(*key, "run")
+            .exceptAll(want.select(*key, "run")))
+    assert diff.count() == 0
+    assert got.count() == want.count()

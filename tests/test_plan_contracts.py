@@ -13,7 +13,10 @@ def _plan(df) -> str:
 
 
 def _q(name):
-    return next(q for q in CORPUS if q.name == name)
+    # retired queries keep their plan contracts (tests/test_corpus keeps
+    # their oracle) — search both lists
+    from nasctn_sea_ingest_spark.plans import RETIRED
+    return next(q for q in CORPUS + RETIRED if q.name == name)
 
 
 def _final(df) -> str:

@@ -11,7 +11,11 @@ must contain; this lint pins what NO plan may silently grow.)
 
 import pytest
 
-from nasctn_sea_ingest_spark.plans import CORPUS
+from nasctn_sea_ingest_spark.plans import CORPUS, RETIRED
+
+# retired queries stay linted: their plan shapes remain library
+# surface even without a driver-window slot
+ALL = CORPUS + RETIRED
 
 # (query, flag) -> why it's fine. Flags: cartesian = CartesianProduct,
 # bnlj = BroadcastNestedLoopJoin, single = Exchange SinglePartition.
@@ -55,10 +59,14 @@ ALLOW = {
     ("q142_token_label_mi", "bnlj"): "corpus-totals (N/N_en) 1-row broadcast",
     ("q142_token_label_mi", "single"): "corpus-totals scalar aggregate + "
                                        "global top-20 TakeOrdered",
+    ("q155_peak_concurrency", "bnlj"): "keyed_cumsum slice-bounds 1-row "
+                                       "broadcast",
+    ("q155_peak_concurrency", "single"): "slice-bounds scalar "
+                                         "approx_percentile aggregate",
 }
 
 
-@pytest.mark.parametrize("q", CORPUS, ids=[q.name for q in CORPUS])
+@pytest.mark.parametrize("q", ALL, ids=[q.name for q in ALL])
 def test_no_new_plan_antipatterns(q, spark, sf_dir):
     df = q.spark(spark, sf_dir)
     df.collect()
