@@ -506,13 +506,19 @@ def q144(spark, sf_dir):
     FROM r GROUP BY src ORDER BY src
     """)
 def q145(spark, sf_dir):
-    register_tables(spark, sf_dir, ["lineitem"])
     # the loop's total row production is the union of per-hop frontiers —
     # on a dense graph that IS the answer's size (srcs x reachable
     # nodes), so the 1M default guardrail trips on output-driven state
     # long before anything pathological (hit on the 16x densified probe
-    # graph).  Raise the guardrail; the per-hop DISTINCT above keeps the
+    # graph).  Raise the guardrail on a CLONED session (own SQLConf +
+    # temp-view namespace, shared SparkContext): the returned DataFrame
+    # executes lazily, so a set/restore in this function body would
+    # restore before the recursion ever runs — and a bare set leaked the
+    # 200M limit to every later query in the same bench/driver session
+    # (round-5 advisor item).  The per-hop DISTINCT above keeps the
     # state bounded by srcs x nodes regardless.
+    spark = spark.newSession()
+    register_tables(spark, sf_dir, ["lineitem"])
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
     e0 = spark.sql("""
       WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)

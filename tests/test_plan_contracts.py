@@ -1086,3 +1086,15 @@ def test_q154_entropy_mapside_unpivot(spark, sf):
     assert "Exchange SinglePartition" not in p
     assert p.count("Scan parquet") == 1, p.count("Scan parquet")
     assert "Generate" in p
+
+
+def test_q145_recursion_limit_not_leaked(spark, sf):
+    """q145 raises spark.sql.cteRecursionRowLimit for its own recursion,
+    but on a CLONED session: the caller's session must keep its guardrail
+    (round-5 advisor: the bare set leaked 200M to every later bench/driver
+    query, q138's recursive rollup included)."""
+    key = "spark.sql.cteRecursionRowLimit"
+    before = spark.conf.get(key)
+    assert _q("q145_reachability").spark(spark, sf).count() > 0
+    assert spark.conf.get(key) == before
+    assert before != str(200_000_000)
