@@ -868,6 +868,17 @@ def table_fingerprint(df: DataFrame, cols: Sequence[str],
     bytes on any engine — never the engine-private ``hash()``), and the
     group digest is ``(n_rows, bit_xor(h), sum(h mod 1000003))``.
 
+    Canonicalization is injective (round-5 advisor fix): each column
+    encodes as ``<char_length>:<value>`` with NULL as the bare sentinel
+    ``N`` — so ``('a', NULL, 'b')`` vs ``('a', 'b', NULL)`` (NULL-shift)
+    and ``('a|b', 'c')`` vs ``('a', 'b|c')`` (delimiter-bearing values)
+    produce different digests.  The length prefix makes the ``|`` joins
+    unambiguous without any escaping (the parse consumes exactly
+    ``length`` chars per field), and ``N`` collides with neither empty
+    (``0:``) nor any real value.  A bare ``concat_ws`` silently DROPS
+    null columns — undetectable NULL-shift corruption in a tool whose
+    whole job is detecting corruption.
+
     XOR and the modular sum are commutative/associative/invertible, so
     digests are independent of row order, partitioning, and parallelism
     AND mergeable/updatable in O(delta) — see
@@ -877,7 +888,16 @@ def table_fingerprint(df: DataFrame, cols: Sequence[str],
     anywhere; DuckDB spelling in q140's oracle).
     """
     by = list(by or [])
-    canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+
+    def _enc(c: str):
+        s = F.col(c).cast("string")
+        # Spark concat propagates NULL (unlike DuckDB's concat — the
+        # oracle spelling uses `||` there for the same semantics)
+        return F.coalesce(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s),
+            F.lit("N"))
+
+    canon = F.concat_ws("|", *[_enc(c) for c in cols])
     h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
     hdf = df.select(*by, h.alias("_hv"))
     grouped = hdf.groupBy(*by) if by else hdf.groupBy()

@@ -117,16 +117,22 @@ def q139(spark, sf_dir):
     "so the digest is independent of row order, partitioning, and "
     "parallelism — the cross-engine integrity check a 100 TB copy is "
     "verified with (source and destination compute digests "
-    "independently; only 3 rows cross the wire)",
+    "independently; only 3 rows cross the wire).  Row canonicalization "
+    "is injective (round-6): every column length-prefixes its string "
+    "form (<chars>:<value>, NULL = bare 'N'), so NULL-shifted and "
+    "delimiter-bearing corruptions change the digest — concat_ws alone "
+    "silently dropped NULL columns.  DuckDB's concat ignores NULLs, so "
+    "the oracle uses || (NULL-propagating) inside the coalesce",
     """
     WITH h AS (
       SELECT l_returnflag,
              CAST(('0x' || substr(md5(concat_ws('|',
-                    CAST(l_orderkey AS VARCHAR),
-                    CAST(l_partkey AS VARCHAR),
-                    CAST(l_suppkey AS VARCHAR),
-                    CAST(l_linenumber AS VARCHAR),
-                    l_returnflag, l_linestatus)), 1, 15)) AS BIGINT) AS hv
+                    coalesce(CAST(length(CAST(l_orderkey AS VARCHAR)) AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR), 'N'),
+                    coalesce(CAST(length(CAST(l_partkey AS VARCHAR)) AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR), 'N'),
+                    coalesce(CAST(length(CAST(l_suppkey AS VARCHAR)) AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR), 'N'),
+                    coalesce(CAST(length(CAST(l_linenumber AS VARCHAR)) AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR), 'N'),
+                    coalesce(CAST(length(l_returnflag) AS VARCHAR) || ':' || l_returnflag, 'N'),
+                    coalesce(CAST(length(l_linestatus) AS VARCHAR) || ':' || l_linestatus, 'N'))), 1, 15)) AS BIGINT) AS hv
       FROM lineitem)
     SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
            CAST(bit_xor(hv) AS BIGINT) AS fingerprint,
@@ -135,15 +141,18 @@ def q139(spark, sf_dir):
     """)
 def q140(spark, sf_dir):
     register_tables(spark, sf_dir, ["lineitem"])
-    return spark.sql("""
+    # same injective <chars>:<value> / 'N' canonicalization as
+    # functions.table_fingerprint (Spark concat propagates NULL, so
+    # concat is safe here where DuckDB needed ||)
+    enc = ("coalesce(concat(CAST(length(CAST({0} AS STRING)) AS STRING), "
+           "':', CAST({0} AS STRING)), 'N')")
+    cols = ", ".join(enc.format(c) for c in (
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus"))
+    return spark.sql(f"""
     WITH h AS (
       SELECT l_returnflag,
-             CAST(conv(substr(md5(concat_ws('|',
-                    CAST(l_orderkey AS STRING),
-                    CAST(l_partkey AS STRING),
-                    CAST(l_suppkey AS STRING),
-                    CAST(l_linenumber AS STRING),
-                    l_returnflag, l_linestatus)), 1, 15), 16, 10)
+             CAST(conv(substr(md5(concat_ws('|', {cols})), 1, 15), 16, 10)
                   AS BIGINT) AS hv
       FROM lineitem)
     SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,

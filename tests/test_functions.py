@@ -718,3 +718,25 @@ def test_keyed_cumsum_matches_naive_window(spark, sf_dir):
             .exceptAll(want.select(*key, "run")))
     assert diff.count() == 0
     assert got.count() == want.count()
+
+
+def test_table_fingerprint_null_and_delimiter_injective(spark):
+    """Round-5 advisor: concat_ws dropped NULL columns, so NULL-shifted
+    rows and delimiter-bearing splits collided.  The length-prefix
+    canonicalization must distinguish all of them."""
+    schema = "a string, b string, c string"
+
+    def fp(rows):
+        r = FN.table_fingerprint(
+            spark.createDataFrame(rows, schema), ["a", "b", "c"]).collect()[0]
+        return (r.n_rows, r.fingerprint, r.mod_checksum)
+
+    # NULL-shift: ('a', NULL, 'b') vs ('a', 'b', NULL)
+    assert fp([("a", None, "b")]) != fp([("a", "b", None)])
+    # delimiter-bearing: ('a|b', 'c', ...) vs ('a', 'b|c', ...)
+    assert fp([("a|b", "c", "x")]) != fp([("a", "b|c", "x")])
+    # sentinel vs lookalike values: NULL vs 'N' vs empty string
+    assert fp([("N", "x", "x")]) != fp([(None, "x", "x")])
+    assert fp([("", "x", "x")]) != fp([(None, "x", "x")])
+    # length prefix itself must not collide with prefix-bearing values
+    assert fp([("1:a", "x", "x")]) != fp([("a", "x", "x")])
