@@ -335,7 +335,7 @@ def _unkeyed_running(u: DataFrame, order, r_t) -> DataFrame:
     # full-accuracy full-data sketch was ~1/3 of the whole as-of's cost
     # once the noop bench action exposed it.  The seed keeps the plan
     # deterministic run to run.
-    bounds = u.sample(0.1, seed=7).agg(F.expr(
+    bounds = u.sample(fraction=0.1, seed=7).agg(F.expr(
         f"approx_percentile(cast(__t as double), array({probs}), 2000)"
     ).alias("__bounds"))
     # coalesce to the empty array: an empty/tiny sample yields NULL
@@ -773,13 +773,33 @@ def keyed_lead(df: DataFrame, by: Sequence[str], order: Sequence[str],
     For a keyed ``lag``, negate a numeric order column (lag over ts ==
     lead over -ts).  ``time_gaps`` with a low-cardinality ``by`` should
     route through this for the same reason.
+
+    PRECONDITIONS (round-5 advisor; violations are misuse, not edge
+    cases):
+
+    - ``by`` must be LOW-cardinality: the keys×slices repair summary is
+      broadcast unconditionally (keys × shuffle-partitions rows ×
+      ~100 B).  Thousands of keys still fit easily; at millions of keys
+      the broadcast explodes — but then a plain ``partitionBy(by)``
+      window has no parallelism ceiling to fix and is the right tool.
+    - ``order`` is interpreted ASCENDING, always.  Arguments must be
+      column NAMES (enforced below), so a ``desc()`` Column cannot be
+      passed silently: the min_by/lead repair assumes ascending struct
+      order and a descending series would get wrong neighbors, not an
+      error.  For descending/lag semantics, negate the order column.
     """
     by, order, cols = list(by), list(order), list(cols)
+    for c in (*by, *order, *cols):
+        if not isinstance(c, str):
+            raise TypeError(
+                f"keyed_lead takes column NAMES, got {type(c).__name__}: "
+                "ordering is always ascending (negate the column for "
+                "lag/descending semantics)")
     t0 = F.col(order[0]).cast("double")
     nb = max(2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
                                              "200")))
     probs = ", ".join(str((i + 1) / nb) for i in range(nb - 1))
-    bounds = df.sample(0.1, seed=7).agg(F.expr(
+    bounds = df.sample(fraction=0.1, seed=7).agg(F.expr(
         f"approx_percentile(cast({order[0]} as double), array({probs}), "
         "2000)").alias("__bounds"))
     u = (df.crossJoin(F.broadcast(bounds))
@@ -830,13 +850,20 @@ def keyed_cumsum(df: DataFrame, by: Sequence[str], order: Sequence[str],
     tied on the full ``order`` tuple get an arbitrary relative order —
     the cumsum at tied rows is deterministic only if order keys are
     unique per group (pre-aggregate ties away first, as
-    q155_peak_concurrency does).
+    q155_peak_concurrency does).  Arguments must be column NAMES —
+    ordering is always ascending, same contract as :func:`keyed_lead`.
     """
     by, order = list(by), list(order)
+    for c in (*by, *order, col):
+        if not isinstance(c, str):
+            raise TypeError(
+                f"keyed_cumsum takes column NAMES, got {type(c).__name__}: "
+                "ordering is always ascending (negate the column for "
+                "descending semantics)")
     nb = max(2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
                                              "200")))
     probs = ", ".join(str((i + 1) / nb) for i in range(nb - 1))
-    bounds = df.sample(0.1, seed=7).agg(F.expr(
+    bounds = df.sample(fraction=0.1, seed=7).agg(F.expr(
         f"approx_percentile(cast({order[0]} as double), array({probs}), "
         "2000)").alias("__bounds"))
     u = (df.crossJoin(F.broadcast(bounds))

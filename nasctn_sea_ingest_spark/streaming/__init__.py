@@ -747,13 +747,20 @@ def cusum_monitor_stream(events: DataFrame, key_col: str, value_col: str,
     across micro-batches) to a running sum carried in typed state.
 
     Emits one row per key per micro-batch with the current cusum, its
-    running max |cusum|, and an ``alert`` flag once that peak crosses
-    ``alert_scaled`` (same v*n-scaled units).  State is 3 integers per
-    key regardless of stream length.  Rows are applied in
-    ``(order_col, value)`` order inside each batch and batches are
-    assumed time-ordered (the monitoring contract — same as
-    :func:`gap_monitor`); with in-order arrival the final cusum equals
-    the batch computation over the same rows (parity-tested).
+    running max |cusum|, a ``known_baseline`` flag, and an ``alert``
+    flag once that peak crosses ``alert_scaled`` (same v*n-scaled
+    units).  State is 3 integers per key regardless of stream length.
+    Rows are applied in ``(order_col, value)`` order inside each batch
+    and batches are assumed time-ordered (the monitoring contract —
+    same as :func:`gap_monitor`); with in-order arrival the final cusum
+    equals the batch computation over the same rows (parity-tested).
+
+    Keys ABSENT from the baseline are NOT dropped (round-5 advisor: the
+    original inner join made the monitor blind to brand-new keys — the
+    very anomaly it exists to flag): the stream left-joins the
+    baseline, unknown keys emit rows with ``known_baseline = false``,
+    ``alert = true``, and a zero cusum (no baseline → no drift measure,
+    but the appearance itself is the alarm).
     """
     from pyspark.sql.streaming.state import (
         GroupState,
@@ -763,13 +770,17 @@ def cusum_monitor_stream(events: DataFrame, key_col: str, value_col: str,
     joined = (events
               .withColumn("_vc", F.expr(
                   f"CAST(floor({value_col} * 100 + 0.5) AS BIGINT)"))
-              .join(F.broadcast(baseline), key_col)
+              .join(F.broadcast(baseline), key_col, "left")
               .select(key_col, F.col(order_col).alias("_ord"), "_vc",
-                      F.col("n_obs").cast("long").alias("_n"),
-                      F.col("total_cents").cast("long").alias("_tot")))
+                      F.col("n_obs").isNotNull().alias("_known"),
+                      F.coalesce(F.col("n_obs").cast("long"), F.lit(0))
+                      .alias("_n"),
+                      F.coalesce(F.col("total_cents").cast("long"),
+                                 F.lit(0)).alias("_tot")))
 
     out_schema = (f"{key_col} string, n_seen bigint, cusum_scaled bigint, "
-                  "max_abs_cusum bigint, alert boolean")
+                  "max_abs_cusum bigint, known_baseline boolean, "
+                  "alert boolean")
     state_schema = "cusum long, peak long, n long"
     limit = int(alert_scaled) if alert_scaled is not None else None
 
@@ -777,20 +788,23 @@ def cusum_monitor_stream(events: DataFrame, key_col: str, value_col: str,
         cusum, peak, n = state.get if state.exists else (0, 0, 0)
         rows = []
         for pdf in pdfs:
-            rows.append(pdf[["_ord", "_vc", "_n", "_tot"]])
+            rows.append(pdf[["_ord", "_vc", "_n", "_tot", "_known"]])
         if not rows:
             return
         batch = pd.concat(rows).sort_values(["_ord", "_vc"])
+        # knownness is a per-key constant (it comes from the static
+        # baseline side of the join)
+        known = bool(batch["_known"].iloc[0])
         for vc, nb, tot in zip(batch["_vc"], batch["_n"], batch["_tot"]):
             cusum += int(vc) * int(nb) - int(tot)
             peak = max(peak, abs(cusum))
             n += 1
         state.update((int(cusum), int(peak), int(n)))
         yield pd.DataFrame(
-            [(key[0], int(n), int(cusum), int(peak),
-              bool(limit is not None and peak > limit))],
+            [(key[0], int(n), int(cusum), int(peak), known,
+              bool(not known or (limit is not None and peak > limit)))],
             columns=[key_col, "n_seen", "cusum_scaled", "max_abs_cusum",
-                     "alert"])
+                     "known_baseline", "alert"])
 
     return joined.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append",

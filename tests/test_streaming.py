@@ -912,9 +912,12 @@ def test_cusum_monitor_stream_matches_batch(spark, tmp_path):
     # baseline window: stable around 10.00 for both keys
     base_rows = [("A", i, 10.0 + (i % 3) * 0.01) for i in range(30)] + \
                 [("B", i, 20.0) for i in range(10)]
-    # wave 2: A shifts up hard; B stays on baseline
+    # wave 2: A shifts up hard; B stays on baseline; C is a brand-new
+    # key with NO baseline row (must alarm, not vanish — round-5
+    # advisor: the inner join silently dropped it)
     wave2 = [("A", 100 + i, 14.0) for i in range(10)] + \
-            [("B", 100 + i, 20.0) for i in range(4)]
+            [("B", 100 + i, 20.0) for i in range(4)] + \
+            [("C", 100 + i, 5.0) for i in range(3)]
 
     def stats(rows, key):
         vcs = [round(v * 100) for k, _, v in rows if k == key]
@@ -966,6 +969,16 @@ def test_cusum_monitor_stream_matches_batch(spark, tmp_path):
         assert (last.n_seen, last.cusum_scaled, last.max_abs_cusum) == \
             (want_n, want_cusum, want_peak)
         assert last.alert == shifted
+        assert last.known_baseline
+
+    # the unknown key surfaced with the unknown-baseline alarm and a
+    # zero cusum (no baseline -> no drift measure; appearing IS the alert)
+    unknown = [r for r in snap if r.k == "C"]
+    assert unknown, "baseline-less key was dropped by the monitor"
+    assert all(not r.known_baseline and r.alert for r in unknown)
+    assert all(r.cusum_scaled == 0 and r.max_abs_cusum == 0
+               for r in unknown)
+    assert max(r.n_seen for r in unknown) == 3
 
 
 def test_stateful_monitor_crash_replay(spark, tmp_path):

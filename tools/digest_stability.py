@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Two-run plan-digest stability harness (round-6 verdict item: the
+driver's r5 bench reported plans_changed=4 on an UNCHANGED tree, so the
+drift alarm built to localize regressions cried wolf).
+
+Usage:
+    python tools/digest_stability.py /tmp/digests_a.json
+    python tools/digest_stability.py /tmp/digests_b.json
+    python tools/digest_stability.py --diff /tmp/digests_a.json /tmp/digests_b.json
+
+Each run mimics bench.py exactly (build DataFrame, count() it, digest
+the executed-plan string) but ALSO stores the normalized plan text, so
+--diff prints a unified diff of the first differing query — the evidence
+for what to normalize away.
+"""
+
+from __future__ import annotations
+
+import difflib
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(out_path: str) -> None:
+    from nasctn_sea_ingest_spark import get_spark
+    from nasctn_sea_ingest_spark.plans import CORPUS
+    from nasctn_sea_ingest_spark.querylog import normalized_plan, plan_digest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    spark = get_spark(app_name="digest_stability", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus,
+                      extra_conf={
+                          "spark.sql.legacy.parquet.nanosAsLong": "true"})
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {}
+    for q in sorted(CORPUS, key=lambda q: int(q.name[1:].split("_")[0])):
+        df = q.spark(spark, sf_dir)
+        df.count()
+        try:
+            out[q.name] = {"digest": plan_digest(df),
+                           "text": normalized_plan(df)}
+        except Exception as e:  # noqa: BLE001
+            out[q.name] = {"digest": "", "text": f"ERROR {e}"}
+        spark.catalog.clearCache()
+    with open(out_path, "w") as fh:
+        json.dump(out, fh)
+    print(f"wrote {len(out)} digests to {out_path}")
+    spark.stop()
+
+
+def diff(a_path: str, b_path: str) -> int:
+    a = json.load(open(a_path))
+    b = json.load(open(b_path))
+    changed = sorted(n for n in a if n in b
+                     and a[n]["digest"] != b[n]["digest"])
+    print(f"{len(changed)} digests differ: {', '.join(changed) or '-'}")
+    for n in changed:
+        print(f"\n=== {n} ===")
+        for line in difflib.unified_diff(
+                a[n]["text"].splitlines(), b[n]["text"].splitlines(),
+                lineterm="", n=1):
+            print(line)
+    return 1 if changed else 0
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "--diff":
+        sys.exit(diff(sys.argv[2], sys.argv[3]))
+    run(sys.argv[1])
