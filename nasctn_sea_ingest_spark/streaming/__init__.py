@@ -30,7 +30,7 @@ __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "calibration_join", "document_stream", "neardup_stream",
            "sliding_rollup", "upsert_stream", "sketch_rollup_stream",
            "heavy_hitters_stream", "weighted_reservoir_stream",
-           "cusum_monitor_stream"]
+           "cusum_monitor_stream", "capture_summary_stream"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -378,7 +378,8 @@ def neardup_stream(doc_stream: DataFrame, band_index: DataFrame,
 def upsert_stream(updates: DataFrame, out_dir: str, checkpoint_dir: str,
                   keys: "list[str]", order_by: "list[str]",
                   n_buckets: int = 64,
-                  available_now: bool = False):
+                  available_now: bool = False,
+                  transform=None):
     """Micro-batch MERGE: maintain a last-wins keyed snapshot under
     ``out_dir`` from a stream of update rows — the streaming face of
     ``functions.merge_upsert`` for a plain-parquet warehouse (no table
@@ -400,6 +401,13 @@ def upsert_stream(updates: DataFrame, out_dir: str, checkpoint_dir: str,
     ``_upsert_meta`` sidecar on first write and validated every batch —
     restarting with a different value raises instead of silently leaving
     stale duplicate keys in unread buckets.
+
+    ``transform(batch_df, batch_id)``, when given, maps each micro-batch
+    BEFORE the merge — the hook that turns this into an incrementally
+    maintained derived table (aggregate the batch, stamp a version
+    column, then last-wins-merge by the derived key); see
+    :func:`capture_summary_stream`.  It must be deterministic for a given
+    (batch rows, batch_id) pair or crash-replay idempotence is lost.
     """
     from pyspark.errors import AnalysisException
 
@@ -410,6 +418,8 @@ def upsert_stream(updates: DataFrame, out_dir: str, checkpoint_dir: str,
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if transform is not None:
+            batch_df = transform(batch_df, batch_id)
         b = merge_upsert(batch_df.limit(0), batch_df, keys, order_by) \
             .withColumn("kb", F.pmod(F.hash(*key_cols), n_buckets))
         b.persist()
@@ -455,6 +465,49 @@ def upsert_stream(updates: DataFrame, out_dir: str, checkpoint_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def capture_summary_stream(traces: DataFrame, out_dir: str,
+                           checkpoint_dir: str,
+                           channel_metadata: DataFrame | None = None,
+                           n_buckets: int = 16,
+                           available_now: bool = False):
+    """Incrementally maintained ``capture_summary`` table (the D6
+    flagship indicator rollup, reference ``demos/dask_processing.ipynb``
+    cell 3): as trace files land, each micro-batch computes
+    :func:`operators.capture_summary` over ITS OWN rows and last-wins
+    upserts the result by capture key ``(datetime, frequency)`` into a
+    key-bucketed parquet snapshot — so the summary table is current
+    after every trigger without ever re-scanning trace history, and a
+    re-delivered/corrected capture file REPLACES its summary rows
+    instead of duplicating them (the append-only ``with_summary`` path
+    in :func:`stream_to_warehouse` cannot do either).
+
+    Contract: all rows of one capture must land in the same micro-batch.
+    The file landing source guarantees this — a capture's traces live in
+    one .sigmf archive and Spark's file source assigns whole files to a
+    batch.  Cost per trigger is O(batch + touched buckets) via
+    :func:`upsert_stream`'s dynamic-partition-overwrite merge; replaying
+    a crashed batch rewrites the same rows (idempotent — the version
+    column is the deterministic ``batch_id``), crash-replay-audited like
+    the other monitors.
+
+    The snapshot carries ``updated_batch`` (the writing batch id) and
+    the bucket column ``kb`` alongside the summary columns.
+    """
+    from ..operators import capture_summary
+
+    def tf(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return (capture_summary(batch_df, channel_metadata)
+                .withColumn("updated_batch",
+                            F.lit(int(batch_id)).cast("long")))
+
+    return upsert_stream(traces, out_dir, checkpoint_dir,
+                         keys=["datetime", "frequency"],
+                         order_by=["updated_batch"],
+                         n_buckets=n_buckets,
+                         available_now=available_now,
+                         transform=tf)
 
 
 def sketch_rollup_stream(updates: DataFrame, out_dir: str,

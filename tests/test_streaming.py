@@ -1037,3 +1037,59 @@ def test_stateful_monitor_crash_replay(spark, tmp_path):
         assert n2 == n1 == len(rows), (kind, n1, n2)
         assert state2 == state1, kind
     spark.conf.unset("spark.sql.streaming.metadataCache.enabled")
+
+
+def test_capture_summary_stream_parity_and_replay(spark, tmp_path):
+    """Incrementally maintained capture_summary (upsert form): after two
+    landing waves the key-bucketed snapshot equals the batch operator
+    over all traces, and the upsert_stream crash-replay audit holds —
+    replaying the batch whose snapshot write landed but whose commit
+    marker did not must not duplicate or lose capture rows."""
+    from nasctn_sea_ingest_spark.operators import capture_summary
+    from nasctn_sea_ingest_spark.streaming import (
+        capture_summary_stream, read_sigmf_stream)
+
+    spark.conf.set("spark.sql.streaming.metadataCache.enabled", "false")
+    landing = str(tmp_path / "land")
+    out = str(tmp_path / "summary")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(landing)
+
+    def run():
+        stream = read_sigmf_stream(spark, landing)
+        q = capture_summary_stream(stream, out, ckpt, available_now=True)
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    def snapshot():
+        rows = spark.read.parquet(out).collect()
+        keys = [(r.datetime, r.frequency) for r in rows]
+        assert len(keys) == len(set(keys)), "duplicate capture keys"
+        return {k: (r.median_rms_pfp, r.max_max_pfp, r.median_mean_power,
+                    r.max_max_power)
+                for k, r in zip(keys, rows)}
+
+    build_sweep_series(landing, 3)
+    run()
+    build_sweep_series(landing, 2, start_iso="2023-09-17T01:00:00.000Z",
+                       prefix="more")
+    run()
+
+    # stream == batch: decode everything through batch ingest and compare
+    from nasctn_sea_ingest_spark.sources.ingest import ingest
+    bwh = str(tmp_path / "batch_wh")
+    ingest(spark, landing, bwh)
+    traces = spark.read.parquet(os.path.join(bwh, "traces"))
+    want = {(r.datetime, r.frequency):
+            (r.median_rms_pfp, r.max_max_pfp, r.median_mean_power,
+             r.max_max_power)
+            for r in capture_summary(traces).collect()}
+    got = snapshot()
+    assert got == want
+
+    # crash window: snapshot written, commit marker missing -> replay
+    _delete_commit_marker(ckpt)
+    run()
+    assert snapshot() == want
+    spark.conf.unset("spark.sql.streaming.metadataCache.enabled")
