@@ -27,7 +27,8 @@ __all__ = [
     "time_gaps", "pivot_wide", "localize", "rayleigh_amplitude",
     "noise_floor_dBm", "salted_agg", "exact_median_large",
     "weighted_median_large", "zorder_key",
-    "merge_upsert", "snapshot_diff", "keyed_lead",
+    "merge_upsert", "snapshot_diff", "keyed_lead", "keyed_cumsum",
+    "pit_features", "table_fingerprint", "merge_fingerprint",
 ]
 
 
@@ -885,6 +886,53 @@ def keyed_cumsum(df: DataFrame, by: Sequence[str], order: Sequence[str],
     return (u.withColumn(out, F.col("__loc")
                          + F.coalesce(F.col("__off"), F.lit(0)))
              .select(*df.columns, out))
+
+
+def pit_features(anchors: DataFrame, events: DataFrame,
+                 keys: Sequence[str], anchor_day: str, event_day: str,
+                 aggs: "dict[str, Column]", window_days: int = 7,
+                 fill=None) -> DataFrame:
+    """Point-in-time feature backfill (the library form of corpus q157):
+    for every anchor row, aggregate ``events`` rows of the same ``keys``
+    whose ``event_day`` falls in the ``window_days`` days STRICTLY
+    BEFORE ``anchor_day`` — leakage-free as-of features, the join every
+    feature-store training-set build runs.
+
+    ``aggs`` maps output column name -> aggregate Column over the event
+    side (e.g. ``{"n7": F.count("*"), "v7": F.sum("v")}``).  Anchors
+    with no in-window events keep a row with ``fill`` (default NULL) in
+    every feature column.
+
+    Shape: the day-bounded window becomes ``window_days`` exploded day
+    offsets on the anchor side and ONE equi-join on (keys, day) — never
+    a range/theta join, which Spark would execute as a broadcast
+    nested-loop at scale.  Pre-aggregate the event side to (keys, day)
+    grain first when the raw events are large; the join then moves
+    keys×days rows, not events.  Cost: one explode (×window_days) + one
+    hash join + one anchor-grain aggregate.  ``window_days`` beyond ~90
+    multiplies the anchor side accordingly — switch to a
+    coarser-than-day bucket grain at that point, same shape.
+    """
+    keys = list(keys)
+    # the synthetic anchor id feeds BOTH join branches: pin it with a
+    # lazy checkpoint — monotonically_increasing_id is nondeterministic
+    # across re-evaluations and a plain self-join could disagree on ids
+    anchors = (anchors.withColumn("__aid", F.monotonically_increasing_id())
+               .localCheckpoint(eager=False))
+    offs = (anchors.select(
+        "__aid", *keys, F.col(anchor_day).alias("__ad"),
+        F.explode(F.sequence(F.lit(1), F.lit(int(window_days))))
+        .alias("__k"))
+        .select("__aid", *keys,
+                (F.col("__ad") - F.col("__k")).alias(event_day)))
+    g = (offs.join(events, keys + [event_day])
+         .groupBy("__aid")
+         .agg(*[a.alias(n) for n, a in aggs.items()]))
+    out = anchors.join(g, "__aid", "left")
+    if fill is not None:
+        for n in aggs:
+            out = out.withColumn(n, F.coalesce(F.col(n), F.lit(fill)))
+    return out.drop("__aid")
 
 
 def table_fingerprint(df: DataFrame, cols: Sequence[str],

@@ -106,6 +106,67 @@ def q155(spark, sf_dir):
             .orderBy("event_type"))
 
 
+@_q("q157_pit_features",
+    "point-in-time feature backfill (the feature-store training-data "
+    "op): for every purchase event, that user's click count and exact "
+    "decimal click-value sum over the 7 days STRICTLY BEFORE the "
+    "purchase day — leakage-free as-of features.  Expressed as a "
+    "day-bucket offset EQUI-join (daily pre-aggregate x 7 exploded "
+    "offsets, q139's trick), never a range/theta join: at 100 TB the "
+    "range form rewrites to a per-day-pair equi-shuffle while this is "
+    "one already.  Anchors with no prior clicks keep zero rows via the "
+    "left join (feature completeness)",
+    """
+    WITH clicks AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS v
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    anchors AS (
+      SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events WHERE event_type = 'purchase'),
+    contrib AS (
+      SELECT a.event_id, c.n, c.v
+      FROM anchors a
+      CROSS JOIN generate_series(1, 7) AS t(k)
+      JOIN clicks c ON c.user_id = a.user_id AND c.day = a.day - t.k),
+    g AS (
+      SELECT event_id, CAST(sum(n) AS BIGINT) AS n7,
+             CAST(sum(v) AS DOUBLE) AS v7
+      FROM contrib GROUP BY 1)
+    SELECT a.event_id, coalesce(g.n7, 0) AS n_clicks_7d,
+           coalesce(g.v7, 0.0) AS click_value_7d
+    FROM anchors a LEFT JOIN g USING (event_id)
+    ORDER BY a.event_id
+    """)
+def q157(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .groupBy("user_id",
+                       F.expr(f"ts_us div {_DAY_US}").alias("day"))
+              .agg(F.count("*").cast("bigint").alias("n"),
+                   F.sum(F.col("value").cast("decimal(12,2)"))
+                   .cast("decimal(18,2)").alias("v")))
+    anchors = (ev.where(F.col("event_type") == "purchase")
+               .select("event_id", "user_id",
+                       F.expr(f"ts_us div {_DAY_US}").alias("day")))
+    offs = (anchors.select(
+        "event_id", "user_id", "day",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("k"))
+        .select("event_id", "user_id",
+                (F.col("day") - F.col("k")).alias("day")))
+    g = (offs.join(clicks, ["user_id", "day"])
+         .groupBy("event_id")
+         .agg(F.sum("n").cast("bigint").alias("n7"),
+              F.sum("v").cast("double").alias("v7")))
+    return (anchors.join(g, "event_id", "left")
+            .select("event_id",
+                    F.coalesce("n7", F.lit(0).cast("bigint"))
+                    .alias("n_clicks_7d"),
+                    F.coalesce("v7", F.lit(0.0)).alias("click_value_7d"))
+            .orderBy("event_id"))
+
+
 @_q("q156_seasonal_anomaly",
     "seasonal anomaly surfacing: per-(event_type, day) totals scored "
     "against their own (event_type, day-of-week) baseline — "

@@ -740,3 +740,48 @@ def test_table_fingerprint_null_and_delimiter_injective(spark):
     assert fp([("", "x", "x")]) != fp([(None, "x", "x")])
     # length prefix itself must not collide with prefix-bearing values
     assert fp([("1:a", "x", "x")]) != fp([("a", "x", "x")])
+
+
+def test_pit_features_matches_bruteforce_range_join(spark, sf_dir):
+    """Library point-in-time features (day-offset equi-join) == the
+    brute-force range join, anchor for anchor, including zero-fill for
+    anchors with no in-window events."""
+    import pyspark.sql.functions as F
+
+    from nasctn_sea_ingest_spark.functions import pit_features
+    from nasctn_sea_ingest_spark.plans.tables import load_table
+
+    day = "ts_us div 86400000000"
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.where("event_type = 'click'")
+              .groupBy("user_id", F.expr(day).alias("day"))
+              .agg(F.count("*").alias("n"),
+                   F.sum("value").cast("decimal(18,2)").alias("v")))
+    anchors = (ev.where("event_type = 'purchase'")
+               .select("event_id", "user_id", F.expr(day).alias("aday")))
+
+    got = {r.event_id: (r.n7, float(r.v7) if r.v7 is not None else 0.0)
+           for r in pit_features(
+               anchors, clicks, keys=["user_id"], anchor_day="aday",
+               event_day="day",
+               aggs={"n7": F.sum("n").cast("bigint"),
+                     "v7": F.coalesce(F.sum("v"),
+                                      F.lit(0).cast("decimal(18,2)"))},
+               window_days=7).collect()}
+
+    brute = (anchors.join(
+        clicks, (anchors.user_id == clicks.user_id)
+        & (clicks.day >= anchors.aday - 7) & (clicks.day < anchors.aday),
+        "left")
+        .groupBy("event_id")
+        .agg(F.sum("n").cast("bigint").alias("n7"),
+             F.sum("v").alias("v7")))
+    want = {r.event_id: (r.n7 if r.n7 is not None else None,
+                         float(r.v7) if r.v7 is not None else 0.0)
+            for r in brute.collect()}
+    # pit_features leaves NULL n7 for no-event anchors (fill unset here)
+    want = {k: (n, v) for k, (n, v) in want.items()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
+    assert any(n is None for n, _ in got.values())  # zero-event anchors exist
