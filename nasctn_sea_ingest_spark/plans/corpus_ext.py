@@ -1151,15 +1151,27 @@ def q108(spark, sf_dir):
     f = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     a = ev.distinct()
     j = f.join(a, "user_id")
-    return (j.groupBy("cohort_day")
-             .agg(F.countDistinct("user_id").alias("cohort_size"),
-                  F.countDistinct(F.when(
-                      F.col("day") == F.col("cohort_day") + 1,
-                      F.col("user_id"))).alias("retained_d1"),
-                  F.countDistinct(F.when(
-                      (F.col("day") >= F.col("cohort_day") + 7)
-                      & (F.col("day") < F.col("cohort_day") + 14),
-                      F.col("user_id"))).alias("retained_w2")))
+    # two-level aggregate instead of three countDistincts: per
+    # (cohort_day, user_id) boolean retention flags, then plain sums.
+    # Equivalent (a user appears once per cohort by construction), and
+    # strictly better at scale AND for the drift alarm: the
+    # countDistinct form compiles through RewriteDistinctAggregates
+    # into a 3x row-multiplying Expand whose gid-to-expression
+    # assignment is NONDETERMINISTIC run to run (same session, same
+    # tree — the round-5/6 q108 digest flips), while this is one
+    # deterministic Expand-free two-phase agg riding the user_id
+    # exchange
+    per_user = (j.groupBy("cohort_day", "user_id")
+                .agg(F.max(F.when(F.col("day") == F.col("cohort_day") + 1,
+                                  1).otherwise(0)).alias("d1"),
+                     F.max(F.when(
+                         (F.col("day") >= F.col("cohort_day") + 7)
+                         & (F.col("day") < F.col("cohort_day") + 14),
+                         1).otherwise(0)).alias("w2")))
+    return (per_user.groupBy("cohort_day")
+            .agg(F.count("*").alias("cohort_size"),
+                 F.sum("d1").alias("retained_d1"),
+                 F.sum("w2").alias("retained_w2")))
 
 
 @_q("q110_ohlc_bars",
