@@ -785,3 +785,35 @@ def test_pit_features_matches_bruteforce_range_join(spark, sf_dir):
     for k in want:
         assert got[k] == want[k], (k, got[k], want[k])
     assert any(n is None for n, _ in got.values())  # zero-event anchors exist
+
+
+def test_keyed_cumsum_edge_shapes(spark):
+    """Slice machinery edge cases: single-row groups, a key absent from
+    the bounds sample, negative values, and decimal sums — all must
+    match the naive window exactly."""
+    import random
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from nasctn_sea_ingest_spark.functions import keyed_cumsum
+
+    rnd = random.Random(11)
+    rows = [("solo", 0, 5)]                       # single-row group
+    rows += [("big", t, rnd.randint(-50, 50)) for t in range(500)]
+    rows += [("tiny", t, rnd.randint(-5, 5)) for t in range(3)]
+    df = spark.createDataFrame(rows, "k string, t long, v long") \
+        .repartition(7)
+    got = keyed_cumsum(df, ["k"], ["t"], "v", out="run")
+    w = (Window.partitionBy("k").orderBy("t")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = df.select("k", "t", F.sum("v").over(w).alias("run"))
+    assert (got.select("k", "t", "run")
+            .exceptAll(want).count() == 0)
+    assert got.count() == want.count()
+
+    # decimal column type survives the slice/offset arithmetic
+    dfd = df.withColumn("v", (F.col("v") / 4).cast("decimal(10,2)"))
+    gotd = keyed_cumsum(dfd, ["k"], ["t"], "v", out="run")
+    wantd = dfd.select("k", "t", F.sum("v").over(w).alias("run"))
+    assert (gotd.select("k", "t", "run").exceptAll(wantd).count() == 0)
