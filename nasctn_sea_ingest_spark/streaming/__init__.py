@@ -30,7 +30,8 @@ __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "calibration_join", "document_stream", "neardup_stream",
            "sliding_rollup", "upsert_stream", "sketch_rollup_stream",
            "heavy_hitters_stream", "weighted_reservoir_stream",
-           "cusum_monitor_stream", "capture_summary_stream"]
+           "cusum_monitor_stream", "capture_summary_stream",
+           "occupancy_monitor_stream"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -786,6 +787,75 @@ def weighted_reservoir_stream(events: DataFrame, key_col: str,
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append",
                                     GroupStateTimeout.NoTimeout))
+
+
+def occupancy_monitor_stream(events: DataFrame, key_col: str,
+                             start_col: str, end_col: str) -> DataFrame:
+    """Streaming peak-concurrency monitor per key — the production form
+    of q155's endpoint sweep line: each event opens an interval
+    ``[start, end)``; the monitor maintains the CURRENT number of open
+    intervals, the all-time peak, and the earliest instant that peak was
+    reached, emitting one row per key per micro-batch.
+
+    State per key is ``(occupancy, peak, peak_at, pending ends)`` — the
+    pending list holds end instants of still-open intervals, so its size
+    IS the current occupancy (bounded by real concurrency, not stream
+    length).  Rows are applied in ``start`` order inside each batch and
+    batches are assumed event-time-ordered (the monitoring contract,
+    same as :func:`gap_monitor` / :func:`cusum_monitor_stream`); ends
+    tied with a start at the same instant close BEFORE the start opens
+    (half-open intervals), matching the batch query's net-delta
+    semantics, so with in-order arrival the final (peak, peak_at)
+    equals the batch sweep over the same rows (parity-tested).
+    """
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    sel = events.select(
+        F.col(key_col).cast("string").alias("_k"),
+        F.col(start_col).cast("long").alias("_s"),
+        F.col(end_col).cast("long").alias("_e"))
+
+    out_schema = (f"{key_col} string, n_intervals bigint, "
+                  "occupancy bigint, peak bigint, peak_at bigint")
+    state_schema = "occ long, peak long, peak_at long, pending array<long>"
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import heapq
+        if state.exists:
+            occ, peak, peak_at, pending = state.get
+            pending = list(pending)
+        else:
+            occ, peak, peak_at, pending = 0, 0, -1, []
+        heapq.heapify(pending)
+        rows = [pdf[["_s", "_e"]] for pdf in pdfs]
+        if not rows:
+            return
+        batch = pd.concat(rows).sort_values(["_s", "_e"])
+        n = 0
+        for s, e in zip(batch["_s"], batch["_e"]):
+            s, e = int(s), int(e)
+            while pending and pending[0] <= s:
+                heapq.heappop(pending)
+                occ -= 1
+            occ += 1
+            heapq.heappush(pending, e)
+            if occ > peak:
+                peak, peak_at = occ, s
+            n += 1
+        state.update((int(occ), int(peak), int(peak_at),
+                      sorted(pending)))
+        yield pd.DataFrame(
+            [(key[0], int(n), int(occ), int(peak), int(peak_at))],
+            columns=[key_col, "n_intervals", "occupancy", "peak",
+                     "peak_at"])
+
+    return sel.withColumnRenamed("_k", key_col) \
+        .groupBy(key_col).applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout)
 
 
 def cusum_monitor_stream(events: DataFrame, key_col: str, value_col: str,

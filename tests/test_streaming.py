@@ -1093,3 +1093,85 @@ def test_capture_summary_stream_parity_and_replay(spark, tmp_path):
     run()
     assert snapshot() == want
     spark.conf.unset("spark.sql.streaming.metadataCache.enabled")
+
+
+def test_occupancy_monitor_stream_matches_batch_sweep(spark, tmp_path):
+    """Streaming peak-concurrency vs the batch endpoint sweep (q155
+    semantics): after two in-order waves the carried (occupancy, peak,
+    peak_at) equals the python net-delta sweep over all rows — including
+    intervals that stay open ACROSS the wave boundary — and the state
+    survives a crash-replay of the last batch."""
+    from nasctn_sea_ingest_spark.streaming import occupancy_monitor_stream
+
+    spark.conf.set("spark.sql.streaming.metadataCache.enabled", "false")
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "occ")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "k string, s bigint, e bigint"
+    # wave 1: A ramps to 3 concurrent; one A interval spans far into
+    # wave 2's time range; B stays at 1
+    wave1 = [("A", 100, 200), ("A", 150, 2000), ("A", 160, 190),
+             ("B", 100, 110)]
+    # wave 2: overlaps the still-open A interval -> peak 3 again at 1500;
+    # B reaches its peak 2
+    wave2 = [("A", 1500, 1600), ("A", 1550, 1590),
+             ("B", 1500, 1700), ("B", 1600, 1800)]
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(land).schema).parquet(land)
+        q = (occupancy_monitor_stream(stream, "k", "s", "e")
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    def batch_sweep(rows, key):
+        deltas = {}
+        for k, s, e in rows:
+            if k != key:
+                continue
+            deltas[s] = deltas.get(s, 0) + 1
+            deltas[e] = deltas.get(e, 0) - 1
+        occ = peak = 0
+        peak_at = -1
+        for t in sorted(deltas):
+            occ += deltas[t]
+            if occ > peak:
+                peak, peak_at = occ, t
+        return peak, peak_at
+
+    spark.createDataFrame(wave1, schema).coalesce(1) \
+        .write.mode("append").parquet(land)
+    run()
+    spark.createDataFrame(wave2, schema).coalesce(1) \
+        .write.mode("append").parquet(land)
+    run()
+
+    def latest():
+        snap = spark.read.parquet(out).collect()
+        res = {}
+        for k in ("A", "B"):
+            rows = [r for r in snap if r.k == k]
+            top = max(rows, key=lambda r: r.n_intervals)
+            res[k] = (top.peak, top.peak_at, top.occupancy)
+        return res
+
+    got = latest()
+    allr = wave1 + wave2
+    assert got["A"][:2] == batch_sweep(allr, "A") == (3, 160)
+    assert got["B"][:2] == batch_sweep(allr, "B") == (2, 1600)
+    # current occupancy: A's 150->2000 interval is still open at the
+    # last processed start (1550 pops nothing beyond closed ones)
+    assert got["A"][2] == 3  # intervals 150-2000, 1500-1600, 1550-1590
+    assert got["B"][2] == 2  # 1500-1700, 1600-1800 both open
+
+    # crash window: sink wrote, checkpoint commit missing -> replay must
+    # leave identical peaks (state rolled back with the commit)
+    _delete_commit_marker(ckpt)
+    run()
+    assert latest() == got
+    spark.conf.unset("spark.sql.streaming.metadataCache.enabled")
