@@ -1098,3 +1098,42 @@ def test_q145_recursion_limit_not_leaked(spark, sf):
     assert _q("q145_reachability").spark(spark, sf).count() > 0
     assert spark.conf.get(key) == before
     assert before != str(200_000_000)
+
+
+def test_q155_sweep_slice_partitioned(spark, sf):
+    """Peak concurrency: the running-occupancy window must be partitioned
+    by (event_type, __pid) — the keyed_cumsum slice — never by
+    event_type alone (the few-key ceiling), and the endpoint deltas
+    pre-aggregate before any window (map-side combinable)."""
+    import re
+
+    df = _q("q155_peak_concurrency").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    # every sum(...) running window must carry the slice id in its spec
+    for ln in p.splitlines():
+        if "windowspecdefinition(" in ln and "sum(d#" in ln:
+            assert "__pid" in ln.split("windowspecdefinition(")[1], ln
+    assert re.search(r"hashpartitioning\(event_type#\d+, __pid#\d+", p)
+
+
+def test_q156_baseline_broadcast(spark, sf):
+    """Seasonal anomaly: the keys x 7 baseline joins via broadcast hash
+    join — the daily aggregate must not shuffle against it."""
+    df = _q("q156_seasonal_anomaly").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_q157_pit_equi_join_not_range(spark, sf):
+    """Point-in-time features: the 7-day window must execute as hash
+    EQUI-joins on (user_id, day) — a range/theta join would plan as
+    broadcast nested-loop and explode at scale."""
+    df = _q("q157_pit_features").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Generate explode" in p  # the day-offset explode is the plan
