@@ -75,6 +75,12 @@ REL_QUERIES = {
     "q152_gini_inequality": ("events", ["event_id", "user_id"]),
     "q153_theil_sen_slope": ("events", ["event_id", "user_id"]),
     "q154_column_entropy": ("events", ["event_id", "user_id"]),
+    # event_id shifts keep replica intervals distinct; each replica's
+    # deltas stack onto the same per-type timeline, so occupancy (and
+    # the sweep's distinct-instant relation) grows with scale
+    "q155_peak_concurrency": ("events", ["event_id", "user_id"]),
+    "q156_seasonal_anomaly": ("events", ["event_id", "user_id"]),
+    "q157_pit_features": ("events", ["event_id", "user_id"]),
 }
 
 
