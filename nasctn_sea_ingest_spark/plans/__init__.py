@@ -57,8 +57,9 @@ from . import corpus_r6  # noqa: F401  (peak-concurrency sweep line,
 # since their last driver row — the round-5 advisor's gap: a rewrite
 # used to go driver-scale-unverified for up to two rounds).
 
-# Retired round 6 (2 per freshness cohort so every upcoming round gains
-# slack, not just this one).  Rationale per entry — the operator surface
+# Retired round 6 — 8 entries spread across the three freshness cohorts
+# (4 from r03, 2 from r04, 2 from r05) so every upcoming round gains
+# slack, not just this one.  Rationale per entry — the operator surface
 # each one exercised and where it remains covered:
 #   r03 cohort: q39_daily_rollup   (F13 date naming — q03 time-range +
 #                 warehouse `date` partition pytest), q94_exact_median_
