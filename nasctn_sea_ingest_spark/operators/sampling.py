@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 
 __all__ = ["hash_bucket", "deterministic_sample", "hash_split",
            "weighted_mixture", "upsample", "stratified_sample",
-           "seeded_shuffle", "balanced_sample"]
+           "seeded_shuffle", "balanced_sample", "leakage_safe_split"]
 
 N_BUCKETS = 10_000
 
@@ -216,3 +216,35 @@ def balanced_sample(df: DataFrame, n_per_stratum: int, stratum_col: str,
     return (df.where(F.col(key_col).isNotNull())
               .withColumn("__rk", F.row_number().over(w))
               .where(F.col("__rk") <= int(n_per_stratum)).drop("__rk"))
+
+
+def leakage_safe_split(df: DataFrame, pairs: DataFrame, key_col: str,
+                       weights: "dict[str, float]", salt: str = "",
+                       d1: str = "d1", d2: str = "d2") -> DataFrame:
+    """Train/val/test split that keeps every NEAR-DUP CLUSTER on one
+    side: :func:`hash_split` assigns same-key rows together, but two
+    near-duplicate documents have different keys — splitting them apart
+    leaks training text into eval (the contamination the
+    decontamination gate (q74) exists to catch, created by the split
+    itself).  Here the split key is the duplicate-cluster representative
+    (``dedup.dup_clusters`` over the candidate ``pairs`` — LSH/simhash/
+    cosine edges), falling back to the row's own key for singletons, so
+    whole clusters move as one unit and un-paired documents split
+    individually.
+
+    Scale shape: clusters = iterative min-label propagation over the
+    PAIRS (bounded by candidate count, not corpus size), then ONE
+    broadcast-or-shuffle left join back to the corpus and the same
+    map-side hash predicate as hash_split.  Deterministic: membership
+    is a pure function of (pair graph, key bytes, salt).
+    """
+    from .dedup import dup_clusters
+
+    clusters = dup_clusters(pairs, d1=d1, d2=d2) \
+        .withColumnRenamed("node", key_col)
+    out = (df.join(clusters, key_col, "left")
+           .withColumn("__skey",
+                       F.coalesce(F.col("cluster").cast("string"),
+                                  F.col(key_col).cast("string"))))
+    return hash_split(out, weights, "__skey", salt) \
+        .drop("__skey", "cluster")

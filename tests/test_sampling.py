@@ -241,3 +241,40 @@ def test_balanced_sample_excludes_null_keys(spark):
     out = balanced_sample(df, 10, "lang", "doc_id").collect()
     # null-key rows have no identity to rank by -> excluded, not sampled
     assert sorted(r.doc_id for r in out) == [1, 2, 3]
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Near-dup clusters must land whole on one side of the split; un-
+    paired docs split individually per the hash weights; assignment is
+    deterministic across calls."""
+    from nasctn_sea_ingest_spark.operators.sampling import (
+        hash_split, leakage_safe_split)
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(400)], "doc_id long, text string")
+    # three clusters, one of them transitive (0~1, 1~2 => {0,1,2})
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (200, 201)], "d1 long, d2 long")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    out = leakage_safe_split(docs, pairs, "doc_id", w).collect()
+    split = {r.doc_id: r.split for r in out}
+    assert len(split) == 400 and set(split.values()) <= set(w)
+    for cluster in ([0, 1, 2], [10, 11], [200, 201]):
+        assert len({split[d] for d in cluster}) == 1, cluster
+
+    # deterministic across calls
+    again = {r.doc_id: r.split
+             for r in leakage_safe_split(docs, pairs, "doc_id", w).collect()}
+    assert again == split
+
+    # singletons follow the plain hash_split assignment exactly
+    singles = [d for d in split if d not in {0, 1, 2, 10, 11, 200, 201}]
+    plain = {r.doc_id: r.split
+             for r in hash_split(docs, w, "doc_id").collect()}
+    for d in singles:
+        assert split[d] == plain[d]
+    # and the split is usably balanced on this sample
+    from collections import Counter
+    c = Counter(split.values())
+    assert c["train"] > 250 and c["val"] > 10 and c["test"] > 10
