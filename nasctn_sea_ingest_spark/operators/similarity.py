@@ -26,7 +26,7 @@ __all__ = ["cosine_topk", "cosine_pairs", "lsh_bucket", "lsh_topk",
            "ivf_assign", "ivf_topk", "train_centroids", "sample_centroids",
            "cosine_topk_batch", "quantize_embeddings", "dequantize_embeddings",
            "pq_train", "pq_encode", "pq_topk", "ivfpq_topk",
-           "semantic_dedup"]
+           "semantic_dedup", "pca_fit", "pca_project"]
 
 
 def _dot_with_lit(col: str, vec: np.ndarray):
@@ -457,3 +457,79 @@ def ivfpq_topk(encoded: DataFrame, centroids: np.ndarray,
     cand = encoded.where(F.col(cell_col).isin(*[int(c) for c in order]))
     return pq_topk(cand, codebooks, q, kk, id_col=id_col,
                    code_col=code_col)
+
+
+def pca_fit(emb: DataFrame, k: int, col: str = "embedding"):
+    """Exact PCA of an embedding column in ONE distributed pass: each
+    Arrow batch reduces to a single partial-moment row (n, Σx, ΣxxT
+    flattened — the d + d² sufficient statistics), the bounded set of
+    partials (one per batch, ≤ a few hundred rows at any data size)
+    collects to the driver, and the d×d covariance eigendecomposition
+    runs there in microseconds (d ≤ a few hundred).  This is the
+    treeAggregate shape expressed as mapInPandas → driver combine: the
+    data-proportional work is embarrassingly parallel, the driver holds
+    O(d²), never O(rows).
+
+    Returns ``(mean, components)``: mean shape (d,), components shape
+    (k, d) — orthonormal top-k eigenvectors of the covariance, each
+    sign-fixed so its largest-|.| coordinate is positive (deterministic
+    across runs/partitionings up to eigenvalue ties).
+    """
+    import pandas as pd  # noqa: F811  (worker-side import)
+
+    def partials(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in b[col]])
+            yield pd.DataFrame({
+                "n": [len(X)],
+                "s": [X.sum(axis=0).tolist()],
+                "g": [(X.T @ X).ravel().tolist()]})
+
+    rows = (emb.select(col)
+            .mapInPandas(partials,
+                         "n long, s array<double>, g array<double>")
+            .collect())
+    if not rows:
+        raise ValueError("pca_fit: empty input")
+    n = sum(r.n for r in rows)
+    s = np.sum([np.array(r.s) for r in rows], axis=0)
+    g = np.sum([np.array(r.g) for r in rows], axis=0)
+    d = len(s)
+    mean = s / n
+    cov = g.reshape(d, d) / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)          # ascending
+    comp = vecs[:, ::-1][:, :k].T             # (k, d), top-k first
+    # deterministic sign: largest-|coordinate| positive per component
+    for i in range(comp.shape[0]):
+        j = int(np.argmax(np.abs(comp[i])))
+        if comp[i, j] < 0:
+            comp[i] = -comp[i]
+    return mean, comp
+
+
+def pca_project(emb: DataFrame, mean: np.ndarray, components: np.ndarray,
+                col: str = "embedding",
+                out: str = "pca") -> DataFrame:
+    """Project each embedding onto the fitted components, JVM-side: the
+    k×d component matrix and the mean become array literals, and each
+    output coordinate is one ``zip_with``/``aggregate`` dot product —
+    whole-stage-codegen row-local compute, no Python, no shuffle.  The
+    standard dimensionality-reduction step before LSH/IVF indexing
+    (``k``-dim vectors make every downstream ANN structure k/d cheaper
+    at identical recall targets when the spectrum decays)."""
+    mean = np.asarray(mean, dtype=np.float64)
+    comps = np.asarray(components, dtype=np.float64)
+    centered = F.zip_with(
+        F.col(col), F.array(*[F.lit(float(m)) for m in mean]),
+        lambda x, m: x.cast("double") - m)
+    proj = F.array(*[
+        F.aggregate(
+            F.zip_with(centered,
+                       F.array(*[F.lit(float(w)) for w in comps[i]]),
+                       lambda x, w: x * w),
+            F.lit(0.0), lambda a, v: a + v).cast("float")
+        for i in range(comps.shape[0])])
+    return emb.withColumn(out, proj)

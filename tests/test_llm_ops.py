@@ -807,3 +807,77 @@ def test_resize_nearest_downscale():
     small = MM.resize_nearest(img, 3, 2)
     assert small.shape == (2, 3, 3)
     assert np.array_equal(small, img[[0, 3]][:, [0, 2, 4]])
+
+
+def test_audio_spectrogram_matches_numpy_and_peaks_at_tone(spark):
+    """Distributed spectrogram == the shared numpy kernel row-for-row; a
+    pure 1 kHz tone peaks in the right rfft bin in EVERY frame; non-audio
+    rows never reach the Python stage; bad payloads quarantine."""
+    rate, n_fft, hop = 16000, 256, 128
+    t = np.arange(rate // 2) / rate  # 0.5 s
+    rows = []
+    tones = {0: 1000.0, 1: 3000.0}
+    for mid, f0 in tones.items():
+        wav = MM.encode_wav(0.5 * np.sin(2 * np.pi * f0 * t), rate)
+        rows.append(Row(media_id=mid, kind="audio", content=wav,
+                        meta=None))
+    rows.append(Row(media_id=2, kind="image", content=b"not audio",
+                    meta=None))
+    rows.append(Row(media_id=3, kind="audio", content=b"garbage",
+                    meta=None))
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+    out = {r.media_id: r
+           for r in MM.audio_spectrogram(media, n_fft, hop).collect()}
+    assert set(out) == {0, 1, 3}          # image row filtered out
+    assert out[3].error and out[3].spectrogram is None
+
+    for mid, f0 in tones.items():
+        r = out[mid]
+        assert r.error is None and r.sample_rate == rate
+        x, _ = MM.decode_wav(bytes(
+            [b for b in MM.encode_wav(0.5 * np.sin(2 * np.pi * f0 * t),
+                                      rate)]))
+        want = MM.spectrogram_np(x, n_fft, hop)
+        got = np.array(r.spectrogram, dtype=np.float32)
+        assert got.shape == (r.n_frames, r.n_bins) == want.shape
+        assert np.allclose(got, want, atol=1e-4)
+        peak_bin = int(round(f0 * n_fft / rate))
+        assert all(int(np.argmax(fr)) == peak_bin for fr in got)
+
+
+def test_pca_fit_project_matches_numpy(spark, emb, emb_np):
+    """Distributed moment PCA == numpy eigh on the collected matrix:
+    same components (up to eigenvalue-tie rotations), same projections,
+    and the projection preserves pairwise distances in the top-k
+    subspace (the property ANN indexing relies on)."""
+    ids, X = emb_np
+    k = 8
+    mean, comp = SIM.pca_fit(emb, k)
+    assert mean.shape == (64,) and comp.shape == (k, 64)
+
+    # reference PCA
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / len(X)
+    vals, vecs = np.linalg.eigh(cov)
+    ref = vecs[:, ::-1][:, :k].T
+    assert np.allclose(mean, mu, atol=1e-9)
+    # component parity up to sign (spectra here are non-degenerate)
+    for i in range(k):
+        assert abs(float(np.dot(comp[i], ref[i]))) == pytest.approx(
+            1.0, abs=1e-6), i
+    # orthonormality
+    assert np.allclose(comp @ comp.T, np.eye(k), atol=1e-9)
+
+    # distributed projection == numpy projection, row for row
+    got = {r.vec_id: np.array(r.pca, dtype=np.float64)
+           for r in SIM.pca_project(emb, mean, comp).select(
+               "vec_id", "pca").collect()}
+    want = (X - mu) @ comp.T
+    for i, vid in enumerate(ids):
+        assert np.allclose(got[vid], want[i], atol=1e-4), vid
+
+    # determinism across partitionings (the treeAggregate claim)
+    mean2, comp2 = SIM.pca_fit(emb.repartition(13), k)
+    assert np.allclose(mean, mean2, atol=1e-9)
+    assert np.allclose(comp, comp2, atol=1e-7)
