@@ -881,3 +881,38 @@ def test_pca_fit_project_matches_numpy(spark, emb, emb_np):
     mean2, comp2 = SIM.pca_fit(emb.repartition(13), k)
     assert np.allclose(mean, mean2, atol=1e-9)
     assert np.allclose(comp, comp2, atol=1e-7)
+
+
+def test_lsh_index_persisted_probe_prunes_partitions(spark, emb, tmp_path):
+    """The 100 TB ANN story end-to-end: write the sign-LSH layout
+    partitioned by bucket, probe it back with the query's multiprobe
+    bucket set, and the scan must touch ONLY those partitions
+    (PartitionFilters in the plan) while returning the same top-k as
+    the unpersisted lsh_topk path."""
+    out = str(tmp_path / "lsh_index")
+    SIM.lsh_bucket(emb).write.partitionBy("bucket").parquet(out)
+    idx = spark.read.parquet(out)
+    n_total = idx.count()
+
+    q = [float(v) for v in
+         emb.where("vec_id = 7").select("embedding").first()["embedding"]]
+    planes = SIM._hyperplanes(64, 8, 42)
+    qb = sum((1 << j) for j, h in enumerate(planes)
+             if float(np.dot(q, h)) >= 0)
+    probes = sorted({qb} | {qb ^ (1 << j) for j in range(8)})
+
+    cand = idx.where(F.col("bucket").isin(probes))
+    # partition pruning proof: the probe reads a strict subset of rows
+    # and the scan carries the bucket predicate as a PartitionFilter
+    n_cand = cand.count()
+    assert 0 < n_cand < n_total
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan.replace("#", "").replace(
+        "IN (", "IN (") or "bucket" in plan.split("PartitionFilters")[1][:200]
+
+    got = [(r.vec_id, round(r.cos_sim, 6)) for r in
+           SIM.cosine_topk(cand, q, 5).collect()]
+    want = [(r.vec_id, round(r.cos_sim, 6)) for r in
+            SIM.lsh_topk(emb, q, 5).collect()]
+    assert got == want
+    assert got[0][0] == 7  # the query vector itself is its own top-1
