@@ -26,7 +26,8 @@ __all__ = ["cosine_topk", "cosine_pairs", "lsh_bucket", "lsh_topk",
            "ivf_assign", "ivf_topk", "train_centroids", "sample_centroids",
            "cosine_topk_batch", "quantize_embeddings", "dequantize_embeddings",
            "pq_train", "pq_encode", "pq_topk", "ivfpq_topk",
-           "semantic_dedup", "pca_fit", "pca_project"]
+           "semantic_dedup", "pca_fit", "pca_project", "pca_moments", "merge_moments",
+           "pca_from_moments"]
 
 
 def _dot_with_lit(col: str, vec: np.ndarray):
@@ -459,22 +460,13 @@ def ivfpq_topk(encoded: DataFrame, centroids: np.ndarray,
                    code_col=code_col)
 
 
-def pca_fit(emb: DataFrame, k: int, col: str = "embedding"):
-    """Exact PCA of an embedding column in ONE distributed pass: each
-    Arrow batch reduces to a single partial-moment row (n, Σx, ΣxxT
-    flattened — the d + d² sufficient statistics), the bounded set of
-    partials (one per batch, ≤ a few hundred rows at any data size)
-    collects to the driver, and the d×d covariance eigendecomposition
-    runs there in microseconds (d ≤ a few hundred).  This is the
-    treeAggregate shape expressed as mapInPandas → driver combine: the
-    data-proportional work is embarrassingly parallel, the driver holds
-    O(d²), never O(rows).
-
-    Returns ``(mean, components)``: mean shape (d,), components shape
-    (k, d) — orthonormal top-k eigenvectors of the covariance, each
-    sign-fixed so its largest-|.| coordinate is positive (deterministic
-    across runs/partitionings up to eigenvalue ties).
-    """
+def pca_moments(emb: DataFrame, col: str = "embedding"):
+    """The d + d² sufficient statistics of :func:`pca_fit` as plain
+    numpy ``(n, sum_x, gram)`` — MERGEABLE: moments of a union are the
+    element-wise sums (:func:`merge_moments`), so a warehouse can keep
+    per-partition moment rows and refresh its PCA in O(delta) after an
+    ingest batch, never re-reading history (the ``merge_fingerprint``
+    maintenance pattern applied to a model fit)."""
     import pandas as pd  # noqa: F811  (worker-side import)
 
     def partials(batches):
@@ -493,21 +485,51 @@ def pca_fit(emb: DataFrame, k: int, col: str = "embedding"):
                          "n long, s array<double>, g array<double>")
             .collect())
     if not rows:
-        raise ValueError("pca_fit: empty input")
+        raise ValueError("pca_moments: empty input")
     n = sum(r.n for r in rows)
     s = np.sum([np.array(r.s) for r in rows], axis=0)
     g = np.sum([np.array(r.g) for r in rows], axis=0)
     d = len(s)
+    return n, s, g.reshape(d, d)
+
+
+def merge_moments(a, b):
+    """Combine two :func:`pca_moments` results as if their inputs had
+    been scanned together — exact, associative, commutative."""
+    return a[0] + b[0], a[1] + b[1], a[2] + b[2]
+
+
+def pca_from_moments(n, s, gram, k: int):
+    """Driver-side eigendecomposition of moment statistics → the same
+    ``(mean, components)`` contract as :func:`pca_fit`."""
     mean = s / n
-    cov = g.reshape(d, d) / n - np.outer(mean, mean)
+    cov = gram / n - np.outer(mean, mean)
     vals, vecs = np.linalg.eigh(cov)          # ascending
     comp = vecs[:, ::-1][:, :k].T             # (k, d), top-k first
-    # deterministic sign: largest-|coordinate| positive per component
     for i in range(comp.shape[0]):
         j = int(np.argmax(np.abs(comp[i])))
         if comp[i, j] < 0:
             comp[i] = -comp[i]
     return mean, comp
+
+
+def pca_fit(emb: DataFrame, k: int, col: str = "embedding"):
+    """Exact PCA of an embedding column in ONE distributed pass: each
+    Arrow batch reduces to a single partial-moment row (n, Σx, ΣxxT
+    flattened — the d + d² sufficient statistics), the bounded set of
+    partials (one per batch, ≤ a few hundred rows at any data size)
+    collects to the driver, and the d×d covariance eigendecomposition
+    runs there in microseconds (d ≤ a few hundred).  This is the
+    treeAggregate shape expressed as mapInPandas → driver combine: the
+    data-proportional work is embarrassingly parallel, the driver holds
+    O(d²), never O(rows).
+
+    Returns ``(mean, components)``: mean shape (d,), components shape
+    (k, d) — orthonormal top-k eigenvectors of the covariance, each
+    sign-fixed so its largest-|.| coordinate is positive (deterministic
+    across runs/partitionings up to eigenvalue ties).
+    """
+    return pca_from_moments(*pca_moments(emb, col), k)
 
 
 def pca_project(emb: DataFrame, mean: np.ndarray, components: np.ndarray,

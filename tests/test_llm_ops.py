@@ -916,3 +916,20 @@ def test_lsh_index_persisted_probe_prunes_partitions(spark, emb, tmp_path):
             SIM.lsh_topk(emb, q, 5).collect()]
     assert got == want
     assert got[0][0] == 7  # the query vector itself is its own top-1
+
+
+def test_pca_moments_mergeable(spark, emb):
+    """Moments of the whole == merge of disjoint halves' moments (the
+    O(delta) incremental-PCA maintenance contract), and the fit from
+    merged moments equals the direct fit exactly."""
+    a = emb.where("vec_id < 250")
+    b = emb.where("vec_id >= 250")
+    whole = SIM.pca_moments(emb)
+    merged = SIM.merge_moments(SIM.pca_moments(a), SIM.pca_moments(b))
+    assert whole[0] == merged[0]
+    assert np.allclose(whole[1], merged[1], atol=1e-9)
+    assert np.allclose(whole[2], merged[2], atol=1e-9)
+    m1, c1 = SIM.pca_fit(emb, 6)
+    m2, c2 = SIM.pca_from_moments(*merged, 6)
+    assert np.allclose(m1, m2, atol=1e-12)
+    assert np.allclose(c1, c2, atol=1e-9)
