@@ -1,0 +1,237 @@
+"""Mergeable sketch family: Count-Min frequency estimates and the
+deterministic compactor quantile sketch (operators/sketch.py).
+
+Correctness strategy (no SQL oracle exists for sketches — this suite IS
+the hard signal, like the ANN recall and PQ error-bound tests):
+  * Count-Min: one-sided error (est >= true ALWAYS — a property of the
+    structure, asserted exactly), additive bound est - true <= eps*N,
+    exact merge semantics (sketching A then B == sketching A union B,
+    cell-identical), never-seen items estimate ~0 through the left join.
+  * Quantile sketch: exact while n <= k; rank-error bound on large
+    adversarial (sorted / skewed) inputs; merge == bulk within bound;
+    distributed == local bound; SQL expr reads equal the Python object;
+    grouped sketches match per-key exact quantiles within bound;
+    incremental merge_sketch_rows == resketching from scratch (bound).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nasctn_sea_ingest_spark.operators.sketch import (
+    QuantileSketch, cm_lookup, cm_merge, cm_sketch,
+    grouped_quantile_sketch, merge_sketch_rows, quantile_sketch,
+    sketch_quantile_expr, sketch_rank_expr)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def zipf_events(spark):
+    # Zipf-ish key frequencies: key i appears ~ 3000/i times.
+    rows = []
+    for i in range(1, 60):
+        rows.extend([(f"key{i}",)] * (3000 // i))
+    return spark.createDataFrame(rows, "item string"), {
+        f"key{i}": 3000 // i for i in range(1, 60)}
+
+
+def test_cm_overestimates_never_under(spark, zipf_events):
+    df, truth = zipf_events
+    sk = cm_sketch(df, "item", depth=5, width=512)
+    q = spark.createDataFrame([(k,) for k in truth], "item string")
+    est = {r.item: r.cm_estimate
+           for r in cm_lookup(sk, q, "item", depth=5, width=512).collect()}
+    n = sum(truth.values())
+    eps = np.e / 512
+    for k, true in truth.items():
+        assert est[k] >= true, f"CM underestimated {k}"
+        assert est[k] <= true + eps * n * 3, \
+            f"CM error for {k}: {est[k]} vs {true} (N={n})"
+
+
+def test_cm_unseen_items_near_zero(spark, zipf_events):
+    df, truth = zipf_events
+    sk = cm_sketch(df, "item", depth=5, width=2048)
+    q = spark.createDataFrame([(f"ghost{i}",) for i in range(20)],
+                              "item string")
+    est = cm_lookup(sk, q, "item", depth=5, width=2048).collect()
+    n = sum(truth.values())
+    # Never-seen items must not be dropped (left join) and estimate
+    # within the additive bound of zero.
+    assert len(est) == 20
+    for r in est:
+        assert 0 <= r.cm_estimate <= (np.e / 2048) * n * 3
+
+
+def test_cm_merge_equals_union(spark, zipf_events):
+    df, _ = zipf_events
+    a = df.where(F.xxhash64("item") % 2 == 0)
+    b = df.where(F.xxhash64("item") % 2 != 0)
+    merged = cm_merge(cm_sketch(a, "item", 4, 256),
+                      cm_sketch(b, "item", 4, 256))
+    whole = cm_sketch(df, "item", 4, 256)
+    diff = (merged.withColumnRenamed("count", "m")
+            .join(whole.withColumnRenamed("count", "w"),
+                  ["depth", "bucket"], "full")
+            .where(F.coalesce("m", F.lit(-1)) !=
+                   F.coalesce("w", F.lit(-1))))
+    assert diff.count() == 0  # cell-identical
+
+
+def test_cm_weighted(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 7)], "item string, w long")
+    sk = cm_sketch(df, "item", depth=4, width=1024, weight_col="w")
+    q = spark.createDataFrame([("a",), ("b",)], "item string")
+    est = {r.item: r.cm_estimate
+           for r in cm_lookup(sk, q, "item", 4, 1024).collect()}
+    assert est["a"] >= 15 and est["b"] >= 7
+
+
+# ---------------------------------------------------------------------------
+# QuantileSketch — local object
+# ---------------------------------------------------------------------------
+
+def _true_rank(data, x):
+    return int(np.sum(np.asarray(data) <= x))
+
+
+def test_qsketch_exact_when_small():
+    data = np.random.RandomState(0).uniform(0, 1, 150)
+    sk = QuantileSketch(k=200).update_batch(data)
+    for q in (0.0, 0.1, 0.5, 0.9, 1.0):
+        exact = np.sort(data)[min(len(data) - 1,
+                                  max(0, int(np.ceil(q * len(data))) - 1))]
+        assert sk.quantile(q) == pytest.approx(exact)
+
+
+@pytest.mark.parametrize("gen", [
+    lambda r: r.uniform(0, 1, 60_000),
+    lambda r: np.sort(r.uniform(0, 1, 60_000)),        # sorted arrival
+    lambda r: r.lognormal(0, 2, 60_000),               # heavy skew
+])
+def test_qsketch_rank_error_bound(gen):
+    r = np.random.RandomState(7)
+    data = gen(r)
+    k = 200
+    sk = QuantileSketch(k=k)
+    for chunk in np.array_split(data, 13):
+        sk.update_batch(chunk)
+    assert sk.n == len(data)
+    # Deterministic compactor bound: additive rank error
+    # O(n log2(n/k) / k); assert with constant 2.
+    eps = 2.0 * np.log2(len(data) / k) / k
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = sk.quantile(q)
+        err = abs(_true_rank(data, est) - q * len(data))
+        assert err <= eps * len(data) + 1, f"q={q}: rank err {err}"
+
+
+def test_qsketch_deterministic_and_merge_bound():
+    r = np.random.RandomState(3)
+    data = r.normal(0, 1, 40_000)
+    a = QuantileSketch(64).update_batch(data)
+    b = QuantileSketch(64).update_batch(data)
+    assert a.quantile(0.5) == b.quantile(0.5)  # same order → bit-equal
+    # merge of halves obeys the combined bound
+    m = QuantileSketch(64).update_batch(data[:20_000]).merge(
+        QuantileSketch(64).update_batch(data[20_000:]))
+    assert m.n == len(data)
+    eps = 2.0 * np.log2(len(data) / 64) / 64
+    for q in (0.1, 0.5, 0.9):
+        err = abs(_true_rank(data, m.quantile(q)) - q * len(data))
+        assert err <= eps * len(data) + 1
+
+
+def test_qsketch_array_round_trip():
+    data = np.random.RandomState(1).uniform(0, 10, 5_000)
+    sk = QuantileSketch(100).update_batch(data)
+    vals, wts = sk.to_arrays()
+    assert vals == sorted(vals)
+    assert sum(wts) == sk.n
+    back = QuantileSketch.from_arrays(vals, wts, 100)
+    assert back.n == sk.n
+    assert back.quantile(0.5) == sk.quantile(0.5)
+    with pytest.raises(ValueError):
+        QuantileSketch.from_arrays([1.0], [3], 100)  # non-power-of-2
+
+
+# ---------------------------------------------------------------------------
+# Distributed paths
+# ---------------------------------------------------------------------------
+
+def test_quantile_sketch_distributed(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sk = quantile_sketch(li, "l_extendedprice", k=200)
+    exact = li.select(F.expr(
+        "percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+        .alias("m")).collect()[0].m
+    n = li.count()
+    assert sk.n == n
+    est = sk.quantile(0.5)
+    rank = li.where(F.col("l_extendedprice") <= est).count()
+    eps = 2.0 * np.log2(max(2.0, n / 200)) / 200
+    assert abs(rank - 0.5 * n) <= eps * n + 1
+    # sanity vs exact median value scale
+    assert est == pytest.approx(exact, rel=0.05)
+
+
+def test_grouped_quantile_sketch_and_sql_expr(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    per_key = grouped_quantile_sketch(
+        li, ["l_returnflag"], "l_quantity", k=200).persist()
+    try:
+        got = per_key.select(
+            "l_returnflag", "n",
+            sketch_quantile_expr("values", "weights", 0.5).alias("med"),
+            sketch_rank_expr("values", "weights", 25.0).alias("r25"),
+        ).collect()
+        exact = {r.l_returnflag: (r.m, r.n, r.r25) for r in li.groupBy(
+            "l_returnflag").agg(
+            F.expr("percentile_cont(0.5) WITHIN GROUP "
+                   "(ORDER BY l_quantity)").alias("m"),
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("l_quantity") <= 25.0, 1)
+                  .otherwise(0)).alias("r25")).collect()}
+        rows = {r["l_returnflag"]: r for r in per_key.collect()}
+        for r in got:
+            m, n, r25 = exact[r.l_returnflag]
+            assert r.n == n
+            eps_n = (2.0 * np.log2(max(2.0, n / 200)) / 200) * n + 1
+            # SQL expr must equal the Python object's answer exactly
+            py = QuantileSketch.from_arrays(
+                rows[r.l_returnflag]["values"],
+                rows[r.l_returnflag]["weights"], 200)
+            assert r.med == pytest.approx(py.quantile(0.5))
+            assert r.r25 == py.rank(25.0)
+            # and be near the exact per-key median by rank
+            rank = li.where((F.col("l_returnflag") == r.l_returnflag) &
+                            (F.col("l_quantity") <= r.med)).count()
+            assert abs(rank - 0.5 * n) <= eps_n
+    finally:
+        per_key.unpersist()
+
+
+def test_merge_sketch_rows_incremental(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    old = li.where(F.col("l_orderkey") % 4 != 0)
+    new = li.where(F.col("l_orderkey") % 4 == 0)
+    inc = merge_sketch_rows(
+        grouped_quantile_sketch(old, ["l_linestatus"], "l_quantity"),
+        grouped_quantile_sketch(new, ["l_linestatus"], "l_quantity"),
+        ["l_linestatus"])
+    full_n = {r.l_linestatus: r.n for r in li.groupBy("l_linestatus")
+              .agg(F.count("*").alias("n")).collect()}
+    got = inc.select("l_linestatus", "n",
+                     sketch_quantile_expr("values", "weights", 0.5)
+                     .alias("med")).collect()
+    for r in got:
+        n = full_n[r.l_linestatus]
+        assert r.n == n  # counts conserve exactly through the merge
+        rank = li.where((F.col("l_linestatus") == r.l_linestatus) &
+                        (F.col("l_quantity") <= r.med)).count()
+        eps_n = (2.0 * np.log2(max(2.0, n / 200)) / 200) * n + 1
+        assert abs(rank - 0.5 * n) <= eps_n
