@@ -42,7 +42,8 @@ __all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "extract_features",
            "resize_images", "resize_nearest", "decode_wav", "decode_bmp",
            "encode_wav", "encode_bmp", "encode_rawv", "decode_rawv_frame",
            "decode_rawv_header", "audio_spectrogram", "spectrogram_np",
-           "SPECTROGRAM_SCHEMA"]
+           "SPECTROGRAM_SCHEMA", "dhash_np", "image_dhash",
+           "image_neardup_pairs", "DHASH_SCHEMA"]
 
 MEDIA_META = T.StructType([
     T.StructField("width", T.IntegerType(), True),
@@ -536,3 +537,75 @@ def audio_spectrogram(media: DataFrame, n_fft: int = 256,
     return (media.where(F.col("kind") == "audio")
             .select("media_id", "content")
             .mapInPandas(run, SPECTROGRAM_SCHEMA))
+
+
+DHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("dhash", T.LongType(), True),
+    T.StructField("error", T.StringType(), True),
+])
+
+
+def dhash_np(img: np.ndarray, size: int = 8) -> int:
+    """64-bit difference hash of an (h, w, 3) uint8 image — the standard
+    perceptual fingerprint: grayscale, shrink to (size+1) x size via the
+    same nearest-neighbor kernel :func:`resize_images` uses, set bit
+    ``r*size + c`` when luma[r, c] < luma[r, c+1].  Horizontal-gradient
+    signs survive uniform brightness/contrast shifts and small pixel
+    noise, so near-identical images land within a few Hamming bits while
+    unrelated images differ in ~32 of 64 (each bit is ~Bernoulli(1/2))."""
+    small = resize_nearest(img, size + 1, size)
+    luma = (small.astype(np.float32)
+            @ np.array([0.299, 0.587, 0.114], dtype=np.float32))
+    bits = (luma[:, :-1] < luma[:, 1:]).ravel()
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h - (1 << 64) if h >= (1 << 63) else h  # two's-complement long
+
+
+def image_dhash(media: DataFrame, size: int = 8) -> DataFrame:
+    """Perceptual 64-bit dHash per image row (real BMP decode → real
+    resize → gradient bits), Arrow-batched and row-local — the image
+    analog of ``dedup.simhash64`` with zero shuffle (simhash needs two:
+    its features are corpus-wide token counts; a pixel hash is per-row).
+    Non-image rows are filtered before the Python stage; per-row decode
+    failures land in ``error`` (the :func:`extract_features` contract)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            recs = []
+            for mid, content in zip(b["media_id"], b["content"]):
+                try:
+                    if content is None:
+                        raise ValueError("null content")
+                    h = dhash_np(decode_bmp(bytes(content)), size)
+                    recs.append((mid, h, None))
+                except Exception as e:  # noqa: BLE001
+                    recs.append((mid, None, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(
+                recs, columns=["media_id", "dhash", "error"])
+
+    return (media.where(F.col("kind") == "image")
+            .select("media_id", "content")
+            .mapInPandas(run, DHASH_SCHEMA))
+
+
+def image_neardup_pairs(media: DataFrame, max_hamming: int = 6,
+                        size: int = 8,
+                        max_bucket: int | None = None) -> DataFrame:
+    """Near-duplicate image pairs ``(d1, d2, hamming)``: dHash each image
+    (row-local), then the 16-bit-chunk pigeonhole candidate join from
+    ``dedup.simhash_pairs`` — bucket equi-joins, never an all-pairs scan,
+    with the same ``max_bucket`` hot-bucket guard.  Lossless for
+    ``max_hamming <= 3`` (4 chunks ⇒ some chunk equal); above that it is
+    a recall/bound trade documented there.  The multimodal face of the
+    dedup family: resized/brightness-shifted re-encodes of one image
+    collapse just like shingled text near-dups."""
+    from ..operators.dedup import simhash_pairs
+
+    hashed = image_dhash(media, size).where(F.col("error").isNull())
+    sigs = hashed.select(F.col("media_id").alias("id"),
+                         F.col("dhash").alias("simhash"))
+    return simhash_pairs(sigs, max_hamming=max_hamming,
+                         max_bucket=max_bucket)

@@ -933,3 +933,79 @@ def test_pca_moments_mergeable(spark, emb):
     m2, c2 = SIM.pca_from_moments(*merged, 6)
     assert np.allclose(m1, m2, atol=1e-12)
     assert np.allclose(c1, c2, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hash + multimodal near-dup (round 6)
+# ---------------------------------------------------------------------------
+
+def test_dhash_np_invariances():
+    """dHash is exactly invariant to uniform brightness shift and to 2x
+    nearest-neighbor upscale (both preserve every horizontal gradient
+    sign), while unrelated random images differ in many bits."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 200, (40, 40, 3)).astype(np.uint8)
+    base = MM.dhash_np(img)
+    assert MM.dhash_np(np.clip(img.astype(np.int32) + 30, 0, 255)
+                       .astype(np.uint8)) == base
+    up = np.repeat(np.repeat(img, 2, 0), 2, 1)
+    assert MM.dhash_np(up) == base
+    other = rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)
+    ham = bin((MM.dhash_np(other) ^ base) & (2**64 - 1)).count("1")
+    assert ham >= 10  # ~32 expected for independent images
+
+
+def test_image_dhash_distributed_matches_local(spark):
+    rng = np.random.default_rng(12)
+    imgs = [rng.integers(0, 256, (16, 20, 3)).astype(np.uint8)
+            for _ in range(4)]
+    rows = [Row(media_id=i, kind="image", content=MM.encode_bmp(m),
+                meta=None) for i, m in enumerate(imgs)]
+    rows.append(Row(media_id=90, kind="video", content=b"vv", meta=None))
+    rows.append(Row(media_id=91, kind="image", content=b"junk",
+                    meta=None))
+    out = {r.media_id: r for r in MM.image_dhash(
+        spark.createDataFrame(rows, MM.MEDIA_SCHEMA)).collect()}
+    assert 90 not in out                     # non-image filtered out
+    assert out[91].error is not None and out[91].dhash is None
+    for i, m in enumerate(imgs):
+        assert out[i].error is None
+        assert out[i].dhash == MM.dhash_np(m)
+
+
+def test_image_neardup_pairs_vs_bruteforce(spark):
+    """Distributed banded pair join == brute-force Hamming over the same
+    hashes (lossless at max_hamming=3): brightness/upscale re-encodes of
+    a base image pair up; unrelated images don't."""
+    rng = np.random.default_rng(13)
+    bases = [rng.integers(0, 200, (32, 32, 3)).astype(np.uint8)
+             for _ in range(8)]
+    rows = [Row(media_id=i, kind="image", content=MM.encode_bmp(m),
+                meta=None) for i, m in enumerate(bases)]
+    # planted variants of bases 0..2: +brightness (100+i), 2x upscale (200+i)
+    for i in range(3):
+        b = bases[i]
+        bright = np.clip(b.astype(np.int32) + 25, 0, 255).astype(np.uint8)
+        rows.append(Row(media_id=100 + i, kind="image",
+                        content=MM.encode_bmp(bright), meta=None))
+        up = np.repeat(np.repeat(b, 2, 0), 2, 1)
+        rows.append(Row(media_id=200 + i, kind="image",
+                        content=MM.encode_bmp(up), meta=None))
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {(r.d1, r.d2, r.hamming) for r in
+           MM.image_neardup_pairs(media, max_hamming=3).collect()}
+    # brute-force oracle over locally computed hashes
+    hashes = {r.media_id: r.dhash
+              for r in MM.image_dhash(media).collect() if r.error is None}
+    ids = sorted(hashes)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1")
+            if h <= 3:
+                want.add((a, b, h))
+    assert got == want
+    pair_ids = {frozenset((d1, d2)) for d1, d2, _ in got}
+    for i in range(3):  # each planted cluster fully connected
+        for pair in ([i, 100 + i], [i, 200 + i], [100 + i, 200 + i]):
+            assert frozenset(pair) in pair_ids
