@@ -31,7 +31,7 @@ __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "sliding_rollup", "upsert_stream", "sketch_rollup_stream",
            "heavy_hitters_stream", "weighted_reservoir_stream",
            "cusum_monitor_stream", "capture_summary_stream",
-           "occupancy_monitor_stream"]
+           "occupancy_monitor_stream", "quantile_rollup_stream"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -558,6 +558,83 @@ def sketch_rollup_stream(updates: DataFrame, out_dir: str,
             (merged.write.mode("overwrite")
                    .option("partitionOverwriteMode", "dynamic")
                    .partitionBy("kb").parquet(out_dir))
+        finally:
+            b.unpersist()
+
+    writer = (updates.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def quantile_rollup_stream(updates: DataFrame, out_dir: str,
+                           checkpoint_dir: str, keys: "list[str]",
+                           value_col: str, k: int = 200,
+                           n_buckets: int = 16,
+                           available_now: bool = False):
+    """Incrementally maintained per-key QUANTILE sketches (the
+    ``operators.sketch`` compactor stack): each micro-batch sketches its
+    own rows per key and merges into the stored sketch row, so "p99 ever
+    / per key" stays queryable at any moment — state per key is ``<= 2k``
+    weighted values no matter how many rows flowed through.  Read
+    estimates straight off the snapshot with
+    ``sketch.sketch_quantile_expr("values", "weights", q)``.
+
+    Replay safety: unlike HLL union (register-max, re-merge-idempotent),
+    sketch merge ADDS weight — replaying a crashed batch into a key that
+    already absorbed it would double-count.  Each key row therefore
+    carries ``updated_batch``; a replayed batch drops keys whose stored
+    ``updated_batch >= batch_id`` before merging, making the rewrite
+    bucket-idempotent (the :func:`upsert_stream` determinism contract
+    extended to mergeable state).  Layout mirrors the other rollups:
+    key-bucketed parquet, dynamic partition overwrite of touched buckets
+    only — O(batch + touched buckets) per trigger.
+    """
+    from pyspark.errors import AnalysisException
+
+    from ..operators.sketch import (grouped_quantile_sketch,
+                                    merge_sketch_rows)
+
+    key_cols = [F.col(c) for c in keys]
+    sketch_cols = ["values", "weights", "n"]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        b = (grouped_quantile_sketch(batch_df, keys, value_col, k)
+             .withColumn("updated_batch",
+                         F.lit(int(batch_id)).cast("long"))
+             .withColumn("kb", F.pmod(F.hash(*key_cols), n_buckets)))
+        b.persist()
+        try:
+            touched = [r.kb for r in b.select("kb").distinct().collect()]
+            if not touched:
+                return
+            try:
+                existing = spark.read.parquet(out_dir) \
+                    .where(F.col("kb").isin(touched)) \
+                    .localCheckpoint(eager=True)  # freeze pre-overwrite
+            except AnalysisException as e:
+                if "PATH_NOT_FOUND" not in str(e):
+                    raise
+                existing = b.limit(0)
+            already = existing.where(F.col("updated_batch") >=
+                                     F.lit(int(batch_id))).select(*keys)
+            fresh = b.join(F.broadcast(already), keys, "left_anti")
+            merged = merge_sketch_rows(
+                existing.select(*keys, *sketch_cols),
+                fresh.select(*keys, *sketch_cols), keys, k)
+            stamp = (existing.select(*keys, "updated_batch")
+                     .unionByName(fresh.select(*keys, "updated_batch"))
+                     .groupBy(*keys)
+                     .agg(F.max("updated_batch").alias("updated_batch")))
+            out = (merged.join(stamp, keys)
+                   .withColumn("kb", F.pmod(F.hash(*key_cols),
+                                            n_buckets))
+                   .localCheckpoint(eager=True))
+            (out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("kb").parquet(out_dir))
         finally:
             b.unpersist()
 

@@ -1175,3 +1175,66 @@ def test_occupancy_monitor_stream_matches_batch_sweep(spark, tmp_path):
     run()
     assert latest() == got
     spark.conf.unset("spark.sql.streaming.metadataCache.enabled")
+
+
+def test_quantile_rollup_stream_incremental_and_replay(spark, tmp_path):
+    """Streaming quantile-sketch maintenance: per-key n is EXACT through
+    merges (weights conserve), medians track exact quantiles within the
+    sketch rank bound, a crash-replayed batch is skipped via the
+    updated_batch guard (sketch merge is NOT re-merge-idempotent, so the
+    guard — not the merge — carries replay safety), and later batches
+    keep accumulating."""
+    from nasctn_sea_ingest_spark.operators.sketch import \
+        sketch_quantile_expr
+    from nasctn_sea_ingest_spark.streaming import quantile_rollup_stream
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "qs")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "etype string, v double"
+    wave1 = [("A", float(i)) for i in range(1000)] + \
+            [("B", float(i * 3)) for i in range(200)]
+    spark.createDataFrame(wave1, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(land).schema).parquet(land)
+        q = quantile_rollup_stream(stream, out, ckpt, keys=["etype"],
+                                   value_col="v", k=128,
+                                   available_now=True)
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    def snap():
+        return {r.etype: r for r in spark.read.parquet(out).select(
+            "etype", "n", "updated_batch",
+            sketch_quantile_expr("values", "weights", 0.5).alias("med"))
+            .collect()}
+
+    run()
+    s1 = snap()
+    assert s1["A"].n == 1000 and s1["B"].n == 200   # exact counts
+    # rank bound: eps*n with eps = 2*log2(n/k)/k, k=128
+    assert abs(s1["A"].med - 499.5) <= 1000 * 2 * np.log2(1000 / 128) / 128 + 2
+    assert abs(s1["B"].med - 298.5) <= 200 * 2 / 128 * 3 + 3
+
+    _delete_commit_marker(ckpt)
+    run()  # replay batch 0: guard must skip already-merged keys
+    s2 = snap()
+    assert {k: (v.n, v.med) for k, v in s2.items()} == \
+           {k: (v.n, v.med) for k, v in s1.items()}
+
+    # wave 2: A grows by 1000 larger values -> n exact, median shifts up
+    spark.createDataFrame([("A", float(1000 + i)) for i in range(1000)],
+                          schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    run()
+    s3 = snap()
+    assert s3["A"].n == 2000 and s3["B"].n == 200
+    assert s3["A"].updated_batch == 1 and s3["B"].updated_batch == 0
+    eps_n = 2000 * 2 * np.log2(2000 / 128) / 128 + 2
+    assert abs(s3["A"].med - 999.5) <= eps_n
+    assert spark.read.parquet(out).count() == 2  # one row per key
