@@ -31,7 +31,8 @@ __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "sliding_rollup", "upsert_stream", "sketch_rollup_stream",
            "heavy_hitters_stream", "weighted_reservoir_stream",
            "cusum_monitor_stream", "capture_summary_stream",
-           "occupancy_monitor_stream", "quantile_rollup_stream"]
+           "occupancy_monitor_stream", "quantile_rollup_stream",
+           "cm_rollup_stream", "fingerprint_rollup_stream"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -643,6 +644,95 @@ def quantile_rollup_stream(updates: DataFrame, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _guarded_small_rollup(updates: DataFrame, out_dir: str,
+                          checkpoint_dir: str, batch_state, merge,
+                          available_now: bool):
+    """foreachBatch skeleton for SMALL mergeable state: snapshots whose
+    size is input-independent (a Count-Min grid, per-partition digest
+    rows) are cheapest to maintain by rewriting the WHOLE snapshot each
+    trigger — no key bucketing, one parquet dir, O(state) per batch.
+
+    The merges this serves (cell sums, XOR digests) are NOT
+    re-merge-idempotent, so the snapshot carries a constant
+    ``last_batch`` column and a replayed batch (``last_batch >=
+    batch_id``) is skipped entirely — the stamp travels IN the same
+    atomic-ish dir rewrite as the state it guards, so there is no
+    window where state and stamp disagree (the
+    :func:`quantile_rollup_stream` guard, simplified to whole-table
+    scope)."""
+    from pyspark.errors import AnalysisException
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        existing = None
+        try:
+            existing = spark.read.parquet(out_dir) \
+                .localCheckpoint(eager=True)
+            last = existing.agg(F.max("last_batch")).first()[0]
+            if last is not None and last >= batch_id:
+                return  # crash replay: this batch is already folded in
+            existing = existing.drop("last_batch")
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+        b = batch_state(batch_df)
+        merged = b if existing is None else merge(existing, b)
+        out = (merged.withColumn("last_batch",
+                                 F.lit(int(batch_id)).cast("long"))
+               .localCheckpoint(eager=True))
+        out.coalesce(1).write.mode("overwrite").parquet(out_dir)
+
+    writer = (updates.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def cm_rollup_stream(updates: DataFrame, out_dir: str,
+                     checkpoint_dir: str, item_col: str,
+                     depth: int = 5, width: int = 2048,
+                     weight_col: str | None = None,
+                     available_now: bool = False):
+    """Incrementally maintained Count-Min sketch: each micro-batch
+    sketches its own rows (``operators.sketch.cm_sketch`` — pure JVM)
+    and cell-sums into the stored grid, so "how often has item X ever
+    occurred" stays queryable (``cm_lookup`` on the snapshot) at any
+    moment with state ``<= depth * width`` cells no matter how many rows
+    flowed through.  Because cell-merge is EXACT (counts add), the
+    maintained snapshot is cell-identical to a from-scratch sketch of
+    everything that ever streamed — asserted by the parity test, with
+    crash replays skipped via the ``last_batch`` stamp."""
+    from ..operators.sketch import cm_merge, cm_sketch
+
+    return _guarded_small_rollup(
+        updates, out_dir, checkpoint_dir,
+        lambda b: cm_sketch(b, item_col, depth, width, weight_col),
+        cm_merge, available_now)
+
+
+def fingerprint_rollup_stream(updates: DataFrame, out_dir: str,
+                              checkpoint_dir: str, cols: "list[str]",
+                              by: "list[str] | None" = None,
+                              available_now: bool = False):
+    """Incrementally maintained table fingerprint: each micro-batch
+    digests its own rows (``functions.table_fingerprint``) and XOR/sum-
+    folds into the stored per-group digest, keeping the copy-integrity
+    check current as data lands without ever re-reading history — the
+    O(delta) maintenance story of ``merge_fingerprint`` given a
+    streaming face.  Use a BOUNDED-cardinality ``by`` (date / table
+    partitions); state and per-trigger cost are O(groups).  For
+    appends the maintained digest equals a from-scratch fingerprint of
+    all landed rows exactly (XOR/sum are associative), so a warehouse
+    copy can be verified mid-stream at any trigger boundary."""
+    from ..functions import merge_fingerprint, table_fingerprint
+
+    return _guarded_small_rollup(
+        updates, out_dir, checkpoint_dir,
+        lambda b: table_fingerprint(b, cols, by),
+        lambda a, b: merge_fingerprint(a, b, by), available_now)
 
 
 def heavy_hitters_stream(events: DataFrame, key_col: str, item_col: str,

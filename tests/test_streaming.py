@@ -1238,3 +1238,107 @@ def test_quantile_rollup_stream_incremental_and_replay(spark, tmp_path):
     eps_n = 2000 * 2 * np.log2(2000 / 128) / 128 + 2
     assert abs(s3["A"].med - 999.5) <= eps_n
     assert spark.read.parquet(out).count() == 2  # one row per key
+
+
+def test_cm_rollup_stream_matches_batch_and_replay(spark, tmp_path):
+    """Streaming Count-Min maintenance: because cell-merge is exact, the
+    maintained snapshot must be CELL-IDENTICAL to a from-scratch sketch
+    of everything that streamed; a crash-replayed batch is skipped via
+    the last_batch stamp (cell sums double-count without it)."""
+    from nasctn_sea_ingest_spark.operators.sketch import (cm_lookup,
+                                                          cm_sketch)
+    from nasctn_sea_ingest_spark.streaming import cm_rollup_stream
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "cm")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "item string"
+    wave1 = [(f"k{i % 17}",) for i in range(600)]
+    spark.createDataFrame(wave1, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(land).schema).parquet(land)
+        q = cm_rollup_stream(stream, out, ckpt, item_col="item",
+                             depth=4, width=256, available_now=True)
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    def cells():
+        return {(r.depth, r.bucket): r["count"] for r in
+                spark.read.parquet(out).collect()}
+
+    run()
+    c1 = cells()
+    _delete_commit_marker(ckpt)
+    run()  # replay batch 0 -> stamp guard must skip it
+    assert cells() == c1
+
+    # wave 2 accumulates; snapshot == from-scratch sketch of all rows
+    wave2 = [(f"k{i % 5}",) for i in range(300)]
+    spark.createDataFrame(wave2, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    run()
+    want = {(r.depth, r.bucket): r["count"] for r in cm_sketch(
+        spark.createDataFrame(wave1 + wave2, schema), "item",
+        4, 256).collect()}
+    got = cells()
+    assert got == want
+    # and the snapshot answers lookups (est >= true for a hot key)
+    q = spark.createDataFrame([("k0",)], schema)
+    est = cm_lookup(spark.read.parquet(out).drop("last_batch"), q,
+                    "item", 4, 256).first().cm_estimate
+    true = sum(1 for (it,) in wave1 + wave2 if it == "k0")
+    assert est >= true
+
+
+def test_fingerprint_rollup_stream_matches_batch(spark, tmp_path):
+    """Streaming fingerprint maintenance: after any number of append
+    waves the maintained per-group digest equals table_fingerprint of
+    every row that landed, row-for-row; replay is stamp-guarded (XOR
+    double-fold would CANCEL the batch — worse than double count)."""
+    from nasctn_sea_ingest_spark.functions import table_fingerprint
+    from nasctn_sea_ingest_spark.streaming import fingerprint_rollup_stream
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "fp")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "grp string, a string, b long"
+    wave1 = [("g1", f"v{i}", i) for i in range(40)] + \
+            [("g2", None, 7), ("g2", "x|y", None)]
+    spark.createDataFrame(wave1, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(land).schema).parquet(land)
+        q = fingerprint_rollup_stream(stream, out, ckpt,
+                                      cols=["a", "b"], by=["grp"],
+                                      available_now=True)
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    def snap():
+        return {r.grp: (r.n_rows, r.fingerprint, r.mod_checksum)
+                for r in spark.read.parquet(out).collect()}
+
+    run()
+    s1 = snap()
+    _delete_commit_marker(ckpt)
+    run()
+    assert snap() == s1  # replay guard (XOR refold would zero g1/g2)
+
+    wave2 = [("g1", "late", 99), ("g3", "new", 1)]
+    spark.createDataFrame(wave2, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    run()
+    want = {r.grp: (r.n_rows, r.fingerprint, r.mod_checksum)
+            for r in table_fingerprint(
+                spark.createDataFrame(wave1 + wave2, schema),
+                ["a", "b"], ["grp"]).collect()}
+    assert snap() == want
