@@ -235,3 +235,25 @@ def test_merge_sketch_rows_incremental(spark, sf_dir):
                         (F.col("l_quantity") <= r.med)).count()
         eps_n = (2.0 * np.log2(max(2.0, n / 200)) / 200) * n + 1
         assert abs(rank - 0.5 * n) <= eps_n
+
+
+def test_qsketch_state_bound():
+    """The 100TB claim is the STATE BOUND: retained values never exceed
+    k per level over ~log2(n/k) live levels (+1 odd straggler each), no
+    matter the input size or order. 1M adversarial (sorted) inserts stay
+    under the bound; so does a merge of 16 shard sketches."""
+    k = 128
+    n = 1_000_000
+    sk = QuantileSketch(k)
+    data = np.arange(n, dtype=np.float64)  # sorted = worst arrival order
+    for chunk in np.array_split(data, 64):
+        sk.update_batch(chunk)
+    levels = int(np.ceil(np.log2(n / k))) + 2
+    bound = (k + 1) * levels
+    assert len(sk.to_arrays()[0]) <= bound
+    assert sk.n == n
+    merged = QuantileSketch(k)
+    for part in np.array_split(data, 16):
+        merged.merge(QuantileSketch(k).update_batch(part))
+    assert len(merged.to_arrays()[0]) <= bound
+    assert merged.n == n
