@@ -1,0 +1,116 @@
+"""Manifest-versioned parquet tables (sources/versioned.py): time
+travel, atomic exclusive-create commits, optimistic concurrency,
+schema-drift rejection, vacuum reachability."""
+
+import os
+
+import pytest
+
+from nasctn_sea_ingest_spark.sources.versioned import (
+    VersionConflict, read_version, table_history, vacuum,
+    versioned_upsert, versioned_write)
+
+
+def _rows(spark, df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_append_overwrite_time_travel(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b = spark.createDataFrame([(3, "c")], "id long, v string")
+    c = spark.createDataFrame([(9, "z")], "id long, v string")
+
+    assert versioned_write(a, path) == 1
+    assert versioned_write(b, path) == 2            # append
+    assert versioned_write(c, path, "overwrite") == 3
+
+    assert _rows(spark, read_version(spark, path)) == {(9, "z")}
+    assert _rows(spark, read_version(spark, path, 1)) == {(1, "a"), (2, "b")}
+    assert _rows(spark, read_version(spark, path, 2)) == \
+        {(1, "a"), (2, "b"), (3, "c")}              # overwrite kept v2 intact
+
+    hist = table_history(path)
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert [h["op"] for h in hist] == ["append", "append", "overwrite"]
+    assert hist[1]["parent"] == 1 and hist[0]["parent"] is None
+    with pytest.raises(ValueError, match="version 7"):
+        read_version(spark, path, 7)
+
+
+def test_schema_drift_rejected_on_append(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    versioned_write(spark.createDataFrame([(1, "a")], "id long, v string"),
+                    path)
+    bad = spark.createDataFrame([(2, 3.0)], "id long, other double")
+    with pytest.raises(ValueError, match="columns"):
+        versioned_write(bad, path)  # append with different columns
+    # but an explicit overwrite may change the schema
+    assert versioned_write(bad, path, "overwrite") == 2
+    assert read_version(spark, path).columns == ["id", "other"]
+
+
+def test_concurrent_commit_conflict(spark, tmp_path):
+    """Two writers race from the same parent: the second manifest
+    create must raise VersionConflict, and the table stays exactly the
+    winner's version (the loser's staged files are unreferenced)."""
+    path = str(tmp_path / "tbl")
+    versioned_write(spark.createDataFrame([(1,)], "id long"), path)
+    # simulate the winner committing v2 first
+    winner = spark.createDataFrame([(2,)], "id long")
+    assert versioned_write(winner, path) == 2
+    # loser staged against parent v1 and now tries to commit v2
+    from nasctn_sea_ingest_spark.sources import versioned as V
+    with pytest.raises(VersionConflict):
+        V._commit_manifest(path, 2, {"version": 2, "files": []})
+    assert _rows(spark, read_version(spark, path)) == {(1,), (2,)}
+
+
+def test_versioned_upsert_history(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    w1 = spark.createDataFrame(
+        [("k1", 1, 10), ("k2", 1, 20)], "k string, ver int, val int")
+    w2 = spark.createDataFrame(
+        [("k2", 2, 25), ("k3", 1, 30)], "k string, ver int, val int")
+    versioned_upsert(w1, path, keys=["k"], order_by=["ver"])
+    versioned_upsert(w2, path, keys=["k"], order_by=["ver"])
+    head = {r.k: (r.ver, r.val)
+            for r in read_version(spark, path).collect()}
+    assert head == {"k1": (1, 10), "k2": (2, 25), "k3": (1, 30)}
+    v1 = {r.k: (r.ver, r.val)
+          for r in read_version(spark, path, 1).collect()}
+    assert v1 == {"k1": (1, 10), "k2": (1, 20)}   # pre-upsert snapshot
+
+
+def test_vacuum_reachability(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    versioned_write(spark.createDataFrame([(1,)], "id long"), path)
+    versioned_write(spark.createDataFrame([(2,)], "id long"), path)
+    versioned_write(spark.createDataFrame([(9,)], "id long"), path,
+                    "overwrite")
+    # v3 references ONLY its own files; v1/v2 files become unreachable
+    deleted = vacuum(path, keep_last=1)
+    assert deleted  # the v1+v2 data files went away
+    assert _rows(spark, read_version(spark, path)) == {(9,)}
+    with pytest.raises(ValueError):
+        read_version(spark, path, 2)              # loud, not a misread
+    assert [h["version"] for h in table_history(path)] == [3]
+    # files shared with a kept version are never deleted: v4 appends to
+    # v3, vacuum(keep_last=1) keeps v4 whose list includes v3's file
+    versioned_write(spark.createDataFrame([(10,)], "id long"), path)
+    vacuum(path, keep_last=1)
+    assert _rows(spark, read_version(spark, path)) == {(9,), (10,)}
+
+
+def test_read_is_manifest_scoped_not_glob(spark, tmp_path):
+    """A stray parquet file inside data/ (a loser writer's staged
+    batch) must NEVER leak into any version's read."""
+    path = str(tmp_path / "tbl")
+    versioned_write(spark.createDataFrame([(1,)], "id long"), path)
+    stray_dir = os.path.join(path, "data", "b9999999999-deadbeef")
+    spark.createDataFrame([(666,)], "id long") \
+        .coalesce(1).write.parquet(stray_dir)
+    assert _rows(spark, read_version(spark, path)) == {(1,)}
+    assert versioned_write(
+        spark.createDataFrame([(2,)], "id long"), path) == 2
+    assert _rows(spark, read_version(spark, path)) == {(1,), (2,)}
