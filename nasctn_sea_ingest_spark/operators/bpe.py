@@ -1,0 +1,187 @@
+"""Distributed BPE tokenizer training and encoding.
+
+Corpus q87 computes ONE merge iteration's pair counts; this module runs
+the full greedy loop (Sennrich et al. 2016, the algorithm behind GPT-2/
+RoBERTa vocabularies) the way it scales to 100 TB: train on the WORD
+VOCABULARY, not the corpus.  The corpus is touched exactly once (a word
+hash-agg); every merge iteration then runs over distinct words weighted
+by their counts — a table whose size is the vocabulary (millions of
+rows at web scale, independent of corpus row count).  Per iteration:
+
+  1. pair counts: explode adjacent symbol pairs per word, weight by the
+     word's corpus count, hash-agg (map-side combine);
+  2. best pair: one TakeOrdered(1) with the deterministic tie-break
+     (count desc, then lexicographic pair) both engines can reproduce;
+  3. merge: a JVM-side ``aggregate`` fold rewrites each word's symbol
+     array left-to-right, non-overlapping — no Python in the loop.
+
+Lineage is localCheckpoint-bounded every few iterations (the iterative-
+algorithm rule PageRank/k-means follow).  Encoding a corpus with the
+learned merge list is row-local by construction, so ``bpe_encode`` is
+an Arrow-batched pandas UDF (the documented slow path — a per-merge
+column fold would build an O(n_merges)-deep plan instead).
+
+End-of-word marker: the final symbol of each word carries ``</w>``
+(GPT-2 style would prefix spaces; either convention round-trips —
+:func:`bpe_decode_word` inverts ours exactly).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["word_vocab", "train_bpe", "merge_pair_expr", "bpe_encode",
+           "bpe_encode_word_py", "bpe_decode_word"]
+
+_EOW = "</w>"
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count) over the corpus — the ONE corpus-wide pass of BPE
+    training.  Tokenization matches the engine's text family
+    (lowercase, trim, split ``\\s+``, drop empties)."""
+    toks = docs.select(F.explode(
+        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                 lambda x: x != "")).alias("word"))
+    return toks.groupBy("word").agg(
+        F.count("*").cast("long").alias("count"))
+
+
+def _initial_symbols(word: Column) -> Column:
+    """Characters of the word, last one suffixed with the end-of-word
+    marker: 'low' -> ['l', 'o', 'w</w>']."""
+    chars = F.split(word, "")
+    n = F.size(chars)
+    return F.transform(
+        chars, lambda c, i: F.when(i == n - 1, F.concat(c, F.lit(_EOW)))
+                             .otherwise(c))
+
+
+def merge_pair_expr(symbols: Column, a: str, b: str) -> Column:
+    """Rewrite a symbol array replacing adjacent (a, b) with a+b,
+    left-to-right and non-overlapping (the reference regex-replace
+    semantics: in 'aaa' the pair (a,a) merges the FIRST two only).  One
+    ``aggregate`` fold with a (out, carry) struct accumulator — pure
+    JVM, no Python in the training loop."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("carry"))
+
+    def step(acc, s):
+        hit = acc["carry"].eqNullSafe(F.lit(a)) & (s == F.lit(b))
+        return F.struct(
+            F.when(hit, F.concat(acc["out"],
+                                 F.array(F.lit(a + b))))
+             .when(acc["carry"].isNull(), acc["out"])
+             .otherwise(F.concat(acc["out"], F.array(acc["carry"])))
+             .alias("out"),
+            F.when(hit, F.lit(None).cast("string")).otherwise(s)
+             .alias("carry"))
+
+    return F.aggregate(
+        symbols, init, step,
+        lambda acc: F.when(acc["carry"].isNull(), acc["out"])
+                     .otherwise(F.concat(acc["out"],
+                                         F.array(acc["carry"]))))
+
+
+def train_bpe(vocab: DataFrame, n_merges: int,
+              min_count: int = 1,
+              checkpoint_every: int = 8) -> "list[tuple[str, str]]":
+    """Greedy BPE merge list from a (word, count) vocabulary.  Each
+    iteration is O(vocab) distributed work + a 1-row collect (the
+    argmax pair) — corpus size enters only through the precomputed
+    counts.  Stops early when no pair reaches ``min_count``.  Ties
+    break (count desc, pair lexicographic) so the merge list is
+    deterministic across partitionings and engines."""
+    cur = vocab.select(
+        _initial_symbols(F.col("word")).alias("syms"),
+        F.col("count").cast("long").alias("count"))
+    cur = cur.localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for it in range(n_merges):
+        pairs = (cur.select(
+            F.explode(F.zip_with(
+                F.slice("syms", 1, F.greatest(F.size("syms") - 1,
+                                              F.lit(0))),
+                F.slice("syms", 2, F.greatest(F.size("syms") - 1,
+                                              F.lit(0))),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b"))))
+            .alias("p"), "count")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("count").alias("c")))
+        best = pairs.orderBy(F.desc("c"), F.asc("a"), F.asc("b")) \
+                    .limit(1).collect()
+        if not best or best[0].c < min_count:
+            break
+        a, b = best[0].a, best[0].b
+        merges.append((a, b))
+        cur = cur.select(merge_pair_expr(F.col("syms"), a, b)
+                         .alias("syms"), "count")
+        if (it + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return merges
+
+
+# ---------------------------------------------------------------------------
+# Encoding — row-local application of a learned merge list
+# ---------------------------------------------------------------------------
+
+def bpe_encode_word_py(word: str,
+                       ranks: "dict[tuple[str, str], int]"
+                       ) -> "list[str]":
+    """Reference/worker kernel: encode one word by repeatedly applying
+    the LOWEST-RANK applicable merge (the standard decode-time
+    algorithm — equivalent to replaying merges in training order)."""
+    syms = list(word[:-1]) + [word[-1] + _EOW] if word else []
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_decode_word(symbols: Sequence[str]) -> str:
+    """Exact inverse of the encoding for any merge list."""
+    return "".join(symbols).removesuffix(_EOW)
+
+
+def bpe_encode(df: DataFrame, text_col: str,
+               merges: "list[tuple[str, str]]",
+               out_col: str = "bpe_tokens") -> DataFrame:
+    """Corpus encoding with a learned merge list: Arrow-batched pandas
+    UDF running the rank-greedy kernel per word — row-local (zero
+    shuffle at any scale); the merge list ships in the task closure."""
+    import pandas as pd
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    cols = df.columns
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import re
+        for bt in batches:
+            toks = []
+            for text in bt[text_col]:
+                words = [w for w in
+                         re.split(r"\s+", (text or "").strip().lower())
+                         if w]
+                enc: list[str] = []
+                for w in words:
+                    enc.extend(bpe_encode_word_py(w, ranks))
+                toks.append(enc)
+            bt = bt.copy()
+            bt[out_col] = toks
+            yield bt
+
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields) + f", `{out_col}` array<string>"
+    return df.mapInPandas(run, schema)
