@@ -286,6 +286,38 @@ def main() -> None:
           f"({manifest['raw']} docs -> {manifest['packed']} packed, "
           f"{manifest['raw'] / dt:.0f} docs/s)", file=sys.stderr)
 
+    # round-6 library surfaces (NOT added to `total`: r05/r06 totals stay
+    # comparable; these are standalone headline numbers like bench_full's
+    # per-query map)
+    import tempfile
+
+    from nasctn_sea_ingest_spark.operators.bpe import train_bpe, word_vocab
+    from nasctn_sea_ingest_spark.operators.search import (
+        bm25_search, build_inverted_index, load_index, write_index)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    idx_tmp = tempfile.mkdtemp(prefix="bench_idx_")
+    try:
+        gc.collect()
+        t0 = time.perf_counter()
+        write_index(build_inverted_index(docs), idx_tmp, n_shards=32)
+        idx, _n = load_index(spark, idx_tmp)
+        n_hits = bm25_search(idx, ["the", "data", "model"], k=10,
+                             n_shards=32).count()
+        dt = time.perf_counter() - t0
+        timings["x_inverted_index_build_probe"] = round(dt, 3)
+        print(f"# inverted index build+probe: {dt:.3f}s "
+              f"({n_hits} hits)", file=sys.stderr)
+    finally:
+        shutil.rmtree(idx_tmp, ignore_errors=True)
+    gc.collect()
+    t0 = time.perf_counter()
+    n_m = len(train_bpe(word_vocab(docs), n_merges=12))
+    dt = time.perf_counter() - t0
+    timings["x_bpe_train_12merges"] = round(dt, 3)
+    print(f"# bpe train (12 merges, vocab-bound): {dt:.3f}s "
+          f"({n_m} merges)", file=sys.stderr)
+
     # The driver keeps only the LAST 2000 bytes of stdout and json-parses
     # what it finds there (BENCH_r01/r02 recorded parsed=null because the
     # full-name line ran ~4.5 KB and was truncated mid-line).  Emit a line
@@ -341,6 +373,8 @@ def main() -> None:
         "x_lazy_head10": "x_head10",
         "x_lazy_time_range_1min": "x_range1m",
         "x_llm_pipeline": "x_llm",
+        "x_inverted_index_build_probe": "x_index",
+        "x_bpe_train_12merges": "x_bpe",
     }
     compact = {(k.split("_")[0] if k.startswith("q")
                 else _short_x.get(k, k)): _round(v)
