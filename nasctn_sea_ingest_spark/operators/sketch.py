@@ -49,6 +49,7 @@ __all__ = [
     "cm_sketch", "cm_merge", "cm_lookup",
     "QuantileSketch", "quantile_sketch", "grouped_quantile_sketch",
     "merge_sketch_rows", "sketch_quantile_expr", "sketch_rank_expr",
+    "psi", "drift_profile",
 ]
 
 
@@ -382,3 +383,49 @@ def sketch_rank_expr(values, weights, x) -> Column:
 
 def _c(col) -> Column:
     return col if isinstance(col, Column) else F.col(col)
+
+
+# ---------------------------------------------------------------------------
+# Drift: Population Stability Index from sketch pairs
+# ---------------------------------------------------------------------------
+
+def psi(baseline: QuantileSketch, current: QuantileSketch,
+        bins: int = 10, eps: float = 1e-4) -> float:
+    """Population Stability Index between two sketched distributions —
+    the standard model-monitoring drift score (rule of thumb: < 0.1
+    stable, 0.1–0.25 drifting, > 0.25 shifted), computed ENTIRELY from
+    the two sketches: bin edges are the baseline's ``bins``-quantiles
+    and each side's bin mass comes from rank differences, so comparing
+    a 100 TB training table against today's serving data costs two
+    sketch reads, no exact histogram over either.
+
+    ``eps`` floors the proportions (a bin empty on one side would make
+    the log term infinite — the conventional guard).  Complements the
+    corpus q137 token-KL drift (categorical) with the numeric-column
+    face.
+    """
+    if baseline.n == 0 or current.n == 0:
+        raise ValueError("psi: empty sketch")
+    edges = [baseline.quantile(i / bins) for i in range(1, bins)]
+    out = 0.0
+    for i in range(bins):
+        lo_rank_b = baseline.rank(edges[i - 1]) if i else 0
+        lo_rank_c = current.rank(edges[i - 1]) if i else 0
+        hi_rank_b = baseline.rank(edges[i]) if i < bins - 1 else baseline.n
+        hi_rank_c = current.rank(edges[i]) if i < bins - 1 else current.n
+        pa = max((hi_rank_b - lo_rank_b) / baseline.n, eps)
+        pb = max((hi_rank_c - lo_rank_c) / current.n, eps)
+        out += (pa - pb) * float(np.log(pa / pb))
+    return out
+
+
+def drift_profile(baseline: DataFrame, current: DataFrame,
+                  cols: Sequence[str], k: int = 200,
+                  bins: int = 10) -> "dict[str, float]":
+    """Per-column PSI between two tables: one sketch pass per column on
+    each side (bounded driver state — the ``quantile_sketch`` shape),
+    then :func:`psi` on each pair.  The scheduled "did the feature
+    distributions move" job of a training pipeline."""
+    return {c: psi(quantile_sketch(baseline, c, k),
+                   quantile_sketch(current, c, k), bins)
+            for c in cols}

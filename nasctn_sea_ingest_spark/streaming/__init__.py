@@ -32,7 +32,8 @@ __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "heavy_hitters_stream", "weighted_reservoir_stream",
            "cusum_monitor_stream", "capture_summary_stream",
            "occupancy_monitor_stream", "quantile_rollup_stream",
-           "cm_rollup_stream", "fingerprint_rollup_stream"]
+           "cm_rollup_stream", "fingerprint_rollup_stream",
+           "index_stream"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -644,6 +645,43 @@ def quantile_rollup_stream(updates: DataFrame, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def index_stream(docs: DataFrame, out_dir: str, checkpoint_dir: str,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 n_buckets: int = 64,
+                 available_now: bool = False):
+    """Incrementally maintained inverted index: each micro-batch of
+    documents tokenizes into posting rows (``operators.search.
+    build_inverted_index`` — a batch is self-contained because a doc's
+    postings derive from that doc alone) and last-wins-upserts them by
+    ``(tok, doc_id)`` into the key-bucketed snapshot, so
+    ``conjunctive_search``/``bm25_search`` run against an index that is
+    current after every trigger.
+
+    Contract: documents are APPEND-ONLY or grow-only — a re-delivered
+    doc REPLACES postings for tokens it still contains, but postings for
+    tokens that vanished from a shrunk revision would linger (deleting
+    them needs doc-level tombstones, which a keyed upsert cannot
+    express).  Cost per trigger is O(batch postings + touched buckets)
+    via :func:`upsert_stream`; replay-idempotent by the deterministic
+    ``batch_id`` version column.  Note the bucketing key here is the
+    UPSERT key (tok, doc_id); for shard-pruned serving, periodically
+    snapshot with ``search.write_index`` (token-sharded layout).
+    """
+    from ..operators.search import build_inverted_index
+
+    def tf(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return (build_inverted_index(batch_df, text_col, id_col)
+                .withColumn("updated_batch",
+                            F.lit(int(batch_id)).cast("long")))
+
+    return upsert_stream(docs, out_dir, checkpoint_dir,
+                         keys=["tok", "doc_id"],
+                         order_by=["updated_batch"],
+                         n_buckets=n_buckets,
+                         available_now=available_now,
+                         transform=tf)
 
 
 def _guarded_small_rollup(updates: DataFrame, out_dir: str,

@@ -257,3 +257,48 @@ def test_qsketch_state_bound():
         merged.merge(QuantileSketch(k).update_batch(part))
     assert len(merged.to_arrays()[0]) <= bound
     assert merged.n == n
+
+
+# ---------------------------------------------------------------------------
+# PSI drift from sketch pairs
+# ---------------------------------------------------------------------------
+
+def _psi_exact(a, b, bins=10, eps=1e-4):
+    edges = np.quantile(np.asarray(a), [i / bins for i in range(1, bins)])
+    ca, _ = np.histogram(a, [-np.inf, *edges, np.inf])
+    cb, _ = np.histogram(b, [-np.inf, *edges, np.inf])
+    pa = np.maximum(ca / len(a), eps)
+    pb = np.maximum(cb / len(b), eps)
+    return float(np.sum((pa - pb) * np.log(pa / pb)))
+
+
+def test_psi_same_vs_shifted():
+    from nasctn_sea_ingest_spark.operators.sketch import psi
+    r = np.random.RandomState(5)
+    base = r.normal(0, 1, 50_000)
+    same = r.normal(0, 1, 50_000)
+    shifted = r.normal(1.2, 1, 50_000)
+    sb = QuantileSketch(256).update_batch(base)
+    ss = QuantileSketch(256).update_batch(same)
+    sh = QuantileSketch(256).update_batch(shifted)
+    p_same = psi(sb, ss)
+    p_shift = psi(sb, sh)
+    assert p_same < 0.02                      # stable
+    assert p_shift > 0.25                     # clearly shifted
+    # sketch PSI tracks the exact-data PSI
+    assert p_shift == pytest.approx(_psi_exact(base, shifted), abs=0.1)
+    assert p_same == pytest.approx(_psi_exact(base, same), abs=0.02)
+
+
+def test_drift_profile_distributed(spark, sf_dir):
+    from nasctn_sea_ingest_spark.operators.sketch import drift_profile
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = li.where(F.col("l_orderkey") % 2 == 0)
+    b = li.where(F.col("l_orderkey") % 2 == 1)   # same distribution
+    c = li.withColumn("l_extendedprice",
+                      F.col("l_extendedprice") * 2)  # shifted
+    stable = drift_profile(a, b, ["l_extendedprice", "l_quantity"])
+    assert all(v < 0.05 for v in stable.values()), stable
+    moved = drift_profile(a, c.where(F.col("l_orderkey") % 2 == 1),
+                          ["l_extendedprice"])
+    assert moved["l_extendedprice"] > 0.25

@@ -1342,3 +1342,58 @@ def test_fingerprint_rollup_stream_matches_batch(spark, tmp_path):
                 spark.createDataFrame(wave1 + wave2, schema),
                 ["a", "b"], ["grp"]).collect()}
     assert snap() == want
+
+
+def test_index_stream_matches_batch_build(spark, tmp_path):
+    """Streaming inverted-index maintenance: after two append waves the
+    snapshot's postings equal a from-scratch build_inverted_index over
+    all docs, row-for-row; a re-delivered doc REPLACES its postings
+    (last-wins by batch) instead of duplicating them."""
+    from nasctn_sea_ingest_spark.operators.search import (
+        build_inverted_index, conjunctive_search)
+    from nasctn_sea_ingest_spark.streaming import index_stream
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "idx")
+    os.makedirs(land)
+    schema = "doc_id long, text string"
+    wave1 = [(1, "alpha beta beta"), (2, "beta gamma")]
+    spark.createDataFrame(wave1, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+
+    def run(ck):
+        stream = spark.readStream.schema(
+            spark.read.parquet(land).schema).parquet(land)
+        q = index_stream(stream, out, str(tmp_path / ck),
+                         n_buckets=8, available_now=True)
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    def postings():
+        return {(r.tok, r.doc_id): (r.tfreq, r.dlen) for r in
+                spark.read.parquet(out).collect()}
+
+    run("c1")
+    want1 = {(r.tok, r.doc_id): (r.tfreq, r.dlen) for r in
+             build_inverted_index(
+                 spark.createDataFrame(wave1, schema)).collect()}
+    assert postings() == want1
+
+    # wave 2: new doc 3 + re-delivered doc 2 that GREW (grow-only
+    # contract) — doc 2's postings must be replaced, not duplicated
+    wave2 = [(3, "delta alpha"), (2, "beta beta gamma delta")]
+    spark.createDataFrame(wave2, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    run("c1")
+    final_docs = [(1, "alpha beta beta"), (3, "delta alpha"),
+                  (2, "beta beta gamma delta")]
+    want2 = {(r.tok, r.doc_id): (r.tfreq, r.dlen) for r in
+             build_inverted_index(
+                 spark.createDataFrame(final_docs, schema)).collect()}
+    assert postings() == want2
+    # and the live snapshot answers searches
+    idx = spark.read.parquet(out)
+    got = [(r.doc_id, r.score) for r in
+           conjunctive_search(idx, ["beta", "gamma"], k=5).collect()]
+    assert got == [(2, 3)]  # doc 2 only: tf(beta)=2 + tf(gamma)=1
