@@ -29,6 +29,7 @@ __all__ = [
     "weighted_median_large", "zorder_key",
     "merge_upsert", "snapshot_diff", "keyed_lead", "keyed_cumsum",
     "pit_features", "table_fingerprint", "merge_fingerprint",
+    "skew_profile",
 ]
 
 
@@ -1015,3 +1016,48 @@ def merge_fingerprint(a: DataFrame, b: DataFrame,
         .alias("fingerprint"),
         ((F.coalesce("_ca", z) + F.coalesce("_cb", z)) % 1000003)
         .alias("mod_checksum"))
+
+
+def skew_profile(df: DataFrame, keys: Sequence[str],
+                 top_k: int = 10) -> dict:
+    """Key-skew pre-flight for a planned groupBy/join on ``keys`` — the
+    "should I salt this?" diagnostic that pairs with :func:`salted_agg`
+    and AQE's skew join: one hash-agg over the keys (map-side combine),
+    then a one-row stats reduce plus a TakeOrdered(top_k) of the heavy
+    keys.  Driver result is bounded (top_k rows + 1 stats row) at any
+    input size.
+
+    Returns ``{n_rows, n_keys, mean, p50, p99, max, max_share,
+    top: [(key tuple, count, share), ...]}``.  ``max_share`` is the
+    single decision number: the heaviest key's fraction of all rows —
+    at 1000 executors a key holding >0.1% of a large table already
+    serializes its reducer (SCALE.md §3's salting rule of thumb).
+
+    ``p50``/``p99`` use ``percentile_approx`` (exact per-key counts,
+    approximate quantile OF those counts — a diagnostic, not a query
+    result; the exact quantile of millions of key counts is not worth a
+    sort here).
+    """
+    keys = list(keys)
+    counts = df.groupBy(*keys).agg(F.count("*").alias("__n")).persist()
+    try:
+        stats = counts.agg(
+            F.sum("__n").alias("rows"), F.count("*").alias("nk"),
+            F.avg("__n").alias("mean"),
+            F.percentile_approx("__n", 0.5).alias("p50"),
+            F.percentile_approx("__n", 0.99).alias("p99"),
+            F.max("__n").alias("mx")).first()
+        top = counts.orderBy(F.desc("__n"), *keys).limit(top_k).collect()
+    finally:
+        counts.unpersist()
+    n_rows = int(stats.rows or 0)
+    return {
+        "n_rows": n_rows, "n_keys": int(stats.nk),
+        "mean": float(stats.mean) if stats.mean is not None else 0.0,
+        "p50": int(stats.p50) if stats.p50 is not None else 0,
+        "p99": int(stats.p99) if stats.p99 is not None else 0,
+        "max": int(stats.mx) if stats.mx is not None else 0,
+        "max_share": (int(stats.mx) / n_rows) if n_rows else 0.0,
+        "top": [(tuple(r[k] for k in keys), int(r["__n"]),
+                 int(r["__n"]) / n_rows) for r in top],
+    }

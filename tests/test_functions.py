@@ -817,3 +817,24 @@ def test_keyed_cumsum_edge_shapes(spark):
     gotd = keyed_cumsum(dfd, ["k"], ["t"], "v", out="run")
     wantd = dfd.select("k", "t", F.sum("v").over(w).alias("run"))
     assert (gotd.select("k", "t", "run").exceptAll(wantd).count() == 0)
+
+
+def test_skew_profile(spark):
+    """skew_profile: exact top keys + shares on a zipf-ish table, and
+    the max_share decision number that pairs with salted_agg."""
+    from nasctn_sea_ingest_spark.functions import skew_profile
+    rows = []
+    for i, n in [("hot", 800), ("warm", 150), ("k3", 30), ("k4", 15),
+                 ("k5", 5)]:
+        rows += [(i, j) for j in range(n)]
+    df = spark.createDataFrame(rows, "k string, v long").repartition(8)
+    p = skew_profile(df, ["k"], top_k=3)
+    assert p["n_rows"] == 1000 and p["n_keys"] == 5
+    assert p["max"] == 800 and p["max_share"] == pytest.approx(0.8)
+    assert [t[0] for t in p["top"]] == [("hot",), ("warm",), ("k3",)]
+    assert p["top"][0][1] == 800
+    assert p["top"][0][2] == pytest.approx(0.8)
+    assert p["p50"] in (5, 15, 30)  # approx quantile of the count set
+    # multi-key grouping works and returns tuple keys
+    p2 = skew_profile(df, ["k", "v"], top_k=1)
+    assert p2["n_keys"] == 1000 and p2["max"] == 1
