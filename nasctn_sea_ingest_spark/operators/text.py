@@ -15,6 +15,7 @@ from ..functions import _let
 __all__ = ["token_stats", "quality_score", "language_id", "fingerprint",
            "token_count_estimate", "scrub_pii", "contamination",
            "chunk_dedup", "repetition_stats", "chunk_overlap",
+           "cdc_chunks_expr", "cdc_chunk_dedup",
            "PII_PATTERNS", "STOPWORDS", "LANG_MARKERS"]
 
 STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "that", "it", "for")
@@ -403,3 +404,78 @@ def chunk_overlap(df: DataFrame, text_col: str = "text",
               .select(id_col, F.col("c.chunk_idx").alias("chunk_idx"),
                       F.size("c.w").alias("n_words"),
                       F.array_join("c.w", " ").alias("chunk")))
+
+
+def cdc_chunks_expr(words: Column, target_words: int = 10,
+                    min_words: int = 4, max_words: int = 30) -> Column:
+    """Content-defined chunking of a word array (the Rabin/FastCDC idea
+    at word granularity): a word ENDS a chunk when ``xxhash64(word) mod
+    target_words == 0`` — the boundary decision depends on the word's
+    CONTENT, not its position, so an insertion near the start of a
+    document perturbs chunks only until the next content boundary and
+    every later chunk is byte-identical again (fixed-size chunking
+    shifts ALL downstream chunks, defeating chunk-level dedup on any
+    edited re-crawl).  ``min_words``/``max_words`` bound chunk sizes
+    (boundaries inside a too-short chunk are skipped; a too-long chunk
+    force-splits) — the guards are chunk-local, so streams still resync
+    one boundary after any edit.
+
+    One ``aggregate`` fold per row — JVM-side, zero shuffle; expected
+    chunk length ≈ ``min_words + target_words``.  Returns
+    ``array<string>`` of space-joined chunks (lossless:
+    ``array_join(chunks, ' ') == array_join(words, ' ')``)."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("done"),
+        F.lit("").alias("cur"),
+        F.lit(0).alias("n"))
+
+    def step(acc, w):
+        n2 = acc["n"] + 1
+        joined = F.when(acc["n"] == 0, w).otherwise(
+            F.concat(acc["cur"], F.lit(" "), w))
+        cut = ((n2 >= min_words)
+               & (F.pmod(F.xxhash64(w), F.lit(target_words)) == 0)) \
+            | (n2 >= max_words)
+        return F.struct(
+            F.when(cut, F.concat(acc["done"], F.array(joined)))
+             .otherwise(acc["done"]).alias("done"),
+            F.when(cut, F.lit("")).otherwise(joined).alias("cur"),
+            F.when(cut, F.lit(0)).otherwise(n2).alias("n"))
+
+    return F.aggregate(
+        words, init, step,
+        lambda acc: F.when(acc["n"] > 0,
+                           F.concat(acc["done"], F.array(acc["cur"])))
+                     .otherwise(acc["done"]))
+
+
+def cdc_chunk_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", target_words: int = 10,
+                    min_words: int = 4,
+                    max_words: int = 30) -> DataFrame:
+    """:func:`chunk_dedup` (Lee et al. exact chunk dedup, corpus q88)
+    over CONTENT-DEFINED chunks: because boundaries resync after edits,
+    a re-crawled document with an inserted preamble still shares almost
+    all its chunks with the original and dedups — the fixed-size
+    variant's chunks all shift and nothing matches (asserted head-to-
+    head in the test).  Same scale shape as q88: one shuffle on the
+    chunk key, one back on the doc id; same output contract
+    ``(id_col, n_chunks, n_kept, text_clean)``."""
+    from pyspark.sql import Window
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    chunks = cdc_chunks_expr(words, target_words, min_words, max_words)
+    ch = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    win = Window.partitionBy("chunk").orderBy("__id", "chunk_idx")
+    ranked = ch.withColumn("rn", F.row_number().over(win))
+    kept = F.when(F.col("rn") == 1, F.struct("chunk_idx", "chunk"))
+    return (ranked.groupBy("__id")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+                 F.nullif(F.array_join(
+                     F.transform(F.array_sort(F.collect_list(kept)),
+                                 lambda s: s["chunk"]), " "),
+                     F.lit("")).alias("text_clean"))
+            .withColumnRenamed("__id", id_col))

@@ -1,6 +1,7 @@
 """Text-operator library tests against pure-Python ground truth."""
 
 import pytest
+import pyspark.sql.functions as F
 from pyspark.sql import Row
 
 from nasctn_sea_ingest_spark.operators import text as TX
@@ -269,3 +270,56 @@ def test_chunk_overlap_validates_args(spark):
         TX.chunk_overlap(df, size=4, stride=5)
     with pytest.raises(ValueError):
         TX.chunk_overlap(df, size=0, stride=0)
+
+
+def test_cdc_chunks_lossless_and_bounded(spark):
+    """CDC chunking is lossless (chunks rejoin to the original words),
+    deterministic, and every chunk except possibly the last has
+    min_words <= n <= max_words."""
+    from nasctn_sea_ingest_spark.operators.text import cdc_chunks_expr
+    import numpy as np
+    rng = np.random.default_rng(21)
+    text = " ".join(f"w{int(x)}" for x in rng.integers(0, 5000, 400))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = df.select(cdc_chunks_expr(
+        F.split(F.trim("text"), r"\s+"), 10, 4, 30).alias("c")) \
+        .first().c
+    assert " ".join(chunks) == text
+    sizes = [len(c.split(" ")) for c in chunks]
+    assert all(4 <= s <= 30 for s in sizes[:-1])
+    assert sizes[-1] <= 30
+    # determinism
+    again = df.select(cdc_chunks_expr(
+        F.split(F.trim("text"), r"\s+"), 10, 4, 30).alias("c")) \
+        .first().c
+    assert again == chunks
+
+
+def test_cdc_resyncs_after_insertion_fixed_does_not(spark):
+    """The CDC headline: insert a preamble word into a document — the
+    content-defined chunk streams resync (large shared chunk set, so
+    chunk dedup still removes the copy), while fixed-size chunks all
+    shift (near-zero sharing, dedup blind)."""
+    import numpy as np
+    from nasctn_sea_ingest_spark.operators.text import (cdc_chunk_dedup,
+                                                        cdc_chunks_expr,
+                                                        chunk_dedup)
+    rng = np.random.default_rng(22)
+    common = [f"t{int(x)}" for x in rng.integers(0, 9000, 300)]
+    doc_a = " ".join(common)
+    doc_b = "inserted " + doc_a
+    df = spark.createDataFrame([(1, doc_a), (2, doc_b)],
+                               "doc_id long, text string")
+    per_doc = df.select("doc_id", cdc_chunks_expr(
+        F.split(F.trim("text"), r"\s+"), 10, 4, 30).alias("c")).collect()
+    sets = {r.doc_id: set(r.c) for r in per_doc}
+    shared = len(sets[1] & sets[2]) / len(sets[1])
+    assert shared > 0.8           # resynced almost immediately
+
+    cdc = {r.doc_id: r for r in cdc_chunk_dedup(df).collect()}
+    assert cdc[2].n_kept < cdc[2].n_chunks * 0.2   # copy mostly removed
+    fixed = {r.doc_id: r for r in chunk_dedup(df).collect()}
+    assert fixed[2].n_kept == fixed[2].n_chunks    # fixed chunking blind
+    # doc 1 (first occurrence) always survives intact
+    assert cdc[1].n_kept == cdc[1].n_chunks
+    assert cdc[1].text_clean == doc_a
