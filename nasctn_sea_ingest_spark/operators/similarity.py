@@ -168,6 +168,63 @@ def lsh_topk(emb: DataFrame, query, k: int, n_planes: int = 8,
     return cosine_topk(cand, q, k, id_col, vec_col)
 
 
+def knn_graph(emb: DataFrame, k: int = 5, n_tables: int = 4,
+              n_planes: int = 6, dim: int = 64, seed: int = 42,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              max_bucket: int | None = None) -> DataFrame:
+    """Approximate k-NN graph ``(src, dst, cos_sim)`` — top-``k``
+    cosine neighbors per vector, the backbone structure of clustering /
+    SemDeDup / label propagation over embeddings.
+
+    Candidates come from ``n_tables`` INDEPENDENT sign-LSH tables
+    (different hyperplane seeds): a true neighbor pair is missed only if
+    it splits in EVERY table, so recall compounds as
+    ``1 - (1 - p)^n_tables`` per pair — never an all-pairs scan.  Each
+    table contributes its within-bucket pairs via an equi-join on the
+    bucket id; pairs dedupe across tables on ids; the exact cosine runs
+    JVM-side on the pair rows; symmetrize then one window per node keeps
+    the top-k.  Cost is candidate-bound (≈ Σ bucket²) like
+    ``cosine_pairs``; ``max_bucket`` applies the standard hot-bucket
+    guard per table (the ``simhash_pairs`` recall/bound trade).  The
+    cos values reported are EXACT for the pairs reported — only recall
+    is approximate."""
+    from pyspark.sql import Window
+
+    cand = None
+    for t in range(n_tables):
+        bt = lsh_bucket(emb, n_planes, dim, seed + 7919 * t, vec_col) \
+            .select(F.col(id_col).alias("id"),
+                    F.col(vec_col).alias("vec"), "bucket")
+        if max_bucket is not None:
+            big = (bt.groupBy("bucket").agg(F.count("*").alias("bn"))
+                     .where(F.col("bn") > max_bucket).select("bucket"))
+            bt = bt.join(F.broadcast(big), "bucket", "left_anti")
+        a, b = bt.alias("a"), bt.alias("b")
+        p = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"),
+                     F.col("a.vec").alias("va"),
+                     F.col("b.vec").alias("vb")))
+        cand = p if cand is None else cand.unionByName(p)
+    pairs = cand.groupBy("id_a", "id_b").agg(
+        F.first("va").alias("va"), F.first("vb").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    cos = (dot / (_norm("va") * _norm("vb"))).alias("cos_sim")
+    scored = pairs.select("id_a", "id_b", cos)
+    sym = scored.select(F.col("id_a").alias("src"),
+                        F.col("id_b").alias("dst"), "cos_sim") \
+        .unionByName(scored.select(F.col("id_b").alias("src"),
+                                   F.col("id_a").alias("dst"),
+                                   "cos_sim"))
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    return (sym.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k).drop("rn"))
+
+
 def ivf_assign(emb: DataFrame, centroids: np.ndarray,
                vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its max-dot-product coarse centroid (IVF list).

@@ -1009,3 +1009,70 @@ def test_image_neardup_pairs_vs_bruteforce(spark):
     for i in range(3):  # each planted cluster fully connected
         for pair in ([i, 100 + i], [i, 200 + i], [100 + i, 200 + i]):
             assert frozenset(pair) in pair_ids
+
+
+def test_knn_graph_recall_and_exact_scores(spark, emb, emb_np):
+    """Approximate kNN graph: per-node degree <= k, reported cosine
+    values EXACT vs numpy for every reported edge, symmetric candidate
+    handling, and mean recall vs the brute-force top-k well above the
+    single-table floor (multi-table OR-compounding)."""
+    ids, mat = emb_np
+    k = 5
+    g = SIM.knn_graph(emb, k=k, n_tables=4, n_planes=6).collect()
+    by_src = {}
+    norm = np.linalg.norm(mat, axis=1)
+    idx = {int(i): j for j, i in enumerate(ids)}
+    cosm = (mat @ mat.T) / np.outer(norm, norm)
+    for r in g:
+        by_src.setdefault(r.src, []).append((r.dst, r.cos_sim))
+        want = cosm[idx[r.src], idx[r.dst]]
+        assert r.cos_sim == pytest.approx(float(want), abs=1e-9)
+    recalls = []
+    for i in ids:
+        got = {d for d, _ in by_src.get(int(i), [])}
+        assert len(got) <= k
+        row = cosm[idx[int(i)]].copy()
+        row[idx[int(i)]] = -np.inf
+        true = {int(ids[j]) for j in np.argsort(-row)[:k]}
+        recalls.append(len(got & true) / k)
+    # this table's "neighbors" are weak (cos ~ 0.3): sign-LSH collision
+    # prob per table is ~(1 - theta/pi)^planes ~ 0.05, compounding to
+    # ~0.17 over 4 tables — assert the theory floor, not a wish; the
+    # HIGH-similarity regime the graph exists for is the planted test
+    assert float(np.mean(recalls)) >= 0.10, np.mean(recalls)
+    # hot-bucket guard composes: graph still returns edges under a cap
+    capped = SIM.knn_graph(emb, k=k, n_tables=2, n_planes=4,
+                           max_bucket=64)
+    assert capped.count() > 0
+
+
+def test_knn_graph_planted_clusters(spark):
+    """The regime the kNN graph serves (SemDeDup/near-dup clustering:
+    cos > 0.95 neighbors): 40 planted groups of 5 near-identical
+    vectors — within-group recall must be near-perfect because the
+    collision probability per table is ~0.9^planes and six tables
+    OR-compound it."""
+    rng = np.random.default_rng(31)
+    rows = []
+    gid = {}
+    vid = 0
+    for g in range(40):
+        base = rng.standard_normal(64)
+        base /= np.linalg.norm(base)
+        for m in range(5):
+            v = base + 0.03 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in v]))
+            gid[vid] = g
+            vid += 1
+    emb2 = spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<float>")
+    g = SIM.knn_graph(emb2, k=4, n_tables=6, n_planes=6).collect()
+    found = {}
+    for r in g:
+        found.setdefault(r.src, set()).add(r.dst)
+    hits = tot = 0
+    for v, grp in gid.items():
+        mates = {u for u, gg in gid.items() if gg == grp and u != v}
+        tot += len(mates)
+        hits += len(mates & found.get(v, set()))
+    assert hits / tot >= 0.95, hits / tot
