@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["build_inverted_index", "write_index", "load_index",
@@ -44,17 +44,23 @@ def build_inverted_index(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
     """Posting rows ``(tok, doc_id, tfreq, dlen)``.  ``dlen`` (total
     tokens in the doc) is denormalized onto every posting so BM25 scores
-    at query time never join back to the raw corpus.  One shuffle on
-    ``doc_id`` (the tf hash-agg); the length sum windows over the SAME
-    partitioning, so no second exchange; whitespace-only docs produce no
-    postings (mirroring q84's ``dlen > 0`` stats rule)."""
-    toks = docs.select(F.col(id_col).alias("doc_id"),
-                       F.explode(_tokens(text_col)).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(
-        F.count("*").cast("long").alias("tfreq"))
-    w = Window.partitionBy("doc_id")
-    return tf.withColumn("dlen", F.sum("tfreq").over(w).cast("long")) \
-             .select("tok", "doc_id", "tfreq", "dlen")
+    at query time never join back to the raw corpus.
+
+    ``dlen`` is the SIZE of the token array, computed map-side BEFORE
+    the explode and carried through it — so the whole build is one
+    Generate + one hash-agg with a single Exchange on (doc_id, tok)
+    (a first-draft window-over-doc_id variant cost a second exchange;
+    the array is let-bound once per row so the regex split doesn't
+    re-evaluate for size and explode — the q84 lesson).  Whitespace-only
+    docs produce no postings (q84's ``dlen > 0`` stats rule)."""
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        _tokens(text_col).alias("__t"))
+            .select("doc_id", F.size("__t").alias("dlen"),
+                    F.explode("__t").alias("tok")))
+    return (toks.groupBy("doc_id", "tok")
+            .agg(F.count("*").cast("long").alias("tfreq"),
+                 F.first("dlen").cast("long").alias("dlen"))
+            .select("tok", "doc_id", "tfreq", "dlen"))
 
 
 def term_shards(spark: SparkSession, terms: Sequence[str],
