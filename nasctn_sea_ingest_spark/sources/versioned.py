@@ -42,8 +42,8 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["versioned_write", "versioned_upsert", "read_version",
-           "table_history", "vacuum", "VersionConflict"]
+__all__ = ["versioned_write", "versioned_upsert", "versioned_delete",
+           "read_version", "table_history", "vacuum", "VersionConflict"]
 
 _MANIFEST_DIR = "_manifests"
 _WIDTH = 10
@@ -166,6 +166,26 @@ def versioned_upsert(updates: DataFrame, path: str,
     else:
         merged = merge_upsert(updates.limit(0), updates, keys, order_by)
     return versioned_write(merged, path, mode="overwrite")
+
+
+def versioned_delete(spark: SparkSession, path: str, condition) -> int:
+    """Commit a new version WITHOUT the rows matching ``condition`` (a
+    Column or SQL string) — the keyed-deletion face (GDPR erasure,
+    bad-batch rollforward).  Returns the new version number.
+
+    IMPORTANT: like every versioned store, the deleted rows remain
+    PHYSICALLY present in older versions' files until :func:`vacuum`
+    drops those manifests — a compliance delete is
+    ``versioned_delete(...)`` followed by ``vacuum(path, keep_last=1)``.
+    The commit is a full-snapshot overwrite (read head → filter →
+    write); for high-frequency keyed deletes, stage tombstones through
+    ``streaming.upsert_stream`` and snapshot here periodically."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    head = read_version(spark, path).where(~cond) \
+        .localCheckpoint(eager=True)
+    return versioned_write(head, path, mode="overwrite")
 
 
 def read_version(spark: SparkSession, path: str,

@@ -1,0 +1,72 @@
+"""Plan lint for the round-6 library operators (the corpus-wide lint in
+test_plan_lint.py covers only declared corpus queries): each op's
+executed plan must stay free of cartesian products, non-broadcast
+nested-loop joins, and row-at-a-time Python (BatchEvalPython) — and the
+exchange-count claims recorded in PLANS.md stay measured, not asserted
+from memory."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _lint(plan: str, name: str):
+    assert "CartesianProduct" not in plan, name
+    assert "BatchEvalPython" not in plan, name  # row-Python forbidden
+    # nested loop only acceptable when broadcast (tiny side)
+    for line in plan.splitlines():
+        if "NestedLoop" in line:
+            assert "Broadcast" in line, f"{name}: {line}"
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, "b c d e f")], "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, 2.0]) for i in range(30)],
+        "vec_id long, embedding array<float>")
+    ev = spark.createDataFrame([("a", 1.0), ("b", 2.0)],
+                               "item string, v double")
+    return docs, emb, ev
+
+
+def test_sketch_plans(spark, tiny):
+    from nasctn_sea_ingest_spark.operators.sketch import (
+        cm_lookup, cm_sketch, grouped_quantile_sketch)
+    _docs, _emb, ev = tiny
+    sk = cm_sketch(ev, "item")
+    p = _plan(sk)
+    _lint(p, "cm_sketch")
+    assert p.count("Exchange") == 1 and "partial" in p
+    q = spark.createDataFrame([("a",)], "item string")
+    _lint(_plan(cm_lookup(sk, q, "item")), "cm_lookup")
+    p2 = _plan(grouped_quantile_sketch(ev, ["item"], "v"))
+    _lint(p2.replace("FlatMapGroupsInPandas", ""), "gqs")
+    assert p2.count("Exchange") == 1
+
+
+def test_search_bpe_knn_plans(spark, tiny):
+    from nasctn_sea_ingest_spark.operators.bpe import word_vocab
+    from nasctn_sea_ingest_spark.operators.search import (
+        bm25_search, build_inverted_index)
+    from nasctn_sea_ingest_spark.operators.similarity import knn_graph
+    docs, emb, _ev = tiny
+    idx = build_inverted_index(docs)
+    p = _plan(idx)
+    _lint(p, "build_inverted_index")
+    assert p.count("Exchange") == 1      # the PLANS.md claim, asserted
+    _lint(_plan(bm25_search(idx, ["a", "b"], k=3, stats=(2, 5.0))),
+          "bm25_search")
+    _lint(_plan(word_vocab(docs)), "word_vocab")
+    _lint(_plan(knn_graph(emb, k=2, n_tables=2, n_planes=3, dim=4)),
+          "knn_graph")
+
+
+def test_text_cdc_and_dhash_plans(spark, tiny):
+    from nasctn_sea_ingest_spark.operators.text import cdc_chunk_dedup
+    docs, _emb, _ev = tiny
+    _lint(_plan(cdc_chunk_dedup(docs)), "cdc_chunk_dedup")

@@ -114,3 +114,32 @@ def test_read_is_manifest_scoped_not_glob(spark, tmp_path):
     assert versioned_write(
         spark.createDataFrame([(2,)], "id long"), path) == 2
     assert _rows(spark, read_version(spark, path)) == {(1,), (2,)}
+
+
+def test_versioned_delete_and_physical_removal(spark, tmp_path):
+    """versioned_delete removes rows logically (new version) while older
+    versions still expose them — physical removal is delete + vacuum,
+    the documented compliance pair."""
+    from pyspark.sql import functions as F
+
+    from nasctn_sea_ingest_spark.sources.versioned import versioned_delete
+
+    path = str(tmp_path / "tbl")
+    versioned_write(spark.createDataFrame(
+        [(1, "keep"), (2, "erase"), (3, "keep")], "id long, v string"),
+        path)
+    v2 = versioned_delete(spark, path, F.col("v") == "erase")
+    assert v2 == 2
+    assert _rows(spark, read_version(spark, path)) == \
+        {(1, "keep"), (3, "keep")}
+    # pre-delete version still readable (and still holds the row)
+    assert (2, "erase") in _rows(spark, read_version(spark, path, 1))
+    # SQL-string condition works too
+    versioned_delete(spark, path, "id = 3")
+    assert _rows(spark, read_version(spark, path)) == {(1, "keep")}
+    # compliance pair: vacuum drops the old manifests AND their files
+    deleted = vacuum(path, keep_last=1)
+    assert deleted
+    with pytest.raises(ValueError):
+        read_version(spark, path, 1)
+    assert _rows(spark, read_version(spark, path)) == {(1, "keep")}
