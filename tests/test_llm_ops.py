@@ -1076,3 +1076,30 @@ def test_knn_graph_planted_clusters(spark):
         tot += len(mates)
         hits += len(mates & found.get(v, set()))
     assert hits / tot >= 0.95, hits / tot
+
+
+def test_ivf_index_persisted_probe_prunes_partitions(spark, emb, emb_np,
+                                                     tmp_path):
+    """IVF twin of the persisted-LSH test: write the cell-assigned
+    layout partitioned by ivf_cell, probe the query's best cells — the
+    scan prunes to those partitions and returns the same top-k as the
+    unpersisted ivf_topk path."""
+    ids, mat = emb_np
+    cents = SIM.sample_centroids(emb, 8)
+    out = str(tmp_path / "ivf_index")
+    SIM.ivf_assign(emb, cents).write.partitionBy("ivf_cell").parquet(out)
+    idx = spark.read.parquet(out)
+    n_total = idx.count()
+    q = mat[11]
+    order = np.argsort(-(cents @ q))[:2]
+    cand = idx.where(F.col("ivf_cell").isin(*[int(c) for c in order]))
+    n_cand = cand.count()
+    assert 0 < n_cand < n_total
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in \
+        plan.split("PartitionFilters")[1][:220]
+    got = [(r.vec_id, round(r.cos_sim, 9)) for r in
+           SIM.cosine_topk(cand, q, 5).collect()]
+    want = [(r.vec_id, round(r.cos_sim, 9)) for r in
+            SIM.ivf_topk(emb, q, 5, cents, n_probe=2).collect()]
+    assert got == want

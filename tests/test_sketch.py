@@ -302,3 +302,33 @@ def test_drift_profile_distributed(spark, sf_dir):
     moved = drift_profile(a, c.where(F.col("l_orderkey") % 2 == 1),
                           ["l_extendedprice"])
     assert moved["l_extendedprice"] > 0.25
+
+
+from hypothesis import given as _given, settings as _settings, \
+    strategies as _st
+
+
+@_settings(max_examples=40, deadline=None)
+@_given(seed=_st.integers(0, 2**31 - 1),
+        n=_st.integers(1, 4000),
+        n_parts=_st.integers(1, 7),
+        k=_st.sampled_from([16, 64, 128]))
+def test_qsketch_merge_bound_property(seed, n, n_parts, k):
+    """For ANY data, ANY split into parts, ANY k: merged shard sketches
+    conserve n exactly and meet the rank-error bound at every decile —
+    the property 1000 executors rely on."""
+    r = np.random.RandomState(seed)
+    data = r.lognormal(0, 1.5, n)
+    parts = np.array_split(data, min(n_parts, n))
+    m = QuantileSketch(k)
+    for p in parts:
+        if len(p):
+            m.merge(QuantileSketch(k).update_batch(p))
+    assert m.n == n
+    vals, wts = m.to_arrays()
+    assert sum(wts) == n
+    eps = 2.0 * np.log2(max(2.0, n / k)) / k
+    for q in (0.1, 0.5, 0.9):
+        est = m.quantile(q)
+        err = abs(int(np.sum(data <= est)) - q * n)
+        assert err <= eps * n + 1
