@@ -33,7 +33,7 @@ __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "cusum_monitor_stream", "capture_summary_stream",
            "occupancy_monitor_stream", "quantile_rollup_stream",
            "cm_rollup_stream", "fingerprint_rollup_stream",
-           "index_stream"]
+           "index_stream", "pca_moments_stream"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -771,6 +771,40 @@ def fingerprint_rollup_stream(updates: DataFrame, out_dir: str,
         updates, out_dir, checkpoint_dir,
         lambda b: table_fingerprint(b, cols, by),
         lambda a, b: merge_fingerprint(a, b, by), available_now)
+
+
+def pca_moments_stream(embeddings: DataFrame, out_dir: str,
+                       checkpoint_dir: str, vec_col: str = "embedding",
+                       available_now: bool = False):
+    """Incrementally maintained PCA sufficient statistics: each
+    micro-batch reduces to its (n, Σx, ΣxxT) moment row
+    (``similarity.pca_moments`` — the batch collect is bounded at d+d²
+    doubles) and element-wise-sums into the stored single-row state, so
+    a CURRENT model is one `pca_from_moments` eigendecomposition away at
+    any trigger boundary — the O(delta) model-refresh story given a
+    streaming face.  State is one row of d+d² doubles regardless of how
+    many vectors streamed; replay is stamp-guarded like the other
+    small-state rollups (moment sums double-count without it)."""
+    from ..operators.similarity import pca_moments
+
+    def batch_state(batch_df: DataFrame) -> DataFrame:
+        spark = batch_df.sparkSession
+        n, s, g = pca_moments(batch_df, vec_col)
+        return spark.createDataFrame(
+            [(int(n), [float(x) for x in s],
+              [float(x) for x in g.ravel()])],
+            "n long, s array<double>, g array<double>")
+
+    def merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        bb = b.select(F.col("n").alias("_n"), F.col("s").alias("_s"),
+                      F.col("g").alias("_g"))
+        return a.crossJoin(bb).select(
+            (F.col("n") + F.col("_n")).alias("n"),
+            F.zip_with("s", "_s", lambda x, y: x + y).alias("s"),
+            F.zip_with("g", "_g", lambda x, y: x + y).alias("g"))
+
+    return _guarded_small_rollup(embeddings, out_dir, checkpoint_dir,
+                                 batch_state, merge, available_now)
 
 
 def heavy_hitters_stream(events: DataFrame, key_col: str, item_col: str,

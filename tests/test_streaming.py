@@ -1397,3 +1397,64 @@ def test_index_stream_matches_batch_build(spark, tmp_path):
     got = [(r.doc_id, r.score) for r in
            conjunctive_search(idx, ["beta", "gamma"], k=5).collect()]
     assert got == [(2, 3)]  # doc 2 only: tf(beta)=2 + tf(gamma)=1
+
+
+def test_pca_moments_stream_matches_batch(spark, tmp_path):
+    """Streaming PCA-moment maintenance: after two waves the stored
+    (n, sums, Gram) equals the batch pca_moments over all vectors
+    (exact n; float sums to 1e-9 relative), the refreshed model matches
+    the batch fit, and crash replay is stamp-guarded."""
+    import numpy as np
+    from nasctn_sea_ingest_spark.operators.similarity import (
+        pca_from_moments, pca_fit, pca_moments)
+    from nasctn_sea_ingest_spark.streaming import pca_moments_stream
+
+    rng = np.random.default_rng(41)
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "mom")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "vec_id long, embedding array<float>"
+
+    def mkvecs(n0, n):
+        return [(n0 + i, [float(x) for x in rng.standard_normal(8)])
+                for i in range(n)]
+
+    wave1 = mkvecs(0, 300)
+    spark.createDataFrame(wave1, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(land).schema).parquet(land)
+        q = pca_moments_stream(stream, out, ckpt, available_now=True)
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    def stored():
+        r = spark.read.parquet(out).first()
+        d = int(np.sqrt(len(r.g)))
+        return int(r.n), np.array(r.s), np.array(r.g).reshape(d, d)
+
+    run()
+    s1 = stored()
+    _delete_commit_marker(ckpt)
+    run()
+    s2 = stored()
+    assert s2[0] == s1[0] and np.array_equal(s2[1], s1[1])
+
+    wave2 = mkvecs(300, 200)
+    spark.createDataFrame(wave2, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    run()
+    n, s, g = stored()
+    bdf = spark.createDataFrame(wave1 + wave2, schema)
+    bn, bs, bg = pca_moments(bdf)
+    assert n == bn == 500
+    assert np.allclose(s, bs, rtol=1e-9)
+    assert np.allclose(g, bg, rtol=1e-9)
+    mean_s, comp_s = pca_from_moments(n, s, g, 3)
+    mean_b, comp_b = pca_fit(bdf, 3)
+    assert np.allclose(mean_s, mean_b, atol=1e-9)
+    assert np.allclose(comp_s, comp_b, atol=1e-7)
