@@ -16,6 +16,7 @@ __all__ = ["token_stats", "quality_score", "language_id", "fingerprint",
            "token_count_estimate", "scrub_pii", "contamination",
            "chunk_dedup", "repetition_stats", "chunk_overlap",
            "cdc_chunks_expr", "cdc_chunk_dedup",
+           "train_bigram_lm", "lm_perplexity",
            "PII_PATTERNS", "STOPWORDS", "LANG_MARKERS"]
 
 STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "that", "it", "for")
@@ -478,4 +479,89 @@ def cdc_chunk_dedup(df: DataFrame, text_col: str = "text",
                      F.transform(F.array_sort(F.collect_list(kept)),
                                  lambda s: s["chunk"]), " "),
                      F.lit("")).alias("text_clean"))
+            .withColumnRenamed("__id", id_col))
+
+
+def train_bigram_lm(docs: DataFrame, text_col: str = "text",
+                    min_count: int = 1
+                    ) -> "tuple[DataFrame, DataFrame, int, int]":
+    """Corpus bigram language model counts — the training half of the
+    CCNet-style LM quality filter (q101 is the unigram form; a bigram LM
+    separates fluent text from shuffled/garbled text that unigram
+    statistics cannot).  Returns ``(unigrams(tok, cnt),
+    bigrams(tok1, tok2, cnt), total_tokens, vocab_size)``.
+
+    Plan: one tokenize pass; unigram counts are a hash-agg; bigrams come
+    from zip-of-shifted-slices (the q87 pair stream — one row per
+    bigram, no per-word posexplode) into a second hash-agg.  Both tables
+    are vocabulary-bound, not corpus-bound.  ``min_count`` prunes the
+    bigram tail (the usual LM size/quality trade)."""
+    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda x: x != "")
+    toks = docs.select(words.alias("w"))
+    uni = (toks.select(F.explode("w").alias("tok"))
+           .groupBy("tok").agg(F.count("*").cast("long").alias("cnt")))
+    n_minus1 = F.greatest(F.size("w") - 1, F.lit(0))
+    pairs = toks.select(F.explode(F.zip_with(
+        F.slice("w", 1, n_minus1), F.slice("w", 2, n_minus1),
+        lambda a, b: F.struct(a.alias("tok1"), b.alias("tok2"))))
+        .alias("p"))
+    bi = (pairs.groupBy("p.tok1", "p.tok2")
+          .agg(F.count("*").cast("long").alias("cnt"))
+          .where(F.col("cnt") >= min_count))
+    totals = uni.agg(F.sum("cnt").alias("t"),
+                     F.count("*").alias("v")).first()
+    return uni, bi, int(totals.t), int(totals.v)
+
+
+def lm_perplexity(docs: DataFrame, unigrams: DataFrame,
+                  bigrams: DataFrame, total_tokens: int, vocab: int,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  l_bi: float = 0.6, l_uni: float = 0.3) -> DataFrame:
+    """Per-document interpolated-bigram perplexity:
+    ``p(w2|w1) = l_bi*cnt(w1,w2)/cnt(w1) + l_uni*cnt(w2)/N +
+    (1-l_bi-l_uni)/V`` — the uniform floor keeps OOV transitions finite
+    without smoothing hyperparameters.  Returns
+    ``(id_col, n_bigrams, avg_logprob, perplexity)`` with perplexity =
+    ``2^(-avg log2 p)``; single-word/empty docs get NULLs.
+
+    Plan: one bigram stream per doc (zip-of-slices), one shuffle join
+    against the bigram table on (tok1, tok2) and one against the unigram
+    table per side — all vocabulary-bound relations; the per-doc
+    aggregate is a hash-agg on the id.  The scored filter drops
+    high-perplexity (garbled / out-of-domain) documents, the standard
+    second gate after the cheap heuristics in ``quality_score``."""
+    l_floor = 1.0 - l_bi - l_uni
+    if l_floor <= 0:
+        raise ValueError("l_bi + l_uni must be < 1 (uniform floor)")
+    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda x: x != "")
+    n_minus1 = F.greatest(F.size("w") - 1, F.lit(0))
+    grams = (docs.select(F.col(id_col).alias("__id"), words.alias("w"))
+             .select("__id", F.explode(F.zip_with(
+                 F.slice("w", 1, n_minus1), F.slice("w", 2, n_minus1),
+                 lambda a, b: F.struct(a.alias("tok1"),
+                                       b.alias("tok2")))).alias("p"))
+             .select("__id", "p.tok1", "p.tok2"))
+    bi = bigrams.select("tok1", "tok2",
+                        F.col("cnt").alias("bi_cnt"))
+    u1 = unigrams.select(F.col("tok").alias("tok1"),
+                         F.col("cnt").alias("u1_cnt"))
+    u2 = unigrams.select(F.col("tok").alias("tok2"),
+                         F.col("cnt").alias("u2_cnt"))
+    j = (grams.join(bi, ["tok1", "tok2"], "left")
+         .join(u1, "tok1", "left")
+         .join(u2, "tok2", "left"))
+    p_bi = F.when(F.col("u1_cnt").isNotNull() & (F.col("u1_cnt") > 0),
+                  F.coalesce(F.col("bi_cnt"), F.lit(0)).cast("double")
+                  / F.col("u1_cnt")).otherwise(F.lit(0.0))
+    p_uni = F.coalesce(F.col("u2_cnt"), F.lit(0)).cast("double") \
+        / F.lit(float(total_tokens))
+    p = (F.lit(l_bi) * p_bi + F.lit(l_uni) * p_uni
+         + F.lit(l_floor / float(vocab)))
+    scored = j.select("__id", (F.log2(p)).alias("lp"))
+    return (scored.groupBy("__id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.avg("lp").alias("avg_logprob"),
+                 F.pow(F.lit(2.0), -F.avg("lp")).alias("perplexity"))
             .withColumnRenamed("__id", id_col))

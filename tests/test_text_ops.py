@@ -323,3 +323,66 @@ def test_cdc_resyncs_after_insertion_fixed_does_not(spark):
     # doc 1 (first occurrence) always survives intact
     assert cdc[1].n_kept == cdc[1].n_chunks
     assert cdc[1].text_clean == doc_a
+
+
+def test_bigram_lm_matches_python_oracle(spark):
+    """train_bigram_lm + lm_perplexity vs an independent Python
+    implementation of the same interpolated model, and the semantic
+    property a bigram LM exists for: shuffled word salad scores WORSE
+    than fluent in-domain text (unigram stats identical between the
+    two by construction)."""
+    import math
+    import re
+    from collections import Counter
+
+    from nasctn_sea_ingest_spark.operators.text import (lm_perplexity,
+                                                        train_bigram_lm)
+
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "a cat and a dog sat together"),
+        (4, "the cat and the dog ran home"),
+        (5, "the mat and the rug are old"),
+    ]
+    train = spark.createDataFrame(corpus, "doc_id long, text string")
+    uni, bi, total, vocab = train_bigram_lm(train)
+
+    # python oracle from the same corpus
+    toks = [re.split(r"\s+", t.strip().lower()) for _, t in corpus]
+    u = Counter(w for ws in toks for w in ws)
+    b = Counter((a, c) for ws in toks for a, c in zip(ws, ws[1:]))
+    assert total == sum(u.values()) and vocab == len(u)
+    assert {(r.tok, r.cnt) for r in uni.collect()} == set(u.items())
+    assert {((r.tok1, r.tok2), r.cnt) for r in bi.collect()} == \
+        set(b.items())
+
+    fluent = "the cat sat on the rug"
+    salad = "rug the on sat cat the"      # same words, broken order
+    oov = "zz qq xx yy"                    # fully out of vocabulary
+    test = spark.createDataFrame(
+        [(10, fluent), (11, salad), (12, oov), (13, "single")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in lm_perplexity(
+        test, uni, bi, total, vocab).collect()}
+
+    def oracle_ppl(text, l_bi=0.6, l_uni=0.3):
+        ws = re.split(r"\s+", text.strip().lower())
+        lps = []
+        for a, c in zip(ws, ws[1:]):
+            p_bi = (b.get((a, c), 0) / u[a]) if u.get(a) else 0.0
+            p_uni = u.get(c, 0) / total
+            p = l_bi * p_bi + l_uni * p_uni + 0.1 / len(u)
+            lps.append(math.log2(p))
+        avg = sum(lps) / len(lps)
+        return avg, 2 ** (-avg)
+
+    for did, text in ((10, fluent), (11, salad), (12, oov)):
+        avg, ppl = oracle_ppl(text)
+        assert got[did].avg_logprob == pytest.approx(avg, rel=1e-9)
+        assert got[did].perplexity == pytest.approx(ppl, rel=1e-9)
+        assert got[did].n_bigrams == len(text.split()) - 1
+    assert got[11].perplexity > got[10].perplexity * 2   # salad >> fluent
+    assert got[12].perplexity > got[11].perplexity       # OOV worst
+    # single-word doc emits no bigram rows at all
+    assert 13 not in got
