@@ -26,7 +26,9 @@ from pyspark.sql import Column, DataFrame
 
 __all__ = ["hash_bucket", "deterministic_sample", "hash_split",
            "weighted_mixture", "upsample", "stratified_sample",
-           "seeded_shuffle", "balanced_sample", "leakage_safe_split"]
+           "seeded_shuffle", "balanced_sample", "leakage_safe_split",
+           "hashed_gram_buckets", "dsir_log_ratio", "dsir_weights",
+           "dsir_resample"]
 
 N_BUCKETS = 10_000
 
@@ -248,3 +250,118 @@ def leakage_safe_split(df: DataFrame, pairs: DataFrame, key_col: str,
                                   F.col(key_col).cast("string"))))
     return hash_split(out, weights, "__skey", salt) \
         .drop("__skey", "cluster")
+
+
+# --------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023)
+# --------------------------------------------------------------------------
+
+def hashed_gram_buckets(text_col, n_buckets: int = 10_000) -> Column:
+    """Hashed uni+bigram feature buckets of a document — the DSIR
+    feature map: every word and every adjacent word pair hashes to one
+    of ``n_buckets`` (xxhash64, engine-native), giving a fixed-width
+    bag-of-features no matter the vocabulary.  Returns ``array<int>``
+    with one element per gram occurrence (duplicates kept — the
+    multinomial counts ARE the feature)."""
+    c = text_col if isinstance(text_col, Column) else F.col(text_col)
+    words = F.filter(F.split(F.lower(F.trim(c)), r"\s+"),
+                     lambda x: x != "")
+
+    def bucket(g):
+        return F.pmod(F.xxhash64(g), F.lit(n_buckets)).cast("int")
+
+    def body(w):
+        n1 = F.greatest(F.size(w) - 1, F.lit(0))
+        uni = F.transform(w, bucket)
+        bi = F.zip_with(
+            F.slice(w, 1, n1), F.slice(w, 2, n1),
+            lambda a, b: bucket(F.concat(a, F.lit(" "), b)))
+        return F.concat(uni, bi)
+
+    # bind the split once (the q84 _let lesson: size+slice+transform
+    # would re-evaluate the regex split per reference)
+    return F.element_at(F.transform(F.array(words), body), 1)
+
+
+def dsir_log_ratio(target: DataFrame, raw: DataFrame,
+                   text_col: str = "text", n_buckets: int = 10_000,
+                   smoothing: float = 1.0
+                   ) -> "tuple[DataFrame, float]":
+    """Per-bucket importance log-ratio ``ln p_target(b) - ln p_raw(b)``
+    with Laplace smoothing — the trained half of DSIR (Xie et al. 2023,
+    *Data Selection for Language Models via Importance Resampling*):
+    fit two hashed-n-gram multinomials and keep their log-ratio table.
+
+    Returns ``(ratio_df(bucket, log_ratio), default_log_ratio)`` where
+    the default applies to buckets unseen in BOTH corpora (a constant —
+    computed here so scoring needs no special-casing).  The table is
+    ≤ ``n_buckets`` rows — always broadcastable, the whole point of
+    hashing the feature space."""
+    def counts(df, name):
+        return (df.select(F.explode(
+            hashed_gram_buckets(text_col, n_buckets)).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias(name)))
+
+    t = counts(target, "t_cnt")
+    r = counts(raw, "r_cnt")
+    import math
+    t_total = t.agg(F.sum("t_cnt")).first()[0] or 0
+    r_total = r.agg(F.sum("r_cnt")).first()[0] or 0
+    td = t_total + smoothing * n_buckets
+    rd = r_total + smoothing * n_buckets
+    j = t.join(r, "bucket", "full_outer")
+    z = F.lit(0).cast("long")
+    ratio = j.select(
+        "bucket",
+        (F.log((F.coalesce("t_cnt", z) + smoothing) / F.lit(float(td)))
+         - F.log((F.coalesce("r_cnt", z) + smoothing)
+                 / F.lit(float(rd)))).alias("log_ratio"))
+    default = math.log(smoothing / td) - math.log(smoothing / rd)
+    return ratio, float(default)
+
+
+def dsir_weights(docs: DataFrame, ratio: DataFrame,
+                 default_log_ratio: float, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 n_buckets: int = 10_000) -> DataFrame:
+    """Per-document importance log-weight: the sum over the doc's gram
+    occurrences of the bucket log-ratio (the multinomial likelihood
+    ratio in log space).  One explode + one BROADCAST join against the
+    ≤ n_buckets ratio table + one hash-agg on the id — no corpus-sized
+    shuffle beyond the doc grouping.  Returns ``(id_col, n_grams,
+    log_weight, avg_log_ratio)`` (the avg is the length-normalized
+    variant some pipelines prefer)."""
+    grams = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(hashed_gram_buckets(text_col, n_buckets))
+        .alias("bucket"))
+    j = grams.join(F.broadcast(ratio), "bucket", "left")
+    lr = F.coalesce(F.col("log_ratio"), F.lit(float(default_log_ratio)))
+    return (j.groupBy("__id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum(lr).alias("log_weight"),
+                 F.avg(lr).alias("avg_log_ratio"))
+            .withColumnRenamed("__id", id_col))
+
+
+def dsir_resample(weighted: DataFrame, n: int, key_col: str = "doc_id",
+                  weight_col: str = "log_weight",
+                  salt: str = "") -> DataFrame:
+    """Sample ``n`` rows without replacement with probability ∝
+    exp(weight) via Gumbel-top-n — the log-space twin of the q146
+    Efraimidis-Spirakis sampler (identical distribution; Gumbel keys
+    add in log space so huge corpora with huge |log_weight| never
+    overflow exp()).  The Gumbel draw comes from the engine's portable
+    md5 uniform, so the sample is deterministic given (data, salt) on
+    any engine.  Plan: map-side key + TakeOrdered(n) — no corpus
+    sort."""
+    u = ((F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit("|"),
+                       F.col(key_col).cast("string"))), 1, 15), 16, 10)
+        .cast("double") + 1.0) / float(16 ** 15))
+    gumbel = -F.log(-F.log(u))
+    return (weighted
+            .withColumn("__k", F.col(weight_col) + gumbel)
+            .orderBy(F.desc("__k"), F.asc(key_col)).limit(n)
+            .drop("__k"))

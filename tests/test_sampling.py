@@ -2,6 +2,7 @@
 under repartitioning, and mixture allowlist semantics."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from nasctn_sea_ingest_spark.operators import sampling as S
 from nasctn_sea_ingest_spark.plans.tables import load_table
@@ -278,3 +279,62 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     from collections import Counter
     c = Counter(split.values())
     assert c["train"] > 250 and c["val"] > 10 and c["test"] > 10
+
+
+def test_dsir_selects_target_like_docs(spark):
+    """DSIR end-to-end: train the hashed-n-gram log-ratio on a chemistry
+    target vs a mixed raw pool — chemistry-like docs must get strictly
+    higher log-weights than sports-like docs, the distributed sum must
+    equal a Python recomputation from the collected ratio table (exact
+    plumbing check), and Gumbel-top-n resampling must pick mostly
+    target-like docs, deterministically."""
+    import numpy as np
+    from nasctn_sea_ingest_spark.operators.sampling import (
+        dsir_log_ratio, dsir_resample, dsir_weights,
+        hashed_gram_buckets)
+
+    chem = ["acid base reaction yields salt",
+            "molar mass of the compound",
+            "titration endpoint indicator color",
+            "covalent bond energy table"]
+    sport = ["striker scores late winning goal",
+             "coach praises defensive record",
+             "season ticket holders cheer loudly",
+             "referee shows second yellow card"]
+    target = spark.createDataFrame([(i, t) for i, t in enumerate(chem)],
+                                   "doc_id long, text string")
+    raw_rows = [(100 + i, t) for i, t in enumerate(chem + sport)]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+
+    ratio, default = dsir_log_ratio(target, raw, n_buckets=4096)
+    pool = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(chem)] +
+        [(50 + i, t) for i, t in enumerate(sport)],
+        "doc_id long, text string")
+    w = dsir_weights(pool, ratio, default, n_buckets=4096)
+    got = {r.doc_id: r for r in w.collect()}
+    chem_w = [got[i].log_weight for i in range(4)]
+    sport_w = [got[50 + i].log_weight for i in range(4)]
+    assert min(chem_w) > max(sport_w)
+
+    # exact plumbing: distributed sum == python sum over the SAME
+    # collected bucket arrays and ratio table
+    rt = {r.bucket: r.log_ratio for r in ratio.collect()}
+    arrs = {r.doc_id: r.b for r in pool.select(
+        "doc_id", hashed_gram_buckets("text", 4096).alias("b"))
+        .collect()}
+    for did, r in got.items():
+        want = sum(rt.get(b, default) for b in arrs[did])
+        assert r.log_weight == pytest.approx(want, rel=1e-12)
+        assert r.n_grams == len(arrs[did])
+
+    picked = {r.doc_id for r in
+              dsir_resample(w, 4, salt="s1").collect()}
+    assert len(picked) == 4
+    assert len(picked & set(range(4))) >= 3      # mostly chemistry
+    again = {r.doc_id for r in
+             dsir_resample(w, 4, salt="s1").collect()}
+    assert picked == again                        # deterministic
+    other = {r.doc_id for r in
+             dsir_resample(w, 4, salt="s2").collect()}
+    assert isinstance(other, set)                 # different salt runs
