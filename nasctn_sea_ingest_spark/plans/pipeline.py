@@ -31,7 +31,7 @@ from ..operators import dedup, sampling, text
 from ..operators.packing import assign_packs
 from .tables import load_table
 
-__all__ = ["llm_corpus_pipeline"]
+__all__ = ["llm_corpus_pipeline", "media_pipeline"]
 
 
 def llm_corpus_pipeline(spark: SparkSession, sf_dir: str,
@@ -167,3 +167,68 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str,
         for df in pinned:
             df.unpersist(True)
     return packed, manifest
+
+
+def media_pipeline(spark: SparkSession, n_items: int = 300,
+                   dup_fraction: float = 0.1,
+                   max_hamming: int = 3,
+                   feature_dim: int = 16,
+                   ) -> "tuple[DataFrame, dict[str, int]]":
+    """End-to-end MULTIMODAL training-data pipeline — the media analog of
+    :func:`llm_corpus_pipeline`, composed from this engine's operators:
+
+        media rows (binary + typed metadata)
+          → image near-dup dedup   (multimodal.image_dhash → the simhash
+                                    band join → dup_clusters; keep the
+                                    min-id representative per cluster)
+          → per-kind features      (multimodal.extract_features: real
+                                    WAV-FFT / BMP grid-luma / RAWV
+                                    motion kernels, Arrow-batched)
+          → quarantine split       (per-row decode errors survive as
+                                    rows, never as job failures)
+
+    The synthetic corpus plants exact re-encodes of a fraction of the
+    images under new ids (the re-crawl case); the dedup stage must
+    collapse each cluster to one representative.  Returns
+    ``(features_df, manifest)`` with per-stage counts.  Scale shape: the
+    only shuffles are the dHash band join and the cluster propagation —
+    both candidate-bound; decode/features are row-local.
+    """
+    from ..sources import multimodal as mm
+
+    kinds = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("media_id") % 3 + 1).cast("int"))
+    keys = spark.range(n_items).select(
+        F.col("id").alias("media_id"), kinds.alias("kind"))
+    media = mm.synthesize_media(keys)
+    # plant exact re-encodes of the first dup_fraction of images under
+    # fresh ids — identical pixels => identical dHash => hamming 0
+    n_dups = int(n_items * dup_fraction)
+    dup_ids = (keys.where(F.col("kind") == "image")
+               .orderBy("media_id").limit(n_dups)
+               .select("media_id"))
+    # re-key the ORIGINAL payloads under fresh ids: byte-identical
+    # content, new identity — the re-crawl duplicate
+    dups = (media.join(F.broadcast(dup_ids), "media_id")
+            .withColumn("media_id", F.col("media_id") + n_items))
+    corpus = media.unionByName(dups.select(*media.columns)).persist()
+    manifest = {"raw": corpus.count()}
+
+    pairs = mm.image_neardup_pairs(corpus, max_hamming=max_hamming)
+    from ..operators.dedup import dup_clusters
+    clusters = dup_clusters(pairs)           # (node, cluster=min id)
+    drop = (clusters.where(F.col("node") != F.col("cluster"))
+            .select(F.col("node").alias("media_id")))
+    manifest["near_dup_dropped"] = drop.count()
+    kept = corpus.join(F.broadcast(drop), "media_id", "left_anti") \
+        .persist()
+    manifest["kept"] = kept.count()
+
+    feats = mm.extract_features(kept, dim=feature_dim).persist()
+    manifest["features_ok"] = feats.where(F.col("error").isNull()).count()
+    manifest["quarantined"] = feats.where(
+        F.col("error").isNotNull()).count()
+    corpus.unpersist()
+    kept.unpersist()
+    return feats, manifest

@@ -1103,3 +1103,34 @@ def test_ivf_index_persisted_probe_prunes_partitions(spark, emb, emb_np,
     want = [(r.vec_id, round(r.cos_sim, 9)) for r in
             SIM.ivf_topk(emb, q, 5, cents, n_probe=2).collect()]
     assert got == want
+
+
+def test_media_pipeline_end_to_end(spark):
+    """Multimodal pipeline: planted exact image re-encodes are collapsed
+    by the dHash dedup stage (one representative per cluster, originals
+    kept), every surviving row gets a real-codec feature, counts
+    conserve, and non-image kinds pass through dedup untouched."""
+    from nasctn_sea_ingest_spark.plans.pipeline import media_pipeline
+
+    feats, man = media_pipeline(spark, n_items=90, dup_fraction=0.1)
+    feats.persist()
+    try:
+        assert man["raw"] == 90 + 9                # 9 planted dups
+        assert man["near_dup_dropped"] == 9        # every dup collapsed
+        assert man["kept"] == 90
+        assert man["features_ok"] + man["quarantined"] == man["kept"]
+        assert man["quarantined"] == 0             # all payloads decode
+        rows = feats.collect()
+        kept_ids = {r.media_id for r in rows}
+        # the planted duplicate ids (>= 90) are gone, originals remain
+        assert all(i < 90 for i in kept_ids)
+        assert len(kept_ids) == 90
+        by_kind = {}
+        for r in rows:
+            by_kind.setdefault(r.kind, 0)
+            by_kind[r.kind] += 1
+            assert r.feature is not None and len(r.feature) == 16
+        assert set(by_kind) == {"image", "audio", "video"}
+        assert by_kind["audio"] == 30 and by_kind["video"] == 30
+    finally:
+        feats.unpersist()
