@@ -231,6 +231,10 @@ class QuantileSketch:
     @classmethod
     def from_arrays(cls, values, weights, k: int = 200
                     ) -> "QuantileSketch":
+        if len(values) != len(weights):
+            raise ValueError(
+                f"sketch arrays misaligned: {len(values)} values vs "
+                f"{len(weights)} weights (zip would silently truncate)")
         sk = cls(k)
         by_level: dict[int, list] = {}
         for v, w in zip(values, weights):

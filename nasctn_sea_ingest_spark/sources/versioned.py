@@ -80,6 +80,11 @@ def _read_manifest(path: str, version: int) -> dict:
         raise ValueError(
             f"versioned table {path}: version {version} does not exist "
             f"(have {_list_versions(path) or 'none'})") from None
+    except json.JSONDecodeError as e:
+        raise ValueError(
+            f"versioned table {path}: manifest for version {version} is "
+            f"corrupt ({e}) — restore it from backup or vacuum past it; "
+            "refusing to guess the file list") from None
 
 
 def _commit_manifest(path: str, version: int, manifest: dict) -> None:

@@ -332,3 +332,8 @@ def test_qsketch_merge_bound_property(seed, n, n_parts, k):
         est = m.quantile(q)
         err = abs(int(np.sum(data <= est)) - q * n)
         assert err <= eps * n + 1
+
+
+def test_from_arrays_rejects_misaligned():
+    with pytest.raises(ValueError, match="misaligned"):
+        QuantileSketch.from_arrays([1.0, 2.0], [1], 64)

@@ -143,3 +143,13 @@ def test_versioned_delete_and_physical_removal(spark, tmp_path):
     with pytest.raises(ValueError):
         read_version(spark, path, 1)
     assert _rows(spark, read_version(spark, path)) == {(1, "keep")}
+
+
+def test_corrupt_manifest_fails_loudly(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    versioned_write(spark.createDataFrame([(1,)], "id long"), path)
+    from nasctn_sea_ingest_spark.sources.versioned import _manifest_path
+    with open(_manifest_path(path, 1), "w") as fh:
+        fh.write("{not json")
+    with pytest.raises(ValueError, match="corrupt"):
+        read_version(spark, path)
