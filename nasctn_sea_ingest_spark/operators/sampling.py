@@ -22,13 +22,13 @@ The hash bucket is ``conv(substr(md5(key), 1, 15), 16, 10) % 10_000``
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 __all__ = ["hash_bucket", "deterministic_sample", "hash_split",
            "weighted_mixture", "upsample", "stratified_sample",
            "seeded_shuffle", "balanced_sample", "leakage_safe_split",
            "hashed_gram_buckets", "dsir_log_ratio", "dsir_weights",
-           "dsir_resample"]
+           "dsir_resample", "token_budget_mixture"]
 
 N_BUCKETS = 10_000
 
@@ -365,3 +365,38 @@ def dsir_resample(weighted: DataFrame, n: int, key_col: str = "doc_id",
             .withColumn("__k", F.col(weight_col) + gumbel)
             .orderBy(F.desc("__k"), F.asc(key_col)).limit(n)
             .drop("__k"))
+
+
+def token_budget_mixture(df: DataFrame, budgets: "dict[str, int]",
+                         domain_col: str, tokens_col: str,
+                         key_col: str, salt: str = "") -> DataFrame:
+    """Deterministic token-budgeted corpus mix: per domain, take
+    documents in md5-rank order (a stable shuffle — every engine and
+    every rerun picks the same docs) until the domain's TOKEN budget is
+    met, overshooting by at most one document (the standard greedy
+    fill; exact budgets need document splitting, which belongs to the
+    packing stage).  Domains absent from ``budgets`` are dropped.
+
+    This is the pretraining-mix builder (e.g. "300B web + 30B code +
+    3B wiki"): rate-based :func:`weighted_mixture` samples by ROW
+    probability, which drifts when domains have different document
+    lengths; budgeting tokens is what the recipe actually specifies.
+
+    Plan: one window per domain partition (rank + running token sum on
+    the same partitioning — a single shuffle on the domain), then a
+    row-local filter ``cum - tokens < budget``.  A domain's budget
+    larger than its corpus keeps every row."""
+    order = F.md5(F.concat(F.lit(salt), F.lit("|"),
+                           F.col(key_col).cast("string")))
+    w = Window.partitionBy(domain_col).orderBy(order, key_col)
+    bmap = F.create_map(*[x for kv in budgets.items()
+                          for x in (F.lit(kv[0]),
+                                    F.lit(int(kv[1])))])
+    cum = F.sum(F.col(tokens_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (df.withColumn("__budget", bmap[F.col(domain_col)])
+           .where(F.col("__budget").isNotNull())
+           .withColumn("__cum", cum)
+           .where(F.col("__cum") - F.col(tokens_col) < F.col("__budget"))
+           .drop("__budget", "__cum"))
+    return out

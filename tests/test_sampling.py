@@ -338,3 +338,53 @@ def test_dsir_selects_target_like_docs(spark):
     other = {r.doc_id for r in
              dsir_resample(w, 4, salt="s2").collect()}
     assert isinstance(other, set)                 # different salt runs
+
+
+def test_token_budget_mixture_exact_oracle(spark):
+    """Greedy token-budget fill == a Python replay of the same md5
+    order: per-domain token sums within budget + at most one overshoot
+    doc, deterministic across runs, domains without budgets dropped,
+    oversized budgets keep whole domains."""
+    import hashlib
+
+    from nasctn_sea_ingest_spark.operators.sampling import \
+        token_budget_mixture
+
+    rows = []
+    for i in range(60):
+        dom = ["web", "code", "wiki"][i % 3]
+        rows.append((i, dom, 50 + (i * 37) % 200))
+    df = spark.createDataFrame(rows, "doc_id long, dom string, n_tok int")
+    budgets = {"web": 1200, "code": 700, "wiki": 10**9}
+    got = token_budget_mixture(df, budgets, "dom", "n_tok", "doc_id",
+                               salt="s")
+    got_rows = {r.doc_id for r in got.collect()}
+
+    def md5key(i):
+        return hashlib.md5(f"s|{i}".encode()).hexdigest()
+
+    want = set()
+    for dom, budget in budgets.items():
+        docs = sorted((r for r in rows if r[1] == dom),
+                      key=lambda r: (md5key(r[0]), r[0]))
+        cum = 0
+        for did, _d, tok in docs:
+            if cum >= budget:
+                break
+            want.add(did)
+            cum += tok
+    assert got_rows == want
+    # wiki had an unlimited budget: every wiki doc kept
+    assert {r[0] for r in rows if r[1] == "wiki"} <= got_rows
+    # per-domain sums: within budget + at most one doc overshoot
+    sums = {r.dom: r.s for r in got.groupBy("dom")
+            .agg(F.sum("n_tok").alias("s")).collect()}
+    assert sums["web"] < 1200 + 250 and sums["code"] < 700 + 250
+    # deterministic
+    again = {r.doc_id for r in token_budget_mixture(
+        df, budgets, "dom", "n_tok", "doc_id", salt="s").collect()}
+    assert again == got_rows
+    # unknown domains dropped entirely
+    got2 = token_budget_mixture(df, {"web": 500}, "dom", "n_tok",
+                                "doc_id")
+    assert {r.dom for r in got2.collect()} == {"web"}
