@@ -42,6 +42,9 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str,
                         counts: bool = True,
                         repetition_gate: bool = True,
                         drop_boilerplate: bool = True,
+                        cdc_boilerplate: bool = False,
+                        lm_gate_perplexity: "float | None" = None,
+                        dsir_select: "tuple[DataFrame, int] | None" = None,
                         ) -> "tuple[DataFrame, dict[str, int]]":
     """Run the full pipeline on the ``documents`` table; returns
     ``(packed_df, manifest)`` where manifest counts rows surviving each
@@ -128,8 +131,12 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str,
         # headers, templates) intact; the chunk pass deletes the repeated
         # chunks themselves and rewrites the documents (Lee et al. 2022).
         # Docs whose every chunk was boilerplate disappear with the
-        # inner join (text_clean NULL).
-        ch = text.chunk_dedup(near)
+        # inner join (text_clean NULL).  ``cdc_boilerplate`` swaps in the
+        # content-defined chunker (insertion-robust re-crawl dedup);
+        # default stays the benched fixed-chunk path.
+        chunker = text.cdc_chunk_dedup if cdc_boilerplate \
+            else text.chunk_dedup
+        ch = chunker(near)
         near = (near.drop("text")
                     .join(ch.where(F.col("text_clean").isNotNull())
                             .select("doc_id",
@@ -138,6 +145,31 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str,
         if counts:
             near = _pin(near)
             manifest["chunk_deduped"] = near.count()
+
+    if lm_gate_perplexity is not None:
+        # second-stage fluency gate (CCNet shape): train the bigram LM on
+        # the deduped corpus itself and drop the high-perplexity tail
+        # (garbled/boilerplate text that survives the cheap heuristics)
+        uni, bi, tot, voc = text.train_bigram_lm(near)
+        ppl = text.lm_perplexity(near, uni, bi, tot, voc)
+        near = near.join(
+            ppl.where(F.col("perplexity") <= lm_gate_perplexity)
+               .select("doc_id"), "doc_id")
+        if counts:
+            near = _pin(near)
+            manifest["lm_gated"] = near.count()
+
+    if dsir_select is not None:
+        # importance selection toward a target domain (DSIR): weight by
+        # the hashed-n-gram log-ratio vs the target, Gumbel-top-n sample
+        target_df, top_n = dsir_select
+        ratio, default = sampling.dsir_log_ratio(target_df, near)
+        w = sampling.dsir_weights(near, ratio, default)
+        picked = sampling.dsir_resample(w, top_n).select("doc_id")
+        near = near.join(F.broadcast(picked), "doc_id")
+        if counts:
+            near = _pin(near)
+            manifest["dsir_selected"] = near.count()
 
     scrubbed = text.scrub_pii(near)
     split = sampling.hash_split(scrubbed, splits, "doc_id")

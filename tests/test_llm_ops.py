@@ -1134,3 +1134,31 @@ def test_media_pipeline_end_to_end(spark):
         assert by_kind["audio"] == 30 and by_kind["video"] == 30
     finally:
         feats.unpersist()
+
+
+def test_llm_pipeline_optional_gates(spark, sf_dir):
+    """The new stages compose into the flagship pipeline: with the LM
+    gate + DSIR selection + CDC chunking ON, the run survives end to
+    end, the manifest shows each stage's shrink in order, and with all
+    three OFF the output is IDENTICAL to the pre-integration path (the
+    benched default must not move)."""
+    from nasctn_sea_ingest_spark.plans.pipeline import llm_corpus_pipeline
+
+    base, m0 = llm_corpus_pipeline(spark, sf_dir, counts=False), None
+    target = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").limit(100)
+    packed, man = llm_corpus_pipeline(
+        spark, sf_dir, cdc_boilerplate=True, lm_gate_perplexity=5e4,
+        dsir_select=(target, 60))
+    try:
+        assert man["lm_gated"] <= man.get("chunk_deduped",
+                                          man["near_deduped"])
+        assert man["dsir_selected"] <= min(60, man["lm_gated"])
+        assert man["packed"] > 0
+        # default path unchanged: same rows as a fresh default run
+        b1 = base[0].select("doc_id", "split", "pack_id").collect()
+        again, _ = llm_corpus_pipeline(spark, sf_dir, counts=False)
+        b2 = again.select("doc_id", "split", "pack_id").collect()
+        assert sorted(map(tuple, b1)) == sorted(map(tuple, b2))
+    finally:
+        packed.unpersist()
