@@ -388,3 +388,30 @@ def test_token_budget_mixture_exact_oracle(spark):
     got2 = token_budget_mixture(df, {"web": 500}, "dom", "n_tok",
                                 "doc_id")
     assert {r.dom for r in got2.collect()} == {"web"}
+
+
+def test_dsir_resample_tracks_weights_statistically(spark):
+    """Gumbel-top-1 must select items with probability proportional to
+    exp(log_weight): over 240 independent salts, items weighted 1:2:4
+    should be picked ~1/7 : 2/7 : 4/7 of the time (binomial 3-sigma
+    bands) — the distributional claim behind the sampler, not just
+    determinism."""
+    import math
+
+    from nasctn_sea_ingest_spark.operators.sampling import dsir_resample
+
+    w = spark.createDataFrame(
+        [(0, math.log(1.0)), (1, math.log(2.0)), (2, math.log(4.0))],
+        "doc_id long, log_weight double").persist()
+    try:
+        counts = {0: 0, 1: 0, 2: 0}
+        n_trials = 240
+        for t in range(n_trials):
+            picked = dsir_resample(w, 1, salt=f"t{t}").first().doc_id
+            counts[picked] += 1
+        for did, p in ((0, 1 / 7), (1, 2 / 7), (2, 4 / 7)):
+            sd = (n_trials * p * (1 - p)) ** 0.5
+            assert abs(counts[did] - n_trials * p) <= 3 * sd, \
+                (did, counts)
+    finally:
+        w.unpersist()
