@@ -1162,3 +1162,35 @@ def test_llm_pipeline_optional_gates(spark, sf_dir):
         assert sorted(map(tuple, b1)) == sorted(map(tuple, b2))
     finally:
         packed.unpersist()
+
+
+def test_knn_graph_feeds_leakage_safe_split(spark):
+    """Composition: high-similarity kNN edges (cos >= 0.95) are exactly
+    the pair input leakage_safe_split expects — every planted embedding
+    cluster must land WHOLE on one side of the train/val split."""
+    from nasctn_sea_ingest_spark.operators.sampling import \
+        leakage_safe_split
+
+    rng = np.random.default_rng(53)
+    rows, gid = [], {}
+    vid = 0
+    for g in range(25):
+        base = rng.standard_normal(32)
+        base /= np.linalg.norm(base)
+        for _ in range(4):
+            v = base + 0.02 * rng.standard_normal(32)
+            rows.append((vid, [float(x) for x in v]))
+            gid[vid] = g
+            vid += 1
+    emb2 = spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<float>")
+    edges = (SIM.knn_graph(emb2, k=3, n_tables=6, n_planes=6, dim=32)
+             .where(F.col("cos_sim") >= 0.95)
+             .select(F.col("src").alias("d1"), F.col("dst").alias("d2")))
+    split = leakage_safe_split(emb2, edges, "vec_id",
+                               {"train": 0.7, "val": 0.3}, salt="x")
+    side = {r.vec_id: r.split for r in split.collect()}
+    assert len(side) == 100
+    for g in range(25):
+        sides = {side[v] for v, gg in gid.items() if gg == g}
+        assert len(sides) == 1, f"cluster {g} split across {sides}"

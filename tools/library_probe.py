@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Reproducible 1x/Kx growth probe for the round-6 LIBRARY operators
+(SCALE.md sections 14-16 were measured with this): replicate the sf
+tables K times with shifted ids and time each op at 1x and Kx.
+
+    python tools/library_probe.py [K]          # default K=16
+
+Run ALONE on the host (the section-12 rule: concurrent Spark inflates
+every number 2-10x).  Prints one line per (op, scale).
+"""
+import os
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from nasctn_sea_ingest_spark import get_spark  # noqa: E402
+from nasctn_sea_ingest_spark.operators.sampling import (  # noqa: E402
+    dsir_log_ratio, dsir_weights)
+from nasctn_sea_ingest_spark.operators.similarity import \
+    knn_graph  # noqa: E402
+from nasctn_sea_ingest_spark.operators.sketch import (  # noqa: E402
+    cm_sketch, grouped_quantile_sketch)
+from nasctn_sea_ingest_spark.operators.text import (  # noqa: E402
+    cdc_chunk_dedup, lm_perplexity, train_bigram_lm)
+
+
+def rep(df, k, idcol):
+    if k == 1:
+        return df
+    return reduce(lambda a, b: a.unionByName(b),
+                  [df.withColumn(idcol, F.col(idcol)
+                                 + F.lit(10_000_000 * i))
+                   for i in range(k)])
+
+
+def main():
+    k_hi = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = spark.read.parquet(f"{sf}/documents.parquet") \
+        .select("doc_id", "text")
+    emb0 = spark.read.parquet(f"{sf}/embeddings.parquet")
+    li0 = spark.read.parquet(f"{sf}/lineitem.parquet")
+
+    def t(fn):
+        t0 = time.perf_counter()
+        n = fn()
+        return time.perf_counter() - t0, n
+
+    for k in (1, k_hi):
+        d = rep(docs0, k, "doc_id").persist()
+        d.count()
+        dt, n = t(lambda: cdc_chunk_dedup(d).count())
+        print(f"x{k} cdc_chunk_dedup      {dt:7.2f}s rows={n}")
+        uni, bi, tot, v = train_bigram_lm(d)
+        dt, n = t(lambda: lm_perplexity(d, uni, bi, tot, v).count())
+        print(f"x{k} lm_perplexity        {dt:7.2f}s rows={n}")
+        dt, n = t(lambda: dsir_weights(
+            d, *dsir_log_ratio(docs0.limit(500), d, n_buckets=4096),
+            n_buckets=4096).count())
+        print(f"x{k} dsir_weights         {dt:7.2f}s rows={n}")
+        d.unpersist()
+        li = rep(li0, k, "l_orderkey").persist()
+        li.count()
+        dt, n = t(lambda: cm_sketch(li, "l_partkey").count())
+        print(f"x{k} cm_sketch            {dt:7.2f}s cells={n}")
+        dt, n = t(lambda: grouped_quantile_sketch(
+            li, ["l_returnflag"], "l_extendedprice").count())
+        print(f"x{k} grouped_qsketch      {dt:7.2f}s groups={n}")
+        li.unpersist()
+        e = rep(emb0, k, "vec_id").persist()
+        e.count()
+        dt, n = t(lambda: knn_graph(e, k=5, n_tables=4,
+                                    n_planes=8).count())
+        print(f"x{k} knn_graph            {dt:7.2f}s edges={n}")
+        e.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
