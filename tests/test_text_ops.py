@@ -386,3 +386,30 @@ def test_bigram_lm_matches_python_oracle(spark):
     assert got[12].perplexity > got[11].perplexity       # OOV worst
     # single-word doc emits no bigram rows at all
     assert 13 not in got
+
+
+def test_compression_ratio_orders_texts(spark):
+    """zlib ratio separates repetitive < natural < random, matches a
+    local zlib computation exactly, and empty docs yield NULL."""
+    import zlib
+
+    from nasctn_sea_ingest_spark.operators.text import compression_ratio
+
+    import numpy as np
+    rng = np.random.default_rng(61)
+    rand = " ".join("".join(chr(97 + c) for c in rng.integers(0, 26, 8))
+                    for _ in range(120))
+    natural = ("the quick brown fox jumps over the lazy dog while the "
+               "cat watches from a warm windowsill in the late sun ") * 8
+    repetitive = "spam ham " * 400
+    df = spark.createDataFrame(
+        [(1, repetitive), (2, natural), (3, rand), (4, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.zlib_ratio
+           for r in compression_ratio(df).collect()}
+    assert got[4] is None
+    assert got[1] < got[2] < got[3]
+    for did, txt in ((1, repetitive), (2, natural), (3, rand)):
+        raw = txt.encode()
+        assert got[did] == pytest.approx(
+            len(zlib.compress(raw, 6)) / len(raw))
