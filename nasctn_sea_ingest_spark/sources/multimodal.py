@@ -43,7 +43,8 @@ __all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "extract_features",
            "encode_wav", "encode_bmp", "encode_rawv", "decode_rawv_frame",
            "decode_rawv_header", "audio_spectrogram", "spectrogram_np",
            "SPECTROGRAM_SCHEMA", "dhash_np", "image_dhash",
-           "image_neardup_pairs", "DHASH_SCHEMA"]
+           "image_neardup_pairs", "DHASH_SCHEMA",
+           "read_media_dir", "media_stream"]
 
 MEDIA_META = T.StructType([
     T.StructField("width", T.IntegerType(), True),
@@ -609,3 +610,56 @@ def image_neardup_pairs(media: DataFrame, max_hamming: int = 6,
                          F.col("dhash").alias("simhash"))
     return simhash_pairs(sigs, max_hamming=max_hamming,
                          max_bucket=max_bucket)
+
+
+_EXT_KIND = {"bmp": "image", "wav": "audio", "rawv": "video"}
+
+
+def _media_from_binary(files: DataFrame) -> DataFrame:
+    """(path, content) binary rows → the MEDIA_SCHEMA layout: kind from
+    the file extension, a stable 64-bit ``media_id`` from the path
+    hash, ``meta`` left NULL (the decode stages derive real metadata
+    from the payload itself — the landing path carries none)."""
+    ext = F.lower(F.regexp_extract("path", r"\.([A-Za-z0-9]+)$", 1))
+    kind_map = F.create_map(*[F.lit(x) for kv in _EXT_KIND.items()
+                              for x in kv])
+    return (files
+            .withColumn("kind", kind_map[ext])
+            .where(F.col("kind").isNotNull())
+            .select(F.xxhash64("path").alias("media_id"), "kind",
+                    "content",
+                    F.lit(None).cast(MEDIA_META).alias("meta"),
+                    F.col("path").alias("source_path")))
+
+
+def read_media_dir(spark, path: str, glob: str | None = None
+                   ) -> DataFrame:
+    """Batch-read a directory of real media files (.bmp/.wav/.rawv) into
+    the engine's media layout — the ingestion face the synthetic
+    ``synthesize_media`` stands in for in tests.  Built on the
+    binaryFile source: whole files as rows, parallelized by Spark's
+    file splits, unknown extensions dropped (they are not media).
+    Columns: MEDIA_SCHEMA + ``source_path`` for lineage/quarantine."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return _media_from_binary(r.load(path).select("path", "content"))
+
+
+def media_stream(spark, landing_dir: str, glob: str | None = None,
+                 max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming twin of :func:`read_media_dir`: tail a media landing
+    directory (checkpointed exactly-once file tracking, the
+    ``read_sigmf_stream`` pattern) and emit MEDIA_SCHEMA rows; feed any
+    of the row-local decode stages (``extract_features``,
+    ``image_dhash``, ``audio_spectrogram``) directly or inside
+    ``foreachBatch`` for dedup-then-sink jobs."""
+    r = (spark.readStream.format("binaryFile")
+         .schema("path STRING, modificationTime TIMESTAMP, "
+                 "length LONG, content BINARY"))
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return _media_from_binary(
+        r.load(landing_dir).select("path", "content"))

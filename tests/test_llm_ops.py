@@ -1194,3 +1194,52 @@ def test_knn_graph_feeds_leakage_safe_split(spark):
     for g in range(25):
         sides = {side[v] for v, gg in gid.items() if gg == g}
         assert len(sides) == 1, f"cluster {g} split across {sides}"
+
+
+def test_read_media_dir_and_stream_parity(spark, tmp_path):
+    """Real-file media ingestion: a landing dir of .bmp/.wav/.rawv (plus
+    a .txt that must be ignored) batch-reads into MEDIA_SCHEMA rows
+    whose payloads decode with the real codecs, and the streaming twin
+    delivers the IDENTICAL rows (id, kind, content bytes)."""
+    import os as _os
+
+    rng = np.random.default_rng(71)
+    land = tmp_path / "media_land"
+    land.mkdir()
+    img = rng.integers(0, 256, (6, 5, 3)).astype(np.uint8)
+    (land / "a.bmp").write_bytes(MM.encode_bmp(img))
+    wav = 0.4 * np.sin(2 * np.pi * 440 * np.arange(800) / 8000)
+    (land / "b.wav").write_bytes(MM.encode_wav(wav, 8000))
+    frames = rng.integers(0, 256, (4, 6, 5, 3)).astype(np.uint8)
+    (land / "c.rawv").write_bytes(MM.encode_rawv(frames))
+    (land / "notes.txt").write_bytes(b"not media")
+
+    batch = MM.read_media_dir(spark, str(land)).collect()
+    by_kind = {r.kind: r for r in batch}
+    assert set(by_kind) == {"image", "audio", "video"}
+    assert len(batch) == 3                      # .txt ignored
+    assert np.array_equal(MM.decode_bmp(bytes(by_kind["image"].content)),
+                          img)
+    x, rate = MM.decode_wav(bytes(by_kind["audio"].content))
+    assert rate == 8000 and len(x) == 800
+    w, h, n, _ = MM.decode_rawv_header(bytes(by_kind["video"].content))
+    assert (w, h, n) == (5, 6, 4)
+    assert by_kind["image"].source_path.endswith("a.bmp")
+    # features flow straight through the standard stage
+    feats = MM.extract_features(
+        MM.read_media_dir(spark, str(land))).collect()
+    assert all(r.error is None for r in feats)
+
+    # streaming twin: identical rows via availableNow + foreachBatch
+    got = []
+
+    def sink(bdf, _bid):
+        got.extend(bdf.select("media_id", "kind", "content").collect())
+
+    q = (MM.media_stream(spark, str(land))
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    want = {(r.media_id, r.kind, bytes(r.content)) for r in batch}
+    assert {(r.media_id, r.kind, bytes(r.content)) for r in got} == want
