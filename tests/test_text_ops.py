@@ -413,3 +413,28 @@ def test_compression_ratio_orders_texts(spark):
         raw = txt.encode()
         assert got[did] == pytest.approx(
             len(zlib.compress(raw, 6)) / len(raw))
+
+
+@_settings(max_examples=25, deadline=None)
+@_given(words=_st.lists(_st.sampled_from(
+            ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "zz"]),
+            min_size=0, max_size=50),
+        target=_st.integers(2, 12),
+        minw=_st.integers(1, 4),
+        maxw=_st.integers(8, 20))
+def test_cdc_chunks_property(spark, words, target, minw, maxw):
+    """For ANY word sequence and ANY (target, min, max) params: chunks
+    rejoin losslessly and every chunk except the last respects the
+    [min, max] size bounds (the last may be short, never long)."""
+    from nasctn_sea_ingest_spark.operators.text import cdc_chunks_expr
+    df = spark.createDataFrame([(words,)], "w array<string>")
+    chunks = df.select(
+        cdc_chunks_expr(F.col("w"), target, minw, maxw).alias("c")) \
+        .first().c
+    joined = [t for c in chunks for t in c.split(" ")]
+    assert joined == words
+    sizes = [len(c.split(" ")) for c in chunks]
+    for s in sizes[:-1]:
+        assert minw <= s <= maxw
+    if sizes:
+        assert sizes[-1] <= maxw
