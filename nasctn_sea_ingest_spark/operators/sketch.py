@@ -49,7 +49,7 @@ __all__ = [
     "cm_sketch", "cm_merge", "cm_lookup",
     "QuantileSketch", "quantile_sketch", "grouped_quantile_sketch",
     "merge_sketch_rows", "sketch_quantile_expr", "sketch_rank_expr",
-    "psi", "drift_profile",
+    "psi", "drift_profile", "psi_table",
 ]
 
 
@@ -433,3 +433,44 @@ def drift_profile(baseline: DataFrame, current: DataFrame,
     return {c: psi(quantile_sketch(baseline, c, k),
                    quantile_sketch(current, c, k), bins)
             for c in cols}
+
+
+def psi_table(current: DataFrame, baseline: DataFrame,
+              keys: Sequence[str], k: int = 200,
+              bins: int = 10) -> DataFrame:
+    """Per-KEY PSI between two :func:`grouped_quantile_sketch` tables
+    (e.g. today's ``quantile_rollup_stream`` snapshot vs a frozen
+    baseline snapshot): inner-join on the keys, compute :func:`psi`
+    from the stored arrays per row inside ``applyInPandas`` — cost is
+    O(groups × sketch), never a rescan of either corpus.  Returns
+    ``keys..., n_baseline, n_current, psi``.  Keys present on only one
+    side are dropped (a key with no baseline has no drift reference —
+    pair with the CUSUM monitor's unknown-key alarm if that matters)."""
+    keys = list(keys)
+    b = baseline.select(*keys, F.col("values").alias("b_values"),
+                        F.col("weights").alias("b_weights"),
+                        F.col("n").alias("n_baseline"))
+    c = current.select(*keys, F.col("values").alias("c_values"),
+                       F.col("weights").alias("c_weights"),
+                       F.col("n").alias("n_current"))
+    j = b.join(c, keys)
+
+    def compute(pdf):
+        import pandas as pd
+        rows = []
+        for _, r in pdf.iterrows():
+            sb = QuantileSketch.from_arrays(r["b_values"],
+                                            r["b_weights"], k)
+            sc = QuantileSketch.from_arrays(r["c_values"],
+                                            r["c_weights"], k)
+            rows.append([r[c] for c in keys]
+                        + [sb.n, sc.n, psi(sb, sc, bins)])
+        return pd.DataFrame(
+            rows, columns=keys + ["n_baseline", "n_current", "psi"])
+
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in baseline.select(*keys).schema.fields)
+    return j.groupBy(*keys).applyInPandas(
+        compute,
+        f"{key_schema}, n_baseline long, n_current long, psi double")

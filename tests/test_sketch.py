@@ -337,3 +337,50 @@ def test_qsketch_merge_bound_property(seed, n, n_parts, k):
 def test_from_arrays_rejects_misaligned():
     with pytest.raises(ValueError, match="misaligned"):
         QuantileSketch.from_arrays([1.0, 2.0], [1], 64)
+
+
+def test_psi_table_per_key(spark, sf_dir):
+    """Per-key PSI over two grouped sketch tables: same-distribution
+    splits score near zero; a doubled-value key scores high; the result
+    equals the Python psi() on the same stored arrays; one-sided keys
+    drop."""
+    from nasctn_sea_ingest_spark.operators.sketch import psi, psi_table
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = grouped_quantile_sketch(
+        li.where(F.col("l_orderkey") % 2 == 0),
+        ["l_returnflag"], "l_extendedprice").persist()
+    same = grouped_quantile_sketch(
+        li.where(F.col("l_orderkey") % 2 == 1),
+        ["l_returnflag"], "l_extendedprice")
+    moved = grouped_quantile_sketch(
+        li.where(F.col("l_orderkey") % 2 == 1)
+          .withColumn("l_extendedprice", F.col("l_extendedprice") * 3),
+        ["l_returnflag"], "l_extendedprice")
+    try:
+        stable = {r.l_returnflag: r.psi
+                  for r in psi_table(same, base,
+                                     ["l_returnflag"]).collect()}
+        assert stable and all(v < 0.05 for v in stable.values()), stable
+        shifted = {r.l_returnflag: r.psi
+                   for r in psi_table(moved, base,
+                                      ["l_returnflag"]).collect()}
+        assert all(v > 0.25 for v in shifted.values()), shifted
+        # parity with the local psi() on the same stored rows
+        brow = {r["l_returnflag"]: r for r in base.collect()}
+        crow = {r["l_returnflag"]: r for r in same.collect()}
+        for kf, want in stable.items():
+            sb = QuantileSketch.from_arrays(
+                brow[kf]["values"], brow[kf]["weights"])
+            sc = QuantileSketch.from_arrays(
+                crow[kf]["values"], crow[kf]["weights"])
+            assert want == pytest.approx(psi(sb, sc), rel=1e-12)
+        # one-sided key drops
+        extra = spark.createDataFrame(
+            [("ZZ", [1.0], [1], 1)],
+            "l_returnflag string, values array<double>, "
+            "weights array<long>, n long")
+        out = psi_table(same.unionByName(extra), base, ["l_returnflag"])
+        assert "ZZ" not in {r.l_returnflag for r in out.collect()}
+    finally:
+        base.unpersist()
