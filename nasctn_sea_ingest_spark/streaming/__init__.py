@@ -33,7 +33,7 @@ __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "cusum_monitor_stream", "capture_summary_stream",
            "occupancy_monitor_stream", "quantile_rollup_stream",
            "cm_rollup_stream", "fingerprint_rollup_stream",
-           "index_stream", "pca_moments_stream"]
+           "index_stream", "pca_moments_stream", "media_dedup_stream"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -771,6 +771,94 @@ def fingerprint_rollup_stream(updates: DataFrame, out_dir: str,
         updates, out_dir, checkpoint_dir,
         lambda b: table_fingerprint(b, cols, by),
         lambda a, b: merge_fingerprint(a, b, by), available_now)
+
+
+def media_dedup_stream(media: DataFrame, out_dir: str,
+                       checkpoint_dir: str, alerts_dir: str,
+                       n_buckets: int = 16,
+                       available_now: bool = False):
+    """Streaming EXACT image dedup by perceptual hash: each micro-batch
+    dHashes its image rows, flags duplicates (same dhash seen earlier
+    in the batch OR already in the store) as alert rows under
+    ``alerts_dir/batch=<id>``, and appends the genuinely-new hashes to
+    a key-bucketed store — so a re-crawled/duplicate image is caught
+    the moment it lands instead of at the next batch dedup run.  The
+    multimodal twin of ``dedup_stream`` (watermark dedup can't serve
+    here: image re-uploads arrive unboundedly late, so the store is
+    persistent, one row per distinct hash ever).
+
+    Near-dup banding (hamming > 0) against the historical store is the
+    ``neardup_stream`` static-index pattern; this monitor is the exact
+    tier (hamming 0 — byte-level or brightness/resize-invariant
+    re-encodes, see ``dhash_np``'s invariances).
+
+    Replay safety: the store is APPEND-ONLY, so a replayed batch would
+    double-append; each store row carries the writing ``batch_id`` and
+    a batch that finds its own id already stored skips entirely
+    (alerts for that batch were written atomically under the same
+    ``batch=<id>`` partition — overwritten idempotently on replay).
+    Cost per trigger: O(batch + touched buckets)."""
+    from ..sources.multimodal import image_dhash
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+        from pyspark.sql import Window
+        spark = batch_df.sparkSession
+        h = (image_dhash(batch_df).where(F.col("error").isNull())
+             .select("media_id", "dhash")
+             .withColumn("kb", F.pmod(F.hash("dhash"), n_buckets)))
+        h.persist()
+        try:
+            touched = [r.kb for r in h.select("kb").distinct().collect()]
+            if not touched:
+                return
+            try:
+                store = spark.read.parquet(out_dir) \
+                    .where(F.col("kb").isin(touched)) \
+                    .localCheckpoint(eager=True)
+                if store.where(F.col("batch_id") ==
+                               F.lit(int(batch_id))).limit(1).count():
+                    return  # replay: batch already appended
+            except AnalysisException as e:
+                if "PATH_NOT_FOUND" not in str(e):
+                    raise
+                store = None
+            w = Window.partitionBy("dhash").orderBy("media_id")
+            ranked = h.withColumn("rn", F.row_number().over(w))
+            firsts = ranked.where(F.col("rn") == 1).drop("rn")
+            in_batch_dups = (ranked.where(F.col("rn") > 1).drop("rn")
+                             .join(firsts.select(
+                                 "dhash",
+                                 F.col("media_id").alias("dup_of")),
+                                 "dhash"))
+            if store is not None:
+                known = store.groupBy("dhash").agg(
+                    F.min("media_id").alias("dup_of"))
+                stored_dups = firsts.join(known, "dhash") \
+                    .select("media_id", "dhash", "kb", "dup_of")
+                new = firsts.join(known.select("dhash"), "dhash",
+                                  "left_anti")
+            else:
+                stored_dups = in_batch_dups.limit(0)
+                new = firsts
+            alerts = (in_batch_dups.select("media_id", "dhash",
+                                           "dup_of")
+                      .unionByName(stored_dups.select(
+                          "media_id", "dhash", "dup_of"))
+                      .localCheckpoint(eager=True))
+            alerts.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(alerts_dir, f"batch={int(batch_id)}"))
+            (new.withColumn("batch_id",
+                            F.lit(int(batch_id)).cast("long"))
+             .write.mode("append").partitionBy("kb").parquet(out_dir))
+        finally:
+            h.unpersist()
+
+    writer = (media.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def pca_moments_stream(embeddings: DataFrame, out_dir: str,

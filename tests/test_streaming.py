@@ -1458,3 +1458,75 @@ def test_pca_moments_stream_matches_batch(spark, tmp_path):
     mean_b, comp_b = pca_fit(bdf, 3)
     assert np.allclose(mean_s, mean_b, atol=1e-9)
     assert np.allclose(comp_s, comp_b, atol=1e-7)
+
+
+def test_media_dedup_stream_alerts_and_replay(spark, tmp_path):
+    """Streaming image dedup: an in-batch duplicate pair and a
+    cross-wave re-encode both raise alerts pointing at the FIRST
+    occurrence; the hash store stays one row per distinct hash; a
+    crash-replayed batch changes nothing (append-only store guarded by
+    batch_id)."""
+    import numpy as np
+    from pyspark.sql import Row
+    from nasctn_sea_ingest_spark.sources import multimodal as MM
+    from nasctn_sea_ingest_spark.streaming import media_dedup_stream
+
+    rng = np.random.default_rng(81)
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "store")
+    alerts = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+
+    def img():
+        return rng.integers(0, 200, (16, 16, 3)).astype(np.uint8)
+
+    a, b, e = img(), img(), img()
+    wave1 = [Row(media_id=1, kind="image", content=MM.encode_bmp(a),
+                 meta=None),
+             Row(media_id=2, kind="image", content=MM.encode_bmp(b),
+                 meta=None),
+             # in-batch duplicate pair: 5 duplicates 4
+             Row(media_id=4, kind="image", content=MM.encode_bmp(e),
+                 meta=None),
+             Row(media_id=5, kind="image", content=MM.encode_bmp(e),
+                 meta=None),
+             Row(media_id=9, kind="video", content=b"vv", meta=None)]
+    spark.createDataFrame(wave1, MM.MEDIA_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(land)
+
+    def run():
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(land).schema)
+                  .parquet(land))
+        q = media_dedup_stream(stream, out, ckpt, alerts,
+                               available_now=True)
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    run()
+    al1 = {(r.media_id, r.dup_of)
+           for r in spark.read.parquet(alerts).collect()}
+    assert al1 == {(5, 4)}
+    store1 = spark.read.parquet(out).collect()
+    assert len(store1) == 3                     # a, b, e — one row each
+    _delete_commit_marker(ckpt)
+    run()                                       # replay: no growth
+    assert len(spark.read.parquet(out).collect()) == 3
+    assert {(r.media_id, r.dup_of)
+            for r in spark.read.parquet(alerts).collect()} == al1
+
+    # wave 2: brightness-shifted re-encode of `a` (dHash-invariant) + new
+    shifted = np.clip(a.astype(np.int32) + 20, 0, 255).astype(np.uint8)
+    wave2 = [Row(media_id=7, kind="image",
+                 content=MM.encode_bmp(shifted), meta=None),
+             Row(media_id=8, kind="image", content=MM.encode_bmp(img()),
+                 meta=None)]
+    spark.createDataFrame(wave2, MM.MEDIA_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(land)
+    run()
+    al2 = {(r.media_id, r.dup_of)
+           for r in spark.read.parquet(alerts).collect()}
+    assert al2 == {(5, 4), (7, 1)}              # re-encode flagged vs id 1
+    assert len(spark.read.parquet(out).collect()) == 4  # + id 8 only
