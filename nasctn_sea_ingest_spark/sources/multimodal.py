@@ -44,7 +44,8 @@ __all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "extract_features",
            "decode_rawv_header", "audio_spectrogram", "spectrogram_np",
            "SPECTROGRAM_SCHEMA", "dhash_np", "image_dhash",
            "image_neardup_pairs", "DHASH_SCHEMA",
-           "read_media_dir", "media_stream"]
+           "read_media_dir", "media_stream", "landmarks_np",
+           "audio_landmarks", "audio_neardup_pairs", "LANDMARK_SCHEMA"]
 
 MEDIA_META = T.StructType([
     T.StructField("width", T.IntegerType(), True),
@@ -663,3 +664,98 @@ def media_stream(spark, landing_dir: str, glob: str | None = None,
         r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return _media_from_binary(
         r.load(landing_dir).select("path", "content"))
+
+
+LANDMARK_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("lm_hash", T.LongType(), True),
+    T.StructField("error", T.StringType(), True),
+])
+
+
+def landmarks_np(x: np.ndarray, n_fft: int = 256, hop: int = 128,
+                 peaks_per_frame: int = 3, fanout: int = 3,
+                 max_dt: int = 8) -> "set[int]":
+    """Spectral landmark hashes of a mono signal (the Shazam/Wang-2003
+    constellation idea): per STFT frame keep the ``peaks_per_frame``
+    strongest bins, pair each peak with up to ``fanout`` peaks in the
+    following ``max_dt`` frames, and pack ``(f1, f2, dt)`` into one
+    integer.  Amplitude-INVARIANT (uniform gain shifts every dB bin
+    equally — the per-frame top-k is unchanged) and time-shift-robust
+    (hashes carry only the frame DELTA; a shifted copy reproduces every
+    landmark whose anchor survives the new frame alignment)."""
+    spec = spectrogram_np(x, n_fft, hop)          # frames × bins
+    n_frames = spec.shape[0]
+    peaks = [np.argsort(-spec[t])[:peaks_per_frame]
+             for t in range(n_frames)]
+    out: set[int] = set()
+    for t in range(n_frames):
+        for f1 in peaks[t]:
+            paired = 0
+            for dt in range(1, max_dt + 1):
+                if t + dt >= n_frames or paired >= fanout:
+                    break
+                for f2 in peaks[t + dt]:
+                    out.add((int(f1) << 20) | (int(f2) << 8) | dt)
+                    paired += 1
+                    if paired >= fanout:
+                        break
+    return out
+
+
+def audio_landmarks(media: DataFrame, n_fft: int = 256, hop: int = 128,
+                    peaks_per_frame: int = 3, fanout: int = 3,
+                    max_dt: int = 8) -> DataFrame:
+    """One row per (audio row, landmark hash) — the audio analog of
+    :func:`image_dhash` (a SET of hashes instead of one 64-bit code,
+    because audio near-dup is partial-overlap matching, not whole-object
+    equality).  Real WAV decode, row-local numpy, non-audio rows
+    filtered before the Python stage, per-row quarantine."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            recs = []
+            for mid, content in zip(b["media_id"], b["content"]):
+                try:
+                    if content is None:
+                        raise ValueError("null content")
+                    x, _rate = decode_wav(bytes(content))
+                    for hsh in sorted(landmarks_np(
+                            x, n_fft, hop, peaks_per_frame, fanout,
+                            max_dt)):
+                        recs.append((mid, hsh, None))
+                except Exception as e:  # noqa: BLE001
+                    recs.append((mid, None,
+                                 f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(
+                recs, columns=["media_id", "lm_hash", "error"])
+
+    return (media.where(F.col("kind") == "audio")
+            .select("media_id", "content")
+            .mapInPandas(run, LANDMARK_SCHEMA))
+
+
+def audio_neardup_pairs(media: DataFrame, min_shared: int = 8,
+                        max_bucket: int | None = None,
+                        **landmark_kwargs) -> DataFrame:
+    """Audio near-duplicate pairs ``(d1, d2, shared)`` — clips sharing
+    ``>= min_shared`` landmark hashes: equi-join on the hash (the
+    inverted-index shape — candidate-bound by per-hash bucket sizes,
+    never all-pairs), count per pair, threshold.  ``max_bucket`` drops
+    degenerate hashes shared by more than that many clips (the
+    stop-shingle guard).  Catches re-encodes, gain changes and
+    time-shifted copies of the same recording; unrelated material
+    shares almost no (f1, f2, dt) triples."""
+    lm = audio_landmarks(media, **landmark_kwargs) \
+        .where(F.col("error").isNull()).select("media_id", "lm_hash")
+    if max_bucket is not None:
+        hot = (lm.groupBy("lm_hash").agg(F.count("*").alias("bn"))
+               .where(F.col("bn") > max_bucket).select("lm_hash"))
+        lm = lm.join(F.broadcast(hot), "lm_hash", "left_anti")
+    a, b = lm.alias("a"), lm.alias("b")
+    return (a.join(b, (F.col("a.lm_hash") == F.col("b.lm_hash"))
+                   & (F.col("a.media_id") < F.col("b.media_id")))
+            .groupBy(F.col("a.media_id").alias("d1"),
+                     F.col("b.media_id").alias("d2"))
+            .agg(F.count("*").alias("shared"))
+            .where(F.col("shared") >= min_shared))

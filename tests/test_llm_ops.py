@@ -1243,3 +1243,79 @@ def test_read_media_dir_and_stream_parity(spark, tmp_path):
     q.awaitTermination(120)
     want = {(r.media_id, r.kind, bytes(r.content)) for r in batch}
     assert {(r.media_id, r.kind, bytes(r.content)) for r in got} == want
+
+
+def test_audio_landmarks_invariances():
+    """Landmark hashes are EXACTLY invariant to uniform gain and mostly
+    preserved under a time shift; different material shares ~nothing."""
+    rate = 8000
+    t = np.arange(rate) / rate  # 1 s
+    rng = np.random.default_rng(91)
+
+    def tone_seq(freqs):
+        x = np.zeros(len(t))
+        seg = len(t) // len(freqs)
+        for i, f0 in enumerate(freqs):
+            sl = slice(i * seg, (i + 1) * seg)
+            x[sl] = np.sin(2 * np.pi * f0 * t[sl])
+        return x
+
+    a = tone_seq([440, 880, 1320, 660])
+    lm_a = MM.landmarks_np(a)
+    assert lm_a
+    assert MM.landmarks_np(0.25 * a) == lm_a           # gain-invariant
+    shifted = np.concatenate([np.zeros(256), a])[:len(a)]
+    lm_s = MM.landmarks_np(shifted)
+    overlap = len(lm_a & lm_s) / len(lm_a)
+    assert overlap > 0.5, overlap                      # shift-robust
+    b = tone_seq([523, 987, 1760, 740])
+    sim = len(lm_a & MM.landmarks_np(b)) / len(lm_a)
+    assert sim < 0.2, sim                              # distinct content
+
+
+def test_audio_neardup_pairs_distributed(spark):
+    """The inverted-index pair join finds the re-encoded/gain-changed/
+    shifted copies of a clip and nothing else; non-audio rows never
+    reach the Python stage; the distributed landmark rows equal the
+    local kernel."""
+    rate = 8000
+    t = np.arange(rate) / rate
+    rng = np.random.default_rng(92)
+
+    def tone_seq(freqs):
+        x = np.zeros(len(t))
+        seg = len(t) // len(freqs)
+        for i, f0 in enumerate(freqs):
+            sl = slice(i * seg, (i + 1) * seg)
+            x[sl] = np.sin(2 * np.pi * f0 * t[sl])
+        return x
+
+    base = tone_seq([440, 880, 1320, 660])
+    other = tone_seq([523, 987, 1760, 740])
+    third = tone_seq([300, 2500, 1100, 450])
+    rows = [
+        Row(media_id=1, kind="audio", content=MM.encode_wav(base, rate),
+            meta=None),
+        Row(media_id=2, kind="audio",
+            content=MM.encode_wav(0.3 * base, rate), meta=None),
+        Row(media_id=3, kind="audio",
+            content=MM.encode_wav(
+                np.concatenate([np.zeros(256), base])[:len(base)],
+                rate), meta=None),
+        Row(media_id=4, kind="audio", content=MM.encode_wav(other, rate),
+            meta=None),
+        Row(media_id=5, kind="audio", content=MM.encode_wav(third, rate),
+            meta=None),
+        Row(media_id=6, kind="image", content=b"not audio", meta=None),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    # distributed landmark rows == local kernel for one clip
+    got1 = {r.lm_hash for r in MM.audio_landmarks(media).where(
+        "media_id = 1").collect()}
+    assert got1 == MM.landmarks_np(base)
+    # copies share 63 landmark hashes here; unrelated clips 0-9
+    pairs = {(r.d1, r.d2) for r in
+             MM.audio_neardup_pairs(media, min_shared=16).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any({a, b} & {4, 5} and {a, b} & {1, 2, 3}
+                   for a, b in pairs), pairs
