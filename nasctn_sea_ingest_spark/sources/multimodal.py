@@ -45,7 +45,9 @@ __all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "extract_features",
            "SPECTROGRAM_SCHEMA", "dhash_np", "image_dhash",
            "image_neardup_pairs", "DHASH_SCHEMA",
            "read_media_dir", "media_stream", "landmarks_np",
-           "audio_landmarks", "audio_neardup_pairs", "LANDMARK_SCHEMA"]
+           "audio_landmarks", "audio_neardup_pairs", "LANDMARK_SCHEMA",
+           "video_frame_hashes", "video_neardup_pairs",
+           "VIDEO_HASH_SCHEMA"]
 
 MEDIA_META = T.StructType([
     T.StructField("width", T.IntegerType(), True),
@@ -754,6 +756,75 @@ def audio_neardup_pairs(media: DataFrame, min_shared: int = 8,
         lm = lm.join(F.broadcast(hot), "lm_hash", "left_anti")
     a, b = lm.alias("a"), lm.alias("b")
     return (a.join(b, (F.col("a.lm_hash") == F.col("b.lm_hash"))
+                   & (F.col("a.media_id") < F.col("b.media_id")))
+            .groupBy(F.col("a.media_id").alias("d1"),
+                     F.col("b.media_id").alias("d2"))
+            .agg(F.count("*").alias("shared"))
+            .where(F.col("shared") >= min_shared))
+
+
+VIDEO_HASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), True),
+    T.StructField("dhash", T.LongType(), True),
+    T.StructField("error", T.StringType(), True),
+])
+
+
+def video_frame_hashes(media: DataFrame, stride: int = 1,
+                       size: int = 8) -> DataFrame:
+    """Per-frame perceptual hashes of video rows: RAWV O(1) frame seek
+    → :func:`dhash_np` per sampled frame — one output row per (video,
+    frame).  The video fingerprint is the SET of frame hashes (dedup
+    must survive re-encodes and frame drops, so matching is shared-hash
+    counting like :func:`audio_neardup_pairs`, not whole-sequence
+    equality).  ``stride`` subsamples frames (stride n ⇒ 1/n the rows;
+    shared-count thresholds scale accordingly)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            recs = []
+            for mid, content in zip(b["media_id"], b["content"]):
+                try:
+                    if content is None:
+                        raise ValueError("null content")
+                    raw = bytes(content)
+                    _w, _h, n, _fps = decode_rawv_header(raw)
+                    for i in range(0, n, stride):
+                        recs.append((mid, i,
+                                     dhash_np(decode_rawv_frame(raw, i),
+                                              size), None))
+                except Exception as e:  # noqa: BLE001
+                    recs.append((mid, None, None,
+                                 f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(
+                recs, columns=["media_id", "frame_idx", "dhash",
+                               "error"])
+
+    return (media.where(F.col("kind") == "video")
+            .select("media_id", "content")
+            .mapInPandas(run, VIDEO_HASH_SCHEMA))
+
+
+def video_neardup_pairs(media: DataFrame, min_shared: int = 8,
+                        stride: int = 1,
+                        max_bucket: int | None = None) -> DataFrame:
+    """Video near-duplicate pairs ``(d1, d2, shared)``: videos sharing
+    ``>= min_shared`` DISTINCT frame hashes — inverted-index equi-join
+    on the frame dhash (candidate-bound; ``max_bucket`` drops degenerate
+    hashes, e.g. black frames shared by everything).  Catches
+    re-encodes, brightness shifts (dHash invariance), frame drops and
+    trims; per-frame distinct-ification keeps a static shot from
+    self-inflating the count."""
+    fh = (video_frame_hashes(media, stride)
+          .where(F.col("error").isNull())
+          .select("media_id", "dhash").distinct())
+    if max_bucket is not None:
+        hot = (fh.groupBy("dhash").agg(F.count("*").alias("bn"))
+               .where(F.col("bn") > max_bucket).select("dhash"))
+        fh = fh.join(F.broadcast(hot), "dhash", "left_anti")
+    a, b = fh.alias("a"), fh.alias("b")
+    return (a.join(b, (F.col("a.dhash") == F.col("b.dhash"))
                    & (F.col("a.media_id") < F.col("b.media_id")))
             .groupBy(F.col("a.media_id").alias("d1"),
                      F.col("b.media_id").alias("d2"))

@@ -1319,3 +1319,40 @@ def test_audio_neardup_pairs_distributed(spark):
     assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
     assert not any({a, b} & {4, 5} and {a, b} & {1, 2, 3}
                    for a, b in pairs), pairs
+
+
+def test_video_neardup_pairs(spark):
+    """Video fingerprint dedup: a brightness-shifted re-encode and a
+    frame-dropped cut of the same footage both pair with the original;
+    unrelated footage doesn't; the distributed frame hashes equal the
+    local per-frame kernel."""
+    rng = np.random.default_rng(95)
+    frames = rng.integers(0, 200, (12, 16, 16, 3)).astype(np.uint8)
+    bright = np.clip(frames.astype(np.int32) + 25, 0,
+                     255).astype(np.uint8)
+    dropped = frames[::2]                       # every other frame
+    other = rng.integers(0, 256, (12, 16, 16, 3)).astype(np.uint8)
+    rows = [
+        Row(media_id=1, kind="video", content=MM.encode_rawv(frames),
+            meta=None),
+        Row(media_id=2, kind="video", content=MM.encode_rawv(bright),
+            meta=None),
+        Row(media_id=3, kind="video", content=MM.encode_rawv(dropped),
+            meta=None),
+        Row(media_id=4, kind="video", content=MM.encode_rawv(other),
+            meta=None),
+        Row(media_id=5, kind="video", content=b"junk", meta=None),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    fh = MM.video_frame_hashes(media)
+    got1 = {(r.frame_idx, r.dhash) for r in
+            fh.where("media_id = 1 and error is null").collect()}
+    want1 = {(i, MM.dhash_np(frames[i])) for i in range(12)}
+    assert got1 == want1
+    assert fh.where("media_id = 5").first().error is not None
+    pairs = {(r.d1, r.d2): r.shared for r in
+             MM.video_neardup_pairs(media, min_shared=5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 12   # all frames match
+    assert (1, 3) in pairs and pairs[(1, 3)] == 6    # the kept half
+    assert (2, 3) in pairs
+    assert not any({a, b} & {4} for a, b in pairs)
