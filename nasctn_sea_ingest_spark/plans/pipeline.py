@@ -204,14 +204,18 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str,
 def media_pipeline(spark: SparkSession, n_items: int = 300,
                    dup_fraction: float = 0.1,
                    max_hamming: int = 3,
+                   audio_min_shared: int = 8,
+                   video_min_shared: int = 5,
                    feature_dim: int = 16,
                    ) -> "tuple[DataFrame, dict[str, int]]":
     """End-to-end MULTIMODAL training-data pipeline — the media analog of
     :func:`llm_corpus_pipeline`, composed from this engine's operators:
 
         media rows (binary + typed metadata)
-          → image near-dup dedup   (multimodal.image_dhash → the simhash
-                                    band join → dup_clusters; keep the
+          → near-dup dedup for ALL modalities (image dHash band join +
+                                    audio constellation landmarks +
+                                    per-frame video hashes → one union
+                                    edge set → dup_clusters; keep the
                                     min-id representative per cluster)
           → per-kind features      (multimodal.extract_features: real
                                     WAV-FFT / BMP grid-luma / RAWV
@@ -237,9 +241,8 @@ def media_pipeline(spark: SparkSession, n_items: int = 300,
     # plant exact re-encodes of the first dup_fraction of images under
     # fresh ids — identical pixels => identical dHash => hamming 0
     n_dups = int(n_items * dup_fraction)
-    dup_ids = (keys.where(F.col("kind") == "image")
-               .orderBy("media_id").limit(n_dups)
-               .select("media_id"))
+    dup_ids = (keys.orderBy("media_id").limit(n_dups)
+               .select("media_id"))  # mixed kinds — every modality dedups
     # re-key the ORIGINAL payloads under fresh ids: byte-identical
     # content, new identity — the re-crawl duplicate
     dups = (media.join(F.broadcast(dup_ids), "media_id")
@@ -247,7 +250,16 @@ def media_pipeline(spark: SparkSession, n_items: int = 300,
     corpus = media.unionByName(dups.select(*media.columns)).persist()
     manifest = {"raw": corpus.count()}
 
-    pairs = mm.image_neardup_pairs(corpus, max_hamming=max_hamming)
+    pairs = (mm.image_neardup_pairs(corpus, max_hamming=max_hamming)
+             .select("d1", "d2")
+             .unionByName(mm.audio_neardup_pairs(
+                 corpus, min_shared=audio_min_shared)
+                 .select("d1", "d2"))
+             .unionByName(mm.video_neardup_pairs(
+                 corpus, min_shared=video_min_shared)
+                 .select("d1", "d2")))
+    # min_shared thresholds scale with clip length (landmarks ~ frames);
+    # size them to your corpus — identical copies share ALL landmarks
     from ..operators.dedup import dup_clusters
     clusters = dup_clusters(pairs)           # (node, cluster=min id)
     drop = (clusters.where(F.col("node") != F.col("cluster"))

@@ -1106,10 +1106,11 @@ def test_ivf_index_persisted_probe_prunes_partitions(spark, emb, emb_np,
 
 
 def test_media_pipeline_end_to_end(spark):
-    """Multimodal pipeline: planted exact image re-encodes are collapsed
-    by the dHash dedup stage (one representative per cluster, originals
-    kept), every surviving row gets a real-codec feature, counts
-    conserve, and non-image kinds pass through dedup untouched."""
+    """Multimodal pipeline: planted byte-identical copies of IMAGE,
+    AUDIO and VIDEO rows are all collapsed by the per-modality
+    fingerprint dedup stages (one representative per cluster, originals
+    kept), every surviving row gets a real-codec feature, and counts
+    conserve."""
     from nasctn_sea_ingest_spark.plans.pipeline import media_pipeline
 
     feats, man = media_pipeline(spark, n_items=90, dup_fraction=0.1)
