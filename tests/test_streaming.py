@@ -1530,3 +1530,43 @@ def test_media_dedup_stream_alerts_and_replay(spark, tmp_path):
            for r in spark.read.parquet(alerts).collect()}
     assert al2 == {(5, 4), (7, 1)}              # re-encode flagged vs id 1
     assert len(spark.read.parquet(out).collect()) == 4  # + id 8 only
+
+
+def test_quantile_rollup_stream_windowed_keys(spark, tmp_path):
+    """Windowed percentiles need no new machinery: derive the event-time
+    bucket as a column and make it part of the rollup key — per-(key,
+    day) sketches maintain independently, counts exact, medians within
+    the rank bound per window."""
+    from nasctn_sea_ingest_spark.operators.sketch import \
+        sketch_quantile_expr
+    from nasctn_sea_ingest_spark.streaming import quantile_rollup_stream
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "qs")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    rows = []
+    for day, base in (("2026-01-01", 0.0), ("2026-01-02", 1000.0)):
+        rows += [("A", day, base + i) for i in range(500)]
+    spark.createDataFrame(rows, "etype string, day string, v double") \
+        .coalesce(1).write.mode("append").parquet(land)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(land).schema).parquet(land)
+    q = quantile_rollup_stream(stream, out, ckpt,
+                               keys=["etype", "day"], value_col="v",
+                               k=128, available_now=True)
+    q.awaitTermination(120)
+    q.stop()
+    q.awaitTermination(30)
+
+    snap = {(r.etype, r.day): r for r in spark.read.parquet(out).select(
+        "etype", "day", "n",
+        sketch_quantile_expr("values", "weights", 0.5).alias("med"))
+        .collect()}
+    assert set(snap) == {("A", "2026-01-01"), ("A", "2026-01-02")}
+    eps_n = 500 * 2 * np.log2(500 / 128) / 128 + 2
+    assert snap[("A", "2026-01-01")].n == 500
+    assert abs(snap[("A", "2026-01-01")].med - 249.5) <= eps_n
+    assert snap[("A", "2026-01-02")].n == 500
+    assert abs(snap[("A", "2026-01-02")].med - 1249.5) <= eps_n
