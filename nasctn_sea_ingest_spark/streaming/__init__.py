@@ -574,7 +574,10 @@ def quantile_rollup_stream(updates: DataFrame, out_dir: str,
                            checkpoint_dir: str, keys: "list[str]",
                            value_col: str, k: int = 200,
                            n_buckets: int = 16,
-                           available_now: bool = False):
+                           available_now: bool = False,
+                           baseline: DataFrame | None = None,
+                           alerts_dir: str | None = None,
+                           psi_bins: int = 10):
     """Incrementally maintained per-key QUANTILE sketches (the
     ``operators.sketch`` compactor stack): each micro-batch sketches its
     own rows per key and merges into the stored sketch row, so "p99 ever
@@ -592,6 +595,14 @@ def quantile_rollup_stream(updates: DataFrame, out_dir: str,
     extended to mergeable state).  Layout mirrors the other rollups:
     key-bucketed parquet, dynamic partition overwrite of touched buckets
     only — O(batch + touched buckets) per trigger.
+
+    Drift alerts: pass a frozen ``baseline`` sketch table (a
+    ``grouped_quantile_sketch`` snapshot) and an ``alerts_dir`` — after
+    each merge the TOUCHED keys' updated sketches are PSI-scored
+    against the baseline (``sketch.psi_table``) and the per-key rows
+    land under ``alerts_dir/batch=<id>`` (overwritten idempotently on
+    replay).  Streaming drift monitoring at O(touched keys x sketch)
+    per trigger, no rescan of anything.
     """
     from pyspark.errors import AnalysisException
 
@@ -637,6 +648,15 @@ def quantile_rollup_stream(updates: DataFrame, out_dir: str,
             (out.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("kb").parquet(out_dir))
+            if baseline is not None and alerts_dir is not None:
+                from ..operators.sketch import psi_table
+                scored = psi_table(
+                    out.select(*keys, *sketch_cols),
+                    baseline, keys, k=k, bins=psi_bins) \
+                    .localCheckpoint(eager=True)
+                scored.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(alerts_dir,
+                                 f"batch={int(batch_id)}"))
         finally:
             b.unpersist()
 

@@ -1570,3 +1570,43 @@ def test_quantile_rollup_stream_windowed_keys(spark, tmp_path):
     assert abs(snap[("A", "2026-01-01")].med - 249.5) <= eps_n
     assert snap[("A", "2026-01-02")].n == 500
     assert abs(snap[("A", "2026-01-02")].med - 1249.5) <= eps_n
+
+
+def test_quantile_rollup_stream_psi_alerts(spark, tmp_path):
+    """Streaming drift alerts: against a frozen baseline, the key whose
+    incoming distribution matches scores near zero and the shifted key
+    crosses the 0.25 PSI bar — rows written per batch partition,
+    touched keys only."""
+    from nasctn_sea_ingest_spark.operators.sketch import \
+        grouped_quantile_sketch
+    from nasctn_sea_ingest_spark.streaming import quantile_rollup_stream
+
+    rng = np.random.RandomState(99)
+    base_rows = [("stable", float(v)) for v in rng.normal(0, 1, 3000)]
+    base_rows += [("moved", float(v)) for v in rng.normal(0, 1, 3000)]
+    baseline = grouped_quantile_sketch(
+        spark.createDataFrame(base_rows, "etype string, v double"),
+        ["etype"], "v", k=128).localCheckpoint(eager=True)
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    live = [("stable", float(v)) for v in rng.normal(0, 1, 2000)]
+    live += [("moved", float(v)) for v in rng.normal(2.0, 1, 2000)]
+    spark.createDataFrame(live, "etype string, v double") \
+        .coalesce(1).write.mode("append").parquet(land)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(land).schema).parquet(land)
+    q = quantile_rollup_stream(
+        stream, str(tmp_path / "qs"), str(tmp_path / "ck"),
+        keys=["etype"], value_col="v", k=128, available_now=True,
+        baseline=baseline, alerts_dir=str(tmp_path / "alerts"))
+    q.awaitTermination(120)
+    q.stop()
+    q.awaitTermination(30)
+
+    al = {r.etype: r.psi for r in
+          spark.read.parquet(str(tmp_path / "alerts")).collect()}
+    assert set(al) == {"stable", "moved"}
+    assert al["stable"] < 0.05, al
+    assert al["moved"] > 0.25, al
