@@ -28,6 +28,7 @@ __all__ = [
     "noise_floor_dBm", "salted_agg", "exact_median_large",
     "weighted_median_large", "zorder_key",
     "merge_upsert", "snapshot_diff", "keyed_lead", "keyed_cumsum",
+    "keyed_cummax",
     "pit_features", "table_fingerprint", "merge_fingerprint",
     "skew_profile",
 ]
@@ -886,6 +887,62 @@ def keyed_cumsum(df: DataFrame, by: Sequence[str], order: Sequence[str],
     u = u.join(F.broadcast(offs), by + ["__pid"], "left")
     return (u.withColumn(out, F.col("__loc")
                          + F.coalesce(F.col("__off"), F.lit(0)))
+             .select(*df.columns, out))
+
+
+def keyed_cummax(df: DataFrame, by: Sequence[str], order: Sequence[str],
+                 col: str, out: str = "cummax",
+                 inclusive: bool = True) -> DataFrame:
+    """Running max of ``col`` per ``by`` group in ``order`` — the
+    :func:`keyed_cumsum` pattern with max as the scan operator (max is
+    associative, so the same two-phase parallel prefix applies: local
+    running max per (by, order-slice) with full parallelism, plus the
+    exclusive prefix max of per-slice maxima broadcast back).
+
+    ``inclusive=False`` gives the PRIOR-rows running max (ROWS UNBOUNDED
+    PRECEDING .. 1 PRECEDING): NULL on each group's first row — exactly
+    the "max end of all earlier intervals" probe the gaps-and-islands
+    interval merge needs (corpus q158), without a second window pass.
+
+    Same preconditions as :func:`keyed_cumsum`: low-cardinality ``by``
+    (the keys×slices summary is broadcast), unique ``order`` tuples per
+    group (pre-aggregate ties away first), column NAMES, ascending.
+    """
+    by, order = list(by), list(order)
+    for c in (*by, *order, col):
+        if not isinstance(c, str):
+            raise TypeError(
+                f"keyed_cummax takes column NAMES, got {type(c).__name__}: "
+                "ordering is always ascending (negate the column for "
+                "descending semantics)")
+    nb = max(2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                             "200")))
+    probs = ", ".join(str((i + 1) / nb) for i in range(nb - 1))
+    bounds = df.sample(fraction=0.1, seed=7).agg(F.expr(
+        f"approx_percentile(cast({order[0]} as double), array({probs}), "
+        "2000)").alias("__bounds"))
+    u = (df.crossJoin(F.broadcast(bounds))
+           .withColumn("__pid", F.expr(
+               f"aggregate(coalesce(__bounds, array()), 0, (a, b) -> a + "
+               f"CASE WHEN cast({order[0]} as double) >= b THEN 1 ELSE 0 "
+               "END)"))
+           .drop("__bounds"))
+    upper = Window.currentRow if inclusive else -1
+    w = (Window.partitionBy(*by, "__pid")
+         .orderBy(*[F.col(c) for c in order])
+         .rowsBetween(Window.unboundedPreceding, upper))
+    u = u.withColumn("__loc", F.max(col).over(w))
+    totals = u.groupBy(*by, "__pid").agg(F.max(col).alias("__tot"))
+    wk = (Window.partitionBy(*by).orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = totals.select(*by, "__pid",
+                         F.max("__tot").over(wk).alias("__off"))
+    u = u.join(F.broadcast(offs), by + ["__pid"], "left")
+    # greatest() skips NULLs: first row of a slice (exclusive local NULL)
+    # falls back to the prior-slice prefix, first slice falls back to the
+    # local max, and a group's very first row stays NULL — the island
+    # boundary marker.
+    return (u.withColumn(out, F.greatest(F.col("__loc"), F.col("__off")))
              .select(*df.columns, out))
 
 

@@ -14,6 +14,8 @@ from . import corpus_r5  # noqa: F401  (EWMA, table fingerprint,
 #   k-means step, CUSUM, Benford)
 from . import corpus_r6  # noqa: F401  (peak-concurrency sweep line,
 #   seasonal day-of-week anomaly z-scores)
+from . import corpus_r7  # noqa: F401  (interval-coverage merge,
+#   chi-squared independence test, time-bounded funnel conversion)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST 50
@@ -82,6 +84,25 @@ RETIRED_NAMES = frozenset({
     "q39_daily_rollup", "q94_exact_median_large", "q103_histogram",
     "q104_winsorized_mean", "q19_axis_synthesis", "q33_cross_product",
     "q44_distinct_agg", "q59_approx_aggs",
+    # Retired round 7 — the round-6 driver run produced no
+    # CORRECTNESS_r06.json, so the freshness accounting did not advance
+    # and the window re-saturated at exactly 50 (3 never-checked + 46
+    # r03-stale + 1 RECHECK).  Registering the three new round-7
+    # families (q158-q160) therefore retires three more thin r03-cohort
+    # entries under the same policy — each keeps its pytest DuckDB
+    # oracle via tests/test_corpus::ALL:
+    #   q40_set_ops: INTERSECT/EXCEPT — the set-op surface (§2.6) is
+    #     also exercised by q114 snapshot_diff (EXCEPT-shape symmetric
+    #     anti-joins) and q74 decontaminate (anti-join), plus q12 union.
+    #   q83_seeded_shuffle: seeded md5 global ordering — the same
+    #     deterministic-hash machinery is the backbone of q55
+    #     hash_split, q106 balanced_sample, and q146 weighted sampling;
+    #     the operator stays in operators/sampling.py with its tests.
+    #   q96_forecast_revenue: TPC-H Q6, a single-table filtered agg —
+    #     the thinnest TPC-H representative; the filtered-agg shape is
+    #     covered by q01/q95/q98/q100 among the remaining 17 TPC-H
+    #     families.
+    "q40_set_ops", "q83_seeded_shuffle", "q96_forecast_revenue",
 })
 
 # Queries whose plan or semantics were REWRITTEN since their last driver

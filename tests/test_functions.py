@@ -838,3 +838,42 @@ def test_skew_profile(spark):
     # multi-key grouping works and returns tuple keys
     p2 = skew_profile(df, ["k", "v"], top_k=1)
     assert p2["n_keys"] == 1000 and p2["max"] == 1
+
+
+def test_keyed_cummax_matches_naive_window(spark):
+    """Slice-parallel running max (inclusive AND exclusive) == the plain
+    Window.partitionBy forms, row for row, across single-row groups,
+    keys absent from the bounds sample, and negative values."""
+    import random
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from nasctn_sea_ingest_spark.functions import keyed_cummax
+
+    rnd = random.Random(13)
+    rows = [("solo", 0, 5)]
+    rows += [("big", t, rnd.randint(-1000, 1000)) for t in range(500)]
+    rows += [("tiny", t, rnd.randint(-5, 5)) for t in range(3)]
+    df = spark.createDataFrame(rows, "k string, t long, v long") \
+        .repartition(7)
+
+    got_inc = keyed_cummax(df, ["k"], ["t"], "v", out="run")
+    w_inc = (Window.partitionBy("k").orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want_inc = df.select("k", "t", F.max("v").over(w_inc).alias("run"))
+    assert (got_inc.select("k", "t", "run")
+            .exceptAll(want_inc).count() == 0)
+    assert got_inc.count() == want_inc.count()
+
+    # exclusive: NULL on each group's first row (the island-boundary
+    # probe q158 uses), else max over strictly earlier rows
+    got_exc = keyed_cummax(df, ["k"], ["t"], "v", out="run",
+                           inclusive=False)
+    w_exc = (Window.partitionBy("k").orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    want_exc = df.select("k", "t", F.max("v").over(w_exc).alias("run"))
+    assert (got_exc.select("k", "t", "run")
+            .exceptAll(want_exc).count() == 0)
+    assert got_exc.count() == want_exc.count()
+    assert got_exc.where("t = 0 and run is not null").count() == 0

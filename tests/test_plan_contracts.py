@@ -1137,3 +1137,46 @@ def test_q157_pit_equi_join_not_range(spark, sf):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "Generate explode" in p  # the day-offset explode is the plan
+
+
+def test_q158_interval_merge_slice_partitioned(spark, sf):
+    """Interval coverage: BOTH scans (prior-rows running max of ends,
+    island-id running sum of flags) must window over the slice id
+    (event_type, __pid) — never event_type alone (the few-key ceiling
+    keyed_cummax/keyed_cumsum exist to avoid)."""
+    import re
+
+    df = _q("q158_interval_coverage").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    for ln in p.splitlines():
+        if "windowspecdefinition(" in ln and (
+                "max(e#" in ln or "sum(flag#" in ln):
+            assert "__pid" in ln.split("windowspecdefinition(")[1], ln
+    assert re.search(r"hashpartitioning\(event_type#\d+, __pid#\d+", p)
+    assert "CartesianProduct" not in p
+
+
+def test_q159_chi_squared_broadcast_grid(spark, sf):
+    """Chi-squared: one hash aggregate reduces the fact table; the
+    marginal grid and totals must compose via broadcast joins — no
+    sort-merge join, no cartesian product anywhere (the crossJoins are
+    1-row / <=5-row broadcast frames)."""
+    df = _q("q159_chi_squared").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+
+
+def test_q160_funnel_equi_joins(spark, sf):
+    """Funnel: the 7-day step bounds must ride as post-join filters on
+    user_id EQUI-joins — a range/theta formulation would plan as
+    broadcast nested-loop over the raw event stream and explode at
+    scale."""
+    df = _q("q160_funnel_conversion").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p

@@ -63,6 +63,14 @@ ALLOW = {
                                        "broadcast",
     ("q155_peak_concurrency", "single"): "slice-bounds scalar "
                                          "approx_percentile aggregate",
+    ("q158_interval_coverage", "bnlj"): "keyed_cummax/keyed_cumsum "
+                                        "slice-bounds 1-row broadcasts",
+    ("q158_interval_coverage", "single"): "slice-bounds scalar "
+                                          "approx_percentile aggregates",
+    ("q159_chi_squared", "bnlj"): "marginal-grid crossJoins: 1-row N and "
+                                  "<=5-row status frames, broadcast",
+    ("q159_chi_squared", "single"): "N / chi2 scalar aggregates "
+                                    "(input <= 15 cells)",
 }
 
 

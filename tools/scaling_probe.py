@@ -81,6 +81,14 @@ REL_QUERIES = {
     "q155_peak_concurrency": ("events", ["event_id", "user_id"]),
     "q156_seasonal_anomaly": ("events", ["event_id", "user_id"]),
     "q157_pit_features": ("events", ["event_id", "user_id"]),
+    # replica intervals stack onto the same per-type timeline: islands
+    # MERGE as density grows (output shrinks toward one island per type)
+    # while the distinct-instant sweep relation grows ~linearly
+    "q158_interval_coverage": ("events", ["event_id", "user_id"]),
+    "q159_chi_squared": ("orders", ["o_orderkey"]),
+    # user_id shifts bring NEW users per replica: every funnel stage
+    # (per-user anchors, step joins, cohort counts) grows linearly
+    "q160_funnel_conversion": ("events", ["event_id", "user_id"]),
 }
 
 
