@@ -752,6 +752,40 @@ def snapshot_diff(base: DataFrame, current: DataFrame,
                      F.col("__new").alias("new")))
 
 
+def _require_names(fname: str, *cols) -> None:
+    """Column-NAME (not Column) arguments, shared by the keyed-scan
+    family: ordering is always ascending, and a ``desc()`` Column must
+    fail loudly rather than silently mis-order the scan."""
+    for c in cols:
+        if not isinstance(c, str):
+            raise TypeError(
+                f"{fname} takes column NAMES, got {type(c).__name__}: "
+                "ordering is always ascending (negate the column for "
+                "descending semantics)")
+
+
+def _order_slices(df: DataFrame, order0: str) -> DataFrame:
+    """Slice the order domain into ~shuffle-partition contiguous ranges:
+    seeded-sample ``approx_percentile`` bounds (a deterministic
+    expression of the order value — every row computes its slice id
+    ``__pid`` locally, no shuffle).  The shared front half of the
+    keyed-scan family (:func:`keyed_lead` / :func:`keyed_cumsum` /
+    :func:`keyed_cummax`): per-(key, slice) work then runs with full
+    parallelism regardless of key count."""
+    nb = max(2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                             "200")))
+    probs = ", ".join(str((i + 1) / nb) for i in range(nb - 1))
+    bounds = df.sample(fraction=0.1, seed=7).agg(F.expr(
+        f"approx_percentile(cast({order0} as double), array({probs}), "
+        "2000)").alias("__bounds"))
+    return (df.crossJoin(F.broadcast(bounds))
+              .withColumn("__pid", F.expr(
+                  f"aggregate(coalesce(__bounds, array()), 0, (a, b) -> a "
+                  f"+ CASE WHEN cast({order0} as double) >= b THEN 1 ELSE "
+                  "0 END)"))
+              .drop("__bounds"))
+
+
 def keyed_lead(df: DataFrame, by: Sequence[str], order: Sequence[str],
                cols: Sequence[str], suffix: str = "__next") -> DataFrame:
     """``lead(col)`` per ``by`` group in ``order`` — WITHOUT the few-key
@@ -792,25 +826,8 @@ def keyed_lead(df: DataFrame, by: Sequence[str], order: Sequence[str],
       error.  For descending/lag semantics, negate the order column.
     """
     by, order, cols = list(by), list(order), list(cols)
-    for c in (*by, *order, *cols):
-        if not isinstance(c, str):
-            raise TypeError(
-                f"keyed_lead takes column NAMES, got {type(c).__name__}: "
-                "ordering is always ascending (negate the column for "
-                "lag/descending semantics)")
-    t0 = F.col(order[0]).cast("double")
-    nb = max(2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
-                                             "200")))
-    probs = ", ".join(str((i + 1) / nb) for i in range(nb - 1))
-    bounds = df.sample(fraction=0.1, seed=7).agg(F.expr(
-        f"approx_percentile(cast({order[0]} as double), array({probs}), "
-        "2000)").alias("__bounds"))
-    u = (df.crossJoin(F.broadcast(bounds))
-           .withColumn("__pid", F.expr(
-               f"aggregate(coalesce(__bounds, array()), 0, (a, b) -> a + "
-               f"CASE WHEN cast({order[0]} as double) >= b THEN 1 ELSE 0 "
-               "END)"))
-           .drop("__bounds"))
+    _require_names("keyed_lead", *by, *order, *cols)
+    u = _order_slices(df, order[0])
     w = Window.partitionBy(*by, "__pid").orderBy(*[F.col(c) for c in order])
     nxt_in = F.lead(F.struct(*[F.col(c) for c in cols])).over(w)
     u = u.withColumn("__nx", nxt_in)
@@ -848,45 +865,50 @@ def keyed_cumsum(df: DataFrame, by: Sequence[str], order: Sequence[str],
     ops: one hash shuffle on (by, slice) + one broadcast, versus the
     naive form's key-count parallelism.
 
-    Preconditions (assert-checked like :func:`keyed_lead`): ``by`` must
-    be low-cardinality (the keys×slices summary is broadcast), and rows
-    tied on the full ``order`` tuple get an arbitrary relative order —
-    the cumsum at tied rows is deterministic only if order keys are
-    unique per group (pre-aggregate ties away first, as
-    q155_peak_concurrency does).  Arguments must be column NAMES —
-    ordering is always ascending, same contract as :func:`keyed_lead`.
+    PRECONDITIONS (column-name types are checked below; the remaining
+    two CANNOT be cheaply enforced distributed-side and are the CALLER'S
+    responsibility — violating them yields wrong/nondeterministic
+    results, not an error): ``by`` must be low-cardinality (the
+    keys×slices summary is broadcast), and order tuples must be UNIQUE
+    per group — rows tied on the full ``order`` tuple get an arbitrary
+    relative order, so the cumsum at tied rows is nondeterministic
+    (pre-aggregate ties away first, as q155_peak_concurrency does).
+    Arguments must be column NAMES — ordering is always ascending, same
+    contract as :func:`keyed_lead`.
     """
+    return _keyed_scan(df, by, order, col, out, "keyed_cumsum", F.sum,
+                       lambda loc, off: loc + F.coalesce(off, F.lit(0)))
+
+
+def _keyed_scan(df: DataFrame, by: Sequence[str], order: Sequence[str],
+                col: str, out: str, fname: str, agg, combine,
+                inclusive: bool = True) -> DataFrame:
+    """Two-phase parallel prefix scan for any ASSOCIATIVE aggregate —
+    the shared machinery of :func:`keyed_cumsum` (``agg=F.sum``,
+    combine = add with NULL→0) and :func:`keyed_cummax` (``agg=F.max``,
+    combine = ``F.greatest``): local scan per (by, order-slice) with
+    full parallelism, then each slice combines the EXCLUSIVE prefix of
+    per-(by, slice) totals — a keys×slices summary windowed over the
+    slice id (tiny) and broadcast back.  One hash shuffle on (by, pid)
+    + one broadcast, versus a plain ``partitionBy(by)`` window's
+    key-count parallelism ceiling.  ``inclusive=False`` ends the local
+    frame at 1 PRECEDING (NULL on each slice's first row — ``combine``
+    must treat a NULL local scan as "fall back to the prefix")."""
     by, order = list(by), list(order)
-    for c in (*by, *order, col):
-        if not isinstance(c, str):
-            raise TypeError(
-                f"keyed_cumsum takes column NAMES, got {type(c).__name__}: "
-                "ordering is always ascending (negate the column for "
-                "descending semantics)")
-    nb = max(2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
-                                             "200")))
-    probs = ", ".join(str((i + 1) / nb) for i in range(nb - 1))
-    bounds = df.sample(fraction=0.1, seed=7).agg(F.expr(
-        f"approx_percentile(cast({order[0]} as double), array({probs}), "
-        "2000)").alias("__bounds"))
-    u = (df.crossJoin(F.broadcast(bounds))
-           .withColumn("__pid", F.expr(
-               f"aggregate(coalesce(__bounds, array()), 0, (a, b) -> a + "
-               f"CASE WHEN cast({order[0]} as double) >= b THEN 1 ELSE 0 "
-               "END)"))
-           .drop("__bounds"))
+    _require_names(fname, *by, *order, col)
+    u = _order_slices(df, order[0])
+    upper = Window.currentRow if inclusive else -1
     w = (Window.partitionBy(*by, "__pid")
          .orderBy(*[F.col(c) for c in order])
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    u = u.withColumn("__loc", F.sum(col).over(w))
-    totals = u.groupBy(*by, "__pid").agg(F.sum(col).alias("__tot"))
+         .rowsBetween(Window.unboundedPreceding, upper))
+    u = u.withColumn("__loc", agg(col).over(w))
+    totals = u.groupBy(*by, "__pid").agg(agg(col).alias("__tot"))
     wk = (Window.partitionBy(*by).orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1))
     offs = totals.select(*by, "__pid",
-                         F.sum("__tot").over(wk).alias("__off"))
+                         agg("__tot").over(wk).alias("__off"))
     u = u.join(F.broadcast(offs), by + ["__pid"], "left")
-    return (u.withColumn(out, F.col("__loc")
-                         + F.coalesce(F.col("__off"), F.lit(0)))
+    return (u.withColumn(out, combine(F.col("__loc"), F.col("__off")))
              .select(*df.columns, out))
 
 
@@ -904,46 +926,20 @@ def keyed_cummax(df: DataFrame, by: Sequence[str], order: Sequence[str],
     the "max end of all earlier intervals" probe the gaps-and-islands
     interval merge needs (corpus q158), without a second window pass.
 
-    Same preconditions as :func:`keyed_cumsum`: low-cardinality ``by``
-    (the keys×slices summary is broadcast), unique ``order`` tuples per
-    group (pre-aggregate ties away first), column NAMES, ascending.
+    Same preconditions as :func:`keyed_cumsum` — and with the same
+    enforcement split: column-name types are checked at runtime; the
+    low-cardinality ``by`` and unique-order-tuples requirements are the
+    CALLER'S responsibility (ties yield nondeterministic results —
+    pre-aggregate them away first), they cannot be cheaply verified
+    distributed-side.
+
+    greatest() in the combine step skips NULLs: first row of a slice
+    (exclusive local NULL) falls back to the prior-slice prefix, first
+    slice falls back to the local max, and a group's very first row
+    stays NULL — the island boundary marker.
     """
-    by, order = list(by), list(order)
-    for c in (*by, *order, col):
-        if not isinstance(c, str):
-            raise TypeError(
-                f"keyed_cummax takes column NAMES, got {type(c).__name__}: "
-                "ordering is always ascending (negate the column for "
-                "descending semantics)")
-    nb = max(2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
-                                             "200")))
-    probs = ", ".join(str((i + 1) / nb) for i in range(nb - 1))
-    bounds = df.sample(fraction=0.1, seed=7).agg(F.expr(
-        f"approx_percentile(cast({order[0]} as double), array({probs}), "
-        "2000)").alias("__bounds"))
-    u = (df.crossJoin(F.broadcast(bounds))
-           .withColumn("__pid", F.expr(
-               f"aggregate(coalesce(__bounds, array()), 0, (a, b) -> a + "
-               f"CASE WHEN cast({order[0]} as double) >= b THEN 1 ELSE 0 "
-               "END)"))
-           .drop("__bounds"))
-    upper = Window.currentRow if inclusive else -1
-    w = (Window.partitionBy(*by, "__pid")
-         .orderBy(*[F.col(c) for c in order])
-         .rowsBetween(Window.unboundedPreceding, upper))
-    u = u.withColumn("__loc", F.max(col).over(w))
-    totals = u.groupBy(*by, "__pid").agg(F.max(col).alias("__tot"))
-    wk = (Window.partitionBy(*by).orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1))
-    offs = totals.select(*by, "__pid",
-                         F.max("__tot").over(wk).alias("__off"))
-    u = u.join(F.broadcast(offs), by + ["__pid"], "left")
-    # greatest() skips NULLs: first row of a slice (exclusive local NULL)
-    # falls back to the prior-slice prefix, first slice falls back to the
-    # local max, and a group's very first row stays NULL — the island
-    # boundary marker.
-    return (u.withColumn(out, F.greatest(F.col("__loc"), F.col("__off")))
-             .select(*df.columns, out))
+    return _keyed_scan(df, by, order, col, out, "keyed_cummax", F.max,
+                       F.greatest, inclusive=inclusive)
 
 
 def pit_features(anchors: DataFrame, events: DataFrame,

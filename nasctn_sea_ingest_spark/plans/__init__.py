@@ -109,11 +109,9 @@ RETIRED_NAMES = frozenset({
 # row: they pre-empt the window front (sorted with the never-checked
 # group) so the rewrite gets a driver-scale oracle row THIS round instead
 # of waiting out the rotation.  Clear entries once their fresh row lands.
-#   q140: round-6 canonicalization fix — NULL encoding + delimiter
-#         escaping in table_fingerprint (ADVICE round 5, medium).
-RECHECK = frozenset({
-    "q140_table_fingerprint",
-})
+#   (q140's round-6 canonicalization rewrite got its fresh driver row in
+#   CORRECTNESS_r07.json — hash green — so it left this set in round 8.)
+RECHECK = frozenset()
 
 
 def _latest_driver_round() -> dict[str, int]:
@@ -137,6 +135,38 @@ def _latest_driver_round() -> dict[str, int]:
             if isinstance(row, dict):
                 latest[name] = max(latest.get(name, 0), rnd)
     return latest
+
+
+def _driver_runs() -> list[int]:
+    """Ascending round numbers that actually produced a driver run (a
+    committed ``CORRECTNESS_r*.json``).  Staleness is measured against THIS
+    list, not against round numbers: round 6 had no driver run, so round
+    numbers and elapsed runs diverge (r05 -> r07 is ONE elapsed run, not
+    two).  Counting runs keeps the <=2-runs-stale invariant satisfiable
+    after any skipped round — with 145 live queries at 50 slots/run, a
+    round-number clock goes arithmetically dead the first time a round is
+    skipped (96 stale vs 50 slots after the missing r06)."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    rounds = set()
+    for path in root.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)", path.stem)
+        if m:
+            rounds.add(int(m.group(1)))
+    return sorted(rounds)
+
+
+def _runs_stale(latest_round: int | None, runs: list[int]) -> int:
+    """Number of driver runs that have elapsed since ``latest_round``
+    produced this query's newest row.  ``None`` (never checked) counts as
+    infinitely stale — older than every run on record."""
+    import bisect
+
+    if latest_round is None:
+        return len(runs) + 1
+    return len(runs) - bisect.bisect_right(runs, latest_round)
 
 
 def _window_order(names: list[str]) -> list[str]:

@@ -207,6 +207,7 @@ def media_pipeline(spark: SparkSession, n_items: int = 300,
                    audio_min_shared: int = 8,
                    video_min_shared: int = 5,
                    feature_dim: int = 16,
+                   max_bucket: int | None = 1000,
                    ) -> "tuple[DataFrame, dict[str, int]]":
     """End-to-end MULTIMODAL training-data pipeline — the media analog of
     :func:`llm_corpus_pipeline`, composed from this engine's operators:
@@ -250,13 +251,16 @@ def media_pipeline(spark: SparkSession, n_items: int = 300,
     corpus = media.unionByName(dups.select(*media.columns)).persist()
     manifest = {"raw": corpus.count()}
 
-    pairs = (mm.image_neardup_pairs(corpus, max_hamming=max_hamming)
+    pairs = (mm.image_neardup_pairs(corpus, max_hamming=max_hamming,
+                                    max_bucket=max_bucket)
              .select("d1", "d2")
              .unionByName(mm.audio_neardup_pairs(
-                 corpus, min_shared=audio_min_shared)
+                 corpus, min_shared=audio_min_shared,
+                 max_bucket=max_bucket)
                  .select("d1", "d2"))
              .unionByName(mm.video_neardup_pairs(
-                 corpus, min_shared=video_min_shared)
+                 corpus, min_shared=video_min_shared,
+                 max_bucket=max_bucket)
                  .select("d1", "d2")))
     # min_shared thresholds scale with clip length (landmarks ~ frames);
     # size them to your corpus — identical copies share ALL landmarks
@@ -265,8 +269,12 @@ def media_pipeline(spark: SparkSession, n_items: int = 300,
     drop = (clusters.where(F.col("node") != F.col("cluster"))
             .select(F.col("node").alias("media_id")))
     manifest["near_dup_dropped"] = drop.count()
-    kept = corpus.join(F.broadcast(drop), "media_id", "left_anti") \
-        .persist()
+    # No broadcast hint on the drop list: it scales with the corpus
+    # dup-rate (a fraction of ALL rows, not a bounded dimension) — at
+    # real scale a mandatory broadcast can exceed driver/executor
+    # limits.  Left to AQE, which broadcasts only when the runtime size
+    # is actually small (test_media_pipeline_drop_edge_not_hinted).
+    kept = corpus.join(drop, "media_id", "left_anti").persist()
     manifest["kept"] = kept.count()
 
     feats = mm.extract_features(kept, dim=feature_dim).persist()

@@ -597,7 +597,7 @@ def image_dhash(media: DataFrame, size: int = 8) -> DataFrame:
 
 def image_neardup_pairs(media: DataFrame, max_hamming: int = 6,
                         size: int = 8,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = 1000) -> DataFrame:
     """Near-duplicate image pairs ``(d1, d2, hamming)``: dHash each image
     (row-local), then the 16-bit-chunk pigeonhole candidate join from
     ``dedup.simhash_pairs`` — bucket equi-joins, never an all-pairs scan,
@@ -605,7 +605,14 @@ def image_neardup_pairs(media: DataFrame, max_hamming: int = 6,
     ``max_hamming <= 3`` (4 chunks ⇒ some chunk equal); above that it is
     a recall/bound trade documented there.  The multimodal face of the
     dedup family: resized/brightness-shifted re-encodes of one image
-    collapse just like shingled text near-dups."""
+    collapse just like shingled text near-dups.
+
+    ``max_bucket`` defaults ON (1000): a degenerate hash chunk — solid-
+    color images all share it — makes the bucket self-join O(bucket²);
+    the guard drops hashes shared by more than ``max_bucket`` images
+    before the join, trading recall inside mega-clusters for a hard
+    candidate bound (the ``minhash_pairs`` stop-shingle contract).  Pass
+    ``None`` only for corpora known free of degenerate content."""
     from ..operators.dedup import simhash_pairs
 
     hashed = image_dhash(media, size).where(F.col("error").isNull())
@@ -738,16 +745,19 @@ def audio_landmarks(media: DataFrame, n_fft: int = 256, hop: int = 128,
 
 
 def audio_neardup_pairs(media: DataFrame, min_shared: int = 8,
-                        max_bucket: int | None = None,
+                        max_bucket: int | None = 1000,
                         **landmark_kwargs) -> DataFrame:
     """Audio near-duplicate pairs ``(d1, d2, shared)`` — clips sharing
     ``>= min_shared`` landmark hashes: equi-join on the hash (the
     inverted-index shape — candidate-bound by per-hash bucket sizes,
-    never all-pairs), count per pair, threshold.  ``max_bucket`` drops
-    degenerate hashes shared by more than that many clips (the
-    stop-shingle guard).  Catches re-encodes, gain changes and
-    time-shifted copies of the same recording; unrelated material
-    shares almost no (f1, f2, dt) triples."""
+    never all-pairs), count per pair, threshold.  ``max_bucket``
+    (default ON, 1000) drops degenerate hashes shared by more than that
+    many clips — silence or tones produce one landmark everywhere and
+    make that bucket's join quadratic; the stop-shingle guard bounds it
+    (recall traded inside mega-clusters only; pass ``None`` to disable).
+    Catches re-encodes, gain changes and time-shifted copies of the same
+    recording; unrelated material shares almost no (f1, f2, dt)
+    triples."""
     lm = audio_landmarks(media, **landmark_kwargs) \
         .where(F.col("error").isNull()).select("media_id", "lm_hash")
     if max_bucket is not None:
@@ -808,11 +818,13 @@ def video_frame_hashes(media: DataFrame, stride: int = 1,
 
 def video_neardup_pairs(media: DataFrame, min_shared: int = 8,
                         stride: int = 1,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = 1000) -> DataFrame:
     """Video near-duplicate pairs ``(d1, d2, shared)``: videos sharing
     ``>= min_shared`` DISTINCT frame hashes — inverted-index equi-join
-    on the frame dhash (candidate-bound; ``max_bucket`` drops degenerate
-    hashes, e.g. black frames shared by everything).  Catches
+    on the frame dhash (candidate-bound; ``max_bucket``, default ON at
+    1000, drops degenerate hashes — black frames shared by everything
+    make that bucket's self-join quadratic; recall is traded only inside
+    such mega-clusters, pass ``None`` to disable).  Catches
     re-encodes, brightness shifts (dHash invariance), frame drops and
     trims; per-frame distinct-ification keeps a static shot from
     self-inflating the count."""

@@ -55,22 +55,26 @@ def test_driver_window_covers_unverified_families():
     5 the window is derived from the committed CORRECTNESS_r0*.json files
     (oldest-green-first); this asserts the staleness invariant generically:
     every query with NO driver row yet (new this round), every RECHECK
-    rewrite, and every query whose latest row is >= 2 rounds old must sit
-    inside the first 50, so no oracle-backed query's newest green row ever
-    goes three rounds stale and no rewrite waits out the rotation."""
+    rewrite, and every query whose latest row is >= 2 ELAPSED DRIVER RUNS
+    old must sit inside the first 50, so no oracle-backed query's newest
+    green row ever goes three driver runs stale and no rewrite waits out
+    the rotation.  Staleness counts runs that actually happened (rounds
+    with a CORRECTNESS file), not round numbers — round 6 produced no
+    driver artifacts, and a round-number clock ages two cohorts at once
+    across the gap (96 stale vs 50 slots: arithmetically unsatisfiable)."""
     from nasctn_sea_ingest_spark.plans import (
-        RECHECK, RETIRED_NAMES, _latest_driver_round)
+        RECHECK, RETIRED_NAMES, _driver_runs, _latest_driver_round,
+        _runs_stale)
 
     names = [q.name for q in CORPUS]
     assert len(names) == len(set(names))
     window = set(names[:50])
     latest = _latest_driver_round()
-    assert latest, "no CORRECTNESS_r*.json found at repo root"
-    max_round = max(latest.values())
+    runs = _driver_runs()
+    assert runs, "no CORRECTNESS_r*.json found at repo root"
     must_be_inside = {
         n for n in names
-        if latest.get(n, -1) == -1 or latest[n] <= max_round - 2
-        or n in RECHECK
+        if _runs_stale(latest.get(n), runs) >= 2 or n in RECHECK
     }
     # The invariant only holds if the stale set fits the 50-slot window —
     # assert that explicitly so over-registration in one round fails CI.
@@ -87,3 +91,27 @@ def test_driver_window_covers_unverified_families():
     # RECHECK hygiene: entries must name live corpus queries.
     assert RECHECK <= set(names), RECHECK - set(names)
     assert not (RECHECK & RETIRED_NAMES)
+
+
+def test_runs_stale_is_skip_robust():
+    """Regression for the round-6 gap: a skipped driver round (no
+    CORRECTNESS file) must not age queries.  With runs {1..5, 7} a query
+    last green in r05 is ONE run stale (only r07 elapsed), r04 is two,
+    and landing a hypothetical r08 ages each cohort by exactly one run —
+    the round-number clock instead aged r04 AND r05 simultaneously when
+    r07 landed, overflowing the 50-slot window."""
+    from nasctn_sea_ingest_spark.plans import _runs_stale
+
+    runs = [1, 2, 3, 4, 5, 7]
+    assert _runs_stale(7, runs) == 0
+    assert _runs_stale(5, runs) == 1      # r06 never ran: one elapsed run
+    assert _runs_stale(4, runs) == 2      # stale -> must enter the window
+    assert _runs_stale(3, runs) == 3
+    assert _runs_stale(None, runs) == 7   # never checked: staler than all
+    # Next round lands: every cohort ages by exactly one run.
+    runs8 = runs + [8]
+    assert [_runs_stale(r, runs8) for r in (7, 5, 4)] == [1, 2, 3]
+    # A double skip (r09, r10 missing; r11 lands) still ages by one.
+    runs11 = runs8 + [11]
+    assert _runs_stale(8, runs11) == 1
+    assert _runs_stale(7, runs11) == 2

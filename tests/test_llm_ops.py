@@ -1357,3 +1357,60 @@ def test_video_neardup_pairs(spark):
     assert (1, 3) in pairs and pairs[(1, 3)] == 6    # the kept half
     assert (2, 3) in pairs
     assert not any({a, b} & {4} for a, b in pairs)
+
+
+def test_media_neardup_hot_bucket_guard(spark):
+    """Round-7 verdict #4: the hot-bucket guard must default ON for every
+    media pair join — a degenerate hash (solid-color images, black
+    frames, silence) otherwise makes its bucket's self-join quadratic.
+    Byte-identical solid-gray images share every dHash chunk: unguarded
+    the join emits all C(N,2) pairs; guarded the bucket is dropped and
+    the candidate set is bounded (recall traded inside the mega-cluster
+    only — the minhash_pairs stop-shingle contract)."""
+    import inspect
+
+    for fn in (MM.image_neardup_pairs, MM.audio_neardup_pairs,
+               MM.video_neardup_pairs):
+        assert (inspect.signature(fn).parameters["max_bucket"].default
+                == 1000), f"{fn.__name__} guard not defaulted on"
+
+    flat = np.full((8, 9, 3), 127, dtype=np.uint8)
+    rows = [Row(media_id=i, kind="image", content=MM.encode_bmp(flat),
+                meta=None) for i in range(14)]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    unguarded = MM.image_neardup_pairs(
+        media, max_hamming=0, max_bucket=None).count()
+    assert unguarded == 14 * 13 // 2            # quadratic blowup shape
+    guarded = MM.image_neardup_pairs(
+        media, max_hamming=0, max_bucket=10).count()
+    assert guarded == 0                          # degenerate bucket dropped
+    # mixed corpus: a small honest cluster survives the guard untouched
+    rng = np.random.default_rng(7)
+    honest = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    rows += [Row(media_id=100 + i, kind="image",
+                 content=MM.encode_bmp(honest), meta=None)
+             for i in range(2)]
+    media2 = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    kept = {(r.d1, r.d2) for r in MM.image_neardup_pairs(
+        media2, max_hamming=0, max_bucket=10).collect()}
+    assert kept == {(100, 101)}
+
+
+def test_media_pipeline_drop_edge_not_hinted():
+    """Round-7 verdict #5: the pipeline's near-dup drop list scales with
+    the corpus dup-rate — it is NOT a bounded dimension, so the anti-join
+    that applies it must carry no mandatory broadcast hint (AQE picks the
+    strategy from the runtime size instead).  Contract is asserted on the
+    source of the join edge itself so a reintroduced hint fails loudly."""
+    import inspect
+    import re
+
+    from nasctn_sea_ingest_spark.plans.pipeline import media_pipeline
+
+    src = inspect.getsource(media_pipeline)
+    m = re.search(
+        r"corpus\.join\(([^,]*),\s*\"media_id\",\s*\"left_anti\"", src)
+    assert m, "drop anti-join edge not found in media_pipeline"
+    assert "broadcast" not in m.group(1), (
+        "mandatory broadcast hint on the unbounded drop list: "
+        + m.group(1))

@@ -3,6 +3,8 @@
 silently drop pushdown / broadcast / pruning fail loudly.
 """
 
+import re
+
 import pytest
 
 from nasctn_sea_ingest_spark.plans import CORPUS
@@ -1180,3 +1182,12 @@ def test_q160_funnel_equi_joins(spark, sf):
     p = _final(df)
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+    # POSITIVE contract (round-7 advisor): the two step joins must be
+    # hash equi-joins keyed on user_id — absence-only asserts would still
+    # pass if a regression dropped a join or re-keyed it.
+    hash_joins = re.findall(
+        r"(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
+        r"[^\n]*user_id#\d+", p)
+    assert len(hash_joins) >= 2, (
+        f"expected >=2 hash equi-joins on user_id, found "
+        f"{len(hash_joins)}:\n{p}")
