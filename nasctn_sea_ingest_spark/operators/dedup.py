@@ -378,3 +378,77 @@ def minhash_band_index(df: DataFrame, text_col: str = "text",
     align — ``streaming.neardup_stream``)."""
     return band_buckets(
         minhash_signatures(df, text_col, id_col, n, n_hashes), n_bands)
+
+
+def _delete_variants(text_col: str, k: int) -> F.Column:
+    """All strings reachable from ``text_col`` by deleting UP TO ``k``
+    characters (the string itself included), deduplicated — the
+    symmetric-delete (SymSpell) blocking key set, built JVM-side with
+    higher-order array functions (no Python in the hot path).  Size is
+    <= 1 + L + L(L-1)/2 variants for k=2 on length-L strings: this
+    blocking is for SHORT strings (names, codes, titles), where it
+    replaces the O(N²) edit-distance join with an equi-join."""
+    c = text_col
+    d1 = (f"transform(sequence(1, length({c})), i -> "
+          f"concat(substring({c}, 1, i - 1), "
+          f"substring({c}, i + 1, length({c}) - i)))")
+    if k == 1:
+        return F.expr(f"array_distinct(array_union(array({c}), {d1}))")
+    # k == 2: deletes of the delete-1 variants, flattened
+    d2 = (f"flatten(transform({d1}, v -> "
+          "transform(sequence(1, length(v)), i -> "
+          "concat(substring(v, 1, i - 1), "
+          "substring(v, i + 1, length(v) - i)))))")
+    return F.expr(
+        f"array_distinct(array_union(array_union(array({c}), {d1}), {d2}))")
+
+
+def edit_distance_pairs(df: DataFrame, id_col: str = "id",
+                        text_col: str = "text", max_distance: int = 1,
+                        max_bucket: int | None = 1000) -> DataFrame:
+    """All pairs within Levenshtein distance ``max_distance`` (1 or 2),
+    as ``(id1, id2, dist)`` with ``id1 < id2`` — the fuzzy-match /
+    entity-resolution join, candidate-bound via symmetric-delete
+    blocking instead of the O(N²) cross join a naive
+    ``levenshtein(a, b) <= k`` predicate plans as.
+
+    Blocking: two strings within edit distance k share at least one
+    common string reachable by <= k deletions from each (substitution =
+    delete at the same position both sides; insert/delete = delete one
+    side) — so exploding each string's delete-variant set and
+    equi-joining on the variant yields a candidate superset, verified
+    with one exact ``levenshtein`` per DISTINCT candidate pair.  The
+    SymSpell shape: linear explode (<= 1+L+L²/2 variants per string),
+    one hash join on the variant, exact verify — never all-pairs.
+
+    ``max_bucket`` (default ON, the round-8 guard convention): a
+    degenerate variant shared by more than that many strings — mass-
+    duplicated names, empty-ish strings — makes its bucket's self-join
+    quadratic; such variants are dropped before the join.  RECALL
+    TRADED FOR A BOUND inside mega-clusters only, the ``minhash_pairs``
+    stop-shingle contract; pass ``None`` for corpora known clean.
+
+    For LONG text use the shingle/MinHash family instead: variants
+    carry the full string, so this operator's shuffle is O(L²) bytes
+    per row at k=2."""
+    if max_distance not in (1, 2):
+        raise ValueError("edit_distance_pairs supports max_distance 1 or 2")
+    ex = df.select(F.col(id_col).alias("__id"),
+                   F.col(text_col).alias("__txt"),
+                   F.explode(_delete_variants(text_col, max_distance))
+                    .alias("__v"))
+    if max_bucket is not None:
+        hot = (ex.groupBy("__v").agg(F.count("*").alias("bn"))
+               .where(F.col("bn") > max_bucket).select("__v"))
+        ex = ex.join(F.broadcast(hot), "__v", "left_anti")
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (a.join(b, (F.col("a.__v") == F.col("b.__v"))
+                   & (F.col("a.__id") < F.col("b.__id")))
+             .select(F.col("a.__id").alias("id1"),
+                     F.col("a.__txt").alias("t1"),
+                     F.col("b.__id").alias("id2"),
+                     F.col("b.__txt").alias("t2"))
+             .distinct())
+    return (cand.withColumn("dist", F.levenshtein("t1", "t2"))
+                .where(F.col("dist") <= max_distance)
+                .select("id1", "id2", "dist"))

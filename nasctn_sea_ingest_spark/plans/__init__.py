@@ -16,6 +16,8 @@ from . import corpus_r6  # noqa: F401  (peak-concurrency sweep line,
 #   seasonal day-of-week anomaly z-scores)
 from . import corpus_r7  # noqa: F401  (interval-coverage merge,
 #   chi-squared independence test, time-bounded funnel conversion)
+from . import corpus_r8  # noqa: F401  (grid-bucketed spatial radius
+#   join, symmetric-delete fuzzy string matching)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST 50
@@ -103,6 +105,22 @@ RETIRED_NAMES = frozenset({
     #     covered by q01/q95/q98/q100 among the remaining 17 TPC-H
     #     families.
     "q40_set_ops", "q83_seeded_shuffle", "q96_forecast_revenue",
+    # Retired round 8 — two new families (q161 grid spatial join, q162
+    # SymSpell fuzzy match) fill the window exactly (48 r04-run-stale +
+    # 2 new = 50); retiring two thin r04-cohort entries restores 2
+    # slack slots (the partsupp quartet preempts the window front the
+    # day the driver ships the table — zero slack would break that).
+    # Each keeps its pytest DuckDB oracle via tests/test_corpus::ALL:
+    #   q32_roll_shift: W4 circular roll — the operator surface lives
+    #     in operators.roll_pfp with direct pytest (test_operators) and
+    #     inside q31's block-resample explode path; q32 only probed
+    #     scalar reads off the rolled array.
+    #   q120_event_bigrams: per-user lag + global count — the W1 lag
+    #     machinery is q14's family, sequence mining is covered deeper
+    #     by q129 (CEP regex match) and q130 (first-touch attribution
+    #     ordering), and the bigram-count statistics by q113's bigram
+    #     LM over documents.
+    "q32_roll_shift", "q120_event_bigrams",
 })
 
 # Queries whose plan or semantics were REWRITTEN since their last driver

@@ -1414,3 +1414,109 @@ def test_media_pipeline_drop_edge_not_hinted():
     assert "broadcast" not in m.group(1), (
         "mandatory broadcast hint on the unbounded drop list: "
         + m.group(1))
+
+
+# ---------------------------------------------------------------------------
+# round 8: grid spatial join + symmetric-delete fuzzy matching
+# ---------------------------------------------------------------------------
+
+def test_grid_distance_join_vs_bruteforce(spark):
+    """Grid-bucketed radius self-join == brute-force Euclidean over the
+    same points (LOSSLESS: with cell = radius every in-radius pair lies
+    in the 3x3 neighborhood), each pair exactly once, id1 < id2."""
+    import itertools
+    import math
+    import random
+
+    from nasctn_sea_ingest_spark.operators.spatial import \
+        grid_distance_join
+
+    rnd = random.Random(42)
+    pts = [Row(id=i, x=rnd.uniform(0, 100), y=rnd.uniform(0, 100))
+           for i in range(300)]
+    rows = grid_distance_join(
+        spark.createDataFrame(pts), 5.0).collect()
+    got = {(r.id1, r.id2, round(r.dist, 9)) for r in rows}
+    assert len(rows) == len(got)            # each pair exactly once
+    want = set()
+    for a, b in itertools.combinations(pts, 2):
+        d = math.hypot(a.x - b.x, a.y - b.y)
+        if d * d <= 25.0:
+            want.add((a.id, b.id, round(d, 9)))
+    assert got == want
+    assert all(r.id1 < r.id2 for r in rows)
+
+
+def test_grid_distance_join_hot_cell_guard(spark):
+    """max_cell bounds extreme spatial skew: a landmark pile-up of 30
+    co-located points is O(cell^2) pairs unguarded; the guard drops the
+    cell (correctness traded for a bound — documented, default OFF)
+    while honest neighborhoods elsewhere are untouched."""
+    from nasctn_sea_ingest_spark.operators.spatial import \
+        grid_distance_join
+
+    pts = ([Row(id=i, x=50.001 + i * 1e-4, y=50.001, ) for i in range(30)]
+           + [Row(id=100, x=2.0, y=2.0), Row(id=101, x=3.0, y=3.0)])
+    df = spark.createDataFrame(pts)
+    assert grid_distance_join(df, 5.0).count() == 30 * 29 // 2 + 1
+    guarded = {(r.id1, r.id2) for r in
+               grid_distance_join(df, 5.0, max_cell=10).collect()}
+    assert guarded == {(100, 101)}
+
+
+def test_edit_distance_pairs_vs_bruteforce(spark):
+    """Symmetric-delete blocked fuzzy join == brute-force Levenshtein at
+    k=1 and k=2 over short strings, including pure insert/delete
+    neighbors (a 17-char truncation of an 18-char name)."""
+    import itertools
+
+    def lev(a, b):
+        m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            m[i][0] = i
+        for j in range(len(b) + 1):
+            m[0][j] = j
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = min(m[i - 1][j] + 1, m[i][j - 1] + 1,
+                              m[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+        return m[len(a)][len(b)]
+
+    names = [Row(id=i, text=f"Customer#{i:09d}") for i in range(200)]
+    names.append(Row(id=1000, text="Customer#00000001"))  # delete variant
+    ndf = spark.createDataFrame(names)
+    for k in (1, 2):
+        got = {(r.id1, r.id2, r.dist) for r in DD.edit_distance_pairs(
+            ndf, max_distance=k).collect()}
+        want = set()
+        for a, b in itertools.combinations(names, 2):
+            d = lev(a.text, b.text)
+            if d <= k:
+                i1, i2 = sorted((a.id, b.id))
+                want.add((i1, i2, d))
+        assert got == want, f"k={k}"
+
+
+def test_edit_distance_pairs_hot_variant_guard(spark):
+    """The hot-variant guard defaults ON (round-8 convention): 40
+    byte-identical strings share every variant — unguarded that is all
+    C(40,2) pairs; with a small max_bucket the degenerate variants are
+    dropped while an honest distance-1 pair elsewhere survives."""
+    import inspect
+
+    assert (inspect.signature(DD.edit_distance_pairs)
+            .parameters["max_bucket"].default == 1000)
+    rows = [Row(id=i, text="same-name") for i in range(40)]
+    rows += [Row(id=100, text="unique-abc"), Row(id=101, text="unique-abd")]
+    df = spark.createDataFrame(rows)
+    unguarded = DD.edit_distance_pairs(df, max_bucket=None).count()
+    assert unguarded == 40 * 39 // 2 + 1
+    guarded = {(r.id1, r.id2) for r in
+               DD.edit_distance_pairs(df, max_bucket=10).collect()}
+    assert guarded == {(100, 101)}
+
+
+def test_edit_distance_pairs_rejects_k3(spark):
+    with pytest.raises(ValueError):
+        DD.edit_distance_pairs(spark.range(1).selectExpr(
+            "id", "'x' as text"), max_distance=3)

@@ -1191,3 +1191,35 @@ def test_q160_funnel_equi_joins(spark, sf):
     assert len(hash_joins) >= 2, (
         f"expected >=2 hash equi-joins on user_id, found "
         f"{len(hash_joins)}:\n{p}")
+
+
+def test_q161_spatial_join_is_equi(spark, sf):
+    """Grid spatial join: the radius predicate must ride as a post-join
+    filter on a HASH EQUI-join keyed on the grid cell — a raw distance
+    theta join would plan as broadcast nested-loop and explode at
+    scale.  Positive contract: one hash join keyed on the cell columns;
+    negative: no nested-loop / cartesian anywhere."""
+    df = _q("q161_grid_distance_join").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert re.search(
+        r"(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
+        r"[^\n]*__jx#\d+", p), p
+
+
+def test_q162_fuzzy_join_is_equi(spark, sf):
+    """SymSpell fuzzy match: candidates must come from a hash equi-join
+    on the delete-variant key, with levenshtein as a post-join filter —
+    never a levenshtein theta join (nested-loop).  The variant explode
+    and the hot-variant guard are the only width amplifiers."""
+    df = _q("q162_fuzzy_name_match").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert re.search(
+        r"(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
+        r"[^\n]*__v#\d+", p), p
+    assert "levenshtein" in p
