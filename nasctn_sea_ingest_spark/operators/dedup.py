@@ -445,10 +445,12 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "id",
     cand = (a.join(b, (F.col("a.__v") == F.col("b.__v"))
                    & (F.col("a.__id") < F.col("b.__id")))
              .select(F.col("a.__id").alias("id1"),
-                     F.col("a.__txt").alias("t1"),
                      F.col("b.__id").alias("id2"),
-                     F.col("b.__txt").alias("t2"))
-             .distinct())
-    return (cand.withColumn("dist", F.levenshtein("t1", "t2"))
-                .where(F.col("dist") <= max_distance)
-                .select("id1", "id2", "dist"))
+                     F.levenshtein("a.__txt", "b.__txt").alias("dist")))
+    # Verify BEFORE deduplicating: levenshtein is a cheap map-side JVM op
+    # on short strings, so re-computing it per shared variant beats
+    # distinct-ing the full candidate superset (which would shuffle the
+    # strings themselves).  After the filter only TRUE pairs shuffle —
+    # three ints each, duplicated at most (variants shared) times.
+    return (cand.where(F.col("dist") <= max_distance)
+                .groupBy("id1", "id2").agg(F.min("dist").alias("dist")))

@@ -89,6 +89,14 @@ REL_QUERIES = {
     # user_id shifts bring NEW users per replica: every funnel stage
     # (per-user anchors, step joins, cohort counts) grows linearly
     "q160_funnel_conversion": ("events", ["event_id", "user_id"]),
+    # c_custkey shifts give replicas fresh md5 coordinates on the SAME
+    # 1000x1000 plane: density grows 16x, neighbors-per-point ~16x,
+    # total pairs ~256x — OUTPUT-driven growth (the all-copies dedup
+    # precedent, SCALE.md §9); candidate generation stays an equi-join
+    "q161_grid_distance_join": ("customer", ["c_custkey"]),
+    # fresh custkeys extend the padded-digit name space: distance-1
+    # neighborhoods per name stay ~constant, pairs grow ~linearly
+    "q162_fuzzy_name_match": ("customer", ["c_custkey"]),
 }
 
 
