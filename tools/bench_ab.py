@@ -57,7 +57,7 @@ print(json.dumps({"files_per_sec": round(len(blobs) / best, 1)}))
 """
 
 RUNNER = r"""
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, sys.argv[1])
 from nasctn_sea_ingest_spark import get_spark
 from nasctn_sea_ingest_spark.plans import CORPUS
@@ -68,6 +68,10 @@ spark = get_spark(app_name="bench-ab",
 spark.sparkContext.setLogLevel("ERROR")
 out = {}
 qs = sorted(CORPUS, key=lambda q: q.name)
+only = os.environ.get("SPARK_GRAFT_AB_ONLY")   # comma-separated names:
+if only:                                       # A/B a drift suspect alone
+    names = set(only.split(","))
+    qs = [q for q in qs if q.name in names]
 for q in qs:
     try:
         df = q.spark(spark, sf)
