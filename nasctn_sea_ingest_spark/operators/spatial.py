@@ -50,6 +50,12 @@ def grid_distance_join(points: DataFrame, radius: float,
     cell = float(radius)
     if cell <= 0:
         raise ValueError("radius must be positive")
+    # Under-partitioned-input defense (see dedup.edit_distance_pairs): a
+    # single-file point table would run the whole neighborhood join in
+    # one task; a real multi-file table skips the shuffle.
+    par = points.sparkSession.sparkContext.defaultParallelism
+    if points.rdd.getNumPartitions() < par:
+        points = points.repartition(par)
     pts = points.select(
         F.col(id_col).alias("__id"),
         F.col(x_col).cast("double").alias("__x"),

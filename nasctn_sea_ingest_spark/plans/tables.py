@@ -38,6 +38,22 @@ def _enable_nanos(spark: SparkSession) -> None:
         pass
 
 
+def fan_out_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin-repartition an UNDER-PARTITIONED input up to the
+    session parallelism.  The local testdata ships one single-row-group
+    parquet file per table, so every scan is 1-3 partitions and any
+    CPU-heavy map stage before the first shuffle runs near-serial — a
+    test-harness artifact, not a scale property (a real table has
+    thousands of splits and this is a no-op).  OPT-IN per query: the
+    extra exchange costs more than it saves on shuffle-dominated plans
+    (measured: q91/q118/q149 win 62-77%, q64/q69/q35 lose 10-50%), so
+    only queries with a measured stable win call it."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table, normalizing timestamps of any precision.
 
