@@ -1279,3 +1279,100 @@ def cusum_monitor_stream(events: DataFrame, key_col: str, value_col: str,
     return joined.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout)
+
+
+def fuzzy_dedup_stream(names: DataFrame, out_dir: str,
+                       checkpoint_dir: str, alerts_dir: str,
+                       id_col: str = "id", text_col: str = "text",
+                       max_distance: int = 1, n_buckets: int = 16,
+                       max_bucket: int = 1000,
+                       available_now: bool = False):
+    """Streaming FUZZY string dedup (the entity-resolution face of
+    ``media_dedup_stream``): each micro-batch fuzzy-matches its short
+    strings — names, titles, codes — against BOTH the batch itself and
+    an append-only posting store of every distinct name seen, flagging
+    matches within Levenshtein ``max_distance`` as alert rows under
+    ``alerts_dir/batch=<id>`` pointing at the earlier occurrence.
+
+    Candidate generation is the ``dedup.edit_distance_pairs`` SymSpell
+    shape end to end: the store holds one row per (name, <=k-deletion
+    variant) — O(L) rows per name, key-bucketed by variant hash so a
+    probe reads only the buckets its own variants touch — and the probe
+    is a variant equi-join + map-side exact ``levenshtein`` verify,
+    never a scan of the stored names.  Unlike the exact-tier monitors a
+    fuzzy match is NOT transitive: an alert names the nearest earlier
+    string it matched (min distance, min id tie-break), not a cluster
+    representative.
+
+    Only UNMATCHED names join the store (the media_dedup_stream
+    contract: duplicates never grow state), so store size tracks the
+    distinct-entity count, not the stream length.  Replay safety:
+    store rows carry the writing ``batch_id``; a replayed batch that
+    finds its own id stored skips, and its ``batch=<id>`` alert
+    partition was written atomically (idempotent overwrite).  Cost per
+    trigger: O(batch x L + touched-bucket postings)."""
+    from ..operators.dedup import _delete_variants, edit_distance_pairs
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+        spark = batch_df.sparkSession
+        b = (batch_df.select(F.col(id_col).alias("id"),
+                             F.col(text_col).alias("text"))
+             .where(F.col("text").isNotNull())
+             .localCheckpoint(eager=True))
+        if not b.limit(1).count():
+            return
+        # in-batch tier: every pair within max_distance; the later id
+        # alerts against its nearest earlier match
+        pairs = edit_distance_pairs(b, "id", "text", max_distance,
+                                    max_bucket)
+        in_dups = (pairs.groupBy(F.col("id2").alias("id"))
+                   .agg(F.min(F.struct("dist", "id1")).alias("m"))
+                   .select("id", F.col("m.id1").alias("dup_of"),
+                           F.col("m.dist").alias("dist")))
+        firsts = b.join(in_dups.select("id"), "id", "left_anti")
+        fv = firsts.select(
+            "id", "text",
+            F.explode(_delete_variants("text", max_distance))
+             .alias("variant"))
+        fv = fv.withColumn("kb", F.pmod(F.hash("variant"), n_buckets)) \
+               .localCheckpoint(eager=True)
+        touched = [r.kb for r in fv.select("kb").distinct().collect()]
+        store = None
+        try:
+            store = (spark.read.parquet(out_dir)
+                     .where(F.col("kb").isin(touched))
+                     .localCheckpoint(eager=True))
+            if store.where(F.col("batch_id") ==
+                           F.lit(int(batch_id))).limit(1).count():
+                return  # replay: batch already appended
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+        if store is not None:
+            hits = (fv.join(store.select(F.col("variant").alias("variant"),
+                                         F.col("id").alias("sid"),
+                                         F.col("text").alias("stext")),
+                            "variant")
+                    .withColumn("dist", F.levenshtein("text", "stext"))
+                    .where(F.col("dist") <= max_distance))
+            stored_dups = (hits.groupBy("id")
+                           .agg(F.min(F.struct("dist", "sid")).alias("m"))
+                           .select("id", F.col("m.sid").alias("dup_of"),
+                                   F.col("m.dist").alias("dist")))
+            new = fv.join(stored_dups.select("id"), "id", "left_anti")
+        else:
+            stored_dups = in_dups.limit(0)
+            new = fv
+        alerts = (in_dups.unionByName(stored_dups)
+                  .localCheckpoint(eager=True))
+        alerts.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(alerts_dir, f"batch={int(batch_id)}"))
+        (new.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+         .write.mode("append").partitionBy("kb").parquet(out_dir))
+
+    writer = (names.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

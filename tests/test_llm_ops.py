@@ -1520,3 +1520,57 @@ def test_edit_distance_pairs_rejects_k3(spark):
     with pytest.raises(ValueError):
         DD.edit_distance_pairs(spark.range(1).selectExpr(
             "id", "'x' as text"), max_distance=3)
+
+
+def test_grid_knn_join_vs_bruteforce(spark):
+    """Expanding-ring grid kNN == brute-force exact kNN (distance, then
+    id tie-break), all rows flagged exact when the ring bound settles
+    every point; a sparse outlier escalates through wider rings and
+    still comes back exact."""
+    import math
+    import random
+
+    from nasctn_sea_ingest_spark.operators.spatial import grid_knn_join
+
+    rnd = random.Random(7)
+    pts = [Row(id=i, x=rnd.uniform(0, 50), y=rnd.uniform(0, 50))
+           for i in range(200)]
+    pts.append(Row(id=900, x=95.0, y=95.0))   # far outlier: ring escalation
+    pts.append(Row(id=901, x=96.0, y=96.0))
+    k = 3
+    out = grid_knn_join(spark.createDataFrame(pts), k, cell=3.0,
+                        max_rings=40).collect()
+    got = {}
+    for r in out:
+        assert r.exact, r
+        got.setdefault(r.id, []).append((r.rank, r.nbr_id,
+                                         round(r.dist, 9)))
+    want = {}
+    for p in pts:
+        ds = sorted((round(math.hypot(p.x - q.x, p.y - q.y), 9), q.id)
+                    for q in pts if q.id != p.id)[:k]
+        want[p.id] = [(i + 1, nid, d) for i, (d, nid) in enumerate(ds)]
+    assert {i: sorted(v) for i, v in got.items()} \
+        == {i: sorted(v) for i, v in want.items()}
+
+
+def test_grid_knn_join_best_effort_flag(spark):
+    """max_rings exhaustion returns best-so-far flagged exact=false: two
+    clusters farther apart than max_rings*cell can ever certify k=3 for
+    the 2-point cluster — it reports its one in-range neighbor."""
+    from nasctn_sea_ingest_spark.operators.spatial import grid_knn_join
+
+    pts = [Row(id=1, x=0.0, y=0.0), Row(id=2, x=0.5, y=0.0),
+           Row(id=10, x=500.0, y=500.0), Row(id=11, x=500.5, y=500.0),
+           Row(id=12, x=501.0, y=500.0), Row(id=13, x=500.0, y=501.0)]
+    out = grid_knn_join(spark.createDataFrame(pts), 3, cell=1.0,
+                        max_rings=3).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.id, []).append(r)
+    # the dense cluster certifies within 3 rings
+    for i in (10, 11, 12, 13):
+        assert len(by_id[i]) == 3 and all(r.exact for r in by_id[i])
+    # the 2-point cluster cannot: best-effort single neighbor, not exact
+    assert [ (r.nbr_id, r.exact) for r in by_id[1] ] == [(2, False)]
+    assert [ (r.nbr_id, r.exact) for r in by_id[2] ] == [(1, False)]

@@ -1610,3 +1610,70 @@ def test_quantile_rollup_stream_psi_alerts(spark, tmp_path):
     assert set(al) == {"stable", "moved"}
     assert al["stable"] < 0.05, al
     assert al["moved"] > 0.25, al
+
+
+def test_fuzzy_dedup_stream_alerts_and_replay(spark, tmp_path):
+    """Streaming fuzzy-name dedup: an in-batch distance-1 pair and a
+    cross-wave distance-1 re-arrival both raise alerts pointing at the
+    nearest earlier occurrence; only unmatched names join the posting
+    store (size tracks distinct entities); a crash-replayed batch
+    changes nothing (batch_id-guarded append-only store)."""
+    from pyspark.sql import Row
+    from nasctn_sea_ingest_spark.streaming import fuzzy_dedup_stream
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "store")
+    alerts = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+
+    wave1 = [Row(id=1, text="Acme Corporation"),
+             Row(id=2, text="Globex Industries"),
+             # in-batch fuzzy pair: one substitution off id=1
+             Row(id=5, text="Acme Corporatian"),
+             Row(id=7, text="Initech LLC")]
+    spark.createDataFrame(wave1).coalesce(1) \
+        .write.mode("append").parquet(land)
+
+    def run():
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(land).schema)
+                  .parquet(land))
+        q = fuzzy_dedup_stream(stream, out, ckpt, alerts,
+                               available_now=True)
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    run()
+    al1 = {(r.id, r.dup_of, r.dist)
+           for r in spark.read.parquet(alerts).collect()}
+    assert al1 == {(5, 1, 1)}
+    store1 = spark.read.parquet(out)
+    assert store1.select("id").distinct().count() == 3   # 1, 2, 7
+    # one posting row per (name, DISTINCT variant): deleting either char
+    # of a repeated run yields the same string (the "LL" in LLC)
+    def n_variants(t):
+        return len({t} | {t[:i] + t[i + 1:] for i in range(len(t))})
+    n_post1 = store1.count()
+    assert n_post1 == sum(n_variants(t) for t in
+                          ("Acme Corporation", "Globex Industries",
+                           "Initech LLC"))
+    _delete_commit_marker(ckpt)
+    run()                                       # replay: no growth
+    assert spark.read.parquet(out).count() == n_post1
+    assert {(r.id, r.dup_of, r.dist)
+            for r in spark.read.parquet(alerts).collect()} == al1
+
+    # wave 2: deletion-variant re-arrival of a STORED name + a new name
+    wave2 = [Row(id=11, text="Initech LL"),       # delete off id=7
+             Row(id=12, text="Umbrella Group")]
+    spark.createDataFrame(wave2).coalesce(1) \
+        .write.mode("append").parquet(land)
+    run()
+    al2 = {(r.id, r.dup_of, r.dist)
+           for r in spark.read.parquet(alerts).collect()}
+    assert al2 == al1 | {(11, 7, 1)}
+    store2 = spark.read.parquet(out)
+    assert store2.select("id").distinct().count() == 4   # + Umbrella
+    assert store2.where("id = 11").count() == 0          # dup never stored
