@@ -70,3 +70,29 @@ def test_text_cdc_and_dhash_plans(spark, tiny):
     from nasctn_sea_ingest_spark.operators.text import cdc_chunk_dedup
     docs, _emb, _ev = tiny
     _lint(_plan(cdc_chunk_dedup(docs)), "cdc_chunk_dedup")
+
+
+def test_spatial_and_fuzzy_plans(spark):
+    """Round-8 library ops: the spatial radius/kNN joins and the
+    SymSpell fuzzy join must candidate-generate via hash equi-joins —
+    no cartesian, no non-broadcast nested loop, no row-Python — and
+    the kNN loop's per-ring join stays equi-shaped too."""
+    from nasctn_sea_ingest_spark.operators.dedup import \
+        edit_distance_pairs
+    from nasctn_sea_ingest_spark.operators.spatial import (
+        grid_distance_join, grid_knn_join)
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 7) * 3.0, float(i % 5) * 3.0) for i in range(40)],
+        "id long, x double, y double")
+    p = _plan(grid_distance_join(pts, 4.0))
+    _lint(p, "grid_distance_join")
+    assert "Join" in p                       # positive: a join exists
+    knn = grid_knn_join(pts, 2, cell=4.0, max_rings=2)
+    _lint(_plan(knn), "grid_knn_join")
+    names = spark.createDataFrame(
+        [(i, f"name-{i:04d}") for i in range(40)],
+        "id long, text string")
+    p = _plan(edit_distance_pairs(names, max_distance=1))
+    _lint(p, "edit_distance_pairs")
+    assert "levenshtein" in p

@@ -1574,3 +1574,39 @@ def test_grid_knn_join_best_effort_flag(spark):
     # the 2-point cluster cannot: best-effort single neighbor, not exact
     assert [ (r.nbr_id, r.exact) for r in by_id[1] ] == [(2, False)]
     assert [ (r.nbr_id, r.exact) for r in by_id[2] ] == [(1, False)]
+
+
+def test_edit_distance_pairs_adversarial_alphabet(spark):
+    """Seeded randomized sweep over a 2-letter alphabet with lengths
+    0-5: maximal variant collisions, empty strings (whose only variant
+    is themselves — "" matches any single char at distance 1), repeated
+    runs.  Blocked join == brute-force at k=1 and k=2."""
+    import itertools
+    import random
+
+    def lev(a, b):
+        m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            m[i][0] = i
+        for j in range(len(b) + 1):
+            m[0][j] = j
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = min(m[i - 1][j] + 1, m[i][j - 1] + 1,
+                              m[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+        return m[len(a)][len(b)]
+
+    rnd = random.Random(99)
+    rows = [Row(id=i, text="".join(rnd.choice("ab")
+                                   for _ in range(rnd.randint(0, 5))))
+            for i in range(60)]
+    df = spark.createDataFrame(rows)
+    for k in (1, 2):
+        got = {(r.id1, r.id2, r.dist) for r in DD.edit_distance_pairs(
+            df, max_distance=k, max_bucket=None).collect()}
+        want = set()
+        for a, b in itertools.combinations(rows, 2):
+            d = lev(a.text, b.text)
+            if d <= k:
+                want.add((min(a.id, b.id), max(a.id, b.id), d))
+        assert got == want, f"k={k}: {sorted(got ^ want)[:6]}"
