@@ -1610,3 +1610,75 @@ def test_edit_distance_pairs_adversarial_alphabet(spark):
             if d <= k:
                 want.add((min(a.id, b.id), max(a.id, b.id), d))
         assert got == want, f"k={k}: {sorted(got ^ want)[:6]}"
+
+
+def test_linkage_scores_fellegi_sunter(spark):
+    """FS linkage == an independent Python recomputation over the same
+    candidate pairs: planted duplicate people (name typo, same zip,
+    same birth year) score far above unrelated pairs sharing only a
+    block key; recall comes from the UNION of two redundant block keys
+    (a typo'd name prefix misses block 1, the zip block still catches
+    it); a degenerate zip is guarded out."""
+    import math
+
+    from nasctn_sea_ingest_spark.operators.er import (
+        FieldRule, blocked_candidates, linkage_scores)
+
+    rows = [
+        Row(pid=1, name="johnson maria", zip="30318", yob=1984),
+        Row(pid=2, name="jahnson maria", zip="30318", yob=1984),  # typo dup of 1
+        Row(pid=3, name="smith robert", zip="30318", yob=1990),   # same zip only
+        Row(pid=4, name="smith roberta", zip="98101", yob=1971),
+        Row(pid=5, name="smith roberta", zip="98101", yob=1971),  # exact dup of 4
+        Row(pid=6, name="lee alan", zip="60601", yob=2000),
+    ]
+    df = spark.createDataFrame(rows)
+    fields = [FieldRule("name", m=0.9, u=0.01, kind="levenshtein1"),
+              FieldRule("zip", m=0.95, u=0.1),
+              FieldRule("yob", m=0.98, u=0.05)]
+    blocks = ["substring(name, 1, 4)", "zip"]
+    got = {(r.id1, r.id2): r for r in linkage_scores(
+        df, "pid", blocks, fields).collect()}
+    # candidates = union of the two block joins (1,2 share zip despite
+    # the first-4-chars typo; 4,5 share both; 3 pairs with 1/2 via zip
+    # and with 4/5 via the "smit" name-prefix block)
+    assert set(got) == {(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5)}
+
+    def w(m, u, agree):
+        return math.log2(m / u) if agree else math.log2((1 - m) / (1 - u))
+
+    by_id = {r.pid: r for r in rows}
+    def lev1(a, b):
+        if a == b:
+            return True
+        if abs(len(a) - len(b)) > 1:
+            return False
+        # distance-1 check via the same DP the oracle tests use
+        mtx = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            mtx[i][0] = i
+        for jj in range(len(b) + 1):
+            mtx[0][jj] = jj
+        for i in range(1, len(a) + 1):
+            for jj in range(1, len(b) + 1):
+                mtx[i][jj] = min(mtx[i - 1][jj] + 1, mtx[i][jj - 1] + 1,
+                                 mtx[i - 1][jj - 1] + (a[i - 1] != b[jj - 1]))
+        return mtx[len(a)][len(b)] <= 1
+
+    for (i, j), r in got.items():
+        a, b = by_id[i], by_id[j]
+        expect = (w(0.9, 0.01, lev1(a.name, b.name))
+                  + w(0.95, 0.1, a.zip == b.zip)
+                  + w(0.98, 0.05, a.yob == b.yob))
+        assert abs(r.score - expect) < 1e-9, (i, j)
+    # planted dups dominate the block-collision pair
+    assert got[(1, 2)].score > got[(1, 3)].score + 5
+    assert got[(4, 5)].score > got[(1, 3)].score + 5
+
+    # degenerate block guard: 40 records sharing zip "00000" never pair
+    degen = [Row(pid=100 + i, name=f"x{i:03d} person", zip="00000",
+                 yob=1900) for i in range(40)]
+    dd = spark.createDataFrame(rows + degen)
+    cand = blocked_candidates(dd, "pid", ["zip"], max_block=10)
+    ids = {x for r in cand.collect() for x in (r.id1, r.id2)}
+    assert not ids & set(range(100, 140))
