@@ -142,11 +142,13 @@ def grid_knn_join(points: DataFrame, k: int, cell: float,
     pending = base            # points still hunting their kNN
     cand = None               # accumulated (id, nbr, dist) candidates
     done = None               # finished top-k rows
-    # geometric ring schedule (0, 1, 2, 4, 8, ... max_rings): a sparse
+    # geometric ring schedule (1, 2, 4, 8, ... max_rings): a sparse
     # outlier needing ring R costs O(log R) driver iterations, not O(R);
     # each iteration searches every shell between the previous target
-    # and this one, and the termination bound uses the ring REACHED
-    targets = [0, 1]
+    # and this one (the first covers rings 0..1 -- a ring-0-only pass
+    # almost never settles anything and would cost a full driver round
+    # trip), and the termination bound uses the ring REACHED
+    targets = [1]
     while targets[-1] < max_rings:
         targets.append(min(targets[-1] * 2, max_rings))
     prev_ring = -1

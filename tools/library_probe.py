@@ -42,19 +42,71 @@ def main():
     k_hi = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    # comma-list filter so one suspect op can be probed alone
+    only = os.environ.get("SPARK_GRAFT_LIB_OPS")
+    only = set(only.split(",")) if only else None
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     docs0 = spark.read.parquet(f"{sf}/documents.parquet") \
         .select("doc_id", "text")
     emb0 = spark.read.parquet(f"{sf}/embeddings.parquet")
     li0 = spark.read.parquet(f"{sf}/lineitem.parquet")
+    cust0 = spark.read.parquet(f"{sf}/customer.parquet")
 
     def t(fn):
         t0 = time.perf_counter()
         n = fn()
         return time.perf_counter() - t0, n
 
+    def want(name):
+        return only is None or name in only
+
     for k in (1, k_hi):
+        if want("grid_knn_join") or want("linkage_scores"):
+            from nasctn_sea_ingest_spark.operators.er import (
+                FieldRule, linkage_scores)
+            from nasctn_sea_ingest_spark.operators.spatial import \
+                grid_knn_join
+            c = rep(cust0, k, "c_custkey").persist()
+            c.count()
+            if want("grid_knn_join"):
+                # md5 coords on a FIXED plane: 16x density — the q161
+                # probe's output-driven adversarial recipe, but kNN
+                # output stays k rows per point (linear), so time
+                # should track N, not pairs
+                h = ("cast(conv(substring(md5(concat(cast(c_custkey as "
+                     "string), '{s}')), 1, 15), 16, 10) as bigint) "
+                     "% 100000")
+                pts = c.selectExpr(
+                    "c_custkey as id",
+                    f"cast({h.format(s='')} as double)/100.0 as x",
+                    f"cast({h.format(s='y')} as double)/100.0 as y")
+                dt, n = t(lambda: grid_knn_join(
+                    pts, k=5, cell=20.0).count())
+                print(f"x{k} grid_knn_join        {dt:7.2f}s rows={n}")
+            if want("linkage_scores"):
+                # block keys from the padded-digit name structure: same
+                # trailing-2-digit block + nationkey block
+                fields = [FieldRule("c_name", m=0.9, u=0.01,
+                                    kind="levenshtein1"),
+                          FieldRule("c_nationkey", m=0.95, u=0.04),
+                          FieldRule("c_mktsegment", m=0.9, u=0.2)]
+                blocks = ["substring(c_name, length(c_name) - 2, 3)",
+                          "cast(c_nationkey as string)"]
+                # default max_block=1000: at 16x the 25-value
+                # nationkey block saturates (9600 records/block would
+                # be ~46M pairs each) and is GUARDED OUT -- candidates
+                # then come only from the trailing-3-digit name blocks
+                # (240 records/block at 16x, under the guard).  The
+                # unguarded form is the quadratic blow-up this
+                # stop-key contract exists to prevent.
+                dt, n = t(lambda: linkage_scores(
+                    c, "c_custkey", blocks, fields).count())
+                print(f"x{k} linkage_scores       {dt:7.2f}s pairs={n}")
+            c.unpersist()
+        if only is not None and not (only - {"grid_knn_join",
+                                             "linkage_scores"}):
+            continue
         d = rep(docs0, k, "doc_id").persist()
         d.count()
         dt, n = t(lambda: cdc_chunk_dedup(d).count())
