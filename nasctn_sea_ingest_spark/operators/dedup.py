@@ -316,6 +316,12 @@ def dup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     the growing lineage each round (an iterative algorithm, so there is no
     single declarative plan — this is the documented Pregel-style pattern).
 
+    DIAMETER CONTRACT: labels crawl ONE hop per round, so a component
+    wider than ``max_iter`` hops exits UNCONVERGED (near-dup cliques
+    never are; CDC revision chains A~B~C~... can be).  For chain-shaped
+    graphs use ``graph.star_components`` — same (node, cluster) output,
+    O(log n) rounds regardless of diameter.
+
     Returns (node, cluster): every id that appears in any pair, labeled
     with its component's min id. Not SQL-expressible without recursion —
     library-tested against pure-Python union-find.

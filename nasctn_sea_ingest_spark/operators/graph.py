@@ -96,3 +96,82 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                 break
         ranks = new_ranks
     return ranks.select("node", "rank")
+
+
+def star_components(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
+                    max_iter: int = 30) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — converges in O(log n) ROUNDS REGARDLESS OF DIAMETER,
+    where ``dedup.dup_clusters``' min-label propagation needs
+    diameter-many rounds (fine for near-clique duplicate groups,
+    silently WRONG past ``max_iter`` hops on chain-shaped graphs: CDC
+    dedup chains A~B~C~... where consecutive revisions pair but distant
+    ones don't).  Returns ``(node, cluster)`` with cluster = the
+    component's min node id, same contract as ``dup_clusters``.
+
+    Per round each operation is one groupBy-min + one equi-join on the
+    node key (the same shuffle shape as a label round), but the edge
+    set CONTRACTS toward the star form (v, min) instead of labels
+    crawling one hop per round:
+
+    - large-star: for each node u, hang every LARGER neighbor off
+      m = min(N(u) ∪ {u})  — halves tree heights;
+    - small-star: hang every neighbor ≤ u (plus u) off m — flattens.
+
+    Fixpoint (edge multiset stops changing — checked by a cheap
+    order-independent hash-sum aggregate, the table_fingerprint trick)
+    means every edge is (v, component-min).  localCheckpoint truncates
+    lineage per round, the documented Pregel-style pattern."""
+    e = pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
+    edges = (e.unionByName(e.select(F.col("b").alias("a"),
+                                    F.col("a").alias("b")))
+             .where(F.col("a") != F.col("b")).distinct()
+             .localCheckpoint())
+    nodes = edges.select(F.col("a").alias("node")).distinct() \
+                 .localCheckpoint()
+    # size rounds to the graph, not the session (the dup_clusters rule)
+    n_e = edges.count()
+    p = max(1, -(-n_e // 2_000_000))
+    if p < edges.rdd.getNumPartitions():
+        edges = edges.coalesce(p)
+
+    def _star(ed: DataFrame, large: bool) -> DataFrame:
+        if large:
+            # undirected neighborhoods: re-symmetrize, then hang every
+            # LARGER neighbor off min(N(u) ∪ {u})
+            sym = ed.unionByName(ed.select(F.col("b").alias("a"),
+                                           F.col("a").alias("b")))
+            m = (sym.groupBy("a")
+                 .agg(F.least(F.min("b"), F.first("a")).alias("m")))
+            out = (sym.join(m, "a").where(F.col("b") > F.col("a"))
+                   .select(F.col("b").alias("a"), F.col("m").alias("b")))
+        else:
+            # edges directed larger -> smaller: hang every smaller
+            # neighbor (and u itself) off the minimum
+            d = ed.select(F.greatest("a", "b").alias("a"),
+                          F.least("a", "b").alias("b"))
+            m = d.groupBy("a").agg(F.min("b").alias("m"))
+            j = d.join(m, "a")
+            out = (j.select(F.col("b").alias("a"), F.col("m").alias("b"))
+                   .unionByName(m.select("a", F.col("m").alias("b"))))
+        return (out.where(F.col("a") != F.col("b")).distinct()
+                .localCheckpoint())
+
+    prev = None
+    for _ in range(max_iter):
+        edges = _star(edges, large=True)
+        edges = _star(edges, large=False)
+        # order-independent multiset digest: sum of per-edge hashes
+        cur = edges.agg(
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)"))).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    # at fixpoint every surviving edge is (node, component-min); nodes
+    # that ARE their component's min have no outgoing edge left
+    lab = edges.groupBy("a").agg(F.min("b").alias("cluster")) \
+               .withColumnRenamed("a", "node")
+    return (nodes.join(lab, "node", "left")
+            .select("node", F.coalesce("cluster", "node")
+                    .alias("cluster")))

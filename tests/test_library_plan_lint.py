@@ -96,3 +96,19 @@ def test_spatial_and_fuzzy_plans(spark):
     p = _plan(edit_distance_pairs(names, max_distance=1))
     _lint(p, "edit_distance_pairs")
     assert "levenshtein" in p
+
+
+def test_star_components_round_plans(spark):
+    """Each alternating-star round must stay hash-shuffle shaped (one
+    groupBy-min + one equi-join per star op) — no cartesian, no
+    row-Python; the per-round localCheckpoint makes the FINAL labels
+    plan a bounded scan, not a 2*max_iter-deep join tree."""
+    from nasctn_sea_ingest_spark.operators.graph import star_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)] + [(100, 150), (150, 160)],
+        "d1 long, d2 long")
+    out = star_components(pairs)
+    p = _plan(out)
+    _lint(p, "star_components")
+    assert p.count("Scan ExistingRDD") >= 1   # checkpoint-backed, flat

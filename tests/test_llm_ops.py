@@ -1682,3 +1682,70 @@ def test_linkage_scores_fellegi_sunter(spark):
     cand = blocked_candidates(dd, "pid", ["zip"], max_block=10)
     ids = {x for r in cand.collect() for x in (r.id1, r.id2)}
     assert not ids & set(range(100, 140))
+
+
+def _union_find(pairs):
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    comp = {}
+    for x in list(parent):
+        comp.setdefault(find(x), set()).add(x)
+    out = {}
+    for root, members in comp.items():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+def test_star_components_vs_union_find(spark):
+    """Large-star/small-star CC == Python union-find on a random graph
+    (multi-component, self-loop edges dropped, isolated-from-pairs
+    nodes labeled themselves)."""
+    import random
+
+    from nasctn_sea_ingest_spark.operators.graph import star_components
+
+    rnd = random.Random(31)
+    pairs = [(rnd.randint(0, 120), rnd.randint(0, 120))
+             for _ in range(90)]
+    df = spark.createDataFrame(pairs, "d1 long, d2 long")
+    got = {r.node: r.cluster for r in star_components(df).collect()}
+    want = _union_find([p for p in pairs if p[0] != p[1]])
+    # self-loop-only nodes still appear, labeled themselves
+    for a, b in pairs:
+        want.setdefault(a, a)
+        want.setdefault(b, b)
+    assert got == want
+
+
+def test_star_components_long_chain_where_label_propagation_fails(spark):
+    """A 3000-node path graph: min-label propagation moves the label
+    ONE hop per round, so dup_clusters(max_iter=20) cannot converge and
+    returns wrong clusters (documented near-clique contract) — the
+    alternating-star algorithm converges in O(log n) rounds and labels
+    the whole chain with node 0."""
+    from nasctn_sea_ingest_spark.operators.dedup import dup_clusters
+    from nasctn_sea_ingest_spark.operators.graph import star_components
+
+    n = 3000
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("d1"), (F.col("id") + 1).alias("d2"))
+    got = star_components(chain).collect()
+    assert len(got) == n
+    assert all(r.cluster == 0 for r in got)
+    # the contrast that motivates star_components: label propagation
+    # walks the chain one hop per round
+    lab = {r.node: r.cluster
+           for r in dup_clusters(chain, max_iter=5).collect()}
+    assert any(v != 0 for v in lab.values())
