@@ -474,3 +474,88 @@ def psi_table(current: DataFrame, baseline: DataFrame,
     return j.groupBy(*keys).applyInPandas(
         compute,
         f"{key_schema}, n_baseline long, n_current long, psi double")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k theta) distinct sketch
+# ---------------------------------------------------------------------------
+#
+# The set-operation member of the mergeable-sketch family: HLL (streaming
+# rollup) estimates distinct counts but cannot INTERSECT; a KMV sketch
+# keeps the k smallest normalized hashes of a set, so the union of two
+# sketches is exact sketch algebra (k smallest of the union = k smallest
+# of the concatenated sketches) and intersections/Jaccard fall out of
+# membership among the union's values — the theta-sketch trick.
+
+_KMV_NORM = ("(cast(xxhash64({c}) as double) / 18446744073709551616.0"
+             " + 0.5)")          # signed 64-bit hash -> uniform (0, 1)
+
+
+def kmv_sketch(df: DataFrame, keys: Sequence[str], col: str,
+               k: int = 256) -> DataFrame:
+    """Per-``keys`` KMV distinct sketch of ``col``: one row per group
+    with ``kmv`` = the ASCENDING array of the k minimum normalized
+    hash values (fewer when the group has < k distinct values — then
+    the sketch is EXACT).  Distinct estimate: ``size`` when < k, else
+    ``(k-1)/kmv[k-1]`` (standard bottom-k estimator, relative error
+    ~1/sqrt(k-2)).
+
+    Plan shape: one hash-aggregate to distinct (keys, hash) — map-side
+    combine does the heavy dedup — then a (keys)-window rank <= k and
+    one ordered collect per group: every stage is bounded, no
+    collect_set of unbounded distinct sets ever sits in one executor's
+    aggregation buffer."""
+    from pyspark.sql import Window
+
+    h = F.expr(_KMV_NORM.format(c=col))
+    d = df.select(*keys, h.alias("__h")).groupBy(*keys, "__h").agg(
+        F.lit(1).alias("__one"))
+    w = Window.partitionBy(*keys).orderBy("__h")
+    topk = d.withColumn("__rn", F.row_number().over(w)) \
+            .where(F.col("__rn") <= k)
+    return (topk.groupBy(*keys)
+            .agg(F.array_sort(F.collect_list("__h")).alias("kmv")))
+
+
+def merge_kmv_rows(a: DataFrame, b: DataFrame, keys: Sequence[str],
+                   k: int = 256) -> DataFrame:
+    """Union-merge per-key KMV rows (same ``k``): k smallest of the
+    concatenation — EXACTLY the sketch of the union (one-sided keys
+    pass through).  The O(delta) maintenance path, like cm_merge."""
+    keys = list(keys)
+    bb = b.select(*keys, F.col("kmv").alias("__kb"))
+    j = a.join(bb, keys, "full")
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat(
+            F.coalesce(F.col("kmv"), F.array()),
+            F.coalesce(F.col("__kb"), F.array())))), 1, k)
+    return j.select(*keys, merged.alias("kmv"))
+
+
+def kmv_estimate_expr(kmv, k: int = 256) -> Column:
+    """Distinct-count estimate from a ``kmv`` array column: exact size
+    below k, else (k-1)/theta with theta = the k-th minimum."""
+    kmv = _c(kmv)
+    return F.when(F.size(kmv) < k, F.size(kmv).cast("double")) \
+            .otherwise((F.lit(float(k - 1))
+                        / F.element_at(kmv, k)))
+
+
+def kmv_jaccard_expr(a, b, k: int = 256) -> Column:
+    """Jaccard similarity estimate of two same-``k`` KMV arrays: among
+    the union sketch's values (k smallest of both, below the shared
+    theta), the fraction present in BOTH input sketches — the theta-
+    sketch intersection estimator.  Multiply by the union estimate
+    (:func:`kmv_estimate_expr` of the merged array) for |A ∩ B|."""
+    a, b = _c(a), _c(b)
+    u = F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+    # shared threshold: only values below BOTH sketches' thetas (and the
+    # union's) are comparable membership samples
+    theta = F.least(
+        F.element_at(a, F.size(a)), F.element_at(b, F.size(b)),
+        F.element_at(u, F.size(u)))
+    below = F.filter(u, lambda v: v <= theta)
+    inter = F.size(F.filter(below, lambda v: F.array_contains(a, v)
+                            & F.array_contains(b, v)))
+    return (inter.cast("double")
+            / F.greatest(F.size(below), F.lit(1)).cast("double"))

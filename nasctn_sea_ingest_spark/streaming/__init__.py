@@ -1376,3 +1376,28 @@ def fuzzy_dedup_stream(names: DataFrame, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def kmv_rollup_stream(updates: DataFrame, out_dir: str,
+                      checkpoint_dir: str, keys: "list[str]",
+                      col: str, k: int = 256,
+                      available_now: bool = False):
+    """Incrementally maintained per-key KMV distinct sketch: each
+    micro-batch sketches its own rows (``operators.sketch.kmv_sketch``)
+    and union-merges into the stored rows (``merge_kmv_rows`` — k
+    smallest of the concatenation, EXACT sketch algebra), so "how many
+    distinct X per key, and how much do two keys overlap" stays
+    queryable (``kmv_estimate_expr`` / ``kmv_jaccard_expr``) at any
+    trigger with state <= k doubles per key regardless of stream
+    length.  Completes the mergeable-family rule one more time: HLL
+    answers distinct-count only; KMV is the streaming face that can
+    also INTERSECT.  Replay-guarded by the shared ``last_batch`` stamp
+    (a re-merged batch would be a no-op for the union algebra, but the
+    guard keeps the skeleton's invariant uniform)."""
+    from ..operators.sketch import kmv_sketch, merge_kmv_rows
+
+    return _guarded_small_rollup(
+        updates, out_dir, checkpoint_dir,
+        lambda b: kmv_sketch(b, keys, col, k),
+        lambda a, b: merge_kmv_rows(a, b, keys, k),
+        available_now)

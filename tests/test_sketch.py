@@ -384,3 +384,82 @@ def test_psi_table_per_key(spark, sf_dir):
         assert "ZZ" not in {r.l_returnflag for r in out.collect()}
     finally:
         base.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+def test_kmv_exact_below_k_and_bounded_error_above(spark):
+    """A group with < k distinct values sketches EXACTLY; a 50k-distinct
+    group estimates within ~4/sqrt(k-2) relative error."""
+    import pyspark.sql.functions as F
+    from nasctn_sea_ingest_spark.operators.sketch import (
+        kmv_estimate_expr, kmv_sketch)
+
+    k = 256
+    small = spark.range(100).select(F.lit("s").alias("g"),
+                                    (F.col("id") % 37).alias("v"))
+    big = spark.range(150000).select(F.lit("b").alias("g"),
+                                     (F.col("id") % 50000).alias("v"))
+    sk = kmv_sketch(small.unionByName(big), ["g"], "v", k=k)
+    est = {r.g: r.est for r in sk.select(
+        "g", kmv_estimate_expr("kmv", k).alias("est")).collect()}
+    assert est["s"] == 37.0                       # exact below k
+    assert abs(est["b"] - 50000) / 50000 < 4 / (k - 2) ** 0.5
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """merge(kmv(A), kmv(B)) is ELEMENT-IDENTICAL to kmv(A ∪ B): the k
+    smallest of a union are the k smallest of the parts' k-smallest —
+    exact sketch algebra, like cm_merge's cell identity.  One-sided
+    keys pass through."""
+    import pyspark.sql.functions as F
+    from nasctn_sea_ingest_spark.operators.sketch import (
+        kmv_sketch, merge_kmv_rows)
+
+    k = 64
+    a = spark.range(3000).select((F.col("id") % 3).cast("string").alias("g"),
+                                 F.col("id").alias("v"))
+    b = spark.range(2000, 7000).select(
+        (F.col("id") % 2).cast("string").alias("g"), F.col("id").alias("v"))
+    merged = {r.g: r.kmv for r in merge_kmv_rows(
+        kmv_sketch(a, ["g"], "v", k), kmv_sketch(b, ["g"], "v", k),
+        ["g"], k).collect()}
+    direct = {r.g: r.kmv for r in kmv_sketch(
+        a.unionByName(b), ["g"], "v", k).collect()}
+    assert set(merged) == {"0", "1", "2"}
+    for g in ("0", "1"):
+        assert merged[g] == direct[g], g          # element-identical
+    # g=2 exists only in a: pass-through
+    assert merged["2"] == {r.g: r.kmv for r in kmv_sketch(
+        a, ["g"], "v", k).collect()}["2"]
+
+
+def test_kmv_jaccard_tracks_planted_overlap(spark):
+    """Two 20k-value sets with 50% planted overlap: the theta-sketch
+    Jaccard estimate lands near 1/3 (|A∩B|/|A∪B| = 10k/30k) and the
+    intersection estimate (jaccard x union estimate) near 10k."""
+    import pyspark.sql.functions as F
+    from nasctn_sea_ingest_spark.operators.sketch import (
+        kmv_estimate_expr, kmv_jaccard_expr, kmv_sketch,
+        merge_kmv_rows)
+
+    k = 512
+    a = spark.range(20000).select(F.lit("x").alias("g"),
+                                  F.col("id").alias("v"))
+    b = spark.range(10000, 30000).select(F.lit("x").alias("g"),
+                                         F.col("id").alias("v"))
+    sa = kmv_sketch(a, ["g"], "v", k).select(
+        "g", F.col("kmv").alias("ka"))
+    sb = kmv_sketch(b, ["g"], "v", k).select(
+        "g", F.col("kmv").alias("kb"))
+    row = (sa.join(sb, "g")
+           .select(kmv_jaccard_expr("ka", "kb", k).alias("j"))
+           .first())
+    assert abs(row.j - 1 / 3) < 0.06, row.j
+    union_est = merge_kmv_rows(
+        kmv_sketch(a, ["g"], "v", k), kmv_sketch(b, ["g"], "v", k),
+        ["g"], k).select(kmv_estimate_expr("kmv", k).alias("e")).first().e
+    inter_est = row.j * union_est
+    assert abs(inter_est - 10000) / 10000 < 0.2, inter_est

@@ -1677,3 +1677,55 @@ def test_fuzzy_dedup_stream_alerts_and_replay(spark, tmp_path):
     store2 = spark.read.parquet(out)
     assert store2.select("id").distinct().count() == 4   # + Umbrella
     assert store2.where("id = 11").count() == 0          # dup never stored
+
+
+def test_kmv_rollup_stream_matches_batch(spark, tmp_path):
+    """Maintained KMV snapshot == from-scratch sketch of everything
+    streamed, ELEMENT-identical per key (union merge is exact sketch
+    algebra); crash replay changes nothing; estimates stay queryable
+    at every trigger."""
+    import pyspark.sql.functions as F
+    from nasctn_sea_ingest_spark.operators.sketch import (
+        kmv_estimate_expr, kmv_sketch)
+    from nasctn_sea_ingest_spark.streaming import kmv_rollup_stream
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    k = 64
+
+    def wave(lo, hi):
+        spark.range(lo, hi).select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            (F.col("id") % 900).alias("v")) \
+            .coalesce(1).write.mode("append").parquet(land)
+
+    def run():
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(land).schema)
+                  .parquet(land))
+        q = kmv_rollup_stream(stream, out, ckpt, ["g"], "v", k=k,
+                              available_now=True)
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    wave(0, 2000)
+    run()
+    wave(2000, 5000)
+    run()
+    snap = {r.g: r.kmv for r in spark.read.parquet(out).collect()}
+    direct = {r.g: r.kmv for r in kmv_sketch(
+        spark.read.parquet(land), ["g"], "v", k).collect()}
+    assert snap == direct                       # element-identical
+    est = {r.g: r.e for r in spark.read.parquet(out).select(
+        "g", kmv_estimate_expr("kmv", k).alias("e")).collect()}
+    # 900 distinct v values split by parity of id... both keys see all
+    # residues over 5000 ids; sanity: estimates in a plausible band
+    for g, e in est.items():
+        assert 300 < e < 700, (g, e)            # true 450 per key
+    _delete_commit_marker(ckpt)
+    run()                                       # replay: unchanged
+    snap2 = {r.g: r.kmv for r in spark.read.parquet(out).collect()}
+    assert snap2 == snap
