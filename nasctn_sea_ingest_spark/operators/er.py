@@ -38,7 +38,7 @@ class FieldRule:
     col: str
     m: float
     u: float
-    kind: str = "exact"          # "exact" | "levenshtein1" | "prefix4"
+    kind: str = "exact"   # "exact" | "levenshtein1" | "prefix4" | "soundex"
 
     def agree(self, left: Column, right: Column) -> Column:
         if self.kind == "exact":
@@ -47,6 +47,10 @@ class FieldRule:
             return F.levenshtein(left, right) <= 1
         if self.kind == "prefix4":
             return F.substring(left, 1, 4) == F.substring(right, 1, 4)
+        if self.kind == "soundex":
+            # phonetic agreement (JVM built-in): catches transcription
+            # variants levenshtein misses (smith/smyth, jon/john)
+            return F.soundex(left) == F.soundex(right)
         raise ValueError(f"unknown agreement kind {self.kind!r}")
 
     @property

@@ -1749,3 +1749,84 @@ def test_star_components_long_chain_where_label_propagation_fails(spark):
     lab = {r.node: r.cluster
            for r in dup_clusters(chain, max_iter=5).collect()}
     assert any(v != 0 for v in lab.values())
+
+
+def test_linkage_soundex_kind(spark):
+    """Phonetic agreement: smyth/smith and jon/john agree under the
+    soundex rule though levenshtein1 only catches the first."""
+    from nasctn_sea_ingest_spark.operators.er import (
+        FieldRule, linkage_scores)
+
+    rows = [Row(pid=1, name="smith", zip="1"),
+            Row(pid=2, name="smyth", zip="1"),
+            Row(pid=3, name="jon", zip="1"),
+            Row(pid=4, name="john", zip="1"),
+            Row(pid=5, name="garcia", zip="1")]
+    out = {(r.id1, r.id2): r.agree_name for r in linkage_scores(
+        spark.createDataFrame(rows), "pid", ["zip"],
+        [FieldRule("name", m=0.9, u=0.05, kind="soundex")]).collect()}
+    assert out[(1, 2)] and out[(3, 4)]
+    assert not out[(1, 5)] and not out[(4, 5)]
+
+
+def test_funnel_anchors_and_report_vs_python(spark):
+    """Generic 4-step anchored funnel == a Python replay: anchors are
+    the first qualifying event strictly after the previous anchor and
+    within the bound; report counts/ratios match; plan stays user-keyed
+    equi-joins (no nested loop)."""
+    import random
+
+    from nasctn_sea_ingest_spark.operators.funnel import (
+        funnel_anchors, funnel_report)
+
+    rnd = random.Random(17)
+    evs = []
+    for uid in range(80):
+        t = 0
+        for _ in range(rnd.randint(1, 25)):
+            t += rnd.randint(1, 50)
+            evs.append((uid, t, rnd.choice("vcpx")))
+    df = spark.createDataFrame(evs, "user_id long, ts_us long, e string")
+    steps = [("view", "e = 'v'"), ("click", "e = 'c'"),
+             ("purchase", "e = 'p'"), ("repeat", "e = 'p'")]
+    W = 60
+    got = {r.user_id: (r.t_view, r.t_click, r.t_purchase, r.t_repeat)
+           for r in funnel_anchors(df, steps, within_us=W).collect()}
+
+    by_user = {}
+    for uid, t, e in evs:
+        by_user.setdefault(uid, []).append((t, e))
+    want = {}
+    for uid, seq in by_user.items():
+        seq.sort()
+        anchors = []
+        prev = None
+        for name, match in (("view", "v"), ("click", "c"),
+                            ("purchase", "p"), ("repeat", "p")):
+            if prev is None and anchors:
+                anchors.append(None)
+                continue
+            cand = [t for t, e in seq if e == match
+                    and (len(anchors) == 0
+                         or (prev is not None and prev < t <= prev + W))]
+            cur = min(cand) if cand else None
+            anchors.append(cur)
+            prev = cur
+        if anchors[0] is not None:
+            want[uid] = tuple(anchors)
+    assert got == want
+
+    rep = {r.step: r for r in funnel_report(
+        df, steps, within_us=W).collect()}
+    n = [sum(1 for v in want.values() if v[i] is not None)
+         for i in range(4)]
+    assert [rep[s].users for s in
+            ("view", "click", "purchase", "repeat")] == n
+    import math
+    for i, s in enumerate(("view", "click", "purchase", "repeat")):
+        exp_first = math.floor((n[i] / n[0] if n[0] else 0) * 1e6) / 1e6
+        assert rep[s].conv_from_first == exp_first
+    p = funnel_anchors(df, steps, within_us=W) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
