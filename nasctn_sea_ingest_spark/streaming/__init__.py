@@ -1401,3 +1401,85 @@ def kmv_rollup_stream(updates: DataFrame, out_dir: str,
         lambda b: kmv_sketch(b, keys, col, k),
         lambda a, b: merge_kmv_rows(a, b, keys, k),
         available_now)
+
+
+def funnel_monitor_stream(events: DataFrame,
+                          steps: "list[tuple[str, str]]",
+                          user_col: str = "user_id",
+                          ts_col: str = "ts_us",
+                          within_us: "int | None" = None) -> DataFrame:
+    """Streaming anchored funnel per user — the production form of
+    ``operators.funnel.funnel_anchors``: state per user is its step
+    anchor times (#steps longs — bounded regardless of stream length),
+    updated as events arrive; each micro-batch emits one row per
+    touched user with the current anchors and the furthest step
+    reached, so a live conversion dashboard is one groupBy away at any
+    trigger.
+
+    Rows are applied in ``ts`` order inside each batch and batches are
+    assumed event-time-ordered per user (the monitoring contract, same
+    as :func:`gap_monitor` / :func:`occupancy_monitor_stream`); an
+    event older than the anchor it would extend is ignored, never
+    retro-applied — with in-order arrival the final anchors equal the
+    batch ``funnel_anchors`` over the same rows (parity-tested).
+    Step predicates are evaluated ENGINE-side (one boolean column per
+    step feeds the Python state function — the stateful stage sees only
+    (user, ts, flags), never raw payloads)."""
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    n_steps = len(steps)
+    if n_steps < 1:
+        raise ValueError("funnel needs at least one step")
+    flags = [F.expr(pred).cast("boolean").alias(f"_m{i}")
+             for i, (_, pred) in enumerate(steps)]
+    sel = events.select(
+        F.col(user_col).cast("long").alias("_u"),
+        F.col(ts_col).cast("long").alias("_ts"), *flags)
+
+    anchor_cols = ", ".join(
+        f"t_{name} bigint" for name, _ in steps)
+    out_schema = (f"{user_col} bigint, {anchor_cols}, "
+                  "furthest_step int")
+    state_schema = "anchors array<long>"
+    w = int(within_us) if within_us is not None else None
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        anchors = list(state.get[0]) if state.exists \
+            else [-1] * n_steps          # -1 encodes NULL in state
+        rows = [pdf for pdf in pdfs]
+        if not rows:
+            return
+        batch = pd.concat(rows).sort_values("_ts")
+        mcols = [batch[f"_m{i}"] for i in range(n_steps)]
+        for ridx, ts in enumerate(batch["_ts"]):
+            ts = int(ts)
+            for i in range(n_steps):
+                if anchors[i] >= 0 or not bool(mcols[i].iloc[ridx]):
+                    continue
+                if i == 0:
+                    anchors[0] = ts
+                    break
+                prev = anchors[i - 1]
+                if prev >= 0 and ts > prev and (
+                        w is None or ts <= prev + w):
+                    anchors[i] = ts
+                break  # an event advances at most one step
+        state.update((anchors,))
+        furthest = 0
+        for a in anchors:
+            if a < 0:
+                break
+            furthest += 1
+        yield pd.DataFrame(
+            [(key[0], *[a if a >= 0 else None for a in anchors],
+              furthest)],
+            columns=[user_col, *[f"t_{n}" for n, _ in steps],
+                     "furthest_step"])
+
+    return sel.withColumnRenamed("_u", user_col) \
+        .groupBy(user_col).applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout)

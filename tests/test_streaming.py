@@ -1729,3 +1729,75 @@ def test_kmv_rollup_stream_matches_batch(spark, tmp_path):
     run()                                       # replay: unchanged
     snap2 = {r.g: r.kmv for r in spark.read.parquet(out).collect()}
     assert snap2 == snap
+
+
+def test_funnel_monitor_stream_matches_batch(spark, tmp_path):
+    """Streaming per-user funnel anchors == batch funnel_anchors over
+    the same (in-order) rows, across two waves whose transitions span
+    the wave boundary; furthest_step counts anchored steps; the within
+    bound is enforced."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+    from nasctn_sea_ingest_spark.operators.funnel import funnel_anchors
+    from nasctn_sea_ingest_spark.streaming import funnel_monitor_stream
+
+    land = str(tmp_path / "land")
+    outp = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    steps = [("view", "e = 'v'"), ("click", "e = 'c'"),
+             ("buy", "e = 'p'")]
+    W = 100
+
+    wave1 = [Row(user_id=1, ts_us=10, e="v"),
+             Row(user_id=1, ts_us=20, e="c"),
+             Row(user_id=2, ts_us=15, e="v"),
+             Row(user_id=3, ts_us=5, e="c"),     # click before any view
+             Row(user_id=4, ts_us=1, e="v")]
+    wave2 = [Row(user_id=1, ts_us=60, e="p"),    # completes across waves
+             Row(user_id=2, ts_us=300, e="c"),   # outside within bound
+             Row(user_id=3, ts_us=30, e="v"),
+             Row(user_id=3, ts_us=40, e="c"),
+             Row(user_id=4, ts_us=50, e="c"),
+             Row(user_id=4, ts_us=90, e="p")]
+
+    def run():
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(land).schema)
+                  .parquet(land))
+        q = (funnel_monitor_stream(stream, steps, within_us=W)
+             .writeStream.format("parquet")
+             .option("path", outp)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    spark.createDataFrame(wave1).coalesce(1) \
+        .write.mode("append").parquet(land)
+    run()
+    spark.createDataFrame(wave2).coalesce(1) \
+        .write.mode("append").parquet(land)
+    run()
+    # last emitted row per user = current anchors
+    import pandas as pd  # noqa: F401
+    rows = spark.read.parquet(outp).collect()
+    latest = {}
+    for r in rows:
+        key = r.user_id
+        cur = (r.t_view or 0, r.t_click or 0, r.t_buy or 0)
+        if key not in latest or cur >= latest[key][:3]:
+            latest[key] = (*cur, r.furthest_step)
+    batch = {r.user_id: ((r.t_view or 0), (r.t_click or 0),
+                         (r.t_buy or 0))
+             for r in funnel_anchors(
+                 spark.read.parquet(land), steps,
+                 within_us=W).collect()}
+    for uid, want in batch.items():
+        assert latest[uid][:3] == want, uid
+    # semantics spot checks
+    assert latest[1] == (10, 20, 60, 3)          # completed across waves
+    assert latest[2][1] == 0                     # click too late (within)
+    assert latest[3] == (30, 40, 0, 2)           # pre-view click ignored
+    assert latest[4] == (1, 50, 90, 3)
