@@ -47,7 +47,7 @@ __all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "extract_features",
            "read_media_dir", "media_stream", "landmarks_np",
            "audio_landmarks", "audio_neardup_pairs", "LANDMARK_SCHEMA",
            "video_frame_hashes", "video_neardup_pairs",
-           "VIDEO_HASH_SCHEMA"]
+           "VIDEO_HASH_SCHEMA", "video_scenes", "SCENE_SCHEMA"]
 
 MEDIA_META = T.StructType([
     T.StructField("width", T.IntegerType(), True),
@@ -842,3 +842,64 @@ def video_neardup_pairs(media: DataFrame, min_shared: int = 8,
                      F.col("b.media_id").alias("d2"))
             .agg(F.count("*").alias("shared"))
             .where(F.col("shared") >= min_shared))
+
+
+SCENE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("scene_no", T.IntegerType(), True),
+    T.StructField("start_frame", T.IntegerType(), True),
+    T.StructField("n_frames", T.IntegerType(), True),
+    T.StructField("keyframe_idx", T.IntegerType(), True),
+    T.StructField("keyframe_dhash", T.LongType(), True),
+    T.StructField("error", T.StringType(), True),
+])
+
+
+def video_scenes(media: DataFrame, cut_hamming: int = 24,
+                 size: int = 8) -> DataFrame:
+    """Scene-cut detection + keyframe selection per video — the frame-
+    sampling stage a multimodal training pipeline runs before feature
+    extraction (one representative frame per SHOT beats uniform stride:
+    a static shot contributes once, a montage keeps every cut).
+
+    One output row per (video, scene): a cut opens wherever consecutive
+    frames' dHashes differ by more than ``cut_hamming`` bits (in-shot
+    motion moves a few gradient bits; a hard cut rewrites ~half of the
+    64 — the same separation argument as ``dhash_np``'s near-dup use),
+    and the scene's keyframe is its MIDDLE frame (maximally far from
+    both transition edges).  Row-local per video (O(1)-seek RAWV
+    decode, numpy dHash), Arrow-batched, zero shuffle; per-row decode
+    failures quarantine as ``error`` rows like every media stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            recs = []
+            for mid, content in zip(b["media_id"], b["content"]):
+                try:
+                    if content is None:
+                        raise ValueError("null content")
+                    raw = bytes(content)
+                    _w, _h, n, _fps = decode_rawv_header(raw)
+                    hashes = [dhash_np(decode_rawv_frame(raw, i), size)
+                              for i in range(n)]
+                    starts = [0] + [
+                        i for i in range(1, n)
+                        if bin((hashes[i] ^ hashes[i - 1])
+                               & (2**64 - 1)).count("1") > cut_hamming]
+                    bounds = starts + [n]
+                    for s_no, (s, e) in enumerate(
+                            zip(bounds[:-1], bounds[1:])):
+                        kf = (s + e - 1) // 2
+                        recs.append((mid, s_no, s, e - s, kf,
+                                     hashes[kf], None))
+                except Exception as exc:  # noqa: BLE001
+                    recs.append((mid, None, None, None, None, None,
+                                 f"{type(exc).__name__}: {exc}"))
+            yield pd.DataFrame(
+                recs, columns=["media_id", "scene_no", "start_frame",
+                               "n_frames", "keyframe_idx",
+                               "keyframe_dhash", "error"])
+
+    return (media.where(F.col("kind") == "video")
+            .select("media_id", "content")
+            .mapInPandas(run, SCENE_SCHEMA))

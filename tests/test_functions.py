@@ -877,3 +877,37 @@ def test_keyed_cummax_matches_naive_window(spark):
             .exceptAll(want_exc).count() == 0)
     assert got_exc.count() == want_exc.count()
     assert got_exc.where("t = 0 and run is not null").count() == 0
+
+
+def test_keyed_scan_degenerate_order_domain(spark):
+    """Few distinct order values vs many slices: the approx_percentile
+    bounds repeat, bunching every row into a handful of slices — the
+    two-phase prefix must still match the naive window exactly for both
+    scan aggregates (sum and max, inclusive and exclusive frames)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from nasctn_sea_ingest_spark.functions import keyed_cummax, \
+        keyed_cumsum
+
+    rows = [(f"k{k}", t, (k * 7 + t * 3) % 11 - 5)
+            for k in range(10) for t in range(5)]
+    df = spark.createDataFrame(rows, "k string, t long, v long") \
+        .repartition(8)
+    w = (Window.partitionBy("k").orderBy("t")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    got = keyed_cumsum(df, ["k"], ["t"], "v", out="o")
+    want = df.select("k", "t", F.sum("v").over(w).alias("o"))
+    assert got.select("k", "t", "o").exceptAll(want).count() == 0
+    assert got.count() == want.count()
+    gotm = keyed_cummax(df, ["k"], ["t"], "v", out="o")
+    wantm = df.select("k", "t", F.max("v").over(w).alias("o"))
+    assert gotm.select("k", "t", "o").exceptAll(wantm).count() == 0
+    wx = (Window.partitionBy("k").orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    gotx = keyed_cummax(df, ["k"], ["t"], "v", out="o",
+                        inclusive=False)
+    wantx = df.select("k", "t", F.max("v").over(wx).alias("o"))
+    # exceptAll treats NULL == NULL, so first-row NULLs compare fine
+    assert gotx.select("k", "t", "o").exceptAll(wantx).count() == 0
+    assert gotx.count() == wantx.count()

@@ -1830,3 +1830,37 @@ def test_funnel_anchors_and_report_vs_python(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_video_scenes_cuts_and_keyframes(spark):
+    """Scene-cut detection on a synthetic 3-shot video: cuts land
+    exactly at the planted shot boundaries (in-shot brightness drift
+    stays under the threshold; hard content changes rewrite ~half the
+    dHash), keyframes are the shot midpoints with the right hashes,
+    junk payloads quarantine."""
+    rng = np.random.default_rng(23)
+    h, w = 16, 16
+    shots = []
+    for n_frames in (6, 4, 5):
+        base = rng.integers(0, 200, (h, w, 3)).astype(np.uint8)
+        shot = [np.clip(base.astype(np.int32) + 3 * i, 0, 255)
+                .astype(np.uint8) for i in range(n_frames)]
+        shots.append(np.stack(shot))
+    frames = np.concatenate(shots)
+    rows = [Row(media_id=1, kind="video",
+                content=MM.encode_rawv(frames), meta=None),
+            Row(media_id=2, kind="video", content=b"junk", meta=None),
+            Row(media_id=3, kind="image", content=b"x", meta=None)]
+    out = MM.video_scenes(
+        spark.createDataFrame(rows, MM.MEDIA_SCHEMA)).collect()
+    good = sorted([r for r in out if r.media_id == 1],
+                  key=lambda r: r.scene_no)
+    assert [(r.start_frame, r.n_frames) for r in good] \
+        == [(0, 6), (6, 4), (10, 5)]
+    for r in good:
+        kf = (r.start_frame + r.start_frame + r.n_frames - 1) // 2
+        assert r.keyframe_idx == kf
+        assert r.keyframe_dhash == MM.dhash_np(frames[kf])
+    bad = [r for r in out if r.media_id == 2]
+    assert len(bad) == 1 and bad[0].error is not None
+    assert not [r for r in out if r.media_id == 3]   # non-video filtered
