@@ -1483,3 +1483,100 @@ def funnel_monitor_stream(events: DataFrame,
         .groupBy(user_col).applyInPandasWithState(
             fn, out_schema, state_schema, "append",
             GroupStateTimeout.NoTimeout)
+
+
+def colocation_monitor_stream(points: DataFrame, out_dir: str,
+                              checkpoint_dir: str, alerts_dir: str,
+                              radius: float,
+                              id_col: str = "id", x_col: str = "x",
+                              y_col: str = "y", n_buckets: int = 16,
+                              available_now: bool = False):
+    """Streaming spatial co-location monitor — the geometric face of
+    ``media_dedup_stream``/``fuzzy_dedup_stream``: each micro-batch of
+    points is radius-checked against BOTH itself (the batch grid join,
+    ``operators.spatial.grid_distance_join``) and a persistent
+    cell-bucketed point store, alerting every pair within ``radius``
+    under ``alerts_dir/batch=<id>`` — geofence hits, sensor
+    co-location, POI dedup at landing time.
+
+    The store holds one row per point keyed by its grid cell (cell =
+    radius, so probes explode a batch point over its 3×3 neighborhood
+    and equi-join — the lossless q161 candidate shape) and is
+    PARTITIONED by ``pmod(hash(cx, cy), n_buckets)``: a probe reads
+    only the buckets its neighborhoods touch, never the corpus.
+    Unlike the dedup monitors every point joins the store (proximity
+    is not identity — later arrivals must pair against ALL earlier
+    points); replay safety is the standard batch_id stamp + atomic
+    per-batch alert partitions.  Cost per trigger: O(batch × 9 +
+    touched-bucket points)."""
+    cell = float(radius)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        from ..operators.spatial import grid_distance_join
+        spark = batch_df.sparkSession
+        b = (batch_df.select(F.col(id_col).alias("id"),
+                             F.col(x_col).cast("double").alias("x"),
+                             F.col(y_col).cast("double").alias("y"))
+             .withColumn("cx", F.floor(F.col("x") / cell))
+             .withColumn("cy", F.floor(F.col("y") / cell))
+             .withColumn("kb", F.pmod(F.hash("cx", "cy"), n_buckets))
+             .localCheckpoint(eager=True))
+        if not b.limit(1).count():
+            return
+        in_batch = (grid_distance_join(
+            b.select("id", "x", "y"), cell)
+            .select("id1", "id2", "dist"))
+        # probe: batch neighborhoods vs stored home cells, touched
+        # buckets only (the 3x3 neighborhood's buckets, not just the
+        # home cells')
+        nb = (b.withColumn("__o", F.explode(F.array(*[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)])))
+              .select("id", "x", "y",
+                      (F.col("cx") + F.col("__o.dx")).alias("jx"),
+                      (F.col("cy") + F.col("__o.dy")).alias("jy"))
+              .withColumn("kb", F.pmod(F.hash("jx", "jy"), n_buckets))
+              .localCheckpoint(eager=True))
+        touched = [r.kb for r in nb.select("kb").distinct().collect()]
+        store = None
+        try:
+            store = (spark.read.parquet(out_dir)
+                     .where(F.col("kb").isin(touched))
+                     .localCheckpoint(eager=True))
+            if store.where(F.col("batch_id") ==
+                           F.lit(int(batch_id))).limit(1).count():
+                return  # replay: batch already appended
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+        if store is not None:
+            dxc = F.col("x") - F.col("sx")
+            dyc = F.col("y") - F.col("sy")
+            d2 = dxc * dxc + dyc * dyc
+            vs_store = (nb.join(
+                store.select(F.col("id").alias("sid"),
+                             F.col("x").alias("sx"),
+                             F.col("y").alias("sy"),
+                             F.col("cx").alias("jx"),
+                             F.col("cy").alias("jy")),
+                ["jx", "jy"])
+                .where(d2 <= F.lit(cell * cell))
+                .select(F.col("id").alias("id1"),
+                        F.col("sid").alias("id2"),
+                        F.sqrt(d2).alias("dist")))
+        else:
+            vs_store = in_batch.limit(0)
+        alerts = in_batch.unionByName(vs_store) \
+                         .localCheckpoint(eager=True)
+        alerts.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(alerts_dir, f"batch={int(batch_id)}"))
+        (b.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+         .write.mode("append").partitionBy("kb").parquet(out_dir))
+
+    writer = (points.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

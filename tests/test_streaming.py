@@ -1801,3 +1801,59 @@ def test_funnel_monitor_stream_matches_batch(spark, tmp_path):
     assert latest[2][1] == 0                     # click too late (within)
     assert latest[3] == (30, 40, 0, 2)           # pre-view click ignored
     assert latest[4] == (1, 50, 90, 3)
+
+
+def test_colocation_monitor_stream_alerts_and_replay(spark, tmp_path):
+    """Streaming spatial co-location: an in-batch near pair and a
+    cross-wave arrival inside the radius of a STORED point both alert
+    (cell-boundary-straddling included — the 3x3 probe); far points
+    stay silent; every point joins the store (proximity is not
+    identity); crash replay changes nothing."""
+    from pyspark.sql import Row
+    from nasctn_sea_ingest_spark.streaming import \
+        colocation_monitor_stream
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "store")
+    alerts = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    R = 5.0
+
+    wave1 = [Row(id=1, x=10.0, y=10.0),
+             Row(id=2, x=12.0, y=10.0),     # in-batch pair with 1
+             Row(id=3, x=80.0, y=80.0)]
+    wave2 = [Row(id=11, x=11.0, y=11.0),    # near stored 1 AND 2
+             # straddles the cell boundary from stored 3 (cells of 80.0
+             # vs 84.0 differ) — only the 3x3 neighborhood probe finds it
+             Row(id=12, x=84.0, y=80.0),
+             Row(id=13, x=400.0, y=400.0)]  # isolated
+
+    def run():
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(land).schema)
+                  .parquet(land))
+        q = colocation_monitor_stream(stream, out, ckpt, alerts, R,
+                                      available_now=True)
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    spark.createDataFrame(wave1).coalesce(1) \
+        .write.mode("append").parquet(land)
+    run()
+    al1 = {(r.id1, r.id2) for r in spark.read.parquet(alerts).collect()}
+    assert al1 == {(1, 2)}
+    assert spark.read.parquet(out).count() == 3
+    _delete_commit_marker(ckpt)
+    run()                                      # replay: no growth
+    assert spark.read.parquet(out).count() == 3
+    assert {(r.id1, r.id2)
+            for r in spark.read.parquet(alerts).collect()} == al1
+
+    spark.createDataFrame(wave2).coalesce(1) \
+        .write.mode("append").parquet(land)
+    run()
+    al2 = {(r.id1, r.id2) for r in spark.read.parquet(alerts).collect()}
+    assert al2 == {(1, 2), (11, 1), (11, 2), (12, 3)}
+    assert spark.read.parquet(out).count() == 6   # all points stored
