@@ -112,3 +112,25 @@ def test_star_components_round_plans(spark):
     p = _plan(out)
     _lint(p, "star_components")
     assert p.count("Scan ExistingRDD") >= 1   # checkpoint-backed, flat
+
+
+def test_er_and_funnel_plans(spark):
+    """FS linkage and the generic funnel: block/step candidate stages
+    must be hash equi-joins with scoring/bounds as projections/filters
+    — no cartesian, no non-broadcast nested loop, no row-Python."""
+    from nasctn_sea_ingest_spark.operators.er import (
+        FieldRule, linkage_scores)
+    from nasctn_sea_ingest_spark.operators.funnel import funnel_anchors
+
+    recs = spark.createDataFrame(
+        [(i, f"name{i % 9}", str(i % 4)) for i in range(40)],
+        "pid long, name string, zip string")
+    p = _plan(linkage_scores(recs, "pid", ["zip"],
+                             [FieldRule("name", 0.9, 0.05)]))
+    _lint(p, "linkage_scores")
+    ev = spark.createDataFrame(
+        [(i % 7, i * 10, "vcp"[i % 3]) for i in range(60)],
+        "user_id long, ts_us long, e string")
+    p = _plan(funnel_anchors(ev, [("v", "e='v'"), ("c", "e='c'"),
+                                  ("p", "e='p'")], within_us=100))
+    _lint(p, "funnel_anchors")
