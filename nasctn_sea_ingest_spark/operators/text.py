@@ -599,3 +599,70 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
     id_type = dict(df.dtypes)[id_col]
     return df.select(id_col, text_col).mapInPandas(
         run, f"{id_col} {id_type}, {out_col} double")
+
+
+def strip_boilerplate(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      by: "list[str] | None" = None,
+                      max_doc_frac: float = 0.05, min_docs: int = 2,
+                      min_line_chars: int = 1) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the CCNet/RefinedWeb line
+    dedup): a LINE whose distinct-document frequency exceeds BOTH
+    ``min_docs`` and ``max_doc_frac`` of the corpus is boilerplate —
+    nav bars, cookie banners, license footers — and is stripped from
+    every document, preserving the order (and blank-line structure) of
+    what remains.  This is the INTER-document cleaning step next to the
+    intra-document gates (``repetition_stats``) and chunk dedup
+    (``chunk_dedup`` drops whole duplicate chunks; this surgically
+    removes the shared lines and keeps the document).
+
+    ``by`` scopes the frequency statistics (and the doc denominator)
+    per group — boilerplate is domain-specific, and a line common on
+    one site is signal on another.  Lines shorter than
+    ``min_line_chars`` after trimming (default: empty lines) are never
+    counted or removed.  The line KEY is the trimmed line's xxhash64
+    (indentation variants collapse); reconstruction uses the raw line.
+
+    Documents whose every eligible line was boilerplate keep a row with
+    NULL text (the ``chunk_dedup`` convention — quarantine them, don't
+    lose them).  Scale shape: one line explode, one distinct + hash
+    aggregate for document frequencies (line-hash keyed — the shuffle
+    carries hashes, not line text), one anti-join back, one per-doc
+    ordered rebuild; no driver collect anywhere."""
+    by = list(by or [])
+    other = [c for c in df.columns if c != text_col]
+    nd = (df.groupBy(*by).agg(
+        F.countDistinct(id_col).alias("__nd"))
+        if by else df.agg(F.countDistinct(id_col).alias("__nd")))
+    lines = df.select(
+        *other,
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             "\n")).alias("__pos", "__line"))
+    elig = F.length(F.trim("__line")) >= min_line_chars
+    key = F.xxhash64(*(by + [F.trim(F.col("__line"))]))
+    freq = (lines.where(elig)
+            .select(key.alias("__k"), *by, F.col(id_col))
+            .distinct()
+            .groupBy("__k", *by).agg(F.count("*").alias("__df")))
+    hot = (freq.join(F.broadcast(nd), by) if by
+           else freq.crossJoin(F.broadcast(nd)))
+    hot = hot.where((F.col("__df") >= F.lit(int(min_docs)))
+                    & (F.col("__df")
+                       >= F.lit(float(max_doc_frac)) * F.col("__nd"))) \
+             .select("__k")
+    kept = (lines.withColumn("__k", F.when(elig, key))
+            .join(hot, "__k", "left_anti"))
+    rebuilt = (kept.groupBy(*other).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("__pos", "__line"))),
+                lambda s: s["__line"]),
+            "\n").alias(text_col)))
+    # fully-boilerplate docs dropped by the groupBy: restore with NULL
+    # text, preserving every non-text column
+    missing = df.select(*other).join(
+        rebuilt.select(id_col), id_col, "left_anti") \
+        .withColumn(text_col, F.lit(None).cast("string"))
+    return rebuilt.select(*df.columns).unionByName(
+        missing.select(*df.columns))

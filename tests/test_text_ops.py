@@ -438,3 +438,42 @@ def test_cdc_chunks_property(spark, words, target, minw, maxw):
         assert minw <= s <= maxw
     if sizes:
         assert sizes[-1] <= maxw
+
+
+def test_strip_boilerplate_python_oracle(spark):
+    """Corpus-frequency line removal == a Python replay: the shared
+    cookie banner and footer vanish from every doc (indentation
+    variants collapse via the trimmed key), unique content and blank
+    lines survive in order, a fully-boilerplate doc keeps a NULL-text
+    row, and per-source scoping keeps one site's boilerplate out of
+    another's statistics."""
+    from nasctn_sea_ingest_spark.operators.text import strip_boilerplate
+
+    banner = "ACCEPT COOKIES TO CONTINUE"
+    footer = "(c) example.com all rights reserved"
+    docs = []
+    for i in range(20):
+        body = f"unique paragraph {i} alpha\n\nsecond thought {i}"
+        docs.append((i, f"{banner}\n{body}\n  {footer}"))
+    docs.append((100, f"{banner}\n   {footer}"))      # boilerplate-only
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in strip_boilerplate(
+        df, max_doc_frac=0.5).collect()}
+    assert len(out) == 21
+    for i in range(20):
+        assert out[i] == (f"unique paragraph {i} alpha\n\n"
+                          f"second thought {i}"), out[i]
+    assert out[100] is None
+
+    # per-source scoping: site B's 2 docs share a line that is NOT
+    # boilerplate for site A's identical line (A has it in 1 of 3 docs)
+    rows = [(1, "a", "shared line\nonly in one a doc"),
+            (2, "a", "a body two"),
+            (3, "a", "a body three"),
+            (10, "b", "shared line\nb one"),
+            (11, "b", "shared line\nb two")]
+    df2 = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    out2 = {r.doc_id: r.text for r in strip_boilerplate(
+        df2, by=["src"], max_doc_frac=0.6).collect()}
+    assert out2[1].startswith("shared line")       # kept for source a
+    assert out2[10] == "b one" and out2[11] == "b two"
