@@ -43,6 +43,7 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str,
                         repetition_gate: bool = True,
                         drop_boilerplate: bool = True,
                         cdc_boilerplate: bool = False,
+                        line_boilerplate: "float | None" = None,
                         lm_gate_perplexity: "float | None" = None,
                         dsir_select: "tuple[DataFrame, int] | None" = None,
                         ) -> "tuple[DataFrame, dict[str, int]]":
@@ -125,6 +126,19 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str,
     near = _pin(dedup.drop_near_duplicates(exact, cand))
     if counts:
         manifest["near_deduped"] = near.count()
+
+    if line_boilerplate is not None:
+        # optional (OFF by default — benched path byte-identical):
+        # corpus-frequency LINE removal before the chunk pass — banners
+        # and footers vanish surgically, keeping the documents; docs
+        # that were pure boilerplate drop (NULL text, the chunk_dedup
+        # convention).  Threshold = max doc fraction a line may appear
+        # in before it counts as boilerplate.
+        cleaned = text.strip_boilerplate(
+            near, max_doc_frac=line_boilerplate)
+        near = _pin(cleaned.where(F.col("text").isNotNull()))
+        if counts:
+            manifest["line_boilerplate"] = near.count()
 
     if drop_boilerplate:
         # doc-level dedup leaves cross-document boilerplate (shared

@@ -1864,3 +1864,23 @@ def test_video_scenes_cuts_and_keyframes(spark):
     bad = [r for r in out if r.media_id == 2]
     assert len(bad) == 1 and bad[0].error is not None
     assert not [r for r in out if r.media_id == 3]   # non-video filtered
+
+
+def test_llm_pipeline_line_boilerplate_gate(spark):
+    """Optional line-boilerplate stage: ON, the manifest gains the
+    stage count and the pipeline still conserves counts end-to-end;
+    the parameter defaults OFF so the benched path is untouched."""
+    import inspect
+
+    from nasctn_sea_ingest_spark.plans.pipeline import llm_corpus_pipeline
+
+    assert (inspect.signature(llm_corpus_pipeline)
+            .parameters["line_boilerplate"].default is None)
+    packed, man = llm_corpus_pipeline(
+        spark, SF, line_boilerplate=0.3)
+    try:
+        assert "line_boilerplate" in man
+        assert 0 < man["line_boilerplate"] <= man["near_deduped"]
+        assert man["packed"] > 0
+    finally:
+        packed.unpersist(True)
