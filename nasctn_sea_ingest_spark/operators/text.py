@@ -666,3 +666,41 @@ def strip_boilerplate(df: DataFrame, text_col: str = "text",
         .withColumn(text_col, F.lit(None).cast("string"))
     return rebuilt.select(*df.columns).unionByName(
         missing.select(*df.columns))
+
+
+def strip_markup(df: DataFrame, text_col: str = "text",
+                 out_col: "str | None" = None) -> DataFrame:
+    """HTML/markup stripping — the step a web corpus runs before any
+    quality gate: drops ``<script>``/``<style>`` elements WITH their
+    contents, removes comments and remaining tags (block-level closers
+    become newlines so paragraphs don't fuse), unescapes the five named
+    entities (``&amp;`` last, so double-escaped text stays escaped —
+    the lossless order), degrades numeric ``&#NN;`` references to a
+    space, and collapses runs of spaces/tabs while PRESERVING newline
+    structure for the line-level gates downstream
+    (:func:`strip_boilerplate`).  Pure chained ``regexp_replace`` —
+    map-side, codegen'd, zero shuffle, the ``scrub_pii`` shape.
+
+    This is the deterministic regex tier, not a DOM parser: malformed
+    nesting degrades to leftover text, never an error — the right
+    trade for a quality-gated corpus where a parser exception would
+    quarantine the whole document."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(
+        c, r"(?i)</(p|div|li|tr|h[1-6])\s*>|<br\s*/?>", "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    # truncated documents end mid-tag: drop the unterminated tail too
+    c = F.regexp_replace(c, r"(?s)<[^>]*$", " ")
+    for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+                     ("&#39;", "'"), ("&apos;", "'")):
+        c = F.regexp_replace(c, ent, rep)
+    c = F.regexp_replace(c, r"&#\d+;", " ")
+    c = F.regexp_replace(c, "&amp;", "&")
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    out = out_col or text_col
+    return df.withColumn(out, F.trim(c))

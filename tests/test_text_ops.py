@@ -477,3 +477,31 @@ def test_strip_boilerplate_python_oracle(spark):
         df2, by=["src"], max_doc_frac=0.6).collect()}
     assert out2[1].startswith("shared line")       # kept for source a
     assert out2[10] == "b one" and out2[11] == "b two"
+
+
+def test_strip_markup(spark):
+    """Regex-tier HTML stripping: scripts/styles vanish WITH contents,
+    comments and tags drop, block closers keep paragraph breaks, named
+    entities unescape with &amp; last (double-escaped text stays
+    escaped), numeric refs degrade to a space, whitespace collapses but
+    newline structure survives; malformed markup degrades, never
+    errors."""
+    from nasctn_sea_ingest_spark.operators.text import strip_markup
+
+    html = ("<html><head><STYLE>p{color:red}</STYLE>"
+            "<script type='x'>alert('evil');\nmore()</script></head>"
+            "<body><!-- hidden -->"
+            "<h1>Title</h1><p>First &amp; second &lt;tag&gt;.</p>"
+            "<p>Q&quot;A&quot; &amp;lt;kept&gt; x&#65;y</p>"
+            "<div>last<br>line</div><unclosed")
+    out = strip_markup(spark.createDataFrame(
+        [(1, html)], "doc_id long, text string")).first().text
+    assert "alert" not in out and "color" not in out
+    assert "hidden" not in out
+    lines = out.split("\n")
+    assert lines[0] == "Title"
+    assert lines[1] == "First & second <tag>."
+    assert 'Q"A" &lt;kept> x y' == lines[2]
+    assert lines[3] == "last" and lines[4].startswith("line")
+    # malformed trailing tag degrades to dropped text, not an error
+    assert "<unclosed" not in out
