@@ -111,6 +111,14 @@ def main():
         d.count()
         dt, n = t(lambda: cdc_chunk_dedup(d).count())
         print(f"x{k} cdc_chunk_dedup      {dt:7.2f}s rows={n}")
+        from nasctn_sea_ingest_spark.operators.text import \
+            strip_boilerplate
+        # replicated docs make EVERY line cross-doc boilerplate at 16x
+        # (the adversarial all-copies recipe): the freq aggregate and
+        # anti-join see maximal hot lines
+        dt, n = t(lambda: strip_boilerplate(
+            d, max_doc_frac=0.01).count())
+        print(f"x{k} strip_boilerplate    {dt:7.2f}s rows={n}")
         uni, bi, tot, v = train_bigram_lm(d)
         dt, n = t(lambda: lm_perplexity(d, uni, bi, tot, v).count())
         print(f"x{k} lm_perplexity        {dt:7.2f}s rows={n}")
