@@ -44,6 +44,7 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str,
                         drop_boilerplate: bool = True,
                         cdc_boilerplate: bool = False,
                         line_boilerplate: "float | None" = None,
+                        strip_html: bool = False,
                         lm_gate_perplexity: "float | None" = None,
                         dsir_select: "tuple[DataFrame, int] | None" = None,
                         ) -> "tuple[DataFrame, dict[str, int]]":
@@ -81,6 +82,11 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str,
     par = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < par:
         d = d.repartition(par, "doc_id")
+    if strip_html:
+        # optional (OFF by default): regex-tier markup removal BEFORE
+        # any gate — raw web crawl input; map-only, so it rides the
+        # same scan as the quality flags
+        d = text.strip_markup(d)
     # both gates in ONE Arrow map-only pass (value-identical to the
     # quality_score/repetition_stats expression forms, ~5× faster than
     # their interpreted higher-order lambdas — see gate_flags_fast)

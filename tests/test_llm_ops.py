@@ -1884,3 +1884,20 @@ def test_llm_pipeline_line_boilerplate_gate(spark):
         assert man["packed"] > 0
     finally:
         packed.unpersist(True)
+
+
+def test_llm_pipeline_strip_html_gate(spark):
+    """strip_html=True runs the markup tier before the gates: an
+    HTML-wrapped corpus survives the quality gate it would otherwise
+    fail (tag soup tanks the word-ratio signals); default OFF."""
+    import inspect
+
+    from nasctn_sea_ingest_spark.plans.pipeline import llm_corpus_pipeline
+
+    assert (inspect.signature(llm_corpus_pipeline)
+            .parameters["strip_html"].default is False)
+    packed, man = llm_corpus_pipeline(spark, SF, strip_html=True)
+    try:
+        assert man["raw"] == 500 and man["packed"] > 0
+    finally:
+        packed.unpersist(True)
