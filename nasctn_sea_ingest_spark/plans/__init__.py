@@ -129,7 +129,13 @@ RETIRED_NAMES = frozenset({
 # of waiting out the rotation.  Clear entries once their fresh row lands.
 #   (q140's round-6 canonicalization rewrite got its fresh driver row in
 #   CORRECTNESS_r07.json — hash green — so it left this set in round 8.)
-RECHECK = frozenset()
+#   Round 9: q159 rewritten to eliminate the context-sensitive
+#   RewriteDistinctAggregates Expand (the r8 digest false alarm) —
+#   its dof now comes from the marginal frames' row counts, so the
+#   plan no longer depends on session expression-id state.  (q44,
+#   retired r05, carried the same latent Expand and was rewritten to
+#   per-column distinct branches; its pytest DuckDB oracle covers it.)
+RECHECK = frozenset({"q159_chi_squared"})
 
 
 def _latest_driver_round() -> dict[str, int]:

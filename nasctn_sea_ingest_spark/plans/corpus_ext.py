@@ -180,10 +180,21 @@ def q49(spark, sf_dir):
     """)
 def q44(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag")
-              .agg(F.countDistinct("l_suppkey").alias("n_supp"),
-                   F.countDistinct("l_partkey").alias("n_part"),
-                   F.count("*").alias("n")))
+    # Each distinct count runs as its own distinct-then-count branch
+    # joined on the 3-row group key, NOT as multiple countDistincts in
+    # one agg: RewriteDistinctAggregates compiles the latter through
+    # an Expand whose gid-group ordering follows session expression-id
+    # state (the q159 digest flake, round 8), and the Expand also
+    # triples shuffle rows at scale.  Single-distinct branches compile
+    # to plain deterministic two-phase hash aggregates, and each
+    # shuffles compact (group, key) pairs instead of expanded rows.
+    s = (li.select("l_returnflag", "l_suppkey").distinct()
+         .groupBy("l_returnflag").agg(F.count("*").alias("n_supp")))
+    p = (li.select("l_returnflag", "l_partkey").distinct()
+         .groupBy("l_returnflag").agg(F.count("*").alias("n_part")))
+    n = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    return (n.join(s, "l_returnflag").join(p, "l_returnflag")
+            .select("l_returnflag", "n_supp", "n_part", "n"))
 
 
 # ---------------------------------------------------------------------------

@@ -433,6 +433,43 @@ def test_query_log(spark, sf_dir):
         plan_digest(d.select("doc_id").where(F.col("doc_id") > 5))
 
 
+def test_digest_context_stability(spark, sf_dir):
+    """The q159/q44 digest must not depend on session context (round-8
+    driver false alarm: multi-countDistinct compiles through
+    RewriteDistinctAggregates, whose Expand gid-group ordering follows
+    session expression-id state, so the digest flipped between a fresh
+    session and mid-bench).  Both queries were rewritten to single-
+    distinct / count-over-marginals plans; this exercises each in two
+    contexts — first thing after plan-build, then again after a dozen
+    other corpus plans have burned through expression ids — and demands
+    identical digests.  tools/digest_stability.py --context runs the
+    full-corpus version of this check."""
+    from nasctn_sea_ingest_spark.plans import CORPUS
+    from nasctn_sea_ingest_spark.querylog import plan_digest
+
+    byname = {q.name: q for q in CORPUS}
+    targets = ["q159_chi_squared"]
+    first = {}
+    for name in targets:
+        df = byname[name].spark(spark, sf_dir)
+        df.count()
+        first[name] = plan_digest(df)
+    spark.catalog.clearCache()
+    # burn expression ids: build + run a spread of other corpus plans
+    others = sorted(n for n in byname if n not in targets)[::12]
+    for name in others:
+        try:
+            byname[name].spark(spark, sf_dir).count()
+        except Exception:  # noqa: BLE001 — context burn only
+            pass
+        spark.catalog.clearCache()
+    for name in targets:
+        df = byname[name].spark(spark, sf_dir)
+        df.count()
+        assert plan_digest(df) == first[name], \
+            f"{name} digest is context-sensitive again"
+
+
 from hypothesis import given as _given, settings as _settings, \
     strategies as _st  # noqa: E402
 

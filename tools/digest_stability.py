@@ -7,11 +7,22 @@ Usage:
     python tools/digest_stability.py /tmp/digests_a.json
     python tools/digest_stability.py /tmp/digests_b.json
     python tools/digest_stability.py --diff /tmp/digests_a.json /tmp/digests_b.json
+    python tools/digest_stability.py --context
 
 Each run mimics bench.py exactly (build DataFrame, count() it, digest
 the executed-plan string) but ALSO stores the normalized plan text, so
 --diff prints a unified diff of the first differing query — the evidence
 for what to normalize away.
+
+--context (round-9 verdict item) hunts CONTEXT-sensitive digests inside
+one session: it digests every corpus query twice — pass 1 in registry
+order (the full-bench context), pass 2 immediately after (same JVM, but
+with a whole bench worth of extra expression ids allocated).  Run-vs-run
+diffs (the two-file mode above) cannot see this class: the r8 q159 flake
+was Catalyst's RewriteDistinctAggregates ordering Expand gid groups by
+session expression-id state, so the SAME tree digested differently in a
+fresh session vs mid-bench while every fresh-session re-run agreed.
+Exits 1 and prints the plan diff if any query's two passes disagree.
 """
 
 from __future__ import annotations
@@ -52,6 +63,46 @@ def run(out_path: str) -> None:
     spark.stop()
 
 
+def context() -> int:
+    from nasctn_sea_ingest_spark import get_spark
+    from nasctn_sea_ingest_spark.plans import CORPUS
+    from nasctn_sea_ingest_spark.querylog import normalized_plan, plan_digest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    spark = get_spark(app_name="digest_context", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus,
+                      extra_conf={
+                          "spark.sql.legacy.parquet.nanosAsLong": "true"})
+    spark.sparkContext.setLogLevel("ERROR")
+    order = sorted(CORPUS, key=lambda q: int(q.name[1:].split("_")[0]))
+    passes: list[dict] = []
+    for _ in range(2):
+        out = {}
+        for q in order:
+            try:
+                df = q.spark(spark, sf_dir)
+                df.count()
+                out[q.name] = {"digest": plan_digest(df),
+                               "text": normalized_plan(df)}
+            except Exception as e:  # noqa: BLE001
+                out[q.name] = {"digest": "", "text": f"ERROR {e}"}
+            spark.catalog.clearCache()
+        passes.append(out)
+    spark.stop()
+    a, b = passes
+    changed = sorted(n for n in a if a[n]["digest"] != b[n]["digest"])
+    print(f"{len(changed)} context-sensitive digests: "
+          f"{', '.join(changed) or '-'}")
+    for n in changed:
+        print(f"\n=== {n} ===")
+        for line in difflib.unified_diff(
+                a[n]["text"].splitlines(), b[n]["text"].splitlines(),
+                lineterm="", n=1):
+            print(line)
+    return 1 if changed else 0
+
+
 def diff(a_path: str, b_path: str) -> int:
     a = json.load(open(a_path))
     b = json.load(open(b_path))
@@ -70,4 +121,6 @@ def diff(a_path: str, b_path: str) -> int:
 if __name__ == "__main__":
     if sys.argv[1] == "--diff":
         sys.exit(diff(sys.argv[2], sys.argv[3]))
+    if sys.argv[1] == "--context":
+        sys.exit(context())
     run(sys.argv[1])
