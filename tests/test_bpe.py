@@ -134,3 +134,26 @@ def test_train_bpe_on_documents_and_encode(spark, sf_dir):
         assert r.bpe_tokens == flat
     docs.unpersist()
     vdf.unpersist()
+
+
+def test_train_bpe_local_vs_distributed_parity(spark):
+    """The size-gated driver kernel (round 9: small vocabs skip the
+    distributed argmax loop, whose per-iteration cost is pure
+    scheduling on tiny frames) is tie-for-tie identical to the
+    distributed path AND the independent reference — including a
+    deliberate count tie broken lexicographically, multi-char repeats,
+    and a min_count early stop."""
+    vocab = {"low": 5, "lower": 2, "newest": 6, "widest": 3,
+             "aaaa": 4, "banana": 4, "bandana": 1, "ad": 6, "ae": 6}
+    vdf = spark.createDataFrame(list(vocab.items()),
+                                "word string, count long")
+    local = train_bpe(vdf, n_merges=15)                 # gated path
+    dist = train_bpe(vdf, n_merges=15, local_vocab_rows=0)
+    want, _ = _train_ref(vocab, 15)
+    assert local == dist == want
+    # min_count propagates through the gate identically
+    assert train_bpe(vdf, n_merges=15, min_count=7) == \
+        train_bpe(vdf, n_merges=15, min_count=7, local_vocab_rows=0)
+    # threshold boundary: vocab larger than the gate goes distributed
+    # (same answer, just proves the take(n+1) overflow branch runs)
+    assert train_bpe(vdf, n_merges=4, local_vocab_rows=3) == want[:4]
