@@ -40,6 +40,17 @@ class FieldRule:
     u: float
     kind: str = "exact"   # "exact" | "levenshtein1" | "prefix4" | "soundex"
 
+    def __post_init__(self):
+        # m=1 or u=0 are plausible "set by judgment" values but put the
+        # log-likelihood weights at ±inf / raise in math.log2 — demand
+        # open-interval probabilities with a hint instead.
+        for name, v in (("m", self.m), ("u", self.u)):
+            if not 0.0 < v < 1.0:
+                raise ValueError(
+                    f"FieldRule({self.col!r}): {name}={v} must lie in "
+                    "(0, 1) exclusive — clamp judgment values (e.g. "
+                    "0.999 / 1e-6) so log2 weights stay finite")
+
     def agree(self, left: Column, right: Column) -> Column:
         if self.kind == "exact":
             return left.eqNullSafe(right)
@@ -72,6 +83,11 @@ def blocked_candidates(records: DataFrame, id_col: str,
     (default ON) drops degenerate keys — the empty zip, the "UNKNOWN"
     name — whose block would compare quadratically, the standard
     stop-key guard (recall traded inside mega-blocks only)."""
+    if not block_exprs:
+        raise ValueError(
+            "blocked_candidates needs at least one blocking expression "
+            "(an empty list would mean the all-pairs cross join this "
+            "operator exists to avoid)")
     par = records.sparkSession.sparkContext.defaultParallelism
     if records.rdd.getNumPartitions() < par:
         records = records.repartition(par)

@@ -124,12 +124,16 @@ def star_components(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     means every edge is (v, component-min).  localCheckpoint truncates
     lineage per round, the documented Pregel-style pattern."""
     e = pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
-    edges = (e.unionByName(e.select(F.col("b").alias("a"),
-                                    F.col("a").alias("b")))
-             .where(F.col("a") != F.col("b")).distinct()
+    sym = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+    # node set from the RAW pairs (both endpoints), BEFORE the self-loop
+    # filter: a node appearing only in (x, x) pairs is still "every id
+    # that appears in any pair" (the dup_clusters contract) and must
+    # come back labeled with itself.
+    nodes = sym.select(F.col("a").alias("node")).distinct() \
+               .localCheckpoint()
+    edges = (sym.where(F.col("a") != F.col("b")).distinct()
              .localCheckpoint())
-    nodes = edges.select(F.col("a").alias("node")).distinct() \
-                 .localCheckpoint()
     # size rounds to the graph, not the session (the dup_clusters rule)
     n_e = edges.count()
     p = max(1, -(-n_e // 2_000_000))

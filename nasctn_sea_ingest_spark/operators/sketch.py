@@ -500,19 +500,32 @@ def kmv_sketch(df: DataFrame, keys: Sequence[str], col: str,
     ``(k-1)/kmv[k-1]`` (standard bottom-k estimator, relative error
     ~1/sqrt(k-2)).
 
+    NULLs are excluded before hashing (``xxhash64(NULL)`` would hash to
+    the seed constant and count as one phantom distinct value) —
+    matching ``countDistinct`` semantics.
+
     Plan shape: one hash-aggregate to distinct (keys, hash) — map-side
-    combine does the heavy dedup — then a (keys)-window rank <= k and
-    one ordered collect per group: every stage is bounded, no
-    collect_set of unbounded distinct sets ever sits in one executor's
-    aggregation buffer."""
+    combine does the heavy dedup — then a TWO-LEVEL rank: first inside
+    (keys, pmod-bucket), then the survivors (<= 32k per key) per keys.
+    A single per-key window would funnel EVERY distinct hash of a hot
+    key through one sorted task — the key-cardinality ceiling the
+    keyed-scan family exists to avoid; the pre-rank caps any task at
+    ~distinct/32 rows.  Every stage bounded, no collect_set of
+    unbounded distinct sets ever sits in one executor's aggregation
+    buffer."""
     from pyspark.sql import Window
 
     h = F.expr(_KMV_NORM.format(c=col))
-    d = df.select(*keys, h.alias("__h")).groupBy(*keys, "__h").agg(
-        F.lit(1).alias("__one"))
+    d = (df.where(F.col(col).isNotNull())
+         .select(*keys, h.alias("__h"))
+         .groupBy(*keys, "__h").agg(F.lit(1).alias("__one")))
+    wb = Window.partitionBy(*keys, "__b").orderBy("__h")
+    pre = (d.withColumn("__b", F.pmod(F.hash("__h"), F.lit(32)))
+           .withColumn("__rb", F.row_number().over(wb))
+           .where(F.col("__rb") <= k))
     w = Window.partitionBy(*keys).orderBy("__h")
-    topk = d.withColumn("__rn", F.row_number().over(w)) \
-            .where(F.col("__rn") <= k)
+    topk = pre.withColumn("__rn", F.row_number().over(w)) \
+              .where(F.col("__rn") <= k)
     return (topk.groupBy(*keys)
             .agg(F.array_sort(F.collect_list("__h")).alias("kmv")))
 

@@ -62,8 +62,8 @@ def _spark_coord(salt: str) -> F.Column:
 @_q("q161_grid_distance_join",
     "spatial radius self-join via grid bucketing: customers placed on a "
     "1000x1000 plane by deterministic integer hash coordinates; all "
-    "pairs within Euclidean distance 5 as (id1, id2, micro-unit "
-    "distance).  Grid cell = radius, 3x3-neighborhood explode on one "
+    f"pairs within Euclidean distance {_RADIUS:g} as (id1, id2, "
+    "micro-unit distance).  Grid cell = radius, 3x3-neighborhood explode on one "
     "side, hash equi-join on the cell id — lossless, each pair exactly "
     "once, candidate-bound by cell density (never the all-pairs "
     "nested-loop the theta predicate would plan as)",

@@ -33,7 +33,9 @@ __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "cusum_monitor_stream", "capture_summary_stream",
            "occupancy_monitor_stream", "quantile_rollup_stream",
            "cm_rollup_stream", "fingerprint_rollup_stream",
-           "index_stream", "pca_moments_stream", "media_dedup_stream"]
+           "index_stream", "pca_moments_stream", "media_dedup_stream",
+           "fuzzy_dedup_stream", "kmv_rollup_stream",
+           "funnel_monitor_stream", "colocation_monitor_stream"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],

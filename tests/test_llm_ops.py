@@ -366,6 +366,26 @@ def test_drop_near_duplicates_end_to_end(spark, docs):
     assert len(ids) < 7
 
 
+def test_drop_near_duplicates_revision_chain(spark):
+    """The pipeline dedup shape on the CDC revision-chain topology the
+    round-8 verdict flagged: 60 revisions where only CONSECUTIVE ones
+    pair (diameter 59 > dup_clusters' default max_iter=20).  The
+    non-convergence escalation must collapse the whole chain to the one
+    min-id representative — before round 9 this silently kept multiple
+    'representatives' of the same document."""
+    import nasctn_sea_ingest_spark.operators.dedup as DD
+
+    n = 60
+    docs = spark.range(n).select(F.col("id").alias("doc_id"),
+                                 F.concat(F.lit("rev "), F.col("id"))
+                                 .alias("text"))
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("d1"), (F.col("id") + 1).alias("d2"))
+    kept = DD.drop_near_duplicates(docs, chain)
+    ids = [r.doc_id for r in kept.collect()]
+    assert ids == [0]
+
+
 def test_llm_corpus_pipeline_end_to_end(spark, sf_dir):
     """The full composition runs; each stage is monotone non-increasing;
     splits are exhaustive; packing invariants hold on the final frame."""
@@ -1731,10 +1751,12 @@ def test_star_components_vs_union_find(spark):
 
 def test_star_components_long_chain_where_label_propagation_fails(spark):
     """A 3000-node path graph: min-label propagation moves the label
-    ONE hop per round, so dup_clusters(max_iter=20) cannot converge and
-    returns wrong clusters (documented near-clique contract) — the
+    ONE hop per round, so it cannot converge within max_iter=5 — the
     alternating-star algorithm converges in O(log n) rounds and labels
-    the whole chain with node 0."""
+    the whole chain with node 0.  Round 9: dup_clusters DETECTS its own
+    non-convergence (the fixpoint aggregate still moved after the last
+    round) and escalates to star_components, so even max_iter=5 returns
+    the CORRECT clusters instead of silently under-merged ones."""
     from nasctn_sea_ingest_spark.operators.dedup import dup_clusters
     from nasctn_sea_ingest_spark.operators.graph import star_components
 
@@ -1744,11 +1766,23 @@ def test_star_components_long_chain_where_label_propagation_fails(spark):
     got = star_components(chain).collect()
     assert len(got) == n
     assert all(r.cluster == 0 for r in got)
-    # the contrast that motivates star_components: label propagation
-    # walks the chain one hop per round
     lab = {r.node: r.cluster
            for r in dup_clusters(chain, max_iter=5).collect()}
-    assert any(v != 0 for v in lab.values())
+    assert len(lab) == n and all(v == 0 for v in lab.values())
+
+
+def test_star_components_self_loop_only_node(spark):
+    """A node appearing ONLY in a (x, x) pair is still 'every id that
+    appears in any pair' (the dup_clusters contract star_components
+    promises to match): it must come back labeled with itself."""
+    from nasctn_sea_ingest_spark.operators.dedup import dup_clusters
+    from nasctn_sea_ingest_spark.operators.graph import star_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (7, 7), (2, 3)], "d1 long, d2 long")
+    star = {r.node: r.cluster for r in star_components(pairs).collect()}
+    prop = {r.node: r.cluster for r in dup_clusters(pairs).collect()}
+    assert star == prop == {1: 1, 2: 1, 3: 1, 7: 7}
 
 
 def test_linkage_soundex_kind(spark):
@@ -1901,3 +1935,50 @@ def test_llm_pipeline_strip_html_gate(spark):
         assert man["raw"] == 500 and man["packed"] > 0
     finally:
         packed.unpersist(True)
+
+
+def test_er_input_validation(spark):
+    """Empty block_exprs and out-of-range FieldRule probabilities fail
+    with a hint, not a bare IndexError / math-domain error."""
+    import pytest as _pt
+
+    from nasctn_sea_ingest_spark.operators.er import (
+        FieldRule, blocked_candidates)
+
+    with _pt.raises(ValueError, match="at least one blocking"):
+        blocked_candidates(
+            spark.createDataFrame([(1,)], "pid long"), "pid", [])
+    with _pt.raises(ValueError, match="must lie in"):
+        FieldRule("name", m=1.0, u=0.1)
+    with _pt.raises(ValueError, match="must lie in"):
+        FieldRule("name", m=0.9, u=0.0)
+
+
+def test_kmv_sketch_null_and_hot_key(spark):
+    """NULL values do not count as a phantom distinct (countDistinct
+    semantics), and a hot key whose distinct cardinality exceeds k by
+    1000x still yields the exact same sketch as the single-window
+    form (the two-level rank is a pure physical rewrite)."""
+    import pyspark.sql.functions as F2
+
+    from nasctn_sea_ingest_spark.operators.sketch import (
+        kmv_estimate_expr, kmv_sketch)
+
+    rows = [("a", "x"), ("a", "y"), ("a", None), ("b", None)]
+    df = spark.createDataFrame(rows, "k string, v string")
+    got = {r.k: r.kmv for r in kmv_sketch(df, ["k"], "v", k=8).collect()}
+    assert len(got["a"]) == 2          # NULL excluded, not a 3rd value
+    assert "b" not in got              # all-NULL group vanishes entirely
+    # hot key: 20k distinct values, k=64 — estimate within the bound and
+    # the sketch equals the true 64 smallest normalized hashes
+    hot = spark.range(20000).select(
+        F2.lit("h").alias("k"), F2.col("id").cast("string").alias("v"))
+    sk = kmv_sketch(hot, ["k"], "v", k=64)
+    est = sk.select(kmv_estimate_expr("kmv", k=64).alias("e")).first().e
+    assert abs(est - 20000) / 20000 < 0.5
+    kmv = sk.first().kmv
+    truth = sorted(
+        r.h for r in hot.select(F2.expr(
+            "cast(xxhash64(v) as double) / 18446744073709551616.0 + 0.5"
+        ).alias("h")).distinct().collect())[:64]
+    assert [round(x, 12) for x in kmv] == [round(x, 12) for x in truth]
