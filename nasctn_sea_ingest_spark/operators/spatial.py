@@ -173,9 +173,16 @@ def grid_knn_join(points: DataFrame, k: int, cell: float,
                        F.sqrt(dxc * dxc + dyc * dyc).alias("dist")))
         cand = new if cand is None else cand.unionByName(new)
         # top-k so far; a point is settled when its k-th distance is
-        # inside the ring guarantee radius
+        # inside the ring guarantee radius.  The eager checkpoint HERE
+        # is the iteration's one expensive job: everything downstream
+        # (kth, settled, the pending anti-join, next round's cand)
+        # derives from the materialized top-k instead of re-executing
+        # the candidate join + window — the round-8 1x floor was this
+        # lineage running ~3x per round (pending checkpoint, cand
+        # checkpoint, and the empty-check each re-planned it).
         top = (cand.withColumn("rank", F.row_number().over(w))
-               .where(F.col("rank") <= k))
+               .where(F.col("rank") <= k)
+               .localCheckpoint(eager=True))
         kth = (top.groupBy("__id")
                .agg(F.max("dist").alias("__kd"),
                     F.count("*").alias("__kn")))
@@ -186,8 +193,14 @@ def grid_knn_join(points: DataFrame, k: int, cell: float,
         pending = pending.join(settled_ids.select("__id"), "__id",
                                "left_anti")
         pending = pending.localCheckpoint(eager=True)
-        cand = (cand.join(settled_ids.select("__id"), "__id", "left_anti")
-                .localCheckpoint(eager=True))
+        # carry forward only the top-k survivors of still-pending ids:
+        # a candidate outside the current top-k is dominated by k
+        # closer neighbors that all remain, so it can never re-enter —
+        # the accumulated set stays <= k rows per pending point instead
+        # of growing with every ring, and it reads from the checkpoint
+        # (no second materialization job needed).
+        cand = top.drop("rank").join(settled_ids.select("__id"), "__id",
+                                     "left_anti")
         if not pending.limit(1).count():
             break
     out = done.withColumn("exact", F.lit(True)) if done is not None \
