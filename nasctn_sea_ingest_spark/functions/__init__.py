@@ -30,7 +30,7 @@ __all__ = [
     "merge_upsert", "snapshot_diff", "keyed_lead", "keyed_cumsum",
     "keyed_cummax",
     "pit_features", "table_fingerprint", "merge_fingerprint",
-    "skew_profile",
+    "skew_profile", "fd_error",
 ]
 
 
@@ -1114,3 +1114,34 @@ def skew_profile(df: DataFrame, keys: Sequence[str],
         "top": [(tuple(r[k] for k in keys), int(r["__n"]),
                  int(r["__n"]) / n_rows) for r in top],
     }
+
+
+def fd_error(df: DataFrame, lhs: "Sequence[str] | str",
+             rhs: str) -> DataFrame:
+    """g3 error of the approximate functional dependency ``lhs -> rhs``
+    (Kivinen & Mannila's g3: the minimum FRACTION of rows to delete so
+    the FD holds exactly) — the data-profiling primitive behind
+    constraint DISCOVERY, where q112's constraint audit CHECKS rules
+    someone already wrote.
+
+    One row out: ``(n_rows, n_groups, violations, error)`` with
+    violations = n_rows − Σ_g max_v count(g, v) — rows whose rhs value
+    is not their lhs-group's plurality value.
+
+    Scale shape: two hash aggregates (count per (lhs, rhs) — map-side
+    combinable because duplicates collapse BEFORE the shuffle — then
+    max per lhs) and a 1-row reduce; no window, no join, no key-count
+    ceiling.  error is floor-quantized (1e-6) from exact BIGINTs."""
+    lhs = [lhs] if isinstance(lhs, str) else list(lhs)
+    gv = df.groupBy(*lhs, rhs).agg(F.count("*").alias("__c"))
+    g = gv.groupBy(*lhs).agg(F.max("__c").alias("__m"),
+                             F.sum("__c").alias("__n"))
+    return (g.agg(F.sum("__n").cast("bigint").alias("n_rows"),
+                  F.count("*").cast("bigint").alias("n_groups"),
+                  (F.sum("__n") - F.sum("__m")).cast("bigint")
+                  .alias("violations"))
+            .withColumn(
+                "error",
+                F.floor(F.col("violations").cast("double")
+                        / F.col("n_rows") * 1000000)
+                / F.lit(1000000.0)))

@@ -17,7 +17,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "star_components", "cooccur_pairs",
+           "triangle_count"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -179,3 +180,100 @@ def star_components(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     return (nodes.join(lab, "node", "left")
             .select("node", F.coalesce("cluster", "node")
                     .alias("cluster")))
+
+
+def cooccur_pairs(df: DataFrame, basket_col: str, item_col: str,
+                  min_support: int = 1,
+                  max_basket: int | None = 10000) -> DataFrame:
+    """Market-basket co-occurrence edges: ``(i1, i2, support)`` with
+    ``i1 < i2`` and ``support`` = number of distinct baskets containing
+    both items — the candidate step of association mining and the edge
+    builder for co-purchase graphs (:func:`triangle_count`,
+    :func:`pagerank`, ``dedup.dup_clusters`` all accept its output).
+    The LIBRARY form of corpus q116 (`plans/corpus_r3.py`), reusable on
+    any (basket, item) relation, plus the mega-basket guard the fixed
+    corpus query does not need on TPC-H's <=7-item orders.
+
+    Scale shape: items dedupe to (basket, item) once, then pairs come
+    from ONE self-equi-join on the basket key — shuffle volume is
+    Σ B_k(B_k-1)/2 over basket sizes, never N².  ``max_basket``
+    (default 10k) drops degenerate baskets before the join — one
+    basket holding 1M items would alone emit 5·10¹¹ pairs; the usual
+    stop-key trade (support from mega-baskets is lost) with the usual
+    escape hatch (``None``)."""
+    it = (df.select(F.col(basket_col).alias("__k"),
+                    F.col(item_col).alias("__i"))
+          .where(F.col("__i").isNotNull() & F.col("__k").isNotNull())
+          .distinct())
+    if max_basket is not None:
+        big = (it.groupBy("__k").agg(F.count("*").alias("bn"))
+               .where(F.col("bn") > max_basket).select("__k"))
+        it = it.join(F.broadcast(big), "__k", "left_anti")
+    a = it.alias("a")
+    b = it.select(F.col("__k"), F.col("__i").alias("__j")).alias("b")
+    return (a.join(b, (F.col("a.__k") == F.col("b.__k"))
+                   & (F.col("a.__i") < F.col("b.__j")))
+            .groupBy(F.col("a.__i").alias("i1"),
+                     F.col("b.__j").alias("i2"))
+            .agg(F.count("*").cast("bigint").alias("support"))
+            .where(F.col("support") >= min_support))
+
+
+def triangle_count(pairs: DataFrame, d1: str = "d1",
+                   d2: str = "d2") -> DataFrame:
+    """EXACT global triangle count of the undirected graph given as a
+    pair list — one row ``(n_nodes, n_edges, n_triangles)``.
+
+    Degree orientation (the MapReduce-classic trick): direct every edge
+    from its lower-(degree, id) endpoint to the higher one, so each
+    node's OUT-degree is O(sqrt(m)) on any graph — then triangles =
+    wedges (u→v, u→w with v before w in the same total order) whose
+    closing edge (v→w) exists.  Each triangle is counted exactly once
+    (its corners have a unique orientation-order).  Three hash
+    equi-joins + hash aggregates, no iteration, no driver loop — the
+    naive neighbor-pair explode would square the hottest node's degree;
+    orientation provably caps the wedge fan-out instead, which is why
+    this survives power-law degree distributions at 100 TB.  The
+    LIBRARY form of corpus q128 (`plans/corpus_r3.py`), for arbitrary
+    pair lists (near-dup graphs, linkage output) instead of the fixed
+    co-purchase derivation."""
+    e = (pairs.select(F.least(d1, d2).alias("a"),
+                      F.greatest(d1, d2).alias("b"))
+         .where(F.col("a") != F.col("b")).distinct())
+    deg = (e.select(F.col("a").alias("n"))
+           .unionByName(e.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("d")))
+    # No broadcast hint on deg: one row per VERTEX, which for an
+    # arbitrary input graph scales with the data (corpus q128 hints it
+    # because ITS vertices are dimension-bounded part keys; the r8
+    # media-pipeline lesson is that a mandatory broadcast on an
+    # unbounded frame can exceed driver limits at real scale).  AQE
+    # broadcasts when the runtime size is actually small.
+    ed = (e.join(deg.withColumnRenamed("n", "a")
+                 .withColumnRenamed("d", "da"), "a")
+          .join(deg.withColumnRenamed("n", "b")
+                .withColumnRenamed("d", "db"), "b"))
+    a_first = (F.col("da") < F.col("db")) | \
+        ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    o = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da"))
+        .alias("dst_d"))
+    w1 = o.select(F.col("src"), F.col("dst").alias("v"),
+                  F.col("dst_d").alias("vd"))
+    w2 = o.select(F.col("src"), F.col("dst").alias("w"),
+                  F.col("dst_d").alias("wd"))
+    v_first = (F.col("vd") < F.col("wd")) | \
+        ((F.col("vd") == F.col("wd")) & (F.col("v") < F.col("w")))
+    wedges = (w1.join(w2, "src").where(v_first)
+              .select("v", "w"))
+    closing = o.select(F.col("src").alias("v"),
+                       F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"]).agg(
+        F.count("*").cast("bigint").alias("n_triangles"))
+    counts = e.agg(F.count("*").cast("bigint").alias("n_edges")) \
+        .crossJoin(F.broadcast(deg.agg(
+            F.count("*").cast("bigint").alias("n_nodes"))))
+    return (counts.crossJoin(F.broadcast(tri))
+            .select("n_nodes", "n_edges", "n_triangles"))

@@ -213,3 +213,73 @@ def grid_knn_join(points: DataFrame, k: int, cell: float,
     return out.select(F.col("__id").alias("id"),
                       F.col("__nbr").alias("nbr_id"),
                       "dist", "rank", "exact")
+
+
+def dbscan(points: DataFrame, eps: float, min_pts: int,
+           id_col: str = "id", x_col: str = "x", y_col: str = "y",
+           max_cell: int | None = None) -> DataFrame:
+    """Exact DBSCAN (Ester et al., KDD'96) as a composition of the
+    engine's bounded primitives — density clustering without an
+    all-pairs scan or an iterative driver loop over points:
+
+    1. eps-neighbor pairs from :func:`grid_distance_join` (cell = eps,
+       lossless, candidate-bound by grid density);
+    2. CORE points = neighbor count (self included) >= ``min_pts`` —
+       one hash aggregate over the symmetrized pairs;
+    3. core clusters = connected components of the core-core edge set
+       via ``graph.star_components`` (O(log n) rounds on ANY topology —
+       density ridges form exactly the chain shapes that break
+       diameter-bounded label propagation); isolated cores self-seed
+       through the self-loop contract;
+    4. BORDER points (non-core within eps of a core) attach to their
+       NEAREST core's cluster, ties by (dist, cluster) — one window
+       rank over the border->core neighbor rows;
+    5. everything else is NOISE.
+
+    Returns one row per input point: ``(id, role, cluster)`` with role
+    in {'core','border','noise'} and cluster = the component's min core
+    id (NULL for noise).  Deterministic for any input (the tie-break
+    is total).  ``max_cell`` passes through to the grid join (same
+    correctness-trading contract, default OFF)."""
+    from .graph import star_components
+
+    pairs = grid_distance_join(points, eps, id_col=id_col, x_col=x_col,
+                               y_col=y_col, max_cell=max_cell)
+    pairs = pairs.localCheckpoint(eager=False)  # 3 consumers below
+    sym = (pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"),
+                        "dist")
+           .unionByName(pairs.select(F.col("id2").alias("a"),
+                                     F.col("id1").alias("b"), "dist")))
+    ids = points.select(F.col(id_col).alias("id"))
+    ncnt = sym.groupBy(F.col("a").alias("id")).agg(
+        (F.count("*") + 1).alias("__n"))
+    core = (ids.join(ncnt, "id", "left")
+            .where(F.coalesce("__n", F.lit(1)) >= min_pts)
+            .select("id").localCheckpoint(eager=False))
+    core_edges = (sym.select("a", "b")
+                  .join(core.withColumnRenamed("id", "a"), "a")
+                  .join(core.withColumnRenamed("id", "b"), "b")
+                  # self-loops seed isolated cores as their own cluster
+                  .unionByName(core.select(F.col("id").alias("a"),
+                                           F.col("id").alias("b"))))
+    clab = star_components(core_edges, "a", "b") \
+        .withColumnRenamed("node", "id") \
+        .withColumnRenamed("cluster", "__cl")
+    from pyspark.sql import Window
+    bw = Window.partitionBy("id").orderBy("dist", "__cl")
+    # no broadcast hints: core scales with the data (it is most of the
+    # points on a dense corpus) — AQE decides at runtime size
+    border = (sym.join(core.withColumnRenamed("id", "b"), "b")
+              .join(core.withColumnRenamed("id", "a"), "a", "left_anti")
+              .join(clab.withColumnRenamed("id", "b"), "b")
+              .select(F.col("a").alias("id"), "dist", "__cl")
+              .withColumn("__rn", F.row_number().over(bw))
+              .where(F.col("__rn") == 1)
+              .select("id", F.col("__cl").alias("__bcl")))
+    return (ids.join(clab, "id", "left")
+            .join(border, "id", "left")
+            .select("id",
+                    F.when(F.col("__cl").isNotNull(), F.lit("core"))
+                    .when(F.col("__bcl").isNotNull(), F.lit("border"))
+                    .otherwise(F.lit("noise")).alias("role"),
+                    F.coalesce("__cl", "__bcl").alias("cluster")))

@@ -18,6 +18,8 @@ from . import corpus_r7  # noqa: F401  (interval-coverage merge,
 #   chi-squared independence test, time-bounded funnel conversion)
 from . import corpus_r8  # noqa: F401  (grid-bucketed spatial radius
 #   join, symmetric-delete fuzzy string matching)
+from . import corpus_r9  # noqa: F401  (market-basket co-occurrence,
+#   degree-oriented triangle counting)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST 50

@@ -228,6 +228,7 @@ def media_pipeline(spark: SparkSession, n_items: int = 300,
                    video_min_shared: int = 5,
                    feature_dim: int = 16,
                    max_bucket: int | None = 1000,
+                   cross_modal_stills: bool = False,
                    ) -> "tuple[DataFrame, dict[str, int]]":
     """End-to-end MULTIMODAL training-data pipeline — the media analog of
     :func:`llm_corpus_pipeline`, composed from this engine's operators:
@@ -282,6 +283,17 @@ def media_pipeline(spark: SparkSession, n_items: int = 300,
                  corpus, min_shared=video_min_shared,
                  max_bucket=max_bucket)
                  .select("d1", "d2")))
+    if cross_modal_stills:
+        # optional round-9 stage: image rows that are stills of a video
+        # scene join that video's duplicate cluster (keyframe dHash ⋈
+        # image dHash, bipartite banded-Hamming) — OFF by default
+        # because "a frame of the video exists as an image" is a
+        # corpus-policy call, not always a duplicate
+        pairs = pairs.unionByName(
+            mm.video_still_pairs(corpus, max_hamming=max_hamming,
+                                 max_bucket=max_bucket)
+            .select(F.col("video_id").alias("d1"),
+                    F.col("image_id").alias("d2")))
     # min_shared thresholds scale with clip length (landmarks ~ frames);
     # size them to your corpus — identical copies share ALL landmarks
     from ..operators.dedup import dup_clusters

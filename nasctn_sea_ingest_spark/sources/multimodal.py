@@ -47,7 +47,8 @@ __all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "extract_features",
            "read_media_dir", "media_stream", "landmarks_np",
            "audio_landmarks", "audio_neardup_pairs", "LANDMARK_SCHEMA",
            "video_frame_hashes", "video_neardup_pairs",
-           "VIDEO_HASH_SCHEMA", "video_scenes", "SCENE_SCHEMA"]
+           "VIDEO_HASH_SCHEMA", "video_scenes", "SCENE_SCHEMA",
+           "video_still_pairs"]
 
 MEDIA_META = T.StructType([
     T.StructField("width", T.IntegerType(), True),
@@ -903,3 +904,66 @@ def video_scenes(media: DataFrame, cut_hamming: int = 24,
     return (media.where(F.col("kind") == "video")
             .select("media_id", "content")
             .mapInPandas(run, SCENE_SCHEMA))
+
+
+def video_still_pairs(media: DataFrame, max_hamming: int = 6,
+                      size: int = 8, cut_hamming: int = 24,
+                      max_bucket: int | None = 1000) -> DataFrame:
+    """CROSS-modality near-dup: images that are stills of video scenes
+    — the one duplication channel the per-modality passes miss (a frame
+    exported as a thumbnail/poster lands as an ``image`` row and never
+    meets ``video_neardup_pairs``).  :func:`video_scenes` keyframe
+    dHashes live in the same 64-bit gradient-sign space as
+    :func:`image_dhash`, so the match is the familiar banded-Hamming
+    join — but BIPARTITE (keyframes ⋈ images on 16-bit chunk equality),
+    never a self-join: no wasted video-video or image-image candidates,
+    and each side prunes to its own modality before the shuffle.
+
+    Returns one row per matching ``(video_id, image_id)`` with
+    ``scene_no`` = the best-matching scene and ``hamming`` = its
+    distance.  Lossless for ``max_hamming <= 3`` (pigeonhole over 4
+    chunks), recall-documented above that — the ``simhash_pairs``
+    contract.  ``max_bucket`` (default ON) drops 16-bit chunks hot on
+    EITHER side before the join: a solid-color chunk shared by 10k
+    keyframes × 10k images is O(bucket²) candidates, the same
+    stop-key argument as every guard in the dedup family."""
+    kf = (video_scenes(media, cut_hamming=cut_hamming, size=size)
+          .where(F.col("error").isNull())
+          .select(F.col("media_id").alias("vid"), "scene_no",
+                  F.col("keyframe_dhash").alias("h")))
+    img = (image_dhash(media, size).where(F.col("error").isNull())
+           .select(F.col("media_id").alias("iid"),
+                   F.col("dhash").alias("h")))
+
+    def _chunks(df):
+        return (df.withColumn("c", F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk_no"),
+                     F.shiftrightunsigned("h", 16 * c)
+                      .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+            for c in range(4)])))
+            .select("*", "c.chunk_no", "c.chunk").drop("c"))
+
+    a, b = _chunks(kf), _chunks(img)
+    if max_bucket is not None:
+        hot = (a.groupBy("chunk_no", "chunk")
+                .agg(F.count("*").alias("bn"))
+               .unionByName(b.groupBy("chunk_no", "chunk")
+                            .agg(F.count("*").alias("bn")))
+               .groupBy("chunk_no", "chunk")
+               .agg(F.max("bn").alias("bn"))
+               .where(F.col("bn") > max_bucket)
+               .select("chunk_no", "chunk"))
+        a = a.join(F.broadcast(hot), ["chunk_no", "chunk"], "left_anti")
+        b = b.join(F.broadcast(hot), ["chunk_no", "chunk"], "left_anti")
+    cand = (a.join(b.withColumnRenamed("h", "hb"),
+                   ["chunk_no", "chunk"])
+            .select("vid", "scene_no", "iid", "h", "hb")
+            .distinct())
+    ham = F.bit_count(F.col("h").bitwiseXOR(F.col("hb")))
+    scored = cand.withColumn("hamming", ham) \
+                 .where(F.col("hamming") <= max_hamming)
+    return (scored.groupBy(F.col("vid").alias("video_id"),
+                           F.col("iid").alias("image_id"))
+            .agg(F.min_by("scene_no", F.struct("hamming", "scene_no"))
+                 .alias("scene_no"),
+                 F.min("hamming").alias("hamming")))

@@ -1982,3 +1982,222 @@ def test_kmv_sketch_null_and_hot_key(spark):
             "cast(xxhash64(v) as double) / 18446744073709551616.0 + 0.5"
         ).alias("h")).distinct().collect())[:64]
     assert [round(x, 12) for x in kmv] == [round(x, 12) for x in truth]
+
+
+def test_video_still_pairs_planted(spark):
+    """Cross-modality near-dup: a video frame exported as a BMP image
+    matches its source video at hamming 0 with the right scene; an
+    unrelated image and an in-shot neighbor frame's image stay within
+    max_hamming semantics (neighbor allowed under loose thresholds,
+    excluded at 0)."""
+    # seed 23 = the verified 3-shot structure from
+    # test_video_scenes_cuts_and_keyframes (cuts at 6 and 10, so
+    # frame 7 IS scene 1's keyframe)
+    rng = np.random.default_rng(23)
+    h, w = 16, 16
+    shots = []
+    for n_frames in (6, 4, 5):
+        base = rng.integers(0, 200, (h, w, 3)).astype(np.uint8)
+        shot = [np.clip(base.astype(np.int32) + 3 * i, 0, 255)
+                .astype(np.uint8) for i in range(n_frames)]
+        shots.append(np.stack(shot))
+    frames = np.concatenate(shots)
+    # scene 1 spans frames 6..9 -> keyframe idx (6+9)//2 = 7
+    still = MM.encode_bmp(frames[7])
+    unrelated = MM.encode_bmp(
+        rng.integers(0, 255, (h, w, 3)).astype(np.uint8))
+    rows = [Row(media_id=1, kind="video",
+                content=MM.encode_rawv(frames), meta=None),
+            Row(media_id=10, kind="image", content=still, meta=None),
+            Row(media_id=11, kind="image", content=unrelated,
+                meta=None),
+            Row(media_id=12, kind="image", content=b"junk", meta=None)]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = MM.video_still_pairs(media, max_hamming=0).collect()
+    assert [(r.video_id, r.image_id, r.scene_no, r.hamming)
+            for r in got] == [(1, 10, 1, 0)]
+    # sanity: the exported frame's dHash equals the keyframe's
+    assert MM.dhash_np(MM.decode_bmp(still)) == MM.dhash_np(frames[7])
+
+
+def test_media_pipeline_cross_modal_stills_gate(spark):
+    """media_pipeline(cross_modal_stills=True) unions the bipartite
+    keyframe/image edges into the dedup graph; default OFF keeps the
+    benched path byte-identical."""
+    import inspect
+
+    from nasctn_sea_ingest_spark.plans.pipeline import media_pipeline
+
+    assert (inspect.signature(media_pipeline)
+            .parameters["cross_modal_stills"].default is False)
+    feats, man = media_pipeline(spark, n_items=60,
+                                cross_modal_stills=True)
+    try:
+        assert man["kept"] + man["near_dup_dropped"] == man["raw"]
+        assert feats.count() > 0
+    finally:
+        feats.unpersist(True)
+
+
+def test_cooccur_pairs_python_oracle(spark):
+    """Support counts == a Python replay (incl. duplicate (basket,
+    item) rows deduping first); the mega-basket guard drops a basket
+    from the counts entirely."""
+    from nasctn_sea_ingest_spark.operators.graph import cooccur_pairs
+
+    rows = [(1, "a"), (1, "b"), (1, "c"), (1, "a"),     # dup item row
+            (2, "a"), (2, "b"),
+            (3, "b"), (3, "c"),
+            (4, "a"), (4, "b"), (4, "c"), (4, "d")]
+    df = spark.createDataFrame(rows, "bk long, item string")
+
+    def replay(rws, max_basket=None):
+        from collections import defaultdict
+        baskets = defaultdict(set)
+        for k, i in rws:
+            baskets[k].add(i)
+        sup = defaultdict(int)
+        for items in baskets.values():
+            if max_basket is not None and len(items) > max_basket:
+                continue
+            s = sorted(items)
+            for x in range(len(s)):
+                for y in range(x + 1, len(s)):
+                    sup[(s[x], s[y])] += 1
+        return dict(sup)
+
+    got = {(r.i1, r.i2): r.support
+           for r in cooccur_pairs(df, "bk", "item").collect()}
+    assert got == replay(rows)
+    # min_support filters, guard drops basket 4 (4 items > 3)
+    got2 = {(r.i1, r.i2): r.support
+            for r in cooccur_pairs(df, "bk", "item", min_support=2,
+                                   max_basket=3).collect()}
+    want2 = {p: s for p, s in replay(rows, max_basket=3).items()
+             if s >= 2}
+    assert got2 == want2
+
+
+def test_triangle_count_brute_force_parity(spark):
+    """Degree-oriented count == itertools brute force on a random
+    graph with a planted hub (the case naive neighbor-pair explode
+    squares), plus closed-form sanity on K5 and a triangle-free star."""
+    import itertools as it
+    import random
+
+    from nasctn_sea_ingest_spark.operators.graph import triangle_count
+
+    def brute(edges):
+        es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        nodes = sorted({x for e in es for x in e})
+        tri = sum(1 for a, b, c in it.combinations(nodes, 3)
+                  if (a, b) in es and (b, c) in es and (a, c) in es)
+        return len(nodes), len(es), tri
+
+    rng = random.Random(7)
+    edges = [(rng.randint(0, 39), rng.randint(0, 39)) for _ in range(200)]
+    edges += [(99, i) for i in range(40)]          # hub touches all
+    for es in (edges,
+               list(it.combinations(range(5), 2)),          # K5: 10 tri
+               [(0, i) for i in range(1, 30)]):             # star: 0
+        df = spark.createDataFrame([(a, b) for a, b in es],
+                                   "d1 long, d2 long")
+        r = triangle_count(df).first()
+        assert (r.n_nodes, r.n_edges, r.n_triangles) == brute(es)
+
+
+def test_dbscan_brute_force_parity(spark):
+    """spatial.dbscan == a reference Python DBSCAN (roles AND cluster
+    labels) on random points, on a long density RIDGE (the chain
+    topology that breaks diameter-bounded propagation — star rounds
+    must still label it as ONE cluster), and on a border point
+    equidistant to two clusters (the (dist, cluster) tie-break)."""
+    import math
+    import random
+
+    from nasctn_sea_ingest_spark.operators.spatial import dbscan
+
+    def ref(pts, eps, min_pts):
+        ids = sorted(pts)
+        nbr = {i: [] for i in ids}
+        for i in ids:
+            for j in ids:
+                if i != j and math.dist(pts[i], pts[j]) <= eps:
+                    nbr[i].append(j)
+        core = {i for i in ids if len(nbr[i]) + 1 >= min_pts}
+        # components over core-core edges, labeled by min id
+        lab = {}
+        for seed in sorted(core):
+            if seed in lab:
+                continue
+            comp, stack = [], [seed]
+            seen = {seed}
+            while stack:
+                u = stack.pop()
+                comp.append(u)
+                for v in nbr[u]:
+                    if v in core and v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+            m = min(comp)
+            for u in comp:
+                lab[u] = m
+        out = {}
+        for i in ids:
+            if i in core:
+                out[i] = ("core", lab[i])
+            else:
+                cands = sorted((math.dist(pts[i], pts[j]), lab[j])
+                               for j in nbr[i] if j in core)
+                out[i] = ("border", cands[0][1]) if cands \
+                    else ("noise", None)
+        return out
+
+    rng = random.Random(11)
+    pts = {i: (rng.uniform(0, 100), rng.uniform(0, 100))
+           for i in range(120)}
+    # a density ridge: 40 points in a line, 2 apart, eps=3 — one
+    # 40-node chain-shaped cluster
+    pts.update({200 + i: (200.0 + 2.0 * i, 0.0) for i in range(40)})
+    # two 4-point clumps with a border point exactly between them
+    pts.update({300: (0.0, 200.0), 301: (1.0, 200.0),
+                302: (0.0, 201.0), 303: (1.0, 201.0),
+                310: (10.0, 200.0), 311: (11.0, 200.0),
+                312: (10.0, 201.0), 313: (11.0, 201.0),
+                350: (5.5, 200.0)})   # 4.5 from each clump edge
+    for eps, mp in ((3.0, 4), (8.0, 4), (4.5, 4)):
+        df = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in pts.items()],
+            "id long, x double, y double")
+        got = {r.id: (r.role, r.cluster)
+               for r in dbscan(df, eps, mp).collect()}
+        assert got == ref(pts, eps, mp), (eps, mp)
+
+
+def test_fd_error_python_replay(spark):
+    """g3 error == a Python replay: exact FD (error 0), a near-FD with
+    one violating row, and an independent pair; NULL lhs/rhs are groups
+    and values like any other."""
+    from nasctn_sea_ingest_spark.functions import fd_error
+
+    rows = [(1, "a", "x"), (1, "a", "x"), (1, "a", "y"),
+            (2, "b", "x"), (2, "b", "x"),
+            (3, None, "x"), (3, None, None), (3, None, None)]
+    df = spark.createDataFrame(rows, "k int, a string, b string")
+
+    def g3(rws, li, ri):
+        from collections import Counter, defaultdict
+        by = defaultdict(Counter)
+        for r in rws:
+            by[r[li]][r[ri]] += 1
+        n = len(rws)
+        keep = sum(max(c.values()) for c in by.values())
+        return n, len(by), n - keep
+
+    for lhs, li, rhs, ri in (("k", 0, "a", 1), ("a", 1, "b", 2),
+                             ("k", 0, "b", 2)):
+        r = fd_error(df, lhs, rhs).first()
+        n, gct, viol = g3(rows, li, ri)
+        assert (r.n_rows, r.n_groups, r.violations) == (n, gct, viol)
+        import math
+        assert r.error == math.floor(viol / n * 1e6) / 1e6

@@ -1229,3 +1229,50 @@ def test_q162_fuzzy_join_is_equi(spark, sf):
         r"(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
         r"[^\n]*__v#\d+", p), p
     assert "levenshtein" in p
+
+
+def test_q163_dbscan_grid_equi(spark, sf):
+    """DBSCAN: no nested-loop/cartesian anywhere in the composed plan,
+    and the eps-neighbor stage (hidden from the final plan behind the
+    multi-consumer localCheckpoint boundary) must be the grid HASH
+    EQUI-join on the cell columns with the distance as a post-join
+    filter — the oracle's N² theta join must never appear."""
+    df = _q("q163_dbscan").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # the pairs stage, inspected pre-checkpoint: same points recipe as
+    # the query (corpus_r9._EPS over the q161 coordinate plane)
+    import pyspark.sql.functions as F
+
+    from nasctn_sea_ingest_spark.operators.spatial import (
+        grid_distance_join)
+    from nasctn_sea_ingest_spark.plans import corpus_r9 as r9
+    from nasctn_sea_ingest_spark.plans.corpus_r8 import _spark_coord
+    from nasctn_sea_ingest_spark.plans.tables import load_table
+
+    pts = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"),
+        _spark_coord("").alias("x"), _spark_coord("y").alias("y"))
+    pairs = grid_distance_join(pts, r9._EPS)
+    pairs.collect()
+    pp = _final(pairs)
+    assert "BroadcastNestedLoopJoin" not in pp
+    assert "CartesianProduct" not in pp
+    assert re.search(
+        r"(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
+        r"[^\n]*__jx#\d+", pp), pp
+
+
+def test_q164_fd_no_joins_no_windows(spark, sf):
+    """FD discovery: pure aggregation — the plan must contain NO join
+    of any kind and NO window (the per-candidate branches are
+    independent aggregate chains unioned together), and every branch's
+    first aggregate must be partial (map-side combine)."""
+    df = _q("q164_fd_discovery").spark(spark, sf)
+    df.collect()
+    p = _final(df)
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "partial_count" in p or "partial_sum" in p

@@ -71,6 +71,9 @@ ALLOW = {
                                   "<=5-row status frames, broadcast",
     ("q159_chi_squared", "single"): "N / chi2 scalar aggregates "
                                     "(input <= 15 cells)",
+    ("q164_fd_discovery", "single"): "per-FD 1-row g3 reduce (input = "
+                                     "partial rows, output = 1 row per "
+                                     "candidate)",
 }
 
 
