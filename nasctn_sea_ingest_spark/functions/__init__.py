@@ -30,7 +30,8 @@ __all__ = [
     "merge_upsert", "snapshot_diff", "keyed_lead", "keyed_cumsum",
     "keyed_cummax",
     "pit_features", "table_fingerprint", "merge_fingerprint",
-    "skew_profile", "fd_error",
+    "skew_profile", "fd_error", "fd_profile", "fd_counts",
+    "fd_errors_from_counts",
 ]
 
 
@@ -1140,6 +1141,59 @@ def fd_error(df: DataFrame, lhs: "Sequence[str] | str",
                   F.count("*").cast("bigint").alias("n_groups"),
                   (F.sum("__n") - F.sum("__m")).cast("bigint")
                   .alias("violations"))
+            .withColumn(
+                "error",
+                F.floor(F.col("violations").cast("double")
+                        / F.col("n_rows") * 1000000)
+                / F.lit(1000000.0)))
+
+
+def fd_profile(df: DataFrame,
+               candidates: "Sequence[tuple[str, str]]") -> DataFrame:
+    """g3 error (:func:`fd_error`) for MANY candidate FDs in ONE scan:
+    a ``stack`` melt emits (lhs, rhs, lhs_value, rhs_value) per row per
+    candidate, then the same two map-side-combinable hash aggregates
+    run keyed by the candidate.  K candidates over a 100 TB table cost
+    one table scan instead of K — the scan, not the combiner-compressed
+    shuffle, is the dominant term at scale.
+
+    Values group by their STRING form (injective for the scalar types
+    this profiles), so group counts match per-column fd_error exactly.
+    Returns one row per candidate: ``(lhs, rhs, n_rows, n_groups,
+    violations, error)``, error floor-quantized at 1e-6."""
+    return fd_errors_from_counts(fd_counts(df, candidates))
+
+
+def fd_counts(df: DataFrame,
+              candidates: "Sequence[tuple[str, str]]") -> DataFrame:
+    """The mergeable state behind :func:`fd_profile`: per-candidate
+    value-pair counts ``(lhs, rhs, lv, rv, c)`` from ONE stack-melt
+    scan.  Counts merge by keyed sum (exactly — see
+    ``streaming.fd_profile_stream``), so profiles of two table slices
+    combine without rescanning either."""
+    cands = list(candidates)
+    if not cands:
+        raise ValueError("fd_profile needs at least one (lhs, rhs) "
+                         "candidate")
+    parts = ", ".join(
+        f"'{l}', '{r}', cast(`{l}` as string), cast(`{r}` as string)"
+        for l, r in cands)
+    melted = df.select(F.expr(
+        f"stack({len(cands)}, {parts}) as (lhs, rhs, lv, rv)"))
+    return melted.groupBy("lhs", "rhs", "lv", "rv").agg(
+        F.count("*").cast("bigint").alias("c"))
+
+
+def fd_errors_from_counts(counts: DataFrame) -> DataFrame:
+    """g3 report from a :func:`fd_counts` table: plurality max + sum
+    per lhs value, then the per-candidate 1-row reduce."""
+    g = counts.groupBy("lhs", "rhs", "lv").agg(
+        F.max("c").alias("__m"), F.sum("c").alias("__n"))
+    return (g.groupBy("lhs", "rhs")
+            .agg(F.sum("__n").cast("bigint").alias("n_rows"),
+                 F.count("*").cast("bigint").alias("n_groups"),
+                 (F.sum("__n") - F.sum("__m")).cast("bigint")
+                 .alias("violations"))
             .withColumn(
                 "error",
                 F.floor(F.col("violations").cast("double")

@@ -245,7 +245,18 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
 
     pairs = grid_distance_join(points, eps, id_col=id_col, x_col=x_col,
                                y_col=y_col, max_cell=max_cell)
-    pairs = pairs.localCheckpoint(eager=False)  # 3 consumers below
+    # The pair set is deliberately NOT cached or checkpointed: at high
+    # density it is quadratic in points-per-cell and the biggest frame
+    # in the job (16x probe: ~113M rows).  Caching it pins unified
+    # memory against the downstream aggregates (measured:
+    # AGGREGATE_OUT_OF_MEMORY with either localCheckpoint — whose
+    # blocks cannot be evicted at all — or MEMORY_AND_DISK persist,
+    # whose protected storage region still starved 32 concurrent agg
+    # tasks), and a LAZY checkpoint loses the materialization race
+    # when AQE computes it from two jobs at once ("Block rdd_N does
+    # not exist").  Recomputing the grid join per consumer (neighbor
+    # count, core-edge derivation, border attach) is bounded, fully
+    # pipelined work whose shuffles spill gracefully.
     sym = (pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"),
                         "dist")
            .unionByName(pairs.select(F.col("id2").alias("a"),
@@ -255,7 +266,7 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
         (F.count("*") + 1).alias("__n"))
     core = (ids.join(ncnt, "id", "left")
             .where(F.coalesce("__n", F.lit(1)) >= min_pts)
-            .select("id").localCheckpoint(eager=False))
+            .select("id").persist())
     core_edges = (sym.select("a", "b")
                   .join(core.withColumnRenamed("id", "a"), "a")
                   .join(core.withColumnRenamed("id", "b"), "b")
@@ -276,10 +287,15 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
               .withColumn("__rn", F.row_number().over(bw))
               .where(F.col("__rn") == 1)
               .select("id", F.col("__cl").alias("__bcl")))
-    return (ids.join(clab, "id", "left")
-            .join(border, "id", "left")
-            .select("id",
-                    F.when(F.col("__cl").isNotNull(), F.lit("core"))
-                    .when(F.col("__bcl").isNotNull(), F.lit("border"))
-                    .otherwise(F.lit("noise")).alias("role"),
-                    F.coalesce("__cl", "__bcl").alias("cluster")))
+    out = (ids.join(clab, "id", "left")
+           .join(border, "id", "left")
+           .select("id",
+                   F.when(F.col("__cl").isNotNull(), F.lit("core"))
+                   .when(F.col("__bcl").isNotNull(), F.lit("border"))
+                   .otherwise(F.lit("noise")).alias("role"),
+                   F.coalesce("__cl", "__bcl").alias("cluster"))
+           # one row per input point — materializing here lets every
+           # big intermediate be released before the caller composes on
+           .localCheckpoint(eager=True))
+    core.unpersist()
+    return out

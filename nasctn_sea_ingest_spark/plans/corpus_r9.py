@@ -40,7 +40,6 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from ..functions import fd_error
 from ..operators.spatial import dbscan
 from .corpus import _q
 from .corpus_r8 import _DUCK_P, _spark_coord
@@ -143,22 +142,17 @@ _FD_ONE = """
     "approximate functional-dependency discovery over a fixed "
     "candidate list on orders: per FD the g3 error (min fraction of "
     "rows to delete for lhs -> rhs to hold exactly) = "
-    "(N - sum over lhs groups of the plurality rhs count) / N.  Two "
-    "map-side-combinable hash aggregates per candidate (duplicates "
-    "collapse BEFORE the shuffle), one 1-row reduce, no windows, no "
-    "key-count ceiling — the profiling complement to q112's "
-    "constraint CHECKING",
+    "(N - sum over lhs groups of the plurality rhs count) / N.  "
+    "ALL candidates profiled in ONE table scan (functions.fd_profile: "
+    "a stack melt feeds two map-side-combinable hash aggregates keyed "
+    "by candidate), no windows, no joins, no key-count ceiling — the "
+    "profiling complement to q112's constraint CHECKING.  The oracle "
+    "is the K-scan UNION ALL of per-candidate subqueries: same "
+    "result, exactly the I/O shape the one-scan plan avoids at 100 TB",
     " UNION ALL ".join(_FD_ONE.format(lhs=l, rhs=r)
                        for l, r in _FD_CANDIDATES)
     + " ORDER BY lhs, rhs")
 def q164(spark, sf_dir):
+    from ..functions import fd_profile
     o = load_table(spark, sf_dir, "orders")
-    parts = []
-    for lhs, rhs in _FD_CANDIDATES:
-        parts.append(fd_error(o, lhs, rhs).select(
-            F.lit(lhs).alias("lhs"), F.lit(rhs).alias("rhs"),
-            "n_rows", "n_groups", "violations", "error"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("lhs", "rhs")
+    return fd_profile(o, _FD_CANDIDATES).orderBy("lhs", "rhs")

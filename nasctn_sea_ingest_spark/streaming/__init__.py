@@ -35,7 +35,8 @@ __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "cm_rollup_stream", "fingerprint_rollup_stream",
            "index_stream", "pca_moments_stream", "media_dedup_stream",
            "fuzzy_dedup_stream", "kmv_rollup_stream",
-           "funnel_monitor_stream", "colocation_monitor_stream"]
+           "funnel_monitor_stream", "colocation_monitor_stream",
+           "fd_profile_stream"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -1582,3 +1583,37 @@ def colocation_monitor_stream(points: DataFrame, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def fd_profile_stream(updates: DataFrame, out_dir: str,
+                      checkpoint_dir: str,
+                      candidates: "list[tuple[str, str]]",
+                      available_now: bool = False):
+    """Incrementally maintained functional-dependency profile — the
+    streaming face of ``functions.fd_profile`` (the data-quality guard
+    that notices a near-FD DEGRADING as data lands, e.g. a source
+    starts emitting contradictory status values per order).  Each
+    micro-batch melts its rows into per-candidate value-pair counts
+    (``functions.fd_counts`` — one scan, map-side combinable) and
+    count-sums into the stored table; the g3 error report is one
+    ``fd_errors_from_counts(spark.read.parquet(out_dir))`` away at any
+    trigger.
+
+    State = distinct (lhs value, rhs value) pairs per candidate:
+    profile BOUNDED-DOMAIN columns (status, priority, category, date
+    buckets) — a key-like lhs would grow state O(rows), and that FD is
+    better enforced row-wise at landing (q112-style constraint audit).
+    Count merge is exact and NULL values are ordinary groups (union +
+    re-aggregate, never a NULL-dropping equi-join), so the snapshot is
+    row-identical to ``fd_counts`` over everything that ever streamed;
+    crash replays are skipped by the ``last_batch`` stamp."""
+    from ..functions import fd_counts
+
+    def merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (a.unionByName(b)
+                .groupBy("lhs", "rhs", "lv", "rv")
+                .agg(F.sum("c").cast("bigint").alias("c")))
+
+    return _guarded_small_rollup(
+        updates, out_dir, checkpoint_dir,
+        lambda b: fd_counts(b, candidates), merge, available_now)

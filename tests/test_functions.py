@@ -948,3 +948,27 @@ def test_keyed_scan_degenerate_order_domain(spark):
     # exceptAll treats NULL == NULL, so first-row NULLs compare fine
     assert gotx.select("k", "t", "o").exceptAll(wantx).count() == 0
     assert gotx.count() == wantx.count()
+
+
+def test_fd_profile_matches_fd_error(spark, sf_dir):
+    """The one-scan stack melt == per-candidate fd_error on every
+    (n_rows, n_groups, violations, error) — the physical rewrite must
+    not change a single count (string-form grouping is injective for
+    the profiled scalar types)."""
+    from nasctn_sea_ingest_spark.functions import fd_error, fd_profile
+    from nasctn_sea_ingest_spark.plans.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    cands = [("o_orderkey", "o_orderstatus"),
+             ("o_custkey", "o_orderstatus"),
+             ("o_orderdate", "o_orderstatus"),
+             ("o_orderpriority", "o_orderstatus")]
+    prof = {(r.lhs, r.rhs): (r.n_rows, r.n_groups, r.violations, r.error)
+            for r in fd_profile(o, cands).collect()}
+    for lhs, rhs in cands:
+        r = fd_error(o, lhs, rhs).first()
+        assert prof[(lhs, rhs)] == (r.n_rows, r.n_groups,
+                                    r.violations, r.error), (lhs, rhs)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="at least one"):
+        fd_profile(o, [])

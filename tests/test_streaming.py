@@ -1857,3 +1857,64 @@ def test_colocation_monitor_stream_alerts_and_replay(spark, tmp_path):
     al2 = {(r.id1, r.id2) for r in spark.read.parquet(alerts).collect()}
     assert al2 == {(1, 2), (11, 1), (11, 2), (12, 3)}
     assert spark.read.parquet(out).count() == 6   # all points stored
+
+
+def test_fd_profile_stream_matches_batch_and_replay(spark, tmp_path):
+    """Streaming FD-profile maintenance: counts merge exactly, so after
+    any number of waves the stored count table must be ROW-identical to
+    fd_counts over everything that landed, and the derived g3 report
+    must equal batch fd_profile — including NULL lhs/rhs values (the
+    merge is union+re-aggregate, never a NULL-dropping equi-join).
+    Crash replays are stamp-guarded (count sums double without it)."""
+    from nasctn_sea_ingest_spark.functions import (fd_counts,
+                                                   fd_errors_from_counts,
+                                                   fd_profile)
+    from nasctn_sea_ingest_spark.streaming import fd_profile_stream
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "fd")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "k int, status string, prio string"
+    cands = [("k", "status"), ("prio", "status")]
+    wave1 = [(i % 7, f"s{i % 3}", None if i % 5 == 0 else f"p{i % 2}")
+             for i in range(200)]
+    spark.createDataFrame(wave1, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(land).schema).parquet(land)
+        q = fd_profile_stream(stream, out, ckpt, cands,
+                              available_now=True)
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    def stored():
+        return {(r.lhs, r.rhs, r.lv, r.rv): r.c for r in
+                spark.read.parquet(out).drop("last_batch").collect()}
+
+    run()
+    c1 = stored()
+    _delete_commit_marker(ckpt)
+    run()  # replay batch 0 -> stamp guard must skip it
+    assert stored() == c1
+
+    wave2 = [(i % 4, f"s{(i + 1) % 4}", f"p{i % 3}")
+             for i in range(150)]
+    spark.createDataFrame(wave2, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    run()
+    everything = spark.createDataFrame(wave1 + wave2, schema)
+    want = {(r.lhs, r.rhs, r.lv, r.rv): r.c
+            for r in fd_counts(everything, cands).collect()}
+    assert stored() == want
+    # the derived report == batch fd_profile of all landed rows
+    got = {(r.lhs, r.rhs): (r.n_rows, r.n_groups, r.violations, r.error)
+           for r in fd_errors_from_counts(
+               spark.read.parquet(out).drop("last_batch")).collect()}
+    wantr = {(r.lhs, r.rhs): (r.n_rows, r.n_groups, r.violations,
+                              r.error)
+             for r in fd_profile(everything, cands).collect()}
+    assert got == wantr

@@ -104,8 +104,42 @@ def main():
                     c, "c_custkey", blocks, fields).count())
                 print(f"x{k} linkage_scores       {dt:7.2f}s pairs={n}")
             c.unpersist()
+        if want("dbscan"):
+            from nasctn_sea_ingest_spark.operators.spatial import dbscan
+            c = rep(cust0, k, "c_custkey").persist()
+            c.count()
+            # CONSTANT-density growth: the plane scales with the data
+            # (width 1000*sqrt(k)), unlike the fixed-plane recipe used
+            # for the pair-JOIN ops.  Fixed-plane 16x densification
+            # collapses DBSCAN to one near-complete core graph
+            # (~470 eps-neighbors/point, ~113M pair rows) — the regime
+            # where a user retunes eps or arms max_cell, documented in
+            # SCALE.md §21, not a throughput question.  Constant
+            # density measures what 100 TB actually means for a
+            # density clusterer: more AREA at similar local density.
+            import math
+            w = int(100000 * math.sqrt(k))
+            h = ("cast(conv(substring(md5(concat(cast(c_custkey as "
+                 "string), '{s}')), 1, 15), 16, 10) as bigint) "
+                 f"% {w}")
+            pts = c.selectExpr(
+                "c_custkey as id",
+                f"cast({h.format(s='')} as double)/100.0 as x",
+                f"cast({h.format(s='y')} as double)/100.0 as y")
+            dt, n = t(lambda: dbscan(pts, 25.0, 4).count())
+            print(f"x{k} dbscan               {dt:7.2f}s rows={n}")
+            c.unpersist()
+        if want("fd_error"):
+            from nasctn_sea_ingest_spark.functions import fd_error
+            li = rep(li0, k, "l_orderkey").persist()
+            li.count()
+            dt, n = t(lambda: fd_error(
+                li, "l_orderkey", "l_returnflag").count())
+            print(f"x{k} fd_error             {dt:7.2f}s rows={n}")
+            li.unpersist()
         if only is not None and not (only - {"grid_knn_join",
-                                             "linkage_scores"}):
+                                             "linkage_scores",
+                                             "dbscan", "fd_error"}):
             continue
         d = rep(docs0, k, "doc_id").persist()
         d.count()
