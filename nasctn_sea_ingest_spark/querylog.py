@@ -33,6 +33,14 @@ def normalized_plan(df: DataFrame) -> str:
     p = re.sub(r"#\d+L?", "#", p)
     p = re.sub(r"plan_id=\d+", "plan_id=", p)
     p = re.sub(r"Location: \S+", "Location:", p)
+    # higher-order-function lambda variables are numbered from a
+    # session-global counter (lambda x_100 in a fresh session, x_201
+    # mid-bench) — a context artifact like expression ids, not plan
+    # shape (round-9 --context audit: 12 queries latently exposed)
+    p = re.sub(r"\b(lambda [A-Za-z]+)_\d+", r"\1_", p)
+    # with-expression CSE aliases (_common_expr_0 vs _common_expr_1)
+    # number from the same session-global counter family
+    p = re.sub(r"\b(_common_expr)_\d+", r"\1_", p)
     # Sample seeds are runtime values, not plan shape.  (Round 6 found
     # the r5 "plans_changed: 4" phantom: df.sample(0.1, seed=7) binds
     # 0.1 to withReplacement and DROPS the keyword seed, so every run

@@ -31,6 +31,15 @@ _DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
+    # FileScan metadata strings (DataFilters/PushedFilters/ReadSchema)
+    # truncate at 100 chars by default, and the CUT POINT moves with
+    # expression-id LENGTH (#123 vs #12345) — so the plan-digest drift
+    # alarm (querylog.plan_digest) would fire on id-magnitude changes,
+    # not plan-shape changes.  Round 9's full-corpus --context audit
+    # (tools/digest_stability.py) found 14 queries latently exposed;
+    # printing the metadata untruncated removes the whole class (ids
+    # themselves are stripped by the digest normalizer).
+    "spark.sql.maxMetadataStringLength": "65536",
 }
 
 
