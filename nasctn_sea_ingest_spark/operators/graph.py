@@ -160,13 +160,21 @@ def star_components(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
             j = d.join(m, "a")
             out = (j.select(F.col("b").alias("a"), F.col("m").alias("b"))
                    .unionByName(m.select("a", F.col("m").alias("b"))))
-        return (out.where(F.col("a") != F.col("b")).distinct()
-                .localCheckpoint())
+        return out.where(F.col("a") != F.col("b")).distinct()
 
     prev = None
     for _ in range(max_iter):
-        edges = _star(edges, large=True)
-        edges = _star(edges, large=False)
+        # ONE checkpoint per round (after both phases), not one per
+        # phase: each eager checkpoint is a job, and on small graphs
+        # the loop cost is jobs × (codegen + scheduling), not data.
+        # The checkpoint cannot be deferred further: each star phase
+        # references its input 2-4 times (the re-symmetrize union +
+        # the min join), so un-truncated lineage grows the logical
+        # plan EXPONENTIALLY per round — a persist-chain variant hung
+        # the 3000-node-chain test in the analyzer (measured, round
+        # 9).  Lineage depth of two phases is the safe maximum.
+        edges = _star(_star(edges, large=True), large=False) \
+            .localCheckpoint()
         # order-independent multiset digest: sum of per-edge hashes
         cur = edges.agg(
             F.sum(F.xxhash64("a", "b").cast("decimal(38,0)"))).first()[0]

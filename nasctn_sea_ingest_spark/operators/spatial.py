@@ -217,7 +217,8 @@ def grid_knn_join(points: DataFrame, k: int, cell: float,
 
 def dbscan(points: DataFrame, eps: float, min_pts: int,
            id_col: str = "id", x_col: str = "x", y_col: str = "y",
-           max_cell: int | None = None) -> DataFrame:
+           max_cell: int | None = None,
+           pair_cache_limit: int = 50_000_000) -> DataFrame:
     """Exact DBSCAN (Ester et al., KDD'96) as a composition of the
     engine's bounded primitives — density clustering without an
     all-pairs scan or an iterative driver loop over points:
@@ -245,18 +246,23 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
 
     pairs = grid_distance_join(points, eps, id_col=id_col, x_col=x_col,
                                y_col=y_col, max_cell=max_cell)
-    # The pair set is deliberately NOT cached or checkpointed: at high
-    # density it is quadratic in points-per-cell and the biggest frame
-    # in the job (16x probe: ~113M rows).  Caching it pins unified
-    # memory against the downstream aggregates (measured:
-    # AGGREGATE_OUT_OF_MEMORY with either localCheckpoint — whose
-    # blocks cannot be evicted at all — or MEMORY_AND_DISK persist,
-    # whose protected storage region still starved 32 concurrent agg
-    # tasks), and a LAZY checkpoint loses the materialization race
-    # when AQE computes it from two jobs at once ("Block rdd_N does
-    # not exist").  Recomputing the grid join per consumer (neighbor
-    # count, core-edge derivation, border attach) is bounded, fully
-    # pipelined work whose shuffles spill gracefully.
+    # Size the caching decision to the GRAPH (the dup_clusters rule):
+    # `sym` is a union, so each downstream consumer (neighbor count,
+    # core-edge derivation, border attach) would otherwise recompute
+    # the grid join TWICE — ~6 computations total.  One count (the
+    # 1st computation) buys the decision:
+    #  - pairs under `pair_cache_limit` persist MEMORY_AND_DISK —
+    #    every consumer then reads blocks, total 2 computations;
+    #  - above the limit (eps mistuned for the density, SCALE.md §21:
+    #    the fixed-plane 16x probe's ~113M rows) caching PINS unified
+    #    memory against the downstream aggregates (measured OOM with
+    #    localCheckpoint, MEMORY_AND_DISK and DISK_ONLY alike at
+    #    local[32]'s per-task budget) — recompute-per-consumer keeps
+    #    everything pipelined and spillable.
+    cached = None
+    if pair_cache_limit and pairs.count() <= pair_cache_limit:
+        pairs = pairs.persist()
+        cached = pairs
     sym = (pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"),
                         "dist")
            .unionByName(pairs.select(F.col("id2").alias("a"),
@@ -298,4 +304,6 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
            # big intermediate be released before the caller composes on
            .localCheckpoint(eager=True))
     core.unpersist()
+    if cached is not None:
+        cached.unpersist()
     return out
