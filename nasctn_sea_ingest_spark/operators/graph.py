@@ -18,7 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 __all__ = ["pagerank", "star_components", "cooccur_pairs",
-           "triangle_count"]
+           "triangle_count", "shortest_paths"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -285,3 +285,69 @@ def triangle_count(pairs: DataFrame, d1: str = "d1",
             F.count("*").cast("bigint").alias("n_nodes"))))
     return (counts.crossJoin(F.broadcast(tri))
             .select("n_nodes", "n_edges", "n_triangles"))
+
+
+def shortest_paths(edges: DataFrame, sources: "list",
+                   src: str = "src", dst: str = "dst",
+                   weight: str = "weight",
+                   max_iter: int = 50) -> DataFrame:
+    """Weighted single/multi-source shortest paths (distributed
+    Bellman-Ford): returns ``(node, dist)`` for every node reachable
+    from any of ``sources`` — the weighted complement of the q145
+    unweighted reachability family.  Negative weights are rejected
+    (distributed Bellman-Ford would still converge, but a negative
+    CYCLE cannot be detected without diameter bookkeeping — refuse
+    loudly rather than loop to max_iter).
+
+    Per round: frontier ⋈ edges on the node key, one groupBy-min, one
+    least() merge with the settled table — the PageRank shuffle shape.
+    Only nodes whose distance IMPROVED join the next frontier, so
+    rounds touch the expanding wavefront, not the whole graph; the
+    loop exits when a round improves nothing (frontier empty — an
+    exact fixpoint, no digest needed).  Rounds needed = the longest
+    shortest path in EDGES (hops), so ``max_iter`` bounds work on
+    adversarial chains; unconverged exits raise rather than return
+    silently short distances (the dup_clusters round-9 lesson:
+    iterative operators must not under-report on chain-shaped
+    inputs)."""
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"),
+                      F.col(weight).cast("double").alias("w"))
+         .where(F.col("s").isNotNull() & F.col("d").isNotNull()
+                & F.col("w").isNotNull()))
+    if e.where(F.col("w") < 0).limit(1).count():
+        raise ValueError("shortest_paths requires non-negative weights "
+                         "(negative-cycle detection is not implemented)")
+    e = e.groupBy("s", "d").agg(F.min("w").alias("w"))  # parallel edges
+    e = e.localCheckpoint()
+    spark = edges.sparkSession
+    # seed frame typed from the edge schema so joins never cast
+    dist = (spark.createDataFrame([(x,) for x in sources],
+                                  e.select("s").schema)
+            .toDF("node").withColumn("dist", F.lit(0.0)).distinct()
+            .localCheckpoint())
+    frontier = dist
+    converged = False
+    for _ in range(max_iter):
+        relax = (frontier.join(e, frontier.node == e.s)
+                 .groupBy(F.col("d").alias("node"))
+                 .agg(F.min(F.col("dist") + F.col("w")).alias("cand")))
+        merged = (dist.join(relax, "node", "full")
+                  .select("node",
+                          F.least(F.coalesce("dist", F.lit(float("inf"))),
+                                  F.coalesce("cand", F.lit(float("inf"))))
+                          .alias("dist"),
+                          (F.col("dist").isNull()
+                           | (F.col("cand") < F.col("dist")))
+                          .alias("__improved"))
+                  .localCheckpoint())
+        frontier = merged.where("__improved").select("node", "dist")
+        dist = merged.select("node", "dist")
+        if not frontier.limit(1).count():
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"shortest_paths did not converge in {max_iter} rounds — "
+            "the graph has shortest paths longer than max_iter hops; "
+            "raise max_iter")
+    return dist

@@ -2201,3 +2201,59 @@ def test_fd_error_python_replay(spark):
         assert (r.n_rows, r.n_groups, r.violations) == (n, gct, viol)
         import math
         assert r.error == math.floor(viol / n * 1e6) / 1e6
+
+
+def test_shortest_paths_dijkstra_parity(spark):
+    """Distributed Bellman-Ford == a reference Python Dijkstra on a
+    random weighted digraph (multi-source too), unreachable nodes
+    absent, parallel edges take the min, negative weights refused, and
+    a chain longer than max_iter raises instead of under-reporting."""
+    import heapq
+    import random
+
+    from nasctn_sea_ingest_spark.operators.graph import shortest_paths
+
+    def dijkstra(edges, srcs):
+        adj = {}
+        for s, d, w in edges:
+            adj.setdefault(s, []).append((d, w))
+        dist = {s: 0.0 for s in srcs}
+        pq = [(0.0, s) for s in srcs]
+        heapq.heapify(pq)
+        while pq:
+            du, u = heapq.heappop(pq)
+            if du > dist.get(u, float("inf")):
+                continue
+            for v, w in adj.get(u, []):
+                nd = du + w
+                if nd < dist.get(v, float("inf")):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        return dist
+
+    rng = random.Random(5)
+    edges = [(rng.randint(0, 30), rng.randint(0, 30),
+              round(rng.uniform(0.5, 10.0), 2)) for _ in range(150)]
+    edges += [(100, 101, 1.0), (101, 102, 2.5)]   # island off source 100
+    edges += [(0, 5, 3.0), (0, 5, 1.0)]           # parallel edges -> min
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    for srcs in ([0], [0, 100]):
+        got = {r.node: r.dist
+               for r in shortest_paths(df, srcs).collect()}
+        want = dijkstra(edges, srcs)
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, k
+    import pytest as _pt
+    neg = spark.createDataFrame([(1, 2, -1.0)],
+                                "src long, dst long, weight double")
+    with _pt.raises(ValueError, match="non-negative"):
+        shortest_paths(neg, [1])
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(30)],
+        "src long, dst long, weight double")
+    with _pt.raises(RuntimeError, match="did not converge"):
+        shortest_paths(chain, [0], max_iter=5)
+    full = {r.node: r.dist
+            for r in shortest_paths(chain, [0], max_iter=40).collect()}
+    assert full == {i: float(i) for i in range(31)}
