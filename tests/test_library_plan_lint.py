@@ -134,3 +134,36 @@ def test_er_and_funnel_plans(spark):
     p = _plan(funnel_anchors(ev, [("v", "e='v'"), ("c", "e='c'"),
                                   ("p", "e='p'")], within_us=100))
     _lint(p, "funnel_anchors")
+
+
+def test_fd_and_graph_library_plans(spark, tiny):
+    """Round-9 library ops.  fd_counts: exactly ONE exchange (the melt
+    feeds one hash agg with map-side combine — the PLANS.md claim,
+    asserted); fd_errors_from_counts adds the per-lhs and per-candidate
+    aggregates, join-free and window-free end-to-end.  cooccur_pairs /
+    triangle_count / shortest_paths seed-round: equi-joins only."""
+    from nasctn_sea_ingest_spark.functions import (fd_counts,
+                                                   fd_errors_from_counts,
+                                                   fd_profile)
+    from nasctn_sea_ingest_spark.operators.graph import (cooccur_pairs,
+                                                         triangle_count)
+    docs, _emb, ev = tiny
+    counts = fd_counts(ev, [("item", "v")])
+    p = _plan(counts)
+    _lint(p, "fd_counts")
+    assert p.count("Exchange") == 1 and "partial" in p
+    p2 = _plan(fd_profile(ev, [("item", "v"), ("v", "item")]))
+    _lint(p2, "fd_profile")
+    assert "Join" not in p2 and "Window" not in p2
+    _lint(_plan(fd_errors_from_counts(counts)), "fd_errors_from_counts")
+    baskets = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "c")],
+        "bk long, item string")
+    pc = _plan(cooccur_pairs(baskets, "bk", "item"))
+    _lint(pc, "cooccur_pairs")
+    assert "SortMergeJoin" in pc or "ShuffledHashJoin" in pc \
+        or "BroadcastHashJoin" in pc
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)],
+                                  "d1 long, d2 long")
+    pt = _plan(triangle_count(edges))
+    _lint(pt, "triangle_count")
