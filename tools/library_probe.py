@@ -137,9 +137,29 @@ def main():
                 li, "l_orderkey", "l_returnflag").count())
             print(f"x{k} fd_error             {dt:7.2f}s rows={n}")
             li.unpersist()
+        if want("shortest_paths"):
+            from nasctn_sea_ingest_spark.operators.graph import (
+                cooccur_pairs, shortest_paths)
+            li = rep(li0, k, "l_orderkey").persist()
+            li.count()
+            # weighted co-purchase graph: weight = 21 - min(support,
+            # 20) (popular pairs are "close"); replication multiplies
+            # ORDERS, so edges/supports grow with k — a denser graph,
+            # same 200k-part node universe
+            ed = (cooccur_pairs(li, "l_orderkey", "l_partkey")
+                  .selectExpr("i1 as s", "i2 as d",
+                              "cast(21 - least(support, 20) as double)"
+                              " as w"))
+            ed = ed.unionByName(ed.selectExpr("d as s", "s as d", "w"))
+            src = [r.s for r in ed.select("s").limit(1).collect()]
+            dt, n = t(lambda: shortest_paths(
+                ed, src, src="s", dst="d", weight="w").count())
+            print(f"x{k} shortest_paths       {dt:7.2f}s rows={n}")
+            li.unpersist()
         if only is not None and not (only - {"grid_knn_join",
                                              "linkage_scores",
-                                             "dbscan", "fd_error"}):
+                                             "dbscan", "fd_error",
+                                             "shortest_paths"}):
             continue
         d = rep(docs0, k, "doc_id").persist()
         d.count()
