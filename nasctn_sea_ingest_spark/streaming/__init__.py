@@ -36,7 +36,7 @@ __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "index_stream", "pca_moments_stream", "media_dedup_stream",
            "fuzzy_dedup_stream", "kmv_rollup_stream",
            "funnel_monitor_stream", "colocation_monitor_stream",
-           "fd_profile_stream"]
+           "fd_profile_stream", "components_stream"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -1617,3 +1617,49 @@ def fd_profile_stream(updates: DataFrame, out_dir: str,
     return _guarded_small_rollup(
         updates, out_dir, checkpoint_dir,
         lambda b: fd_counts(b, candidates), merge, available_now)
+
+
+def components_stream(pairs: DataFrame, out_dir: str,
+                      checkpoint_dir: str,
+                      d1: str = "d1", d2: str = "d2",
+                      available_now: bool = False):
+    """Incrementally maintained connected components — the streaming
+    face of the dedup CLUSTER state (``graph.star_components`` /
+    ``dedup.dup_clusters``): as near-dup pairs land (from any of the
+    candidate monitors), the stored ``(node, cluster)`` partition is
+    union-merged with the batch's edges, so "which documents are one
+    duplicate group" is queryable at any trigger without re-clustering
+    history.
+
+    Merge correctness: a ``(node, cluster)`` row IS an edge connecting
+    the node to its component representative, so running
+    ``star_components`` over (stored rows ∪ batch pairs) yields exactly
+    the components of everything ever streamed — cluster ids stay the
+    component MIN, so ids are stable once assigned unless a batch
+    BRIDGES two clusters (the smaller min wins; downstream consumers
+    must treat cluster ids as representative, not immutable — the same
+    contract as batch re-clustering).
+
+    Unlike the sketch rollups this merge IS replay-idempotent (re-
+    unioning the same edges changes nothing), but the ``last_batch``
+    stamp is kept anyway: it makes replays cheap (skip, not recompute)
+    and keeps the face uniform with the other maintained snapshots.
+    State = one row per node ever seen; each trigger rewrites the
+    snapshot (O(state) — the media_dedup store contract).  For
+    unbounded node universes prefer periodic batch re-clustering of a
+    bucketed pair store."""
+    from ..operators.graph import star_components
+
+    def merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        # both sides are (node, cluster) partitions (the batch side was
+        # already clustered by batch_state) — their union, read as an
+        # edge list, connects exactly the blocks that share any node
+        e = (a.unionByName(b)
+             .select(F.col("node").alias("d1"),
+                     F.col("cluster").alias("d2")))
+        return star_components(e, "d1", "d2")
+
+    return _guarded_small_rollup(
+        pairs, out_dir, checkpoint_dir,
+        lambda batch: star_components(batch, d1, d2),
+        merge, available_now)

@@ -1918,3 +1918,56 @@ def test_fd_profile_stream_matches_batch_and_replay(spark, tmp_path):
                               r.error)
              for r in fd_profile(everything, cands).collect()}
     assert got == wantr
+
+
+def test_components_stream_matches_batch_and_replay(spark, tmp_path):
+    """Streaming cluster maintenance: after every wave the stored
+    (node, cluster) partition equals star_components of ALL pairs ever
+    streamed — including a wave that BRIDGES two existing clusters
+    (the min id wins) and a chain-shaped wave.  Replay is stamp-
+    skipped (the merge is idempotent anyway; the stamp makes it
+    cheap)."""
+    from nasctn_sea_ingest_spark.operators.graph import star_components
+    from nasctn_sea_ingest_spark.streaming import components_stream
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "cc")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "d1 long, d2 long"
+    wave1 = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    spark.createDataFrame(wave1, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(land).schema).parquet(land)
+        q = components_stream(stream, out, ckpt, available_now=True)
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    def stored():
+        return {r.node: r.cluster for r in
+                spark.read.parquet(out).drop("last_batch").collect()}
+
+    def want(all_pairs):
+        df = spark.createDataFrame(all_pairs, schema)
+        return {r.node: r.cluster
+                for r in star_components(df).collect()}
+
+    run()
+    assert stored() == want(wave1)
+    c1 = stored()
+    _delete_commit_marker(ckpt)
+    run()                                  # replay: stamp-skipped
+    assert stored() == c1
+    # wave 2 bridges {1,2,3} and {10,11} (min 1 wins) and appends a
+    # 30..45 chain
+    wave2 = [(3, 10)] + [(i, i + 1) for i in range(30, 45)]
+    spark.createDataFrame(wave2, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    run()
+    got = stored()
+    assert got == want(wave1 + wave2)
+    assert got[11] == 1 and got[44] == 30
