@@ -241,7 +241,12 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
     in {'core','border','noise'} and cluster = the component's min core
     id (NULL for noise).  Deterministic for any input (the tie-break
     is total).  ``max_cell`` passes through to the grid join (same
-    correctness-trading contract, default OFF)."""
+    correctness-trading contract, default OFF).  ``pair_cache_limit``
+    sizes the caching decision to the graph (one count buys it): pair
+    sets at or under it persist so the three consumers read blocks
+    instead of recomputing the grid join; 0/None forces the no-cache
+    pipelined path (see the in-body comment and SCALE.md §21 for the
+    measured OOM regimes behind this shape)."""
     from .graph import star_components
 
     pairs = grid_distance_join(points, eps, id_col=id_col, x_col=x_col,
