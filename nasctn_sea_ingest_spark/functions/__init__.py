@@ -1157,8 +1157,12 @@ def fd_profile(df: DataFrame,
     one table scan instead of K — the scan, not the combiner-compressed
     shuffle, is the dominant term at scale.
 
-    Values group by their STRING form (injective for the scalar types
-    this profiles), so group counts match per-column fd_error exactly.
+    CONTRACT: values group by their STRING form, which is injective for
+    integer/string/date/decimal columns — group counts then match
+    per-column :func:`fd_error` exactly.  Float/double columns are NOT
+    covered by that claim (``-0.0`` vs ``0.0`` are one native group but
+    two strings; NaN payloads likewise): profile floats with
+    :func:`fd_error` directly, or quantize them to decimals first.
     Returns one row per candidate: ``(lhs, rhs, n_rows, n_groups,
     violations, error)``, error floor-quantized at 1e-6."""
     return fd_errors_from_counts(fd_counts(df, candidates))

@@ -150,7 +150,11 @@ def train_bpe(vocab: DataFrame, n_merges: int,
     if local_vocab_rows:
         head = vocab.take(local_vocab_rows + 1)
         if len(head) <= local_vocab_rows:
-            return _train_bpe_local([(r[0], r[1]) for r in head],
+            # resolve by NAME, like the distributed path below: a vocab
+            # frame with reordered or extra leading columns must fail
+            # loudly here, not silently train on the wrong columns
+            return _train_bpe_local([(r["word"], r["count"])
+                                     for r in head],
                                     n_merges, min_count)
     cur = vocab.select(
         _initial_symbols(F.col("word")).alias("syms"),

@@ -99,8 +99,45 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     return ranks.select("node", "rank")
 
 
+def _components_local(spark, node_rows, edge_rows, node_field):
+    """Driver union-find over a SIZE-GATED edge list (see
+    ``star_components``' ``local_graph_rows``): path-halving find +
+    union by attachment, then per-root min label — exact and identical
+    to the distributed fixpoint's (node, component-min) contract."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes = [r[0] for r in node_rows]
+    for n in nodes:
+        parent[n] = n
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict = {}
+    for n in nodes:
+        r = find(n)
+        if r not in comp or n < comp[r]:
+            comp[r] = n
+    from pyspark.sql.types import StructField, StructType
+    schema = StructType([
+        StructField("node", node_field.dataType, node_field.nullable),
+        StructField("cluster", node_field.dataType,
+                    node_field.nullable)])
+    return spark.createDataFrame(
+        [(n, comp[find(n)]) for n in nodes], schema)
+
+
 def star_components(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
-                    max_iter: int = 30) -> DataFrame:
+                    max_iter: int = 30,
+                    local_graph_rows: int = 200_000) -> DataFrame:
     """Connected components by alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14) — converges in O(log n) ROUNDS REGARDLESS OF DIAMETER,
@@ -123,7 +160,14 @@ def star_components(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     Fixpoint (edge multiset stops changing — checked by a cheap
     order-independent hash-sum aggregate, the table_fingerprint trick)
     means every edge is (v, component-min).  localCheckpoint truncates
-    lineage per round, the documented Pregel-style pattern."""
+    lineage per round, the documented Pregel-style pattern.
+
+    Graphs at or under ``local_graph_rows`` distinct edges and nodes
+    (default 200k — a few MB) run driver union-find instead
+    (:func:`_components_local`, the ``train_bpe`` size-gate pattern):
+    identical output, parity-pinned by pytest, milliseconds instead of
+    ~6 fixpoint rounds of job overhead.  ``local_graph_rows=0`` forces
+    the distributed loop."""
     e = pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"),
                                  F.col("a").alias("b")))
@@ -137,6 +181,23 @@ def star_components(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
              .localCheckpoint())
     # size rounds to the graph, not the session (the dup_clusters rule)
     n_e = edges.count()
+    # Size-gated DRIVER kernel (the train_bpe precedent: when the
+    # distributed loop's per-round cost is pure planning + scheduling,
+    # not data, run the bounded driver algorithm instead).  A graph at
+    # or under ``local_graph_rows`` distinct edges AND nodes — a few MB
+    # collected, counted on the CHECKPOINTED frames so the gate cannot
+    # race the collect — runs union-find on the driver: the ~6-round
+    # star fixpoint over a small graph costs seconds of job/codegen
+    # overhead per call (measured: the dbscan cell graph at bench
+    # scale), while union-find costs milliseconds.  Web-scale graphs
+    # (near-dup clusters over a 100 TB crawl) take the distributed
+    # star loop below, unchanged; ``local_graph_rows=0`` forces it.
+    if local_graph_rows and n_e <= local_graph_rows:
+        n_n = nodes.count()
+        if n_n <= local_graph_rows:
+            return _components_local(
+                pairs.sparkSession, nodes.collect(), edges.collect(),
+                nodes.schema["node"])
     p = max(1, -(-n_e // 2_000_000))
     if p < edges.rdd.getNumPartitions():
         edges = edges.coalesce(p)

@@ -516,7 +516,9 @@ def kmv_sketch(df: DataFrame, keys: Sequence[str], col: str,
     from pyspark.sql import Window
 
     h = F.expr(_KMV_NORM.format(c=col))
-    d = (df.where(F.col(col).isNotNull())
+    # F.expr, not F.col: ``col`` accepts SQL expression strings (e.g.
+    # ``upper(x)``), which F.col would mis-resolve as a column name
+    d = (df.where(F.expr(f"({col}) is not null"))
          .select(*keys, h.alias("__h"))
          .groupBy(*keys, "__h").agg(F.lit(1).alias("__one")))
     wb = Window.partitionBy(*keys, "__b").orderBy("__h")

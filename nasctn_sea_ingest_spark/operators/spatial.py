@@ -215,100 +215,301 @@ def grid_knn_join(points: DataFrame, k: int, cell: float,
                       "dist", "rank", "exact")
 
 
+# Strictly below 1/sqrt(2) by ~1.7e-9 relative: with cell size
+# eps * _CELL_K, the same-cell diagonal cell*sqrt(2) stays provably
+# under eps even through floating-point slop in floor(x/cell) — the
+# all-core shortcut depends on that strict inequality, and sitting a
+# hair below eps/sqrt(2) only widens the 5x5 neighborhood's slack
+# (eps/cell ~ 1.4142136 < 2) while moving four corner cells of the 5x5
+# from provably-excludable to almost-always-empty-after-filter.
+_CELL_K = 0.70710678
+
+
 def dbscan(points: DataFrame, eps: float, min_pts: int,
            id_col: str = "id", x_col: str = "x", y_col: str = "y",
            max_cell: int | None = None,
            pair_cache_limit: int = 50_000_000) -> DataFrame:
-    """Exact DBSCAN (Ester et al., KDD'96) as a composition of the
-    engine's bounded primitives — density clustering without an
-    all-pairs scan or an iterative driver loop over points:
+    """Exact DBSCAN (Ester et al., KDD'96) with the eps/sqrt(2) DENSE-
+    CELL shortcut (the grid trick behind Gunawan's exact grid DBSCAN,
+    MSc thesis 2013, and de Berg et al.'s O(n log n) variant) — density
+    clustering whose pair enumeration VANISHES exactly where the data
+    is densest:
 
-    1. eps-neighbor pairs from :func:`grid_distance_join` (cell = eps,
-       lossless, candidate-bound by grid density);
-    2. CORE points = neighbor count (self included) >= ``min_pts`` —
-       one hash aggregate over the symmetrized pairs;
-    3. core clusters = connected components of the core-core edge set
-       via ``graph.star_components`` (O(log n) rounds on ANY topology —
-       density ridges form exactly the chain shapes that break
-       diameter-bounded label propagation); isolated cores self-seed
-       through the self-loop contract;
-    4. BORDER points (non-core within eps of a core) attach to their
-       NEAREST core's cluster, ties by (dist, cluster) — one window
-       rank over the border->core neighbor rows;
-    5. everything else is NOISE.
+    1. grid the plane at cell = eps/sqrt(2) (a hair under — see
+       ``_CELL_K``): any two points sharing a cell are provably within
+       eps (diagonal = cell*sqrt(2) < eps), so a cell holding
+       >= ``min_pts`` points is ALL-CORE with ZERO pair enumeration,
+       and the whole cell collapses to ONE node (its min point id) in
+       the component graph;
+    2. SPARSE-cell points (cell population < min_pts) get exact
+       neighbor counts from one 5x5-neighborhood hash equi-join against
+       all points (lossless: eps < 2*cell, so eps-neighbors differ by
+       <= 2 cell indices) — core iff count (self included) >= min_pts;
+    3. dense-cell CONNECTIVITY runs at CELL granularity: adjacent
+       dense-cell pairs first try a 4x4 representative check (each
+       cell's x/y-extreme points — any rep pair within eps PROVES the
+       edge); only unproven pairs fall back to a point-level equi-join
+       that streams into an early distance filter + distinct (never
+       materialized).  Sparse cores link to dense cells / other sparse
+       cores through their step-2 neighbor rows;
+    4. core clusters = ``graph.star_components`` over the cell-
+       granularity graph (nodes = dense cells + sparse cores — in the
+       dense regime ORDERS OF MAGNITUDE fewer than points; O(log n)
+       rounds on any topology); isolated nodes self-seed via the
+       self-loop contract;
+    5. BORDER points (non-core within eps of a core; always in sparse
+       cells, since dense-cell points are core) attach to their NEAREST
+       core's cluster, ties by (dist, cluster) — one map-side-
+       combinable min(struct) aggregate, no window;
+    6. everything else is NOISE.
 
     Returns one row per input point: ``(id, role, cluster)`` with role
     in {'core','border','noise'} and cluster = the component's min core
-    id (NULL for noise).  Deterministic for any input (the tie-break
-    is total).  ``max_cell`` passes through to the grid join (same
-    correctness-trading contract, default OFF).  ``pair_cache_limit``
-    sizes the caching decision to the graph (one count buys it): pair
-    sets at or under it persist so the three consumers read blocks
-    instead of recomputing the grid join; 0/None forces the no-cache
-    pipelined path (see the in-body comment and SCALE.md §21 for the
-    measured OOM regimes behind this shape)."""
+    id (NULL for noise) — a dense cell's min point id IS a core id, so
+    the cell-granularity component min equals the point-granularity
+    one.  Deterministic for any input (the tie-break is total), and
+    bit-identical to the point-granularity formulation: the shortcut
+    changes which pairs are ENUMERATED, never which points are core or
+    connected.
+
+    ``max_cell`` (default OFF, correctness-trading like the grid-join
+    guard): cells of the eps/sqrt(2) grid holding more than that many
+    points are dropped entirely (their points report noise).  Rarely
+    needed now — the dense regime that motivated it costs O(cells)
+    here, not O(pairs): the fixed-plane 16x probe that OOMed the
+    point-granularity design at local[32] (SCALE.md §21, ~226M pair
+    rows) runs in seconds with zero sparse pairs.  ``pair_cache_limit``
+    sizes the sparse-pair caching decision; the estimate now comes from
+    ONE hash aggregate over the cell histogram (sum over sparse cells
+    of |cell| x 5x5-neighborhood population — an upper bound on the
+    join's output) instead of executing the join once to count it."""
     from .graph import star_components
 
-    pairs = grid_distance_join(points, eps, id_col=id_col, x_col=x_col,
-                               y_col=y_col, max_cell=max_cell)
-    # Size the caching decision to the GRAPH (the dup_clusters rule):
-    # `sym` is a union, so each downstream consumer (neighbor count,
-    # core-edge derivation, border attach) would otherwise recompute
-    # the grid join TWICE — ~6 computations total.  One count (the
-    # 1st computation) buys the decision:
-    #  - pairs under `pair_cache_limit` persist MEMORY_AND_DISK —
-    #    every consumer then reads blocks, total 2 computations;
-    #  - above the limit (eps mistuned for the density, SCALE.md §21:
-    #    the fixed-plane 16x probe's ~113M rows) caching PINS unified
-    #    memory against the downstream aggregates (measured OOM with
-    #    localCheckpoint, MEMORY_AND_DISK and DISK_ONLY alike at
-    #    local[32]'s per-task budget) — recompute-per-consumer keeps
-    #    everything pipelined and spillable.
-    cached = None
-    if pair_cache_limit and pairs.count() <= pair_cache_limit:
-        pairs = pairs.persist()
-        cached = pairs
-    sym = (pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"),
-                        "dist")
-           .unionByName(pairs.select(F.col("id2").alias("a"),
-                                     F.col("id1").alias("b"), "dist")))
-    ids = points.select(F.col(id_col).alias("id"))
-    ncnt = sym.groupBy(F.col("a").alias("id")).agg(
-        (F.count("*") + 1).alias("__n"))
-    core = (ids.join(ncnt, "id", "left")
-            .where(F.coalesce("__n", F.lit(1)) >= min_pts)
-            .select("id").persist())
-    core_edges = (sym.select("a", "b")
-                  .join(core.withColumnRenamed("id", "a"), "a")
-                  .join(core.withColumnRenamed("id", "b"), "b")
-                  # self-loops seed isolated cores as their own cluster
-                  .unionByName(core.select(F.col("id").alias("a"),
-                                           F.col("id").alias("b"))))
-    clab = star_components(core_edges, "a", "b") \
-        .withColumnRenamed("node", "id") \
-        .withColumnRenamed("cluster", "__cl")
-    from pyspark.sql import Window
-    bw = Window.partitionBy("id").orderBy("dist", "__cl")
-    # no broadcast hints: core scales with the data (it is most of the
-    # points on a dense corpus) — AQE decides at runtime size
-    border = (sym.join(core.withColumnRenamed("id", "b"), "b")
-              .join(core.withColumnRenamed("id", "a"), "a", "left_anti")
-              .join(clab.withColumnRenamed("id", "b"), "b")
-              .select(F.col("a").alias("id"), "dist", "__cl")
-              .withColumn("__rn", F.row_number().over(bw))
-              .where(F.col("__rn") == 1)
-              .select("id", F.col("__cl").alias("__bcl")))
-    out = (ids.join(clab, "id", "left")
-           .join(border, "id", "left")
-           .select("id",
-                   F.when(F.col("__cl").isNotNull(), F.lit("core"))
-                   .when(F.col("__bcl").isNotNull(), F.lit("border"))
-                   .otherwise(F.lit("noise")).alias("role"),
-                   F.coalesce("__cl", "__bcl").alias("cluster"))
-           # one row per input point — materializing here lets every
-           # big intermediate be released before the caller composes on
-           .localCheckpoint(eager=True))
-    core.unpersist()
-    if cached is not None:
-        cached.unpersist()
+    eps = float(eps)
+    if eps <= 0:
+        raise ValueError("eps must be positive")
+    if min_pts < 1:
+        raise ValueError("min_pts must be >= 1")
+    cell = eps * _CELL_K
+    eps2 = eps * eps
+    par = points.sparkSession.sparkContext.defaultParallelism
+    if points.rdd.getNumPartitions() < par:
+        points = points.repartition(par)
+    pts = points.select(
+        F.col(id_col).alias("__id"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+        F.floor(F.col(x_col).cast("double") / cell).alias("__cx"),
+        F.floor(F.col(y_col).cast("double") / cell).alias("__cy"))
+
+    xy = F.struct(F.col("__x").alias("x"), F.col("__y").alias("y"))
+    hist_all = pts.groupBy("__cx", "__cy").agg(
+        F.count("*").alias("__n"),
+        F.min("__id").alias("__minid"),
+        # x/y-extreme representative points: the cheap existence
+        # witnesses for dense-cell adjacency (step 3).  Ties pick an
+        # arbitrary extreme point — any point of the cell is a valid
+        # witness, so min_by's tie nondeterminism cannot change results
+        F.min_by(xy, F.col("__x")).alias("__r0"),
+        F.max_by(xy, F.col("__x")).alias("__r1"),
+        F.min_by(xy, F.col("__y")).alias("__r2"),
+        F.max_by(xy, F.col("__y")).alias("__r3"))
+    if max_cell is not None:
+        hot = (hist_all.where(F.col("__n") > max_cell)
+               .select("__cx", "__cy"))
+        pts_act = pts.join(F.broadcast(hot), ["__cx", "__cy"],
+                           "left_anti")
+        hist = hist_all.where(F.col("__n") <= max_cell)
+    else:
+        pts_act, hist = pts, hist_all
+
+    off25 = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in range(-2, 3) for dy in range(-2, 3)])
+    # canonical half of the 24 non-zero offsets: each unordered
+    # adjacent cell pair enumerates exactly once
+    off12 = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in range(-2, 3) for dy in range(-2, 3)
+        if dx > 0 or (dx == 0 and dy > 0)])
+
+    persisted = []
+    try:
+        hist = hist.persist()
+        persisted.append(hist)
+        dense = hist.where(F.col("__n") >= min_pts)
+
+        # ---- sparse-point neighbor pairs (the ONLY per-point pair
+        # enumeration left; empty in the all-dense regime) ----
+        sp = pts_act.join(dense.select("__cx", "__cy"),
+                          ["__cx", "__cy"], "left_anti")
+        nbr = pts_act.select(F.col("__id").alias("__nid"),
+                             F.col("__x").alias("__nx"),
+                             F.col("__y").alias("__ny"),
+                             F.col("__cx").alias("__ncx"),
+                             F.col("__cy").alias("__ncy"))
+        dxs = F.col("__sx") - F.col("__nx")
+        dys = F.col("__sy") - F.col("__ny")
+        d2s = dxs * dxs + dys * dys
+        spairs = (sp.withColumn("__o", F.explode(off25))
+                  .select(F.col("__id").alias("__sid"),
+                          F.col("__x").alias("__sx"),
+                          F.col("__y").alias("__sy"),
+                          (F.col("__cx") + F.col("__o.dx"))
+                          .alias("__jx"),
+                          (F.col("__cy") + F.col("__o.dy"))
+                          .alias("__jy"))
+                  .join(nbr, (F.col("__jx") == F.col("__ncx"))
+                        & (F.col("__jy") == F.col("__ncy"))
+                        & (F.col("__sid") != F.col("__nid")))
+                  .where(d2s <= F.lit(eps2))
+                  .select("__sid", "__nid", F.sqrt(d2s).alias("__dist")))
+        bounded = False
+        if pair_cache_limit:
+            # histogram-only upper bound on the sparse join's output:
+            # no point-level work is spent pricing the decision
+            h3 = hist.select("__cx", "__cy", "__n")
+            est_row = (h3.where(F.col("__n") < min_pts)
+                       .withColumn("__o", F.explode(off25))
+                       .select(F.col("__n").alias("__ns"),
+                               (F.col("__cx") + F.col("__o.dx"))
+                               .alias("__jx"),
+                               (F.col("__cy") + F.col("__o.dy"))
+                               .alias("__jy"))
+                       .join(h3.select(F.col("__cx").alias("__jx"),
+                                       F.col("__cy").alias("__jy"),
+                                       F.col("__n").alias("__nt")),
+                             ["__jx", "__jy"])
+                       .agg(F.coalesce(
+                           F.sum(F.col("__ns") * F.col("__nt")),
+                           F.lit(0)).alias("est")).first())
+            if int(est_row["est"]) <= pair_cache_limit:
+                spairs = spairs.persist()
+                persisted.append(spairs)
+                bounded = True
+
+        # ---- sparse coreness (dense-cell points are core for free) --
+        score = (spairs.groupBy("__sid")
+                 .agg((F.count("*") + 1).alias("__nn"))
+                 .where(F.col("__nn") >= min_pts)
+                 .select(F.col("__sid").alias("__id"))
+                 .persist())
+        persisted.append(score)
+
+        # ---- dense-cell adjacency: proven tier (reps), then the
+        # unproven remainder at point level (filter-then-distinct —
+        # streams, never materialized) ----
+        da = (dense.withColumn("__o", F.explode(off12))
+              .select(F.col("__minid").alias("__ma"),
+                      *[F.col(f"__r{i}").alias(f"__a{i}")
+                        for i in range(4)],
+                      F.col("__cx").alias("__acx"),
+                      F.col("__cy").alias("__acy"),
+                      (F.col("__cx") + F.col("__o.dx")).alias("__jx"),
+                      (F.col("__cy") + F.col("__o.dy")).alias("__jy")))
+        db_ = dense.select(F.col("__minid").alias("__mb"),
+                           *[F.col(f"__r{i}").alias(f"__b{i}")
+                             for i in range(4)],
+                           F.col("__cx").alias("__bcx"),
+                           F.col("__cy").alias("__bcy"))
+        cand = da.join(db_, (F.col("__jx") == F.col("__bcx"))
+                       & (F.col("__jy") == F.col("__bcy")))
+        rep_d2 = []
+        for i in range(4):
+            for j in range(4):
+                rdx = F.col(f"__a{i}.x") - F.col(f"__b{j}.x")
+                rdy = F.col(f"__a{i}.y") - F.col(f"__b{j}.y")
+                rep_d2.append(rdx * rdx + rdy * rdy)
+        proven = F.least(*rep_d2) <= F.lit(eps2)
+        e_dd = cand.where(proven).select(F.col("__ma").alias("a"),
+                                         F.col("__mb").alias("b"))
+        amb = cand.where(~proven).select("__acx", "__acy", "__bcx",
+                                         "__bcy", "__ma", "__mb")
+        pa_t = pts_act.select(F.col("__cx").alias("__acx"),
+                              F.col("__cy").alias("__acy"),
+                              F.col("__x").alias("__pax"),
+                              F.col("__y").alias("__pay"))
+        pb_t = pts_act.select(F.col("__cx").alias("__bcx"),
+                              F.col("__cy").alias("__bcy"),
+                              F.col("__x").alias("__pbx"),
+                              F.col("__y").alias("__pby"))
+        dxp = F.col("__pax") - F.col("__pbx")
+        dyp = F.col("__pay") - F.col("__pby")
+        e_amb = (amb.join(pa_t, ["__acx", "__acy"])
+                 .join(pb_t, ["__bcx", "__bcy"])
+                 .where(dxp * dxp + dyp * dyp <= F.lit(eps2))
+                 .select(F.col("__ma").alias("a"),
+                         F.col("__mb").alias("b"))
+                 .distinct())
+
+        # ---- sparse-core links: every neighbor row whose target is
+        # core contributes an edge to that core's component NODE
+        # (dense cell -> its min id; sparse core -> itself) ----
+        dense_pt = (pts_act.join(dense.select("__cx", "__cy",
+                                              "__minid"),
+                                 ["__cx", "__cy"])
+                    .select("__id", F.col("__minid").alias("__node")))
+        core_node = dense_pt.unionByName(
+            score.select("__id", F.col("__id").alias("__node")))
+        e_sc = (spairs.join(score.withColumnRenamed("__id", "__sid"),
+                            "__sid")
+                .join(core_node.withColumnRenamed("__id", "__nid"),
+                      "__nid")
+                .select(F.col("__sid").alias("a"),
+                        F.col("__node").alias("b")))
+        loops = (dense.select(F.col("__minid").alias("a"),
+                              F.col("__minid").alias("b"))
+                 .unionByName(score.select(F.col("__id").alias("a"),
+                                           F.col("__id").alias("b"))))
+        alledges = (e_dd.unionByName(e_amb).unionByName(e_sc)
+                    .unionByName(loops))
+        if bounded:
+            # ONE eager materialization of the component edge set (its
+            # size is est-bounded: e_sc <= the sparse estimate, the
+            # dense tiers <= 13 edges/cell): star_components' node and
+            # edge passes then read blocks instead of re-executing the
+            # three edge joins — measured ~5 s of the q163 bench floor.
+            # The unbounded regime keeps the pipelined/spillable path.
+            # coalesce first: the 4-branch union concatenates every
+            # branch's partitions (~100+ tiny ones at bench scale);
+            # par partitions bound the per-partition rows at <= ~2M
+            # even at the 50M-row cache limit
+            alledges = (alledges.coalesce(par)
+                        .localCheckpoint(eager=True))
+        comps = star_components(alledges, "a", "b")
+
+        # ---- per-point labels ----
+        core_lab = (core_node.join(
+            comps.withColumnRenamed("node", "__node"), "__node")
+            .select("__id", F.col("cluster").alias("__cl"))
+            .persist())
+        persisted.append(core_lab)
+        # border attach: min(struct) is the (dist, cluster) total-order
+        # tie-break as one combinable aggregate — no window sort
+        bor = (spairs.join(score.withColumnRenamed("__id", "__sid"),
+                           "__sid", "left_anti")
+               .join(core_lab.withColumnRenamed("__id", "__nid"),
+                     "__nid")
+               .groupBy("__sid")
+               .agg(F.min(F.struct(F.col("__dist").alias("d"),
+                                   F.col("__cl").alias("c")))
+                    .alias("__m"))
+               .select(F.col("__sid").alias("__id"),
+                       F.col("__m.c").alias("__bcl")))
+        ids = points.select(F.col(id_col).alias("__id"))
+        out = (ids.join(core_lab, "__id", "left")
+               .join(bor, "__id", "left")
+               .select(F.col("__id").alias("id"),
+                       F.when(F.col("__cl").isNotNull(), F.lit("core"))
+                       .when(F.col("__bcl").isNotNull(),
+                             F.lit("border"))
+                       .otherwise(F.lit("noise")).alias("role"),
+                       F.coalesce("__cl", "__bcl").alias("cluster"))
+               # one row per input point — materializing here lets
+               # every big intermediate be released before the caller
+               # composes on the result
+               .localCheckpoint(eager=True))
+    finally:
+        for frame in persisted:
+            frame.unpersist()
     return out

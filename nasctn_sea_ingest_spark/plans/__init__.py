@@ -131,13 +131,18 @@ RETIRED_NAMES = frozenset({
 # of waiting out the rotation.  Clear entries once their fresh row lands.
 #   (q140's round-6 canonicalization rewrite got its fresh driver row in
 #   CORRECTNESS_r07.json — hash green — so it left this set in round 8.)
-#   Round 9: q159 rewritten to eliminate the context-sensitive
-#   RewriteDistinctAggregates Expand (the r8 digest false alarm) —
-#   its dof now comes from the marginal frames' row counts, so the
-#   plan no longer depends on session expression-id state.  (q44,
-#   retired r05, carried the same latent Expand and was rewritten to
-#   per-column distinct branches; its pytest DuckDB oracle covers it.)
-RECHECK = frozenset({"q159_chi_squared"})
+#   (q159's round-9 rewrite got its fresh driver row in
+#   CORRECTNESS_r09.json — hash green — so it left this set in round
+#   10.)
+#   Round 10: q163 rewritten around the eps/sqrt(2) dense-cell
+#   shortcut (operators/spatial.py — all-core cells with zero pair
+#   enumeration, cell-granularity component graph, size-gated driver
+#   union-find in star_components): results are bit-identical (the
+#   shortcut changes which pairs are ENUMERATED, never which points
+#   are core or connected — brute-force parity pytest + sf0.001
+#   oracle re-verified) but the plan digest changes, so it re-enters
+#   the window for a fresh driver-scale row.
+RECHECK = frozenset({"q163_dbscan"})
 
 
 def _latest_driver_round() -> dict[str, int]:

@@ -108,7 +108,8 @@ def test_star_components_round_plans(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(50)] + [(100, 150), (150, 160)],
         "d1 long, d2 long")
-    out = star_components(pairs)
+    # local_graph_rows=0: this lints the DISTRIBUTED round plans
+    out = star_components(pairs, local_graph_rows=0)
     p = _plan(out)
     _lint(p, "star_components")
     assert p.count("Scan ExistingRDD") >= 1   # checkpoint-backed, flat

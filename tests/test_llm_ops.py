@@ -1740,13 +1740,19 @@ def test_star_components_vs_union_find(spark):
     pairs = [(rnd.randint(0, 120), rnd.randint(0, 120))
              for _ in range(90)]
     df = spark.createDataFrame(pairs, "d1 long, d2 long")
-    got = {r.node: r.cluster for r in star_components(df).collect()}
     want = _union_find([p for p in pairs if p[0] != p[1]])
     # self-loop-only nodes still appear, labeled themselves
     for a, b in pairs:
         want.setdefault(a, a)
         want.setdefault(b, b)
-    assert got == want
+    # BOTH paths: the size-gated driver union-find kernel (default —
+    # this graph is far under the gate) and the distributed star loop
+    # (local_graph_rows=0 forces it) must agree with the oracle
+    for lg in (200_000, 0):
+        got = {r.node: r.cluster
+               for r in star_components(df,
+                                        local_graph_rows=lg).collect()}
+        assert got == want, f"local_graph_rows={lg}"
 
 
 def test_star_components_long_chain_where_label_propagation_fails(spark):
@@ -1763,7 +1769,10 @@ def test_star_components_long_chain_where_label_propagation_fails(spark):
     n = 3000
     chain = spark.range(n - 1).select(
         F.col("id").alias("d1"), (F.col("id") + 1).alias("d2"))
-    got = star_components(chain).collect()
+    # local_graph_rows=0: this test exists to exercise the DISTRIBUTED
+    # star loop's O(log n) convergence on the chain topology (the
+    # driver kernel would short-circuit it at this size)
+    got = star_components(chain, local_graph_rows=0).collect()
     assert len(got) == n
     assert all(r.cluster == 0 for r in got)
     lab = {r.node: r.cluster
