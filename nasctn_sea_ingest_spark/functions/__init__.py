@@ -31,7 +31,7 @@ __all__ = [
     "keyed_cummax",
     "pit_features", "table_fingerprint", "merge_fingerprint",
     "skew_profile", "fd_error", "fd_profile", "fd_counts",
-    "fd_errors_from_counts",
+    "fd_errors_from_counts", "fd_discover",
 ]
 
 
@@ -1168,24 +1168,104 @@ def fd_profile(df: DataFrame,
     return fd_errors_from_counts(fd_counts(df, candidates))
 
 
+def _fd_lhs_exprs(lhs: "Sequence[str] | str") -> "tuple[str, str]":
+    """(label, value-SQL) for a single-column or COMPOSITE lhs.  A
+    composite lhs serializes through ``to_json(struct(...))`` — field
+    names and JSON string escaping make it injective for the same
+    scalar types the single-column string cast covers (floats stay
+    out of contract either way)."""
+    if isinstance(lhs, str):
+        return lhs, f"cast(`{lhs}` as string)"
+    cols = list(lhs)
+    if len(cols) == 1:
+        return cols[0], f"cast(`{cols[0]}` as string)"
+    inner = ", ".join(f"`{c}`" for c in cols)
+    return ",".join(cols), f"to_json(struct({inner}))"
+
+
 def fd_counts(df: DataFrame,
-              candidates: "Sequence[tuple[str, str]]") -> DataFrame:
+              candidates: "Sequence[tuple]") -> DataFrame:
     """The mergeable state behind :func:`fd_profile`: per-candidate
     value-pair counts ``(lhs, rhs, lv, rv, c)`` from ONE stack-melt
     scan.  Counts merge by keyed sum (exactly — see
     ``streaming.fd_profile_stream``), so profiles of two table slices
-    combine without rescanning either."""
+    combine without rescanning either.  A candidate's lhs may be a
+    single column name or a SEQUENCE of names (a composite lhs, the
+    level-2 lattice of :func:`fd_discover`) — composites group by
+    their ``to_json(struct(...))`` form and are labeled
+    ``"col1,col2"``."""
     cands = list(candidates)
     if not cands:
         raise ValueError("fd_profile needs at least one (lhs, rhs) "
                          "candidate")
-    parts = ", ".join(
-        f"'{l}', '{r}', cast(`{l}` as string), cast(`{r}` as string)"
-        for l, r in cands)
+    parts = []
+    for l, r in cands:
+        label, lv = _fd_lhs_exprs(l)
+        parts.append(f"'{label}', '{r}', {lv}, cast(`{r}` as string)")
     melted = df.select(F.expr(
-        f"stack({len(cands)}, {parts}) as (lhs, rhs, lv, rv)"))
+        f"stack({len(cands)}, {', '.join(parts)}) as (lhs, rhs, lv, "
+        "rv)"))
     return melted.groupBy("lhs", "rhs", "lv", "rv").agg(
         F.count("*").cast("bigint").alias("c"))
+
+
+def fd_discover(df: DataFrame, cols: Sequence[str],
+                max_lhs: int = 1,
+                max_lhs_groups: int = 1_000_000) -> DataFrame:
+    """DISCOVER approximate functional dependencies over ``cols`` —
+    the TANE/Metanome g3 use case that :func:`fd_profile` only scores
+    for a hand-written list: generate the level-1 candidate lattice
+    (every ordered column pair), plus the level-2 lattice (every
+    unordered column pair as a composite lhs against every remaining
+    rhs) when ``max_lhs >= 2``, and score ALL surviving candidates in
+    ONE table scan through the :func:`fd_counts` stack melt.
+
+    The BOUNDED-DOMAIN GATE: one pre-scan aggregate computes
+    ``approx_count_distinct`` for every candidate lhs (singles and,
+    at level 2, column-pair structs — sketch aggregates, so no
+    multi-distinct Expand and no context-sensitive plan); any lhs
+    whose estimated group count exceeds ``max_lhs_groups`` is dropped
+    BEFORE the melt.  A key-like lhs is the degenerate case — its FD
+    error is trivially 0 for every rhs (each group has one row) while
+    its melt partition carries one group per input row, so the gate
+    removes exactly the candidates that cost the most and inform the
+    least.  Total cost: two table scans (gate + melt) regardless of
+    candidate count K — the per-candidate UNION ALL this replaces
+    costs K scans.
+
+    Returns the :func:`fd_profile` schema ``(lhs, rhs, n_rows,
+    n_groups, violations, error)`` with composite lhs labeled
+    ``"col1,col2"``; same non-float string-form contract."""
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("fd_discover needs at least two columns")
+    if max_lhs not in (1, 2):
+        raise ValueError("max_lhs must be 1 or 2")
+    aggs = [F.approx_count_distinct(F.col(c)).alias(f"__s{i}")
+            for i, c in enumerate(cols)]
+    pair_idx = []
+    if max_lhs >= 2:
+        for i in range(len(cols)):
+            for j in range(i + 1, len(cols)):
+                pair_idx.append((i, j))
+        aggs.extend(
+            F.approx_count_distinct(F.struct(cols[i], cols[j]))
+            .alias(f"__p{i}_{j}") for i, j in pair_idx)
+    gate = df.agg(*aggs).first()
+    cands: list = []
+    for i, l in enumerate(cols):
+        if gate[f"__s{i}"] <= max_lhs_groups:
+            cands.extend((l, r) for r in cols if r != l)
+    for i, j in pair_idx:
+        if gate[f"__p{i}_{j}"] <= max_lhs_groups:
+            cands.extend(((cols[i], cols[j]), r)
+                         for r in cols if r not in (cols[i], cols[j]))
+    if not cands:
+        raise ValueError(
+            "every candidate lhs exceeded max_lhs_groups "
+            f"({max_lhs_groups}) — raise the gate or drop key-like "
+            "columns")
+    return fd_errors_from_counts(fd_counts(df, cands))
 
 
 def fd_errors_from_counts(counts: DataFrame) -> DataFrame:

@@ -17,8 +17,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["pagerank", "star_components", "cooccur_pairs",
-           "triangle_count", "shortest_paths"]
+__all__ = ["pagerank", "pagerank_exact", "star_components",
+           "cooccur_pairs", "triangle_count", "shortest_paths"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -412,3 +412,79 @@ def shortest_paths(edges: DataFrame, sources: "list",
             "the graph has shortest paths longer than max_iter hops; "
             "raise max_iter")
     return dist
+
+
+def pagerank_exact(edges: DataFrame, src: str = "src",
+                   dst: str = "dst", n_iter: int = 5,
+                   scale: int = 10 ** 12, damping_num: int = 85,
+                   damping_den: int = 100) -> DataFrame:
+    """PageRank with EXACT fixed-point integer arithmetic — the
+    driver-oracle witness for the power-iteration family (the q165
+    pattern: exact arithmetic + fixed semantics = a SQL oracle).
+    :func:`pagerank` stays the float production face; this variant
+    makes every round's values exactly representable on any engine by
+    defining the update in BIGINTs with floor division:
+
+        r0(v)  = scale div n
+        share(u) = r(u) div outdeg(u)            (outdeg > 0)
+        D      = sum of r(u) over dangling u     (outdeg = 0)
+        r'(v)  = ((den-num) * (scale div n)) div den
+               + (num * (D div n)) div den
+               + (num * sum of incoming shares) div den
+
+    run for EXACTLY ``n_iter`` rounds (a fixed budget is part of the
+    semantics — no convergence question, so no under-convergence risk;
+    the dup_clusters/shortest_paths rule is satisfied by construction).
+    Truncation leaks a little mass per round, which is fine for a
+    witness: the returned ``(node, rank_scaled)`` is deterministic,
+    engine-independent, and order-equivalent to the float ranks
+    (parity-tested).  All intermediates fit a BIGINT: shares sum to
+    <= scale, and num * scale <= 8.5e13 << 2^63.
+
+    Scale shape per round: identical to :func:`pagerank` — one
+    equi-join of ranks against the once-repartitioned edge list, one
+    map-side-combinable sum by dst, a 1-row broadcast dangling frame,
+    one eager checkpoint."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+         .distinct()
+         .repartition("s")
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("s").alias("node"))
+             .union(e.select(F.col("d").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    n = nodes.count()  # driver scalar: node count (bounded, documented)
+    if n == 0:
+        return nodes.withColumn("rank_scaled", F.lit(0).cast("long"))
+    deg = e.groupBy("s").agg(F.count("*").alias("deg"))
+    nodes = (nodes.join(deg, nodes.node == deg.s, "left")
+             .select("node",
+                     F.coalesce("deg", F.lit(0)).cast("long")
+                     .alias("deg"))
+             .localCheckpoint(eager=True))
+    r0 = scale // n
+    teleport = ((damping_den - damping_num) * r0) // damping_den
+    ranks = nodes.withColumn("r", F.lit(r0).cast("long"))
+    for _ in range(n_iter):
+        dang = (ranks.where(F.col("deg") == 0)
+                .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long")
+                     .alias("__dm")))
+        contrib = (ranks.where(F.col("deg") > 0)
+                   .select("node", F.expr("r div deg").alias("__sh"))
+                   .join(e, F.col("node") == e.s)
+                   .groupBy(F.col("d").alias("node"))
+                   .agg(F.sum("__sh").cast("long").alias("__in")))
+        ranks = (nodes.join(contrib, "node", "left")
+                 .crossJoin(F.broadcast(dang))
+                 .select("node", "deg",
+                         (F.lit(teleport).cast("long")
+                          + F.expr(f"({damping_num} * (__dm div {n})) "
+                                   f"div {damping_den}")
+                          + F.expr(f"({damping_num} * coalesce(__in, "
+                                   f"0)) div {damping_den}"))
+                         .cast("long").alias("r"))
+                 .localCheckpoint(eager=True))
+    return ranks.select("node", F.col("r").alias("rank_scaled"))

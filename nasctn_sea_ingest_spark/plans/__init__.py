@@ -20,6 +20,8 @@ from . import corpus_r8  # noqa: F401  (grid-bucketed spatial radius
 #   join, symmetric-delete fuzzy string matching)
 from . import corpus_r9  # noqa: F401  (market-basket co-occurrence,
 #   degree-oriented triangle counting)
+from . import corpus_r10  # noqa: F401  (exact fixed-point PageRank,
+#   gated FD discovery)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST 50
@@ -123,6 +125,21 @@ RETIRED_NAMES = frozenset({
     #     ordering), and the bigram-count statistics by q113's bigram
     #     LM over documents.
     "q32_roll_shift", "q120_event_bigrams",
+    # Retired round 10 — two new families (q166 exact fixed-point
+    # PageRank, q167 gated FD discovery) push live count to 150 = 3x50
+    # with zero slack (the round-6 saturation arithmetic); retiring two
+    # thin r07-cohort entries restores the slack.  Each keeps its
+    # pytest DuckDB oracle via tests/test_corpus::ALL:
+    #   q68_label_centroids: per-label embedding centroid — the
+    #     posexplode + two-key hash-agg shape is q149's exact Lloyd
+    #     STEP (same centroid reduction, plus assignment), and the
+    #     class-prototype workload lives on in operators.similarity
+    #     pq_train/kmeans with their own tests.
+    #   q109_feature_hashing: md5-bucket featurization — the
+    #     deterministic-hash backbone is q55 hash_split / q106
+    #     balanced_sample (the q83 retirement precedent), and the
+    #     explode + two-key count shape is q67 vocab / q113 bigram LM.
+    "q68_label_centroids", "q109_feature_hashing",
 })
 
 # Queries whose plan or semantics were REWRITTEN since their last driver

@@ -2212,6 +2212,115 @@ def test_fd_error_python_replay(spark):
         assert r.error == math.floor(viol / n * 1e6) / 1e6
 
 
+def test_pagerank_exact_python_replay(spark):
+    """pagerank_exact == a Python replay of the integer fixed-point
+    update (floor division, fixed n_iter) on a random digraph WITH a
+    dangling node, and its ranking agrees with float pagerank on a
+    well-separated hub graph."""
+    import random
+    from collections import Counter, defaultdict
+
+    from nasctn_sea_ingest_spark.operators.graph import (pagerank,
+                                                         pagerank_exact)
+
+    def replay(edge_list, n_iter, scale=10 ** 12, num=85, den=100):
+        es = set(edge_list)
+        nodes = sorted({u for e in es for u in e})
+        n = len(nodes)
+        deg = Counter(u for u, _ in es)
+        r = {v: scale // n for v in nodes}
+        t = ((den - num) * (scale // n)) // den
+        for _ in range(n_iter):
+            dm = sum(r[v] for v in nodes if deg.get(v, 0) == 0)
+            inflow = defaultdict(int)
+            for u, w in es:
+                inflow[w] += r[u] // deg[u]
+            r = {v: t + (num * (dm // n)) // den
+                 + (num * inflow.get(v, 0)) // den for v in nodes}
+        return r
+
+    rnd = random.Random(17)
+    edges = [(rnd.randint(0, 30), rnd.randint(0, 30))
+             for _ in range(120)]
+    edges = [(u, v) for u, v in edges if u != v and u != 7]  # 7 dangles
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_scaled
+           for r in pagerank_exact(df, n_iter=5).collect()}
+    assert got == replay(edges, 5)
+    # ranking parity with the float face: after the SAME fixed number
+    # of rounds on a hub graph, the exact fixed-point and float ranks
+    # must order the nodes identically (truncation is ~1e-12 relative,
+    # far below the rank separations here)
+    hub = [(i, 0) for i in range(1, 12)] + [(0, 1)]
+    hdf = spark.createDataFrame(hub, "src long, dst long")
+    fx = {r.node: r.rank_scaled
+          for r in pagerank_exact(hdf, n_iter=10).collect()}
+    fl = {r.node: r.rank for r in pagerank(hdf, tol=None,
+                                           max_iter=10).collect()}
+    order_fx = sorted(fx, key=lambda v: (-fx[v], v))
+    order_fl = sorted(fl, key=lambda v: (-fl[v], v))
+    assert order_fx == order_fl
+
+
+def test_fd_discover_brute_force(spark):
+    """fd_discover == a Python g3 brute force over the level-1 AND
+    level-2 candidate lattice; the distinct-count gate drops a
+    key-like lhs (single and composite) before the melt; the profile
+    stage reads the table exactly ONCE regardless of candidate
+    count."""
+    import math
+    from collections import Counter, defaultdict
+
+    from nasctn_sea_ingest_spark.functions import fd_counts, fd_discover
+
+    rows = [(i, i % 4, "ab"[i % 2], "xyz"[i % 3]) for i in range(60)]
+    df = spark.createDataFrame(rows, "id int, g int, a string, b string")
+
+    def g3(idx_l, idx_r):
+        by = defaultdict(Counter)
+        for r in rows:
+            key = tuple(r[i] for i in idx_l)
+            by[key][r[idx_r]] += 1
+        n = len(rows)
+        keep = sum(max(c.values()) for c in by.values())
+        return (n, len(by), n - keep,
+                math.floor((n - keep) / n * 1e6) / 1e6)
+
+    cols = ["id", "g", "a", "b"]
+    idx = {c: i for i, c in enumerate(cols)}
+    # gate 30: 'id' (60 distinct) and every composite containing it
+    # must be dropped; g/a/b (4/2/3 distinct) and their pairs survive
+    out = {(r.lhs, r.rhs): (r.n_rows, r.n_groups, r.violations, r.error)
+           for r in fd_discover(df, cols, max_lhs=2,
+                                max_lhs_groups=30).collect()}
+    want = {}
+    for l in ("g", "a", "b"):
+        for r in cols:
+            if r != l:
+                want[(l, r)] = g3([idx[l]], idx[r])
+    for l1, l2 in (("g", "a"), ("g", "b"), ("a", "b")):
+        for r in cols:
+            if r not in (l1, l2):
+                want[(f"{l1},{l2}", r)] = g3([idx[l1], idx[l2]],
+                                             idx[r])
+    assert out == want
+    assert not any(lhs == "id" or "id" in lhs.split(",")
+                   for lhs, _ in out)
+    # every-lhs-gated must refuse loudly, not return empty
+    import pytest
+    with pytest.raises(ValueError):
+        fd_discover(df, cols, max_lhs=1, max_lhs_groups=1)
+    # one-scan contract on a FILE-backed table: the melt plan holds
+    # exactly one parquet scan however many candidates stack
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    prof = fd_counts(orders, [("o_orderstatus", "o_orderpriority"),
+                              ("o_orderpriority", "o_orderstatus"),
+                              (("o_orderstatus", "o_orderpriority"),
+                               "o_custkey")])
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_shortest_paths_dijkstra_parity(spark):
     """Distributed Bellman-Ford == a reference Python Dijkstra on a
     random weighted digraph (multi-source too), unreachable nodes

@@ -1971,3 +1971,81 @@ def test_components_stream_matches_batch_and_replay(spark, tmp_path):
     got = stored()
     assert got == want(wave1 + wave2)
     assert got[11] == 1 and got[44] == 30
+
+
+def test_neardup_stream_feeds_components_stream_end_to_end(spark,
+                                                           tmp_path):
+    """The streaming dedup story wired END TO END: the MinHash-LSH
+    pair monitor (neardup_stream, stream-static join against the
+    corpus band index) feeds components_stream, so the maintained
+    (node, cluster) snapshot answers "which docs are one duplicate
+    group" at any trigger without re-clustering history.  Three
+    triggers; the third arrival's text overlaps BOTH corpus texts and
+    BRIDGES the two existing clusters (min id wins).  After every
+    trigger the snapshot equals star_components over the batch-
+    computed pair set of everything ever landed."""
+    from nasctn_sea_ingest_spark.operators.dedup import (
+        band_buckets, minhash_band_index, minhash_signature_expr)
+    from nasctn_sea_ingest_spark.operators.graph import star_components
+    from nasctn_sea_ingest_spark.streaming import (components_stream,
+                                                   neardup_stream)
+
+    ta = " ".join(f"alpha{i}" for i in range(20))
+    tb = " ".join(f"bravo{i}" for i in range(20))
+    tc = " ".join(f"charlie{i}" for i in range(20))
+    corpus = spark.createDataFrame([(1, ta), (2, tb), (3, tc)],
+                                   "doc_id long, text string")
+    # 16 bands x 2 rows: ~0.47 Jaccard (the concatenated arrival vs
+    # each source) collides with near-certainty, ~0 Jaccard stays out
+    idx = minhash_band_index(corpus, n=3, n_hashes=32, n_bands=16) \
+        .localCheckpoint(eager=True)
+
+    land = str(tmp_path / "docs")
+    out = str(tmp_path / "cc")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "doc_id long, text string"
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(land).schema).parquet(land)
+        pairs = (neardup_stream(stream, idx, n=3, n_hashes=32,
+                                n_bands=16)
+                 .select(F.col("doc_id").alias("d1"),
+                         F.col("matched_id").alias("d2")))
+        q = components_stream(pairs, out, ckpt, available_now=True)
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    def stored():
+        return {r.node: r.cluster for r in
+                spark.read.parquet(out).drop("last_batch").collect()}
+
+    def want():
+        landed = spark.read.parquet(land)
+        sig = minhash_signature_expr("text", n=3, n_hashes=32)
+        banded = band_buckets(landed.withColumn("sig", sig), 16,
+                              id_col="doc_id", sig_col="sig")
+        p = (banded.join(idx.select(F.col("id").alias("matched_id"),
+                                    "band", "bucket"),
+                         ["band", "bucket"])
+             .where(F.col("id") != F.col("matched_id"))
+             .select(F.col("id").alias("d1"),
+                     F.col("matched_id").alias("d2")))
+        return {r.node: r.cluster
+                for r in star_components(p).collect()}
+
+    waves = [[(101, ta)],              # dup of corpus 1 -> {1, 101}
+             [(102, tb)],              # dup of corpus 2 -> {2, 102}
+             [(103, ta + " " + tb)]]   # overlaps both -> bridges
+    for w in waves:
+        spark.createDataFrame(w, schema).coalesce(1) \
+            .write.mode("append").parquet(land)
+        run()
+        assert stored() == want()
+    got = stored()
+    # the bridge really happened: both families collapse to cluster 1;
+    # corpus doc 3 never collided, so it never enters the pair stream
+    assert got[2] == got[102] == got[103] == got[1] == got[101] == 1
+    assert 3 not in got
