@@ -90,6 +90,16 @@ def test_spatial_and_fuzzy_plans(spark):
     assert "Join" in p                       # positive: a join exists
     knn = grid_knn_join(pts, 2, cell=4.0, max_rings=2)
     _lint(_plan(knn), "grid_knn_join")
+    from nasctn_sea_ingest_spark.operators.spatial import \
+        grid_distance_join_nd
+    p3 = spark.createDataFrame(
+        [(i, float(i % 7) * 3.0, float(i % 5) * 3.0,
+          float(i % 3) * 3.0) for i in range(40)],
+        "id long, x double, y double, z double")
+    pn = _plan(grid_distance_join_nd(p3, 4.0,
+                                     coord_cols=("x", "y", "z")))
+    _lint(pn, "grid_distance_join_nd")
+    assert "Join" in pn
     names = spark.createDataFrame(
         [(i, f"name-{i:04d}") for i in range(40)],
         "id long, text string")

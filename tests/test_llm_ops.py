@@ -1467,6 +1467,44 @@ def test_grid_distance_join_vs_bruteforce(spark):
     assert all(r.id1 < r.id2 for r in rows)
 
 
+def test_grid_distance_join_nd_vs_bruteforce(spark):
+    """d-dimensional grid radius join == brute force at d=3 (the
+    reduced-embedding-space shape), each pair exactly once; at d=2 it
+    returns exactly what the 2-D operator returns; dimension bounds
+    are enforced (the 3^d explode is exponential)."""
+    import itertools
+    import math
+    import random
+
+    import pytest
+
+    from nasctn_sea_ingest_spark.operators.spatial import (
+        grid_distance_join, grid_distance_join_nd)
+
+    rnd = random.Random(7)
+    pts = [Row(id=i, x=rnd.uniform(0, 40), y=rnd.uniform(0, 40),
+               z=rnd.uniform(0, 40)) for i in range(250)]
+    df = spark.createDataFrame(pts)
+    rows = grid_distance_join_nd(df, 6.0,
+                                 coord_cols=("x", "y", "z")).collect()
+    got = {(r.id1, r.id2, round(r.dist, 9)) for r in rows}
+    assert len(rows) == len(got)
+    want = set()
+    for a, b in itertools.combinations(pts, 2):
+        d2 = (a.x - b.x) ** 2 + (a.y - b.y) ** 2 + (a.z - b.z) ** 2
+        if d2 <= 36.0:
+            want.add((a.id, b.id, round(math.sqrt(d2), 9)))
+    assert got == want
+    g2 = {(r.id1, r.id2, round(r.dist, 9))
+          for r in grid_distance_join(df, 6.0).collect()}
+    gn = {(r.id1, r.id2, round(r.dist, 9))
+          for r in grid_distance_join_nd(
+              df, 6.0, coord_cols=("x", "y")).collect()}
+    assert g2 == gn
+    with pytest.raises(ValueError):
+        grid_distance_join_nd(df, 6.0, coord_cols=tuple("abcdefg"))
+
+
 def test_grid_distance_join_hot_cell_guard(spark):
     """max_cell bounds extreme spatial skew: a landmark pile-up of 30
     co-located points is O(cell^2) pairs unguarded; the guard drops the
