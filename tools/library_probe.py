@@ -129,6 +129,28 @@ def main():
             dt, n = t(lambda: dbscan(pts, 25.0, 4).count())
             print(f"x{k} dbscan               {dt:7.2f}s rows={n}")
             c.unpersist()
+        if want("dbscan_fixed"):
+            # the FIXED-plane densification regime that OOMed the
+            # point-granularity design at local[32] (round 9, SCALE.md
+            # §21) — kept probe-able so the eps/sqrt(2) dense-cell
+            # shortcut's fix stays a measured claim: at 16x every cell
+            # is dense, sparse-pair enumeration is ZERO, and the
+            # component graph is ~1k cell nodes instead of ~226M pair
+            # rows.  (Still an eps-mistuned regime for the DATA — one
+            # cluster out — but no longer a memory question.)
+            from nasctn_sea_ingest_spark.operators.spatial import dbscan
+            c = rep(cust0, k, "c_custkey").persist()
+            c.count()
+            h = ("cast(conv(substring(md5(concat(cast(c_custkey as "
+                 "string), '{s}')), 1, 15), 16, 10) as bigint) "
+                 "% 100000")
+            pts = c.selectExpr(
+                "c_custkey as id",
+                f"cast({h.format(s='')} as double)/100.0 as x",
+                f"cast({h.format(s='y')} as double)/100.0 as y")
+            dt, n = t(lambda: dbscan(pts, 25.0, 4).count())
+            print(f"x{k} dbscan_fixed         {dt:7.2f}s rows={n}")
+            c.unpersist()
         if want("fd_error"):
             from nasctn_sea_ingest_spark.functions import fd_error
             li = rep(li0, k, "l_orderkey").persist()
@@ -158,7 +180,8 @@ def main():
             li.unpersist()
         if only is not None and not (only - {"grid_knn_join",
                                              "linkage_scores",
-                                             "dbscan", "fd_error",
+                                             "dbscan", "dbscan_fixed",
+                                             "fd_error",
                                              "shortest_paths"}):
             continue
         d = rep(docs0, k, "doc_id").persist()
