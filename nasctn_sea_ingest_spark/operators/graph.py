@@ -18,7 +18,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 __all__ = ["pagerank", "pagerank_exact", "star_components",
-           "cooccur_pairs", "triangle_count", "shortest_paths"]
+           "cooccur_pairs", "triangle_count", "shortest_paths",
+           "k_core"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -488,3 +489,51 @@ def pagerank_exact(edges: DataFrame, src: str = "src",
                          .cast("long").alias("r"))
                  .localCheckpoint(eager=True))
     return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def k_core(pairs: DataFrame, k: int, d1: str = "d1", d2: str = "d2",
+           max_iter: int = 100) -> DataFrame:
+    """The k-CORE of the undirected graph given as a pair list: the
+    maximal subgraph in which every node has degree >= ``k`` —
+    returned as ``(node, degree)`` with degree measured INSIDE the
+    core.  The standard graph-sparsification / community-seed peel
+    (Seidman 1983): dup-cluster graphs keep their dense kernels,
+    co-occurrence graphs drop incidental pairings before triangle or
+    component analysis.
+
+    Iterative peeling: per round one degree hash-aggregate, then both
+    edge endpoints anti-join the sub-k node set — every round is the
+    groupBy + equi-join shuffle shape, localCheckpoint bounds lineage
+    (the Pregel discipline).  The fixpoint is EXACT (a round that
+    removes nothing is final — checked by one count on the removal
+    set, a bounded driver scalar); rounds needed = peel depth, which
+    is small on real graphs (degeneracy ordering removes whole
+    layers) but O(n) on adversarial chains, so ``max_iter`` exhaustion
+    RAISES instead of returning a silently-unpeeled graph (the
+    dup_clusters/shortest_paths convergence rule)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b"))))
+    sym = (e.unionByName(e.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
+           .distinct()
+           .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        deg = sym.groupBy("a").agg(F.count("*").alias("degree"))
+        bad = deg.where(F.col("degree") < k).select("a") \
+                 .localCheckpoint(eager=True)
+        if not bad.limit(1).count():
+            return deg.withColumnRenamed("a", "node")
+        sym = (sym.join(bad, "a", "left_anti")
+               .join(bad.withColumnRenamed("a", "b"), "b", "left_anti")
+               .localCheckpoint(eager=True))
+    # one more degree pass: if the LAST peel already reached the
+    # fixpoint, max_iter was exactly the peel depth — accept it
+    deg = sym.groupBy("a").agg(F.count("*").alias("degree"))
+    if deg.where(F.col("degree") < k).limit(1).count():
+        raise RuntimeError(
+            f"k_core did not reach its fixpoint in {max_iter} rounds "
+            "(adversarial chain-like peel depth); raise max_iter")
+    return deg.withColumnRenamed("a", "node")

@@ -587,3 +587,93 @@ def grid_distance_join_nd(points: DataFrame, radius: float,
             .select(F.col("__ida").alias("id1"),
                     F.col("__idb").alias("id2"),
                     F.sqrt(d2).alias("dist")))
+
+
+def dbscan_nd(points: DataFrame, eps: float, min_pts: int,
+              id_col: str = "id",
+              coord_cols: "tuple[str, ...]" = ("x", "y"),
+              max_cell: int | None = None,
+              pair_cache_limit: int = 50_000_000) -> DataFrame:
+    """Exact DBSCAN over d COORDINATES — density clustering for
+    PCA-reduced embedding spaces (``similarity.pca_project`` to 2-4
+    dims, then this): same ``(id, role, cluster)`` contract and
+    deterministic (dist, cluster) border tie-break as :func:`dbscan`,
+    built at POINT granularity over :func:`grid_distance_join_nd`
+    pairs:
+
+    1. eps-neighbor pairs from the d-dim grid equi-join (lossless);
+    2. core = neighbor count (self included) >= min_pts — one hash
+       aggregate over the symmetrized pairs;
+    3. core clusters = ``graph.star_components`` over core-core edges
+       (+ self-loops; the driver union-find kernel takes over when the
+       core graph is small);
+    4. borders attach to the nearest core by one min(struct(dist,
+       cluster)) aggregate — total tie-break, no window sort;
+    5. the rest is noise.
+
+    The 2-D operator's eps/sqrt(2) dense-cell shortcut does NOT
+    generalize cheaply: in d dims "same cell implies within eps" needs
+    cell = eps/sqrt(d), which widens the lossless neighborhood to
+    ceil(sqrt(d)) rings — 5^d cells at d >= 2, a 125x/625x explode at
+    d = 3/4 against the 3^d = 27x/81x this composition pays.  So in
+    higher dims the point-granularity pipeline with the pair-count
+    cache decision is the better trade; use :func:`dbscan` for 2-D
+    planes, where the shortcut erases the dense regime entirely.
+
+    ``max_cell`` passes through to the grid join (correctness-trading
+    skew guard, default OFF).  ``pair_cache_limit``: pair sets at or
+    under it persist for the three consumers (one count buys the
+    decision); above it the pipelined/spillable recompute path stands
+    (the SCALE.md §21 memory lesson)."""
+    from .graph import star_components
+
+    pairs = grid_distance_join_nd(points, eps, id_col=id_col,
+                                  coord_cols=coord_cols,
+                                  max_cell=max_cell)
+    persisted = []
+    try:
+        if pair_cache_limit and pairs.count() <= pair_cache_limit:
+            pairs = pairs.persist()
+            persisted.append(pairs)
+        sym = (pairs.select(F.col("id1").alias("a"),
+                            F.col("id2").alias("b"), "dist")
+               .unionByName(pairs.select(F.col("id2").alias("a"),
+                                         F.col("id1").alias("b"),
+                                         "dist")))
+        ids = points.select(F.col(id_col).alias("id"))
+        ncnt = sym.groupBy(F.col("a").alias("id")).agg(
+            (F.count("*") + 1).alias("__n"))
+        core = (ids.join(ncnt, "id", "left")
+                .where(F.coalesce("__n", F.lit(1)) >= min_pts)
+                .select("id").persist())
+        persisted.append(core)
+        core_edges = (sym.select("a", "b")
+                      .join(core.withColumnRenamed("id", "a"), "a")
+                      .join(core.withColumnRenamed("id", "b"), "b")
+                      .unionByName(core.select(F.col("id").alias("a"),
+                                               F.col("id").alias("b"))))
+        clab = (star_components(core_edges, "a", "b")
+                .withColumnRenamed("node", "id")
+                .withColumnRenamed("cluster", "__cl"))
+        border = (sym.join(core.withColumnRenamed("id", "b"), "b")
+                  .join(core.withColumnRenamed("id", "a"), "a",
+                        "left_anti")
+                  .join(clab.withColumnRenamed("id", "b"), "b")
+                  .groupBy(F.col("a").alias("id"))
+                  .agg(F.min(F.struct(F.col("dist").alias("d"),
+                                      F.col("__cl").alias("c")))
+                       .alias("__m"))
+                  .select("id", F.col("__m.c").alias("__bcl")))
+        out = (ids.join(clab, "id", "left")
+               .join(border, "id", "left")
+               .select("id",
+                       F.when(F.col("__cl").isNotNull(), F.lit("core"))
+                       .when(F.col("__bcl").isNotNull(),
+                             F.lit("border"))
+                       .otherwise(F.lit("noise")).alias("role"),
+                       F.coalesce("__cl", "__bcl").alias("cluster"))
+               .localCheckpoint(eager=True))
+    finally:
+        for frame in persisted:
+            frame.unpersist()
+    return out

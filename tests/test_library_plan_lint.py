@@ -178,3 +178,25 @@ def test_fd_and_graph_library_plans(spark, tiny):
                                   "d1 long, d2 long")
     pt = _plan(triangle_count(edges))
     _lint(pt, "triangle_count")
+
+
+def test_dbscan_nd_and_k_core_plans(spark):
+    """Round-10 library ops: dbscan_nd's pair stage is the d-part
+    hash equi-join (no cartesian, no row-Python), and each k_core
+    peel round is one degree hash-agg + endpoint anti-joins."""
+    from nasctn_sea_ingest_spark.operators.graph import k_core
+    from nasctn_sea_ingest_spark.operators.spatial import dbscan_nd
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 7) * 3.0, float(i % 5) * 3.0,
+          float(i % 3) * 3.0) for i in range(60)],
+        "id long, x double, y double, z double")
+    out = dbscan_nd(pts, 4.0, 3, coord_cols=("x", "y", "z"))
+    _lint(_plan(out), "dbscan_nd")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)] + [(0, 5), (0, 10), (5, 10)],
+        "d1 long, d2 long")
+    core = k_core(pairs, 2)
+    p = _plan(core)
+    _lint(p, "k_core")
+    assert "Scan ExistingRDD" in p          # checkpoint-bounded rounds

@@ -2221,6 +2221,77 @@ def test_dbscan_brute_force_parity(spark):
         assert got == ref(pts, eps, mp), (eps, mp)
 
 
+def test_dbscan_nd_brute_force_parity(spark):
+    """dbscan_nd == a reference Python DBSCAN at d=3 (roles AND
+    cluster labels) on a random cloud plus a 3-D density ridge (the
+    chain shape), and at d=2 it returns exactly what the specialized
+    2-D operator returns on ITS plane."""
+    import math
+    import random
+
+    from nasctn_sea_ingest_spark.operators.spatial import (dbscan,
+                                                           dbscan_nd)
+
+    def ref(pts, eps, min_pts):
+        ids = sorted(pts)
+        nbr = {i: [j for j in ids if j != i
+                   and math.dist(pts[i], pts[j]) <= eps]
+               for i in ids}
+        core = {i for i in ids if len(nbr[i]) + 1 >= min_pts}
+        lab = {}
+        for seed in sorted(core):
+            if seed in lab:
+                continue
+            comp, stack, seen = [], [seed], {seed}
+            while stack:
+                u = stack.pop()
+                comp.append(u)
+                for v in nbr[u]:
+                    if v in core and v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+            m = min(comp)
+            for u in comp:
+                lab[u] = m
+        out = {}
+        for i in ids:
+            if i in core:
+                out[i] = ("core", lab[i])
+            else:
+                cands = sorted((math.dist(pts[i], pts[j]), lab[j])
+                               for j in nbr[i] if j in core)
+                out[i] = ("border", cands[0][1]) if cands \
+                    else ("noise", None)
+        return out
+
+    rng = random.Random(5)
+    pts = {i: (rng.uniform(0, 30), rng.uniform(0, 30),
+               rng.uniform(0, 30)) for i in range(150)}
+    # 3-D density ridge: 25 points 1.5 apart on a line
+    pts.update({300 + i: (100.0 + 1.5 * i, 0.0, 0.0)
+                for i in range(25)})
+    df = spark.createDataFrame(
+        [(i, *c) for i, c in pts.items()],
+        "id long, x double, y double, z double")
+    for eps, mp in ((4.0, 4), (2.0, 3)):
+        got = {r.id: (r.role, r.cluster)
+               for r in dbscan_nd(df, eps, mp,
+                                  coord_cols=("x", "y", "z"))
+               .collect()}
+        assert got == ref(pts, eps, mp), (eps, mp)
+    # d=2 equivalence with the specialized 2-D operator
+    p2 = {i: (rng.uniform(0, 50), rng.uniform(0, 50))
+          for i in range(120)}
+    df2 = spark.createDataFrame([(i, x, y) for i, (x, y) in p2.items()],
+                                "id long, x double, y double")
+    a = {r.id: (r.role, r.cluster)
+         for r in dbscan(df2, 6.0, 4).collect()}
+    b = {r.id: (r.role, r.cluster)
+         for r in dbscan_nd(df2, 6.0, 4,
+                            coord_cols=("x", "y")).collect()}
+    assert a == b
+
+
 def test_fd_error_python_replay(spark):
     """g3 error == a Python replay: exact FD (error 0), a near-FD with
     one violating row, and an independent pair; NULL lhs/rhs are groups
@@ -2248,6 +2319,59 @@ def test_fd_error_python_replay(spark):
         assert (r.n_rows, r.n_groups, r.violations) == (n, gct, viol)
         import math
         assert r.error == math.floor(viol / n * 1e6) / 1e6
+
+
+def test_k_core_python_peel(spark):
+    """k_core == a Python iterative peel (node set AND in-core
+    degrees) on a random graph and on clique+pendant structure; a
+    chain peels to empty; max_iter exhaustion with peel work left
+    RAISES instead of returning an unpeeled graph."""
+    import random
+    from collections import defaultdict
+
+    import pytest
+
+    from nasctn_sea_ingest_spark.operators.graph import k_core
+
+    def peel(edges, k):
+        adj = defaultdict(set)
+        for a, b in edges:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for m in adj[n]:
+                        adj[m].discard(n)
+                        if not adj[m]:
+                            del adj[m]
+                    del adj[n]
+                    changed = True
+        return {n: len(s) for n, s in adj.items()}
+
+    rnd = random.Random(23)
+    es = [(rnd.randint(0, 60), rnd.randint(0, 60)) for _ in range(150)]
+    # K5 on 100..104 with pendant vertices hanging off it
+    es += [(100 + i, 100 + j) for i in range(5) for j in range(i)]
+    es += [(100 + i, 200 + i) for i in range(5)]
+    df = spark.createDataFrame(es, "d1 long, d2 long")
+    for k in (2, 3, 4):
+        got = {r.node: r.degree for r in k_core(df, k).collect()}
+        assert got == peel(es, k), k
+    # a 10-chain peels to EMPTY at k=2 (ends strip pairwise)
+    chain = spark.createDataFrame([(i, i + 1) for i in range(9)],
+                                  "d1 long, d2 long")
+    assert k_core(chain, 2).count() == 0
+    # a 30-chain at max_iter=3 still has degree-1 ends -> raise
+    chain30 = spark.createDataFrame([(i, i + 1) for i in range(29)],
+                                    "d1 long, d2 long")
+    with pytest.raises(RuntimeError):
+        k_core(chain30, 2, max_iter=3)
+    with pytest.raises(ValueError):
+        k_core(chain, 0)
 
 
 def test_pagerank_exact_python_replay(spark):
