@@ -178,10 +178,45 @@ def main():
                 ed, src, src="s", dst="d", weight="w").count())
             print(f"x{k} shortest_paths       {dt:7.2f}s rows={n}")
             li.unpersist()
+        if want("k_core"):
+            # same co-purchase graph as shortest_paths: replication
+            # densifies it (more orders per part pair), so higher k
+            # survives more of the graph at 16x — peel depth, not
+            # graph size, drives the round count
+            from nasctn_sea_ingest_spark.operators.graph import (
+                cooccur_pairs, k_core)
+            li = rep(li0, k, "l_orderkey").persist()
+            li.count()
+            ed = cooccur_pairs(li, "l_orderkey", "l_partkey")
+            dt, n = t(lambda: k_core(ed, 3, d1="i1", d2="i2").count())
+            print(f"x{k} k_core               {dt:7.2f}s rows={n}")
+            li.unpersist()
+        if want("dbscan_nd"):
+            # constant-density d=3 recipe (volume scales with the
+            # data: width 1000 * k^(1/3) per axis) — the honest
+            # scaling claim for the reduced-embedding-space workload
+            from nasctn_sea_ingest_spark.operators.spatial import \
+                dbscan_nd
+            c = rep(cust0, k, "c_custkey").persist()
+            c.count()
+            w = int(100000 * (k ** (1.0 / 3.0)))
+            h = ("cast(conv(substring(md5(concat(cast(c_custkey as "
+                 "string), '{s}')), 1, 15), 16, 10) as bigint) "
+                 f"% {w}")
+            pts = c.selectExpr(
+                "c_custkey as id",
+                f"cast({h.format(s='')} as double)/100.0 as x",
+                f"cast({h.format(s='y')} as double)/100.0 as y",
+                f"cast({h.format(s='z')} as double)/100.0 as z")
+            dt, n = t(lambda: dbscan_nd(
+                pts, 40.0, 4, coord_cols=("x", "y", "z")).count())
+            print(f"x{k} dbscan_nd            {dt:7.2f}s rows={n}")
+            c.unpersist()
         if only is not None and not (only - {"grid_knn_join",
                                              "linkage_scores",
                                              "dbscan", "dbscan_fixed",
-                                             "fd_error",
+                                             "fd_error", "k_core",
+                                             "dbscan_nd",
                                              "shortest_paths"}):
             continue
         d = rep(docs0, k, "doc_id").persist()
