@@ -301,6 +301,12 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
         F.col(y_col).cast("double").alias("__y"),
         F.floor(F.col(x_col).cast("double") / cell).alias("__cx"),
         F.floor(F.col(y_col).cast("double") / cell).alias("__cy"))
+    # NULL-coordinate rows are NOISE by construction (distance to them
+    # is undefined): the join-based pair paths exclude them for free
+    # (NULL never equi-joins), but the dense-cell shortcut counts via
+    # groupBy, where NULL cells DO group — filter them out of every
+    # computation here; they re-enter through `ids` at assembly
+    pts = pts.where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
 
     xy = F.struct(F.col("__x").alias("x"), F.col("__y").alias("y"))
     hist_all = pts.groupBy("__cx", "__cy").agg(

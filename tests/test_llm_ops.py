@@ -2219,6 +2219,16 @@ def test_dbscan_brute_force_parity(spark):
         got = {r.id: (r.role, r.cluster)
                for r in dbscan(df, eps, mp).collect()}
         assert got == ref(pts, eps, mp), (eps, mp)
+    # NULL-coordinate rows are noise even when min_pts of them share
+    # the NULL "cell" — the dense-cell shortcut must not group them
+    withnull = ([(i, x, y) for i, (x, y) in pts.items()]
+                + [(900 + i, None, None) for i in range(6)])
+    dfn = spark.createDataFrame(withnull, "id long, x double, y double")
+    gotn = {r.id: (r.role, r.cluster) for r in dbscan(dfn, 3.0, 4)
+            .collect()}
+    for i in range(6):
+        assert gotn[900 + i] == ("noise", None)
+    assert {i: gotn[i] for i in pts} == ref(pts, 3.0, 4)
 
 
 def test_dbscan_nd_brute_force_parity(spark):
