@@ -1239,6 +1239,10 @@ def fd_discover(df: DataFrame, cols: Sequence[str],
     cols = list(cols)
     if len(cols) < 2:
         raise ValueError("fd_discover needs at least two columns")
+    if len(set(cols)) != len(cols):
+        # a repeated column would stack its candidates twice and the
+        # count merge would silently double every n_rows
+        raise ValueError("fd_discover columns must be distinct")
     if max_lhs not in (1, 2):
         raise ValueError("max_lhs must be 1 or 2")
     aggs = [F.approx_count_distinct(F.col(c)).alias(f"__s{i}")

@@ -2482,6 +2482,8 @@ def test_fd_discover_brute_force(spark):
     import pytest
     with pytest.raises(ValueError):
         fd_discover(df, cols, max_lhs=1, max_lhs_groups=1)
+    with pytest.raises(ValueError):
+        fd_discover(df, ["g", "a", "g"])    # repeated column
     # one-scan contract on a FILE-backed table: the melt plan holds
     # exactly one parquet scan however many candidates stack
     orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
