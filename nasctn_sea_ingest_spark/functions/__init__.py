@@ -1245,7 +1245,11 @@ def fd_discover(df: DataFrame, cols: Sequence[str],
         raise ValueError("fd_discover columns must be distinct")
     if max_lhs not in (1, 2):
         raise ValueError("max_lhs must be 1 or 2")
-    aggs = [F.approx_count_distinct(F.col(c)).alias(f"__s{i}")
+    # rsd pinned to 0.02: the q167 oracle-consistency argument (and
+    # this docstring's gate contract) is stated against a +-2% HLL
+    # bound — the function default is 5%, which would silently widen
+    # the band a caller must keep cardinalities away from the gate
+    aggs = [F.approx_count_distinct(F.col(c), 0.02).alias(f"__s{i}")
             for i, c in enumerate(cols)]
     pair_idx = []
     if max_lhs >= 2:
@@ -1253,7 +1257,7 @@ def fd_discover(df: DataFrame, cols: Sequence[str],
             for j in range(i + 1, len(cols)):
                 pair_idx.append((i, j))
         aggs.extend(
-            F.approx_count_distinct(F.struct(cols[i], cols[j]))
+            F.approx_count_distinct(F.struct(cols[i], cols[j]), 0.02)
             .alias(f"__p{i}_{j}") for i, j in pair_idx)
     gate = df.agg(*aggs).first()
     cands: list = []

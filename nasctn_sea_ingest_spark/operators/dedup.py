@@ -297,7 +297,8 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3,
 
 
 def dup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
-                 max_iter: int = 20) -> DataFrame:
+                 max_iter: int = 20,
+                 local_graph_rows: int = 200_000) -> DataFrame:
     """Connected components over near-dup PAIRS → dedup CLUSTERS.
 
     Candidate generators (LSH bands, simhash buckets, cosine blocks) emit
@@ -374,7 +375,13 @@ def dup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
         # topology through here).  Costs one recompute from the raw
         # pairs; non-convergence is the rare path.
         from .graph import star_components
-        return star_components(pairs, d1, d2)
+        # local_graph_rows forwards star's size gate (its driver
+        # union-find kernel vs the distributed star loop) — 0 pins the
+        # escalation to the distributed path, which is how the
+        # chain-regression test keeps the escalated+distributed
+        # combination covered
+        return star_components(pairs, d1, d2,
+                               local_graph_rows=local_graph_rows)
     return labels.select("node", F.col("label").alias("cluster"))
 
 

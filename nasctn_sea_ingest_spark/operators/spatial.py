@@ -320,15 +320,6 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
         F.max_by(xy, F.col("__x")).alias("__r1"),
         F.min_by(xy, F.col("__y")).alias("__r2"),
         F.max_by(xy, F.col("__y")).alias("__r3"))
-    if max_cell is not None:
-        hot = (hist_all.where(F.col("__n") > max_cell)
-               .select("__cx", "__cy"))
-        pts_act = pts.join(F.broadcast(hot), ["__cx", "__cy"],
-                           "left_anti")
-        hist = hist_all.where(F.col("__n") <= max_cell)
-    else:
-        pts_act, hist = pts, hist_all
-
     off25 = F.array(*[
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
         for dx in range(-2, 3) for dy in range(-2, 3)])
@@ -341,8 +332,19 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
 
     persisted = []
     try:
-        hist = hist.persist()
-        persisted.append(hist)
+        # persist the UNFILTERED histogram: under max_cell both the hot
+        # set and the kept cells derive from it, so caching here pays
+        # the cell aggregate once instead of once per derivation
+        hist_all = hist_all.persist()
+        persisted.append(hist_all)
+        if max_cell is not None:
+            hot = (hist_all.where(F.col("__n") > max_cell)
+                   .select("__cx", "__cy"))
+            pts_act = pts.join(F.broadcast(hot), ["__cx", "__cy"],
+                               "left_anti")
+            hist = hist_all.where(F.col("__n") <= max_cell)
+        else:
+            pts_act, hist = pts, hist_all
         dense = hist.where(F.col("__n") >= min_pts)
 
         # ---- sparse-point neighbor pairs (the ONLY per-point pair
@@ -544,7 +546,15 @@ def grid_distance_join_nd(points: DataFrame, radius: float,
     d-part cell key, per-cell-pair products bounded by grid density.
 
     ``max_cell``: same correctness-trading skew guard as 2-D (drops
-    over-full cells entirely, default OFF)."""
+    over-full cells entirely, default OFF).
+
+    NOTE: :func:`grid_distance_join` is the same algorithm at d=2 and
+    could delegate here, but deliberately does not — q161's plan
+    contract and committed plan digest pin its ``__jx``/``__jy`` join
+    keys, and renaming them to the generic ``__j0``/``__j1`` would
+    churn a benched query's plan for a cosmetic dedup.  Keep the two
+    bodies in sync when touching either (pytest asserts their d=2
+    outputs are identical)."""
     cell = float(radius)
     if cell <= 0:
         raise ValueError("radius must be positive")

@@ -157,8 +157,14 @@ RETIRED_NAMES = frozenset({
 #   union-find in star_components): results are bit-identical (the
 #   shortcut changes which pairs are ENUMERATED, never which points
 #   are core or connected — brute-force parity pytest + sf0.001
-#   oracle re-verified) but the plan digest changes, so it re-enters
-#   the window for a fresh driver-scale row.
+#   oracle re-verified).  NOTE the plan DIGEST did NOT change
+#   (126bb306..., bench digest_changed: []): dbscan returns an eager
+#   localCheckpoint, so the digest sees only `Scan ExistingRDD` +
+#   the final sort and is structurally BLIND to interior rewrites of
+#   checkpoint-terminated operators (dbscan, pagerank_exact, k_core,
+#   the as-of machinery).  RECHECK therefore carries the re-verify
+#   burden for this operator family — a rewrite must be listed here
+#   MANUALLY, because the digest diff cannot flag it.
 RECHECK = frozenset({"q163_dbscan"})
 
 

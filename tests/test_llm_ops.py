@@ -1813,9 +1813,18 @@ def test_star_components_long_chain_where_label_propagation_fails(spark):
     got = star_components(chain, local_graph_rows=0).collect()
     assert len(got) == n
     assert all(r.cluster == 0 for r in got)
+    # escalated AND distributed together: local_graph_rows=0 forwards
+    # through dup_clusters' escalation, so the round-9 regression
+    # (silent under-merge on chains) stays covered on the path a
+    # >200k-edge graph would actually take
     lab = {r.node: r.cluster
-           for r in dup_clusters(chain, max_iter=5).collect()}
+           for r in dup_clusters(chain, max_iter=5,
+                                 local_graph_rows=0).collect()}
     assert len(lab) == n and all(v == 0 for v in lab.values())
+    # and the default gate (driver kernel) agrees
+    lab2 = {r.node: r.cluster
+            for r in dup_clusters(chain, max_iter=5).collect()}
+    assert lab2 == lab
 
 
 def test_star_components_self_loop_only_node(spark):
