@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 
 __all__ = ["pagerank", "pagerank_exact", "star_components",
            "cooccur_pairs", "triangle_count", "shortest_paths",
-           "k_core"]
+           "k_core", "core_numbers"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -537,3 +537,73 @@ def k_core(pairs: DataFrame, k: int, d1: str = "d1", d2: str = "d2",
             f"k_core did not reach its fixpoint in {max_iter} rounds "
             "(adversarial chain-like peel depth); raise max_iter")
     return deg.withColumnRenamed("a", "node")
+
+
+def core_numbers(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
+                 max_rounds: int = 500) -> DataFrame:
+    """Full CORENESS decomposition: ``(node, core)`` where core =
+    the largest k such that the node survives into the k-core — the
+    degeneracy ordering behind graph-ML features, influential-node
+    ranking, and :func:`k_core` itself (``k_core(k)``'s node set is
+    exactly ``core >= k``, pinned by pytest).
+
+    Distributed Matula-Beck by PHASES instead of one-vertex-at-a-time:
+    phase k peels every node whose degree falls below k to a fixpoint
+    (the :func:`k_core` inner loop — cascades included), assigns those
+    nodes core = k-1, then advances k.  A node removed in phase k
+    survived the (k-1)-core fixpoint but not k, which is the coreness
+    definition.  Each round is one degree hash-aggregate + endpoint
+    anti-joins, localCheckpoint-bounded; the LIVE node set is tracked
+    explicitly so nodes that lose their last edge are still assigned
+    (a degree aggregate alone never emits degree-0 rows).  Nodes
+    appearing only in self-loop pairs get core 0.
+
+    Total rounds = sum of peel depths over phases, bounded by
+    degeneracy x peel depth — small on real graphs; ``max_rounds``
+    exhaustion RAISES (the convergence rule), never returns a
+    partial decomposition."""
+    e = (pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()))
+    allnodes = (e.select(F.col("a").alias("node"))
+                .unionByName(e.select(F.col("b").alias("node")))
+                .distinct()
+                .localCheckpoint(eager=True))
+    prop = e.where(F.col("a") != F.col("b"))
+    cur = (prop.unionByName(prop.select(F.col("b").alias("a"),
+                                        F.col("a").alias("b")))
+           .distinct()
+           .localCheckpoint(eager=True))
+    live = (cur.select(F.col("a").alias("node")).distinct()
+            .localCheckpoint(eager=True))
+    # self-loop-only / isolated-in-pairs nodes: core 0
+    out = (allnodes.join(live, "node", "left_anti")
+           .withColumn("core", F.lit(0).cast("int")))
+    k = 1
+    rounds = 0
+    while live.limit(1).count():
+        while True:
+            rounds += 1
+            if rounds > max_rounds:
+                raise RuntimeError(
+                    f"core_numbers exceeded {max_rounds} peel rounds "
+                    "(adversarial chain-like cascades); raise "
+                    "max_rounds")
+            deg = cur.groupBy(F.col("a").alias("node")).agg(
+                F.count("*").alias("__d"))
+            bad = (live.join(deg, "node", "left")
+                   .where(F.coalesce("__d", F.lit(0)) < k)
+                   .select("node")
+                   .localCheckpoint(eager=True))
+            if not bad.limit(1).count():
+                break
+            out = out.unionByName(
+                bad.withColumn("core", F.lit(k - 1).cast("int")))
+            live = (live.join(bad, "node", "left_anti")
+                    .localCheckpoint(eager=True))
+            cur = (cur.join(bad.withColumnRenamed("node", "a"), "a",
+                            "left_anti")
+                   .join(bad.withColumnRenamed("node", "b"), "b",
+                         "left_anti")
+                   .localCheckpoint(eager=True))
+        k += 1
+    return out

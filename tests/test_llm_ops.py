@@ -2393,6 +2393,57 @@ def test_k_core_python_peel(spark):
         k_core(chain, 0)
 
 
+def test_core_numbers_python_oracle(spark):
+    """core_numbers == the classic min-degree-removal coreness on a
+    random graph and on clique+pendant structure; k_core(k)'s node set
+    == {core >= k}; chains are all core 1; self-loop-only nodes are
+    core 0; max_rounds exhaustion raises."""
+    import random
+    from collections import defaultdict
+
+    import pytest
+
+    from nasctn_sea_ingest_spark.operators.graph import (core_numbers,
+                                                         k_core)
+
+    def ref(edges):
+        adj = defaultdict(set)
+        nodes = set()
+        for a, b in edges:
+            nodes.add(a)
+            nodes.add(b)
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        core, c = {}, 0
+        left = set(nodes)
+        while left:
+            v = min(left, key=lambda n: (len(adj[n] & left), n))
+            c = max(c, len(adj[v] & left))
+            core[v] = c
+            left.discard(v)
+        return core
+
+    rnd = random.Random(41)
+    es = [(rnd.randint(0, 50), rnd.randint(0, 50)) for _ in range(130)]
+    es += [(100 + i, 100 + j) for i in range(5) for j in range(i)]
+    es += [(100 + i, 200 + i) for i in range(5)]
+    es += [(300, 300)]                       # self-loop-only: core 0
+    df = spark.createDataFrame(es, "d1 long, d2 long")
+    got = {r.node: r.core for r in core_numbers(df).collect()}
+    assert got == ref(es)
+    assert got[300] == 0
+    for k in (1, 2, 3, 4):
+        want_k = {n for n, c in got.items() if c >= k}
+        assert {r.node for r in k_core(df, k).collect()} == want_k, k
+    chain = spark.createDataFrame([(i, i + 1) for i in range(12)],
+                                  "d1 long, d2 long")
+    cg = {r.node: r.core for r in core_numbers(chain).collect()}
+    assert set(cg.values()) == {1}
+    with pytest.raises(RuntimeError):
+        core_numbers(chain, max_rounds=2)
+
+
 def test_pagerank_exact_python_replay(spark):
     """pagerank_exact == a Python replay of the integer fixed-point
     update (floor division, fixed n_iter) on a random digraph WITH a
