@@ -2240,6 +2240,78 @@ def test_dbscan_brute_force_parity(spark):
     assert {i: gotn[i] for i in pts} == ref(pts, 3.0, 4)
 
 
+def test_dbscan_edge_geometry(spark):
+    """Dense-cell-shortcut edge cases vs brute force: NEGATIVE
+    coordinates (floor-grid sign semantics), DUPLICATE points (distance
+    0 stacks — an all-core cell by multiplicity), points at exact cell
+    boundaries, and the max_cell guard (a hot cell drops entirely: its
+    points report noise; without the guard they are one core
+    cluster)."""
+    import math
+    import random
+
+    from nasctn_sea_ingest_spark.operators.spatial import dbscan
+
+    def ref(pts, eps, min_pts):
+        ids = sorted(pts)
+        nbr = {i: [j for j in ids if j != i
+                   and math.dist(pts[i], pts[j]) <= eps]
+               for i in ids}
+        core = {i for i in ids if len(nbr[i]) + 1 >= min_pts}
+        lab = {}
+        for seed in sorted(core):
+            if seed in lab:
+                continue
+            comp, stack, seen = [], [seed], {seed}
+            while stack:
+                u = stack.pop()
+                comp.append(u)
+                for v in nbr[u]:
+                    if v in core and v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+            m = min(comp)
+            for u in comp:
+                lab[u] = m
+        out = {}
+        for i in ids:
+            if i in core:
+                out[i] = ("core", lab[i])
+            else:
+                cands = sorted((math.dist(pts[i], pts[j]), lab[j])
+                               for j in nbr[i] if j in core)
+                out[i] = ("border", cands[0][1]) if cands \
+                    else ("noise", None)
+        return out
+
+    rng = random.Random(3)
+    pts = {i: (rng.uniform(-50, 50), rng.uniform(-50, 50))
+           for i in range(100)}
+    pts.update({200 + i: (-10.0, -10.0) for i in range(5)})  # 5 dups
+    eps = 5.0
+    cell = eps * 0.70710678
+    # points at exact multiples of the cell size (floor boundaries)
+    pts.update({300: (cell * 3, cell * 2), 301: (cell * 3, cell * 2),
+                302: (cell * 3, cell * 2), 303: (cell * 3, cell * 2)})
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in pts.items()],
+        "id long, x double, y double")
+    got = {r.id: (r.role, r.cluster) for r in dbscan(df, eps, 4)
+           .collect()}
+    assert got == ref(pts, eps, 4)
+    # max_cell: 10 identical points = one hot cell; guarded out they
+    # are ALL noise, unguarded they are one core cluster
+    stack10 = spark.createDataFrame(
+        [(i, 7.0, 7.0) for i in range(10)], "id long, x double, "
+        "y double")
+    unguarded = {r.id: (r.role, r.cluster)
+                 for r in dbscan(stack10, 1.0, 4).collect()}
+    assert unguarded == {i: ("core", 0) for i in range(10)}
+    guarded = {r.id: (r.role, r.cluster)
+               for r in dbscan(stack10, 1.0, 4, max_cell=5).collect()}
+    assert guarded == {i: ("noise", None) for i in range(10)}
+
+
 def test_dbscan_nd_brute_force_parity(spark):
     """dbscan_nd == a reference Python DBSCAN at d=3 (roles AND
     cluster labels) on a random cloud plus a 3-D density ridge (the
