@@ -559,9 +559,13 @@ def core_numbers(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     appearing only in self-loop pairs get core 0.
 
     Total rounds = sum of peel depths over phases, bounded by
-    degeneracy x peel depth — small on real graphs; ``max_rounds``
-    exhaustion RAISES (the convergence rule), never returns a
-    partial decomposition."""
+    degeneracy x peel depth; ``max_rounds`` exhaustion RAISES (the
+    convergence rule), never returns a partial decomposition.  Suited
+    to MODERATE-degeneracy graphs (near-dup clusters, social graphs —
+    k_max in the tens): measured on the dense co-purchase graph
+    (SCALE.md round-10 probes) k_max = 84 costs ~85 driver phases.
+    When only one threshold matters, :func:`k_core` at the target k
+    is ONE phase and strictly cheaper."""
     e = (pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
          .where(F.col("a").isNotNull() & F.col("b").isNotNull()))
     allnodes = (e.select(F.col("a").alias("node"))
