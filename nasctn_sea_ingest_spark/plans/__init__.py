@@ -125,6 +125,20 @@ RETIRED_NAMES = frozenset({
     #     ordering), and the bigram-count statistics by q113's bigram
     #     LM over documents.
     "q32_roll_shift", "q120_event_bigrams",
+    # ROUND-11 RETIREMENT CANDIDATES (staged, not retired — the item-8
+    # convention: pre-plan so new families never stall on slots).
+    # Thinnest remaining single-shape entries, each with its surface
+    # redundantly covered:
+    #   q107_mad_outliers: median-absolute-deviation gate — the exact-
+    #     quantile machinery is q16/q117/q127/q30's family, and the
+    #     robust-outlier shape is also q152 (Benford) + q156 (seasonal
+    #     z-scores) territory.
+    #   q110_ohlc_bars: per-bucket first/last/min/max — the
+    #     first/last-by-order shape lives in q130 attribution and q157
+    #     point-in-time features; min/max bucket aggs everywhere.
+    #   q54_batched_cosine: the batched variant of q22's cosine top-k —
+    #     same operator (similarity.cosine_topk), different driver
+    #     shape; the library pytest covers both paths.
     # Retired round 10 — two new families (q166 exact fixed-point
     # PageRank, q167 gated FD discovery) push live count to 150 = 3x50
     # with zero slack (the round-6 saturation arithmetic); retiring two
