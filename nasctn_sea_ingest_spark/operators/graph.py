@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame
 
 __all__ = ["pagerank", "pagerank_exact", "star_components",
            "cooccur_pairs", "triangle_count", "shortest_paths",
-           "k_core", "core_numbers"]
+           "k_core", "core_numbers", "personalized_pagerank",
+           "label_propagation"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -615,3 +616,144 @@ def core_numbers(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
             "rounds (chain-shaped value propagation); raise max_rounds")
     return zero.unionByName(
         vals.select("node", F.col("c").alias("core")))
+
+
+def personalized_pagerank(edges: DataFrame, sources: "list",
+                          src: str = "src", dst: str = "dst",
+                          damping: float = 0.85, max_iter: int = 20,
+                          tol: "float | None" = 1.0e-6) -> DataFrame:
+    """PageRank PERSONALIZED to a seed set: teleport (and dangling)
+    mass returns only to ``sources`` (uniformly), so ranks measure
+    proximity/relevance TO THE SEEDS instead of global centrality —
+    seed-expansion retrieval, related-item ranking, trust propagation.
+    Returns ``(node, rank)`` summing to ~1 over reachable nodes.
+
+    A separate function rather than a ``pagerank`` parameter so the
+    global operator's plan (benched as q115) stays byte-identical.
+    Same per-round shape: one equi-join against the once-repartitioned
+    edge list, one map-side-combinable aggregate, a 1-row broadcast
+    dangling frame, an eager checkpoint; ``tol=None`` runs the fixed
+    budget without the delta action.  ``sources`` is a bounded driver
+    list (the shortest_paths convention), seeded through a typed
+    createDataFrame — never a collect."""
+    if not sources:
+        raise ValueError("personalized_pagerank needs at least one "
+                         "source node")
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+              .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+              .distinct()
+              .repartition("src")
+              .localCheckpoint(eager=True))
+    spark = edges.sparkSession
+    seeds = (spark.createDataFrame([(x,) for x in set(sources)],
+                                   e.select("src").schema)
+             .toDF("node"))
+    nodes = (e.select(F.col("src").alias("node"))
+              .union(e.select(F.col("dst").alias("node")))
+              .union(seeds.select("node"))
+              .distinct()
+              .localCheckpoint(eager=True))
+    n_s = len(set(sources))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = (nodes.join(deg, nodes.node == deg.src, "left")
+             .join(seeds.withColumn("__tp", F.lit(1.0 / n_s)), "node",
+                   "left")
+             .select("node", F.coalesce("deg", F.lit(0)).alias("deg"),
+                     F.coalesce("__tp", F.lit(0.0)).alias("tp"))
+             .localCheckpoint(eager=True))
+    # init at the teleport vector (the standard PPR start)
+    ranks = nodes.withColumn("rank", F.col("tp"))
+    for _ in range(max_iter):
+        dang = (ranks.where(F.col("deg") == 0)
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                     .alias("__dm")))
+        contrib = (ranks.where(F.col("deg") > 0)
+                   .select("node", (F.col("rank") / F.col("deg"))
+                           .alias("share"))
+                   .join(e, F.col("node") == e.src)
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.sum("share").alias("inflow")))
+        new_ranks = (nodes.join(contrib, "node", "left")
+                     .crossJoin(F.broadcast(dang))
+                     .select("node", "deg", "tp",
+                             ((1.0 - damping) * F.col("tp")
+                              + damping * F.col("__dm") * F.col("tp")
+                              + damping
+                              * F.coalesce(F.col("inflow"), F.lit(0.0)))
+                             .alias("rank"))
+                     .localCheckpoint(eager=True))
+        if tol is not None:
+            delta = (new_ranks.alias("a")
+                     .join(ranks.alias("b"), "node")
+                     .agg(F.sum(F.abs(F.col("a.rank")
+                                      - F.col("b.rank"))))
+                     .first()[0])
+            if delta is not None and delta < tol:
+                ranks = new_ranks
+                break
+        ranks = new_ranks
+    return ranks.select("node", "rank")
+
+
+def label_propagation(pairs: DataFrame, d1: str = "d1",
+                      d2: str = "d2",
+                      max_iter: int = 20) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007) with a deterministic total tie-break: every node
+    starts labeled with its own id; each round it adopts the label
+    held by the most neighbors, ties by smallest label.  Returns
+    ``(node, community)``.
+
+    Deterministic BY CONSTRUCTION (synchronous rounds + total
+    tie-break), unlike the textbook's random visit order — two runs on
+    any input agree, and a pure-Python replay of the same rule is an
+    exact pytest oracle.  LPA is a HEURISTIC: the fixed ``max_iter``
+    budget is part of the semantics (synchronous LPA can 2-cycle on
+    bipartite structure — the run stops early only when a round
+    changes NOTHING, an exact check), so budget exhaustion is a normal
+    return, not an error — there is no "correct" fixpoint being
+    under-reported, which is why the shortest_paths raise rule does
+    not apply.
+
+    Per round: one equi-join (edges x labels on the neighbor key), a
+    (node, label) count aggregate, and a per-node (count desc, label
+    asc) top-1 window whose per-node row count = that node's DISTINCT
+    neighbor labels (hub-safe); the changed-row count is one aggregate
+    on the checkpointed update."""
+    from pyspark.sql import Window
+
+    e = (pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b"))))
+    sym = (e.unionByName(e.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
+           .distinct()
+           .localCheckpoint(eager=True))
+    allnodes = (pairs.select(F.col(d1).alias("node"))
+                .unionByName(pairs.select(F.col(d2).alias("node")))
+                .where(F.col("node").isNotNull())
+                .distinct()
+                .localCheckpoint(eager=True))
+    labels = allnodes.withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.desc("__m"), F.asc("__l"))
+    for _ in range(max_iter):
+        top = (sym.join(labels.select(F.col("node").alias("b"),
+                                      F.col("label").alias("__l")),
+                        "b")
+               .groupBy(F.col("a").alias("node"), F.col("__l"))
+               .agg(F.count("*").alias("__m"))
+               .withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") == 1)
+               .select("node", F.col("__l").alias("__new")))
+        upd = (labels.join(top, "node", "left")
+               .select("node",
+                       F.coalesce("__new", F.col("label"))
+                       .alias("label"),
+                       (F.coalesce("__new", F.col("label"))
+                        != F.col("label")).alias("__chg"))
+               .localCheckpoint(eager=True))
+        changed = upd.where("__chg").limit(1).count()
+        labels = upd.select("node", "label")
+        if not changed:
+            break
+    return labels.select("node", F.col("label").alias("community"))

@@ -200,3 +200,22 @@ def test_dbscan_nd_and_k_core_plans(spark):
     p = _plan(core)
     _lint(p, "k_core")
     assert "Scan ExistingRDD" in p          # checkpoint-bounded rounds
+
+
+def test_ppr_and_lpa_round_plans(spark):
+    """personalized_pagerank and label_propagation rounds: equi-joins +
+    hash aggregates only (the 1-row dangling frame may broadcast);
+    checkpoint-backed final plans."""
+    from nasctn_sea_ingest_spark.operators.graph import (
+        label_propagation, personalized_pagerank)
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 9) for i in range(9)] + [(0, 5), (3, 7)],
+        "src long, dst long")
+    out = personalized_pagerank(edges, [0], max_iter=3, tol=None)
+    _lint(_plan(out), "personalized_pagerank")
+    pairs = edges.toDF("d1", "d2")
+    com = label_propagation(pairs, max_iter=3)
+    p = _plan(com)
+    _lint(p, "label_propagation")
+    assert "Scan ExistingRDD" in p

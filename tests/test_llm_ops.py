@@ -2465,6 +2465,109 @@ def test_k_core_python_peel(spark):
         k_core(chain, 0)
 
 
+def test_personalized_pagerank_replay_and_locality(spark):
+    """personalized_pagerank == a Python replay (fixed budget,
+    tol=None) on a random digraph with a dangling node, and seed
+    locality holds: a seed outranks a node far from the seed set;
+    nodes unreachable FROM the seeds hold ~zero rank."""
+    import random
+    from collections import Counter, defaultdict
+
+    import pytest
+
+    from nasctn_sea_ingest_spark.operators.graph import \
+        personalized_pagerank
+
+    def replay(edge_list, srcs, iters, d=0.85):
+        es = set(edge_list)
+        nodes = sorted({u for e in es for u in e} | set(srcs))
+        deg = Counter(u for u, _ in es)
+        tp = {v: (1.0 / len(set(srcs)) if v in set(srcs) else 0.0)
+              for v in nodes}
+        r = dict(tp)
+        for _ in range(iters):
+            dm = sum(r[v] for v in nodes if deg.get(v, 0) == 0)
+            inflow = defaultdict(float)
+            for u, w in es:
+                inflow[w] += r[u] / deg[u]
+            r = {v: (1 - d) * tp[v] + d * dm * tp[v]
+                 + d * inflow.get(v, 0.0) for v in nodes}
+        return r
+
+    rnd = random.Random(29)
+    edges = [(rnd.randint(0, 25), rnd.randint(0, 25))
+             for _ in range(80)]
+    edges = [(u, v) for u, v in edges if u != v and u != 9]  # dangling
+    # an island reachable only away from the seeds
+    edges += [(50, 51), (51, 52)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank
+           for r in personalized_pagerank(df, [0, 1], max_iter=8,
+                                          tol=None).collect()}
+    want = replay(edges, [0, 1], 8)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9, abs=1e-12), v
+    assert got[0] > got[52]
+    assert got[52] == pytest.approx(0.0, abs=1e-12)
+    with pytest.raises(ValueError):
+        personalized_pagerank(df, [])
+
+
+def test_label_propagation_python_replay(spark):
+    """label_propagation == a Python replay of the same deterministic
+    rule (synchronous rounds, (count desc, label asc) tie-break) on a
+    random graph, and two cliques joined by one bridge edge resolve to
+    two communities."""
+    import random
+    from collections import Counter, defaultdict
+
+    from nasctn_sea_ingest_spark.operators.graph import \
+        label_propagation
+
+    def replay(edge_list, max_iter):
+        adj = defaultdict(set)
+        nodes = set()
+        for a, b in edge_list:
+            nodes.add(a)
+            nodes.add(b)
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        labels = {v: v for v in nodes}
+        for _ in range(max_iter):
+            new = {}
+            for v in nodes:
+                if not adj[v]:
+                    new[v] = labels[v]
+                    continue
+                cnt = Counter(labels[u] for u in adj[v])
+                m = max(cnt.values())
+                new[v] = min(l for l, c in cnt.items() if c == m)
+            if new == labels:
+                break
+            labels = new
+        return labels
+
+    rnd = random.Random(13)
+    es = [(rnd.randint(0, 40), rnd.randint(0, 40)) for _ in range(90)]
+    es += [(70, 70)]                    # self-loop-only node
+    df = spark.createDataFrame(es, "d1 long, d2 long")
+    got = {r.node: r.community
+           for r in label_propagation(df, max_iter=12).collect()}
+    assert got == replay(es, 12)
+    cl = ([(100 + i, 100 + j) for i in range(6) for j in range(i)]
+          + [(200 + i, 200 + j) for i in range(6) for j in range(i)]
+          + [(105, 200)])
+    cdf = spark.createDataFrame(cl, "d1 long, d2 long")
+    com = {r.node: r.community
+           for r in label_propagation(cdf, max_iter=12).collect()}
+    assert com == replay(cl, 12)
+    assert len({com[100 + i] for i in range(6)}) == 1
+    assert len({com[200 + i] for i in range(6)}) == 1
+    assert com[100] != com[201]
+
+
 def test_core_numbers_python_oracle(spark):
     """core_numbers == the classic min-degree-removal coreness on a
     random graph and on clique+pendant structure; k_core(k)'s node set
