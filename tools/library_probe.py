@@ -191,6 +191,27 @@ def main():
             dt, n = t(lambda: k_core(ed, 3, d1="i1", d2="i2").count())
             print(f"x{k} k_core               {dt:7.2f}s rows={n}")
             li.unpersist()
+        if want("label_propagation") or want("personalized_pagerank"):
+            from nasctn_sea_ingest_spark.operators.graph import (
+                cooccur_pairs, label_propagation, personalized_pagerank)
+            li = rep(li0, k, "l_orderkey").persist()
+            li.count()
+            ed = cooccur_pairs(li, "l_orderkey", "l_partkey") \
+                .persist()
+            ed.count()
+            if want("label_propagation"):
+                dt, n = t(lambda: label_propagation(
+                    ed, d1="i1", d2="i2", max_iter=10).count())
+                print(f"x{k} label_propagation    {dt:7.2f}s rows={n}")
+            if want("personalized_pagerank"):
+                src = [r.i1 for r in ed.select("i1").limit(3)
+                       .collect()]
+                dt, n = t(lambda: personalized_pagerank(
+                    ed.selectExpr("i1 as src", "i2 as dst"), src,
+                    max_iter=10, tol=None).count())
+                print(f"x{k} personalized_pr      {dt:7.2f}s rows={n}")
+            ed.unpersist()
+            li.unpersist()
         if want("dbscan_nd"):
             # constant-density d=3 recipe (volume scales with the
             # data: width 1000 * k^(1/3) per axis) — the honest
@@ -217,6 +238,8 @@ def main():
                                              "dbscan", "dbscan_fixed",
                                              "fd_error", "k_core",
                                              "dbscan_nd",
+                                             "label_propagation",
+                                             "personalized_pagerank",
                                              "shortest_paths"}):
             continue
         d = rep(docs0, k, "doc_id").persist()
