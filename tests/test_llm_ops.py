@@ -2784,3 +2784,32 @@ def test_shortest_paths_dijkstra_parity(spark):
     full = {r.node: r.dist
             for r in shortest_paths(chain, [0], max_iter=40).collect()}
     assert full == {i: float(i) for i in range(31)}
+
+
+def test_star_components_kernel_hypothesis(spark):
+    """Property: on ARBITRARY small edge lists (self-loops, isolated
+    self-loop-only nodes, duplicates, reversed duplicates included),
+    the driver union-find kernel, the distributed star loop, and a
+    Python union-find all agree."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nasctn_sea_ingest_spark.operators.graph import star_components
+
+    edge = st.tuples(st.integers(0, 25), st.integers(0, 25))
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(edge, min_size=1, max_size=40))
+    def prop(pairs):
+        df = spark.createDataFrame(pairs, "d1 long, d2 long")
+        want = _union_find([p for p in pairs if p[0] != p[1]])
+        for a, b in pairs:
+            want.setdefault(a, a)
+            want.setdefault(b, b)
+        kern = {r.node: r.cluster for r in star_components(df).collect()}
+        dist = {r.node: r.cluster
+                for r in star_components(df,
+                                         local_graph_rows=0).collect()}
+        assert kern == dist == want
+
+    prop()
