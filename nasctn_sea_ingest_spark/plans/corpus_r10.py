@@ -27,8 +27,17 @@ driver-oracled ITERATIVE operator) and functional-dependency DISCOVERY
   threshold on BOTH sides (3 / 5 / ~1k / ~2.4k vs ~15k), so the
   +-2% HLL estimate cannot straddle it.
 
+* q168 is CONNECTED COMPONENTS with a real driver-oracle row: a
+  customer-derived graph whose components are <= 16 nodes by
+  construction (8-block anchors, every 5th key also linking its
+  16-block anchor), so the DuckDB recursive-CTE closure stays O(16N)
+  while ``star_components(local_graph_rows=0)`` pins the DISTRIBUTED
+  alternating-star loop — the kernel is parity- and hypothesis-pinned
+  against that loop, so one oracle row covers both.
+
 Float parity per corpus.py rules: q166 is pure BIGINT; q167 emits
-exact BIGINTs plus the q164-style floor-quantized (1e-6) error ratio.
+exact BIGINTs plus the q164-style floor-quantized (1e-6) error ratio;
+q168 is pure BIGINT.
 """
 
 from __future__ import annotations
@@ -160,3 +169,55 @@ def q167(spark, sf_dir):
     return (fd_discover(o, _DISC_COLS, max_lhs=1,
                         max_lhs_groups=_DISC_GATE)
             .orderBy("lhs", "rhs"))
+
+
+# ---------------------------------------------------------------------------
+# q168: connected components, driver-oracled (the distributed star loop)
+# ---------------------------------------------------------------------------
+
+@_q("q168_connected_components",
+    "connected components over a synthetic customer-derived graph "
+    "built to keep components SMALL and bounded (every custkey links "
+    "to its 8-block anchor c - c%8, and every 5th key also to its "
+    "16-block anchor — 8-star components, some pairs merged through "
+    "the shared 16-anchor, component size <= 16 by construction, so "
+    "the DuckDB recursive-CTE closure stays O(16N) rows): "
+    "operators.graph.star_components with local_graph_rows=0, PINNING "
+    "the DISTRIBUTED alternating-star loop under the driver oracle — "
+    "the union-find kernel is already hypothesis- and parity-pinned "
+    "against it, so oracle-checking the loop checks both.  Self-loop "
+    "anchors (c = its own 8-anchor) exercise the isolated-node "
+    "contract; cluster = component min node id",
+    """
+    WITH RECURSIVE pts AS (SELECT c_custkey AS c FROM customer),
+    e0 AS (
+      SELECT c AS a, c - (c % 8) AS b FROM pts
+      UNION ALL
+      SELECT c, c - (c % 16) FROM pts WHERE c % 5 = 0),
+    e AS (SELECT DISTINCT a, b FROM e0 WHERE a <> b),
+    sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    nodes AS (
+      SELECT DISTINCT n FROM (
+        SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)),
+    reach(n, l) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT s.b, reach.l FROM reach JOIN sym s ON s.a = reach.n)
+    SELECT CAST(n AS BIGINT) AS node,
+           CAST(min(l) AS BIGINT) AS cluster
+    FROM reach GROUP BY 1 ORDER BY 1
+    """)
+def q168(spark, sf_dir):
+    from ..operators.graph import star_components
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("c"))
+    e0 = (c.select(F.col("c").alias("a"),
+                   (F.col("c") - F.col("c") % 8).alias("b"))
+          .unionByName(
+              c.where(F.col("c") % 5 == 0)
+              .select(F.col("c").alias("a"),
+                      (F.col("c") - F.col("c") % 16).alias("b"))))
+    out = star_components(e0, "a", "b", local_graph_rows=0)
+    return (out.select(F.col("node").cast("bigint").alias("node"),
+                       F.col("cluster").cast("bigint").alias("cluster"))
+            .orderBy("node"))
