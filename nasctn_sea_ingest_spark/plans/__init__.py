@@ -125,10 +125,11 @@ RETIRED_NAMES = frozenset({
     #     ordering), and the bigram-count statistics by q113's bigram
     #     LM over documents.
     "q32_roll_shift", "q120_event_bigrams",
-    # ROUND-11 RETIREMENT CANDIDATES (staged, not retired — the item-8
-    # convention: pre-plan so new families never stall on slots).
-    # Thinnest remaining single-shape entries, each with its surface
-    # redundantly covered:
+    # Retired round 11 — executing the candidates staged at round-10
+    # handoff (the round-10 driver run itself advanced the staleness
+    # clock and tripped the 50-slot invariant at 51; see the round-10
+    # verdict "What's wrong" #1).  Each keeps its pytest DuckDB oracle
+    # via tests/test_corpus::ALL:
     #   q107_mad_outliers: median-absolute-deviation gate — the exact-
     #     quantile machinery is q16/q117/q127/q30's family, and the
     #     robust-outlier shape is also q152 (Benford) + q156 (seasonal
@@ -136,9 +137,23 @@ RETIRED_NAMES = frozenset({
     #   q110_ohlc_bars: per-bucket first/last/min/max — the
     #     first/last-by-order shape lives in q130 attribution and q157
     #     point-in-time features; min/max bucket aggs everywhere.
-    #   q54_batched_cosine: the batched variant of q22's cosine top-k —
+    #   q54_batch_topk: the batched variant of q22's cosine top-k —
     #     same operator (similarity.cosine_topk), different driver
-    #     shape; the library pytest covers both paths.
+    #     shape; the library pytest covers both paths.  (Staged under
+    #     the round-10 shorthand "q54_batched_cosine" — same entry.)
+    "q107_mad_outliers", "q110_ohlc_bars", "q54_batch_topk",
+    # ROUND-12 RETIREMENT CANDIDATES (staged, not retired — pre-plan so
+    # new families never stall on slots).  Thinnest remaining
+    # single-shape entries, each with its surface redundantly covered:
+    #   q53_percentile_cont: single percentile_cont scalar — the exact-
+    #     quantile family is q16 (array quantiles), q117 (weighted
+    #     median), q127 (equidepth histogram), q75 (rolling median).
+    #   q77_ntile_nth: ntile + nth_value probe — the ranking surface
+    #     lives in q49's window suite, q15 ranked truncation, and the
+    #     TPC-H ranking shapes; nth_value also inside q130 attribution.
+    #   q111_forward_fill: last-non-null-over window — the same
+    #     last_value(ignorenulls) machinery drives q157 point-in-time
+    #     features and q143 gap interpolation, both still live.
     # Retired round 10 — two new families (q166 exact fixed-point
     # PageRank, q167 gated FD discovery) push live count to 150 = 3x50
     # with zero slack (the round-6 saturation arithmetic); retiring two
@@ -165,6 +180,11 @@ RETIRED_NAMES = frozenset({
 #   (q159's round-9 rewrite got its fresh driver row in
 #   CORRECTNESS_r09.json — hash green — so it left this set in round
 #   10.)
+#   (q163's round-10 dense-cell rewrite got its fresh driver row in
+#   CORRECTNESS_r10.json — hash green at driver scale — so it leaves
+#   this set in round 11.  The round-10 note below stays as the
+#   canonical record of WHY checkpoint-terminated operators must be
+#   listed here manually.)
 #   Round 10: q163 rewritten around the eps/sqrt(2) dense-cell
 #   shortcut (operators/spatial.py — all-core cells with zero pair
 #   enumeration, cell-granularity component graph, size-gated driver
@@ -179,7 +199,7 @@ RETIRED_NAMES = frozenset({
 #   the as-of machinery).  RECHECK therefore carries the re-verify
 #   burden for this operator family — a rewrite must be listed here
 #   MANUALLY, because the digest diff cannot flag it.
-RECHECK = frozenset({"q163_dbscan"})
+RECHECK: frozenset[str] = frozenset()
 
 
 def _latest_driver_round() -> dict[str, int]:
