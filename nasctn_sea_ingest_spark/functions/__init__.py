@@ -1168,6 +1168,22 @@ def fd_profile(df: DataFrame,
     return fd_errors_from_counts(fd_counts(df, candidates))
 
 
+def _fd_check_name(c: str) -> str:
+    """Reject column names the FD machinery cannot represent safely:
+    ``'`` and ``\\`` would break the generated single-quoted ``stack``
+    literals, ```` ` ```` the backtick quoting, and ``,`` would make a
+    composite label like ``"a,b"`` ambiguous (round-10 advisor
+    finding).  Raising beats escaping here — an escaped label would
+    silently diverge from the name a caller greps for downstream."""
+    if any(ch in c for ch in (",", "'", "`", "\\")):
+        raise ValueError(
+            f"fd_* column name {c!r} contains one of , ' ` \\ — "
+            "rename the column (e.g. .withColumnRenamed) before "
+            "profiling; these characters would corrupt the generated "
+            "stack() literal or the composite lhs label")
+    return c
+
+
 def _fd_lhs_exprs(lhs: "Sequence[str] | str") -> "tuple[str, str]":
     """(label, value-SQL) for a single-column or COMPOSITE lhs.  A
     composite lhs serializes through ``to_json(struct(...))`` — field
@@ -1175,8 +1191,9 @@ def _fd_lhs_exprs(lhs: "Sequence[str] | str") -> "tuple[str, str]":
     scalar types the single-column string cast covers (floats stay
     out of contract either way)."""
     if isinstance(lhs, str):
+        _fd_check_name(lhs)
         return lhs, f"cast(`{lhs}` as string)"
-    cols = list(lhs)
+    cols = [_fd_check_name(c) for c in lhs]
     if len(cols) == 1:
         return cols[0], f"cast(`{cols[0]}` as string)"
     inner = ", ".join(f"`{c}`" for c in cols)
@@ -1201,6 +1218,7 @@ def fd_counts(df: DataFrame,
     parts = []
     for l, r in cands:
         label, lv = _fd_lhs_exprs(l)
+        _fd_check_name(r)
         parts.append(f"'{label}', '{r}', {lv}, cast(`{r}` as string)")
     melted = df.select(F.expr(
         f"stack({len(cands)}, {', '.join(parts)}) as (lhs, rhs, lv, "

@@ -165,10 +165,17 @@ def star_components(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     lineage per round, the documented Pregel-style pattern.
 
     Graphs at or under ``local_graph_rows`` distinct edges and nodes
-    (default 200k — a few MB) run driver union-find instead
-    (:func:`_components_local`, the ``train_bpe`` size-gate pattern):
-    identical output, parity-pinned by pytest, milliseconds instead of
-    ~6 fixpoint rounds of job overhead.  ``local_graph_rows=0`` forces
+    (default 200k — a few MB for NUMERIC ids) run driver union-find
+    instead (:func:`_components_local`, the ``train_bpe`` size-gate
+    pattern): identical output, parity-pinned by pytest, milliseconds
+    instead of ~6 fixpoint rounds of job overhead.  For STRING/BINARY
+    node ids the row budget alone under-prices the collect (a 128-char
+    doc id costs ~10x a bigint on the driver — round-10 advisor
+    finding), so the gate additionally probes the mean id width over
+    the already-size-bounded node set and scales the row cap down by
+    ``avg_len / 16`` — a 160-byte-id graph takes the driver kernel
+    only up to ~20k rows, keeping the collected bytes in the same
+    envelope as the numeric default.  ``local_graph_rows=0`` forces
     the distributed loop."""
     e = pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"),
@@ -197,9 +204,21 @@ def star_components(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     if local_graph_rows and n_e <= local_graph_rows:
         n_n = nodes.count()
         if n_n <= local_graph_rows:
-            return _components_local(
-                pairs.sparkSession, nodes.collect(), edges.collect(),
-                nodes.schema["node"])
+            cap = local_graph_rows
+            from pyspark.sql.types import BinaryType, StringType
+            if isinstance(nodes.schema["node"].dataType,
+                          (StringType, BinaryType)):
+                # wide-id guard: probe mean id bytes over the node set
+                # (already counted <= local_graph_rows rows, so this
+                # agg is cheap) and shrink the row cap so collected
+                # bytes stay in the numeric default's few-MB envelope
+                avg_len = (nodes.agg(F.avg(F.length("node")))
+                           .first()[0]) or 0.0
+                cap = int(local_graph_rows * 16 // max(16.0, avg_len))
+            if n_e <= cap and n_n <= cap:
+                return _components_local(
+                    pairs.sparkSession, nodes.collect(),
+                    edges.collect(), nodes.schema["node"])
     p = max(1, -(-n_e // 2_000_000))
     if p < edges.rdd.getNumPartitions():
         edges = edges.coalesce(p)

@@ -2813,3 +2813,84 @@ def test_star_components_kernel_hypothesis(spark):
         assert kern == dist == want
 
     prop()
+
+
+def test_star_components_wide_id_byte_gate(spark, monkeypatch):
+    """Round-10 advisor: the 200k-row kernel gate under-prices WIDE
+    string ids.  The gate now scales the row cap by mean id bytes
+    (cap = rows * 16 / avg_len), so the same 60-edge graph takes the
+    driver kernel with short ids but the DISTRIBUTED loop once ids are
+    ~200 chars and the row budget prices them out."""
+    from nasctn_sea_ingest_spark.operators import graph as G
+
+    wide = [("doc-" + ("x" * 200) + f"-{i}",
+             "doc-" + ("x" * 200) + f"-{i + 1}") for i in range(60)]
+    df_wide = spark.createDataFrame(wide, "d1 string, d2 string")
+    short = [(f"d{i}", f"d{i + 1}") for i in range(60)]
+    df_short = spark.createDataFrame(short, "d1 string, d2 string")
+
+    calls = []
+    real = G._components_local
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(G, "_components_local", spy)
+    # budget 1000 rows: short ids (<16B) keep the full cap -> kernel;
+    # 200B ids shrink it to 1000*16//~210 = ~76 < 121 nodes -> loop
+    out_short = {r.node: r.cluster
+                 for r in G.star_components(
+                     df_short, local_graph_rows=1000).collect()}
+    assert calls, "short-id graph under the cap must take the kernel"
+    n_kernel_calls = len(calls)
+    out_wide = {r.node: r.cluster
+                for r in G.star_components(
+                    df_wide, local_graph_rows=1000).collect()}
+    assert len(calls) == n_kernel_calls, (
+        "wide-id graph must be priced OUT of the driver kernel")
+    # both paths still correct: one chain each -> single cluster
+    assert len(set(out_short.values())) == 1 and len(out_short) == 61
+    assert len(set(out_wide.values())) == 1 and len(out_wide) == 61
+
+
+def test_fd_column_name_validation(spark):
+    """Round-10 advisor: a column name containing , ' ` or \\ would
+    corrupt the generated stack() literal or make the composite
+    "a,b" lhs label ambiguous — fd_counts/fd_discover must REJECT
+    such names instead of emitting broken SQL."""
+    import pytest as _pytest
+
+    from nasctn_sea_ingest_spark.functions import fd_counts, fd_discover
+
+    df = (spark.range(10)
+          .select(F.col("id").alias("a"), (F.col("id") % 3).alias("b"))
+          .withColumn("bad,name", F.col("b"))
+          .withColumn("bad'name", F.col("b")))
+    for bad in ("bad,name", "bad'name"):
+        with _pytest.raises(ValueError, match="column name"):
+            fd_counts(df, [(bad, "b")])            # single lhs
+        with _pytest.raises(ValueError, match="column name"):
+            fd_counts(df, [(("a", bad), "b")])     # composite lhs
+        with _pytest.raises(ValueError, match="column name"):
+            fd_counts(df, [("a", bad)])            # rhs
+        with _pytest.raises(ValueError, match="column name"):
+            fd_discover(df, ["a", "b", bad])
+    # clean names still work end-to-end
+    assert fd_counts(df, [("a", "b")]).count() > 0
+
+
+def test_q167_gate_straddle_guard(spark, sf_dir, monkeypatch):
+    """Round-10 advisor: q167's oracle replays the HLL gate with exact
+    COUNT(DISTINCT), which is only sound while every lhs cardinality
+    sits clear of the gate.  The query now ASSERTS that binding at
+    runtime: pin the gate right onto o_orderstatus's cardinality (3)
+    and the guard must raise instead of risking approx/exact
+    disagreement."""
+    import pytest as _pytest
+
+    from nasctn_sea_ingest_spark.plans import corpus_r10 as R10
+
+    monkeypatch.setattr(R10, "_DISC_GATE", 3)
+    with _pytest.raises(RuntimeError, match="straddle"):
+        R10.q167(spark, sf_dir)
