@@ -637,10 +637,18 @@ def dbscan_nd(points: DataFrame, eps: float, min_pts: int,
     planes, where the shortcut erases the dense regime entirely.
 
     ``max_cell`` passes through to the grid join (correctness-trading
-    skew guard, default OFF).  ``pair_cache_limit``: pair sets at or
-    under it persist for the three consumers (one count buys the
-    decision); above it the pipelined/spillable recompute path stands
-    (the SCALE.md §21 memory lesson)."""
+    skew guard, default OFF).  ``pair_cache_limit``: pair sets whose
+    HISTOGRAM upper bound (below) sits at or under it persist for the
+    three consumers; above it the pipelined/spillable recompute path
+    stands (the SCALE.md §21 memory lesson).  The cache decision is
+    priced by ONE hash aggregate over the d-dim cell histogram —
+    sum over neighbor cell pairs of |a| x |b| across the 3^d
+    neighborhood — never by executing the grid join (round-10 verdict:
+    the old ``pairs.count()`` ran the full join once to decide, then
+    ``persist()`` re-ran it to fill the cache).  The bound counts
+    ordered pairs including the self cell, so it over-states the
+    (id1 < id2, dist <= eps) output by >= 2x — the safe direction for
+    a cache-admission knob."""
     from .graph import star_components
 
     pairs = grid_distance_join_nd(points, eps, id_col=id_col,
@@ -648,9 +656,37 @@ def dbscan_nd(points: DataFrame, eps: float, min_pts: int,
                                   max_cell=max_cell)
     persisted = []
     try:
-        if pair_cache_limit and pairs.count() <= pair_cache_limit:
-            pairs = pairs.persist()
-            persisted.append(pairs)
+        if pair_cache_limit:
+            from itertools import product as _product
+            d = len(coord_cols)
+            hist = (points.groupBy(
+                        *[F.floor(F.col(c).cast("double") / eps)
+                          .alias(f"__c{i}")
+                          for i, c in enumerate(coord_cols)])
+                    .agg(F.count("*").alias("__n")))
+            if max_cell is not None:
+                # mirror the join's skew guard: dropped cells generate
+                # no pairs, so they price at zero on both sides
+                hist = hist.where(F.col("__n") <= max_cell)
+            offs = F.array(*[
+                F.struct(*[F.lit(o[i]).alias(f"o{i}")
+                           for i in range(d)])
+                for o in _product((-1, 0, 1), repeat=d)])
+            est = (hist.withColumn("__o", F.explode(offs))
+                   .select(F.col("__n").alias("__na"),
+                           *[(F.col(f"__c{i}") + F.col(f"__o.o{i}"))
+                             .alias(f"__j{i}") for i in range(d)])
+                   .join(hist.select(
+                       *[F.col(f"__c{i}").alias(f"__j{i}")
+                         for i in range(d)],
+                       F.col("__n").alias("__nb")),
+                       [f"__j{i}" for i in range(d)])
+                   .agg(F.coalesce(F.sum(F.col("__na")
+                                         * F.col("__nb")),
+                                   F.lit(0)).alias("est")).first())
+            if int(est["est"]) <= pair_cache_limit:
+                pairs = pairs.persist()
+                persisted.append(pairs)
         sym = (pairs.select(F.col("id1").alias("a"),
                             F.col("id2").alias("b"), "dist")
                .unionByName(pairs.select(F.col("id2").alias("a"),

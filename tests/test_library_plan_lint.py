@@ -202,6 +202,39 @@ def test_dbscan_nd_and_k_core_plans(spark):
     assert "Scan ExistingRDD" in p          # checkpoint-bounded rounds
 
 
+def test_dbscan_nd_cache_pricing_never_runs_pair_join(spark,
+                                                      monkeypatch):
+    """Round-10 verdict #3: dbscan_nd's cache decision must be priced
+    by the cell-histogram aggregate, never by executing the 3^d grid
+    join (the old pairs.count() ran the join once to decide, then
+    persist() re-ran it to fill the cache).  Booby-trap the pair
+    frame's count() — the operator must still complete, in BOTH the
+    cached and the over-limit regime."""
+    from nasctn_sea_ingest_spark.operators import spatial as SP
+
+    real = SP.grid_distance_join_nd
+
+    def wrapped(*a, **kw):
+        df = real(*a, **kw)
+
+        def boom(*_a, **_kw):
+            raise AssertionError(
+                "cache pricing executed the pair join via count()")
+
+        df.count = boom
+        return df
+
+    monkeypatch.setattr(SP, "grid_distance_join_nd", wrapped)
+    pts = spark.createDataFrame(
+        [(i, float(i % 7) * 3.0, float(i % 5) * 3.0,
+          float(i % 3) * 3.0) for i in range(60)],
+        "id long, x double, y double, z double")
+    for limit in (50_000_000, 1):   # cached and recompute regimes
+        out = SP.dbscan_nd(pts, 4.0, 3, coord_cols=("x", "y", "z"),
+                           pair_cache_limit=limit)
+        assert out.count() == 60
+
+
 def test_ppr_and_lpa_round_plans(spark):
     """personalized_pagerank and label_propagation rounds: equi-joins +
     hash aggregates only (the 1-row dangling frame may broadcast);
