@@ -26,7 +26,8 @@ __all__ = ["cosine_topk", "cosine_pairs", "lsh_bucket", "lsh_topk",
            "ivf_assign", "ivf_topk", "train_centroids", "sample_centroids",
            "cosine_topk_batch", "quantize_embeddings", "dequantize_embeddings",
            "pq_train", "pq_encode", "pq_topk", "ivfpq_topk",
-           "semantic_dedup", "pca_fit", "pca_project", "pca_moments", "merge_moments",
+           "semantic_dedup", "semdedup_exact",
+           "pca_fit", "pca_project", "pca_moments", "merge_moments",
            "pca_from_moments"]
 
 
@@ -128,6 +129,86 @@ def semantic_dedup(emb: DataFrame, cluster_cols: "list[str]",
                  .agg(F.min("d1").alias("dup_of"),
                       F.count("*").alias("n_dups"),
                       F.max("cos_sim").alias("max_cos")))
+
+
+def semdedup_exact(emb: DataFrame, threshold: float = 0.95, k: int = 2,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   max_cell: "int | None" = None) -> DataFrame:
+    """Globally EXACT SemDeDup: group vectors whose cosine-similarity
+    graph (edges at ``cos >= threshold``) connects them, keep the
+    smallest id per group, and return the DROP LIST ``(id, dup_of)``
+    with ``dup_of`` = the kept representative.  This is the end-to-end
+    composition the round-10 nd operators exist for — and unlike
+    :func:`semantic_dedup` (the paper's per-cluster heuristic, blind
+    to pairs straddling a cluster boundary) it is exact over the WHOLE
+    space, because the candidate generator is lossless:
+
+    1. L2-normalize — for unit vectors ``cos(u,v) >= t``  iff
+       ``||u - v|| <= eps = sqrt(2 - 2t)``;
+    2. :func:`pca_fit` (driver holds d + d² moments only) +
+       :func:`pca_project` to ``k`` dims — projection onto an
+       ORTHONORMAL basis is non-expansive (centering is an isometry,
+       so ``||P(u) - P(v)|| <= ||u - v||``), hence every qualifying
+       pair ALSO sits within eps in the projected space;
+    3. :func:`spatial.grid_distance_join_nd` with radius eps over the
+       k projected coords — the 3^k cell equi-join enumerates a
+       SUPERSET of the true pair set, never all pairs (the radius is
+       padded by 1e-6 relative so the float32 projection cast cannot
+       round a boundary pair out);
+    4. exact full-width double-precision cosine verifies each
+       candidate — map-side, before any further shuffle;
+    5. :func:`graph.star_components` over the verified pairs (the
+       size-gated driver kernel takes over for small dup graphs).
+
+    Zero-norm vectors have no cosine to anything: they are excluded
+    from candidates and never appear in the drop list.  ``threshold``
+    must be < 1 (eps would be 0).  Cost is data-dependent in the right
+    way: the projected-space candidate density is governed by spectrum
+    decay (the SemDeDup regime — embeddings concentrate in few
+    directions), ``k`` trades the 3^k explode against candidate
+    density, and ``max_cell`` passes through as the same
+    correctness-trading skew guard the grid join documents.  Work
+    beyond the one k-dim equi-join is proportional to CANDIDATES, not
+    pairs — at 100 TB the all-pairs matrix never exists anywhere."""
+    from .graph import star_components
+    from .spatial import grid_distance_join_nd
+
+    if not threshold < 1:
+        raise ValueError("semdedup_exact needs threshold < 1 (at 1.0 "
+                         "the radius collapses to 0; use exact dedup)")
+    eps = float(np.sqrt(max(0.0, 2.0 - 2.0 * threshold)))
+    nrm = F.sqrt(F.aggregate(
+        F.col(vec_col), F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double")))
+    unit = (emb.select(F.col(id_col).alias("__id"),
+                       F.col(vec_col).alias("__v"), nrm.alias("__n"))
+            .where(F.col("__n") > 0)
+            .select("__id", F.transform(
+                "__v",
+                lambda x: x.cast("double") / F.col("__n")).alias("__u"))
+            .localCheckpoint(eager=False))
+    mean, comps = pca_fit(unit, k, col="__u")
+    proj = pca_project(unit, mean, comps, col="__u", out="__p")
+    pts = proj.select(
+        "__id", "__u",
+        *[F.col("__p")[i].cast("double").alias(f"__q{i}")
+          for i in range(k)])
+    cand = grid_distance_join_nd(
+        pts.select("__id", *[f"__q{i}" for i in range(k)]),
+        eps * (1.0 + 1e-6) + 1e-12, id_col="__id",
+        coord_cols=tuple(f"__q{i}" for i in range(k)),
+        max_cell=max_cell)
+    u1 = pts.select(F.col("__id").alias("id1"), F.col("__u").alias("__u1"))
+    u2 = pts.select(F.col("__id").alias("id2"), F.col("__u").alias("__u2"))
+    cos = F.aggregate(F.zip_with("__u1", "__u2", lambda a, b: a * b),
+                      F.lit(0.0), lambda a, x: a + x)
+    verified = (cand.join(u1, "id1").join(u2, "id2")
+                .where(cos >= F.lit(float(threshold)))
+                .select("id1", "id2"))
+    comp = star_components(verified, "id1", "id2")
+    return (comp.where(F.col("node") != F.col("cluster"))
+            .select(F.col("node").alias(id_col),
+                    F.col("cluster").alias("dup_of")))
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:

@@ -47,6 +47,8 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str,
                         strip_html: bool = False,
                         lm_gate_perplexity: "float | None" = None,
                         dsir_select: "tuple[DataFrame, int] | None" = None,
+                        semdedup_threshold: "float | None" = None,
+                        semdedup_k: int = 2,
                         ) -> "tuple[DataFrame, dict[str, int]]":
     """Run the full pipeline on the ``documents`` table; returns
     ``(packed_df, manifest)`` where manifest counts rows surviving each
@@ -165,6 +167,24 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str,
         if counts:
             near = _pin(near)
             manifest["chunk_deduped"] = near.count()
+
+    if semdedup_threshold is not None:
+        # optional (OFF by default): SEMANTIC near-dup removal over the
+        # aligned embeddings table — the exact composition (normalize
+        # -> pca_project -> k-dim grid join -> full-width cosine verify
+        # -> components), keep-min-id per semantic group.  Textual
+        # dedup above cannot see paraphrases; this stage can.  Docs
+        # without an embedding row pass through untouched (left-anti
+        # only removes matched drop-list ids).
+        from ..operators.similarity import semdedup_exact
+        emb = load_table(spark, sf_dir, "embeddings")
+        drops = semdedup_exact(emb, threshold=semdedup_threshold,
+                               k=semdedup_k)
+        near = near.join(drops.select(F.col("vec_id").alias("doc_id")),
+                         "doc_id", "left_anti")
+        if counts:
+            near = _pin(near)
+            manifest["semdeduped"] = near.count()
 
     if lm_gate_perplexity is not None:
         # second-stage fluency gate (CCNet shape): train the bigram LM on

@@ -2894,3 +2894,84 @@ def test_q167_gate_straddle_guard(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(R10, "_DISC_GATE", 3)
     with _pytest.raises(RuntimeError, match="straddle"):
         R10.q167(spark, sf_dir)
+
+
+def test_semdedup_exact_end_to_end(spark):
+    """Round-10 verdict #2: the SemDeDup COMPOSITION (normalize ->
+    pca_fit/pca_project -> grid_distance_join_nd -> exact cosine
+    verify -> star_components -> drop list) exercised as ONE flow and
+    verified against brute-force cosine grouping (union-find over the
+    full all-pairs cos >= t graph in numpy).  Isotropic noise makes
+    the 2-dim projection maximally lossy — the candidate superset is
+    large and the verify step must restore exactness; planted
+    clusters must come back keep-min-id; a zero vector must be
+    excluded from everything."""
+    from nasctn_sea_ingest_spark.operators.similarity import semdedup_exact
+
+    rng = np.random.default_rng(7)
+    d, t = 16, 0.93
+    rows = []
+    for c in range(5):                       # clusters of sizes 2..6
+        base = rng.standard_normal(d)
+        base /= np.linalg.norm(base)
+        for _ in range(2 + c):
+            v = base + rng.standard_normal(d) * 0.01
+            rows.append([float(x) for x in v])
+    for _ in range(30):                      # isotropic noise
+        rows.append([float(x) for x in rng.standard_normal(d)])
+    rows.append([0.0] * d)                   # zero vector
+    zid = len(rows) - 1
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rows)],
+        "vec_id long, embedding array<float>")
+
+    for k in (2, 3):
+        got = {r.vec_id: r.dup_of
+               for r in semdedup_exact(df, threshold=t, k=k).collect()}
+        # brute force: float32-cast inputs (what Spark reads), float64
+        # math (what the verify step computes)
+        M = np.asarray(rows, dtype=np.float32).astype(np.float64)
+        nz = np.linalg.norm(M, axis=1) > 0
+        U = np.zeros_like(M)
+        U[nz] = M[nz] / np.linalg.norm(M[nz], axis=1, keepdims=True)
+        C = U @ U.T
+        pairs = [(i, j) for i in range(len(rows))
+                 for j in range(i + 1, len(rows))
+                 if nz[i] and nz[j] and C[i, j] >= t]
+        want_comp = _union_find(pairs)
+        want = {n: c for n, c in want_comp.items() if n != c}
+        assert got == want, f"k={k}"
+        assert zid not in got
+        # sanity: the planted structure was actually non-trivial
+        assert len(got) == sum(2 + c for c in range(5)) - 5
+
+
+def test_llm_pipeline_semdedup_stage(spark, sf_dir):
+    """The semdedup_threshold flag wires semdedup_exact into the
+    flagship pipeline over the ALIGNED embeddings table: the manifest
+    gains a 'semdeduped' stage bounded by its predecessor, the
+    dropped doc_ids are exactly the operator's drop list restricted
+    to surviving docs, and the default (flag OFF) path is untouched."""
+    from nasctn_sea_ingest_spark.operators.similarity import semdedup_exact
+    from nasctn_sea_ingest_spark.plans.pipeline import llm_corpus_pipeline
+
+    packed, man = llm_corpus_pipeline(spark, sf_dir,
+                                      semdedup_threshold=0.9)
+    base, man0 = llm_corpus_pipeline(spark, sf_dir)
+    try:
+        assert "semdeduped" in man
+        prev = man.get("chunk_deduped", man["near_deduped"])
+        assert man["semdeduped"] <= prev
+        assert "semdeduped" not in man0
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        drop_ids = {r.vec_id for r in
+                    semdedup_exact(emb, threshold=0.9).collect()}
+        got_ids = {r.doc_id for r in packed.select("doc_id")
+                   .distinct().collect()}
+        base_ids = {r.doc_id for r in base.select("doc_id")
+                    .distinct().collect()}
+        # survivors = default survivors minus the semantic drop list
+        assert got_ids == base_ids - drop_ids
+    finally:
+        packed.unpersist()
+        base.unpersist()
