@@ -22,6 +22,8 @@ from . import corpus_r9  # noqa: F401  (market-basket co-occurrence,
 #   degree-oriented triangle counting)
 from . import corpus_r10  # noqa: F401  (exact fixed-point PageRank,
 #   gated FD discovery)
+from . import corpus_r11  # noqa: F401  (composite-lhs FD lattice,
+#   k-core peeling driver row)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST 50
@@ -142,6 +144,25 @@ RETIRED_NAMES = frozenset({
     #     shape; the library pytest covers both paths.  (Staged under
     #     the round-10 shorthand "q54_batched_cosine" — same entry.)
     "q107_mad_outliers", "q110_ohlc_bars", "q54_batch_topk",
+    # Also retired round 11 — registering q169 (composite FD lattice)
+    # and q170 (k-core) pushed the stale+new set to 52 vs the 50-slot
+    # window (the r08-verified cohort is exactly 50 strong, so every
+    # admission must retire from THAT cohort — the staged q53/q77/q111
+    # are r09/r10-fresh and would not have shrunk the set; they stay
+    # staged for round 12).  Two thin r08-cohort entries, surface
+    # redundantly covered, pytest DuckDB oracle retained via
+    # tests/test_corpus::ALL:
+    #   q119_autocorr_daily: lag-1 autocorrelation from exact DECIMAL
+    #     moments — its own docstring calls it "q90's engine-exact
+    #     regression trick applied to time-series diagnostics"; the
+    #     lag machinery is q14 (W1), the windowed-correlation face is
+    #     q144 rolling corr, daily pre-aggregation q139/q156.
+    #   q122_partial_agg_merge: associative combine of a stored agg
+    #     state with a delta partition — the mergeable-state contract
+    #     is q124 sketch_rollup's (exact tier: the sketch merge pytest
+    #     suite), the warehouse face is q102 MERGE upsert, and the
+    #     sum-of-sums decimal agg shape is q01/q18.
+    "q119_autocorr_daily", "q122_partial_agg_merge",
     # ROUND-12 RETIREMENT CANDIDATES (staged, not retired — pre-plan so
     # new families never stall on slots).  Thinnest remaining
     # single-shape entries, each with its surface redundantly covered:
