@@ -2049,3 +2049,81 @@ def test_neardup_stream_feeds_components_stream_end_to_end(spark,
     # corpus doc 3 never collided, so it never enters the pair stream
     assert got[2] == got[102] == got[103] == got[1] == got[101] == 1
     assert 3 not in got
+
+
+def test_colocation_feeds_components_stream_spatial_clusters(spark,
+                                                             tmp_path):
+    """The SPATIAL twin of the round-10 dedup e2e (round-10 verdict
+    stretch #8): colocation_monitor_stream's radius-pair alerts feed
+    components_stream, so the maintained (node, cluster) snapshot
+    answers "which points form one spatial cluster" at any trigger —
+    single-linkage radius clustering maintained incrementally, no
+    re-clustering of history.  Three waves; the third point lands
+    BETWEEN the two existing clusters and bridges them (min id wins).
+    After every trigger the snapshot equals star_components over the
+    batch grid join of everything ever landed."""
+    from pyspark.sql import Row
+
+    from nasctn_sea_ingest_spark.operators.graph import star_components
+    from nasctn_sea_ingest_spark.operators.spatial import \
+        grid_distance_join
+    from nasctn_sea_ingest_spark.streaming import (
+        colocation_monitor_stream, components_stream)
+
+    land = str(tmp_path / "pts")
+    store = str(tmp_path / "store")
+    alerts = str(tmp_path / "alerts")
+    ck1 = str(tmp_path / "ck_mon")
+    cc = str(tmp_path / "cc")
+    ck2 = str(tmp_path / "ck_cc")
+    os.makedirs(land)
+    R = 1.5
+
+    def run_monitor():
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(land).schema)
+                  .parquet(land))
+        q = colocation_monitor_stream(stream, store, ck1, alerts, R,
+                                      available_now=True)
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    def run_components():
+        pairs = (spark.readStream
+                 .schema("id1 long, id2 long, dist double")
+                 .parquet(alerts + "/batch=*")
+                 .select(F.col("id1").alias("d1"),
+                         F.col("id2").alias("d2")))
+        q = components_stream(pairs, cc, ck2, available_now=True)
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    def stored():
+        return {r.node: r.cluster for r in
+                spark.read.parquet(cc).drop("last_batch").collect()}
+
+    def want():
+        pts = spark.read.parquet(land)
+        p = grid_distance_join(pts, R)
+        return {r.node: r.cluster
+                for r in star_components(p, "id1", "id2").collect()}
+
+    waves = [
+        # cluster A
+        [Row(id=1, x=0.0, y=0.0), Row(id=2, x=1.2, y=0.0)],
+        # cluster B, beyond R from A
+        [Row(id=10, x=3.6, y=0.0), Row(id=11, x=4.8, y=0.0)],
+        # the bridge: 1.2 from BOTH 2 and 10 -> A and B collapse
+        [Row(id=20, x=2.4, y=0.0)],
+    ]
+    for w in waves:
+        spark.createDataFrame(w).coalesce(1) \
+            .write.mode("append").parquet(land)
+        run_monitor()
+        run_components()
+        assert stored() == want()
+    got = stored()
+    # the bridge really merged the families under the global min id
+    assert got[1] == got[2] == got[10] == got[11] == got[20] == 1
