@@ -54,13 +54,71 @@ def main() -> None:
     spark.range(cpus * 4).repartition(cpus).mapInPandas(
         lambda it: it, "id long").count()
 
+    # ROUND-11 PROTOCOL CHANGE (r10 verdict "What's wrong" #3): the
+    # composed x_llm / x_index / x_bpe metrics run at the session HEAD,
+    # right after warmup, instead of after ~6000 corpus stages - their
+    # tail-position numbers drifted +-50% with late-session JVM state
+    # (x_index 13.3-23.5 s tail vs 6.7-7.3 s standalone on identical
+    # code).  Compare r11+ values to the standalone band, not to the
+    # r<=10 session-tail entries.
     import gc
+    import shutil
+    import tempfile
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    # end-to-end LLM corpus pipeline (quality gate → exact + near dedup →
+    # clustering → PII scrub → split → packing) — the composed north-star job
+    from nasctn_sea_ingest_spark.plans.pipeline import llm_corpus_pipeline
+    dt = float("inf")
+    for _ in range(2):  # best-of-2: the composed job swings 2-3x with
+        gc.collect()    # host noise (observed 9.6-33s on identical code)
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        packed, manifest = llm_corpus_pipeline(spark, sf_dir)
+        dt = min(dt, time.perf_counter() - t0)
+        packed.unpersist(True)
+    timings["x_llm_pipeline"] = round(dt, 3)
+    total += dt
+    print(f"# llm pipeline: {dt:.3f}s "
+          f"({manifest['raw']} docs -> {manifest['packed']} packed, "
+          f"{manifest['raw'] / dt:.0f} docs/s)", file=sys.stderr)
+
+    # round-6 library surfaces (NOT added to `total`: r05/r06 totals stay
+    # comparable; these are standalone headline numbers like bench_full's
+    # per-query map)
+    import tempfile
+
+    from nasctn_sea_ingest_spark.operators.bpe import train_bpe, word_vocab
+    from nasctn_sea_ingest_spark.operators.search import (
+        bm25_search, build_inverted_index, load_index, write_index)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    idx_tmp = tempfile.mkdtemp(prefix="bench_idx_")
+    try:
+        gc.collect()
+        t0 = time.perf_counter()
+        write_index(build_inverted_index(docs), idx_tmp, n_shards=32)
+        idx, _n = load_index(spark, idx_tmp)
+        n_hits = bm25_search(idx, ["the", "data", "model"], k=10,
+                             n_shards=32).count()
+        dt = time.perf_counter() - t0
+        timings["x_inverted_index_build_probe"] = round(dt, 3)
+        print(f"# inverted index build+probe: {dt:.3f}s "
+              f"({n_hits} hits)", file=sys.stderr)
+    finally:
+        shutil.rmtree(idx_tmp, ignore_errors=True)
+    gc.collect()
+    t0 = time.perf_counter()
+    n_m = len(train_bpe(word_vocab(docs), n_merges=12))
+    dt = time.perf_counter() - t0
+    timings["x_bpe_train_12merges"] = round(dt, 3)
+    print(f"# bpe train (12 merges, vocab-bound): {dt:.3f}s "
+          f"({n_m} merges)", file=sys.stderr)
 
     from nasctn_sea_ingest_spark.querylog import plan_digest
 
-    timings: dict[str, float] = {}
     digests: dict[str, str] = {}
-    total = 0.0
     # canonical numeric order, NOT the driver-window rotation order: the
     # rotation reshuffles CORPUS every round, and position changes showed
     # up as phantom 2-4x "regressions" (whichever queries run first absorb
@@ -269,54 +327,6 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    # end-to-end LLM corpus pipeline (quality gate → exact + near dedup →
-    # clustering → PII scrub → split → packing) — the composed north-star job
-    from nasctn_sea_ingest_spark.plans.pipeline import llm_corpus_pipeline
-    dt = float("inf")
-    for _ in range(2):  # best-of-2: the composed job swings 2-3x with
-        gc.collect()    # host noise (observed 9.6-33s on identical code)
-        spark.sparkContext._jvm.System.gc()
-        t0 = time.perf_counter()
-        packed, manifest = llm_corpus_pipeline(spark, sf_dir)
-        dt = min(dt, time.perf_counter() - t0)
-        packed.unpersist(True)
-    timings["x_llm_pipeline"] = round(dt, 3)
-    total += dt
-    print(f"# llm pipeline: {dt:.3f}s "
-          f"({manifest['raw']} docs -> {manifest['packed']} packed, "
-          f"{manifest['raw'] / dt:.0f} docs/s)", file=sys.stderr)
-
-    # round-6 library surfaces (NOT added to `total`: r05/r06 totals stay
-    # comparable; these are standalone headline numbers like bench_full's
-    # per-query map)
-    import tempfile
-
-    from nasctn_sea_ingest_spark.operators.bpe import train_bpe, word_vocab
-    from nasctn_sea_ingest_spark.operators.search import (
-        bm25_search, build_inverted_index, load_index, write_index)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select("doc_id", "text")
-    idx_tmp = tempfile.mkdtemp(prefix="bench_idx_")
-    try:
-        gc.collect()
-        t0 = time.perf_counter()
-        write_index(build_inverted_index(docs), idx_tmp, n_shards=32)
-        idx, _n = load_index(spark, idx_tmp)
-        n_hits = bm25_search(idx, ["the", "data", "model"], k=10,
-                             n_shards=32).count()
-        dt = time.perf_counter() - t0
-        timings["x_inverted_index_build_probe"] = round(dt, 3)
-        print(f"# inverted index build+probe: {dt:.3f}s "
-              f"({n_hits} hits)", file=sys.stderr)
-    finally:
-        shutil.rmtree(idx_tmp, ignore_errors=True)
-    gc.collect()
-    t0 = time.perf_counter()
-    n_m = len(train_bpe(word_vocab(docs), n_merges=12))
-    dt = time.perf_counter() - t0
-    timings["x_bpe_train_12merges"] = round(dt, 3)
-    print(f"# bpe train (12 merges, vocab-bound): {dt:.3f}s "
-          f"({n_m} merges)", file=sys.stderr)
 
     # The driver keeps only the LAST 2000 bytes of stdout and json-parses
     # what it finds there (BENCH_r01/r02 recorded parsed=null because the
