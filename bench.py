@@ -20,6 +20,46 @@ from nasctn_sea_ingest_spark import get_spark
 from nasctn_sea_ingest_spark.plans import CORPUS
 
 
+def digest_snapshot_diff(snap_path: str, digests: dict, sf_val):
+    """Diff this run's plan digests against the committed snapshot and
+    refresh it — UNLESS the snapshot was taken at a different scale
+    factor, in which case neither diff nor overwrite happens.
+
+    ROUND-12 GUARD (r11 verdict #1): digests are legitimately
+    sf-DEPENDENT (AQE join/coalesce decisions change plan shape with
+    data volume).  Round 11 committed an sf0.001 snapshot; the driver's
+    sf0.1 run then false-alarmed on 145/146 digests and the plan-drift
+    alarm was blind for the whole round.  The snapshot now records the
+    sf it was taken at; a run at any other sf reports the mismatch and
+    leaves the committed baseline intact for the sf it belongs to.
+
+    Returns ``(digest_changed, digest_new, sf_mismatch, prior_sf)``;
+    when ``sf_mismatch`` the change lists are empty and the file is
+    untouched.  A legacy flat snapshot (pre-r12, no sf recorded) is
+    diffed once and rewritten in the sf-tagged format."""
+    prior: dict = {}
+    prior_sf = None
+    if os.path.exists(snap_path):
+        try:
+            with open(snap_path) as fh:
+                raw = json.load(fh)
+            if isinstance(raw, dict) and "digests" in raw:
+                prior, prior_sf = raw["digests"], raw.get("sf")
+            else:
+                prior = raw
+        except (OSError, ValueError):
+            prior = {}
+    if prior and prior_sf is not None and prior_sf != sf_val:
+        return [], [], True, prior_sf
+    digest_changed = sorted(n for n in digests
+                            if n in prior and prior[n] != digests[n])
+    digest_new = sorted(n for n in digests if n not in prior)
+    with open(snap_path, "w") as fh:
+        json.dump({"sf": sf_val, "digests": digests}, fh, indent=1,
+                  sort_keys=True)
+    return digest_changed, digest_new, False, prior_sf
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -87,33 +127,41 @@ def main() -> None:
     # round-6 library surfaces (NOT added to `total`: r05/r06 totals stay
     # comparable; these are standalone headline numbers like bench_full's
     # per-query map)
-    import tempfile
-
     from nasctn_sea_ingest_spark.operators.bpe import train_bpe, word_vocab
     from nasctn_sea_ingest_spark.operators.search import (
         bm25_search, build_inverted_index, load_index, write_index)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
-    idx_tmp = tempfile.mkdtemp(prefix="bench_idx_")
-    try:
+    # ROUND-12 PROTOCOL (r11 verdict #2): best-of-2 like x_llm — the
+    # head-of-session slot traded the old ±50% tail drift for cold-start
+    # bias (r11 driver read 16.97 s vs the 6.7-7.3 s standalone warm
+    # band on identical code); min() of two attempts reports the warm
+    # number.  Fresh tmpdir per attempt so the second build pays the
+    # same write, not an overwrite of warm pages.
+    dt = float("inf")
+    for _ in range(2):
+        idx_tmp = tempfile.mkdtemp(prefix="bench_idx_")
+        try:
+            gc.collect()
+            t0 = time.perf_counter()
+            write_index(build_inverted_index(docs), idx_tmp, n_shards=32)
+            idx, _n = load_index(spark, idx_tmp)
+            n_hits = bm25_search(idx, ["the", "data", "model"], k=10,
+                                 n_shards=32).count()
+            dt = min(dt, time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(idx_tmp, ignore_errors=True)
+    timings["x_inverted_index_build_probe"] = round(dt, 3)
+    print(f"# inverted index build+probe: {dt:.3f}s best-of-2 "
+          f"({n_hits} hits)", file=sys.stderr)
+    dt = float("inf")
+    for _ in range(2):   # best-of-2, same r12 protocol as x_index
         gc.collect()
         t0 = time.perf_counter()
-        write_index(build_inverted_index(docs), idx_tmp, n_shards=32)
-        idx, _n = load_index(spark, idx_tmp)
-        n_hits = bm25_search(idx, ["the", "data", "model"], k=10,
-                             n_shards=32).count()
-        dt = time.perf_counter() - t0
-        timings["x_inverted_index_build_probe"] = round(dt, 3)
-        print(f"# inverted index build+probe: {dt:.3f}s "
-              f"({n_hits} hits)", file=sys.stderr)
-    finally:
-        shutil.rmtree(idx_tmp, ignore_errors=True)
-    gc.collect()
-    t0 = time.perf_counter()
-    n_m = len(train_bpe(word_vocab(docs), n_merges=12))
-    dt = time.perf_counter() - t0
+        n_m = len(train_bpe(word_vocab(docs), n_merges=12))
+        dt = min(dt, time.perf_counter() - t0)
     timings["x_bpe_train_12merges"] = round(dt, 3)
-    print(f"# bpe train (12 merges, vocab-bound): {dt:.3f}s "
+    print(f"# bpe train (12 merges, vocab-bound): {dt:.3f}s best-of-2 "
           f"({n_m} merges)", file=sys.stderr)
 
     from nasctn_sea_ingest_spark.querylog import plan_digest
@@ -343,29 +391,29 @@ def main() -> None:
     # taken, then refreshes the snapshot (commit it when the changes are
     # intentional — the diff in git review IS the plan-change review).
     snap_path = os.path.join(here, "PLAN_DIGESTS.json")
-    prior: dict = {}
-    if os.path.exists(snap_path):
-        try:
-            with open(snap_path) as fh:
-                prior = json.load(fh)
-        except (OSError, ValueError):
-            prior = {}
-    digest_changed = sorted(n for n in digests
-                            if n in prior and prior[n] != digests[n])
-    digest_new = sorted(n for n in digests if n not in prior)
-    print(f"# plan digests: {len(digest_changed)} changed, "
-          f"{len(digest_new)} new vs snapshot"
-          + (f"; changed: {', '.join(digest_changed)}"
-             if digest_changed else ""), file=sys.stderr)
-    with open(snap_path, "w") as fh:
-        json.dump(digests, fh, indent=1, sort_keys=True)
+    digest_changed, digest_new, sf_mismatch, prior_sf = \
+        digest_snapshot_diff(snap_path, digests, sf_val)
+    if sf_mismatch:
+        print(f"# plan digests: snapshot is sf={prior_sf}, run is "
+              f"sf={sf_val} — diff skipped, snapshot untouched "
+              "(delete PLAN_DIGESTS.json to re-baseline at this sf)",
+              file=sys.stderr)
+    else:
+        print(f"# plan digests: {len(digest_changed)} changed, "
+              f"{len(digest_new)} new vs snapshot"
+              + (f"; changed: {', '.join(digest_changed)}"
+                 if digest_changed else ""), file=sys.stderr)
 
+    full = {"metric": "corpus_total_runtime", "value": round(total, 3),
+            "unit": "sec", "queries": timings, "sf": sf_val,
+            "plan_digests": digests,
+            "digest_changed": digest_changed,
+            "digest_new": digest_new}
+    if sf_mismatch:
+        full["digest_diff_skipped"] = \
+            f"snapshot sf={prior_sf} != run sf={sf_val}"
     with open(os.path.join(here, "bench_full.json"), "w") as fh:
-        json.dump({"metric": "corpus_total_runtime", "value": round(total, 3),
-                   "unit": "sec", "queries": timings, "sf": sf_val,
-                   "plan_digests": digests,
-                   "digest_changed": digest_changed,
-                   "digest_new": digest_new}, fh)
+        json.dump(full, fh)
 
     def _round(v: float) -> float:
         return round(v, 2 if abs(v) < 100 else 1)
@@ -391,7 +439,10 @@ def main() -> None:
                for k, v in timings.items()}
     payload = {"metric": "corpus_total_runtime", "value": round(total, 3),
                "unit": "sec", "queries": compact, "sf": sf_val,
-               "plans_changed": len(digest_changed)}
+               # null = diff skipped (snapshot taken at a different sf),
+               # NOT "zero plans changed"
+               "plans_changed": None if sf_mismatch
+               else len(digest_changed)}
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1900:
         # drop the FASTEST corpus entries first; never drop x_* metrics —
