@@ -152,9 +152,15 @@ def semdedup_exact(emb: DataFrame, threshold: float = 0.95, k: int = 2,
        pair ALSO sits within eps in the projected space;
     3. :func:`spatial.grid_distance_join_nd` with radius eps over the
        k projected coords — the 3^k cell equi-join enumerates a
-       SUPERSET of the true pair set, never all pairs (the radius is
-       padded by 1e-6 relative so the float32 projection cast cannot
-       round a boundary pair out);
+       SUPERSET of the true pair set, never all pairs.  The projected
+       coordinates stay DOUBLE precision end-to-end (r11 ADVICE: the
+       default float32 output of :func:`pca_project` rounds
+       coordinates by up to ~|coord|*6e-8, which at thresholds >=
+       ~0.94 exceeds a relative-only pad and could round a true
+       boundary pair OUT of the candidate set); the radius is padded
+       by 1e-6 relative + 1e-9 absolute, four orders above the ~1e-13
+       worst-case double-precision projection rounding, so the
+       lossless-superset guarantee holds at every threshold;
     4. exact full-width double-precision cosine verifies each
        candidate — map-side, before any further shuffle;
     5. :func:`graph.star_components` over the verified pairs (the
@@ -188,14 +194,23 @@ def semdedup_exact(emb: DataFrame, threshold: float = 0.95, k: int = 2,
                 lambda x: x.cast("double") / F.col("__n")).alias("__u"))
             .localCheckpoint(eager=False))
     mean, comps = pca_fit(unit, k, col="__u")
-    proj = pca_project(unit, mean, comps, col="__u", out="__p")
+    if comps.shape[0] < k:
+        # silent truncation would leave F.col("__p")[i] NULL for the
+        # missing coordinates; NULL cell keys never equi-join, so the
+        # operator would return an EMPTY drop list instead of failing
+        # loudly on the misconfiguration (r11 ADVICE)
+        raise ValueError(
+            f"semdedup_exact: k={k} exceeds the {comps.shape[0]} "
+            "principal components the embedding dimensionality "
+            "supports — lower k to at most the embedding dim")
+    proj = pca_project(unit, mean, comps, col="__u", out="__p",
+                       out_dtype="double")
     pts = proj.select(
         "__id", "__u",
-        *[F.col("__p")[i].cast("double").alias(f"__q{i}")
-          for i in range(k)])
+        *[F.col("__p")[i].alias(f"__q{i}") for i in range(k)])
     cand = grid_distance_join_nd(
         pts.select("__id", *[f"__q{i}" for i in range(k)]),
-        eps * (1.0 + 1e-6) + 1e-12, id_col="__id",
+        eps * (1.0 + 1e-6) + 1e-9, id_col="__id",
         coord_cols=tuple(f"__q{i}" for i in range(k)),
         max_cell=max_cell)
     u1 = pts.select(F.col("__id").alias("id1"), F.col("__u").alias("__u1"))
@@ -672,14 +687,20 @@ def pca_fit(emb: DataFrame, k: int, col: str = "embedding"):
 
 def pca_project(emb: DataFrame, mean: np.ndarray, components: np.ndarray,
                 col: str = "embedding",
-                out: str = "pca") -> DataFrame:
+                out: str = "pca", out_dtype: str = "float") -> DataFrame:
     """Project each embedding onto the fitted components, JVM-side: the
     k×d component matrix and the mean become array literals, and each
     output coordinate is one ``zip_with``/``aggregate`` dot product —
     whole-stage-codegen row-local compute, no Python, no shuffle.  The
     standard dimensionality-reduction step before LSH/IVF indexing
     (``k``-dim vectors make every downstream ANN structure k/d cheaper
-    at identical recall targets when the spectrum decays)."""
+    at identical recall targets when the spectrum decays).
+
+    ``out_dtype`` is the stored element type: ``float`` (default)
+    halves the footprint of ANN index columns, where recall targets
+    absorb the ~6e-8 relative rounding; exactness-critical callers
+    (:func:`semdedup_exact`'s lossless-superset argument) pass
+    ``double`` — the internal dot products are double either way."""
     mean = np.asarray(mean, dtype=np.float64)
     comps = np.asarray(components, dtype=np.float64)
     centered = F.zip_with(
@@ -690,6 +711,6 @@ def pca_project(emb: DataFrame, mean: np.ndarray, components: np.ndarray,
             F.zip_with(centered,
                        F.array(*[F.lit(float(w)) for w in comps[i]]),
                        lambda x, w: x * w),
-            F.lit(0.0), lambda a, v: a + v).cast("float")
+            F.lit(0.0), lambda a, v: a + v).cast(out_dtype)
         for i in range(comps.shape[0])])
     return emb.withColumn(out, proj)

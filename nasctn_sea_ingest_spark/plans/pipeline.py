@@ -178,6 +178,14 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str,
         # only removes matched drop-list ids).
         from ..operators.similarity import semdedup_exact
         emb = load_table(spark, sf_dir, "embeddings")
+        # restrict to SURVIVING docs before grouping (r11 ADVICE): the
+        # drop decision must re-form groups and re-pick the min-id
+        # representative among survivors — computed over the full table,
+        # a group whose representative was already removed by the
+        # quality gate / textual dedup would lose EVERY remaining copy,
+        # contrary to SemDeDup's keep-one semantics.
+        emb = emb.join(near.select(F.col("doc_id").alias("vec_id")),
+                       "vec_id", "left_semi")
         drops = semdedup_exact(emb, threshold=semdedup_threshold,
                                k=semdedup_k)
         near = near.join(drops.select(F.col("vec_id").alias("doc_id")),

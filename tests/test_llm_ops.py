@@ -2896,6 +2896,38 @@ def test_q167_gate_straddle_guard(spark, sf_dir, monkeypatch):
         R10.q167(spark, sf_dir)
 
 
+def test_fd_discover_straddle_guard_rides_gate_agg(spark):
+    """r11 verdict #7: the straddle guard is a ``fd_discover`` option
+    riding the SAME gate aggregate (no separate 1-row agg) — it raises
+    when any single OR pair-struct cardinality estimate lands inside
+    the band, names the offending lhs, and stays silent when every
+    cardinality is clear on either side."""
+    import pytest as _pytest
+
+    from nasctn_sea_ingest_spark.functions import fd_discover
+
+    # coprime moduli: singles 3 / 5 / 59 distinct; pairs (a,b)=15,
+    # (a,c)=177, (b,c)=200 distinct over 200 rows
+    df = spark.createDataFrame(
+        [(i % 3, i % 5, i % 59) for i in range(200)],
+        "a int, b int, c int")
+    # distinct(c)=59 sits inside [59/1.3, 76.7] of gate 59
+    with _pytest.raises(RuntimeError, match="straddle"):
+        fd_discover(df, ["a", "b", "c"], max_lhs=1, max_lhs_groups=59,
+                    straddle_guard=1.3)
+    # composite lhs: distinct((a,b))=15 inside the gate-15 band
+    # [11.5, 19.5] while every single (3/5/59) is clear — the raise
+    # must name the pair
+    with _pytest.raises(RuntimeError, match=r"a,b"):
+        fd_discover(df, ["a", "b", "c"], max_lhs=2, max_lhs_groups=15,
+                    straddle_guard=1.3)
+    # all cardinalities (3/5/59 singles; 15/177/200 pairs) sit clear
+    # below the gate-1000 band [769, 1300]
+    assert fd_discover(df, ["a", "b", "c"], max_lhs=2,
+                       max_lhs_groups=1000,
+                       straddle_guard=1.3).count() > 0
+
+
 def test_semdedup_exact_end_to_end(spark):
     """Round-10 verdict #2: the SemDeDup COMPOSITION (normalize ->
     pca_fit/pca_project -> grid_distance_join_nd -> exact cosine
@@ -2950,8 +2982,10 @@ def test_llm_pipeline_semdedup_stage(spark, sf_dir):
     """The semdedup_threshold flag wires semdedup_exact into the
     flagship pipeline over the ALIGNED embeddings table: the manifest
     gains a 'semdeduped' stage bounded by its predecessor, the
-    dropped doc_ids are exactly the operator's drop list restricted
-    to surviving docs, and the default (flag OFF) path is untouched."""
+    dropped doc_ids are exactly the operator's drop list over the
+    SURVIVING docs (r11 ADVICE: groups re-form and re-pick their
+    min-id representative among survivors — never over the full
+    table), and the default (flag OFF) path is untouched."""
     from nasctn_sea_ingest_spark.operators.similarity import semdedup_exact
     from nasctn_sea_ingest_spark.plans.pipeline import llm_corpus_pipeline
 
@@ -2963,15 +2997,82 @@ def test_llm_pipeline_semdedup_stage(spark, sf_dir):
         prev = man.get("chunk_deduped", man["near_deduped"])
         assert man["semdeduped"] <= prev
         assert "semdeduped" not in man0
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        drop_ids = {r.vec_id for r in
-                    semdedup_exact(emb, threshold=0.9).collect()}
         got_ids = {r.doc_id for r in packed.select("doc_id")
                    .distinct().collect()}
         base_ids = {r.doc_id for r in base.select("doc_id")
                     .distinct().collect()}
-        # survivors = default survivors minus the semantic drop list
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        surv = spark.createDataFrame(
+            [(int(i),) for i in sorted(base_ids)], "vec_id long")
+        drop_ids = {r.vec_id for r in semdedup_exact(
+            emb.join(surv, "vec_id", "left_semi"),
+            threshold=0.9).collect()}
+        # survivors = default survivors minus the survivor-scoped drops
         assert got_ids == base_ids - drop_ids
+        # keep-one: every drop's representative itself survived
+        reps = {r.dup_of for r in semdedup_exact(
+            emb.join(surv, "vec_id", "left_semi"),
+            threshold=0.9).collect()}
+        assert reps <= {int(i) for i in got_ids}
     finally:
         packed.unpersist()
         base.unpersist()
+
+
+def test_llm_pipeline_semdedup_keep_one_among_survivors(spark, tmp_path):
+    """The r11 ADVICE failure mode, planted: doc 1 and doc 2 are
+    semantic duplicates, and doc 1 (the group's min id) is removed by
+    the QUALITY gate before the semantic stage.  Deciding drops over
+    the full embeddings table would name doc 2 a dup of the
+    already-deleted doc 1 and the whole group would vanish from the
+    packed corpus; the survivor-scoped decision keeps doc 2.  A second
+    group (docs 5/6) survives textual stages intact and must still
+    dedup to its min id."""
+    from nasctn_sea_ingest_spark.plans.pipeline import llm_corpus_pipeline
+
+    texts = {
+        1: "999 111",                      # fails the quality gate
+        2: "the river keeps its old stone bridge and the water is calm",
+        3: "a market opens early when the farmers bring fresh bread",
+        4: "this engine reads many parquet files and the plan is lazy",
+        5: "the garden grows tall green beans beside a wooden fence",
+        6: "every sailor knows the harbor lights and the evening tide",
+        7: "some students finish their long essays before the deadline",
+        8: "that mountain trail winds above the quiet frozen lake",
+        9: "the library keeps rare maps inside a locked glass case",
+        10: "winter trains run slower when the northern tracks freeze",
+        11: "a painter mixes pale blue tones for the morning sky",
+        12: "the bakery sells warm rolls and the coffee is strong",
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "synth", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    # one-hot embeddings: all cross-group cosines are exactly 0; the
+    # two planted groups share their basis vector (cos exactly 1)
+    dim = 16
+    basis = {1: 0, 2: 0, 5: 3, 6: 3, 3: 1, 4: 2, 7: 4, 8: 5, 9: 6,
+             10: 7, 11: 8, 12: 9}
+    emb = spark.createDataFrame(
+        [(i, [1.0 if j == b else 0.0 for j in range(dim)], 0)
+         for i, b in basis.items()],
+        "vec_id long, embedding array<float>, label int")
+    sf_dir = str(tmp_path / "corpus")
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    emb.write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    packed, man = llm_corpus_pipeline(
+        spark, sf_dir, semdedup_threshold=0.9,
+        drop_boilerplate=False, decontaminate=False)
+    try:
+        got = {r.doc_id for r in packed.select("doc_id")
+               .distinct().collect()}
+        assert 1 not in got          # quality-gated out
+        assert 2 in got              # kept: its only semantic peer is
+        #                              already gone — NOT dropped as a
+        #                              dup of the deleted doc 1
+        assert 5 in got and 6 not in got   # intact group still dedups
+        assert man["semdeduped"] == man.get(
+            "chunk_deduped", man["near_deduped"]) - 1   # only doc 6
+    finally:
+        packed.unpersist()
