@@ -1229,7 +1229,8 @@ def fd_counts(df: DataFrame,
 
 def fd_discover(df: DataFrame, cols: Sequence[str],
                 max_lhs: int = 1,
-                max_lhs_groups: int = 1_000_000) -> DataFrame:
+                max_lhs_groups: int = 1_000_000,
+                straddle_guard: "float | None" = None) -> DataFrame:
     """DISCOVER approximate functional dependencies over ``cols`` —
     the TANE/Metanome g3 use case that :func:`fd_profile` only scores
     for a hand-written list: generate the level-1 candidate lattice
@@ -1250,6 +1251,16 @@ def fd_discover(df: DataFrame, cols: Sequence[str],
     least.  Total cost: two table scans (gate + melt) regardless of
     candidate count K — the per-candidate UNION ALL this replaces
     costs K scans.
+
+    ``straddle_guard`` (a band factor, e.g. 1.3) makes the gate
+    REPLAYABLE by an exact engine: if ANY candidate lhs cardinality
+    estimate lands inside ``[max_lhs_groups/band, max_lhs_groups*band]``
+    the call raises instead of gating — a ±2%-rsd HLL estimate 30%
+    away from the gate cannot disagree with an exact COUNT(DISTINCT)
+    about which side it is on, so outside the band an approx(Spark)/
+    exact(oracle) replay is provably consistent.  The check rides the
+    SAME gate aggregate (zero extra scans or actions — r11 verdict #7:
+    the q167/q169 wrappers used to pay a separate 1-row agg for it).
 
     Returns the :func:`fd_profile` schema ``(lhs, rhs, n_rows,
     n_groups, violations, error)`` with composite lhs labeled
@@ -1278,6 +1289,20 @@ def fd_discover(df: DataFrame, cols: Sequence[str],
             F.approx_count_distinct(F.struct(cols[i], cols[j]), 0.02)
             .alias(f"__p{i}_{j}") for i, j in pair_idx)
     gate = df.agg(*aggs).first()
+    if straddle_guard is not None:
+        band = float(straddle_guard)
+        labels = {f"__s{i}": c for i, c in enumerate(cols)}
+        labels.update({f"__p{i}_{j}": f"{cols[i]},{cols[j]}"
+                       for i, j in pair_idx})
+        for field, label in labels.items():
+            est = gate[field]
+            if max_lhs_groups / band <= est <= max_lhs_groups * band:
+                raise RuntimeError(
+                    f"fd_discover: distinct({label}) ~= {est} sits "
+                    f"inside the x{band} straddle band of the "
+                    f"{max_lhs_groups} gate — an approx(HLL)/exact "
+                    "COUNT(DISTINCT) gate replay can disagree here; "
+                    "adjust max_lhs_groups or verify this scale factor")
     cands: list = []
     for i, l in enumerate(cols):
         if gate[f"__s{i}"] <= max_lhs_groups:

@@ -24,6 +24,7 @@ from . import corpus_r10  # noqa: F401  (exact fixed-point PageRank,
 #   gated FD discovery)
 from . import corpus_r11  # noqa: F401  (composite-lhs FD lattice,
 #   k-core peeling driver row)
+from . import corpus_r12  # noqa: F401  (semdedup_exact driver row)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST 50
@@ -163,15 +164,22 @@ RETIRED_NAMES = frozenset({
     #     suite), the warehouse face is q102 MERGE upsert, and the
     #     sum-of-sums decimal agg shape is q01/q18.
     "q119_autocorr_daily", "q122_partial_agg_merge",
-    # ROUND-12 RETIREMENT CANDIDATES (staged, not retired — pre-plan so
-    # new families never stall on slots).  Thinnest remaining
-    # single-shape entries, each with its surface redundantly covered:
+    # Retired round 12 — admitting q171 (semdedup_exact driver row) plus
+    # RECHECK re-entries for q167/q169 (the straddle-guard fold changed
+    # their plans) needed 2 slots from the stale cohort; q53/q77 were
+    # both 2-runs-stale (in the must-verify set, so retiring them
+    # actually frees slots — the round-11 lesson) and were the staged
+    # candidates.  Handoff slack after this: 1 slot.  Each keeps its
+    # pytest DuckDB oracle via tests/test_corpus::ALL:
     #   q53_percentile_cont: single percentile_cont scalar — the exact-
     #     quantile family is q16 (array quantiles), q117 (weighted
     #     median), q127 (equidepth histogram), q75 (rolling median).
     #   q77_ntile_nth: ntile + nth_value probe — the ranking surface
     #     lives in q49's window suite, q15 ranked truncation, and the
     #     TPC-H ranking shapes; nth_value also inside q130 attribution.
+    "q53_percentile_cont", "q77_ntile_nth",
+    # ROUND-13 RETIREMENT CANDIDATE (staged, not retired — pre-plan so
+    # new families never stall on slots):
     #   q111_forward_fill: last-non-null-over window — the same
     #     last_value(ignorenulls) machinery drives q157 point-in-time
     #     features and q143 gap interpolation, both still live.
@@ -220,7 +228,17 @@ RETIRED_NAMES = frozenset({
 #   the as-of machinery).  RECHECK therefore carries the re-verify
 #   burden for this operator family — a rewrite must be listed here
 #   MANUALLY, because the digest diff cannot flag it.
-RECHECK: frozenset[str] = frozenset()
+#   Round 12: q167/q169 re-enter via RECHECK — the straddle-guard fold
+#   (fd_discover(straddle_guard=1.3) riding the gate aggregate instead
+#   of a separate per-query 1-row agg, r11 verdict #7) changed their
+#   PLANS (one fewer job) while provably preserving values (the guard
+#   only raises-or-not; HLL estimates are deterministic for identical
+#   data+rsd, so the same candidates pass the gate).  Unlike the q163
+#   case these plans are digest-VISIBLE, but the protocol is the same:
+#   an intentional plan change gets a fresh driver-scale oracle row the
+#   round it ships.  Clear both once CORRECTNESS_r12 lands green.
+RECHECK: frozenset[str] = frozenset({
+    "q167_fd_discovery_gated", "q169_fd_discovery_composite"})
 
 
 def _latest_driver_round() -> dict[str, int]:

@@ -109,32 +109,13 @@ def _l2_oracle_sql():
 def q169(spark, sf_dir):
     from ..functions import fd_discover
     o = load_table(spark, sf_dir, "orders")
-    # q167's straddle guard, extended to the composite lattice: one
-    # HLL agg over singles AND pair structs; RAISE rather than let the
-    # approx(Spark)/exact(oracle) gate replay disagree at an
-    # unverified scale factor.
-    aggs = [F.approx_count_distinct(c, 0.02).alias(f"s{i}")
-            for i, c in enumerate(_L2_COLS)]
-    n = len(_L2_COLS)
-    names = {f"s{i}": _L2_COLS[i] for i in range(n)}
-    idx = n
-    for i in range(n):
-        for j in range(i + 1, n):
-            aggs.append(F.approx_count_distinct(
-                F.struct(_L2_COLS[i], _L2_COLS[j]), 0.02)
-                .alias(f"s{idx}"))
-            names[f"s{idx}"] = f"{_L2_COLS[i]},{_L2_COLS[j]}"
-            idx += 1
-    ests = o.agg(*aggs).first()
-    for field, label in names.items():
-        if _L2_GATE / 1.3 <= ests[field] <= _L2_GATE * 1.3:
-            raise RuntimeError(
-                f"q169: distinct({label}) ~= {ests[field]} sits within "
-                f"30% of the {_L2_GATE} gate — the approx/exact gate "
-                "replay can straddle at this scale factor; adjust "
-                "_L2_GATE (sf0.001-0.1 are verified)")
+    # q167's straddle guard, extended to the composite lattice (singles
+    # AND pair structs): RAISE rather than let the approx(Spark)/
+    # exact(oracle) gate replay disagree at an unverified scale factor.
+    # Since round 12 the check rides fd_discover's own gate aggregate
+    # — zero extra actions (r11 verdict #7).
     return (fd_discover(o, _L2_COLS, max_lhs=2,
-                        max_lhs_groups=_L2_GATE)
+                        max_lhs_groups=_L2_GATE, straddle_guard=1.3)
             .orderBy("lhs", "rhs"))
 
 
