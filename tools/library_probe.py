@@ -233,6 +233,54 @@ def main():
                 pts, 40.0, 4, coord_cols=("x", "y", "z")).count())
             print(f"x{k} dbscan_nd            {dt:7.2f}s rows={n}")
             c.unpersist()
+        if want("semdedup"):
+            # semdedup_exact cost model (r11 verdict #3): work beyond
+            # the one grid equi-join is proportional to CANDIDATES, and
+            # k trades the 3^k cell explode against candidate density.
+            # Replication IS the planted structure: each vector gains
+            # k-1 exact twins (groups of k, 240k twin pairs at 16x)
+            # while the raw table is isotropic noise (max cross cosine
+            # 0.60 << t) — so verified pairs are exactly the twins and
+            # every extra candidate is projection-induced density, the
+            # quantity k exists to control.  Candidates are counted
+            # with the operator's own public pieces (same normalize →
+            # pca → padded grid join), then the full composition is
+            # timed end-to-end.
+            import numpy as _np
+
+            from nasctn_sea_ingest_spark.operators.similarity import (
+                pca_fit, pca_project, semdedup_exact)
+            from nasctn_sea_ingest_spark.operators.spatial import \
+                grid_distance_join_nd
+            e = rep(emb0, k, "vec_id").persist()
+            e.count()
+            t_thr = 0.98
+            eps = float(_np.sqrt(2.0 - 2.0 * t_thr))
+            for kk in (2, 3):
+                nrm = F.sqrt(F.aggregate(
+                    F.col("embedding"), F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double")))
+                unit = (e.select(F.col("vec_id").alias("__id"),
+                                 F.col("embedding").alias("__v"),
+                                 nrm.alias("__n"))
+                        .where(F.col("__n") > 0)
+                        .select("__id", F.transform(
+                            "__v", lambda x: x.cast("double")
+                            / F.col("__n")).alias("__u")))
+                mean, comps = pca_fit(unit, kk, col="__u")
+                pr = pca_project(unit, mean, comps, col="__u",
+                                 out="__p", out_dtype="double")
+                pts = pr.select("__id", *[
+                    F.col("__p")[i].alias(f"q{i}") for i in range(kk)])
+                dtc, ncand = t(lambda: grid_distance_join_nd(
+                    pts, eps * (1.0 + 1e-6) + 1e-9, id_col="__id",
+                    coord_cols=tuple(f"q{i}" for i in range(kk)))
+                    .count())
+                dt, n = t(lambda: semdedup_exact(
+                    e, threshold=t_thr, k=kk).count())
+                print(f"x{k} semdedup_k{kk}          {dt:7.2f}s "
+                      f"rows={n} cand={ncand} (cand scan {dtc:.2f}s)")
+            e.unpersist()
         if only is not None and not (only - {"grid_knn_join",
                                              "linkage_scores",
                                              "dbscan", "dbscan_fixed",
@@ -240,6 +288,7 @@ def main():
                                              "dbscan_nd",
                                              "label_propagation",
                                              "personalized_pagerank",
+                                             "semdedup",
                                              "shortest_paths"}):
             continue
         d = rep(docs0, k, "doc_id").persist()
