@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -1579,6 +1580,150 @@ def colocation_monitor_stream(points: DataFrame, out_dir: str,
          .write.mode("append").partitionBy("kb").parquet(out_dir))
 
     writer = (points.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def semdedup_stream(embeddings: DataFrame, out_dir: str,
+                    checkpoint_dir: str, alerts_dir: str,
+                    mean, components, threshold: float = 0.95,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_buckets: int = 16, available_now: bool = False):
+    """Streaming SEMANTIC near-dup monitor — the semantic tier of the
+    dedup story's streaming face (round-11 verdict stretch #8), i.e.
+    ``colocation_monitor_stream``'s pattern lifted to k projected
+    dimensions with an EXACT full-width cosine verify: each micro-batch
+    of embeddings is (1) L2-normalized (zero-norm vectors excluded, the
+    ``semdedup_exact`` contract), (2) projected onto a FIXED orthonormal
+    model ``(mean, components)`` in double precision, (3) radius-checked
+    against both itself and a persistent cell-bucketed point store via
+    the 3^k-neighborhood cell equi-join, and (4) every candidate is
+    verified with the exact double cosine over the FULL-width unit
+    vectors — alerts ``(id1, id2, cos_sim)`` land under
+    ``alerts_dir/batch=<id>`` and feed :func:`components_stream` for a
+    maintained "which vectors are one semantic group" snapshot.
+
+    EXACT regardless of model quality: projection onto ANY fixed
+    orthonormal basis is non-expansive (centering is an isometry on
+    differences), so for unit vectors ``cos >= t  =>  projected
+    distance <= sqrt(2-2t)`` holds whether the model is this corpus's
+    PCA, last month's, or raw coordinate axes — a stale model only
+    DENSIFIES candidates (more verify work), never loses a pair.  Fit
+    the model from :func:`pca_moments_stream`'s maintained moments
+    (``similarity.pca_from_moments``); refreshing it requires a NEW
+    store directory (stored cell keys are coordinates under the old
+    projection and cannot equi-join coordinates under a new one) — the
+    reprojection job is one scan of the vectors, and until it runs the
+    old store stays exact, just less selective.
+
+    Store: one row per vector keyed by its k-dim grid cell, partitioned
+    by ``pmod(hash(cells), n_buckets)`` so a probe reads only the
+    buckets its neighborhoods touch; ids are append-only (re-sending an
+    id pairs it against its earlier self — upsert streams belong in
+    ``upsert_stream`` first).  Replay safety: ``batch_id`` stamp +
+    atomic per-batch alert partitions, the colocation contract.  Cost
+    per trigger: O(batch x 3^k + touched-bucket points), verify work
+    proportional to candidates (SCALE.md section 24's measured curve).
+    """
+    comps = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+    k = comps.shape[0]
+    if not 1 <= k <= 6:
+        raise ValueError("semdedup_stream supports 1-6 projected "
+                         f"dimensions (3^k explode); got {k}")
+    if not threshold < 1:
+        raise ValueError("semdedup_stream needs threshold < 1")
+    eps = float(np.sqrt(max(0.0, 2.0 - 2.0 * threshold)))
+    cell = eps * (1.0 + 1e-6) + 1e-9   # the semdedup_exact pad
+    qs = [f"q{i}" for i in range(k)]
+    cs = [f"c{i}" for i in range(k)]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        from ..operators.similarity import pca_project
+        from ..operators.spatial import grid_distance_join_nd
+        spark = batch_df.sparkSession
+        nrm = F.sqrt(F.aggregate(
+            F.col(vec_col), F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double")))
+        unit = (batch_df
+                .select(F.col(id_col).alias("id"),
+                        F.col(vec_col).alias("__v"), nrm.alias("__n"))
+                .where(F.col("__n") > 0)
+                .select("id", F.transform(
+                    "__v", lambda x: x.cast("double")
+                    / F.col("__n")).alias("__u")))
+        proj = pca_project(unit, mu, comps, col="__u", out="__p",
+                           out_dtype="double")
+        b = (proj.select(
+                "id", "__u",
+                *[F.col("__p")[i].alias(q) for i, q in enumerate(qs)])
+             .select("*", *[F.floor(F.col(q) / cell).alias(c)
+                            for q, c in zip(qs, cs)])
+             .withColumn("kb", F.pmod(F.hash(*cs), n_buckets))
+             .localCheckpoint(eager=True))
+        if not b.limit(1).count():
+            return
+        cos = F.aggregate(
+            F.zip_with("__u1", "__u2", lambda a, x: a * x),
+            F.lit(0.0), lambda a, x: a + x)
+        u1 = b.select(F.col("id").alias("id1"), F.col("__u").alias("__u1"))
+        u2 = b.select(F.col("id").alias("id2"), F.col("__u").alias("__u2"))
+        in_batch = (grid_distance_join_nd(
+            b.select("id", *qs), cell, id_col="id",
+            coord_cols=tuple(qs))
+            .join(u1, "id1").join(u2, "id2")
+            .where(cos >= F.lit(float(threshold)))
+            .select("id1", "id2", cos.alias("cos_sim")))
+        # probe: batch 3^k neighborhoods vs stored home cells, touched
+        # buckets only
+        from itertools import product as _product
+        offsets = F.array(*[
+            F.struct(*[F.lit(o[i]).alias(f"o{i}") for i in range(k)])
+            for o in _product((-1, 0, 1), repeat=k)])
+        nb = (b.withColumn("__o", F.explode(offsets))
+              .select("id", "__u",
+                      *[(F.col(c) + F.col(f"__o.o{i}")).alias(f"j{i}")
+                        for i, c in enumerate(cs)])
+              .withColumn("kb", F.pmod(
+                  F.hash(*[f"j{i}" for i in range(k)]), n_buckets))
+              .localCheckpoint(eager=True))
+        touched = [r.kb for r in nb.select("kb").distinct().collect()]
+        store = None
+        try:
+            store = (spark.read.parquet(out_dir)
+                     .where(F.col("kb").isin(touched))
+                     .localCheckpoint(eager=True))
+            if store.where(F.col("batch_id") ==
+                           F.lit(int(batch_id))).limit(1).count():
+                return  # replay: batch already appended
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+        if store is not None:
+            vs_store = (nb.join(
+                store.select(F.col("id").alias("id2"),
+                             F.col("__u").alias("__u2"),
+                             *[F.col(c).alias(f"j{i}")
+                               for i, c in enumerate(cs)]),
+                [f"j{i}" for i in range(k)])
+                .select(F.col("id").alias("id1"), "id2",
+                        F.col("__u").alias("__u1"), "__u2")
+                .where(cos >= F.lit(float(threshold)))
+                .select("id1", "id2", cos.alias("cos_sim")))
+        else:
+            vs_store = in_batch.limit(0)
+        alerts = in_batch.unionByName(vs_store) \
+                         .localCheckpoint(eager=True)
+        alerts.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(alerts_dir, f"batch={int(batch_id)}"))
+        (b.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+         .write.mode("append").partitionBy("kb").parquet(out_dir))
+
+    writer = (embeddings.writeStream.foreachBatch(write_batch)
               .option("checkpointLocation", checkpoint_dir))
     if available_now:
         writer = writer.trigger(availableNow=True)

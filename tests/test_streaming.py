@@ -2127,3 +2127,112 @@ def test_colocation_feeds_components_stream_spatial_clusters(spark,
     got = stored()
     # the bridge really merged the families under the global min id
     assert got[1] == got[2] == got[10] == got[11] == got[20] == 1
+
+
+def test_semdedup_stream_feeds_components_stream(spark, tmp_path):
+    """The SEMANTIC tier of the streaming dedup story (round-11 verdict
+    stretch #8): semdedup_stream's exact-cosine alerts feed
+    components_stream, so the maintained (node, cluster) snapshot
+    answers "which vectors are one semantic group" at any trigger.
+    The projection model is deliberately NOT this data's PCA — raw
+    coordinate axes (k=3 of d=6) — pinning the claim that ANY fixed
+    orthonormal model keeps the candidate superset lossless (a stale
+    model only densifies candidates, never loses a pair: b2's 0.287
+    energy in axis 3 is simply dropped by the projection, and the pair
+    still alerts).  Three waves: in-batch pairs (wave 1/2), a
+    cross-batch vs-store pair (id 3 joining cluster A), a zero vector
+    (excluded everywhere), and a final arrival whose cosine reaches
+    into BOTH clusters and bridges them.  After every trigger the
+    snapshot equals star_components over the brute-force cos >= t
+    pair set of everything ever landed."""
+    import numpy as _np
+
+    from nasctn_sea_ingest_spark.operators.graph import star_components
+    from nasctn_sea_ingest_spark.streaming import (components_stream,
+                                                   semdedup_stream)
+
+    t = 0.7
+    d = 6
+
+    def unit(v):
+        v = _np.asarray(v, dtype=float)
+        return (v / _np.linalg.norm(v)).tolist()
+
+    a1 = unit([1, 0, 0, 0, 0, 0])
+    a2 = unit([1, 0.3, 0, 0, 0, 0])
+    b1 = unit([0, 0, 1, 0, 0, 0])
+    b2 = unit([0, 0, 1, 0.3, 0, 0])
+    bridge = unit(_np.add(a2, b2))        # cos 0.707 to a2 AND b2
+    a3 = unit([1, 0.25, 0, 0, 0, 0])      # wave-2 arrival, pairs with
+    #                                       wave-1's a1/a2 via the store
+    waves = [
+        [(1, a1), (2, a2)],
+        [(3, a3), (10, b1), (11, b2), (99, [0.0] * d)],
+        [(20, bridge)],
+    ]
+    mean = _np.zeros(d)
+    comps = _np.eye(d)[:3]                # fixed, non-PCA, orthonormal
+
+    land = str(tmp_path / "emb")
+    store = str(tmp_path / "store")
+    alerts = str(tmp_path / "alerts")
+    ck1 = str(tmp_path / "ck_mon")
+    cc = str(tmp_path / "cc")
+    ck2 = str(tmp_path / "ck_cc")
+    os.makedirs(land)
+
+    def run_monitor():
+        stream = (spark.readStream
+                  .schema("vec_id long, embedding array<double>")
+                  .parquet(land))
+        q = semdedup_stream(stream, store, ck1, alerts, mean, comps,
+                            threshold=t, available_now=True)
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    def run_components():
+        pairs = (spark.readStream
+                 .schema("id1 long, id2 long, cos_sim double")
+                 .parquet(alerts + "/batch=*")
+                 .select(F.col("id1").alias("d1"),
+                         F.col("id2").alias("d2")))
+        q = components_stream(pairs, cc, ck2, available_now=True)
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    landed: list = []
+
+    def want():
+        ids = [i for i, v in landed if _np.linalg.norm(v) > 0]
+        M = _np.array([v for i, v in landed
+                       if _np.linalg.norm(v) > 0], dtype=float)
+        U = M / _np.linalg.norm(M, axis=1, keepdims=True)
+        C = U @ U.T
+        pairs = [(ids[i], ids[j]) for i in range(len(ids))
+                 for j in range(i + 1, len(ids)) if C[i, j] >= t]
+        if not pairs:
+            return {}
+        p = spark.createDataFrame(pairs, "d1 long, d2 long")
+        return {r.node: r.cluster
+                for r in star_components(p, "d1", "d2").collect()}
+
+    for w in waves:
+        spark.createDataFrame(
+            [(i, v) for i, v in w],
+            "vec_id long, embedding array<double>").coalesce(1) \
+            .write.mode("append").parquet(land)
+        landed.extend(w)
+        run_monitor()
+        run_components()
+        got = {r.node: r.cluster for r in
+               spark.read.parquet(cc).drop("last_batch").collect()}
+        assert got == want()
+        # the zero vector never alerts
+        al = spark.read.parquet(alerts + "/batch=*")
+        assert al.where("id1 = 99 OR id2 = 99").count() == 0
+    # wave 2 produced a CROSS-BATCH alert through the store probe
+    assert got[3] == got[1]
+    # the bridge really merged both semantic families under the min id
+    assert got[1] == got[2] == got[10] == got[11] == got[20] == 1
