@@ -1586,6 +1586,29 @@ def colocation_monitor_stream(points: DataFrame, out_dir: str,
     return writer.start()
 
 
+def _semdedup_model(mean, components, threshold: float):
+    """Validate + normalize a streaming-semdedup projection model.
+
+    Shared by :func:`semdedup_stream` and
+    :func:`semdedup_store_reproject` so the grid geometry (cell size,
+    key column names, dimension bound) can never drift between the
+    monitor and the migration job — a store written by one must
+    equi-join cells computed by the other."""
+    comps = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+    k = comps.shape[0]
+    if not 1 <= k <= 6:
+        raise ValueError("semdedup_stream supports 1-6 projected "
+                         f"dimensions (3^k explode); got {k}")
+    if not threshold < 1:
+        raise ValueError("semdedup_stream needs threshold < 1")
+    eps = float(np.sqrt(max(0.0, 2.0 - 2.0 * threshold)))
+    cell = eps * (1.0 + 1e-6) + 1e-9   # the semdedup_exact pad
+    qs = [f"q{i}" for i in range(k)]
+    cs = [f"c{i}" for i in range(k)]
+    return mu, comps, k, cell, qs, cs
+
+
 def semdedup_stream(embeddings: DataFrame, out_dir: str,
                     checkpoint_dir: str, alerts_dir: str,
                     mean, components, threshold: float = 0.95,
@@ -1627,18 +1650,8 @@ def semdedup_stream(embeddings: DataFrame, out_dir: str,
     per trigger: O(batch x 3^k + touched-bucket points), verify work
     proportional to candidates (SCALE.md section 24's measured curve).
     """
-    comps = np.asarray(components, dtype=np.float64)
-    mu = np.asarray(mean, dtype=np.float64)
-    k = comps.shape[0]
-    if not 1 <= k <= 6:
-        raise ValueError("semdedup_stream supports 1-6 projected "
-                         f"dimensions (3^k explode); got {k}")
-    if not threshold < 1:
-        raise ValueError("semdedup_stream needs threshold < 1")
-    eps = float(np.sqrt(max(0.0, 2.0 - 2.0 * threshold)))
-    cell = eps * (1.0 + 1e-6) + 1e-9   # the semdedup_exact pad
-    qs = [f"q{i}" for i in range(k)]
-    cs = [f"c{i}" for i in range(k)]
+    mu, comps, k, cell, qs, cs = _semdedup_model(mean, components,
+                                                 threshold)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
@@ -1728,6 +1741,64 @@ def semdedup_stream(embeddings: DataFrame, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def semdedup_store_reproject(spark: SparkSession, store_dir: str,
+                             new_store_dir: str, mean, components,
+                             threshold: float = 0.95,
+                             n_buckets: int = 16,
+                             rebase_batch_ids: bool = False) -> int:
+    """Model-refresh migration for a :func:`semdedup_stream` store —
+    the "one reprojection scan" the monitor's docstring promises: read
+    every stored vector's FULL-WIDTH unit vector ``__u`` (which is why
+    the store keeps it), recompute the k-dim projection / grid cells /
+    bucket key under the NEW ``(mean, components)``, and write a fresh
+    store directory.  One scan, one write, no history re-pairing —
+    past alerts remain valid because exactness never depended on the
+    model (any fixed orthonormal projection is non-expansive); the
+    refresh only buys back candidate SELECTIVITY (SCALE.md §25).
+
+    Refuses an existing ``new_store_dir``: cells under two different
+    projections never equi-join, so an in-place or mixed-model store
+    would silently lose candidate pairs — the directory boundary makes
+    that correctness bug structurally impossible (local-fs check;
+    object-store deployments enforce the same rule with a fresh key
+    prefix per model version).
+
+    ``batch_id`` stamps are preserved verbatim so the migrated monitor
+    CONTINUES FROM THE SAME CHECKPOINT (stop the stream, reproject,
+    restart with ``out_dir=new_store_dir`` and the new model): batch
+    numbering resumes past the stamped history and the crash-replay
+    guard keeps working unchanged.  Only when the new store starts a
+    brand-new checkpoint lineage over new-data-only sources should
+    ``rebase_batch_ids=True`` stamp history as ``-1`` — otherwise the
+    fresh lineage's batch 0 would collide with stamped batch 0 and the
+    replay guard would silently drop the first real batch.
+
+    Returns the number of vectors migrated."""
+    import os as _os
+    if _os.path.exists(new_store_dir):
+        raise ValueError(
+            f"semdedup_store_reproject refuses existing target "
+            f"{new_store_dir!r}: a reprojected store must be a NEW "
+            "directory (mixed-model cell keys never equi-join)")
+    mu, comps, k, cell, qs, cs = _semdedup_model(mean, components,
+                                                 threshold)
+    from ..operators.similarity import pca_project
+    old = spark.read.parquet(store_dir).select("id", "__u", "batch_id")
+    proj = pca_project(old, mu, comps, col="__u", out="__p",
+                       out_dtype="double")
+    bid = (F.lit(-1).cast("long") if rebase_batch_ids
+           else F.col("batch_id"))
+    out = (proj.select(
+               "id", "__u",
+               *[F.col("__p")[i].alias(q) for i, q in enumerate(qs)],
+               bid.alias("batch_id"))
+           .select("*", *[F.floor(F.col(q) / cell).alias(c)
+                          for q, c in zip(qs, cs)])
+           .withColumn("kb", F.pmod(F.hash(*cs), n_buckets)))
+    out.write.partitionBy("kb").parquet(new_store_dir)
+    return spark.read.parquet(new_store_dir).count()
 
 
 def fd_profile_stream(updates: DataFrame, out_dir: str,

@@ -2236,3 +2236,104 @@ def test_semdedup_stream_feeds_components_stream(spark, tmp_path):
     assert got[3] == got[1]
     # the bridge really merged both semantic families under the min id
     assert got[1] == got[2] == got[10] == got[11] == got[20] == 1
+
+
+def test_semdedup_store_reproject_migration(spark, tmp_path):
+    """Model-refresh lifecycle for the streaming semantic tier: run two
+    waves under a deliberately stale model A (raw axes k=2), STOP,
+    `semdedup_store_reproject` to model B (raw axes k=3, a different
+    grid geometry entirely), then continue the monitor FROM THE SAME
+    CHECKPOINT with the new store dir + model B.  Wave 3's arrival must
+    alert against wave-1 vectors THROUGH THE REPROJECTED STORE — the
+    migration preserved ids, full-width unit vectors, and batch_id
+    stamps, and the resumed lineage's batch numbering (2) doesn't
+    collide with stamped history (0, 1).  Also pins: the migrated
+    count, the new store's k=3 cell schema, the refuse-existing-target
+    guard, and the rebase_batch_ids=-1 escape hatch for fresh
+    lineages."""
+    import numpy as _np
+
+    from nasctn_sea_ingest_spark.streaming import (
+        semdedup_store_reproject, semdedup_stream)
+
+    t = 0.7
+    d = 6
+
+    def unit(v):
+        v = _np.asarray(v, dtype=float)
+        return (v / _np.linalg.norm(v)).tolist()
+
+    a1 = unit([1, 0, 0, 0, 0, 0])
+    a2 = unit([1, 0.3, 0, 0, 0, 0])
+    b1 = unit([0, 0, 1, 0, 0, 0])
+    b2 = unit([0, 0, 1, 0.3, 0, 0])
+    a3 = unit([1, 0.25, 0, 0, 0, 0])
+    waves = [[(1, a1), (2, a2)], [(10, b1), (11, b2)], [(3, a3)]]
+
+    model_a = (_np.zeros(d), _np.eye(d)[:2])
+    model_b = (_np.zeros(d), _np.eye(d)[:3])
+
+    land = str(tmp_path / "emb")
+    store_a = str(tmp_path / "store_a")
+    store_b = str(tmp_path / "store_b")
+    alerts = str(tmp_path / "alerts")
+    ck = str(tmp_path / "ck")
+    os.makedirs(land)
+
+    def run_monitor(store, model):
+        stream = (spark.readStream
+                  .schema("vec_id long, embedding array<double>")
+                  .parquet(land))
+        q = semdedup_stream(stream, store, ck, alerts, model[0],
+                            model[1], threshold=t, available_now=True)
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    def land_wave(w):
+        spark.createDataFrame(
+            w, "vec_id long, embedding array<double>").coalesce(1) \
+            .write.mode("append").parquet(land)
+
+    for w in waves[:2]:
+        land_wave(w)
+        run_monitor(store_a, model_a)
+
+    n = semdedup_store_reproject(spark, store_a, store_b, *model_b,
+                                 threshold=t)
+    assert n == 4
+    new_store = spark.read.parquet(store_b)
+    assert {"id", "__u", "q0", "q1", "q2", "c0", "c1", "c2", "kb",
+            "batch_id"} == set(new_store.columns)
+    # batch_id stamps preserved verbatim (same-checkpoint contract)
+    assert ({r.batch_id for r in
+             new_store.select("batch_id").distinct().collect()}
+            == {0, 1})
+    # mixed-model stores are structurally impossible
+    with pytest.raises(ValueError, match="refuses existing target"):
+        semdedup_store_reproject(spark, store_a, store_b, *model_b,
+                                 threshold=t)
+    # fresh-lineage escape hatch stamps history as -1
+    store_c = str(tmp_path / "store_c")
+    semdedup_store_reproject(spark, store_a, store_c, *model_b,
+                             threshold=t, rebase_batch_ids=True)
+    assert ({r.batch_id for r in spark.read.parquet(store_c)
+             .select("batch_id").distinct().collect()} == {-1})
+
+    # resume the SAME checkpoint against the reprojected store + model B
+    land_wave(waves[2])
+    run_monitor(store_b, model_b)
+    got = {(min(r.id1, r.id2), max(r.id1, r.id2))
+           for r in spark.read.parquet(alerts + "/batch=*")
+           .select("id1", "id2").collect()}
+    ids = [i for w in waves for i, _ in w]
+    M = _np.array([v for w in waves for _, v in w], dtype=float)
+    C = M @ M.T
+    want = {(min(ids[i], ids[j]), max(ids[i], ids[j]))
+            for i in range(len(ids)) for j in range(i + 1, len(ids))
+            if C[i, j] >= t}
+    assert got == want
+    # and the load-bearing part: wave 3 paired CROSS-BATCH through the
+    # REPROJECTED store (batch=2 alerts exist and name wave-1 ids)
+    cross = {p for p in got if 3 in p}
+    assert cross == {(1, 3), (2, 3)}
