@@ -17,7 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 __all__ = ["not_null", "unique", "accepted_values", "in_range",
-           "referential", "audit"]
+           "referential", "audit", "skew_profile"]
 
 
 def not_null(col: str) -> "tuple[str, Column]":
@@ -114,3 +114,74 @@ def audit(table_rules: "dict[str, tuple[DataFrame, list]]",
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def skew_profile(df: DataFrame, key_cols: "list[str]",
+                 percentiles: "tuple[float, ...]" = (0.5, 0.99),
+                 exact: bool = True,
+                 salt_share: float = 0.2,
+                 skew_ratio_hint: float = 10.0,
+                 approx_accuracy: int = 10000) -> DataFrame:
+    """Join/agg-key skew diagnostics for J candidate key columns in ONE
+    scan of the table — the profiling pass a 100 TB pipeline runs
+    BEFORE choosing a shuffle strategy (salt factor, AQE skew-join
+    thresholds, broadcast candidacy all start from exactly these
+    numbers).
+
+    One ``GROUPING SETS ((k1), (k2), ...)`` aggregation replaces J
+    separate ``groupBy(k).count()`` scans: Catalyst's Expand duplicates
+    each row J times MAP-SIDE, then partial aggregation collapses to
+    per-partition distinct keys per set before the single shuffle — so
+    profiling J keys moves ~J x (distinct keys per partition) over the
+    wire, not J x rows, and reads the table once.  A second, tiny
+    shuffle (J groups, one per profiled column, labeled via
+    ``grouping()`` flags — NULL key values form their own counted group
+    and cannot be confused with rolled-up rows) reduces each count
+    distribution to the profile row.
+
+    ``exact=True`` computes exact interpolated percentiles over the
+    per-key count distribution (J reducers each hold n_keys counts —
+    fine up to ~10M distinct keys per column); pass ``exact=False`` at
+    billions of keys for bounded-memory ``approx_percentile``.
+
+    Returns one row per key column: ``key_col, n_keys, total_rows,
+    max_cnt, avg_cnt, p<P>_cnt..., top1_share, skew_ratio, hint`` where
+    ``hint`` is 'salt' (one key owns > ``salt_share`` of the table — a
+    single reducer would eat it; salt + two-phase agg), 'aqe-skew-join'
+    (max key > ``skew_ratio_hint`` x the mean — AQE skew splitting
+    handles it), else 'hash-ok'.  All ratios are exact-integer double
+    divisions, deterministic across engines."""
+    if not key_cols:
+        raise ValueError("skew_profile needs at least one key column")
+    for p in percentiles:
+        if not 0 <= p <= 1:
+            raise ValueError(f"percentile out of [0,1]: {p}")
+    cnt = (df.groupingSets([[c] for c in key_cols], *key_cols)
+             .agg(F.count(F.lit(1)).alias("__cnt"),
+                  *[F.grouping(c).alias(f"__g{i}")
+                    for i, c in enumerate(key_cols)]))
+    key_col = F.coalesce(*[F.when(F.col(f"__g{i}") == 0, F.lit(c))
+                           for i, c in enumerate(key_cols)])
+    pl = ", ".join(repr(float(p)) for p in percentiles)
+    fn = ("percentile(__cnt, array({}))".format(pl) if exact else
+          "approx_percentile(__cnt, array({}), {})".format(
+              pl, int(approx_accuracy)))
+    prof = (cnt.groupBy(key_col.alias("key_col"))
+            .agg(F.count(F.lit(1)).alias("n_keys"),
+                 F.sum("__cnt").alias("total_rows"),
+                 F.max("__cnt").alias("max_cnt"),
+                 F.expr(fn).alias("__ps")))
+    top1 = F.col("max_cnt") / F.col("total_rows")
+    ratio = F.col("max_cnt") * F.col("n_keys") / F.col("total_rows")
+    return prof.select(
+        "key_col", "n_keys", "total_rows", "max_cnt",
+        (F.col("total_rows") / F.col("n_keys")).alias("avg_cnt"),
+        *[(F.col("__ps")[i].cast("double")
+           .alias(f"p{round(p * 100):02d}_cnt"))
+          for i, p in enumerate(percentiles)],
+        top1.alias("top1_share"),
+        ratio.alias("skew_ratio"),
+        F.when(top1 > F.lit(float(salt_share)), F.lit("salt"))
+         .when(ratio > F.lit(float(skew_ratio_hint)),
+               F.lit("aqe-skew-join"))
+         .otherwise(F.lit("hash-ok")).alias("hint"))

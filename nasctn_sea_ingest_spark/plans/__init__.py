@@ -178,11 +178,29 @@ RETIRED_NAMES = frozenset({
     #     lives in q49's window suite, q15 ranked truncation, and the
     #     TPC-H ranking shapes; nth_value also inside q130 attribution.
     "q53_percentile_cont", "q77_ntile_nth",
-    # ROUND-13 RETIREMENT CANDIDATE (staged, not retired — pre-plan so
-    # new families never stall on slots):
+    # Retired later in round 12 — admitting q172 (skew_profile driver
+    # row, the GROUPING-SETS shuffle-strategy profiler) consumed the
+    # one slack slot; the staged q111 is r10-fresh (NOT in this round's
+    # must-verify set: 2 never-checked + 46 r09-stale + 2 RECHECK = 50
+    # exactly), so retiring it would free nothing — the round-11 lesson
+    # again.  Retire from the r09 stale cohort instead.  Keeps its
+    # pytest DuckDB oracle via tests/test_corpus::ALL:
+    #   q41_rollup: ROLLUP is the special case of GROUPING SETS — q50
+    #     (the general form, grouping() markers) and q42 (CUBE, the
+    #     bigger Expand) stay live, and q172 skew_profile adds a THIRD
+    #     driver-scale Expand-family row this same round.
+    "q41_rollup",
+    # ROUND-13 RETIREMENT CANDIDATES (staged, not retired — pre-plan so
+    # new families never stall on slots; retire only from whatever is
+    # the round-13 must-verify cohort at admission time):
     #   q111_forward_fill: last-non-null-over window — the same
     #     last_value(ignorenulls) machinery drives q157 point-in-time
-    #     features and q143 gap interpolation, both still live.
+    #     features and q143 gap interpolation, both still live (r10
+    #     cohort: stale and retirable in round 13).
+    #   q52_unpivot: stack()-based melt — the unpivot machinery is
+    #     exercised at driver scale inside q167/q169's FD melt and the
+    #     reshape family keeps q17 (pivot) + q45 (json explode) (r09
+    #     cohort: already stale in round 12; second choice after q41).
     # Retired round 10 — two new families (q166 exact fixed-point
     # PageRank, q167 gated FD discovery) push live count to 150 = 3x50
     # with zero slack (the round-6 saturation arithmetic); retiring two

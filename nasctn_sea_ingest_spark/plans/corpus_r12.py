@@ -106,3 +106,63 @@ def q171(spark, sf_dir):
     return (drops.select(F.col("vec_id").cast("bigint").alias("vec_id"),
                          F.col("dup_of").cast("bigint").alias("dup_of"))
             .orderBy("vec_id"))
+
+
+_SKEW_ORACLE = """
+    WITH cnt AS (
+      SELECT CASE WHEN GROUPING(l_suppkey) = 0 THEN 'l_suppkey'
+                  WHEN GROUPING(l_partkey) = 0 THEN 'l_partkey'
+                  ELSE 'l_returnflag' END AS key_col,
+             count(*) AS c
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_suppkey), (l_partkey), (l_returnflag))),
+    prof AS (
+      SELECT key_col,
+             count(*) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS total_rows,
+             max(c) AS max_cnt,
+             CAST(quantile_cont(c, 0.5) AS DOUBLE) AS p50,
+             CAST(quantile_cont(c, 0.99) AS DOUBLE) AS p99
+      FROM cnt GROUP BY key_col)
+    SELECT key_col, n_keys, total_rows, max_cnt,
+           round(total_rows / CAST(n_keys AS DOUBLE), 5) AS avg_cnt,
+           round(p50, 5) AS p50_cnt,
+           round(p99, 5) AS p99_cnt,
+           round(max_cnt / CAST(total_rows AS DOUBLE), 5) AS top1_share,
+           round(max_cnt * CAST(n_keys AS DOUBLE) / total_rows, 5)
+             AS skew_ratio,
+           CASE WHEN max_cnt / CAST(total_rows AS DOUBLE) > 0.2
+                THEN 'salt'
+                WHEN max_cnt * CAST(n_keys AS DOUBLE) / total_rows > 10.0
+                THEN 'aqe-skew-join'
+                ELSE 'hash-ok' END AS hint
+    FROM prof ORDER BY key_col
+"""
+
+
+@_q("q172_skew_profile",
+    "join/agg-key skew diagnostics for THREE candidate key columns in "
+    "ONE lineitem scan via GROUPING SETS (Expand duplicates rows map-"
+    "side, partial agg collapses to per-partition distinct keys before "
+    "the single shuffle — profiling J keys moves ~J x distinct keys, "
+    "not J x rows); per key: cardinality, max/avg/p50/p99 of the count "
+    "distribution, top1_share, skew_ratio, and the shuffle-strategy "
+    "hint a 100 TB planner acts on (l_returnflag's 0.334 top-key share "
+    "-> 'salt'; both id keys -> 'hash-ok'; margins vs the 0.2/10.0 "
+    "thresholds are >= 1.6x at every sf so the CASE is hash-stable). "
+    "All ratios are exact-integer double divisions; percentiles are "
+    "exact interpolated (quantile_cont parity, the q16 pattern) — "
+    "operators/quality.py skew_profile",
+    _SKEW_ORACLE)
+def q172(spark, sf_dir):
+    from ..operators.quality import skew_profile
+    li = load_table(spark, sf_dir, "lineitem")
+    prof = skew_profile(li, ["l_suppkey", "l_partkey", "l_returnflag"])
+    return (prof.select(
+        "key_col", "n_keys", "total_rows", "max_cnt",
+        F.round("avg_cnt", 5).alias("avg_cnt"),
+        F.round("p50_cnt", 5).alias("p50_cnt"),
+        F.round("p99_cnt", 5).alias("p99_cnt"),
+        F.round("top1_share", 5).alias("top1_share"),
+        F.round("skew_ratio", 5).alias("skew_ratio"),
+        "hint").orderBy("key_col"))

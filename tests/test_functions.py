@@ -972,3 +972,76 @@ def test_fd_profile_matches_fd_error(spark, sf_dir):
     import pytest as _pt
     with _pt.raises(ValueError, match="at least one"):
         fd_profile(o, [])
+
+
+def test_skew_profile_oracle_and_hints(spark, tmp_path):
+    """skew_profile vs a pandas brute-force oracle over three key
+    columns engineered to hit all three hint branches in one profile
+    call, plus a NULL-key group, exact-percentile parity with numpy's
+    linear interpolation, and the one-scan plan contract (one Expand,
+    one parquet scan for J=3 profiled keys)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from nasctn_sea_ingest_spark.operators.quality import skew_profile
+
+    rng = range(200)
+    rows = []
+    for i in rng:
+        # a: 'hot' owns 120/200 = 0.6 > salt_share, 16 cold keys + NULL
+        a = ("hot" if i < 120 else
+             None if i < 136 else f"a{i % 16}")
+        # b: max key 30/200 = 0.15 share, 170 singletons ->
+        #    ratio = 30 * 171 / 200 = 25.65 > 10 -> aqe-skew-join
+        b = "bhot" if i < 30 else f"b{i}"
+        # c: uniform 10 x 20 -> ratio 1 -> hash-ok
+        c = f"c{i % 10}"
+        rows.append((a, b, c))
+    pdf = pd.DataFrame(rows, columns=["a", "b", "c"])
+    path = str(tmp_path / "skew.parquet")
+    spark.createDataFrame(pdf).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    prof = skew_profile(df, ["a", "b", "c"])
+    got = {r.key_col: r.asDict() for r in prof.collect()}
+    assert set(got) == {"a", "b", "c"}
+    for col in ("a", "b", "c"):
+        cnts = (pdf[col].value_counts(dropna=False)
+                .to_numpy().astype(float))
+        g = got[col]
+        assert g["n_keys"] == len(cnts)
+        assert g["total_rows"] == 200
+        assert g["max_cnt"] == int(cnts.max())
+        assert g["avg_cnt"] == pytest.approx(cnts.mean())
+        assert g["p50_cnt"] == pytest.approx(
+            np.percentile(cnts, 50, method="linear"))
+        assert g["p99_cnt"] == pytest.approx(
+            np.percentile(cnts, 99, method="linear"))
+        assert g["top1_share"] == pytest.approx(cnts.max() / 200)
+        assert g["skew_ratio"] == pytest.approx(
+            cnts.max() * len(cnts) / 200)
+    assert got["a"]["hint"] == "salt"
+    assert got["b"]["hint"] == "aqe-skew-join"
+    assert got["c"]["hint"] == "hash-ok"
+    # NULL keys form their own counted group (the skew culprit most
+    # profilers silently drop): 18 = hot + 16 cold + 1 NULL
+    assert got["a"]["n_keys"] == 18
+
+    # one-scan contract: J=3 keys profiled via ONE Expand over ONE scan
+    # (AQE prints Final + Initial sections; lint the final plan only)
+    plan = (prof._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 1
+
+    # approx mode returns the same shape with sane values
+    ap = {r.key_col: r.asDict()
+          for r in skew_profile(df, ["c"], exact=False).collect()}
+    assert ap["c"]["hint"] == "hash-ok"
+    assert ap["c"]["p50_cnt"] == pytest.approx(20.0, abs=1.0)
+
+    with pytest.raises(ValueError, match="at least one key"):
+        skew_profile(df, [])
+    with pytest.raises(ValueError, match="out of"):
+        skew_profile(df, ["a"], percentiles=(1.5,))

@@ -281,6 +281,35 @@ def main():
                 print(f"x{k} semdedup_k{kk}          {dt:7.2f}s "
                       f"rows={n} cand={ncand} (cand scan {dtc:.2f}s)")
             e.unpersist()
+        if want("skew"):
+            # skew_profile's one-scan claim, measured: J=3 keys via ONE
+            # GROUPING SETS pass (Expand map-side, one shuffle of
+            # ~J x distinct keys) vs the naive J separate
+            # groupBy(key).count() + stats pipelines that produce the
+            # same profile.  Replication multiplies per-key counts 16x
+            # (key spaces unchanged), so the win should GROW with scale
+            # — the naive form pays J full scans of the fat table.
+            from nasctn_sea_ingest_spark.operators.quality import \
+                skew_profile
+            li = rep(li0, k, "l_orderkey").persist()
+            li.count()
+            keys = ["l_suppkey", "l_partkey", "l_returnflag"]
+            dt1, n1 = t(lambda: skew_profile(li, keys).count())
+
+            def naive():
+                rows = 0
+                for kc in keys:
+                    cnt = li.groupBy(kc).agg(
+                        F.count(F.lit(1)).alias("c"))
+                    rows += cnt.agg(
+                        F.count(F.lit(1)), F.sum("c"), F.max("c"),
+                        F.expr("percentile(c, array(0.5D, 0.99D))")
+                    ).count()
+                return rows
+            dtj, _ = t(naive)
+            print(f"x{k} skew_profile         {dt1:7.2f}s rows={n1} "
+                  f"(naive {len(keys)}-scan {dtj:.2f}s)")
+            li.unpersist()
         if only is not None and not (only - {"grid_knn_join",
                                              "linkage_scores",
                                              "dbscan", "dbscan_fixed",
@@ -288,7 +317,7 @@ def main():
                                              "dbscan_nd",
                                              "label_propagation",
                                              "personalized_pagerank",
-                                             "semdedup",
+                                             "semdedup", "skew",
                                              "shortest_paths"}):
             continue
         d = rep(docs0, k, "doc_id").persist()
