@@ -17,7 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 __all__ = ["not_null", "unique", "accepted_values", "in_range",
-           "referential", "audit", "skew_profile"]
+           "referential", "audit", "skew_survey"]
 
 
 def not_null(col: str) -> "tuple[str, Column]":
@@ -116,17 +116,24 @@ def audit(table_rules: "dict[str, tuple[DataFrame, list]]",
     return out
 
 
-def skew_profile(df: DataFrame, key_cols: "list[str]",
+def skew_survey(df: DataFrame,
+                 key_cols: "list[str | tuple[str, ...]]",
                  percentiles: "tuple[float, ...]" = (0.5, 0.99),
                  exact: bool = True,
                  salt_share: float = 0.2,
                  skew_ratio_hint: float = 10.0,
                  approx_accuracy: int = 10000) -> DataFrame:
-    """Join/agg-key skew diagnostics for J candidate key columns in ONE
-    scan of the table — the profiling pass a 100 TB pipeline runs
-    BEFORE choosing a shuffle strategy (salt factor, AQE skew-join
+    """Join/agg-key skew diagnostics for J candidate keys in ONE scan
+    of the table — the profiling pass a 100 TB pipeline runs BEFORE
+    choosing a shuffle strategy (salt factor, AQE skew-join
     thresholds, broadcast candidacy all start from exactly these
-    numbers).
+    numbers).  Companion to ``functions.skew_profile`` (the single-
+    planned-key heavy-hitter dict: top-k offenders for one key you
+    already chose) — this one COMPARES J candidate keys in one scan
+    and returns a DataFrame an optimizer or oracle can consume.  Each
+    entry is a column name or a TUPLE of column names
+    (a composite join key, profiled as one grouping set and labeled
+    ``"a,b"`` — the `fd_discover` composite string-form contract).
 
     One ``GROUPING SETS ((k1), (k2), ...)`` aggregation replaces J
     separate ``groupBy(k).count()`` scans: Catalyst's Expand duplicates
@@ -144,7 +151,7 @@ def skew_profile(df: DataFrame, key_cols: "list[str]",
     fine up to ~10M distinct keys per column); pass ``exact=False`` at
     billions of keys for bounded-memory ``approx_percentile``.
 
-    Returns one row per key column: ``key_col, n_keys, total_rows,
+    Returns one row per key entry: ``key_col, n_keys, total_rows,
     max_cnt, avg_cnt, p<P>_cnt..., top1_share, skew_ratio, hint`` where
     ``hint`` is 'salt' (one key owns > ``salt_share`` of the table — a
     single reducer would eat it; salt + two-phase agg), 'aqe-skew-join'
@@ -152,16 +159,33 @@ def skew_profile(df: DataFrame, key_cols: "list[str]",
     handles it), else 'hash-ok'.  All ratios are exact-integer double
     divisions, deterministic across engines."""
     if not key_cols:
-        raise ValueError("skew_profile needs at least one key column")
+        raise ValueError("skew_survey needs at least one key column")
     for p in percentiles:
         if not 0 <= p <= 1:
             raise ValueError(f"percentile out of [0,1]: {p}")
-    cnt = (df.groupingSets([[c] for c in key_cols], *key_cols)
+    entries = [(k,) if isinstance(k, str) else tuple(k)
+               for k in key_cols]
+    if len({e for e in entries}) != len(entries):
+        raise ValueError("duplicate key entry in key_cols")
+    # union of columns across entries, first-seen order — one
+    # grouping() flag per column identifies the exact set a row
+    # belongs to (an entry matches iff ALL its columns are grouped
+    # AND all others are rolled up: ('a',) and ('a','b') entries
+    # must not be confused)
+    allc = list(dict.fromkeys(c for e in entries for c in e))
+    cnt = (df.groupingSets([list(e) for e in entries], *allc)
              .agg(F.count(F.lit(1)).alias("__cnt"),
                   *[F.grouping(c).alias(f"__g{i}")
-                    for i, c in enumerate(key_cols)]))
-    key_col = F.coalesce(*[F.when(F.col(f"__g{i}") == 0, F.lit(c))
-                           for i, c in enumerate(key_cols)])
+                    for i, c in enumerate(allc)]))
+    gflag = {c: F.col(f"__g{i}") for i, c in enumerate(allc)}
+
+    def _match(e):
+        m = F.lit(True)
+        for c in allc:
+            m = m & (gflag[c] == (0 if c in e else 1))
+        return m
+    key_col = F.coalesce(*[F.when(_match(e), F.lit(",".join(e)))
+                           for e in entries])
     pl = ", ".join(repr(float(p)) for p in percentiles)
     fn = ("percentile(__cnt, array({}))".format(pl) if exact else
           "approx_percentile(__cnt, array({}), {})".format(

@@ -24,7 +24,8 @@ from . import corpus_r10  # noqa: F401  (exact fixed-point PageRank,
 #   gated FD discovery)
 from . import corpus_r11  # noqa: F401  (composite-lhs FD lattice,
 #   k-core peeling driver row)
-from . import corpus_r12  # noqa: F401  (semdedup_exact driver row)
+from . import corpus_r12  # noqa: F401  (semdedup_exact driver row,
+#   skew_survey GROUPING-SETS key profiler)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST 50
@@ -178,7 +179,7 @@ RETIRED_NAMES = frozenset({
     #     lives in q49's window suite, q15 ranked truncation, and the
     #     TPC-H ranking shapes; nth_value also inside q130 attribution.
     "q53_percentile_cont", "q77_ntile_nth",
-    # Retired later in round 12 — admitting q172 (skew_profile driver
+    # Retired later in round 12 — admitting q172 (skew_survey driver
     # row, the GROUPING-SETS shuffle-strategy profiler) consumed the
     # one slack slot; the staged q111 is r10-fresh (NOT in this round's
     # must-verify set: 2 never-checked + 46 r09-stale + 2 RECHECK = 50

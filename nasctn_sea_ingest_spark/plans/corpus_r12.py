@@ -110,12 +110,15 @@ def q171(spark, sf_dir):
 
 _SKEW_ORACLE = """
     WITH cnt AS (
-      SELECT CASE WHEN GROUPING(l_suppkey) = 0 THEN 'l_suppkey'
+      SELECT CASE WHEN GROUPING(l_suppkey) = 0 AND GROUPING(l_partkey) = 0
+                  THEN 'l_suppkey,l_partkey'
+                  WHEN GROUPING(l_suppkey) = 0 THEN 'l_suppkey'
                   WHEN GROUPING(l_partkey) = 0 THEN 'l_partkey'
                   ELSE 'l_returnflag' END AS key_col,
              count(*) AS c
       FROM lineitem
-      GROUP BY GROUPING SETS ((l_suppkey), (l_partkey), (l_returnflag))),
+      GROUP BY GROUPING SETS ((l_suppkey), (l_partkey), (l_returnflag),
+                              (l_suppkey, l_partkey))),
     prof AS (
       SELECT key_col,
              count(*) AS n_keys,
@@ -140,24 +143,28 @@ _SKEW_ORACLE = """
 """
 
 
-@_q("q172_skew_profile",
-    "join/agg-key skew diagnostics for THREE candidate key columns in "
-    "ONE lineitem scan via GROUPING SETS (Expand duplicates rows map-"
-    "side, partial agg collapses to per-partition distinct keys before "
-    "the single shuffle — profiling J keys moves ~J x distinct keys, "
-    "not J x rows); per key: cardinality, max/avg/p50/p99 of the count "
-    "distribution, top1_share, skew_ratio, and the shuffle-strategy "
-    "hint a 100 TB planner acts on (l_returnflag's 0.334 top-key share "
-    "-> 'salt'; both id keys -> 'hash-ok'; margins vs the 0.2/10.0 "
-    "thresholds are >= 1.6x at every sf so the CASE is hash-stable). "
-    "All ratios are exact-integer double divisions; percentiles are "
-    "exact interpolated (quantile_cont parity, the q16 pattern) — "
-    "operators/quality.py skew_profile",
+@_q("q172_skew_survey",
+    "join/agg-key skew diagnostics for FOUR candidate keys — three "
+    "single columns plus the COMPOSITE (l_suppkey, l_partkey) join "
+    "key, labeled 'l_suppkey,l_partkey' per the fd_discover composite "
+    "string contract — in ONE lineitem scan via GROUPING SETS (Expand "
+    "duplicates rows map-side, partial agg collapses to per-partition "
+    "distinct keys before the single shuffle — profiling J keys moves "
+    "~J x distinct keys, not J x rows); per key: cardinality, max/avg/"
+    "p50/p99 of the count distribution, top1_share, skew_ratio, and "
+    "the shuffle-strategy hint a 100 TB planner acts on "
+    "(l_returnflag's 0.334 top-key share -> 'salt'; the id keys and "
+    "the pair -> 'hash-ok'; margins vs the 0.2/10.0 thresholds are "
+    ">= 1.6x for the singles and >= 1.9x for the pair at every sf so "
+    "the CASE is hash-stable).  All ratios are exact-integer double "
+    "divisions; percentiles are exact interpolated (quantile_cont "
+    "parity, the q16 pattern) — operators/quality.py skew_survey",
     _SKEW_ORACLE)
 def q172(spark, sf_dir):
-    from ..operators.quality import skew_profile
+    from ..operators.quality import skew_survey
     li = load_table(spark, sf_dir, "lineitem")
-    prof = skew_profile(li, ["l_suppkey", "l_partkey", "l_returnflag"])
+    prof = skew_survey(li, ["l_suppkey", "l_partkey", "l_returnflag",
+                             ("l_suppkey", "l_partkey")])
     return (prof.select(
         "key_col", "n_keys", "total_rows", "max_cnt",
         F.round("avg_cnt", 5).alias("avg_cnt"),

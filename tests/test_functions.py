@@ -865,7 +865,7 @@ def test_skew_profile(spark):
                  ("k5", 5)]:
         rows += [(i, j) for j in range(n)]
     df = spark.createDataFrame(rows, "k string, v long").repartition(8)
-    p = skew_profile(df, ["k"], top_k=3)
+    p = skew_survey(df, ["k"], top_k=3)
     assert p["n_rows"] == 1000 and p["n_keys"] == 5
     assert p["max"] == 800 and p["max_share"] == pytest.approx(0.8)
     assert [t[0] for t in p["top"]] == [("hot",), ("warm",), ("k3",)]
@@ -873,7 +873,7 @@ def test_skew_profile(spark):
     assert p["top"][0][2] == pytest.approx(0.8)
     assert p["p50"] in (5, 15, 30)  # approx quantile of the count set
     # multi-key grouping works and returns tuple keys
-    p2 = skew_profile(df, ["k", "v"], top_k=1)
+    p2 = skew_survey(df, ["k", "v"], top_k=1)
     assert p2["n_keys"] == 1000 and p2["max"] == 1
 
 
@@ -974,8 +974,8 @@ def test_fd_profile_matches_fd_error(spark, sf_dir):
         fd_profile(o, [])
 
 
-def test_skew_profile_oracle_and_hints(spark, tmp_path):
-    """skew_profile vs a pandas brute-force oracle over three key
+def test_skew_survey_oracle_and_hints(spark, tmp_path):
+    """skew_survey vs a pandas brute-force oracle over three key
     columns engineered to hit all three hint branches in one profile
     call, plus a NULL-key group, exact-percentile parity with numpy's
     linear interpolation, and the one-scan plan contract (one Expand,
@@ -984,7 +984,7 @@ def test_skew_profile_oracle_and_hints(spark, tmp_path):
     import pandas as pd
     import pytest
 
-    from nasctn_sea_ingest_spark.operators.quality import skew_profile
+    from nasctn_sea_ingest_spark.operators.quality import skew_survey
 
     rng = range(200)
     rows = []
@@ -1003,7 +1003,7 @@ def test_skew_profile_oracle_and_hints(spark, tmp_path):
     spark.createDataFrame(pdf).write.parquet(path)
     df = spark.read.parquet(path)
 
-    prof = skew_profile(df, ["a", "b", "c"])
+    prof = skew_survey(df, ["a", "b", "c"])
     got = {r.key_col: r.asDict() for r in prof.collect()}
     assert set(got) == {"a", "b", "c"}
     for col in ("a", "b", "c"):
@@ -1037,11 +1037,41 @@ def test_skew_profile_oracle_and_hints(spark, tmp_path):
 
     # approx mode returns the same shape with sane values
     ap = {r.key_col: r.asDict()
-          for r in skew_profile(df, ["c"], exact=False).collect()}
+          for r in skew_survey(df, ["c"], exact=False).collect()}
     assert ap["c"]["hint"] == "hash-ok"
     assert ap["c"]["p50_cnt"] == pytest.approx(20.0, abs=1.0)
 
     with pytest.raises(ValueError, match="at least one key"):
-        skew_profile(df, [])
+        skew_survey(df, [])
     with pytest.raises(ValueError, match="out of"):
-        skew_profile(df, ["a"], percentiles=(1.5,))
+        skew_survey(df, ["a"], percentiles=(1.5,))
+
+
+def test_skew_survey_composite_keys(spark):
+    """Composite entries: ('a',) and ('a','b') profiled in the SAME
+    call must not be confused (the exact-set grouping-flag match — an
+    ('a','b') row has grouping(a)=0 too), labels follow the
+    fd_discover 'a,b' string contract, and the composite's stats equal
+    the brute-force pair-count distribution."""
+    import numpy as np
+    import pytest
+
+    from nasctn_sea_ingest_spark.operators.quality import skew_survey
+
+    rows = [(i % 3, i % 4) for i in range(120)]  # (a,b) has 12 combos
+    df = spark.createDataFrame(rows, "a int, b int")
+    prof = skew_survey(df, ["a", ("a", "b")])
+    got = {r.key_col: r.asDict() for r in prof.collect()}
+    assert set(got) == {"a", "a,b"}
+    assert got["a"]["n_keys"] == 3
+    assert got["a"]["max_cnt"] == 40
+    assert got["a,b"]["n_keys"] == 12
+    assert got["a,b"]["max_cnt"] == 10
+    assert got["a,b"]["avg_cnt"] == pytest.approx(10.0)
+    assert got["a,b"]["p99_cnt"] == pytest.approx(
+        np.percentile([10.0] * 12, 99, method="linear"))
+    assert got["a"]["hint"] == "salt"        # 40/120 = 0.33 > 0.2
+    assert got["a,b"]["hint"] == "hash-ok"   # perfectly uniform
+
+    with pytest.raises(ValueError, match="duplicate key entry"):
+        skew_survey(df, ["a", ("a",)])

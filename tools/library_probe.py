@@ -282,7 +282,7 @@ def main():
                       f"rows={n} cand={ncand} (cand scan {dtc:.2f}s)")
             e.unpersist()
         if want("skew"):
-            # skew_profile's one-pass claim, measured honestly in the
+            # skew_survey's one-pass claim, measured honestly in the
             # two regimes SCALE.md §26 documents: (a) over a BASE
             # parquet table, where column pruning makes the naive J
             # single-column scans nearly free (expect ~tie — Expand's
@@ -293,7 +293,7 @@ def main():
             # operator exists for (profiling the relation you're about
             # to shuffle, without persisting it).
             from nasctn_sea_ingest_spark.operators.quality import \
-                skew_profile
+                skew_survey
             li = rep(li0, k, "l_orderkey")
             oo = rep(spark.read.parquet(f"{sf}/orders.parquet"),
                      k, "o_orderkey")
@@ -309,14 +309,14 @@ def main():
                         F.expr("percentile(c, array(0.5D, 0.99D))")
                     ).count()
                 return rows
-            dt1, n1 = t(lambda: skew_profile(li, keys).count())
+            dt1, n1 = t(lambda: skew_survey(li, keys).count())
             dtj, _ = t(lambda: naive(li))
-            print(f"x{k} skew_profile_base    {dt1:7.2f}s rows={n1} "
+            print(f"x{k} skew_survey_base    {dt1:7.2f}s rows={n1} "
                   f"(naive {len(keys)}-scan {dtj:.2f}s)")
             j = li.join(oo, li.l_orderkey == oo.o_orderkey)
-            dt1, n1 = t(lambda: skew_profile(j, keys).count())
+            dt1, n1 = t(lambda: skew_survey(j, keys).count())
             dtj, _ = t(lambda: naive(j))
-            print(f"x{k} skew_profile_joined  {dt1:7.2f}s rows={n1} "
+            print(f"x{k} skew_survey_joined  {dt1:7.2f}s rows={n1} "
                   f"(naive {len(keys)}-derive {dtj:.2f}s)")
         if only is not None and not (only - {"grid_knn_join",
                                              "linkage_scores",
