@@ -23,7 +23,8 @@ Both engines compute the perturbation in exact arithmetic (×1.5 and
 double-cast modified vectors are bit-identical), then the drop list
 is the connected-component closure over cos ≥ t pairs, keep-min-id:
 Spark runs the composition this operator exists for — normalize →
-PCA(k=2, double precision) → grid equi-join with the lossless-superset
+PCA(k=3, double precision; k=2 measured ~1 s slower at sf0.1 on this
+near-isotropic corpus, same output) → grid equi-join with the lossless-superset
 radius → full-width cosine verify → star_components — while the
 DuckDB oracle pays the N² theta-join plus a recursive-CTE closure,
 EXACTLY the plan the operator avoids at 100 TB.
@@ -82,7 +83,7 @@ _SD_ORACLE = f"""
     "data-dependent 499/500-to-1995/2000 subset of the twins, with "
     "min |cos-t| margin >= 1.6e-4 at every sf — membership is hash-"
     "stable by construction.  Spark runs the bounded composition "
-    "(normalize -> double-precision PCA k=2 -> lossless-superset grid "
+    "(normalize -> double-precision PCA k=3 -> lossless-superset grid "
     "equi-join -> full-width cosine verify -> star_components); the "
     "oracle pays the N-squared theta-join + recursive-CTE closure the "
     "operator exists to avoid at 100 TB — "
@@ -102,7 +103,10 @@ def q171(spark, sf_dir):
             " WHEN i = 0 THEN cast(x AS double) * 1.5D"
             " WHEN i = 1 THEN cast(x AS double) * 0.5D"
             " ELSE cast(x AS double) END)").alias("embedding"))
-    drops = semdedup_exact(base.unionByName(pert), threshold=_SD_T, k=2)
+    # k=3: halves projected candidate density vs k=2 on this
+    # near-isotropic corpus (SCALE.md §24's curve) — measured 5.9 vs
+    # 6.9 s warm at sf0.1, IDENTICAL output (exactness holds at any k)
+    drops = semdedup_exact(base.unionByName(pert), threshold=_SD_T, k=3)
     return (drops.select(F.col("vec_id").cast("bigint").alias("vec_id"),
                          F.col("dup_of").cast("bigint").alias("dup_of"))
             .orderBy("vec_id"))
