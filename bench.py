@@ -222,8 +222,6 @@ def main() -> None:
 
     # sigmf decode throughput at reference-realistic geometry (BASELINE.md:
     # reference reads a 200-sweep zip at ~81 files/s on one core)
-    import shutil
-    import tempfile
     from nasctn_sea_ingest_spark.sources.ingest import decode_traces, \
         list_sigmf_refs
     from nasctn_sea_ingest_spark.sources.synth import build_sweep_series
