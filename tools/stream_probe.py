@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Per-trigger cost probe for semdedup_stream (SCALE.md §25's claim,
+measured): land W localized waves of B vectors each and time every
+trigger.  The store grows linearly (B, 2B, ... WB rows) while each
+batch stays B rows concentrated around its own random direction — the
+operational regime of a corpus that lands in topical bursts.  The
+claim under test: per-trigger wall stays ~FLAT as the store grows
+(probe reads only touched buckets; candidates stay batch-local), i.e.
+the monitor is O(batch), not O(state).  A full-store rescan design
+would grow linearly across the run.
+
+    python tools/stream_probe.py [W] [B] [k]   # default 17 waves x 2000, k=2
+
+Run ALONE on the host (SCALE.md §12's rule).  Prints one line per
+wave plus a first-vs-last summary.  Wave directions are seeded numpy
+random unit vectors in 8-dim (max pairwise |cos| well under the 0.98
+threshold) with sigma=0.15 noise, so within-wave cosines sit ~0.91 —
+the probe measures TRIGGER overhead + candidate-bound join work, with
+the alert path exercised but not exploding.
+"""
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    waves = int(sys.argv[1]) if len(sys.argv) > 1 else 17
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    kdim = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    d = 8
+    from nasctn_sea_ingest_spark import get_spark
+    from nasctn_sea_ingest_spark.streaming import semdedup_stream
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(waves, d))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    C = np.abs(dirs @ dirs.T) - np.eye(waves)
+    print(f"# {waves} waves x {batch} vectors, d={d}, k={kdim}; max cross-wave "
+          f"|cos| of centers = {C.max():.3f} (threshold 0.98)")
+
+    root = tempfile.mkdtemp(prefix="semdedup_probe_")
+    land = os.path.join(root, "land")
+    store = os.path.join(root, "store")
+    alerts = os.path.join(root, "alerts")
+    ck = os.path.join(root, "ck")
+    os.makedirs(land)
+    mean = np.zeros(d)
+    comps = np.eye(d)[:kdim]
+    walls = []
+    try:
+        for w in range(waves):
+            pts = dirs[w] + rng.normal(scale=0.15, size=(batch, d))
+            rows = [(int(w * 10_000_000 + i), [float(x) for x in v])
+                    for i, v in enumerate(pts)]
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>") \
+                .coalesce(1).write.mode("append").parquet(land)
+            t0 = time.perf_counter()
+            stream = (spark.readStream
+                      .schema("vec_id long, embedding array<double>")
+                      .parquet(land))
+            q = semdedup_stream(stream, store, ck, alerts, mean, comps,
+                                threshold=0.98, available_now=True)
+            q.awaitTermination(300)
+            q.stop()
+            q.awaitTermination(60)
+            dt = time.perf_counter() - t0
+            walls.append(dt)
+            print(f"wave {w:2d}: {dt:6.2f}s  store={batch * (w + 1)}")
+        head = sum(walls[1:4]) / 3
+        tail = sum(walls[-3:]) / 3
+        print(f"# warm head (waves 1-3) {head:.2f}s vs tail "
+              f"(last 3) {tail:.2f}s -> tail/head {tail / head:.2f}x "
+              f"at {waves}x store growth")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
