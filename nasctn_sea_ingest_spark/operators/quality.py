@@ -165,6 +165,8 @@ def skew_survey(df: DataFrame,
             raise ValueError(f"percentile out of [0,1]: {p}")
     entries = [(k,) if isinstance(k, str) else tuple(k)
                for k in key_cols]
+    if any(not e for e in entries):
+        raise ValueError("empty composite key entry in key_cols")
     if len({e for e in entries}) != len(entries):
         raise ValueError("duplicate key entry in key_cols")
     # union of columns across entries, first-seen order — one

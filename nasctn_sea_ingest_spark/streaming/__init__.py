@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import os
 from collections.abc import Iterator
+from functools import reduce
+from operator import or_
 
 import numpy as np
 import pandas as pd
@@ -1680,6 +1682,17 @@ def semdedup_stream(embeddings: DataFrame, out_dir: str,
              .localCheckpoint(eager=True))
         if not b.limit(1).count():
             return
+        # A model whose component width mismatches the embedding dim
+        # makes zip_with pad with NULLs -> NULL grid cells that never
+        # equi-join -> the monitor would silently never alert again
+        # (the semdedup_exact r11 ADVICE class).  b is already
+        # materialized, so the guard scan is cheap.
+        if b.where(reduce(or_, [F.col(q).isNull() for q in qs])) \
+                .limit(1).count():
+            raise ValueError(
+                "semdedup_stream: NULL projected coordinate — the "
+                f"model's component width ({comps.shape[1]}) does not "
+                "match the embedding dimensionality")
         cos = F.aggregate(
             F.zip_with("__u1", "__u2", lambda a, x: a * x),
             F.lit(0.0), lambda a, x: a + x)
@@ -1796,7 +1809,17 @@ def semdedup_store_reproject(spark: SparkSession, store_dir: str,
                bid.alias("batch_id"))
            .select("*", *[F.floor(F.col(q) / cell).alias(c)
                           for q, c in zip(qs, cs)])
-           .withColumn("kb", F.pmod(F.hash(*cs), n_buckets)))
+           .withColumn("kb", F.pmod(F.hash(*cs), n_buckets))
+           .localCheckpoint(eager=True))  # one scan: guard + write
+    # same NULL-coordinate guard as the monitor: a component width
+    # that mismatches the stored vectors would write a store that
+    # never equi-joins anything — fail the migration loudly instead
+    if out.where(reduce(or_, [F.col(q).isNull() for q in qs])) \
+            .limit(1).count():
+        raise ValueError(
+            "semdedup_store_reproject: NULL projected coordinate — "
+            f"the new model's component width ({comps.shape[1]}) does "
+            "not match the stored vectors' dimensionality")
     out.write.partitionBy("kb").parquet(new_store_dir)
     return spark.read.parquet(new_store_dir).count()
 

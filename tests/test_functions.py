@@ -1075,3 +1075,5 @@ def test_skew_survey_composite_keys(spark):
 
     with pytest.raises(ValueError, match="duplicate key entry"):
         skew_survey(df, ["a", ("a",)])
+    with pytest.raises(ValueError, match="empty composite"):
+        skew_survey(df, ["a", ()])

@@ -2337,3 +2337,55 @@ def test_semdedup_store_reproject_migration(spark, tmp_path):
     # REPROJECTED store (batch=2 alerts exist and name wave-1 ids)
     cross = {p for p in got if 3 in p}
     assert cross == {(1, 3), (2, 3)}
+
+
+def test_semdedup_model_dim_mismatch_raises(spark, tmp_path):
+    """A projection model whose component width mismatches the
+    embedding dim would NULL every grid cell key — cells that never
+    equi-join, i.e. a monitor that silently never alerts again and a
+    migrated store that matches nothing (the semdedup_exact r11
+    ADVICE class).  Both faces must RAISE instead."""
+    import numpy as _np
+
+    from nasctn_sea_ingest_spark.streaming import (
+        semdedup_store_reproject, semdedup_stream)
+
+    land = str(tmp_path / "emb")
+    os.makedirs(land)
+    spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>").coalesce(1) \
+        .write.mode("append").parquet(land)
+
+    # monitor face: model fitted for d=6, data is d=4
+    bad = (_np.zeros(6), _np.eye(6)[:2])
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<double>")
+              .parquet(land))
+    q = semdedup_stream(stream, str(tmp_path / "store"),
+                        str(tmp_path / "ck"), str(tmp_path / "alerts"),
+                        bad[0], bad[1], threshold=0.9,
+                        available_now=True)
+    with pytest.raises(Exception, match="component width"):
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    # migration face: build a good d=4 store, reproject with d=6 model
+    good = (_np.zeros(4), _np.eye(4)[:2])
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<double>")
+              .parquet(land))
+    q = semdedup_stream(stream, str(tmp_path / "store2"),
+                        str(tmp_path / "ck2"),
+                        str(tmp_path / "alerts2"),
+                        good[0], good[1], threshold=0.9,
+                        available_now=True)
+    q.awaitTermination(120)
+    q.stop()
+    q.awaitTermination(30)
+    with pytest.raises(ValueError, match="component width"):
+        semdedup_store_reproject(spark, str(tmp_path / "store2"),
+                                 str(tmp_path / "store3"),
+                                 bad[0], bad[1], threshold=0.9)
