@@ -167,7 +167,11 @@ def skew_survey(df: DataFrame,
                for k in key_cols]
     if any(not e for e in entries):
         raise ValueError("empty composite key entry in key_cols")
-    if len({e for e in entries}) != len(entries):
+    # uniqueness is SET-wise: ('a','b') and ('b','a') are the same
+    # grouping set — GROUPING SETS would compute it twice and both
+    # copies would coalesce to the FIRST entry's label, doubling its
+    # n_keys/total_rows
+    if len({frozenset(e) for e in entries}) != len(entries):
         raise ValueError("duplicate key entry in key_cols")
     # union of columns across entries, first-seen order — one
     # grouping() flag per column identifies the exact set a row

@@ -1077,3 +1077,7 @@ def test_skew_survey_composite_keys(spark):
         skew_survey(df, ["a", ("a",)])
     with pytest.raises(ValueError, match="empty composite"):
         skew_survey(df, ["a", ()])
+    # set-wise duplicate: same grouping set computed twice would
+    # double the first label's rows
+    with pytest.raises(ValueError, match="duplicate key entry"):
+        skew_survey(df, [("a", "b"), ("b", "a")])
