@@ -1789,8 +1789,7 @@ def semdedup_store_reproject(spark: SparkSession, store_dir: str,
     replay guard would silently drop the first real batch.
 
     Returns the number of vectors migrated."""
-    import os as _os
-    if _os.path.exists(new_store_dir):
+    if os.path.exists(new_store_dir):
         raise ValueError(
             f"semdedup_store_reproject refuses existing target "
             f"{new_store_dir!r}: a reprojected store must be a NEW "
