@@ -1588,6 +1588,39 @@ def colocation_monitor_stream(points: DataFrame, out_dir: str,
     return writer.start()
 
 
+def _semdedup_meta_guard(store_dir: str, k: int, cell: float,
+                         n_buckets: int, comps_width: int) -> None:
+    """Persist/validate the grid geometry a semdedup store was built
+    with.  Stored rows bake in three parameters: cell keys (``cell``
+    size and ``k`` coordinates, under one specific model width) and
+    the ``kb`` bucket partition (``n_buckets``).  Re-attaching a
+    monitor with ANY of them changed makes bucket pruning and the cell
+    equi-join silently MISS pairs — a monitor that quietly under-
+    alerts forever.  First writer drops ``_semdedup_meta.json`` in the
+    store dir; every later attach validates and RAISES on mismatch
+    (change the model/threshold/buckets via
+    :func:`semdedup_store_reproject` into a NEW directory instead).
+    Local-fs file IO, like the reproject existing-target check."""
+    import json as _json
+    meta = {"k": int(k), "cell": float(cell),
+            "n_buckets": int(n_buckets),
+            "model_width": int(comps_width)}
+    path = os.path.join(store_dir, "_semdedup_meta.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            prior = _json.load(fh)
+        if prior != meta:
+            raise ValueError(
+                "semdedup store geometry mismatch: store was built "
+                f"with {prior}, monitor configured with {meta} — "
+                "stored cell/bucket keys would silently miss pairs; "
+                "reproject into a NEW store dir to change geometry")
+        return
+    os.makedirs(store_dir, exist_ok=True)
+    with open(path, "w") as fh:
+        _json.dump(meta, fh)
+
+
 def _semdedup_model(mean, components, threshold: float):
     """Validate + normalize a streaming-semdedup projection model.
 
@@ -1660,6 +1693,11 @@ def semdedup_stream(embeddings: DataFrame, out_dir: str,
 
         from ..operators.similarity import pca_project
         from ..operators.spatial import grid_distance_join_nd
+        # BEFORE any alert is computed: stored cell/bucket keys bake in
+        # (k, cell, n_buckets, model width); attaching with any of them
+        # changed would silently MISS pairs forever
+        _semdedup_meta_guard(out_dir, k, cell, n_buckets,
+                             comps.shape[1])
         spark = batch_df.sparkSession
         nrm = F.sqrt(F.aggregate(
             F.col(vec_col), F.lit(0.0),
@@ -1727,7 +1765,10 @@ def semdedup_stream(embeddings: DataFrame, out_dir: str,
                            F.lit(int(batch_id))).limit(1).count():
                 return  # replay: batch already appended
         except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e):
+            # UNABLE_TO_INFER_SCHEMA: the dir holds only the meta
+            # manifest (first batch stamps geometry before any append)
+            if ("PATH_NOT_FOUND" not in str(e)
+                    and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
                 raise
         if store is not None:
             vs_store = (nb.join(
@@ -1820,6 +1861,8 @@ def semdedup_store_reproject(spark: SparkSession, store_dir: str,
             f"the new model's component width ({comps.shape[1]}) does "
             "not match the stored vectors' dimensionality")
     out.write.partitionBy("kb").parquet(new_store_dir)
+    _semdedup_meta_guard(new_store_dir, k, cell, n_buckets,
+                         comps.shape[1])
     return spark.read.parquet(new_store_dir).count()
 
 

@@ -2389,3 +2389,52 @@ def test_semdedup_model_dim_mismatch_raises(spark, tmp_path):
         semdedup_store_reproject(spark, str(tmp_path / "store2"),
                                  str(tmp_path / "store3"),
                                  bad[0], bad[1], threshold=0.9)
+
+
+def test_semdedup_store_geometry_guard(spark, tmp_path):
+    """Stored cell/bucket keys bake in (k, cell, n_buckets, model
+    width): re-attaching the monitor with a different threshold or
+    bucket count against the SAME store would make bucket pruning and
+    the cell equi-join silently MISS pairs forever.  The geometry
+    manifest stamped by the first writer must make every such attach
+    RAISE — and a same-geometry resume must keep working."""
+    import numpy as _np
+
+    from nasctn_sea_ingest_spark.streaming import semdedup_stream
+
+    d = 4
+    model = (_np.zeros(d), _np.eye(d)[:2])
+    land = str(tmp_path / "emb")
+    store = str(tmp_path / "store")
+    os.makedirs(land)
+
+    def run(ck, threshold=0.9, n_buckets=16):
+        stream = (spark.readStream
+                  .schema("vec_id long, embedding array<double>")
+                  .parquet(land))
+        q = semdedup_stream(stream, store, str(tmp_path / ck),
+                            str(tmp_path / "alerts"), model[0],
+                            model[1], threshold=threshold,
+                            n_buckets=n_buckets, available_now=True)
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    spark.createDataFrame([(1, [1.0, 0.0, 0.0, 0.0])],
+                          "vec_id long, embedding array<double>") \
+        .coalesce(1).write.mode("append").parquet(land)
+    run("ck1")                       # stamps the geometry manifest
+    assert os.path.exists(os.path.join(store, "_semdedup_meta.json"))
+
+    spark.createDataFrame([(2, [0.0, 1.0, 0.0, 0.0])],
+                          "vec_id long, embedding array<double>") \
+        .coalesce(1).write.mode("append").parquet(land)
+    with pytest.raises(Exception, match="geometry mismatch"):
+        run("ck2", threshold=0.8)    # different cell size
+    with pytest.raises(Exception, match="geometry mismatch"):
+        run("ck3", n_buckets=8)      # different bucket partitioning
+    run("ck1")                       # same geometry resumes fine
+    got = spark.read.parquet(store)
+    assert got.select("id").distinct().count() == 2
