@@ -1321,6 +1321,15 @@ def fuzzy_dedup_stream(names: DataFrame, out_dir: str,
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
+        # the posting store bakes in max_distance (stored rows are
+        # <=max_distance deletion variants) and n_buckets (kb
+        # partition): attaching with either changed would probe
+        # variants/buckets the store never wrote and silently miss
+        # matches (the semdedup geometry contract; max_bucket is a
+        # per-batch hot-variant guard, NOT baked into stored keys)
+        _store_geometry_guard(out_dir, {
+            "kind": "fuzzy", "max_distance": int(max_distance),
+            "n_buckets": int(n_buckets)})
         spark = batch_df.sparkSession
         b = (batch_df.select(F.col(id_col).alias("id"),
                              F.col(text_col).alias("text"))
@@ -1353,7 +1362,10 @@ def fuzzy_dedup_stream(names: DataFrame, out_dir: str,
                            F.lit(int(batch_id))).limit(1).count():
                 return  # replay: batch already appended
         except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e):
+            # UNABLE_TO_INFER_SCHEMA: meta-only dir (the geometry
+            # manifest is stamped before the first append)
+            if ("PATH_NOT_FOUND" not in str(e)
+                    and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
                 raise
         if store is not None:
             hits = (fv.join(store.select(F.col("variant").alias("variant"),
@@ -1521,6 +1533,12 @@ def colocation_monitor_stream(points: DataFrame, out_dir: str,
         from pyspark.errors import AnalysisException
 
         from ..operators.spatial import grid_distance_join
+        # stored cx/cy/kb bake in (radius, n_buckets): a re-attach with
+        # either changed would probe the wrong cells/buckets and
+        # silently miss pairs (the semdedup geometry contract)
+        _store_geometry_guard(out_dir, {
+            "kind": "colocation", "cell": float(cell),
+            "n_buckets": int(n_buckets)})
         spark = batch_df.sparkSession
         b = (batch_df.select(F.col(id_col).alias("id"),
                              F.col(x_col).cast("double").alias("x"),
@@ -1555,7 +1573,10 @@ def colocation_monitor_stream(points: DataFrame, out_dir: str,
                            F.lit(int(batch_id))).limit(1).count():
                 return  # replay: batch already appended
         except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e):
+            # UNABLE_TO_INFER_SCHEMA: meta-only dir (the geometry
+            # manifest is stamped before the first append)
+            if ("PATH_NOT_FOUND" not in str(e)
+                    and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
                 raise
         if store is not None:
             dxc = F.col("x") - F.col("sx")
@@ -1588,33 +1609,29 @@ def colocation_monitor_stream(points: DataFrame, out_dir: str,
     return writer.start()
 
 
-def _semdedup_meta_guard(store_dir: str, k: int, cell: float,
-                         n_buckets: int, comps_width: int) -> None:
-    """Persist/validate the grid geometry a semdedup store was built
-    with.  Stored rows bake in three parameters: cell keys (``cell``
-    size and ``k`` coordinates, under one specific model width) and
-    the ``kb`` bucket partition (``n_buckets``).  Re-attaching a
-    monitor with ANY of them changed makes bucket pruning and the cell
-    equi-join silently MISS pairs — a monitor that quietly under-
-    alerts forever.  First writer drops ``_semdedup_meta.json`` in the
-    store dir; every later attach validates and RAISES on mismatch
-    (change the model/threshold/buckets via
-    :func:`semdedup_store_reproject` into a NEW directory instead).
+def _store_geometry_guard(store_dir: str, meta: dict) -> None:
+    """Persist/validate the key geometry a candidate store was built
+    with.  Store-backed monitors bake parameters into their STORED
+    keys — grid cell size / coordinate count / bucket partitioning
+    (semdedup, colocation), deletion-variant depth (fuzzy) — so
+    re-attaching with ANY of them changed makes the probe join the
+    wrong keys and silently MISS pairs forever.  The first writer
+    drops ``_store_geometry.json`` in the store dir (underscore
+    prefix: invisible to the parquet reader); every later attach
+    validates and RAISES on mismatch — changing geometry means a NEW
+    store dir (for semdedup, via :func:`semdedup_store_reproject`).
     Local-fs file IO, like the reproject existing-target check."""
     import json as _json
-    meta = {"k": int(k), "cell": float(cell),
-            "n_buckets": int(n_buckets),
-            "model_width": int(comps_width)}
-    path = os.path.join(store_dir, "_semdedup_meta.json")
+    path = os.path.join(store_dir, "_store_geometry.json")
     if os.path.exists(path):
         with open(path) as fh:
             prior = _json.load(fh)
         if prior != meta:
             raise ValueError(
-                "semdedup store geometry mismatch: store was built "
-                f"with {prior}, monitor configured with {meta} — "
-                "stored cell/bucket keys would silently miss pairs; "
-                "reproject into a NEW store dir to change geometry")
+                f"{meta.get('kind', 'store')} store geometry "
+                f"mismatch: store was built with {prior}, monitor "
+                f"configured with {meta} — stored keys would silently "
+                "miss pairs; use a NEW store dir to change geometry")
         return
     os.makedirs(store_dir, exist_ok=True)
     with open(path, "w") as fh:
@@ -1696,8 +1713,10 @@ def semdedup_stream(embeddings: DataFrame, out_dir: str,
         # BEFORE any alert is computed: stored cell/bucket keys bake in
         # (k, cell, n_buckets, model width); attaching with any of them
         # changed would silently MISS pairs forever
-        _semdedup_meta_guard(out_dir, k, cell, n_buckets,
-                             comps.shape[1])
+        _store_geometry_guard(out_dir, {
+            "kind": "semdedup", "k": int(k), "cell": float(cell),
+            "n_buckets": int(n_buckets),
+            "model_width": int(comps.shape[1])})
         spark = batch_df.sparkSession
         nrm = F.sqrt(F.aggregate(
             F.col(vec_col), F.lit(0.0),
@@ -1861,8 +1880,10 @@ def semdedup_store_reproject(spark: SparkSession, store_dir: str,
             f"the new model's component width ({comps.shape[1]}) does "
             "not match the stored vectors' dimensionality")
     out.write.partitionBy("kb").parquet(new_store_dir)
-    _semdedup_meta_guard(new_store_dir, k, cell, n_buckets,
-                         comps.shape[1])
+    _store_geometry_guard(new_store_dir, {
+        "kind": "semdedup", "k": int(k), "cell": float(cell),
+        "n_buckets": int(n_buckets),
+        "model_width": int(comps.shape[1])})
     return spark.read.parquet(new_store_dir).count()
 
 

@@ -2426,7 +2426,7 @@ def test_semdedup_store_geometry_guard(spark, tmp_path):
                           "vec_id long, embedding array<double>") \
         .coalesce(1).write.mode("append").parquet(land)
     run("ck1")                       # stamps the geometry manifest
-    assert os.path.exists(os.path.join(store, "_semdedup_meta.json"))
+    assert os.path.exists(os.path.join(store, "_store_geometry.json"))
 
     spark.createDataFrame([(2, [0.0, 1.0, 0.0, 0.0])],
                           "vec_id long, embedding array<double>") \
@@ -2438,3 +2438,72 @@ def test_semdedup_store_geometry_guard(spark, tmp_path):
     run("ck1")                       # same geometry resumes fine
     got = spark.read.parquet(store)
     assert got.select("id").distinct().count() == 2
+
+
+def test_colocation_and_fuzzy_store_geometry_guard(spark, tmp_path):
+    """The geometry manifest generalizes to every store-backed
+    candidate monitor: colocation bakes (radius, n_buckets) into
+    stored cx/cy/kb, fuzzy bakes (max_distance, n_buckets) into its
+    posting store — re-attaching with either changed must RAISE
+    instead of silently under-alerting, and a same-geometry resume
+    must keep working."""
+    from nasctn_sea_ingest_spark.streaming import (
+        colocation_monitor_stream, fuzzy_dedup_stream)
+
+    land_p = str(tmp_path / "pts")
+    land_n = str(tmp_path / "names")
+    os.makedirs(land_p)
+    os.makedirs(land_n)
+
+    def run_colo(ck, radius=10.0, n_buckets=16):
+        stream = (spark.readStream
+                  .schema("id long, x double, y double")
+                  .parquet(land_p))
+        q = colocation_monitor_stream(
+            stream, str(tmp_path / "pstore"), str(tmp_path / ck),
+            str(tmp_path / "palerts"), radius, n_buckets=n_buckets,
+            available_now=True)
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    def run_fuzzy(ck, max_distance=1, n_buckets=16):
+        stream = (spark.readStream.schema("id long, text string")
+                  .parquet(land_n))
+        q = fuzzy_dedup_stream(
+            stream, str(tmp_path / "fstore"), str(tmp_path / ck),
+            str(tmp_path / "falerts"), max_distance=max_distance,
+            n_buckets=n_buckets, available_now=True)
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    spark.createDataFrame([(1, 0.0, 0.0)],
+                          "id long, x double, y double") \
+        .coalesce(1).write.mode("append").parquet(land_p)
+    run_colo("ckp1")
+    spark.createDataFrame([(2, 3.0, 0.0)],
+                          "id long, x double, y double") \
+        .coalesce(1).write.mode("append").parquet(land_p)
+    with pytest.raises(Exception, match="geometry mismatch"):
+        run_colo("ckp2", radius=5.0)
+    with pytest.raises(Exception, match="geometry mismatch"):
+        run_colo("ckp3", n_buckets=8)
+    run_colo("ckp1")     # same geometry resumes; pair (1,2) alerts
+    al = spark.read.parquet(str(tmp_path / "palerts") + "/batch=*")
+    assert al.count() == 1
+
+    spark.createDataFrame([(1, "alpha")], "id long, text string") \
+        .coalesce(1).write.mode("append").parquet(land_n)
+    run_fuzzy("ckf1")
+    spark.createDataFrame([(2, "alphb")], "id long, text string") \
+        .coalesce(1).write.mode("append").parquet(land_n)
+    with pytest.raises(Exception, match="geometry mismatch"):
+        run_fuzzy("ckf2", max_distance=2)
+    run_fuzzy("ckf1")    # same geometry: 'alphb' matches stored 'alpha'
+    al = spark.read.parquet(str(tmp_path / "falerts") + "/batch=*")
+    assert al.where("id = 2").count() == 1
