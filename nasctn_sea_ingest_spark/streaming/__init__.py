@@ -829,6 +829,11 @@ def media_dedup_stream(media: DataFrame, out_dir: str,
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
         from pyspark.sql import Window
+        # stored kb bakes in n_buckets: a re-attach with it changed
+        # would prune the wrong buckets and silently miss known hashes
+        # (the store-geometry contract; dhash itself is parameterless)
+        _store_geometry_guard(out_dir, {
+            "kind": "media", "n_buckets": int(n_buckets)})
         spark = batch_df.sparkSession
         h = (image_dhash(batch_df).where(F.col("error").isNull())
              .select("media_id", "dhash")
@@ -846,7 +851,10 @@ def media_dedup_stream(media: DataFrame, out_dir: str,
                                F.lit(int(batch_id))).limit(1).count():
                     return  # replay: batch already appended
             except AnalysisException as e:
-                if "PATH_NOT_FOUND" not in str(e):
+                # UNABLE_TO_INFER_SCHEMA: meta-only dir (the geometry
+                # manifest is stamped before the first append)
+                if ("PATH_NOT_FOUND" not in str(e) and
+                        "UNABLE_TO_INFER_SCHEMA" not in str(e)):
                     raise
                 store = None
             w = Window.partitionBy("dhash").orderBy("media_id")
