@@ -865,7 +865,7 @@ def test_skew_profile(spark):
                  ("k5", 5)]:
         rows += [(i, j) for j in range(n)]
     df = spark.createDataFrame(rows, "k string, v long").repartition(8)
-    p = skew_survey(df, ["k"], top_k=3)
+    p = skew_profile(df, ["k"], top_k=3)
     assert p["n_rows"] == 1000 and p["n_keys"] == 5
     assert p["max"] == 800 and p["max_share"] == pytest.approx(0.8)
     assert [t[0] for t in p["top"]] == [("hot",), ("warm",), ("k3",)]
@@ -873,7 +873,7 @@ def test_skew_profile(spark):
     assert p["top"][0][2] == pytest.approx(0.8)
     assert p["p50"] in (5, 15, 30)  # approx quantile of the count set
     # multi-key grouping works and returns tuple keys
-    p2 = skew_survey(df, ["k", "v"], top_k=1)
+    p2 = skew_profile(df, ["k", "v"], top_k=1)
     assert p2["n_keys"] == 1000 and p2["max"] == 1
 
 
