@@ -1076,8 +1076,10 @@ def skew_profile(df: DataFrame, keys: Sequence[str],
                  top_k: int = 10) -> dict:
     """Key-skew pre-flight for a planned groupBy/join on ``keys`` — the
     "should I salt this?" diagnostic that pairs with :func:`salted_agg`
-    and AQE's skew join (to COMPARE several candidate keys in one scan
-    with a DataFrame result, use ``operators.quality.skew_survey``): one hash-agg over the keys (map-side combine),
+    and AQE's skew join (to COMPARE several candidate keys in one
+    scan with a DataFrame result, use
+    ``operators.quality.skew_survey``): one hash-agg over the keys
+    (map-side combine),
     then a one-row stats reduce plus a TakeOrdered(top_k) of the heavy
     keys.  Driver result is bounded (top_k rows + 1 stats row) at any
     input size.

@@ -188,7 +188,7 @@ RETIRED_NAMES = frozenset({
     # pytest DuckDB oracle via tests/test_corpus::ALL:
     #   q41_rollup: ROLLUP is the special case of GROUPING SETS — q50
     #     (the general form, grouping() markers) and q42 (CUBE, the
-    #     bigger Expand) stay live, and q172 skew_profile adds a THIRD
+    #     bigger Expand) stay live, and q172 skew_survey adds a THIRD
     #     driver-scale Expand-family row this same round.
     "q41_rollup",
     # ROUND-13 RETIREMENT CANDIDATES (staged, not retired — pre-plan so
