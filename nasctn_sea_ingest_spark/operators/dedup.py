@@ -405,9 +405,19 @@ def minhash_band_index(df: DataFrame, text_col: str = "text",
     ``partitionBy(band)`` or bucketed by (band, bucket) so stream-side
     probes prune). Built with the batch signature path; streaming probes
     against it with the expression path (same hash family, so buckets
-    align — ``streaming.neardup_stream``)."""
-    return band_buckets(
+    align — ``streaming.neardup_stream``).
+
+    The ``bucket`` column carries the build parameters as column
+    metadata (survives the parquet round-trip): a probe computing
+    signatures with DIFFERENT (n, n_hashes, n_bands) would hash into
+    buckets this index never wrote and silently match nothing —
+    ``neardup_stream`` validates the stamp and raises instead."""
+    out = band_buckets(
         minhash_signatures(df, text_col, id_col, n, n_hashes), n_bands)
+    meta = {"minhash_n": int(n), "minhash_hashes": int(n_hashes),
+            "minhash_bands": int(n_bands)}
+    return out.withColumn(
+        "bucket", F.col("bucket").alias("bucket", metadata=meta))
 
 
 def _delete_variants(text_col: str, k: int) -> F.Column:

@@ -371,6 +371,21 @@ def neardup_stream(doc_stream: DataFrame, band_index: DataFrame,
     """
     from ..operators.dedup import band_buckets, minhash_signature_expr
 
+    # a stamped index (minhash_band_index column metadata) pins the
+    # parameters its buckets were hashed with: probing with different
+    # (n, n_hashes, n_bands) would silently match nothing — the
+    # store-geometry contract in DataFrame form.  Legacy unstamped
+    # indexes skip the check (nothing to validate against).
+    stamp = {k: v for k, v in
+             (band_index.schema["bucket"].metadata or {}).items()
+             if k.startswith("minhash_")}
+    want = {"minhash_n": int(n), "minhash_hashes": int(n_hashes),
+            "minhash_bands": int(n_bands)}
+    if stamp and stamp != want:
+        raise ValueError(
+            f"neardup_stream: band index was built with {stamp}, "
+            f"probe configured with {want} — buckets would silently "
+            "never match; rebuild the index or match the parameters")
     sig = minhash_signature_expr("text", n=n, n_hashes=n_hashes)
     s = (doc_stream.withColumn("sig", sig)
          # no n-gram (short text) → null-element signature: never matches

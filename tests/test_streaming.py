@@ -2507,3 +2507,36 @@ def test_colocation_and_fuzzy_store_geometry_guard(spark, tmp_path):
     run_fuzzy("ckf1")    # same geometry: 'alphb' matches stored 'alpha'
     al = spark.read.parquet(str(tmp_path / "falerts") + "/batch=*")
     assert al.where("id = 2").count() == 1
+
+
+def test_neardup_index_parameter_stamp(spark, tmp_path):
+    """minhash_band_index stamps its build parameters as column
+    metadata (parquet round-trip included): a neardup_stream probe
+    configured with different (n, n_hashes, n_bands) would hash into
+    buckets the index never wrote and silently match nothing — it must
+    RAISE at plan-build time; matching parameters (and legacy
+    unstamped indexes) construct normally."""
+    from nasctn_sea_ingest_spark.operators.dedup import \
+        minhash_band_index
+    from nasctn_sea_ingest_spark.streaming import neardup_stream
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    minhash_band_index(docs).write.parquet(path)
+    idx = spark.read.parquet(path)
+    # the stamp survived the parquet round-trip
+    assert idx.schema["bucket"].metadata["minhash_hashes"] == 32
+
+    os.makedirs(str(tmp_path / "land"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(str(tmp_path / "land")))
+    with pytest.raises(ValueError, match="built with"):
+        neardup_stream(stream, idx, n_hashes=16)
+    with pytest.raises(ValueError, match="built with"):
+        neardup_stream(stream, idx, n_bands=4)
+    neardup_stream(stream, idx)                      # match: fine
+    legacy = idx.withColumn(
+        "bucket", F.col("bucket").alias("bucket", metadata={}))
+    neardup_stream(stream, legacy, n_hashes=16)      # unstamped: fine
