@@ -116,13 +116,30 @@ def audit(table_rules: "dict[str, tuple[DataFrame, list]]",
     return out
 
 
+def _percentile_label(p: float) -> str:
+    """Column label for percentile ``p`` — the FULL decimal
+    representation, not a rounded integer (r12 ADVICE: the old
+    ``round(p*100):02d`` labeled 0.995 and 1.0 both ``p100_cnt`` and
+    banker's rounding collided 0.115/0.125 at ``p12_cnt``, silently
+    duplicating output column names).  ``.10g`` absorbs float fuzz
+    (0.115*100 = 11.499999999999998 prints 11.5); the integer part
+    keeps the legacy 2-digit zero-pad so existing consumers of
+    ``p50_cnt``/``p99_cnt`` see unchanged names."""
+    s = format(p * 100, ".10g")
+    if "." in s:
+        ip, fp = s.split(".", 1)
+        return f"p{int(ip):02d}_{fp}_cnt"
+    return f"p{int(s):02d}_cnt"
+
+
 def skew_survey(df: DataFrame,
                  key_cols: "list[str | tuple[str, ...]]",
                  percentiles: "tuple[float, ...]" = (0.5, 0.99),
                  exact: bool = True,
                  salt_share: float = 0.2,
                  skew_ratio_hint: float = 10.0,
-                 approx_accuracy: int = 10000) -> DataFrame:
+                 approx_accuracy: int = 10000,
+                 exact_key_limit: "int | None" = 10_000_000) -> DataFrame:
     """Join/agg-key skew diagnostics for J candidate keys in ONE scan
     of the table — the profiling pass a 100 TB pipeline runs BEFORE
     choosing a shuffle strategy (salt factor, AQE skew-join
@@ -149,7 +166,16 @@ def skew_survey(df: DataFrame,
     ``exact=True`` computes exact interpolated percentiles over the
     per-key count distribution (J reducers each hold n_keys counts —
     fine up to ~10M distinct keys per column); pass ``exact=False`` at
-    billions of keys for bounded-memory ``approx_percentile``.
+    billions of keys for bounded-memory ``approx_percentile``.  The
+    caller should not have to KNOW the cardinality in advance (it is
+    exactly what this profiler measures), so ``exact=True`` is guarded
+    by a cheap pre-gate (the ``fd_discover`` pattern): one
+    ``approx_count_distinct`` scan over the candidate entries, and if
+    any entry's estimate exceeds ``exact_key_limit`` (default 10M,
+    padded 10% for HLL error) the survey auto-switches to
+    ``approx_percentile`` instead of OOMing a reducer.
+    ``exact_key_limit=None`` skips the gate scan and trusts the
+    caller.
 
     Returns one row per key entry: ``key_col, n_keys, total_rows,
     max_cnt, avg_cnt, p<P>_cnt..., top1_share, skew_ratio, hint`` where
@@ -160,9 +186,17 @@ def skew_survey(df: DataFrame,
     divisions, deterministic across engines."""
     if not key_cols:
         raise ValueError("skew_survey needs at least one key column")
+    if not percentiles:
+        raise ValueError("skew_survey needs at least one percentile "
+                         "(percentile(.., array()) fails analysis)")
     for p in percentiles:
         if not 0 <= p <= 1:
             raise ValueError(f"percentile out of [0,1]: {p}")
+    plabels = [_percentile_label(p) for p in percentiles]
+    if len(set(plabels)) != len(plabels):
+        raise ValueError(
+            f"duplicate percentile column labels {plabels} from "
+            f"percentiles {tuple(percentiles)}")
     entries = [(k,) if isinstance(k, str) else tuple(k)
                for k in key_cols]
     if any(not e for e in entries):
@@ -179,6 +213,20 @@ def skew_survey(df: DataFrame,
     # AND all others are rolled up: ('a',) and ('a','b') entries
     # must not be confused)
     allc = list(dict.fromkeys(c for e in entries for c in e))
+    if exact and exact_key_limit is not None:
+        # cardinality pre-gate: ONE scan, one approx_count_distinct per
+        # entry (composite entries via struct), ~2% HLL error — padded
+        # 10% so a borderline-exact survey never flips spuriously.  A
+        # driver-side gate action at plan-build time, the fd_discover
+        # precedent: the profiler must not trust the caller to know
+        # the very cardinality it exists to measure.
+        est = df.agg(*[
+            F.approx_count_distinct(
+                F.struct(*e) if len(e) > 1 else F.col(e[0]))
+            .alias(f"__e{i}") for i, e in enumerate(entries)]).first()
+        worst = max(est[i] for i in range(len(entries)))
+        if worst > exact_key_limit * 1.1:
+            exact = False
     cnt = (df.groupingSets([list(e) for e in entries], *allc)
              .agg(F.count(F.lit(1)).alias("__cnt"),
                   *[F.grouping(c).alias(f"__g{i}")
@@ -206,9 +254,8 @@ def skew_survey(df: DataFrame,
     return prof.select(
         "key_col", "n_keys", "total_rows", "max_cnt",
         (F.col("total_rows") / F.col("n_keys")).alias("avg_cnt"),
-        *[(F.col("__ps")[i].cast("double")
-           .alias(f"p{round(p * 100):02d}_cnt"))
-          for i, p in enumerate(percentiles)],
+        *[(F.col("__ps")[i].cast("double").alias(lbl))
+          for i, lbl in enumerate(plabels)],
         top1.alias("top1_share"),
         ratio.alias("skew_ratio"),
         F.when(top1 > F.lit(float(salt_share)), F.lit("salt"))

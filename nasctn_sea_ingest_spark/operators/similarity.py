@@ -22,6 +22,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..querylog import stage_digest
+
 __all__ = ["cosine_topk", "cosine_pairs", "lsh_bucket", "lsh_topk",
            "ivf_assign", "ivf_topk", "train_centroids", "sample_centroids",
            "cosine_topk_batch", "quantize_embeddings", "dequantize_embeddings",
@@ -162,7 +164,9 @@ def semdedup_exact(emb: DataFrame, threshold: float = 0.95, k: int = 2,
        worst-case double-precision projection rounding, so the
        lossless-superset guarantee holds at every threshold;
     4. exact full-width double-precision cosine verifies each
-       candidate — map-side, before any further shuffle;
+       candidate — two hash joins fetch the unit vectors back onto the
+       candidate pairs, so the verify stage shuffles CANDIDATES (plus
+       the vector fetch), never all pairs;
     5. :func:`graph.star_components` over the verified pairs (the
        size-gated driver kernel takes over for small dup graphs).
 
@@ -191,8 +195,9 @@ def semdedup_exact(emb: DataFrame, threshold: float = 0.95, k: int = 2,
             .where(F.col("__n") > 0)
             .select("__id", F.transform(
                 "__v",
-                lambda x: x.cast("double") / F.col("__n")).alias("__u"))
-            .localCheckpoint(eager=False))
+                lambda x: x.cast("double") / F.col("__n")).alias("__u")))
+    stage_digest("semdedup_exact.unit", unit)  # pre-checkpoint plan
+    unit = unit.localCheckpoint(eager=False)
     mean, comps = pca_fit(unit, k, col="__u")
     if comps.shape[0] < k:
         # silent truncation would leave F.col("__p")[i] NULL for the
@@ -220,6 +225,12 @@ def semdedup_exact(emb: DataFrame, threshold: float = 0.95, k: int = 2,
     verified = (cand.join(u1, "id1").join(u2, "id2")
                 .where(cos >= F.lit(float(threshold)))
                 .select("id1", "id2"))
+    # stage digests (r12 verdict #1): the grid equi-join and the
+    # verify joins live UPSTREAM of star_components' checkpoints, so
+    # the end-to-end digest never sees them — record them here, where
+    # an interior rewrite of the candidate generator would show
+    stage_digest("semdedup_exact.grid_candidates", cand)
+    stage_digest("semdedup_exact.verified", verified)
     comp = star_components(verified, "id1", "id2")
     return (comp.where(F.col("node") != F.col("cluster"))
             .select(F.col("node").alias(id_col),

@@ -1643,22 +1643,57 @@ def _store_geometry_guard(store_dir: str, meta: dict) -> None:
     prefix: invisible to the parquet reader); every later attach
     validates and RAISES on mismatch — changing geometry means a NEW
     store dir (for semdedup, via :func:`semdedup_store_reproject`).
-    Local-fs file IO, like the reproject existing-target check."""
+    Local-fs file IO, like the reproject existing-target check.
+
+    The stamp is written to a temp file and ``os.replace``d into place
+    (r12 ADVICE: a driver crash mid-``json.dump`` used to leave a
+    truncated manifest that failed every later attach with an opaque
+    ``JSONDecodeError``); a manifest that still fails to parse raises
+    a clear corrupt-manifest error naming the recovery (delete it to
+    re-stamp).  First-attach races (two monitors stamping an empty
+    store concurrently) resolve through the atomic replace: both
+    writers re-validate against whichever stamp won, so two identical
+    geometries coexist quietly and a conflicting pair raises on the
+    loser's re-read instead of silently interleaving."""
     import json as _json
+    import tempfile
     path = os.path.join(store_dir, "_store_geometry.json")
-    if os.path.exists(path):
-        with open(path) as fh:
-            prior = _json.load(fh)
+
+    def _load():
+        try:
+            with open(path) as fh:
+                return _json.load(fh)
+        except ValueError as e:
+            raise ValueError(
+                f"corrupt store-geometry manifest at {path!r} "
+                f"({e}) — likely a crash mid-stamp; delete the file "
+                "to let the next attach re-stamp it") from e
+
+    def _check(prior):
         if prior != meta:
             raise ValueError(
                 f"{meta.get('kind', 'store')} store geometry "
                 f"mismatch: store was built with {prior}, monitor "
                 f"configured with {meta} — stored keys would silently "
                 "miss pairs; use a NEW store dir to change geometry")
+
+    if os.path.exists(path):
+        _check(_load())
         return
     os.makedirs(store_dir, exist_ok=True)
-    with open(path, "w") as fh:
-        _json.dump(meta, fh)
+    fd, tmp = tempfile.mkstemp(dir=store_dir, prefix="_geom_",
+                               suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            _json.dump(meta, fh)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    # re-read after the replace: if a concurrent first-attach won the
+    # race with a DIFFERENT geometry, fail here rather than run two
+    # monitors with incompatible stored keys
+    _check(_load())
 
 
 def _semdedup_model(mean, components, threshold: float):
@@ -1682,6 +1717,39 @@ def _semdedup_model(mean, components, threshold: float):
     qs = [f"q{i}" for i in range(k)]
     cs = [f"c{i}" for i in range(k)]
     return mu, comps, k, cell, qs, cs
+
+
+def _null_projection_diagnose(df: DataFrame, qs: "list[str]",
+                              model_width: int, ctx: str) -> None:
+    """Raise a PRECISE error for NULL projected grid coordinates.
+
+    A NULL coordinate means the projection's ``zip_with`` padded — but
+    two distinct input defects produce it (r12 ADVICE): a model whose
+    component width mismatches the embedding dimensionality (every row
+    fails), or a NULL ELEMENT inside one vector (that row alone fails).
+    Blaming both on "component width" sent operators debugging the
+    model when one poisoned row was the cause.  Probes ONE offending
+    row (``df`` is already materialized at both call sites, so this is
+    a cheap filtered scan), compares its observed ``F.size`` against
+    the model width, checks for null elements, and names the id."""
+    bad = (df.where(reduce(or_, [F.col(q).isNull() for q in qs]))
+           .select(F.col("id").alias("__bid"),
+                   F.size("__u").alias("__w"),
+                   F.exists("__u", lambda x: x.isNull())
+                   .alias("__has_null"))
+           .limit(1).collect())
+    if not bad:
+        return
+    r = bad[0]
+    if r["__has_null"]:
+        raise ValueError(
+            f"{ctx}: embedding id={r['__bid']!r} contains a NULL "
+            "element — its projection is NULL and its grid cell would "
+            "never equi-join; drop or repair the row upstream")
+    raise ValueError(
+        f"{ctx}: NULL projected coordinate for id={r['__bid']!r} — "
+        f"the model's component width ({model_width}) does not match "
+        f"the embedding dimensionality ({r['__w']})")
 
 
 def semdedup_stream(embeddings: DataFrame, out_dir: str,
@@ -1763,16 +1831,14 @@ def semdedup_stream(embeddings: DataFrame, out_dir: str,
         if not b.limit(1).count():
             return
         # A model whose component width mismatches the embedding dim
-        # makes zip_with pad with NULLs -> NULL grid cells that never
-        # equi-join -> the monitor would silently never alert again
-        # (the semdedup_exact r11 ADVICE class).  b is already
-        # materialized, so the guard scan is cheap.
-        if b.where(reduce(or_, [F.col(q).isNull() for q in qs])) \
-                .limit(1).count():
-            raise ValueError(
-                "semdedup_stream: NULL projected coordinate — the "
-                f"model's component width ({comps.shape[1]}) does not "
-                "match the embedding dimensionality")
+        # (or a NULL element inside one vector) makes zip_with pad
+        # with NULLs -> NULL grid cells that never equi-join -> the
+        # monitor would silently never alert again (the semdedup_exact
+        # r11 ADVICE class).  b is already materialized, so the guard
+        # scan is cheap; the helper names the offending id and which
+        # of the two defects it is (r12 ADVICE).
+        _null_projection_diagnose(b, qs, comps.shape[1],
+                                  "semdedup_stream")
         cos = F.aggregate(
             F.zip_with("__u1", "__u2", lambda a, x: a * x),
             F.lit(0.0), lambda a, x: a + x)
@@ -1894,14 +1960,11 @@ def semdedup_store_reproject(spark: SparkSession, store_dir: str,
            .withColumn("kb", F.pmod(F.hash(*cs), n_buckets))
            .localCheckpoint(eager=True))  # one scan: guard + write
     # same NULL-coordinate guard as the monitor: a component width
-    # that mismatches the stored vectors would write a store that
-    # never equi-joins anything — fail the migration loudly instead
-    if out.where(reduce(or_, [F.col(q).isNull() for q in qs])) \
-            .limit(1).count():
-        raise ValueError(
-            "semdedup_store_reproject: NULL projected coordinate — "
-            f"the new model's component width ({comps.shape[1]}) does "
-            "not match the stored vectors' dimensionality")
+    # that mismatches the stored vectors (or a NULL element inside a
+    # stored vector) would write a store that never equi-joins
+    # anything — fail the migration loudly, naming the defect
+    _null_projection_diagnose(out, qs, comps.shape[1],
+                              "semdedup_store_reproject")
     out.write.partitionBy("kb").parquet(new_store_dir)
     _store_geometry_guard(new_store_dir, {
         "kind": "semdedup", "k": int(k), "cell": float(cell),

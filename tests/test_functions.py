@@ -1081,3 +1081,58 @@ def test_skew_survey_composite_keys(spark):
     # double the first label's rows
     with pytest.raises(ValueError, match="duplicate key entry"):
         skew_survey(df, [("a", "b"), ("b", "a")])
+
+
+def test_skew_survey_percentile_labels_and_gate(spark):
+    """r12 ADVICE: percentile labels carry the full decimal (0.995 and
+    1.0 used to both round to p100_cnt; 0.115/0.125 both to p12_cnt
+    under banker's rounding), empty percentiles raise instead of
+    failing analysis, and the exact-percentile cardinality pre-gate
+    (verdict stretch #9) auto-switches to approx above the limit."""
+    import numpy as np
+    import pytest
+
+    from nasctn_sea_ingest_spark.operators.quality import (
+        _percentile_label, skew_survey)
+
+    assert _percentile_label(0.5) == "p50_cnt"
+    assert _percentile_label(0.99) == "p99_cnt"
+    assert _percentile_label(0.995) == "p99_5_cnt"
+    assert _percentile_label(1.0) == "p100_cnt"
+    assert _percentile_label(0.115) == "p11_5_cnt"
+    assert _percentile_label(0.125) == "p12_5_cnt"
+    assert _percentile_label(0.05) == "p05_cnt"  # legacy zero-pad
+
+    rows = [(i % 7, i) for i in range(140)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    prof = skew_survey(df, ["a"], percentiles=(0.995, 1.0, 0.115))
+    assert {"p99_5_cnt", "p100_cnt", "p11_5_cnt"} <= set(prof.columns)
+    g = prof.first().asDict()
+    cnts = [20.0] * 7
+    assert g["p100_cnt"] == pytest.approx(
+        np.percentile(cnts, 100, method="linear"))
+    assert g["p99_5_cnt"] == pytest.approx(
+        np.percentile(cnts, 99.5, method="linear"))
+
+    with pytest.raises(ValueError, match="at least one percentile"):
+        skew_survey(df, ["a"], percentiles=())
+
+    # auto-gate: 'b' has 140 distinct values > a tiny exact_key_limit,
+    # so the survey must flip to approx_percentile — visible in the
+    # plan (no exact `percentile(` call) while values stay sane
+    prof2 = skew_survey(df, ["b"], percentiles=(0.5,),
+                        exact=True, exact_key_limit=50)
+    plan = prof2._jdf.queryExecution().analyzed().toString()
+    assert "approx_percentile" in plan
+    r2 = prof2.first()
+    assert r2.n_keys == 140 and r2.max_cnt == 1
+    # under the limit the exact path is kept
+    prof3 = skew_survey(df, ["a"], percentiles=(0.5,),
+                        exact=True, exact_key_limit=50)
+    assert "approx_percentile" not in \
+        prof3._jdf.queryExecution().analyzed().toString()
+    # gate disabled: trusts the caller even above the limit
+    prof4 = skew_survey(df, ["b"], percentiles=(0.5,),
+                        exact=True, exact_key_limit=None)
+    assert "approx_percentile" not in \
+        prof4._jdf.queryExecution().analyzed().toString()

@@ -2391,6 +2391,61 @@ def test_semdedup_model_dim_mismatch_raises(spark, tmp_path):
                                  bad[0], bad[1], threshold=0.9)
 
 
+def test_store_geometry_manifest_corruption_and_null_element(
+        spark, tmp_path):
+    """r12 ADVICE pair: (a) a truncated/corrupt geometry manifest (a
+    crash mid-stamp) must raise a CLEAR corrupt-manifest error naming
+    the recovery, not an opaque JSONDecodeError — and the stamp itself
+    is now written via temp-file + os.replace so a crash can no longer
+    produce one; (b) a NULL element inside ONE stored vector must be
+    diagnosed as exactly that (naming the id), not blamed on model
+    component width."""
+    import numpy as _np
+
+    from nasctn_sea_ingest_spark.streaming import (
+        _store_geometry_guard, semdedup_store_reproject)
+
+    # (a) corrupt manifest -> clear error
+    store = str(tmp_path / "cstore")
+    os.makedirs(store)
+    with open(os.path.join(store, "_store_geometry.json"), "w") as fh:
+        fh.write('{"kind": "semdedup", "k"')   # truncated mid-write
+    with pytest.raises(ValueError, match="corrupt store-geometry"):
+        _store_geometry_guard(store, {"kind": "semdedup"})
+    # recovery path: delete -> next attach re-stamps atomically
+    os.unlink(os.path.join(store, "_store_geometry.json"))
+    _store_geometry_guard(store, {"kind": "semdedup", "k": 2})
+    _store_geometry_guard(store, {"kind": "semdedup", "k": 2})
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        _store_geometry_guard(store, {"kind": "semdedup", "k": 3})
+
+    # (b) NULL element inside one stored vector: reproject must name
+    # the offending id and the defect, not claim a width mismatch
+    old = str(tmp_path / "nstore")
+    spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0], 0),
+         (2, [0.0, None, 0.0, 1.0], 0)],
+        "id long, __u array<double>, batch_id long") \
+        .coalesce(1).write.parquet(old)
+    model = (_np.zeros(4), _np.eye(4)[:2])
+    with pytest.raises(ValueError, match="NULL element"):
+        semdedup_store_reproject(spark, old, str(tmp_path / "nstore2"),
+                                 model[0], model[1], threshold=0.9)
+    # width mismatch still diagnosed as width, with both dims named
+    # (a clean store: the one-row probe must not race the null-element
+    # row into the width diagnosis)
+    clean = str(tmp_path / "wstore")
+    spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0], 0)],
+        "id long, __u array<double>, batch_id long") \
+        .coalesce(1).write.parquet(clean)
+    with pytest.raises(ValueError, match="component width \\(2\\).*"
+                       "dimensionality \\(4\\)"):
+        semdedup_store_reproject(
+            spark, clean, str(tmp_path / "nstore3"),
+            _np.zeros(2), _np.eye(2)[:2], threshold=0.9)
+
+
 def test_semdedup_store_geometry_guard(spark, tmp_path):
     """Stored cell/bucket keys bake in (k, cell, n_buckets, model
     width): re-attaching the monitor with a different threshold or
