@@ -20,7 +20,8 @@ from nasctn_sea_ingest_spark import get_spark
 from nasctn_sea_ingest_spark.plans import CORPUS
 
 
-def digest_snapshot_diff(snap_path: str, digests: dict, sf_val):
+def digest_snapshot_diff(snap_path: str, digests: dict, sf_val,
+                         stage_digests: "dict | None" = None):
     """Diff this run's plan digests against the committed snapshot and
     refresh it — UNLESS the snapshot was taken at a different scale
     factor, in which case neither diff nor overwrite happens.
@@ -33,11 +34,22 @@ def digest_snapshot_diff(snap_path: str, digests: dict, sf_val):
     sf it was taken at; a run at any other sf reports the mismatch and
     leaves the committed baseline intact for the sf it belongs to.
 
+    ROUND-13 EXTENSION (r12 verdict #1): checkpoint-terminated queries
+    (pagerank, dbscan, star_components, semdedup_exact) digest as
+    `Scan ExistingRDD` end-to-end, so the alarm was blind to interior
+    rewrites of exactly the most complex iterative plans.  Operators
+    now record PER-STAGE pre-checkpoint digests
+    (``querylog.capture_stage_digests``); the snapshot stores them
+    under ``stages`` and the diff reports changes as
+    ``"qname::stage"`` entries in the same changed/new lists.
+
     Returns ``(digest_changed, digest_new, sf_mismatch, prior_sf)``;
     when ``sf_mismatch`` the change lists are empty and the file is
     untouched.  A legacy flat snapshot (pre-r12, no sf recorded) is
     diffed once and rewritten in the sf-tagged format."""
+    stage_digests = stage_digests or {}
     prior: dict = {}
+    prior_stages: dict = {}
     prior_sf = None
     if os.path.exists(snap_path):
         try:
@@ -45,6 +57,7 @@ def digest_snapshot_diff(snap_path: str, digests: dict, sf_val):
                 raw = json.load(fh)
             if isinstance(raw, dict) and "digests" in raw:
                 prior, prior_sf = raw["digests"], raw.get("sf")
+                prior_stages = raw.get("stages", {})
             else:
                 prior = raw
         except (OSError, ValueError):
@@ -54,8 +67,17 @@ def digest_snapshot_diff(snap_path: str, digests: dict, sf_val):
     digest_changed = sorted(n for n in digests
                             if n in prior and prior[n] != digests[n])
     digest_new = sorted(n for n in digests if n not in prior)
+    for qn, st in sorted(stage_digests.items()):
+        pst = prior_stages.get(qn, {})
+        for s in sorted(st):
+            key = f"{qn}::{s}"
+            if s in pst and pst[s] != st[s]:
+                digest_changed.append(key)
+            elif s not in pst and prior:
+                digest_new.append(key)
     with open(snap_path, "w") as fh:
-        json.dump({"sf": sf_val, "digests": digests}, fh, indent=1,
+        json.dump({"sf": sf_val, "digests": digests,
+                   "stages": stage_digests}, fh, indent=1,
                   sort_keys=True)
     return digest_changed, digest_new, False, prior_sf
 
@@ -164,9 +186,11 @@ def main() -> None:
     print(f"# bpe train (12 merges, vocab-bound): {dt:.3f}s best-of-2 "
           f"({n_m} merges)", file=sys.stderr)
 
-    from nasctn_sea_ingest_spark.querylog import plan_digest
+    from nasctn_sea_ingest_spark.querylog import (capture_stage_digests,
+                                                  plan_digest)
 
     digests: dict[str, str] = {}
+    stage_digests: dict[str, dict] = {}
     # canonical numeric order, NOT the driver-window rotation order: the
     # rotation reshuffles CORPUS every round, and position changes showed
     # up as phantom 2-4x "regressions" (whichever queries run first absorb
@@ -174,9 +198,14 @@ def main() -> None:
     # comparable round over round.
     for q in sorted(CORPUS, key=lambda q: int(q.name[1:].split("_")[0])):
         # untimed first pass: row count for the log line, plan digest
-        # source, and per-query warmup
-        df = q.spark(spark, sf_dir)
-        n = df.count()
+        # source, and per-query warmup.  The stage collector makes
+        # checkpoint-terminated plans digest-VISIBLE (r12 verdict #1):
+        # iterative operators record each load-bearing stage's
+        # pre-checkpoint plan, which the end-to-end digest can never
+        # see (it reads `Scan ExistingRDD`).
+        with capture_stage_digests() as stages:
+            df = q.spark(spark, sf_dir)
+            n = df.count()
         # plan-shape digest: a digest diff vs the committed snapshot
         # localizes "which plan changed" instantly when a round's
         # aggregate drifts (round 4's +17% took a manual bisect precisely
@@ -185,6 +214,9 @@ def main() -> None:
             digests[q.name] = plan_digest(df)
         except Exception:
             digests[q.name] = ""
+        if stages:
+            stage_digests[q.name] = {s: d for s, (d, _) in
+                                     stages.items()}
         # timed runs execute the FULL plan through the noop sink.  Round
         # 5 found that .count() (the r1-r4 action) lets Catalyst prune
         # every expression the count doesn't need — final projections,
@@ -390,7 +422,8 @@ def main() -> None:
     # intentional — the diff in git review IS the plan-change review).
     snap_path = os.path.join(here, "PLAN_DIGESTS.json")
     digest_changed, digest_new, sf_mismatch, prior_sf = \
-        digest_snapshot_diff(snap_path, digests, sf_val)
+        digest_snapshot_diff(snap_path, digests, sf_val,
+                             stage_digests=stage_digests)
     if sf_mismatch:
         print(f"# plan digests: snapshot is sf={prior_sf}, run is "
               f"sf={sf_val} — diff skipped, snapshot untouched "
@@ -405,6 +438,7 @@ def main() -> None:
     full = {"metric": "corpus_total_runtime", "value": round(total, 3),
             "unit": "sec", "queries": timings, "sf": sf_val,
             "plan_digests": digests,
+            "stage_digests": stage_digests,
             "digest_changed": digest_changed,
             "digest_new": digest_new}
     if sf_mismatch:

@@ -17,6 +17,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..querylog import stage_digest
+
 __all__ = ["pagerank", "pagerank_exact", "star_components",
            "cooccur_pairs", "triangle_count", "shortest_paths",
            "k_core", "core_numbers", "personalized_pagerank",
@@ -47,8 +49,9 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
               .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
               .distinct()
-              .repartition("src")
-              .localCheckpoint(eager=True))
+              .repartition("src"))
+    stage_digest("pagerank.edges", e)  # pre-checkpoint (r12 verdict #1)
+    e = e.localCheckpoint(eager=True)
     nodes = (e.select(F.col("src").alias("node"))
               .union(e.select(F.col("dst").alias("node")))
               .distinct()
@@ -87,8 +90,9 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                               + damping * F.col("__dmass") / n
                               + damping
                               * F.coalesce(F.col("inflow"), F.lit(0.0)))
-                             .alias("rank"))
-                     .localCheckpoint(eager=True))
+                             .alias("rank")))
+        stage_digest("pagerank.round", new_ranks)  # first round's plan
+        new_ranks = new_ranks.localCheckpoint(eager=True)
         if tol is not None:
             delta = (new_ranks.alias("a")
                      .join(ranks.alias("b"), "node")
@@ -184,10 +188,12 @@ def star_components(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     # filter: a node appearing only in (x, x) pairs is still "every id
     # that appears in any pair" (the dup_clusters contract) and must
     # come back labeled with itself.
-    nodes = sym.select(F.col("a").alias("node")).distinct() \
-               .localCheckpoint()
-    edges = (sym.where(F.col("a") != F.col("b")).distinct()
-             .localCheckpoint())
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    stage_digest("star_components.nodes", nodes)
+    nodes = nodes.localCheckpoint()
+    edges = sym.where(F.col("a") != F.col("b")).distinct()
+    stage_digest("star_components.edges", edges)
+    edges = edges.localCheckpoint()
     # size rounds to the graph, not the session (the dup_clusters rule)
     n_e = edges.count()
     # Size-gated DRIVER kernel (the train_bpe precedent: when the
@@ -255,8 +261,9 @@ def star_components(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
         # plan EXPONENTIALLY per round — a persist-chain variant hung
         # the 3000-node-chain test in the analyzer (measured, round
         # 9).  Lineage depth of two phases is the safe maximum.
-        edges = _star(_star(edges, large=True), large=False) \
-            .localCheckpoint()
+        edges = _star(_star(edges, large=True), large=False)
+        stage_digest("star_components.round", edges)  # round 1's plan
+        edges = edges.localCheckpoint()
         # order-independent multiset digest: sum of per-edge hashes
         cur = edges.agg(
             F.sum(F.xxhash64("a", "b").cast("decimal(38,0)"))).first()[0]
@@ -471,8 +478,9 @@ def pagerank_exact(edges: DataFrame, src: str = "src",
     e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
          .where(F.col("s").isNotNull() & F.col("d").isNotNull())
          .distinct()
-         .repartition("s")
-         .localCheckpoint(eager=True))
+         .repartition("s"))
+    stage_digest("pagerank_exact.edges", e)
+    e = e.localCheckpoint(eager=True)
     nodes = (e.select(F.col("s").alias("node"))
              .union(e.select(F.col("d").alias("node")))
              .distinct()
@@ -506,8 +514,9 @@ def pagerank_exact(edges: DataFrame, src: str = "src",
                                    f"div {damping_den}")
                           + F.expr(f"({damping_num} * coalesce(__in, "
                                    f"0)) div {damping_den}"))
-                         .cast("long").alias("r"))
-                 .localCheckpoint(eager=True))
+                         .cast("long").alias("r")))
+        stage_digest("pagerank_exact.round", ranks)  # first round's plan
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("r").alias("rank_scaled"))
 
 
@@ -538,12 +547,14 @@ def k_core(pairs: DataFrame, k: int, d1: str = "d1", d2: str = "d2",
                 & (F.col("a") != F.col("b"))))
     sym = (e.unionByName(e.select(F.col("b").alias("a"),
                                   F.col("a").alias("b")))
-           .distinct()
-           .localCheckpoint(eager=True))
+           .distinct())
+    stage_digest("k_core.sym", sym)
+    sym = sym.localCheckpoint(eager=True)
     for _ in range(max_iter):
         deg = sym.groupBy("a").agg(F.count("*").alias("degree"))
-        bad = deg.where(F.col("degree") < k).select("a") \
-                 .localCheckpoint(eager=True)
+        bad = deg.where(F.col("degree") < k).select("a")
+        stage_digest("k_core.peel", bad)  # first peel round's plan
+        bad = bad.localCheckpoint(eager=True)
         if not bad.limit(1).count():
             return deg.withColumnRenamed("a", "node")
         sym = (sym.join(bad, "a", "left_anti")

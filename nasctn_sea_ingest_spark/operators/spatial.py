@@ -22,6 +22,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..querylog import stage_digest
+
 
 def grid_distance_join(points: DataFrame, radius: float,
                        id_col: str = "id", x_col: str = "x",
@@ -471,6 +473,11 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
                                            F.col("__id").alias("b"))))
         alledges = (e_dd.unionByName(e_amb).unionByName(e_sc)
                     .unionByName(loops))
+        # pre-checkpoint stage digest (r12 verdict #1): the three edge
+        # joins vanish behind the bounded-regime checkpoint below AND
+        # behind the final labels checkpoint — this is the plan the
+        # drift alarm must see
+        stage_digest("dbscan.component_edges", alledges)
         if bounded:
             # ONE eager materialization of the component edge set (its
             # size is est-bounded: e_sc <= the sparse estimate, the
@@ -516,7 +523,9 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
                # one row per input point — materializing here lets
                # every big intermediate be released before the caller
                # composes on the result
-               .localCheckpoint(eager=True))
+               )
+        stage_digest("dbscan.labels", out)  # pre-checkpoint plan
+        out = out.localCheckpoint(eager=True)
     finally:
         for frame in persisted:
             frame.unpersist()
@@ -723,8 +732,9 @@ def dbscan_nd(points: DataFrame, eps: float, min_pts: int,
                        .when(F.col("__bcl").isNotNull(),
                              F.lit("border"))
                        .otherwise(F.lit("noise")).alias("role"),
-                       F.coalesce("__cl", "__bcl").alias("cluster"))
-               .localCheckpoint(eager=True))
+                       F.coalesce("__cl", "__bcl").alias("cluster")))
+        stage_digest("dbscan_nd.labels", out)  # pre-checkpoint plan
+        out = out.localCheckpoint(eager=True)
     finally:
         for frame in persisted:
             frame.unpersist()

@@ -247,17 +247,16 @@ RETIRED_NAMES = frozenset({
 #   the as-of machinery).  RECHECK therefore carries the re-verify
 #   burden for this operator family — a rewrite must be listed here
 #   MANUALLY, because the digest diff cannot flag it.
-#   Round 12: q167/q169 re-enter via RECHECK — the straddle-guard fold
-#   (fd_discover(straddle_guard=1.3) riding the gate aggregate instead
-#   of a separate per-query 1-row agg, r11 verdict #7) changed their
-#   PLANS (one fewer job) while provably preserving values (the guard
-#   only raises-or-not; HLL estimates are deterministic for identical
-#   data+rsd, so the same candidates pass the gate).  Unlike the q163
-#   case these plans are digest-VISIBLE, but the protocol is the same:
-#   an intentional plan change gets a fresh driver-scale oracle row the
-#   round it ships.  Clear both once CORRECTNESS_r12 lands green.
-RECHECK: frozenset[str] = frozenset({
-    "q167_fd_discovery_gated", "q169_fd_discovery_composite"})
+#   Round 12: q167/q169 re-entered via RECHECK after the straddle-guard
+#   fold changed their plans; CORRECTNESS_r12 landed both hash-green at
+#   driver scale, so they left this set in round 13.
+#   Round 13: checkpoint-terminated plans became digest-visible via
+#   per-stage digests (querylog.capture_stage_digests — the r12 verdict
+#   #1 systemic gap), so future interior rewrites of q115/q163/q168/
+#   q171-class operators are caught by the stage-digest diff; RECHECK
+#   remains the protocol for INTENTIONAL plan changes regardless of
+#   visibility.
+RECHECK: frozenset[str] = frozenset()
 
 
 def _latest_driver_round() -> dict[str, int]:

@@ -57,6 +57,64 @@ def plan_digest(df: DataFrame) -> str:
     return hashlib.sha256(normalized_plan(df).encode()).hexdigest()[:16]
 
 
+# ---------------------------------------------------------------------------
+# Stage digests for checkpoint-terminated plans (r12 verdict #1).
+#
+# Iterative operators (pagerank, dbscan, star_components, semdedup_exact)
+# MUST localCheckpoint to bound lineage, but a checkpointed DataFrame's
+# plan digests as `Scan ExistingRDD` + whatever follows — the drift alarm
+# was structurally blind to interior rewrites of exactly the most complex
+# plans in the corpus.  The fix: each such operator records the
+# PRE-checkpoint plan of its load-bearing stages via `stage_digest(name,
+# df)` — a no-op unless a collector is active, so production paths pay
+# one `is None` check.  bench.py / digest_stability.py activate the
+# collector around query construction and persist per-stage digests next
+# to the end-to-end digest in PLAN_DIGESTS.json ("q171::grid_candidates"
+# style keys in the diff).
+#
+# Loops call stage_digest every round; the collector keeps the FIRST
+# occurrence per name (round 1's plan — later rounds differ only in the
+# checkpointed scan they start from), so digests stay deterministic
+# regardless of round count.
+# ---------------------------------------------------------------------------
+
+_STAGE_SINK: "dict[str, tuple[str, str]] | None" = None
+
+
+def stage_digest(name: str, df: DataFrame) -> None:
+    """Record the plan digest of an operator stage that is about to be
+    ``localCheckpoint``ed (or otherwise erased from the final plan's
+    lineage).  Call BEFORE the checkpoint; no-op unless a collector is
+    active (:func:`capture_stage_digests`).  Digesting plans, not
+    executes: ``executedPlan()`` on a lazy frame triggers physical
+    planning only."""
+    global _STAGE_SINK
+    if _STAGE_SINK is None or name in _STAGE_SINK:
+        return
+    try:
+        _STAGE_SINK[name] = (plan_digest(df), normalized_plan(df))
+    except Exception:  # pragma: no cover — plan unavailable
+        _STAGE_SINK[name] = ("", "")
+
+
+class capture_stage_digests:
+    """Context manager collecting :func:`stage_digest` calls issued
+    while building (and materializing) a query.  Yields the dict
+    ``{stage_name: (digest, normalized_plan_text)}`` — empty for
+    queries whose plan never checkpoints.  Not reentrant (the corpus
+    runs queries sequentially); nested use restores the outer sink."""
+
+    def __enter__(self) -> "dict[str, tuple[str, str]]":
+        global _STAGE_SINK
+        self._prev = _STAGE_SINK
+        _STAGE_SINK = {}
+        return _STAGE_SINK
+
+    def __exit__(self, *exc) -> None:
+        global _STAGE_SINK
+        _STAGE_SINK = self._prev
+
+
 @dataclass
 class _Entry:
     name: str

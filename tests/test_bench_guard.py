@@ -25,7 +25,7 @@ def test_fresh_snapshot_is_sf_tagged(tmp_path):
         snap, {"q01": "aa", "q02": "bb"}, 0.1)
     assert (changed, mism, prior_sf) == ([], False, None)
     assert sorted(new) == ["q01", "q02"]
-    assert _read(snap) == {"sf": 0.1,
+    assert _read(snap) == {"sf": 0.1, "stages": {},
                            "digests": {"q01": "aa", "q02": "bb"}}
 
 
@@ -63,5 +63,39 @@ def test_legacy_flat_snapshot_upgrades_once(tmp_path):
     changed, new, mism, prior_sf = digest_snapshot_diff(
         snap, {"q01": "aa", "q02": "CHANGED"}, 0.1)
     assert changed == ["q02"] and not mism and prior_sf is None
-    assert _read(snap) == {"sf": 0.1,
+    assert _read(snap) == {"sf": 0.1, "stages": {},
                            "digests": {"q01": "aa", "q02": "CHANGED"}}
+
+
+def test_stage_digests_diff_and_persist(tmp_path):
+    """r12 verdict #1: checkpoint-terminated queries persist PER-STAGE
+    pre-checkpoint digests; a changed stage reports as "qname::stage"
+    even when the end-to-end digest (Scan ExistingRDD) is unchanged,
+    and a first run with stages on an existing stage-less snapshot
+    reports them as new."""
+    snap = str(tmp_path / "PLAN_DIGESTS.json")
+    digest_snapshot_diff(snap, {"q171": "aa"}, 0.1)
+    # first stage-bearing run after upgrade: stages are NEW
+    changed, new, mism, _ = digest_snapshot_diff(
+        snap, {"q171": "aa"}, 0.1,
+        stage_digests={"q171": {"semdedup_exact.grid_candidates": "g1",
+                                "semdedup_exact.unit": "u1"}})
+    assert changed == []
+    assert sorted(new) == ["q171::semdedup_exact.grid_candidates",
+                           "q171::semdedup_exact.unit"]
+    # interior rewrite: end-to-end digest identical, grid stage changed
+    changed, new, mism, _ = digest_snapshot_diff(
+        snap, {"q171": "aa"}, 0.1,
+        stage_digests={"q171": {"semdedup_exact.grid_candidates": "g2",
+                                "semdedup_exact.unit": "u1"}})
+    assert changed == ["q171::semdedup_exact.grid_candidates"]
+    assert new == []
+    assert _read(snap)["stages"]["q171"][
+        "semdedup_exact.grid_candidates"] == "g2"
+    # cross-sf guard covers stages too (snapshot untouched)
+    before = _read(snap)
+    changed, new, mism, _ = digest_snapshot_diff(
+        snap, {"q171": "aa"}, 0.001,
+        stage_digests={"q171": {"semdedup_exact.unit": "DIFF"}})
+    assert mism and (changed, new) == ([], [])
+    assert _read(snap) == before

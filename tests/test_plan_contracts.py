@@ -1276,3 +1276,62 @@ def test_q164_fd_no_joins_no_windows(spark, sf):
     assert "Join" not in p and "CartesianProduct" not in p
     assert "Window" not in p
     assert "partial_count" in p or "partial_sum" in p
+
+
+def test_stage_digests_for_checkpoint_terminated_queries(spark, sf):
+    """r12 verdict #1: q115/q163/q168/q171 end-to-end digests see only
+    `Scan ExistingRDD` (their operators must localCheckpoint to bound
+    lineage), so the drift alarm was blind to interior rewrites of the
+    corpus's most complex iterative plans.  Each such operator now
+    records per-stage PRE-checkpoint digests: all four queries must
+    yield a non-trivial stage map under the collector, and outside a
+    collector the instrumentation must be a no-op."""
+    from nasctn_sea_ingest_spark.querylog import capture_stage_digests
+
+    want = {
+        "q115_pagerank": {"pagerank.edges", "pagerank.round"},
+        "q163_dbscan": {"dbscan.labels", "dbscan.component_edges"},
+        "q168_connected_components": {"star_components.nodes",
+                                      "star_components.edges"},
+        "q171_semdedup_exact": {"semdedup_exact.unit",
+                                "semdedup_exact.grid_candidates",
+                                "semdedup_exact.verified"},
+    }
+    for name, stages_expected in want.items():
+        with capture_stage_digests() as stages:
+            _q(name).spark(spark, sf).count()
+        assert stages_expected <= set(stages), (name, set(stages))
+        for s, (d, t) in stages.items():
+            assert d and len(d) == 16, (name, s)
+            assert "Scan ExistingRDD" not in t.split("\n")[0], (name, s)
+    # no collector active -> no-op (production paths pay one None check)
+    from nasctn_sea_ingest_spark import querylog
+    assert querylog._STAGE_SINK is None
+
+
+def test_stage_digest_trips_on_semdedup_grid_rewrite(spark):
+    """The alarm the stage digests exist for: a DELIBERATE plan change
+    in semdedup_exact's grid stage (k=2 -> k=3 changes the 3^k cell
+    equi-join shape) must change the grid stage's digest even though
+    the END-TO-END digest (checkpoint-terminated) cannot see it; an
+    identical rebuild must reproduce identical stage digests."""
+    import numpy as np
+
+    from nasctn_sea_ingest_spark.operators.similarity import (
+        semdedup_exact)
+    from nasctn_sea_ingest_spark.querylog import capture_stage_digests
+
+    rng = np.random.default_rng(7)
+    rows = [(i, (rng.standard_normal(8)).tolist()) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding "
+                                      "array<double>")
+
+    def build(k):
+        with capture_stage_digests() as st:
+            semdedup_exact(emb, threshold=0.8, k=k).count()
+        return {s: d for s, (d, _) in st.items()}
+
+    a, b, c = build(2), build(2), build(3)
+    assert a == b  # deterministic: identical build, identical digests
+    assert a["semdedup_exact.grid_candidates"] != \
+        c["semdedup_exact.grid_candidates"]

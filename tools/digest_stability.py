@@ -38,7 +38,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def run(out_path: str) -> None:
     from nasctn_sea_ingest_spark import get_spark
     from nasctn_sea_ingest_spark.plans import CORPUS
-    from nasctn_sea_ingest_spark.querylog import normalized_plan, plan_digest
+    from nasctn_sea_ingest_spark.querylog import (capture_stage_digests,
+                                                  normalized_plan,
+                                                  plan_digest)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
@@ -49,13 +51,17 @@ def run(out_path: str) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out = {}
     for q in sorted(CORPUS, key=lambda q: int(q.name[1:].split("_")[0])):
-        df = q.spark(spark, sf_dir)
-        df.count()
+        with capture_stage_digests() as stages:
+            df = q.spark(spark, sf_dir)
+            df.count()
         try:
             out[q.name] = {"digest": plan_digest(df),
-                           "text": normalized_plan(df)}
+                           "text": normalized_plan(df),
+                           "stages": {s: {"digest": d, "text": t}
+                                      for s, (d, t) in stages.items()}}
         except Exception as e:  # noqa: BLE001
-            out[q.name] = {"digest": "", "text": f"ERROR {e}"}
+            out[q.name] = {"digest": "", "text": f"ERROR {e}",
+                           "stages": {}}
         spark.catalog.clearCache()
     with open(out_path, "w") as fh:
         json.dump(out, fh)
@@ -66,7 +72,9 @@ def run(out_path: str) -> None:
 def context() -> int:
     from nasctn_sea_ingest_spark import get_spark
     from nasctn_sea_ingest_spark.plans import CORPUS
-    from nasctn_sea_ingest_spark.querylog import normalized_plan, plan_digest
+    from nasctn_sea_ingest_spark.querylog import (capture_stage_digests,
+                                                  normalized_plan,
+                                                  plan_digest)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
@@ -81,38 +89,65 @@ def context() -> int:
         out = {}
         for q in order:
             try:
-                df = q.spark(spark, sf_dir)
-                df.count()
+                with capture_stage_digests() as stages:
+                    df = q.spark(spark, sf_dir)
+                    df.count()
                 out[q.name] = {"digest": plan_digest(df),
-                               "text": normalized_plan(df)}
+                               "text": normalized_plan(df),
+                               "stages": {s: {"digest": d, "text": t}
+                                          for s, (d, t)
+                                          in stages.items()}}
             except Exception as e:  # noqa: BLE001
-                out[q.name] = {"digest": "", "text": f"ERROR {e}"}
+                out[q.name] = {"digest": "", "text": f"ERROR {e}",
+                               "stages": {}}
             spark.catalog.clearCache()
         passes.append(out)
     spark.stop()
     a, b = passes
-    changed = sorted(n for n in a if a[n]["digest"] != b[n]["digest"])
+    changed = sorted(
+        n for n in a
+        if a[n]["digest"] != b[n]["digest"]
+        or {s: v["digest"] for s, v in a[n].get("stages", {}).items()}
+        != {s: v["digest"] for s, v in b[n].get("stages", {}).items()})
     print(f"{len(changed)} context-sensitive digests: "
           f"{', '.join(changed) or '-'}")
     for n in changed:
         print(f"\n=== {n} ===")
         for line in difflib.unified_diff(
-                a[n]["text"].splitlines(), b[n]["text"].splitlines(),
+                _full_text(a[n]).splitlines(),
+                _full_text(b[n]).splitlines(),
                 lineterm="", n=1):
             print(line)
     return 1 if changed else 0
 
 
+def _full_text(entry: dict) -> str:
+    """End-to-end plan text plus every stage's pre-checkpoint plan —
+    the diff evidence for checkpoint-terminated queries whose
+    end-to-end text is just `Scan ExistingRDD`."""
+    parts = [entry["text"]]
+    for s, v in sorted(entry.get("stages", {}).items()):
+        parts.append(f"--- stage {s} ---")
+        parts.append(v["text"])
+    return "\n".join(parts)
+
+
 def diff(a_path: str, b_path: str) -> int:
     a = json.load(open(a_path))
     b = json.load(open(b_path))
-    changed = sorted(n for n in a if n in b
-                     and a[n]["digest"] != b[n]["digest"])
+    changed = sorted(
+        n for n in a if n in b
+        and (a[n]["digest"] != b[n]["digest"]
+             or {s: v["digest"]
+                 for s, v in a[n].get("stages", {}).items()}
+             != {s: v["digest"]
+                 for s, v in b[n].get("stages", {}).items()}))
     print(f"{len(changed)} digests differ: {', '.join(changed) or '-'}")
     for n in changed:
         print(f"\n=== {n} ===")
         for line in difflib.unified_diff(
-                a[n]["text"].splitlines(), b[n]["text"].splitlines(),
+                _full_text(a[n]).splitlines(),
+                _full_text(b[n]).splitlines(),
                 lineterm="", n=1):
             print(line)
     return 1 if changed else 0
