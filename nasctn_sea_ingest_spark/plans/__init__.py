@@ -26,6 +26,8 @@ from . import corpus_r11  # noqa: F401  (composite-lhs FD lattice,
 #   k-core peeling driver row)
 from . import corpus_r12  # noqa: F401  (semdedup_exact driver row,
 #   skew_survey GROUPING-SETS key profiler)
+from . import corpus_r13  # noqa: F401  (label-propagation community
+#   histogram, weighted bounded-hop distances)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST 50
@@ -191,6 +193,12 @@ RETIRED_NAMES = frozenset({
     #     bigger Expand) stay live, and q172 skew_survey adds a THIRD
     #     driver-scale Expand-family row this same round.
     "q41_rollup",
+    # Round 13: admitting q173 (label-propagation communities) and
+    # q174 (weighted bounded-hop distances) needed NO retirement —
+    # after the r12 run the must-verify set was 46 (2 never-checked +
+    # 46 r10-run-stale = 48 of 50; RECHECK cleared), leaving 2 slack
+    # slots at handoff.  The staged candidates below remain staged
+    # for round 14.
     # ROUND-13 RETIREMENT CANDIDATES (staged, not retired — pre-plan so
     # new families never stall on slots; retire only from whatever is
     # the round-13 must-verify cohort at admission time):

@@ -39,7 +39,8 @@ __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "index_stream", "pca_moments_stream", "media_dedup_stream",
            "fuzzy_dedup_stream", "kmv_rollup_stream",
            "funnel_monitor_stream", "colocation_monitor_stream",
-           "fd_profile_stream", "components_stream"]
+           "fd_profile_stream", "components_stream",
+           "components_stream_bucketed", "compact_candidate_store"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -899,7 +900,9 @@ def media_dedup_stream(media: DataFrame, out_dir: str,
                 os.path.join(alerts_dir, f"batch={int(batch_id)}"))
             (new.withColumn("batch_id",
                             F.lit(int(batch_id)).cast("long"))
-             .write.mode("append").partitionBy("kb").parquet(out_dir))
+             .repartition("kb")  # one file per touched bucket, not
+             .write.mode("append")  # partitions x buckets (r13 litter fix)
+             .partitionBy("kb").parquet(out_dir))
         finally:
             h.unpersist()
 
@@ -1410,6 +1413,7 @@ def fuzzy_dedup_stream(names: DataFrame, out_dir: str,
         alerts.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(alerts_dir, f"batch={int(batch_id)}"))
         (new.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+         .repartition("kb")  # one file per touched bucket per trigger
          .write.mode("append").partitionBy("kb").parquet(out_dir))
 
     writer = (names.writeStream.foreachBatch(write_batch)
@@ -1623,6 +1627,7 @@ def colocation_monitor_stream(points: DataFrame, out_dir: str,
         alerts.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(alerts_dir, f"batch={int(batch_id)}"))
         (b.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+         .repartition("kb")  # one file per touched bucket per trigger
          .write.mode("append").partitionBy("kb").parquet(out_dir))
 
     writer = (points.writeStream.foreachBatch(write_batch)
@@ -1896,6 +1901,7 @@ def semdedup_stream(embeddings: DataFrame, out_dir: str,
         alerts.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(alerts_dir, f"batch={int(batch_id)}"))
         (b.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+         .repartition("kb")  # one file per touched bucket per trigger
          .write.mode("append").partitionBy("kb").parquet(out_dir))
 
     writer = (embeddings.writeStream.foreachBatch(write_batch)
@@ -2033,9 +2039,11 @@ def components_stream(pairs: DataFrame, out_dir: str,
     stamp is kept anyway: it makes replays cheap (skip, not recompute)
     and keeps the face uniform with the other maintained snapshots.
     State = one row per node ever seen; each trigger rewrites the
-    snapshot (O(state) — the media_dedup store contract).  For
-    unbounded node universes prefer periodic batch re-clustering of a
-    bucketed pair store."""
+    snapshot (O(state) — the media_dedup store contract), which is the
+    right trade only while the node universe stays small.  For
+    unbounded universes use :func:`components_stream_bucketed` — the
+    same merge contract with per-trigger cost bounded by the touched
+    buckets (r12 verdict #3)."""
     from ..operators.graph import star_components
 
     def merge(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -2051,3 +2059,262 @@ def components_stream(pairs: DataFrame, out_dir: str,
         pairs, out_dir, checkpoint_dir,
         lambda batch: star_components(batch, d1, d2),
         merge, available_now)
+
+
+def components_stream_bucketed(pairs: DataFrame, out_dir: str,
+                               checkpoint_dir: str,
+                               d1: str = "d1", d2: str = "d2",
+                               n_buckets: int = 64,
+                               available_now: bool = False):
+    """Incrementally maintained connected components for UNBOUNDED node
+    universes — the 100 TB form :func:`components_stream`'s docstring
+    defers to (that face rewrites the whole (node, cluster) snapshot
+    every trigger; r12 verdict #3 delivers the bucketed incremental
+    one).  The snapshot is partitioned by ``kb = pmod(hash(node),
+    n_buckets)`` and each trigger rewrites ONLY the buckets the batch
+    touches plus the buckets bridged through them, so per-trigger cost
+    tracks the touched component set, not total state.
+
+    Mechanics per trigger:
+
+    1. cluster the batch alone (``star_components`` — its size-gated
+       driver kernel makes small batches milliseconds);
+    2. read the store buckets holding the batch's nodes (partition
+       pruning on ``kb``) and collect the AFFECTED cluster ids — the
+       store components any batch node belongs to;
+    3. resolve which buckets hold members of those clusters through a
+       cluster DIRECTORY (``out_dir/_directory``: append-only
+       ``(cluster, kb)`` pairs partitioned by ``pmod(hash(cluster),
+       n_buckets)`` — underscore prefix keeps it invisible to the
+       snapshot reader), and read exactly those buckets too.  The
+       directory is what makes bridging O(touched): a component's
+       members scatter across node-hash buckets, and without the map
+       a merge that lowers a cluster min would have to scan the whole
+       store to find them;
+    4. star-merge (affected store rows as (node, cluster-rep) edges) ∪
+       (batch components) — components only ever MERGE, so rows of
+       unaffected clusters are provably invariant and are rewritten
+       verbatim (their buckets only re-stamp ``last_batch``);
+    5. append the new (cluster, kb) pairs to the directory FIRST, then
+       dynamic-partition-overwrite the touched snapshot buckets.  The
+       order is the crash contract: a directory that lists extra
+       buckets only costs extra reads, while a snapshot that advanced
+       past its directory would silently under-merge forever.  Stale
+       directory pairs (a cluster id absorbed into a smaller one) are
+       dead forever — a component's min can only decrease, so an
+       absorbed id can never name a live cluster again — and are
+       dropped by :func:`compact_candidate_store`.
+
+    Replay safety: the merge is idempotent (re-unioning the same edges
+    changes nothing), so a crash anywhere replays clean; the uniform
+    per-bucket ``last_batch`` stamp additionally makes a FULLY-written
+    replay a cheap skip (every touched bucket present with stamp >=
+    batch_id), the :func:`components_stream` convention.  A
+    skew-degenerate graph whose one giant component spans every bucket
+    degrades to the whole-rewrite face's O(state) — inherent to
+    maintaining exact components, not a design artifact."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators.graph import star_components
+
+    dir_path = os.path.join(out_dir, "_directory")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _store_geometry_guard(out_dir, {
+            "kind": "components", "n_buckets": int(n_buckets)})
+        bcc = (star_components(batch_df, d1, d2)
+               .localCheckpoint(eager=True))
+        if not bcc.limit(1).count():
+            return
+        nodes_b = bcc.select("node")
+        t0 = sorted(r[0] for r in nodes_b
+                    .select(F.pmod(F.hash("node"), n_buckets)
+                            .alias("kb"))
+                    .distinct().collect())
+        store_t0 = None
+        try:
+            store_t0 = (spark.read.parquet(out_dir)
+                        .where(F.col("kb").isin(t0))
+                        .localCheckpoint(eager=True))
+            stamp = store_t0.agg(
+                F.count_distinct("kb"), F.min("last_batch")).first()
+            last = -1 if stamp[1] is None else stamp[1]
+            if stamp[0] == len(t0) and last >= batch_id:
+                return  # replay of a fully-written batch: skip
+        except AnalysisException as e:
+            if ("PATH_NOT_FOUND" not in str(e)
+                    and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
+                raise
+        if store_t0 is not None:
+            # affected clusters + the <= n_buckets directory partitions
+            # that index them (bounded driver lists, the colocation
+            # touched-bucket convention)
+            ca = (store_t0.join(nodes_b, "node")
+                  .select("cluster").distinct()
+                  .localCheckpoint(eager=True))
+            dkbs = [r[0] for r in ca
+                    .select(F.pmod(F.hash("cluster"), n_buckets)
+                            .alias("dkb"))
+                    .distinct().collect()]
+            t1: list = []
+            if dkbs:
+                try:
+                    t1 = [r[0] for r in
+                          spark.read.parquet(dir_path)
+                          .where(F.col("dkb").isin(dkbs))
+                          .join(ca, "cluster", "semi")
+                          .select("kb").distinct().collect()]
+                except AnalysisException as e:
+                    if ("PATH_NOT_FOUND" not in str(e) and
+                            "UNABLE_TO_INFER_SCHEMA" not in str(e)):
+                        raise
+            touched = sorted(set(t0) | set(t1))
+            store_t = (spark.read.parquet(out_dir)
+                       .where(F.col("kb").isin(touched))
+                       .localCheckpoint(eager=True))
+            affected = store_t.join(ca, "cluster", "semi")
+            kept = (store_t.join(ca, "cluster", "left_anti")
+                    .select("node", "cluster", "kb"))
+            edges = (affected
+                     .select(F.col("node").alias("d1"),
+                             F.col("cluster").alias("d2"))
+                     .unionByName(bcc.select(
+                         F.col("node").alias("d1"),
+                         F.col("cluster").alias("d2"))))
+            newcc = star_components(edges, "d1", "d2")
+        else:
+            kept = None
+            newcc = bcc
+        newcc = (newcc
+                 .withColumn("kb", F.pmod(F.hash("node"), n_buckets))
+                 .localCheckpoint(eager=True))
+        # directory first (see the crash contract above).  Both writes
+        # repartition ON THE PARTITION KEY: without it every shuffle
+        # partition holds rows of every touched bucket and partitionBy
+        # fans out shuffle_partitions × buckets tiny files PER TRIGGER
+        # (measured 8k files/wave at n_buckets=256 — the probe's first
+        # run); co-locating each bucket first writes one file per
+        # touched bucket per trigger, which is also what keeps
+        # compaction cadence sane.
+        (newcc.select("cluster", "kb").distinct()
+         .withColumn("dkb", F.pmod(F.hash("cluster"), n_buckets))
+         .repartition("dkb")
+         .write.mode("append").partitionBy("dkb").parquet(dir_path))
+        out = newcc if kept is None else kept.unionByName(newcc)
+        (out.withColumn("last_batch",
+                        F.lit(int(batch_id)).cast("long"))
+         .repartition("kb")
+         .localCheckpoint(eager=True)
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("kb").parquet(out_dir))
+
+    writer = (pairs.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_candidate_store(spark: SparkSession, store_dir: str,
+                            target_file_bytes: int = 128 << 20):
+    """Compact a streaming candidate store's per-batch file litter —
+    r12 verdict #4: :func:`semdedup_stream` / :func:`colocation_
+    monitor_stream` / :func:`fuzzy_dedup_stream` / :func:`media_dedup_
+    stream` / :func:`components_stream_bucketed` append one parquet
+    file per batch per touched bucket forever, so after 10^4 triggers
+    a touched-bucket probe reads 10^4 tiny files (driver listing + one
+    task each — the file COUNT, not the bytes, is the 100 TB scan
+    bottleneck, the ``ingest.compact_warehouse`` lesson).
+
+    Walks each bucket partition (``kb=N`` / ``dkb=N`` leaf) and, where
+    it holds more files than ``ceil(bytes / target_file_bytes)``,
+    rewrites it to that many files and atomically swaps the directory
+    (two ``os.rename`` calls; the temp/old siblings are underscore-
+    prefixed so a concurrent reader never sees them as partitions).
+    Row content — including the ``batch_id`` / ``last_batch`` replay
+    stamps — is preserved verbatim, and ``_store_geometry.json`` is
+    never touched, so the monitor RESUMES FROM THE SAME CHECKPOINT
+    after compaction (run it stream-idle, between triggers: the
+    monitors read whole buckets per trigger and the swap is
+    per-bucket-atomic, but a trigger racing the swap on a local fs
+    could list a bucket mid-rename — the compact_warehouse
+    operational rule).
+
+    For a ``components`` store the cluster directory is REBUILT from
+    the snapshot instead of merely compacted: the maintained
+    ``_directory`` is append-only (its pairs for absorbed cluster ids
+    go stale-but-harmless — see :func:`components_stream_bucketed`),
+    and the snapshot itself is the exact current (cluster, kb) truth,
+    so compaction is the natural point to shed the dead pairs.
+
+    Returns a pandas frame (partition, n_files_before, n_files_after,
+    bytes)."""
+    import math
+    import shutil
+
+    import pandas as _pd
+
+    def _swap(leaf: str, df, k: int) -> None:
+        base = os.path.dirname(leaf)
+        name = os.path.basename(leaf)
+        tmp = os.path.join(base, f"_compact_tmp_{name}")
+        old = os.path.join(base, f"_compact_old_{name}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        df.coalesce(k).write.mode("overwrite").parquet(tmp)
+        os.rename(leaf, old)
+        os.rename(tmp, leaf)
+        shutil.rmtree(old)
+
+    log = []
+    leaves = []
+    for root, dirs, files in os.walk(store_dir):
+        dirs[:] = [d for d in dirs if not d.startswith("_compact_")]
+        if any(f.endswith(".parquet") for f in files):
+            leaves.append(root)
+    for leaf in sorted(leaves):
+        pq = [os.path.join(leaf, f) for f in os.listdir(leaf)
+              if f.endswith(".parquet")]
+        nbytes = sum(os.path.getsize(f) for f in pq)
+        k = max(1, math.ceil(nbytes / target_file_bytes))
+        if len(pq) <= k:
+            log.append((os.path.relpath(leaf, store_dir),
+                        len(pq), len(pq), nbytes))
+            continue
+        # read THIS leaf only and keep its row content verbatim; the
+        # localCheckpoint breaks the file lineage so the overwrite of
+        # the temp dir (and the swap) never races the read plan
+        df = spark.read.parquet(leaf).localCheckpoint(eager=True)
+        _swap(leaf, df, k)
+        log.append((os.path.relpath(leaf, store_dir),
+                    len(pq), k, nbytes))
+
+    # components stores: rebuild the directory from the snapshot
+    # (dedupes AND sheds stale pairs for absorbed cluster ids)
+    geom_path = os.path.join(store_dir, "_store_geometry.json")
+    dir_path = os.path.join(store_dir, "_directory")
+    if os.path.exists(geom_path) and os.path.isdir(dir_path):
+        import json as _json
+        with open(geom_path) as fh:
+            geom = _json.load(fh)
+        if geom.get("kind") == "components":
+            n_buckets = int(geom["n_buckets"])
+            fresh = (spark.read.parquet(store_dir)
+                     .select("cluster", "kb").distinct()
+                     .withColumn("dkb", F.pmod(F.hash("cluster"),
+                                               n_buckets))
+                     .localCheckpoint(eager=True))
+            tmp = os.path.join(store_dir, "_compact_tmp_directory")
+            old = os.path.join(store_dir, "_compact_old_directory")
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            fresh.write.mode("overwrite").partitionBy("dkb") \
+                 .parquet(tmp)
+            os.rename(dir_path, old)
+            os.rename(tmp, dir_path)
+            shutil.rmtree(old)
+            log.append(("_directory (rebuilt)", -1, -1, -1))
+    return _pd.DataFrame(log, columns=["partition", "n_files_before",
+                                       "n_files_after", "bytes"])

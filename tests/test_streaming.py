@@ -2595,3 +2595,289 @@ def test_neardup_index_parameter_stamp(spark, tmp_path):
     legacy = idx.withColumn(
         "bucket", F.col("bucket").alias("bucket", metadata={}))
     neardup_stream(stream, legacy, n_hashes=16)      # unstamped: fine
+
+
+def test_components_stream_bucketed_parity_bridging_replay(
+        spark, tmp_path):
+    """The 100 TB components face (r12 verdict #3): after every wave
+    the bucketed snapshot equals star_components of ALL pairs ever
+    streamed — including a wave that BRIDGES two stored clusters whose
+    members live in buckets the batch itself never touches (the
+    directory resolves them) and a chain wave.  Replay is stamp-
+    skipped; a different n_buckets re-attach raises (geometry)."""
+    from nasctn_sea_ingest_spark.operators.graph import star_components
+    from nasctn_sea_ingest_spark.streaming import (
+        components_stream_bucketed)
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "cc")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "d1 long, d2 long"
+
+    def run(n_buckets=8, ck=ckpt):
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = components_stream_bucketed(stream, out, ck,
+                                       n_buckets=n_buckets,
+                                       available_now=True)
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    def stored():
+        return {r.node: r.cluster for r in
+                spark.read.parquet(out)
+                .select("node", "cluster").collect()}
+
+    def want(all_pairs):
+        df = spark.createDataFrame(all_pairs, schema)
+        return {r.node: r.cluster
+                for r in star_components(df).collect()}
+
+    wave1 = [(1, 2), (2, 3), (10, 11), (20, 21)] + \
+            [(100 + i, 200 + i) for i in range(30)]
+    spark.createDataFrame(wave1, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    run()
+    assert stored() == want(wave1)
+    c1 = stored()
+    _delete_commit_marker(ckpt)
+    run()                                 # replay: stamp-skipped
+    assert stored() == c1
+
+    # wave 2 bridges {1,2,3} and {10,11} via a brand-new node 500 and
+    # appends a chain — members 2,3,11 live in buckets wave 2 never
+    # wrote to directly; the directory must pull them in
+    wave2 = [(3, 500), (500, 10)] + [(i, i + 1) for i in range(30, 45)]
+    spark.createDataFrame(wave2, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    run()
+    got = stored()
+    assert got == want(wave1 + wave2)
+    assert got[11] == 1 and got[500] == 1 and got[44] == 30
+
+    # geometry guard: n_buckets is baked into the layout
+    wave3 = [(900, 901)]
+    spark.createDataFrame(wave3, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    with pytest.raises(Exception, match="geometry mismatch"):
+        run(n_buckets=4, ck=str(tmp_path / "ck2"))
+    run()
+    assert stored() == want(wave1 + wave2 + wave3)
+
+
+def test_components_stream_bucketed_rewrites_only_touched_buckets(
+        spark, tmp_path):
+    """The design's whole point: a wave confined to one component must
+    leave every unrelated bucket's files byte-untouched (per-trigger
+    cost tracks touched buckets, not total state)."""
+    import pyspark.sql.functions as F
+
+    from nasctn_sea_ingest_spark.streaming import (
+        components_stream_bucketed)
+
+    n_buckets = 8
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "cc")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "d1 long, d2 long"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = components_stream_bucketed(stream, out, ckpt,
+                                       n_buckets=n_buckets,
+                                       available_now=True)
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    wave1 = [(i, i + 1000) for i in range(64)]
+    spark.createDataFrame(wave1, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    run()
+
+    # wave 2: one fresh pair; its two nodes (and their component rep)
+    # hash to a known bucket set — every OTHER bucket's file listing
+    # must be identical after the trigger
+    pair = (5000, 5001)
+    kbs = {r[0] for r in spark.createDataFrame(
+        [(pair[0],), (pair[1],)], "node long")
+        .select(F.pmod(F.hash("node"), n_buckets)).collect()}
+
+    def listing(exclude):
+        snap = {}
+        for d in os.listdir(out):
+            if not d.startswith("kb="):
+                continue
+            if int(d.split("=")[1]) in exclude:
+                continue
+            leaf = os.path.join(out, d)
+            snap[d] = sorted(
+                (f, os.path.getmtime(os.path.join(leaf, f)))
+                for f in os.listdir(leaf) if f.endswith(".parquet"))
+        return snap
+
+    before = listing(kbs)
+    spark.createDataFrame([pair], schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    run()
+    assert listing(kbs) == before
+    got = {r.node: r.cluster
+           for r in spark.read.parquet(out)
+           .where(F.col("node").isin(list(pair))).collect()}
+    assert got == {5000: 5000, 5001: 5000}
+
+
+def test_compact_candidate_store_mid_stream_semdedup(spark, tmp_path):
+    """r12 verdict #4: compact a semdedup candidate store MID-STREAM —
+    file counts shrink, the geometry manifest survives, the monitor
+    resumes from the SAME checkpoint, cross-batch alerts through the
+    compacted store still fire, and a crash replay after compaction is
+    still stamp-skipped (batch_id stamps preserved verbatim)."""
+    import numpy as _np
+
+    from nasctn_sea_ingest_spark.streaming import (
+        compact_candidate_store, semdedup_stream)
+
+    d = 4
+    model = (_np.zeros(d), _np.eye(d)[:2])
+    land = str(tmp_path / "emb")
+    store = str(tmp_path / "store")
+    alerts = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    t = 0.95
+
+    def run():
+        stream = (spark.readStream
+                  .schema("vec_id long, embedding array<double>")
+                  .parquet(land))
+        q = semdedup_stream(stream, store, ckpt, alerts, model[0],
+                            model[1], threshold=t, n_buckets=4,
+                            available_now=True)
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    def land_wave(rows):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>") \
+            .coalesce(1).write.mode("append").parquet(land)
+
+    # 3 waves of near-orthogonal vectors (no alerts yet) — each wave
+    # appends one file per touched bucket
+    base = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+            [0.0, 0.0, 1.0, 0.0]]
+    for w in range(3):
+        land_wave([(w * 10 + j, v) for j, v in enumerate(base)])
+        run()
+
+    def n_files():
+        return sum(1 for root, _, files in os.walk(store)
+                   for f in files if f.endswith(".parquet"))
+
+    before = n_files()
+    geom_before = open(os.path.join(
+        store, "_store_geometry.json")).read()
+    log = compact_candidate_store(spark, store)
+    assert n_files() < before
+    assert (log.n_files_after <= log.n_files_before).all()
+    assert open(os.path.join(
+        store, "_store_geometry.json")).read() == geom_before
+    # stamps preserved verbatim through the rewrite
+    got_batches = {r.batch_id for r in spark.read.parquet(store)
+                   .select("batch_id").distinct().collect()}
+    assert got_batches == {0, 1, 2}
+
+    # resume the SAME checkpoint: wave 4 duplicates wave 0's first
+    # vector — the alert must pair cross-batch THROUGH the compacted
+    # store
+    land_wave([(99, [1.0, 0.0, 0.0, 0.0])])
+    run()
+    got = {(min(r.id1, r.id2), max(r.id1, r.id2))
+           for r in spark.read.parquet(alerts + "/batch=*")
+           .select("id1", "id2").collect()}
+    assert (0, 99) in got
+    # exact expectation: the three waves repeat ALL of base, so each
+    # direction's carriers pair pairwise; 99 repeats direction e0
+    want = {(0, 10), (0, 20), (10, 20), (0, 99), (10, 99), (20, 99),
+            (1, 11), (1, 21), (11, 21), (2, 12), (2, 22), (12, 22)}
+    assert got == want
+
+    # crash replay of the post-compaction batch: stamp-skipped, alerts
+    # unchanged
+    _delete_commit_marker(ckpt)
+    run()
+    got2 = {(min(r.id1, r.id2), max(r.id1, r.id2))
+            for r in spark.read.parquet(alerts + "/batch=*")
+            .select("id1", "id2").collect()}
+    assert got2 == want
+
+
+def test_compact_candidate_store_rebuilds_components_directory(
+        spark, tmp_path):
+    """Compacting a components store rebuilds the cluster directory
+    from the snapshot — dead pairs for absorbed cluster ids are shed,
+    and the monitor keeps producing exact components afterwards
+    (bridge through a compacted store)."""
+    import pyspark.sql.functions as F
+
+    from nasctn_sea_ingest_spark.operators.graph import star_components
+    from nasctn_sea_ingest_spark.streaming import (
+        compact_candidate_store, components_stream_bucketed)
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "cc")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "d1 long, d2 long"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = components_stream_bucketed(stream, out, ckpt, n_buckets=4,
+                                       available_now=True)
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    waves = [[(1, 2), (10, 11), (20, 21)],
+             [(2, 10)],          # absorbs cluster 10 into 1
+             [(30, 31)]]
+    hist = []
+    for w in waves:
+        hist += w
+        spark.createDataFrame(w, schema) \
+            .coalesce(1).write.mode("append").parquet(land)
+        run()
+
+    # pre-compaction: the append-only directory still lists the dead
+    # cluster id 10
+    dirs = spark.read.parquet(os.path.join(out, "_directory"))
+    assert dirs.where(F.col("cluster") == 10).count() > 0
+
+    compact_candidate_store(spark, out)
+    dirs = spark.read.parquet(os.path.join(out, "_directory"))
+    assert dirs.where(F.col("cluster") == 10).count() == 0
+    live = {r.cluster for r in dirs.select("cluster")
+            .distinct().collect()}
+    assert live == {1, 20, 30}
+
+    # resume: bridge 20↔30 through the compacted store + directory
+    spark.createDataFrame([(21, 31)], schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    run()
+    hist += [(21, 31)]
+    got = {r.node: r.cluster for r in spark.read.parquet(out)
+           .select("node", "cluster").collect()}
+    want = {r.node: r.cluster for r in star_components(
+        spark.createDataFrame(hist, schema)).collect()}
+    assert got == want

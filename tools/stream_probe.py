@@ -10,6 +10,15 @@ the monitor is O(batch), not O(state).  A full-store rescan design
 would grow linearly across the run.
 
     python tools/stream_probe.py [W] [B] [k]   # default 17 waves x 2000, k=2
+    python tools/stream_probe.py components [W] [B] [n_buckets]
+        # r12 verdict #3 probe: per-trigger wall of the BUCKETED
+        # incremental components face vs the whole-rewrite face on the
+        # same workload — W waves of B disjoint-range edges (each wave
+        # its own fresh components, store grows linearly).  The claim:
+        # the bucketed face's per-trigger cost tracks TOUCHED BUCKETS
+        # (flat once every bucket is touched per wave; sublinear in
+        # store size), while the whole-rewrite face grows linearly
+        # with state.
 
 Run ALONE on the host (SCALE.md §12's rule).  Prints one line per
 wave plus a first-vs-last summary.  Wave directions are seeded numpy
@@ -86,5 +95,90 @@ def main():
         shutil.rmtree(root, ignore_errors=True)
 
 
+def components():
+    """r12 verdict #3 probe, two regimes:
+
+    1. GROWTH: W waves of B edges on the bucketed face — per-trigger
+       wall must stay flat as the store grows (measured 1.01x at 10x
+       on this host, waves=10 B=2000 n_buckets=256).
+    2. SEEDED: seed a LARGE store once, then land W small waves of B
+       edges on BOTH faces.  The whole-rewrite face re-clusters the
+       full store every trigger (O(state)); the bucketed face reads
+       and rewrites only the ~2B node-hash buckets the wave touches.
+       This is the regime the bucketed face exists for — at small
+       state the whole-rewrite face's single coalesce(1) job is
+       cheaper (its docstring says so), so run the comparison where
+       state >> batch.
+    """
+    argv = sys.argv[2:]
+    waves = int(argv[0]) if len(argv) > 0 else 5
+    batch = int(argv[1]) if len(argv) > 1 else 20
+    n_buckets = int(argv[2]) if len(argv) > 2 else 1024
+    seed = int(argv[3]) if len(argv) > 3 else 300_000
+    from nasctn_sea_ingest_spark import get_spark
+    from nasctn_sea_ingest_spark.streaming import (
+        components_stream, components_stream_bucketed)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"# seed {seed} edges, then {waves} waves x {batch} edges; "
+          f"n_buckets={n_buckets} (bucketed face)")
+    results = {}
+    for face, mk in (
+            ("bucketed", lambda s, o, c: components_stream_bucketed(
+                s, o, c, n_buckets=n_buckets, available_now=True)),
+            ("whole-rewrite", lambda s, o, c: components_stream(
+                s, o, c, available_now=True))):
+        root = tempfile.mkdtemp(prefix=f"cc_probe_{face[:4]}_")
+        land = os.path.join(root, "land")
+        out = os.path.join(root, "cc")
+        ck = os.path.join(root, "ck")
+        os.makedirs(land)
+
+        def trigger():
+            stream = spark.readStream.schema(
+                "d1 long, d2 long").parquet(land)
+            q = mk(stream, out, ck)
+            q.awaitTermination(1200)
+            q.stop()
+            q.awaitTermination(60)
+
+        walls = []
+        try:
+            rows = [(i, i + 50_000_000) for i in range(seed)]
+            spark.createDataFrame(rows, "d1 long, d2 long") \
+                .coalesce(4).write.mode("append").parquet(land)
+            t0 = time.perf_counter()
+            trigger()
+            print(f"{face} seed: {time.perf_counter() - t0:6.1f}s  "
+                  f"state={2 * seed}")
+            for w in range(waves):
+                base = 100_000_000 + w * 10_000_000
+                rows = [(base + i, base + i + 5_000_000)
+                        for i in range(batch)]
+                spark.createDataFrame(rows, "d1 long, d2 long") \
+                    .coalesce(1).write.mode("append").parquet(land)
+                t0 = time.perf_counter()
+                trigger()
+                dt = time.perf_counter() - t0
+                walls.append(dt)
+                print(f"{face} wave {w:2d}: {dt:6.2f}s")
+            avg = sum(walls) / len(walls)
+            results[face] = avg
+            print(f"# {face}: mean small-wave trigger {avg:.2f}s "
+                  f"at state={2 * seed}")
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+    if len(results) == 2:
+        print(f"# summary: bucketed {results['bucketed']:.2f}s vs "
+              f"whole-rewrite {results['whole-rewrite']:.2f}s per "
+              f"small trigger at state={2 * seed} "
+              f"({results['whole-rewrite'] / results['bucketed']:.1f}x)")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "components":
+        components()
+    else:
+        main()
