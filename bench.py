@@ -160,6 +160,13 @@ def main() -> None:
     # band on identical code); min() of two attempts reports the warm
     # number.  Fresh tmpdir per attempt so the second build pays the
     # same write, not an overwrite of warm pages.
+    # ROUND-13 BAND (r12 verdict #5, tools/xindex_ab.py — 3 interleaved
+    # rounds of standalone-vs-post-llm in one process): standalone
+    # best-of-2 measured 6.31-6.94 s, the bench position (after x_llm,
+    # same JVM) 6.36-7.59 s with a <=0.65 s matched-round penalty that
+    # vanishes once the JVM is warm.  The honest band for this metric
+    # in a driver run is therefore ~6.3-7.6 s + host noise; r12's
+    # 8.04 s was a noise roll on top of that, not a regression.
     dt = float("inf")
     for _ in range(2):
         idx_tmp = tempfile.mkdtemp(prefix="bench_idx_")
