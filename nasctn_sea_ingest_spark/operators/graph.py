@@ -407,6 +407,7 @@ def shortest_paths(edges: DataFrame, sources: "list",
         raise ValueError("shortest_paths requires non-negative weights "
                          "(negative-cycle detection is not implemented)")
     e = e.groupBy("s", "d").agg(F.min("w").alias("w"))  # parallel edges
+    stage_digest("shortest_paths.edges", e)
     e = e.localCheckpoint()
     spark = edges.sparkSession
     # seed frame typed from the edge schema so joins never cast
@@ -427,8 +428,9 @@ def shortest_paths(edges: DataFrame, sources: "list",
                           .alias("dist"),
                           (F.col("dist").isNull()
                            | (F.col("cand") < F.col("dist")))
-                          .alias("__improved"))
-                  .localCheckpoint())
+                          .alias("__improved")))
+        stage_digest("shortest_paths.round", merged)
+        merged = merged.localCheckpoint()
         frontier = merged.where("__improved").select("node", "dist")
         dist = merged.select("node", "dist")
         if not frontier.limit(1).count():
@@ -611,8 +613,9 @@ def core_numbers(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     prop = e.where(F.col("a") != F.col("b"))
     cur = (prop.unionByName(prop.select(F.col("b").alias("a"),
                                         F.col("a").alias("b")))
-           .distinct()
-           .localCheckpoint(eager=True))
+           .distinct())
+    stage_digest("core_numbers.sym", cur)
+    cur = cur.localCheckpoint(eager=True)
     vals = (cur.groupBy(F.col("a").alias("node"))
             .agg(F.count("*").cast("int").alias("c"))
             .localCheckpoint(eager=True))
@@ -633,8 +636,9 @@ def core_numbers(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
                                 F.col("__cum").cast("int")))
                   .alias("__h")))
         vals = (vals.join(h, "node")
-                .select("node", F.least("c", F.col("__h")).alias("c"))
-                .localCheckpoint(eager=True))
+                .select("node", F.least("c", F.col("__h")).alias("c")))
+        stage_digest("core_numbers.round", vals)
+        vals = vals.localCheckpoint(eager=True)
         cursum = vals.agg(F.sum("c")).first()[0]
         if cursum == prev:
             converged = True
@@ -710,8 +714,9 @@ def personalized_pagerank(edges: DataFrame, sources: "list",
                               + damping * F.col("__dm") * F.col("tp")
                               + damping
                               * F.coalesce(F.col("inflow"), F.lit(0.0)))
-                             .alias("rank"))
-                     .localCheckpoint(eager=True))
+                             .alias("rank")))
+        stage_digest("personalized_pagerank.round", new_ranks)
+        new_ranks = new_ranks.localCheckpoint(eager=True)
         if tol is not None:
             delta = (new_ranks.alias("a")
                      .join(ranks.alias("b"), "node")
@@ -757,8 +762,9 @@ def label_propagation(pairs: DataFrame, d1: str = "d1",
                 & (F.col("a") != F.col("b"))))
     sym = (e.unionByName(e.select(F.col("b").alias("a"),
                                   F.col("a").alias("b")))
-           .distinct()
-           .localCheckpoint(eager=True))
+           .distinct())
+    stage_digest("label_propagation.sym", sym)
+    sym = sym.localCheckpoint(eager=True)
     allnodes = (pairs.select(F.col(d1).alias("node"))
                 .unionByName(pairs.select(F.col(d2).alias("node")))
                 .where(F.col("node").isNotNull())
@@ -780,8 +786,9 @@ def label_propagation(pairs: DataFrame, d1: str = "d1",
                        F.coalesce("__new", F.col("label"))
                        .alias("label"),
                        (F.coalesce("__new", F.col("label"))
-                        != F.col("label")).alias("__chg"))
-               .localCheckpoint(eager=True))
+                        != F.col("label")).alias("__chg")))
+        stage_digest("label_propagation.round", upd)
+        upd = upd.localCheckpoint(eager=True)
         changed = upd.where("__chg").limit(1).count()
         labels = upd.select("node", "label")
         if not changed:

@@ -142,14 +142,19 @@ def q173(spark, sf_dir):
     FROM d3 GROUP BY src ORDER BY src
     """)
 def q174(spark, sf_dir):
+    from ..querylog import stage_digest
+
     e0 = _copurchase_edges(spark, sf_dir)
     # undirected, materialized once — all three hops join against it
     # (the q145 discipline: a bare reference would re-run the lineitem
     # self-join per hop)
     e = (e0.select("u", "v", "w")
          .unionByName(e0.select(F.col("v").alias("u"),
-                                F.col("u").alias("v"), "w"))
-         .localCheckpoint(eager=False))
+                                F.col("u").alias("v"), "w")))
+    # the edge build hides behind the checkpoint in the end-to-end
+    # digest; record its pre-checkpoint plan (r12 verdict #1 pattern)
+    stage_digest("q174.edges", e)
+    e = e.localCheckpoint(eager=False)
     d = (e.select(F.col("u").alias("src")).where(F.col("u") <= 50)
          .distinct()
          .select("src", F.col("src").alias("node"),

@@ -1296,6 +1296,9 @@ def test_stage_digests_for_checkpoint_terminated_queries(spark, sf):
         "q171_semdedup_exact": {"semdedup_exact.unit",
                                 "semdedup_exact.grid_candidates",
                                 "semdedup_exact.verified"},
+        "q173_label_propagation": {"label_propagation.sym",
+                                   "label_propagation.round"},
+        "q174_bounded_hop_distances": {"q174.edges"},
     }
     for name, stages_expected in want.items():
         with capture_stage_digests() as stages:
