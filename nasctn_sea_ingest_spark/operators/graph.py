@@ -21,8 +21,8 @@ from ..querylog import stage_digest
 
 __all__ = ["pagerank", "pagerank_exact", "star_components",
            "cooccur_pairs", "triangle_count", "shortest_paths",
-           "k_core", "core_numbers", "personalized_pagerank",
-           "label_propagation"]
+           "bounded_hop_distances", "k_core", "core_numbers",
+           "personalized_pagerank", "label_propagation"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -441,6 +441,70 @@ def shortest_paths(edges: DataFrame, sources: "list",
             f"shortest_paths did not converge in {max_iter} rounds — "
             "the graph has shortest paths longer than max_iter hops; "
             "raise max_iter")
+    return dist
+
+
+def bounded_hop_distances(edges: DataFrame, sources: "list",
+                          max_hops: int, src: str = "src",
+                          dst: str = "dst",
+                          weight: str = "weight") -> DataFrame:
+    """Weighted shortest distances over paths of AT MOST ``max_hops``
+    edges: ``(src, node, dist)`` for every (source, reachable-within-
+    budget node) pair, ``dist`` = the minimum total weight among such
+    paths.  The fixed-budget sibling of :func:`shortest_paths` (the
+    pagerank_exact exactness pattern: a fixed hop budget makes the
+    iterative family's arithmetic engine-independent and therefore
+    SQL-oracle-able — corpus q174 is the driver-scale witness of this
+    shape).  Unlike :func:`shortest_paths` there is no convergence
+    question and no under-convergence risk: the budget IS the
+    semantics, useful on its own for "within k handoffs/transfers"
+    queries and as the bounded probe of a graph too large to converge.
+
+    ``dist`` keeps the weight column's type — pass integer weights
+    for exact cross-engine parity (BIGINT sums), doubles when you
+    just want numbers.  Negative weights are fine HERE (the budget
+    bounds path length, so no negative-cycle divergence), unlike the
+    convergent operator which must reject them.
+
+    Scale shape per hop: one equi-join of the (src, node, dist)
+    frontier against the ONCE-checkpointed edge list and one
+    map-side-combinable min hash-agg — the Bellman-Ford relax round.
+    State after hop k = distinct (src, node) pairs reached, bounded
+    by |sources| × nodes; ``sources`` is a bounded driver list (the
+    shortest_paths convention)."""
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    if not sources:
+        raise ValueError("bounded_hop_distances needs at least one "
+                         "source node")
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"),
+                      F.col(weight).alias("w"))
+         .where(F.col("s").isNotNull() & F.col("d").isNotNull()
+                & F.col("w").isNotNull()))
+    stage_digest("bounded_hop_distances.edges", e)
+    e = e.localCheckpoint(eager=False)
+    spark = edges.sparkSession
+    wtype = e.schema["w"].dataType
+    dist = (spark.createDataFrame([(x,) for x in set(sources)],
+                                  e.select("s").schema)
+            .toDF("node")
+            .select(F.col("node").alias("src"), "node",
+                    F.lit(0).cast(wtype).alias("dist")))
+    for k in range(max_hops):
+        relax = (dist.join(e, dist.node == e.s)
+                 .select("src", F.col("d").alias("node"),
+                         (F.col("dist") + F.col("w")).alias("dist")))
+        dist = (dist.unionByName(relax)
+                .groupBy("src", "node")
+                .agg(F.min("dist").alias("dist")))
+        # small budgets (the oracle-able regime) stay checkpoint-free
+        # so the WHOLE unrolled plan is digest-visible; past 7 hops
+        # the chained-shuffle lineage needs the Pregel truncation or
+        # analysis time grows superlinearly (measured: a 30-hop unroll
+        # hung the analyzer)
+        if (k + 1) % 8 == 0:
+            stage_digest(f"bounded_hop_distances.hop{k + 1}", dist)
+            dist = dist.localCheckpoint(eager=True)
     return dist
 
 

@@ -3076,3 +3076,60 @@ def test_llm_pipeline_semdedup_keep_one_among_survivors(spark, tmp_path):
             "chunk_deduped", man["near_deduped"]) - 1   # only doc 6
     finally:
         packed.unpersist()
+
+
+def test_bounded_hop_distances_parity(spark):
+    """Fixed-budget weighted distances (q174's library form): == a
+    reference Python hop-bounded Bellman-Ford on a random weighted
+    digraph; == shortest_paths where the budget covers the diameter;
+    integer weights keep an integer dist column (the exact-parity
+    contract); negative weights are LEGAL here (the budget bounds
+    path length); hop-0 returns exactly the sources at dist 0."""
+    import random
+
+    from nasctn_sea_ingest_spark.operators.graph import (
+        bounded_hop_distances, shortest_paths)
+
+    def py_bounded(edges, srcs, hops):
+        dist = {(s, s): 0 for s in srcs}
+        for _ in range(hops):
+            cur = dict(dist)
+            for s, d, w in edges:
+                for (src0, node), dv in list(cur.items()):
+                    if node == s:
+                        k = (src0, d)
+                        nd = dv + w
+                        if nd < dist.get(k, float("inf")):
+                            dist[k] = nd
+        return dist
+
+    rng = random.Random(11)
+    edges = [(rng.randint(0, 25), rng.randint(0, 25),
+              rng.randint(1, 9)) for _ in range(120)]
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+    for hops in (0, 1, 3):
+        got = {(r.src, r.node): r.dist
+               for r in bounded_hop_distances(df, [0, 7], hops)
+               .collect()}
+        want = py_bounded(edges, [0, 7], hops)
+        assert got == want, hops
+        assert all(isinstance(v, int) for v in got.values())
+
+    # budget >= diameter -> equals the convergent operator per source
+    sp = {r.node: r.dist for r in shortest_paths(
+        df.withColumn("weight", F.col("weight").cast("double")),
+        [0]).collect()}
+    bh = {r.node: float(r.dist)
+          for r in bounded_hop_distances(df, [0], 30).collect()}
+    assert bh == sp
+
+    # negative weights: legal here, refused by the convergent form
+    neg = spark.createDataFrame([(1, 2, -5), (2, 3, 4)],
+                                "src long, dst long, weight long")
+    got = {(r.src, r.node): r.dist
+           for r in bounded_hop_distances(neg, [1], 2).collect()}
+    assert got == {(1, 1): 0, (1, 2): -5, (1, 3): -1}
+    with pytest.raises(ValueError, match="at least one source"):
+        bounded_hop_distances(df, [], 2)
+    with pytest.raises(ValueError, match="max_hops"):
+        bounded_hop_distances(df, [0], -1)

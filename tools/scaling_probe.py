@@ -62,6 +62,13 @@ REL_QUERIES = {
     "q143_gap_interpolation": ("events", ["event_id", "user_id"]),
     "q144_rolling_corr": ("events", ["event_id", "user_id"]),
     "q145_reachability": ("lineitem", ["l_orderkey"]),
+    # l_orderkey shifts only: replicas stack MORE orders over the SAME
+    # parts, so the co-purchase graph DENSIFIES (support counts x s,
+    # more qualifying edges over a fixed node set) — the harsher regime
+    # for the iterative families (LPA round cost and relax fan-out grow
+    # with edges, not nodes)
+    "q173_label_propagation": ("lineitem", ["l_orderkey"]),
+    "q174_bounded_hop_distances": ("lineitem", ["l_orderkey"]),
     "q146_weighted_sample": ("documents", ["doc_id"]),
     # custkey shifts too: replicas bring NEW customers (streak groups grow
     # with scale) instead of stacking duplicate days on the same ones
