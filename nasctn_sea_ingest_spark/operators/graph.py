@@ -815,12 +815,12 @@ def label_propagation(pairs: DataFrame, d1: str = "d1",
     not apply.
 
     Per round: one equi-join (edges x labels on the neighbor key), a
-    (node, label) count aggregate, and a per-node (count desc, label
-    asc) top-1 window whose per-node row count = that node's DISTINCT
-    neighbor labels (hub-safe); the changed-row count is one aggregate
-    on the checkpointed update."""
-    from pyspark.sql import Window
-
+    (node, label) count aggregate, and a per-node argmax by (count
+    desc, label asc) computed as ONE map-side-combinable
+    min(struct(-count, label)) aggregate — a hub's label votes reduce
+    before the shuffle, where a top-1 window would sort them in one
+    task; the changed-row count is one aggregate on the checkpointed
+    update."""
     e = (pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
          .where(F.col("a").isNotNull() & F.col("b").isNotNull()
                 & (F.col("a") != F.col("b"))))
@@ -835,16 +835,24 @@ def label_propagation(pairs: DataFrame, d1: str = "d1",
                 .distinct()
                 .localCheckpoint(eager=True))
     labels = allnodes.withColumn("label", F.col("node"))
-    w = Window.partitionBy("node").orderBy(F.desc("__m"), F.asc("__l"))
     for _ in range(max_iter):
+        # argmax by (count desc, label asc) as ONE combinable agg:
+        # min(struct(-count, label)) — struct ordering is
+        # lexicographic, so the minimum is (max count, then smallest
+        # label), for ANY orderable label type.  A row_number window
+        # (the r13-pre form) shuffles AND sorts each node's distinct
+        # neighbor labels in one task; the struct-min combines
+        # map-side, so a hub's label votes reduce before the wire.
         top = (sym.join(labels.select(F.col("node").alias("b"),
                                       F.col("label").alias("__l")),
                         "b")
                .groupBy(F.col("a").alias("node"), F.col("__l"))
                .agg(F.count("*").alias("__m"))
-               .withColumn("__rn", F.row_number().over(w))
-               .where(F.col("__rn") == 1)
-               .select("node", F.col("__l").alias("__new")))
+               .groupBy("node")
+               .agg(F.min(F.struct((-F.col("__m")).alias("nm"),
+                                   F.col("__l").alias("l")))
+                    .alias("__t"))
+               .select("node", F.col("__t.l").alias("__new")))
         upd = (labels.join(top, "node", "left")
                .select("node",
                        F.coalesce("__new", F.col("label"))
