@@ -17,7 +17,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 __all__ = ["not_null", "unique", "accepted_values", "in_range",
-           "referential", "audit", "skew_survey"]
+           "referential", "audit", "skew_survey", "skew_counts",
+           "skew_report"]
 
 
 def not_null(col: str) -> "tuple[str, Column]":
@@ -249,6 +250,102 @@ def skew_survey(df: DataFrame,
                  F.sum("__cnt").alias("total_rows"),
                  F.max("__cnt").alias("max_cnt"),
                  F.expr(fn).alias("__ps")))
+    top1 = F.col("max_cnt") / F.col("total_rows")
+    ratio = F.col("max_cnt") * F.col("n_keys") / F.col("total_rows")
+    return prof.select(
+        "key_col", "n_keys", "total_rows", "max_cnt",
+        (F.col("total_rows") / F.col("n_keys")).alias("avg_cnt"),
+        *[(F.col("__ps")[i].cast("double").alias(lbl))
+          for i, lbl in enumerate(plabels)],
+        top1.alias("top1_share"),
+        ratio.alias("skew_ratio"),
+        F.when(top1 > F.lit(float(salt_share)), F.lit("salt"))
+         .when(ratio > F.lit(float(skew_ratio_hint)),
+               F.lit("aqe-skew-join"))
+         .otherwise(F.lit("hash-ok")).alias("hint"))
+
+
+def _skew_entries(key_cols):
+    entries = [(k,) if isinstance(k, str) else tuple(k)
+               for k in key_cols]
+    if not entries:
+        raise ValueError("need at least one key column")
+    if any(not e for e in entries):
+        raise ValueError("empty composite key entry in key_cols")
+    if len({frozenset(e) for e in entries}) != len(entries):
+        raise ValueError("duplicate key entry in key_cols")
+    return entries
+
+
+def skew_counts(df: DataFrame,
+                key_cols: "list[str | tuple[str, ...]]") -> DataFrame:
+    """Per-key-VALUE counts for J candidate keys in ONE scan:
+    ``(key_col, key_val, cnt)`` — :func:`skew_survey`'s GROUPING-SETS
+    pass with the key value carried as a canonical string so the
+    counts are MERGEABLE (sum by (key_col, key_val)) across batches /
+    partitions / days.  This is the maintainable state behind
+    ``streaming.skew_profile_stream``; :func:`skew_report` turns a
+    (merged) counts frame into the same stats/hints ``skew_survey``
+    computes directly.
+
+    Encoding: values joined by the 0x1F unit separator, NULL encoded
+    as a 0x00-prefixed token no real cast-to-string value can produce
+    — NULL keys stay their own counted group (the skew culprit most
+    profilers drop) and composite tuples cannot collide with strings
+    containing commas."""
+    entries = _skew_entries(key_cols)
+    allc = list(dict.fromkeys(c for e in entries for c in e))
+    cnt = (df.groupingSets([list(e) for e in entries], *allc)
+             .agg(F.count(F.lit(1)).alias("cnt"),
+                  *[F.grouping(c).alias(f"__g{i}")
+                    for i, c in enumerate(allc)]))
+    gflag = {c: F.col(f"__g{i}") for i, c in enumerate(allc)}
+
+    def _match(e):
+        m = F.lit(True)
+        for c in allc:
+            m = m & (gflag[c] == (0 if c in e else 1))
+        return m
+
+    def _val(e):
+        return F.concat_ws("\x1f", *[
+            F.when(F.col(c).isNull(), F.lit("\x00NULL"))
+             .otherwise(F.col(c).cast("string")) for c in e])
+    key_col = F.coalesce(*[F.when(_match(e), F.lit(",".join(e)))
+                           for e in entries])
+    key_val = F.coalesce(*[F.when(_match(e), _val(e))
+                           for e in entries])
+    return (cnt.select(key_col.alias("key_col"),
+                       key_val.alias("key_val"),
+                       F.col("cnt").cast("bigint").alias("cnt"))
+            .where(F.col("key_col").isNotNull()))
+
+
+def skew_report(counts: DataFrame,
+                percentiles: "tuple[float, ...]" = (0.5, 0.99),
+                salt_share: float = 0.2,
+                skew_ratio_hint: float = 10.0) -> DataFrame:
+    """:func:`skew_survey`'s per-key stats/hints computed from a
+    (key_col, key_val, cnt) counts frame (:func:`skew_counts`, or the
+    ``skew_profile_stream`` snapshot) instead of a raw table scan —
+    same columns, same exact-integer ratio arithmetic, same
+    'salt' / 'aqe-skew-join' / 'hash-ok' hint thresholds, so a
+    maintained profile reads identically to a from-scratch survey
+    (parity-pinned by pytest)."""
+    if not percentiles:
+        raise ValueError("need at least one percentile")
+    for p in percentiles:
+        if not 0 <= p <= 1:
+            raise ValueError(f"percentile out of [0,1]: {p}")
+    plabels = [_percentile_label(p) for p in percentiles]
+    if len(set(plabels)) != len(plabels):
+        raise ValueError(f"duplicate percentile labels {plabels}")
+    pl = ", ".join(repr(float(p)) for p in percentiles)
+    prof = (counts.groupBy("key_col")
+            .agg(F.count(F.lit(1)).alias("n_keys"),
+                 F.sum("cnt").alias("total_rows"),
+                 F.max("cnt").alias("max_cnt"),
+                 F.expr(f"percentile(cnt, array({pl}))").alias("__ps")))
     top1 = F.col("max_cnt") / F.col("total_rows")
     ratio = F.col("max_cnt") * F.col("n_keys") / F.col("total_rows")
     return prof.select(

@@ -40,7 +40,8 @@ __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "fuzzy_dedup_stream", "kmv_rollup_stream",
            "funnel_monitor_stream", "colocation_monitor_stream",
            "fd_profile_stream", "components_stream",
-           "components_stream_bucketed", "compact_candidate_store"]
+           "components_stream_bucketed", "compact_candidate_store",
+           "skew_profile_stream"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -2011,6 +2012,46 @@ def fd_profile_stream(updates: DataFrame, out_dir: str,
     return _guarded_small_rollup(
         updates, out_dir, checkpoint_dir,
         lambda b: fd_counts(b, candidates), merge, available_now)
+
+
+def skew_profile_stream(updates: DataFrame, out_dir: str,
+                        checkpoint_dir: str,
+                        key_cols: "list[str | tuple[str, ...]]",
+                        available_now: bool = False):
+    """Incrementally maintained join/agg-key skew profile — the
+    streaming face of ``quality.skew_survey`` (the shuffle-strategy
+    diagnostics a 100 TB pipeline wants CURRENT as data lands, not
+    re-scanned nightly): each micro-batch runs the one-scan
+    GROUPING-SETS count pass over ITS OWN rows
+    (``quality.skew_counts`` — map-side combinable) and count-sums
+    into the stored ``(key_col, key_val, cnt)`` table; the full
+    stats/hints report is one
+    ``skew_report(spark.read.parquet(out_dir).drop("last_batch"))``
+    away at any trigger, row-identical to a from-scratch
+    ``skew_survey`` over everything that ever streamed
+    (parity-pinned by pytest).
+
+    State = distinct key values per candidate entry — the
+    ``fd_profile_stream`` bounded-domain contract: profile keys whose
+    domains are bounded or slow-growing (status/category/date-bucket
+    columns, moderate-cardinality join keys).  A billions-of-distinct
+    key belongs in the batch survey's ``exact=False`` path, not in a
+    maintained snapshot.  Count merge is exact and NULL key values
+    stay their own counted group (the canonical 0x00-token encoding —
+    never a NULL-dropping join); crash replays are skipped by the
+    ``last_batch`` stamp."""
+    from ..operators.quality import _skew_entries, skew_counts
+
+    _skew_entries(key_cols)   # validate once at wiring time
+
+    def merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (a.unionByName(b)
+                .groupBy("key_col", "key_val")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt")))
+
+    return _guarded_small_rollup(
+        updates, out_dir, checkpoint_dir,
+        lambda b: skew_counts(b, key_cols), merge, available_now)
 
 
 def components_stream(pairs: DataFrame, out_dir: str,

@@ -2881,3 +2881,58 @@ def test_compact_candidate_store_rebuilds_components_directory(
     want = {r.node: r.cluster for r in star_components(
         spark.createDataFrame(hist, schema)).collect()}
     assert got == want
+
+
+def test_skew_profile_stream_matches_batch_survey(spark, tmp_path):
+    """Streaming skew maintenance: after every wave, skew_report over
+    the stored counts equals skew_survey over ALL rows ever streamed —
+    singles AND a composite entry, NULL keys counted as their own
+    group, hints identical; replay is stamp-skipped."""
+    from nasctn_sea_ingest_spark.operators.quality import (
+        skew_report, skew_survey)
+    from nasctn_sea_ingest_spark.streaming import skew_profile_stream
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "skew")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "a string, b int"
+    keys = ["a", "b", ("a", "b")]
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = skew_profile_stream(stream, out, ckpt, keys,
+                                available_now=True)
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    def report():
+        snap = spark.read.parquet(out).drop("last_batch")
+        return {r.key_col: r.asDict() for r in
+                skew_report(snap).collect()}
+
+    waves = [
+        [("hot", 1)] * 8 + [("x", 2), (None, 3)],
+        [("hot", 1)] * 5 + [("y", 2), ("z", None), (None, 3)],
+        [(f"k{i}", i) for i in range(10)],
+    ]
+    hist = []
+    for w in waves:
+        hist += w
+        spark.createDataFrame(w, schema) \
+            .coalesce(1).write.mode("append").parquet(land)
+        run()
+        want = {r.key_col: r.asDict() for r in
+                skew_survey(spark.createDataFrame(hist, schema),
+                            keys).collect()}
+        got = report()
+        assert got == want, (len(hist), got, want)
+
+    # crash replay: stamp-skipped, report unchanged
+    before = report()
+    _delete_commit_marker(ckpt)
+    run()
+    assert report() == before
