@@ -198,16 +198,11 @@ def skew_survey(df: DataFrame,
         raise ValueError(
             f"duplicate percentile column labels {plabels} from "
             f"percentiles {tuple(percentiles)}")
-    entries = [(k,) if isinstance(k, str) else tuple(k)
-               for k in key_cols]
-    if any(not e for e in entries):
-        raise ValueError("empty composite key entry in key_cols")
-    # uniqueness is SET-wise: ('a','b') and ('b','a') are the same
-    # grouping set — GROUPING SETS would compute it twice and both
-    # copies would coalesce to the FIRST entry's label, doubling its
-    # n_keys/total_rows
-    if len({frozenset(e) for e in entries}) != len(entries):
-        raise ValueError("duplicate key entry in key_cols")
+    # set-wise uniqueness matters: ('a','b') and ('b','a') are the
+    # same grouping set — GROUPING SETS would compute it twice and
+    # both copies would coalesce to the FIRST entry's label, doubling
+    # its n_keys/total_rows (validation shared with skew_counts)
+    entries = _skew_entries(key_cols)
     # union of columns across entries, first-seen order — one
     # grouping() flag per column identifies the exact set a row
     # belongs to (an entry matches iff ALL its columns are grouped
