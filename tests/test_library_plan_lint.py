@@ -252,3 +252,44 @@ def test_ppr_and_lpa_round_plans(spark):
     p = _plan(com)
     _lint(p, "label_propagation")
     assert "Scan ExistingRDD" in p
+
+
+def test_bounded_hop_and_skew_counts_plans(spark, tiny):
+    """Round-13 library ops: bounded_hop_distances' small-budget plan
+    is fully UNROLLED (no checkpoint scan — digest-visible) and pure
+    equi-join + hash-agg; skew_counts is one Expand over one source
+    with partial aggregation (the skew_survey shape, value-carrying);
+    skew_report off stored counts is one hash-agg, no join."""
+    from nasctn_sea_ingest_spark.operators.graph import (
+        bounded_hop_distances)
+    from nasctn_sea_ingest_spark.operators.quality import (
+        skew_counts, skew_report)
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 9, i + 1) for i in range(9)],
+        "src long, dst long, weight long")
+    out = bounded_hop_distances(edges, [0], 3)
+    out.collect()
+    p = _plan(out).split("== Initial Plan ==")[0]
+    _lint(p, "bounded_hop_distances")
+    # small budget: the three hops stay UNROLLED in one plan (only the
+    # edge list is checkpoint-backed, and that stage carries its own
+    # digest) — three relax joins visible, map-side min combine
+    import re as _re
+    assert len(_re.findall(
+        r"(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p)) >= 3
+    assert "partial_min" in p                # map-side combine per hop
+
+    ev = spark.createDataFrame(
+        [("a", i % 3) for i in range(12)], "k string, v int")
+    cnts = skew_counts(ev, ["k", ("k", "v")])
+    cnts.collect()
+    pc = _plan(cnts).split("== Initial Plan ==")[0]
+    _lint(pc, "skew_counts")
+    assert pc.count("Expand") == 1
+    assert "partial_count" in pc
+    rep = skew_report(cnts)
+    rep.collect()
+    pr = _plan(rep).split("== Initial Plan ==")[0]
+    _lint(pr, "skew_report")
+    assert "Join" not in pr
