@@ -88,17 +88,32 @@ def _read_manifest(path: str, version: int) -> dict:
 
 
 def _commit_manifest(path: str, version: int, manifest: dict) -> None:
-    os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    # write the FULL manifest to a temp file first, then os.link() it
+    # into the version slot: the link is atomic AND exclusive (fails
+    # if the slot exists), so exactly one writer can own a version
+    # number — the old `open(.., "x")` had the same exclusivity but a
+    # crash mid-json.dump left a TRUNCATED manifest permanently
+    # claiming the slot (every retry hit VersionConflict and every
+    # read hit the corrupt-manifest error; the r13 geometry-manifest
+    # atomicity class).  Temp names start with "_" so _list_versions
+    # never mistakes an orphan for a version.
+    import tempfile
+    fd, tmp = tempfile.mkstemp(dir=mdir, prefix=f"_v{version}_",
+                               suffix=".tmp")
     try:
-        # exclusive create IS the commit protocol: exactly one writer
-        # can own a version number
-        with open(_manifest_path(path, version), "x") as fh:
+        with os.fdopen(fd, "w") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
-    except FileExistsError:
-        raise VersionConflict(
-            f"versioned table {path}: version {version} was committed "
-            "by a concurrent writer — re-read the head and retry"
-        ) from None
+        try:
+            os.link(tmp, _manifest_path(path, version))
+        except FileExistsError:
+            raise VersionConflict(
+                f"versioned table {path}: version {version} was "
+                "committed by a concurrent writer — re-read the head "
+                "and retry") from None
+    finally:
+        os.unlink(tmp)
 
 
 def versioned_write(df: DataFrame, path: str, mode: str = "append",

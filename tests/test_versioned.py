@@ -153,3 +153,36 @@ def test_corrupt_manifest_fails_loudly(spark, tmp_path):
         fh.write("{not json")
     with pytest.raises(ValueError, match="corrupt"):
         read_version(spark, path)
+
+
+def test_commit_manifest_atomic_and_orphan_safe(spark, tmp_path):
+    """r13 atomicity class: the manifest commit writes a temp file and
+    os.link()s it into the version slot — a concurrent commit of the
+    same version still raises VersionConflict (exclusivity preserved),
+    a crash-orphaned temp file is invisible to version listing, and no
+    truncated manifest can ever claim a slot (the committed file is
+    complete by construction)."""
+    import json
+    import os
+
+    from nasctn_sea_ingest_spark.sources.versioned import (
+        VersionConflict, _commit_manifest, _list_versions,
+        _read_manifest)
+
+    path = str(tmp_path / "vt")
+    _commit_manifest(path, 1, {"columns": ["a"], "files": []})
+    assert _list_versions(path) == [1]
+    assert _read_manifest(path, 1)["columns"] == ["a"]
+    with pytest.raises(VersionConflict, match="version 1"):
+        _commit_manifest(path, 1, {"columns": ["b"], "files": []})
+    # the losing commit's temp file must not linger or be listed
+    mdir = os.path.join(path, "_manifests")
+    assert sorted(os.listdir(mdir)) == ["v0000000001.json"]
+    # a crash-orphaned temp file (simulated) never shows up as a version
+    with open(os.path.join(mdir, "_v2_orphan.tmp"), "w") as fh:
+        fh.write('{"columns"')
+    assert _list_versions(path) == [1]
+    _commit_manifest(path, 2, {"columns": ["a"], "files": []})
+    assert _list_versions(path) == [1, 2]
+    assert json.load(open(os.path.join(
+        mdir, "v0000000002.json")))["columns"] == ["a"]
