@@ -193,11 +193,12 @@ RETIRED_NAMES = frozenset({
     #     bigger Expand) stay live, and q172 skew_survey adds a THIRD
     #     driver-scale Expand-family row this same round.
     "q41_rollup",
-    # Round 13: admitting q173 (label-propagation communities) and
-    # q174 (weighted bounded-hop distances) needed NO retirement —
-    # after the r12 run the must-verify set was 46 (2 never-checked +
-    # 46 r10-run-stale = 48 of 50; RECHECK cleared), leaving 2 slack
-    # slots at handoff.  The staged candidates below remain staged
+    # Round 13: admitting q173 (label-propagation communities), q174
+    # (weighted bounded-hop distances), and q175 (time-respecting
+    # temporal reachability) needed NO retirement — after the r12 run
+    # the must-verify set was 46 (RECHECK cleared), so 3 never-checked
+    # + 46 stale = 49 of 50, leaving 1 slack slot at handoff (the
+    # protocol minimum).  The staged candidates below remain staged
     # for round 14.
     # ROUND-13 RETIREMENT CANDIDATES (staged, not retired — pre-plan so
     # new families never stall on slots; retire only from whatever is

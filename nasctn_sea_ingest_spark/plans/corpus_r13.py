@@ -78,8 +78,8 @@ _LPA_ROUND = """
     "label-propagation rounds with the deterministic (count desc, "
     "label asc) tie-break, community-size histogram out.  Spark runs "
     "operators.graph.label_propagation (per round: one equi-join of "
-    "edges x labels, a (node,label) count agg, a hub-safe per-node "
-    "top-1 window, eager checkpoint); the oracle unrolls the same "
+    "edges x labels, a (node,label) count agg, a map-side-combinable "
+    "min(struct) argmax, eager checkpoint); the oracle unrolls the same "
     "three rounds as join+group+argmax CTEs — legal because LPA's "
     "early stop is provably a no-op on the result (an unchanged "
     "round fixes every later round)",
@@ -170,4 +170,101 @@ def q174(spark, sf_dir):
             .agg((F.count("*") - 1).cast("bigint").alias("n_reach"),
                  F.sum("dist").cast("bigint").alias("sum_dist"),
                  F.max("dist").cast("bigint").alias("max_dist"))
+            .orderBy("src"))
+
+
+_W_US = 3_600_000_000  # 1-hour co-action window (microseconds)
+
+
+@_q("q175_temporal_reachability",
+    "TIME-RESPECTING 2-hop reachability over a temporal influence "
+    "graph derived from the events stream: user A influences user B "
+    "when both act on the same item (props JSON key) and B acts "
+    "within 1 hour AFTER A; a 2-hop path s->v->w is valid only when "
+    "the second edge departs AT OR AFTER the first's arrival (the "
+    "temporal-path constraint ordinary reachability ignores).  "
+    "EARLIEST-ARRIVAL semantics make 2 hops exact with one min-agg: "
+    "an onward edge with t2 >= min arrival exists iff one exists for "
+    "SOME arrival.  Per seed user (id < 15): distinct 1-hop and "
+    "<=2-hop reach counts and the earliest arrival, all BIGINT "
+    "microsecond arithmetic.  The edge build is a k-equi-join with a "
+    "time-band predicate (the interval-join shape), checkpointed "
+    "once and reused by both hops",
+    f"""
+    WITH ev AS (
+      SELECT user_id AS u,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             epoch_us(ts) AS t
+      FROM events
+      WHERE user_id IS NOT NULL AND props IS NOT NULL),
+    e AS (
+      SELECT DISTINCT a.u AS src, b.u AS dst, b.t AS t
+      FROM ev a JOIN ev b
+        ON a.k = b.k AND b.t > a.t AND b.t <= a.t + {_W_US}
+       AND a.u != b.u),
+    a1 AS (
+      SELECT src, dst, min(t) AS arr
+      FROM e WHERE src < 15 GROUP BY 1, 2),
+    h2 AS (
+      SELECT a1.src, e.dst AS w
+      FROM a1 JOIN e ON e.src = a1.dst AND e.t >= a1.arr),
+    reach AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM a1
+        UNION ALL SELECT src, w AS dst FROM h2)
+      WHERE dst != src)
+    SELECT r.src AS src,
+           CAST(count(*) AS BIGINT) AS n_reach2,
+           CAST((SELECT count(*) FROM a1 x
+                 WHERE x.src = r.src AND x.dst != r.src) AS BIGINT)
+             AS n_hop1,
+           CAST((SELECT min(arr) FROM a1 x WHERE x.src = r.src)
+                AS BIGINT) AS first_arr_us
+    FROM reach r GROUP BY 1 ORDER BY 1
+    """)
+def q175(spark, sf_dir):
+    from ..querylog import stage_digest
+
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()
+                 & F.col("props").isNotNull())
+          .select(F.col("user_id").alias("u"),
+                  F.get_json_object("props", "$.k").cast("int")
+                  .alias("k"),
+                  F.col("ts_us").alias("t")))
+    a = ev.alias("a")
+    b = ev.select(F.col("u").alias("u2"), F.col("k").alias("k2"),
+                  F.col("t").alias("t2")).alias("b")
+    e = (a.join(b, (F.col("a.k") == F.col("k2"))
+                & (F.col("t2") > F.col("a.t"))
+                & (F.col("t2") <= F.col("a.t") + F.lit(_W_US))
+                & (F.col("a.u") != F.col("u2")))
+         .select(F.col("a.u").alias("src"), F.col("u2").alias("dst"),
+                 F.col("t2").alias("t"))
+         .distinct())
+    # the temporal edge list is read by BOTH hops — checkpoint once
+    # (the q174 discipline), with its pre-checkpoint plan digested
+    stage_digest("q175.edges", e)
+    e = e.localCheckpoint(eager=False)
+    a1 = (e.where(F.col("src") < 15)
+          .groupBy("src", "dst").agg(F.min("t").alias("arr")))
+    e2 = e.select(F.col("src").alias("v"), F.col("dst").alias("w"),
+                  F.col("t").alias("t2"))
+    h2 = (a1.join(e2, (F.col("v") == F.col("dst"))
+                  & (F.col("t2") >= F.col("arr")))
+          .select("src", F.col("w").alias("rdst")))
+    reach = (a1.select("src", "dst")
+             .unionByName(h2.select("src", F.col("rdst").alias("dst")))
+             .where(F.col("dst") != F.col("src"))
+             .distinct())
+    stats = (a1.where(F.col("dst") != F.col("src"))
+             .groupBy("src")
+             .agg(F.count("*").cast("bigint").alias("n_hop1")))
+    first = a1.groupBy("src").agg(F.min("arr").cast("bigint")
+                                  .alias("first_arr_us"))
+    return (reach.groupBy("src")
+            .agg(F.count("*").cast("bigint").alias("n_reach2"))
+            .join(stats, "src").join(first, "src")
+            .select(F.col("src").cast("bigint").alias("src"),
+                    "n_reach2", "n_hop1", "first_arr_us")
             .orderBy("src"))
