@@ -27,7 +27,8 @@ from . import corpus_r11  # noqa: F401  (composite-lhs FD lattice,
 from . import corpus_r12  # noqa: F401  (semdedup_exact driver row,
 #   skew_survey GROUPING-SETS key profiler)
 from . import corpus_r13  # noqa: F401  (label-propagation community
-#   histogram, weighted bounded-hop distances)
+#   histogram, weighted bounded-hop distances, time-respecting
+#   temporal reachability)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST 50

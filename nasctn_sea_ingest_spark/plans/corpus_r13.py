@@ -232,10 +232,22 @@ def q175(spark, sf_dir):
                   F.get_json_object("props", "$.k").cast("int")
                   .alias("k"),
                   F.col("ts_us").alias("t")))
-    a = ev.alias("a")
-    b = ev.select(F.col("u").alias("u2"), F.col("k").alias("k2"),
-                  F.col("t").alias("t2")).alias("b")
+    # 1-D grid join on (k, time bucket of width W): the item key alone
+    # has BOUNDED cardinality (~100 distinct), so a plain k-equi-join
+    # degrades quadratically within each k as data grows; bucketing
+    # time at the window width caps each join group at two adjacent
+    # W-slices per k (the grid_distance_join candidate shape in one
+    # dimension) — a follower within (t, t+W] sits in the leader's
+    # bucket or the next one, so the candidate set is lossless
+    bkt = F.expr(f"t div {_W_US}")   # integer floor-div: exact
+    a = (ev.withColumn(
+            "jb", F.explode(F.array(bkt, bkt + 1))).alias("a"))
+    b = (ev.select(F.col("u").alias("u2"), F.col("k").alias("k2"),
+                   F.col("t").alias("t2"))
+         .withColumn("jb", F.expr(f"t2 div {_W_US}"))
+         .alias("b"))
     e = (a.join(b, (F.col("a.k") == F.col("k2"))
+                & (F.col("a.jb") == F.col("b.jb"))
                 & (F.col("t2") > F.col("a.t"))
                 & (F.col("t2") <= F.col("a.t") + F.lit(_W_US))
                 & (F.col("a.u") != F.col("u2")))
