@@ -69,6 +69,10 @@ REL_QUERIES = {
     # with edges, not nodes)
     "q173_label_propagation": ("lineitem", ["l_orderkey"]),
     "q174_bounded_hop_distances": ("lineitem", ["l_orderkey"]),
+    # event_id shifts only (user_id kept): replicas DENSIFY each
+    # (item, hour) cell — more co-action edges among the same users,
+    # the harsh regime for the q175 grid join (per-cell pair growth)
+    "q175_temporal_reachability": ("events", ["event_id"]),
     "q146_weighted_sample": ("documents", ["doc_id"]),
     # custkey shifts too: replicas bring NEW customers (streak groups grow
     # with scale) instead of stacking duplicate days on the same ones
