@@ -175,8 +175,17 @@ def skew_survey(df: DataFrame,
     any entry's estimate exceeds ``exact_key_limit`` (default 10M,
     padded 10% for HLL error) the survey auto-switches to
     ``approx_percentile`` instead of OOMing a reducer.
-    ``exact_key_limit=None`` skips the gate scan and trusts the
-    caller.
+
+    .. note:: the pre-gate is an EAGER action at call time: with the
+       defaults (``exact=True``, ``exact_key_limit`` set), merely
+       CONSTRUCTING the survey DataFrame runs one
+       ``approx_count_distinct`` scan of ``df`` before anything is
+       returned — the gate's answer decides which plan to build, so
+       it cannot be deferred into the plan itself.  Callers composing
+       lazily (or who already know the cardinality) pass
+       ``exact_key_limit=None`` to skip the gate scan and trust the
+       caller, or ``exact=False`` to build the bounded-memory plan
+       with no gate needed.
 
     Returns one row per key entry: ``key_col, n_keys, total_rows,
     max_cnt, avg_cnt, p<P>_cnt..., top1_share, skew_ratio, hint`` where
@@ -283,11 +292,15 @@ def skew_counts(df: DataFrame,
     (merged) counts frame into the same stats/hints ``skew_survey``
     computes directly.
 
-    Encoding: values joined by the 0x1F unit separator, NULL encoded
-    as a 0x00-prefixed token no real cast-to-string value can produce
-    — NULL keys stay their own counted group (the skew culprit most
-    profilers drop) and composite tuples cannot collide with strings
-    containing commas."""
+    Encoding: cast values are escaped (0x00 → 0x00 'z', 0x1F → 0x00
+    'u') then joined by the 0x1F unit separator, with NULL encoded as
+    the 0x00 'NULL' token.  After escaping, every 0x00 inside a value
+    is followed by 'z' or 'u' and no bare 0x1F survives, so a string
+    that legitimately CONTAINS the separator or the NULL token (e.g.
+    "\\x00NULL") can collide with neither — NULL keys stay their own
+    counted group (the skew culprit most profilers drop), composite
+    tuples cannot collide with strings containing separators, and the
+    encoding stays injective on arbitrary binary-ish strings."""
     entries = _skew_entries(key_cols)
     allc = list(dict.fromkeys(c for e in entries for c in e))
     cnt = (df.groupingSets([list(e) for e in entries], *allc)
@@ -302,10 +315,18 @@ def skew_counts(df: DataFrame,
             m = m & (gflag[c] == (0 if c in e else 1))
         return m
 
+    def _esc(c):
+        # escape-char scheme (docstring): 0x00 doubles as the escape
+        # lead, so post-escape values contain no bare 0x1f and no 0x00
+        # not followed by z/u — the NULL token stays unforgeable
+        s = F.replace(F.col(c).cast("string"),
+                      F.lit("\x00"), F.lit("\x00z"))
+        return F.replace(s, F.lit("\x1f"), F.lit("\x00u"))
+
     def _val(e):
         return F.concat_ws("\x1f", *[
             F.when(F.col(c).isNull(), F.lit("\x00NULL"))
-             .otherwise(F.col(c).cast("string")) for c in e])
+             .otherwise(_esc(c)) for c in e])
     key_col = F.coalesce(*[F.when(_match(e), F.lit(",".join(e)))
                            for e in entries])
     key_val = F.coalesce(*[F.when(_match(e), _val(e))

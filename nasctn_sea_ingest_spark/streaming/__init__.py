@@ -2136,29 +2136,54 @@ def components_stream_bucketed(pairs: DataFrame, out_dir: str,
        (batch components) — components only ever MERGE, so rows of
        unaffected clusters are provably invariant and are rewritten
        verbatim (their buckets only re-stamp ``last_batch``);
-    5. append the new (cluster, kb) pairs to the directory FIRST, then
-       dynamic-partition-overwrite the touched snapshot buckets.  The
-       order is the crash contract: a directory that lists extra
-       buckets only costs extra reads, while a snapshot that advanced
-       past its directory would silently under-merge forever.  Stale
-       directory pairs (a cluster id absorbed into a smaller one) are
-       dead forever — a component's min can only decrease, so an
-       absorbed id can never name a live cluster again — and are
-       dropped by :func:`compact_candidate_store`.
+    5. append this batch's absorption pairs ``(old, new)`` to a MERGE
+       LOG (``out_dir/_merges``, partitioned by ``pmod(hash(new),
+       n_buckets)``) and the new (cluster, kb) pairs to the directory
+       FIRST, then dynamic-partition-overwrite the touched snapshot
+       buckets.  The order is the crash contract: extra log/directory
+       pairs only cost extra reads, while a snapshot that advanced
+       past them would silently under-merge forever.  Stale directory
+       pairs (a cluster id absorbed into a smaller one) are dead
+       forever — a component's min can only decrease, so an absorbed
+       id can never name a live cluster again — and are dropped by
+       :func:`compact_candidate_store` (which keeps the merge log's
+       rows: a crashed-then-compacted store may still need them).
 
-    Replay safety: the merge is idempotent (re-unioning the same edges
-    changes nothing), so a crash anywhere replays clean; the uniform
-    per-bucket ``last_batch`` stamp additionally makes a FULLY-written
-    replay a cheap skip (every touched bucket present with stamp >=
-    batch_id), the :func:`components_stream` convention.  A
-    skew-degenerate graph whose one giant component spans every bucket
-    degrades to the whole-rewrite face's O(state) — inherent to
-    maintaining exact components, not a design artifact."""
+    Replay safety: the multi-bucket dynamic overwrite is NOT atomic,
+    and an interrupted one is more than a cheap-skip problem — if
+    every batch-node bucket committed but a directory-bridged bucket
+    did not, the stale bucket's rows still carry an ABSORBED cluster
+    id that no surviving row mentions, so no amount of re-merging the
+    batch alone could reconnect them.  The merge log closes exactly
+    that hole: step 2 expands the affected-cluster set through it
+    (``new ∈ affected → old`` joins the set, iterated to fixpoint —
+    depth 1 in practice since Structured Streaming serializes batches
+    and a batch's replay heals before the next batch runs) and its
+    ``old—new`` pairs ride along as edges in step 4, so the stale
+    rows semi-join back into the merge and are rewritten.  The replay
+    SKIP therefore requires every bucket of the FULL touched set
+    (batch buckets ∪ directory-bridged buckets, after log expansion)
+    to be present with ``last_batch >= batch_id`` — stamping only the
+    batch-node buckets would cement the split this paragraph
+    describes.  A skew-degenerate graph whose one giant component
+    spans every bucket degrades to the whole-rewrite face's O(state)
+    — inherent to maintaining exact components, not a design
+    artifact."""
     from pyspark.errors import AnalysisException
 
     from ..operators.graph import star_components
 
     dir_path = os.path.join(out_dir, "_directory")
+    merges_path = os.path.join(out_dir, "_merges")
+
+    def _read_or_none(spark, path):
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException as e:
+            if ("PATH_NOT_FOUND" not in str(e)
+                    and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
+                raise
+            return None
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -2173,20 +2198,11 @@ def components_stream_bucketed(pairs: DataFrame, out_dir: str,
                     .select(F.pmod(F.hash("node"), n_buckets)
                             .alias("kb"))
                     .distinct().collect())
-        store_t0 = None
-        try:
-            store_t0 = (spark.read.parquet(out_dir)
-                        .where(F.col("kb").isin(t0))
+        store_t0 = _read_or_none(spark, out_dir)
+        if store_t0 is not None:
+            store_t0 = (store_t0.where(F.col("kb").isin(t0))
                         .localCheckpoint(eager=True))
-            stamp = store_t0.agg(
-                F.count_distinct("kb"), F.min("last_batch")).first()
-            last = -1 if stamp[1] is None else stamp[1]
-            if stamp[0] == len(t0) and last >= batch_id:
-                return  # replay of a fully-written batch: skip
-        except AnalysisException as e:
-            if ("PATH_NOT_FOUND" not in str(e)
-                    and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
-                raise
+        heal = None
         if store_t0 is not None:
             # affected clusters + the <= n_buckets directory partitions
             # that index them (bounded driver lists, the colocation
@@ -2194,26 +2210,58 @@ def components_stream_bucketed(pairs: DataFrame, out_dir: str,
             ca = (store_t0.join(nodes_b, "node")
                   .select("cluster").distinct()
                   .localCheckpoint(eager=True))
+            # expand through the merge log: a cluster id this batch's
+            # interrupted write already absorbed may survive only in a
+            # not-yet-overwritten bucket — its (old, new) log pair pulls
+            # it back into the affected set AND supplies the old—new
+            # edge the re-merge needs (docstring crash contract).
+            # Depth 1 in practice; fixpoint loop is one pruned read of
+            # a tiny store per round.
+            ml = _read_or_none(spark, merges_path)
+            if ml is not None:
+                for _ in range(16):
+                    mkbs = [r[0] for r in ca
+                            .select(F.pmod(F.hash("cluster"),
+                                           n_buckets).alias("mkb"))
+                            .distinct().collect()]
+                    heal = (ml.where(F.col("mkb").isin(mkbs))
+                            .join(ca.select(F.col("cluster")
+                                            .alias("new")),
+                                  "new", "semi")
+                            .select("old", "new").distinct()
+                            .localCheckpoint(eager=True))
+                    add = (heal.select(F.col("old").alias("cluster"))
+                           .join(ca, "cluster", "left_anti")
+                           .distinct())
+                    if not add.limit(1).count():
+                        break
+                    ca = (ca.unionByName(add)
+                          .localCheckpoint(eager=True))
             dkbs = [r[0] for r in ca
                     .select(F.pmod(F.hash("cluster"), n_buckets)
                             .alias("dkb"))
                     .distinct().collect()]
             t1: list = []
             if dkbs:
-                try:
+                d = _read_or_none(spark, dir_path)
+                if d is not None:
                     t1 = [r[0] for r in
-                          spark.read.parquet(dir_path)
-                          .where(F.col("dkb").isin(dkbs))
+                          d.where(F.col("dkb").isin(dkbs))
                           .join(ca, "cluster", "semi")
                           .select("kb").distinct().collect()]
-                except AnalysisException as e:
-                    if ("PATH_NOT_FOUND" not in str(e) and
-                            "UNABLE_TO_INFER_SCHEMA" not in str(e)):
-                        raise
             touched = sorted(set(t0) | set(t1))
             store_t = (spark.read.parquet(out_dir)
                        .where(F.col("kb").isin(touched))
                        .localCheckpoint(eager=True))
+            # replay skip — over the FULL touched set, not just the
+            # batch-node buckets: an interrupted dynamic overwrite can
+            # commit every t0 bucket and miss a bridged t1 bucket, and
+            # skipping on t0 stamps alone would cement that split
+            stamp = store_t.agg(
+                F.count_distinct("kb"), F.min("last_batch")).first()
+            if (stamp[0] == len(touched) and stamp[1] is not None
+                    and stamp[1] >= batch_id):
+                return  # replay of a fully-written batch: skip
             affected = store_t.join(ca, "cluster", "semi")
             kept = (store_t.join(ca, "cluster", "left_anti")
                     .select("node", "cluster", "kb"))
@@ -2223,6 +2271,10 @@ def components_stream_bucketed(pairs: DataFrame, out_dir: str,
                      .unionByName(bcc.select(
                          F.col("node").alias("d1"),
                          F.col("cluster").alias("d2"))))
+            if heal is not None:
+                edges = edges.unionByName(
+                    heal.select(F.col("old").alias("d1"),
+                                F.col("new").alias("d2")))
             newcc = star_components(edges, "d1", "d2")
         else:
             kept = None
@@ -2230,14 +2282,25 @@ def components_stream_bucketed(pairs: DataFrame, out_dir: str,
         newcc = (newcc
                  .withColumn("kb", F.pmod(F.hash("node"), n_buckets))
                  .localCheckpoint(eager=True))
-        # directory first (see the crash contract above).  Both writes
-        # repartition ON THE PARTITION KEY: without it every shuffle
-        # partition holds rows of every touched bucket and partitionBy
-        # fans out shuffle_partitions × buckets tiny files PER TRIGGER
-        # (measured 8k files/wave at n_buckets=256 — the probe's first
-        # run); co-locating each bucket first writes one file per
-        # touched bucket per trigger, which is also what keeps
-        # compaction cadence sane.
+        # merge log, then directory, then snapshot (see the crash
+        # contract above).  All writes repartition ON THE PARTITION
+        # KEY: without it every shuffle partition holds rows of every
+        # touched bucket and partitionBy fans out shuffle_partitions ×
+        # buckets tiny files PER TRIGGER (measured 8k files/wave at
+        # n_buckets=256 — the probe's first run); co-locating each
+        # bucket first writes one file per touched bucket per trigger,
+        # which is also what keeps compaction cadence sane.
+        if store_t0 is not None:
+            (affected.select("node", F.col("cluster").alias("old"))
+             .join(newcc.select("node",
+                                F.col("cluster").alias("new")),
+                   "node")
+             .where(F.col("old") != F.col("new"))
+             .select("old", "new").distinct()
+             .withColumn("mkb", F.pmod(F.hash("new"), n_buckets))
+             .repartition("mkb")
+             .write.mode("append").partitionBy("mkb")
+             .parquet(merges_path))
         (newcc.select("cluster", "kb").distinct()
          .withColumn("dkb", F.pmod(F.hash("cluster"), n_buckets))
          .repartition("dkb")
@@ -2290,6 +2353,17 @@ def compact_candidate_store(spark: SparkSession, store_dir: str,
     and the snapshot itself is the exact current (cluster, kb) truth,
     so compaction is the natural point to shed the dead pairs.
 
+    Crash recovery: the per-leaf swap is two ``os.rename`` calls, and
+    a crash between them leaves the bucket's only data in the
+    underscore-prefixed ``_compact_old_<name>`` sibling — invisible to
+    readers.  Every entry therefore FIRST walks the store for swap
+    leftovers and repairs them: an ``_compact_old_`` dir whose leaf is
+    missing is renamed back (the interrupted compaction simply redoes
+    that leaf); one whose leaf exists is completed-swap garbage and is
+    deleted, as is any ``_compact_tmp_``.  Run it (or any monitor
+    restart that calls it) before trusting a store that may have died
+    mid-compaction.
+
     Returns a pandas frame (partition, n_files_before, n_files_after,
     bytes)."""
     import math
@@ -2308,6 +2382,21 @@ def compact_candidate_store(spark: SparkSession, store_dir: str,
         os.rename(leaf, old)
         os.rename(tmp, leaf)
         shutil.rmtree(old)
+
+    # repair leftovers of a compaction that crashed mid-swap BEFORE
+    # listing leaves (docstring crash-recovery contract)
+    for root, dirs, _files in os.walk(store_dir):
+        for d in list(dirs):
+            p = os.path.join(root, d)
+            if d.startswith("_compact_old_"):
+                leaf = os.path.join(root, d[len("_compact_old_"):])
+                if os.path.exists(leaf):
+                    shutil.rmtree(p)      # swap completed; garbage
+                else:
+                    os.rename(p, leaf)    # died between renames
+            elif d.startswith("_compact_tmp_"):
+                shutil.rmtree(p)          # never swapped in; stale
+        dirs[:] = [d for d in dirs if not d.startswith("_compact_")]
 
     log = []
     leaves = []
@@ -2347,8 +2436,10 @@ def compact_candidate_store(spark: SparkSession, store_dir: str,
                      .withColumn("dkb", F.pmod(F.hash("cluster"),
                                                n_buckets))
                      .localCheckpoint(eager=True))
-            tmp = os.path.join(store_dir, "_compact_tmp_directory")
-            old = os.path.join(store_dir, "_compact_old_directory")
+            # names follow the _compact_{tmp,old}_<leafname> scheme so
+            # the entry recovery walk repairs a crash here too
+            tmp = os.path.join(store_dir, "_compact_tmp__directory")
+            old = os.path.join(store_dir, "_compact_old__directory")
             shutil.rmtree(tmp, ignore_errors=True)
             shutil.rmtree(old, ignore_errors=True)
             fresh.write.mode("overwrite").partitionBy("dkb") \

@@ -1136,3 +1136,32 @@ def test_skew_survey_percentile_labels_and_gate(spark):
                         exact=True, exact_key_limit=None)
     assert "approx_percentile" not in \
         prof4._jdf.queryExecution().analyzed().toString()
+
+
+def test_skew_counts_sentinel_escaping(spark):
+    """r13 ADVICE: a string value that legitimately contains the NULL
+    sentinel ("\\x00NULL") or the composite separator (\\x1f) must not
+    conflate with NULL / with a differently-split composite tuple —
+    the escape scheme keeps key_val injective, and skew_report over
+    the counts still matches skew_survey on such data."""
+    from nasctn_sea_ingest_spark.operators.quality import (
+        skew_counts, skew_report, skew_survey)
+
+    rows = [("\x00NULL",), (None,), (None,), ("a\x1fb",),
+            ("\x00NULL",), ("\x00NULL",)]
+    df = spark.createDataFrame(rows, "a string")
+    counts = skew_counts(df, ["a"]).collect()
+    assert len(counts) == 3                      # 3 distinct groups
+    by_cnt = sorted(r.cnt for r in counts)
+    assert by_cnt == [1, 2, 3]                   # a\x1fb, NULL, lit
+
+    # composite split ambiguity: ("x\x1f","y") vs ("x","\x1fy")
+    df2 = spark.createDataFrame([("x\x1f", "y"), ("x", "\x1fy")],
+                                "a string, b string")
+    assert skew_counts(df2, [("a", "b")]).count() == 2
+
+    # report==survey parity survives the nasty values
+    want = {r.key_col: r.asDict() for r in skew_survey(df, ["a"]).collect()}
+    got = {r.key_col: r.asDict() for r in
+           skew_report(skew_counts(df, ["a"])).collect()}
+    assert got == want

@@ -2936,3 +2936,127 @@ def test_skew_profile_stream_matches_batch_survey(spark, tmp_path):
     _delete_commit_marker(ckpt)
     run()
     assert report() == before
+
+
+def test_components_stream_bucketed_heals_partial_overwrite(
+        spark, tmp_path):
+    """r13 ADVICE (medium): the multi-bucket dynamic overwrite is not
+    atomic — a crash can commit every batch-node bucket at the new
+    batch stamp while a directory-bridged bucket keeps rows of an
+    ABSORBED cluster id.  A t0-stamp-only replay skip would cement
+    that split forever; the merge log must both defeat the skip
+    (full-touched-set stamps) and supply the old—new healing edge.
+    Simulated by reverting one bridged-only bucket to its pre-batch
+    bytes after the trigger commits, then forcing a replay."""
+    import shutil
+
+    from nasctn_sea_ingest_spark.operators.graph import star_components
+    from nasctn_sea_ingest_spark.streaming import (
+        components_stream_bucketed)
+
+    n_buckets = 8
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "cc")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "d1 long, d2 long"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = components_stream_bucketed(stream, out, ckpt,
+                                       n_buckets=n_buckets,
+                                       available_now=True)
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    def stored():
+        return {r.node: r.cluster for r in
+                spark.read.parquet(out)
+                .select("node", "cluster").collect()}
+
+    def want(all_pairs):
+        df = spark.createDataFrame(all_pairs, schema)
+        return {r.node: r.cluster
+                for r in star_components(df).collect()}
+
+    def kb_of(nodes):
+        return {r[0]: r[1] for r in spark.createDataFrame(
+            [(n,) for n in nodes], "node long")
+            .select("node", F.pmod(F.hash("node"), n_buckets))
+            .collect()}
+
+    # cluster A = {1,2,3}, cluster B = {10..14} (several bridged-only
+    # members so at least one lands in a bucket wave 2 never writes
+    # through its own nodes), plus unrelated filler
+    wave1 = [(1, 2), (2, 3), (10, 11), (10, 12), (10, 13), (10, 14),
+             (20, 21)] + [(100 + i, 200 + i) for i in range(10)]
+    spark.createDataFrame(wave1, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    run()
+    assert stored() == want(wave1)
+
+    # wave 2 bridges A and B via a brand-new node 500 — B is absorbed
+    # (min id 1 < 10), so B's bridged-only members change cluster id
+    wave2 = [(3, 500), (500, 10)]
+    t0 = set(kb_of([3, 500, 10]).values())
+    victims = {n: b for n, b in kb_of([11, 12, 13, 14]).items()
+               if b not in t0}
+    assert victims, "premise: need a bridged-only bucket outside t0"
+    vnode, vkb = sorted(victims.items())[0]
+
+    backup = str(tmp_path / "victim_backup")
+    shutil.copytree(os.path.join(out, f"kb={vkb}"), backup)
+    spark.createDataFrame(wave2, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    run()
+    assert stored() == want(wave1 + wave2)          # fully committed
+
+    # simulate the crash: merge log + directory + every bucket except
+    # the victim's committed; the victim still holds (vnode, 10) at
+    # the wave-1 stamp
+    shutil.rmtree(os.path.join(out, f"kb={vkb}"))
+    shutil.copytree(backup, os.path.join(out, f"kb={vkb}"))
+    assert stored()[vnode] == 10                    # split planted
+    _delete_commit_marker(ckpt)
+    run()                                           # replay must heal
+    got = stored()
+    assert got == want(wave1 + wave2)
+    assert got[vnode] == 1 and got[500] == 1 and got[11] == 1
+
+
+def test_compact_candidate_store_crash_recovery(spark, tmp_path):
+    """r13 ADVICE: a crash between _swap's two renames leaves the
+    bucket's only data in _compact_old_<name>, invisible to readers.
+    Entry recovery must restore it (and clear completed-swap garbage
+    and stale tmp dirs) before compacting."""
+    import shutil
+
+    from nasctn_sea_ingest_spark.streaming import compact_candidate_store
+
+    store = str(tmp_path / "store")
+    rows = [(i, i % 3, 0) for i in range(50)]
+    df = spark.createDataFrame(rows, "node long, cluster long, x int")
+    for _ in range(3):                     # 3 small files per bucket
+        (df.repartition(1).write.mode("append")
+         .partitionBy("cluster").parquet(store))
+    total = spark.read.parquet(store).count()
+
+    # crash mid-swap: leaf renamed away, nothing swapped back
+    os.rename(os.path.join(store, "cluster=0"),
+              os.path.join(store, "_compact_old_cluster=0"))
+    # completed swap whose old-dir cleanup never ran
+    shutil.copytree(os.path.join(store, "cluster=1"),
+                    os.path.join(store, "_compact_old_cluster=1"))
+    # stale tmp from an interrupted rewrite
+    shutil.copytree(os.path.join(store, "cluster=2"),
+                    os.path.join(store, "_compact_tmp_cluster=2"))
+
+    log = compact_candidate_store(spark, store)
+    assert not [d for d in os.listdir(store)
+                if d.startswith("_compact_")]
+    assert spark.read.parquet(store).count() == total
+    after = dict(zip(log["partition"], log["n_files_after"]))
+    assert all(v == 1 for v in after.values()), after
