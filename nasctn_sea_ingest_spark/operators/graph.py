@@ -794,6 +794,100 @@ def personalized_pagerank(edges: DataFrame, sources: "list",
     return ranks.select("node", "rank")
 
 
+def personalized_pagerank_exact(edges: DataFrame, sources: "list",
+                                src: str = "src", dst: str = "dst",
+                                n_iter: int = 5, scale: int = 10 ** 12,
+                                damping_num: int = 85,
+                                damping_den: int = 100) -> DataFrame:
+    """:func:`personalized_pagerank` with EXACT fixed-point integer
+    arithmetic — the driver-oracle witness for the SEEDED power-
+    iteration family, extending :func:`pagerank_exact` (q166) with the
+    two PPR-specific terms: teleport mass and dangling mass return
+    ONLY to the seed set.  The float operator stays the production
+    face; this variant makes every round exactly representable on any
+    engine via BIGINT floor division:
+
+        tp     = scale div n_s                    (n_s = |seeds|)
+        r0(v)  = tp if v in S else 0
+        share(u) = r(u) div outdeg(u)             (outdeg > 0)
+        D      = sum of r(u) over dangling u      (outdeg = 0)
+        r'(v)  = [v in S] * ( ((den-num) * tp) div den
+                            + (num * (D div n_s)) div den )
+               + (num * sum of incoming shares) div den
+
+    run for EXACTLY ``n_iter`` rounds (fixed budget = part of the
+    semantics, the q166/q174 rule — a SQL oracle unrolls the rounds
+    as CTE stages).  Truncation leaks a little mass per round, fine
+    for a witness: the (node, rank_scaled) output is deterministic,
+    engine-independent, and order-equivalent to the float PPR ranks
+    (parity-tested).  BIGINT bounds: shares sum to <= scale and
+    num * scale <= 8.5e13 << 2^63.
+
+    Scale shape per round: identical to the float face — one
+    equi-join against the once-repartitioned edge list, one map-side-
+    combinable sum by dst, a 1-row broadcast dangling frame, one eager
+    checkpoint.  ``sources`` is a bounded driver list (the
+    shortest_paths convention), seeded through a typed
+    createDataFrame — never a collect."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if not sources:
+        raise ValueError("personalized_pagerank_exact needs at least "
+                         "one source node")
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+         .distinct()
+         .repartition("s"))
+    stage_digest("personalized_pagerank_exact.edges", e)
+    e = e.localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    seeds = (spark.createDataFrame([(x,) for x in sorted(set(sources))],
+                                   e.select("s").schema)
+             .toDF("node"))
+    nodes = (e.select(F.col("s").alias("node"))
+             .union(e.select(F.col("d").alias("node")))
+             .union(seeds.select("node"))
+             .distinct()
+             .localCheckpoint(eager=True))
+    n_s = len(set(sources))
+    tp = scale // n_s
+    teleport = ((damping_den - damping_num) * tp) // damping_den
+    deg = e.groupBy("s").agg(F.count("*").alias("deg"))
+    nodes = (nodes.join(deg, nodes.node == deg.s, "left")
+             .join(seeds.withColumn("__is", F.lit(1)), "node", "left")
+             .select("node",
+                     F.coalesce("deg", F.lit(0)).cast("long")
+                     .alias("deg"),
+                     F.coalesce("__is", F.lit(0)).cast("long")
+                     .alias("seed"))
+             .localCheckpoint(eager=True))
+    ranks = nodes.withColumn(
+        "r", (F.col("seed") * F.lit(tp)).cast("long"))
+    for _ in range(n_iter):
+        dang = (ranks.where(F.col("deg") == 0)
+                .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long")
+                     .alias("__dm")))
+        contrib = (ranks.where(F.col("deg") > 0)
+                   .select("node", F.expr("r div deg").alias("__sh"))
+                   .join(e, F.col("node") == e.s)
+                   .groupBy(F.col("d").alias("node"))
+                   .agg(F.sum("__sh").cast("long").alias("__in")))
+        ranks = (nodes.join(contrib, "node", "left")
+                 .crossJoin(F.broadcast(dang))
+                 .select("node", "deg", "seed",
+                         (F.col("seed")
+                          * (F.lit(teleport).cast("long")
+                             + F.expr(
+                                 f"({damping_num} * (__dm div {n_s})) "
+                                 f"div {damping_den}"))
+                          + F.expr(f"({damping_num} * coalesce(__in, "
+                                   f"0)) div {damping_den}"))
+                         .cast("long").alias("r")))
+        stage_digest("personalized_pagerank_exact.round", ranks)
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
 def label_propagation(pairs: DataFrame, d1: str = "d1",
                       d2: str = "d2",
                       max_iter: int = 20) -> DataFrame:

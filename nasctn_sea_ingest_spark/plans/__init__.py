@@ -29,6 +29,9 @@ from . import corpus_r12  # noqa: F401  (semdedup_exact driver row,
 from . import corpus_r13  # noqa: F401  (label-propagation community
 #   histogram, weighted bounded-hop distances, time-respecting
 #   temporal reachability)
+from . import corpus_r14  # noqa: F401  (exact personalized PageRank,
+#   full coreness decomposition — the last two iterative operators'
+#   driver-oracle rows, r13 verdict #2/#3)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST 50
@@ -212,6 +215,26 @@ RETIRED_NAMES = frozenset({
     #     exercised at driver scale inside q167/q169's FD melt and the
     #     reshape family keeps q17 (pivot) + q45 (json explode) (r09
     #     cohort: already stale in round 12; second choice after q41).
+    # Retired round 14 — admitting q176 (exact personalized PageRank)
+    # and q177 (full coreness decomposition) hit the saturation
+    # arithmetic again: the r11-verified cohort is exactly 48 strong,
+    # so 48 stale + 2 new = 50 with ZERO slack.  The staged q111/q52
+    # are r10/r12-fresh — NOT in this round's must-verify set, so
+    # retiring them would free nothing (the round-11 lesson, third
+    # time); retire two thin entries from the r11 stale cohort
+    # instead, restoring 2 slack slots.  Each keeps its pytest DuckDB
+    # oracle (or rows-check) via tests/test_corpus::ALL:
+    #   q124_sketch_rollup: rows-only by design — like the retired
+    #     q59_approx_aggs, its driver row was only a row-count; the
+    #     mergeable-sketch contract's real signal is the sketch-merge
+    #     pytest suite (test_sketch) plus the streaming rollup
+    #     batch==stream parity tests, all of which stay.
+    #   q127_equidepth_histogram: percentile cut-points with bucket
+    #     labels — the exact-quantile family keeps q16 (array
+    #     quantiles), q117 (weighted median), q30 (midmean), q75
+    #     (rolling median) live at driver scale; the equi-WIDTH twin
+    #     q103 was retired on the same argument in round 6.
+    "q124_sketch_rollup", "q127_equidepth_histogram",
     # Retired round 10 — two new families (q166 exact fixed-point
     # PageRank, q167 gated FD discovery) push live count to 150 = 3x50
     # with zero slack (the round-6 saturation arithmetic); retiring two

@@ -125,6 +125,32 @@ def q169(spark, sf_dir):
 
 _KC_ROUNDS = 4          # construction peels in <= 3; extra rounds no-op
 
+
+def kc_witness_edges(spark, sf_dir):
+    """The q170 witness graph as a DataFrame: leaves hang off their
+    4-anchor, non-16 4-anchors link their 16-anchor, each 16-block
+    carries the {b, b+4, b+8} triangle.  Bounded structure at every
+    SF (local shape depends only on custkey mod patterns) — shared
+    with q177's coreness decomposition so the k_core(k) == {core>=k}
+    pin is asserted on the SAME graph cross-engine."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("c"))
+    leaves = (c.where(F.col("c") % 4 != 0)
+              .select(F.col("c").alias("d1"),
+                      (F.col("c") - F.col("c") % 4).alias("d2")))
+    mid = (c.where((F.col("c") % 4 == 0) & (F.col("c") % 16 != 0))
+           .select(F.col("c").alias("d1"),
+                   (F.col("c") - F.col("c") % 16).alias("d2")))
+    tri_base = c.where(F.col("c") % 16 == 0)
+    tri = (tri_base.select(F.col("c").alias("d1"),
+                           (F.col("c") + 4).alias("d2"))
+           .unionByName(tri_base.select(
+               F.col("c").alias("d1"), (F.col("c") + 8).alias("d2")))
+           .unionByName(tri_base.select(
+               (F.col("c") + 4).alias("d1"),
+               (F.col("c") + 8).alias("d2"))))
+    return leaves.unionByName(mid).unionByName(tri)
+
 _KC_EDGES = """
     pts AS (SELECT c_custkey AS c FROM customer),
     e0 AS (
@@ -180,23 +206,7 @@ def _kc_oracle_sql():
     _kc_oracle_sql())
 def q170(spark, sf_dir):
     from ..operators.graph import k_core
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("c"))
-    leaves = (c.where(F.col("c") % 4 != 0)
-              .select(F.col("c").alias("d1"),
-                      (F.col("c") - F.col("c") % 4).alias("d2")))
-    mid = (c.where((F.col("c") % 4 == 0) & (F.col("c") % 16 != 0))
-           .select(F.col("c").alias("d1"),
-                   (F.col("c") - F.col("c") % 16).alias("d2")))
-    tri_base = c.where(F.col("c") % 16 == 0)
-    tri = (tri_base.select(F.col("c").alias("d1"),
-                           (F.col("c") + 4).alias("d2"))
-           .unionByName(tri_base.select(
-               F.col("c").alias("d1"), (F.col("c") + 8).alias("d2")))
-           .unionByName(tri_base.select(
-               (F.col("c") + 4).alias("d1"),
-               (F.col("c") + 8).alias("d2"))))
-    edges = leaves.unionByName(mid).unionByName(tri)
+    edges = kc_witness_edges(spark, sf_dir)
     out = k_core(edges, 2, max_iter=8)
     return (out.select(F.col("node").cast("bigint").alias("node"),
                        F.col("degree").cast("bigint").alias("degree"))

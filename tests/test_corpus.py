@@ -115,3 +115,18 @@ def test_runs_stale_is_skip_robust():
     runs11 = runs8 + [11]
     assert _runs_stale(8, runs11) == 1
     assert _runs_stale(7, runs11) == 2
+
+
+def test_q177_coreness_pins_q170_k_core(spark, sf_dir):
+    """The k_core(k) == {core >= k} identity asserted CROSS-ENGINE on
+    the shared witness graph: q177's core >= 2 node set must equal
+    q170's 2-core node set (both queries are independently DuckDB-
+    oracled by test_oracle_match, so this pins the two operators'
+    semantics against each other on driver-checked results)."""
+    q = {x.name: x for x in ALL}
+    cores = {r.node for r in
+             q["q177_core_numbers"].spark(spark, sf_dir)
+             .where("core >= 2").collect()}
+    kcore = {r.node for r in
+             q["q170_k_core"].spark(spark, sf_dir).collect()}
+    assert cores == kcore and cores

@@ -3133,3 +3133,66 @@ def test_bounded_hop_distances_parity(spark):
         bounded_hop_distances(df, [], 2)
     with pytest.raises(ValueError, match="max_hops"):
         bounded_hop_distances(df, [0], -1)
+
+
+def test_personalized_pagerank_exact_python_replay(spark):
+    """personalized_pagerank_exact == a Python replay of the seeded
+    integer fixed-point update (teleport AND dangling mass to seeds
+    only, floor division, fixed n_iter) on a random digraph with a
+    dangling node; ranking parity with the float face on a hub graph;
+    empty seed set raises."""
+    import random
+    from collections import Counter, defaultdict
+
+    import pytest as _pytest
+
+    from nasctn_sea_ingest_spark.operators.graph import (
+        personalized_pagerank, personalized_pagerank_exact)
+
+    def replay(edge_list, seeds, n_iter, scale=10 ** 12,
+               num=85, den=100):
+        es = set(edge_list)
+        nodes = sorted({u for e in es for u in e} | set(seeds))
+        n_s = len(set(seeds))
+        tp = scale // n_s
+        t = ((den - num) * tp) // den
+        deg = Counter(u for u, _ in es)
+        r = {v: (tp if v in seeds else 0) for v in nodes}
+        for _ in range(n_iter):
+            dm = sum(r[v] for v in nodes if deg.get(v, 0) == 0)
+            inflow = defaultdict(int)
+            for u, w in es:
+                inflow[w] += r[u] // deg[u]
+            r = {v: (t + (num * (dm // n_s)) // den
+                     if v in seeds else 0)
+                 + (num * inflow.get(v, 0)) // den for v in nodes}
+        return r
+
+    rnd = random.Random(23)
+    edges = [(rnd.randint(0, 30), rnd.randint(0, 30))
+             for _ in range(120)]
+    edges = [(u, v) for u, v in edges if u != v and u != 7]  # 7 dangles
+    seeds = [0, 5, 11]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_scaled
+           for r in personalized_pagerank_exact(
+               df, seeds, n_iter=5).collect()}
+    assert got == replay(edges, seeds, 5)
+
+    # ranking parity with the float face after the SAME fixed rounds
+    hub = [(i, 0) for i in range(1, 12)] + [(0, 1), (1, 2)]
+    hdf = spark.createDataFrame(hub, "src long, dst long")
+    fx = {r.node: r.rank_scaled
+          for r in personalized_pagerank_exact(
+              hdf, [0], n_iter=10).collect()}
+    fl = {r.node: r.rank
+          for r in personalized_pagerank(
+              hdf, [0], max_iter=10, tol=None).collect()}
+    order_fx = sorted(fx, key=lambda v: (-fx[v], v))
+    order_fl = sorted(fl, key=lambda v: (-fl[v], v))
+    assert order_fx == order_fl
+
+    with _pytest.raises(ValueError, match="at least one"):
+        personalized_pagerank_exact(df, [])
+    with _pytest.raises(ValueError, match="n_iter"):
+        personalized_pagerank_exact(df, [0], n_iter=0)
