@@ -232,28 +232,15 @@ def q175(spark, sf_dir):
                   F.get_json_object("props", "$.k").cast("int")
                   .alias("k"),
                   F.col("ts_us").alias("t")))
-    # 1-D grid join on (k, time bucket of width W): the item key alone
-    # has BOUNDED cardinality (~100 distinct), so a plain k-equi-join
-    # degrades quadratically within each k as data grows; bucketing
-    # time at the window width caps each join group at two adjacent
-    # W-slices per k (the grid_distance_join candidate shape in one
-    # dimension) — a follower within (t, t+W] sits in the leader's
-    # bucket or the next one, so the candidate set is lossless
-    bkt = F.expr(f"t div {_W_US}")   # integer floor-div: exact
-    a = (ev.withColumn(
-            "jb", F.explode(F.array(bkt, bkt + 1))).alias("a"))
-    b = (ev.select(F.col("u").alias("u2"), F.col("k").alias("k2"),
-                   F.col("t").alias("t2"))
-         .withColumn("jb", F.expr(f"t2 div {_W_US}"))
-         .alias("b"))
-    e = (a.join(b, (F.col("a.k") == F.col("k2"))
-                & (F.col("a.jb") == F.col("b.jb"))
-                & (F.col("t2") > F.col("a.t"))
-                & (F.col("t2") <= F.col("a.t") + F.lit(_W_US))
-                & (F.col("a.u") != F.col("u2")))
-         .select(F.col("a.u").alias("src"), F.col("u2").alias("dst"),
-                 F.col("t2").alias("t"))
-         .distinct())
+    # 1-D time-grid join, r14: promoted to the library
+    # (operators.graph.temporal_edges — r13 verdict #4) with a
+    # max_cell hot-cell guard available; the corpus call leaves the
+    # guard OFF so the emitted plan stays byte-identical to the r13
+    # corpus-local build (stage digest q175.edges pinned unchanged
+    # across the rewire).  Guard rationale and the lossless 2-bucket
+    # candidate argument live in the operator docstring.
+    from ..operators.graph import temporal_edges
+    e = temporal_edges(ev, _W_US, key="k", id_col="u", ts="t")
     # the temporal edge list is read by BOTH hops — checkpoint once
     # (the q174 discipline), with its pre-checkpoint plan digested
     stage_digest("q175.edges", e)

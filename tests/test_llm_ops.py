@@ -3196,3 +3196,67 @@ def test_personalized_pagerank_exact_python_replay(spark):
         personalized_pagerank_exact(df, [])
     with _pytest.raises(ValueError, match="n_iter"):
         personalized_pagerank_exact(df, [0], n_iter=0)
+
+
+def test_temporal_edges_parity_hot_cell_and_plan_pin(spark):
+    """graph.temporal_edges (q175's build promoted to the library, r13
+    verdict #4): (1) edge set == a Python brute force over all ordered
+    same-key pairs within (t, t+W]; (2) the max_cell guard RAISES
+    naming a planted viral (key, bucket) cell; (3) the emitted plan is
+    BYTE-IDENTICAL (normalized) to the r13 corpus-local inline build,
+    so the q175 rewire provably changed nothing; (4) reserved-name
+    collision raises."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from nasctn_sea_ingest_spark.operators.graph import temporal_edges
+    from nasctn_sea_ingest_spark.querylog import normalized_plan
+
+    W = 100
+    rows = [(u, k, t) for u, k, t in [
+        (1, 7, 0), (2, 7, 50), (3, 7, 100), (1, 7, 140),
+        (4, 8, 10), (5, 8, 200), (2, 8, 250),
+        (6, 9, 5)]]
+    df = spark.createDataFrame(rows, "u long, k int, t long")
+    got = {(r.src, r.dst, r.t)
+           for r in temporal_edges(df, W).collect()}
+    want = {(a[0], b[0], b[2])
+            for a in rows for b in rows
+            if a[1] == b[1] and a[0] != b[0]
+            and a[2] < b[2] <= a[2] + W}
+    assert got == want and got
+
+    # planted viral cell: one key draws many events inside one bucket
+    viral = rows + [(100 + i, 7, 30 + i) for i in range(20)]
+    vdf = spark.createDataFrame(viral, "u long, k int, t long")
+    with _pytest.raises(ValueError, match=r"key=7.*max_cell|max_cell.*key=7"):
+        temporal_edges(vdf, W, max_cell=10)
+    # guard off / above threshold: still exact
+    n = temporal_edges(vdf, W, max_cell=1000).count()
+    assert n == temporal_edges(vdf, W).count()
+
+    # plan pin: library form == the r13 corpus-local inline build
+    bkt = F.expr(f"t div {W}")
+    a = (df.withColumn("jb", F.explode(F.array(bkt, bkt + 1)))
+         .alias("a"))
+    b = (df.select(F.col("u").alias("u2"), F.col("k").alias("k2"),
+                   F.col("t").alias("t2"))
+         .withColumn("jb", F.expr(f"t2 div {W}"))
+         .alias("b"))
+    inline = (a.join(b, (F.col("a.k") == F.col("k2"))
+                     & (F.col("a.jb") == F.col("b.jb"))
+                     & (F.col("t2") > F.col("a.t"))
+                     & (F.col("t2") <= F.col("a.t") + F.lit(W))
+                     & (F.col("a.u") != F.col("u2")))
+              .select(F.col("a.u").alias("src"),
+                      F.col("u2").alias("dst"),
+                      F.col("t2").alias("t"))
+              .distinct())
+    assert normalized_plan(temporal_edges(df, W)) == \
+        normalized_plan(inline)
+
+    with _pytest.raises(ValueError, match="reserves"):
+        temporal_edges(df.withColumnRenamed("u", "u2"), W,
+                       id_col="u2")
+    with _pytest.raises(ValueError, match="positive"):
+        temporal_edges(df, 0)
