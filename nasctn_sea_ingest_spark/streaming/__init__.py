@@ -41,7 +41,7 @@ __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "funnel_monitor_stream", "colocation_monitor_stream",
            "fd_profile_stream", "components_stream",
            "components_stream_bucketed", "compact_candidate_store",
-           "skew_profile_stream"]
+           "skew_profile_stream", "lpa_communities_stream"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -819,6 +819,7 @@ def fingerprint_rollup_stream(updates: DataFrame, out_dir: str,
 def media_dedup_stream(media: DataFrame, out_dir: str,
                        checkpoint_dir: str, alerts_dir: str,
                        n_buckets: int = 16,
+                       auto_compact_files: "int | None" = 64,
                        available_now: bool = False):
     """Streaming EXACT image dedup by perceptual hash: each micro-batch
     dHashes its image rows, flags duplicates (same dhash seen earlier
@@ -904,6 +905,16 @@ def media_dedup_stream(media: DataFrame, out_dir: str,
              .repartition("kb")  # one file per touched bucket, not
              .write.mode("append")  # partitions x buckets (r13 litter fix)
              .partitionBy("kb").parquet(out_dir))
+            # auto-compaction cadence (r13 verdict #5): <= n_buckets
+            # leaf listings per trigger; compactor runs in-slot when
+            # any leaf's file count exceeds the threshold
+            # (foreachBatch serializes triggers, so the swap cannot
+            # race this stream's next read)
+            _auto_compact_store(
+                spark, out_dir,
+                [d for d in os.listdir(out_dir)
+                 if d.startswith("kb=")],
+                batch_id, auto_compact_files)
         finally:
             h.unpersist()
 
@@ -1319,6 +1330,7 @@ def fuzzy_dedup_stream(names: DataFrame, out_dir: str,
                        id_col: str = "id", text_col: str = "text",
                        max_distance: int = 1, n_buckets: int = 16,
                        max_bucket: int = 1000,
+                       auto_compact_files: "int | None" = 64,
                        available_now: bool = False):
     """Streaming FUZZY string dedup (the entity-resolution face of
     ``media_dedup_stream``): each micro-batch fuzzy-matches its short
@@ -1416,6 +1428,15 @@ def fuzzy_dedup_stream(names: DataFrame, out_dir: str,
         (new.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
          .repartition("kb")  # one file per touched bucket per trigger
          .write.mode("append").partitionBy("kb").parquet(out_dir))
+
+        # auto-compaction cadence (r13 verdict #5): <= n_buckets leaf
+        # listings per trigger; compactor runs in-slot when any leaf's
+        # file count exceeds the threshold (foreachBatch serializes
+        # triggers, so the swap cannot race this stream's next read)
+        _auto_compact_store(
+            spark, out_dir,
+            [d for d in os.listdir(out_dir) if d.startswith("kb=")],
+            batch_id, auto_compact_files)
 
     writer = (names.writeStream.foreachBatch(write_batch)
               .option("checkpointLocation", checkpoint_dir))
@@ -1536,6 +1557,7 @@ def colocation_monitor_stream(points: DataFrame, out_dir: str,
                               radius: float,
                               id_col: str = "id", x_col: str = "x",
                               y_col: str = "y", n_buckets: int = 16,
+                              auto_compact_files: "int | None" = 64,
                               available_now: bool = False):
     """Streaming spatial co-location monitor — the geometric face of
     ``media_dedup_stream``/``fuzzy_dedup_stream``: each micro-batch of
@@ -1631,6 +1653,15 @@ def colocation_monitor_stream(points: DataFrame, out_dir: str,
          .repartition("kb")  # one file per touched bucket per trigger
          .write.mode("append").partitionBy("kb").parquet(out_dir))
 
+        # auto-compaction cadence (r13 verdict #5): <= n_buckets leaf
+        # listings per trigger; compactor runs in-slot when any leaf's
+        # file count exceeds the threshold (foreachBatch serializes
+        # triggers, so the swap cannot race this stream's next read)
+        _auto_compact_store(
+            spark, out_dir,
+            [d for d in os.listdir(out_dir) if d.startswith("kb=")],
+            batch_id, auto_compact_files)
+
     writer = (points.writeStream.foreachBatch(write_batch)
               .option("checkpointLocation", checkpoint_dir))
     if available_now:
@@ -1676,7 +1707,12 @@ def _store_geometry_guard(store_dir: str, meta: dict) -> None:
                 "to let the next attach re-stamp it") from e
 
     def _check(prior):
-        if prior != meta:
+        # compare on the CONFIGURED keys only: operational stamps the
+        # manifest accumulates (last_compacted_batch, n_compactions —
+        # see _stamp_compaction) are not geometry and must not fail a
+        # re-attach; a geometry key the store predates still mismatches
+        # (prior.get -> None != value)
+        if {k: prior.get(k) for k in meta} != meta:
             raise ValueError(
                 f"{meta.get('kind', 'store')} store geometry "
                 f"mismatch: store was built with {prior}, monitor "
@@ -1700,6 +1736,63 @@ def _store_geometry_guard(store_dir: str, meta: dict) -> None:
     # race with a DIFFERENT geometry, fail here rather than run two
     # monitors with incompatible stored keys
     _check(_load())
+
+
+def _stamp_compaction(store_dir: str, batch_id: "int | None") -> None:
+    """Record the last auto-compaction in the geometry manifest —
+    operational keys (``last_compacted_batch``, ``n_compactions``);
+    the attach guard compares geometry keys only, so stamping never
+    fails a later attach.  Same temp+``os.replace`` discipline as the
+    guard's first stamp."""
+    import json as _json
+    import tempfile
+    path = os.path.join(store_dir, "_store_geometry.json")
+    if not os.path.exists(path):
+        return
+    with open(path) as fh:
+        meta = _json.load(fh)
+    meta["n_compactions"] = int(meta.get("n_compactions", 0)) + 1
+    if batch_id is not None:
+        meta["last_compacted_batch"] = int(batch_id)
+    fd, tmp = tempfile.mkstemp(dir=store_dir, prefix="_geom_",
+                               suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            _json.dump(meta, fh)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def _auto_compact_store(spark, store_dir: str, leaves, batch_id: int,
+                        max_files: "int | None") -> bool:
+    """Per-trigger compaction cadence (r13 verdict #5 — the manual
+    :func:`compact_candidate_store` call the store-backed monitors
+    used to rely on, now automatic): list ONLY the leaf partitions
+    this trigger just wrote (bounded by the touched set — never a
+    full-store walk per trigger) and, when any holds more than
+    ``max_files`` parquet files, run the compactor in-slot.
+    foreachBatch serializes triggers, so the swap cannot race this
+    stream's own next read — the "run it stream-idle" rule the manual
+    call needs is satisfied by construction; EXTERNAL concurrent
+    readers keep the compact_warehouse caveat.  Stamps the geometry
+    manifest (:func:`_stamp_compaction`) so cadence is auditable.
+    Returns True when a compaction ran."""
+    if max_files is None:
+        return False
+    for rel in leaves:
+        leaf = os.path.join(store_dir, rel)
+        try:
+            n = sum(1 for f in os.listdir(leaf)
+                    if f.endswith(".parquet"))
+        except FileNotFoundError:
+            continue
+        if n > int(max_files):
+            compact_candidate_store(spark, store_dir)
+            _stamp_compaction(store_dir, batch_id)
+            return True
+    return False
 
 
 def _semdedup_model(mean, components, threshold: float):
@@ -1762,7 +1855,9 @@ def semdedup_stream(embeddings: DataFrame, out_dir: str,
                     checkpoint_dir: str, alerts_dir: str,
                     mean, components, threshold: float = 0.95,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    n_buckets: int = 16, available_now: bool = False):
+                    n_buckets: int = 16,
+                    auto_compact_files: "int | None" = 64,
+                    available_now: bool = False):
     """Streaming SEMANTIC near-dup monitor — the semantic tier of the
     dedup story's streaming face (round-11 verdict stretch #8), i.e.
     ``colocation_monitor_stream``'s pattern lifted to k projected
@@ -1904,6 +1999,15 @@ def semdedup_stream(embeddings: DataFrame, out_dir: str,
         (b.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
          .repartition("kb")  # one file per touched bucket per trigger
          .write.mode("append").partitionBy("kb").parquet(out_dir))
+
+        # auto-compaction cadence (r13 verdict #5): <= n_buckets leaf
+        # listings per trigger; compactor runs in-slot when any leaf's
+        # file count exceeds the threshold (foreachBatch serializes
+        # triggers, so the swap cannot race this stream's next read)
+        _auto_compact_store(
+            spark, out_dir,
+            [d for d in os.listdir(out_dir) if d.startswith("kb=")],
+            batch_id, auto_compact_files)
 
     writer = (embeddings.writeStream.foreachBatch(write_batch)
               .option("checkpointLocation", checkpoint_dir))
@@ -2057,6 +2161,7 @@ def skew_profile_stream(updates: DataFrame, out_dir: str,
 def components_stream(pairs: DataFrame, out_dir: str,
                       checkpoint_dir: str,
                       d1: str = "d1", d2: str = "d2",
+                      crossover_bytes: "int | None" = 32 << 20,
                       available_now: bool = False):
     """Incrementally maintained connected components — the streaming
     face of the dedup CLUSTER state (``graph.star_components`` /
@@ -2084,8 +2189,35 @@ def components_stream(pairs: DataFrame, out_dir: str,
     right trade only while the node universe stays small.  For
     unbounded universes use :func:`components_stream_bucketed` — the
     same merge contract with per-trigger cost bounded by the touched
-    buckets (r12 verdict #3)."""
+    buckets (r12 verdict #3).
+
+    Crossover guard (r13 verdict stretch #9): SCALE.md §29 measured
+    the whole-rewrite face going linear-per-trigger past a few
+    hundred k state rows while the bucketed face stays flat, so
+    ATTACHING this face to an existing store larger than
+    ``crossover_bytes`` (default 32 MiB of snapshot parquet — a
+    size-probe of the store dir, no Spark job) RAISES and names the
+    bucketed face.  ``crossover_bytes=None`` disables the probe for
+    callers who accept O(state) triggers knowingly.  The probe runs
+    at attach only — a store that GROWS past the line mid-stream
+    keeps running (killing a live monitor is worse than a slow
+    trigger) and trips the guard at its next restart."""
     from ..operators.graph import star_components
+
+    if crossover_bytes is not None and os.path.isdir(out_dir):
+        nbytes = sum(
+            os.path.getsize(os.path.join(out_dir, f))
+            for f in os.listdir(out_dir) if f.endswith(".parquet"))
+        if nbytes > int(crossover_bytes):
+            raise ValueError(
+                f"components_stream: existing snapshot at {out_dir!r} "
+                f"holds {nbytes} bytes of state, past the "
+                f"{int(crossover_bytes)}-byte whole-rewrite crossover "
+                "(SCALE.md §29: per-trigger cost is O(state) on this "
+                "face and goes linear past a few hundred k rows) — "
+                "use components_stream_bucketed for unbounded node "
+                "universes, or pass crossover_bytes=None to accept "
+                "O(state) triggers")
 
     def merge(a: DataFrame, b: DataFrame) -> DataFrame:
         # both sides are (node, cluster) partitions (the batch side was
@@ -2106,6 +2238,7 @@ def components_stream_bucketed(pairs: DataFrame, out_dir: str,
                                checkpoint_dir: str,
                                d1: str = "d1", d2: str = "d2",
                                n_buckets: int = 64,
+                               auto_compact_files: "int | None" = 64,
                                available_now: bool = False):
     """Incrementally maintained connected components for UNBOUNDED node
     universes — the 100 TB form :func:`components_stream`'s docstring
@@ -2148,6 +2281,14 @@ def components_stream_bucketed(pairs: DataFrame, out_dir: str,
        id can never name a live cluster again — and are dropped by
        :func:`compact_candidate_store` (which keeps the merge log's
        rows: a crashed-then-compacted store may still need them).
+       Compaction is AUTOMATIC (r13 verdict #5): after each trigger
+       the just-written leaves are file-counted (bounded listing —
+       touched snapshot buckets + <= n_buckets directory/log
+       partitions) and the compactor runs in-slot once any exceeds
+       ``auto_compact_files`` (default 64; None = manual cadence),
+       stamping ``last_compacted_batch`` into the geometry manifest.
+       Replay stamps survive compaction verbatim, so a crash replay
+       across a compaction boundary stays a cheap skip.
 
     Replay safety: the multi-bucket dynamic overwrite is NOT atomic,
     and an interrupted one is more than a cheap-skip problem — if
@@ -2279,6 +2420,7 @@ def components_stream_bucketed(pairs: DataFrame, out_dir: str,
         else:
             kept = None
             newcc = bcc
+            touched = t0
         newcc = (newcc
                  .withColumn("kb", F.pmod(F.hash("node"), n_buckets))
                  .localCheckpoint(eager=True))
@@ -2313,6 +2455,147 @@ def components_stream_bucketed(pairs: DataFrame, out_dir: str,
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("kb").parquet(out_dir))
+        # auto-compaction cadence (r13 verdict #5): probe only the
+        # leaves this trigger wrote — snapshot buckets, plus the
+        # <= n_buckets directory/merge-log partitions
+        subs = [f"kb={x}" for x in touched]
+        for aux in ("_directory", "_merges"):
+            ap = os.path.join(out_dir, aux)
+            if os.path.isdir(ap):
+                subs += [os.path.join(aux, d) for d in os.listdir(ap)
+                         if "=" in d and not d.startswith(".")]
+        _auto_compact_store(spark, out_dir, subs, batch_id,
+                            auto_compact_files)
+
+    writer = (pairs.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def lpa_communities_stream(pairs: DataFrame, out_dir: str,
+                           checkpoint_dir: str,
+                           d1: str = "d1", d2: str = "d2",
+                           max_iter: int = 20,
+                           available_now: bool = False):
+    """Incrementally maintained LABEL-PROPAGATION communities (r13
+    verdict stretch #10): as edges stream in, the stored ``(node,
+    community)`` snapshot stays EXACTLY equal to batch
+    :func:`~..operators.graph.label_propagation` over every edge ever
+    streamed — not an approximation.
+
+    Why exact incremental maintenance is possible for a non-monotone
+    heuristic: synchronous LPA is COMPONENT-DECOMPOSABLE.  Labels
+    propagate only along edges, synchronous rounds over disjoint
+    components never interact, stability is absorbing (a component
+    whose round changes nothing stays fixed while others keep
+    iterating), and the ``max_iter`` budget applies identically to a
+    component run alone or inside the global graph — so global LPA ==
+    independent LPA per connected component.  Components only MERGE
+    as edges arrive, so a trigger re-runs LPA FROM SCRATCH on exactly
+    the touched components (their full stored edge sets ∪ the batch)
+    and keeps every untouched component's labels verbatim; the
+    non-monotone label flips the verdict worried about are confined
+    to the re-run scope by construction.  What IS out of scope:
+    sub-component incrementality (re-using partial labels inside a
+    touched component — genuinely unsound because one new edge can
+    flip labels arbitrarily far within the component).
+
+    Store layout: ``out_dir`` = the whole-rewrite snapshot ``(node,
+    community, cluster, last_batch)`` (cluster = component min,
+    :func:`components_stream`'s contract — it is what scopes the
+    re-run); ``<out_dir>.edges`` (a SIBLING dir — the snapshot's
+    whole-dir overwrite would delete a subdir) = the append-only
+    ground-truth edge log stamped with ``batch_id`` (replay appends
+    dedup on the stamp).  Edges-before-snapshot is the crash
+    contract: a replay
+    that finds its batch already logged but the snapshot stamp behind
+    recomputes from the log (idempotent — the scope re-runs from
+    scratch), and a snapshot lost to a crash mid-overwrite rebuilds
+    ENTIRELY from the log (scope widens to every logged edge), which
+    is strictly stronger than the small-rollup faces' atomic-ish
+    rewrite caveat.
+
+    Cost contract: O(state) snapshot rewrite per trigger plus an LPA
+    re-run bounded by the touched components — the
+    :func:`components_stream` small-universe trade.  A workload that
+    keeps touching one giant component re-runs that component every
+    trigger (inherent: its labels may legitimately all flip).  The
+    edge log accrues one file per trigger (``coalesce(1)``);
+    :func:`compact_candidate_store`'s generic leaf pass folds it
+    (point it at the ``.edges`` dir)."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators.graph import label_propagation, star_components
+
+    edges_path = out_dir.rstrip("/") + ".edges"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        b = (batch_df.select(F.col(d1).alias("d1"),
+                             F.col(d2).alias("d2"))
+             .where(F.col("d1").isNotNull() & F.col("d2").isNotNull())
+             .distinct().localCheckpoint(eager=True))
+        if not b.limit(1).count():
+            return
+        snap = None
+        try:
+            snap = (spark.read.parquet(out_dir)
+                    .localCheckpoint(eager=True))
+            last = snap.agg(F.max("last_batch")).first()[0]
+            if last is not None and last >= batch_id:
+                return        # replay of a fully-written batch: skip
+            snap = snap.drop("last_batch")
+        except AnalysisException as e:
+            if ("PATH_NOT_FOUND" not in str(e)
+                    and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
+                raise
+        logged = False
+        try:
+            logged = bool(spark.read.parquet(edges_path)
+                          .where(F.col("batch_id") == int(batch_id))
+                          .limit(1).count())
+        except AnalysisException as e:
+            if ("PATH_NOT_FOUND" not in str(e)
+                    and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
+                raise
+        if not logged:
+            (b.withColumn("batch_id",
+                          F.lit(int(batch_id)).cast("long"))
+             .coalesce(1).write.mode("append").parquet(edges_path))
+        edges = spark.read.parquet(edges_path).select("d1", "d2")
+        batch_nodes = (b.select(F.col("d1").alias("node"))
+                       .unionByName(b.select(F.col("d2").alias("node")))
+                       .distinct())
+        if snap is not None:
+            ca = (snap.join(batch_nodes, "node")
+                  .select("cluster").distinct())
+            scope_nodes = (snap.join(ca, "cluster", "semi")
+                           .select("node")
+                           .unionByName(batch_nodes).distinct()
+                           .localCheckpoint(eager=True))
+            kept = (snap.join(ca, "cluster", "left_anti")
+                    .select("node", "community", "cluster"))
+            # every edge of a touched component has d1 among its
+            # members (∪ batch nodes), so one semi-join scopes the log
+            scope_edges = (edges.join(
+                scope_nodes.withColumnRenamed("node", "d1"),
+                "d1", "semi").localCheckpoint(eager=True))
+        else:
+            # no snapshot (first batch, or lost to a crash): rebuild
+            # from the full ground-truth log
+            kept = None
+            scope_edges = edges.localCheckpoint(eager=True)
+        lab = label_propagation(scope_edges, max_iter=max_iter)
+        cc = star_components(scope_edges)
+        newrows = (lab.join(cc, "node")
+                   .select("node", "community", "cluster"))
+        out = newrows if kept is None else kept.unionByName(newrows)
+        (out.withColumn("last_batch",
+                        F.lit(int(batch_id)).cast("long"))
+         .localCheckpoint(eager=True)
+         .coalesce(1).write.mode("overwrite").parquet(out_dir))
 
     writer = (pairs.writeStream.foreachBatch(write_batch)
               .option("checkpointLocation", checkpoint_dir))

@@ -3060,3 +3060,195 @@ def test_compact_candidate_store_crash_recovery(spark, tmp_path):
     assert spark.read.parquet(store).count() == total
     after = dict(zip(log["partition"], log["n_files_after"]))
     assert all(v == 1 for v in after.values()), after
+
+
+def test_components_stream_bucketed_auto_compaction(spark, tmp_path):
+    """r13 verdict #5: the append-only directory/merge-log litter is
+    compacted AUTOMATICALLY once a just-written leaf exceeds
+    auto_compact_files — per-leaf file counts stay bounded across many
+    triggers, the geometry manifest records the cadence, cluster
+    results stay exact, and a crash replay ACROSS the compaction
+    boundary is still a clean skip."""
+    import json
+
+    from nasctn_sea_ingest_spark.operators.graph import star_components
+    from nasctn_sea_ingest_spark.streaming import (
+        components_stream_bucketed)
+
+    n_buckets = 4
+    cap = 3
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "cc")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "d1 long, d2 long"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = components_stream_bucketed(stream, out, ckpt,
+                                       n_buckets=n_buckets,
+                                       auto_compact_files=cap,
+                                       available_now=True)
+        try:
+            q.awaitTermination(240)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    def leaf_counts():
+        counts = {}
+        for aux in ("", "_directory", "_merges"):
+            base = os.path.join(out, aux) if aux else out
+            if not os.path.isdir(base):
+                continue
+            for d in os.listdir(base):
+                if "=" not in d or d.startswith("."):
+                    continue
+                leaf = os.path.join(base, d)
+                counts[os.path.join(aux, d)] = sum(
+                    1 for f in os.listdir(leaf)
+                    if f.endswith(".parquet"))
+        return counts
+
+    hist = []
+    for wave in range(12):                 # every wave merges clusters
+        pairs = [(wave * 10 + i, (wave + 1) * 10 + i)
+                 for i in range(3)]
+        hist += pairs
+        spark.createDataFrame(pairs, schema) \
+            .coalesce(1).write.mode("append").parquet(land)
+        run()
+    # bounded litter: no leaf may exceed the threshold by more than
+    # one trigger's worth of appends (the post-compaction wave)
+    counts = leaf_counts()
+    assert counts and max(counts.values()) <= cap + 2, counts
+    geom = json.load(open(os.path.join(out, "_store_geometry.json")))
+    assert geom.get("n_compactions", 0) >= 1
+    assert "last_compacted_batch" in geom
+    # exactness after many auto-compactions
+    want = {r.node: r.cluster for r in
+            star_components(
+                spark.createDataFrame(hist, schema)).collect()}
+    got = {r.node: r.cluster for r in
+           spark.read.parquet(out).select("node", "cluster").collect()}
+    assert got == want
+    # crash replay across the compaction boundary: clean skip
+    _delete_commit_marker(ckpt)
+    run()
+    assert {r.node: r.cluster for r in
+            spark.read.parquet(out)
+            .select("node", "cluster").collect()} == want
+
+
+def test_components_stream_crossover_guard(spark, tmp_path):
+    """r13 verdict stretch #9: attaching the whole-rewrite components
+    face to a store past the SCALE.md §29 crossover RAISES naming the
+    bucketed face; crossover_bytes=None opts out; a small store
+    attaches fine."""
+    import pytest as _pytest
+
+    from nasctn_sea_ingest_spark.streaming import components_stream
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "cc")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "d1 long, d2 long"
+    spark.createDataFrame([(1, 2), (3, 4)], schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+
+    def run(**kw):
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = components_stream(stream, out, ckpt,
+                              available_now=True, **kw)
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    run()                                   # small store: fine
+    assert spark.read.parquet(out).count() == 4
+
+    with _pytest.raises(ValueError, match="bucketed"):
+        components_stream(
+            spark.readStream.schema(schema).parquet(land),
+            out, ckpt, crossover_bytes=1)   # tiny line: trips
+    # opt-out still attaches (no new data: trigger is a no-op)
+    run(crossover_bytes=None)
+
+
+def test_lpa_communities_stream_batch_parity(spark, tmp_path):
+    """r13 verdict stretch #10: after EVERY wave the stored (node,
+    community) snapshot equals batch label_propagation over all edges
+    ever streamed — including a wave that BRIDGES two stored
+    communities' components (non-monotone label flips confined to the
+    re-run scope) — replay is stamp-skipped, and a snapshot lost to a
+    crash rebuilds entirely from the edge log."""
+    import shutil
+
+    from nasctn_sea_ingest_spark.operators.graph import (
+        label_propagation)
+    from nasctn_sea_ingest_spark.streaming import lpa_communities_stream
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "lpa")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "d1 long, d2 long"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = lpa_communities_stream(stream, out, ckpt, max_iter=8,
+                                   available_now=True)
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    def stored():
+        return {r.node: r.community for r in
+                spark.read.parquet(out)
+                .select("node", "community").collect()}
+
+    def want(all_pairs):
+        df = spark.createDataFrame(all_pairs, schema)
+        return {r.node: r.community
+                for r in label_propagation(df, max_iter=8).collect()}
+
+    # two cliques + an unrelated path + a self-loop-only node
+    clique = lambda base: [(base + i, base + j)
+                           for i in range(4) for j in range(i + 1, 4)]
+    waves = [
+        clique(0) + clique(100) + [(200, 201), (201, 202), (300, 300)],
+        [(3, 100)],                     # bridge: components merge, the
+                                        # merged component's labels are
+                                        # re-derived from scratch
+        [(202, 203), (400, 401)],       # extend path + new component
+    ]
+    hist = []
+    for w in waves:
+        hist += w
+        spark.createDataFrame(w, schema) \
+            .coalesce(1).write.mode("append").parquet(land)
+        run()
+        assert stored() == want(hist), f"after wave {len(hist)}"
+
+    # replay: stamp-skipped
+    before = stored()
+    _delete_commit_marker(ckpt)
+    run()
+    assert stored() == before
+
+    # snapshot lost mid-overwrite: the edge log (a sibling dir, so
+    # the snapshot rewrite never touches it) is ground truth — a
+    # later wave rebuilds the WHOLE snapshot from it
+    shutil.rmtree(out)
+    assert os.path.isdir(out + ".edges")
+    w = [(500, 501)]
+    hist += w
+    spark.createDataFrame(w, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    run()
+    assert stored() == want(hist)

@@ -177,8 +177,96 @@ def components():
               f"({results['whole-rewrite'] / results['bucketed']:.1f}x)")
 
 
+def litter():
+    """r13 verdict #5 probe: many (default 50) small triggers on the
+    bucketed components face, auto-compaction ON vs OFF.  The claim:
+    with the cadence ON the per-leaf parquet file count (the
+    per-trigger read fan-in — the file COUNT, not bytes, is the scan
+    bottleneck at 10^5 triggers) stays bounded near the threshold,
+    while OFF it grows linearly with trigger count; per-trigger wall
+    must not regress.  Disjoint waves (each its own fresh clusters)
+    keep the touched set constant so litter is the only variable.
+
+        python tools/stream_probe.py litter [W] [B] [n_buckets] [cap]
+    """
+    argv = sys.argv[2:]
+    waves = int(argv[0]) if len(argv) > 0 else 50
+    batch = int(argv[1]) if len(argv) > 1 else 50
+    n_buckets = int(argv[2]) if len(argv) > 2 else 8
+    cap = int(argv[3]) if len(argv) > 3 else 16
+    from nasctn_sea_ingest_spark import get_spark
+    from nasctn_sea_ingest_spark.streaming import (
+        components_stream_bucketed)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"# {waves} waves x {batch} edges, n_buckets={n_buckets}, "
+          f"auto_compact_files={cap} vs None")
+    summary = {}
+    for label, acf in (("on", cap), ("off", None)):
+        root = tempfile.mkdtemp(prefix=f"cc_litter_{label}_")
+        land = os.path.join(root, "land")
+        out = os.path.join(root, "cc")
+        ck = os.path.join(root, "ck")
+        os.makedirs(land)
+
+        def max_leaf_files():
+            worst = 0
+            for aux in ("", "_directory", "_merges"):
+                base = os.path.join(out, aux) if aux else out
+                if not os.path.isdir(base):
+                    continue
+                for d in os.listdir(base):
+                    if "=" not in d or d.startswith("."):
+                        continue
+                    leaf = os.path.join(base, d)
+                    worst = max(worst, sum(
+                        1 for f in os.listdir(leaf)
+                        if f.endswith(".parquet")))
+            return worst
+
+        walls = []
+        try:
+            for w in range(waves):
+                base_id = 1_000_000 + w * 100_000
+                rows = [(base_id + i, base_id + i + 50_000)
+                        for i in range(batch)]
+                spark.createDataFrame(rows, "d1 long, d2 long") \
+                    .coalesce(1).write.mode("append").parquet(land)
+                stream = spark.readStream.schema(
+                    "d1 long, d2 long").parquet(land)
+                t0 = time.perf_counter()
+                q = components_stream_bucketed(
+                    stream, out, ck, n_buckets=n_buckets,
+                    auto_compact_files=acf, available_now=True)
+                q.awaitTermination(600)
+                q.stop()
+                q.awaitTermination(60)
+                walls.append(time.perf_counter() - t0)
+                if (w + 1) % 10 == 0:
+                    print(f"auto={label} wave {w + 1:3d}: "
+                          f"max leaf files {max_leaf_files():4d}, "
+                          f"trigger {walls[-1]:5.2f}s")
+            import json as _json
+            geom = {}
+            gp = os.path.join(out, "_store_geometry.json")
+            if os.path.exists(gp):
+                geom = _json.load(open(gp))
+            summary[label] = (max_leaf_files(),
+                              sum(walls) / len(walls),
+                              geom.get("n_compactions", 0))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+    for label, (mf, avg, nc) in summary.items():
+        print(f"# auto={label}: final max leaf files {mf}, mean "
+              f"trigger {avg:.2f}s, compactions {nc}")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "components":
         components()
+    elif len(sys.argv) > 1 and sys.argv[1] == "litter":
+        litter()
     else:
         main()
