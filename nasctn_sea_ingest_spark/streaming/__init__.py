@@ -841,7 +841,10 @@ def media_dedup_stream(media: DataFrame, out_dir: str,
     a batch that finds its own id already stored skips entirely
     (alerts for that batch were written atomically under the same
     ``batch=<id>`` partition — overwritten idempotently on replay).
-    Cost per trigger: O(batch + touched buckets)."""
+    Cost per trigger: O(batch + touched buckets).
+
+    ``auto_compact_files`` (r13 verdict #5): per-trigger file-count probe of the just-written buckets; past the threshold :func:`compact_candidate_store` runs in-slot and stamps the geometry manifest (None = manual cadence).
+    """
     from ..sources.multimodal import image_dhash
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1355,7 +1358,10 @@ def fuzzy_dedup_stream(names: DataFrame, out_dir: str,
     store rows carry the writing ``batch_id``; a replayed batch that
     finds its own id stored skips, and its ``batch=<id>`` alert
     partition was written atomically (idempotent overwrite).  Cost per
-    trigger: O(batch x L + touched-bucket postings)."""
+    trigger: O(batch x L + touched-bucket postings).
+
+    ``auto_compact_files`` (r13 verdict #5): per-trigger file-count probe of the just-written buckets; past the threshold :func:`compact_candidate_store` runs in-slot and stamps the geometry manifest (None = manual cadence).
+    """
     from ..operators.dedup import _delete_variants, edit_distance_pairs
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1576,7 +1582,10 @@ def colocation_monitor_stream(points: DataFrame, out_dir: str,
     is not identity — later arrivals must pair against ALL earlier
     points); replay safety is the standard batch_id stamp + atomic
     per-batch alert partitions.  Cost per trigger: O(batch × 9 +
-    touched-bucket points)."""
+    touched-bucket points).
+
+    ``auto_compact_files`` (r13 verdict #5): per-trigger file-count probe of the just-written buckets; past the threshold :func:`compact_candidate_store` runs in-slot and stamps the geometry manifest (None = manual cadence).
+    """
     cell = float(radius)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1893,6 +1902,8 @@ def semdedup_stream(embeddings: DataFrame, out_dir: str,
     atomic per-batch alert partitions, the colocation contract.  Cost
     per trigger: O(batch x 3^k + touched-bucket points), verify work
     proportional to candidates (SCALE.md section 24's measured curve).
+
+    ``auto_compact_files`` (r13 verdict #5): per-trigger file-count probe of the just-written buckets; past the threshold :func:`compact_candidate_store` runs in-slot and stamps the geometry manifest (None = manual cadence).
     """
     mu, comps, k, cell, qs, cs = _semdedup_model(mean, components,
                                                  threshold)
