@@ -235,6 +235,20 @@ RETIRED_NAMES = frozenset({
     #     (rolling median) live at driver scale; the equi-WIDTH twin
     #     q103 was retired on the same argument in round 6.
     "q124_sketch_rollup", "q127_equidepth_histogram",
+    # ROUND-15 RETIREMENT CANDIDATES (staged, not retired).  The r15
+    # must-verify cohort will be the 50 r13-verified queries — another
+    # exact window fill, so ANY round-15 admission needs retirements
+    # from THAT cohort (not the previously staged q111, which is
+    # r10/r14-fresh and frees nothing):
+    #   q52_unpivot: stack()-based melt — exercised at driver scale
+    #     inside q167/q169's FD melt; reshape family keeps q17 + q45.
+    #     (Now actually in the right cohort, unlike rounds 13-14.)
+    #   q164_fd_discovery: hand-listed FD profiling — superseded at
+    #     driver scale by the two DISCOVERY rows q167 (gated lattice)
+    #     and q169 (composite lattice), which subsume its shape.
+    #   q145_reachability: recursive-CTE reachability — the path
+    #     family now carries four driver rows (q165 shortest paths,
+    #     q173 LPA, q174 bounded-hop, q175 temporal reachability).
     # Retired round 10 — two new families (q166 exact fixed-point
     # PageRank, q167 gated FD discovery) push live count to 150 = 3x50
     # with zero slack (the round-6 saturation arithmetic); retiring two

@@ -212,6 +212,33 @@ def main():
                 print(f"x{k} personalized_pr      {dt:7.2f}s rows={n}")
             ed.unpersist()
             li.unpersist()
+        if want("core_numbers") or want("ppr_exact"):
+            # r14: the two new driver families' operators on the same
+            # densifying co-purchase graph (q176/q177's witness graphs
+            # are fixed-size by design, so the scaling story lives
+            # here); core_numbers' h rounds track value-change depth,
+            # not graph size — densification SHRINKS depth
+            from nasctn_sea_ingest_spark.operators.graph import (
+                cooccur_pairs, core_numbers,
+                personalized_pagerank_exact)
+            li = rep(li0, k, "l_orderkey").persist()
+            li.count()
+            ed = cooccur_pairs(li, "l_orderkey", "l_partkey") \
+                .persist()
+            ed.count()
+            if want("core_numbers"):
+                dt, n = t(lambda: core_numbers(
+                    ed, d1="i1", d2="i2").count())
+                print(f"x{k} core_numbers         {dt:7.2f}s rows={n}")
+            if want("ppr_exact"):
+                src = [r.i1 for r in ed.select("i1").limit(3)
+                       .collect()]
+                dt, n = t(lambda: personalized_pagerank_exact(
+                    ed.selectExpr("i1 as src", "i2 as dst"), src,
+                    n_iter=10).count())
+                print(f"x{k} ppr_exact            {dt:7.2f}s rows={n}")
+            ed.unpersist()
+            li.unpersist()
         if want("dbscan_nd"):
             # constant-density d=3 recipe (volume scales with the
             # data: width 1000 * k^(1/3) per axis) — the honest
