@@ -14,7 +14,7 @@ from ..functions import _let
 
 __all__ = ["token_stats", "quality_score", "language_id", "fingerprint",
            "token_count_estimate", "scrub_pii", "contamination",
-           "chunk_dedup", "repetition_stats", "chunk_overlap",
+           "chunk_dedup", "repetition_stats", "chunk_overlap", "duplicate_spans",
            "cdc_chunks_expr", "cdc_chunk_dedup",
            "train_bigram_lm", "lm_perplexity", "compression_ratio",
            "PII_PATTERNS", "STOPWORDS", "LANG_MARKERS"]
@@ -704,3 +704,82 @@ def strip_markup(df: DataFrame, text_col: str = "text",
     c = F.regexp_replace(c, r"\n{3,}", "\n\n")
     out = out_col or text_col
     return df.withColumn(out, F.trim(c))
+
+
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", window: int = 12,
+                    min_count: int = 2) -> DataFrame:
+    """Exact duplicate-SPAN detection across the corpus (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better" —
+    the ExactSubstr pass): every word window of length ``window``
+    (STRIDE 1, unlike :func:`chunk_dedup`'s chunk-aligned granularity)
+    whose exact text occurs at least ``min_count`` times anywhere in
+    the corpus is flagged, and each document's flagged positions are
+    merged into MAXIMAL spans — the removal-ready form of exact
+    substring dedup (drop/trim the span, keep the document), which
+    catches verbatim boilerplate, licence blocks, and syndicated
+    passages that document-level near-dup (MinHash) and chunk-level
+    CDC both miss when they sit inside otherwise-distinct documents.
+
+    Returns ``(id_col, start_word, end_word, n_windows)``: 1-based
+    word indices, ``end_word`` inclusive, span length = end_word -
+    start_word + 1; a span's windows all occur >= min_count times
+    corpus-wide (same doc or cross-doc — a verbatim self-repeat is as
+    harmful in training data as a cross-doc one).
+
+    Plan: ONE scan, TWO shuffles.  Windows are hashed with
+    ``xxhash64`` at emission so everything downstream moves 8-byte
+    keys, never window strings; the corpus-wide occurrence count is a
+    COUNT window over ``partitionBy(hash)`` (unordered — no per-hash
+    sort), so flagging needs no self-join and the tokenized corpus is
+    scanned exactly once (a groupBy + semi-join form re-derives the
+    window frame on both sides of the join: two full scans — measured
+    on the first cut of this operator).  Span merging is then a
+    per-doc prefix-max window whose rows are bounded by document
+    length.  A VIRAL window (one phrase occurring 10^8 times) makes
+    one count partition large — linear, count-only work, but a single
+    task; if that dominates at corpus scale, switch the flag stage to
+    the map-side-combinable groupBy(hash) count + semi-join form and
+    pay the second scan instead.  Hash-flagging accepts the
+    minhash-family collision convention (2^-64 × pairs — a collision
+    could over-flag one window); the DuckDB oracle groups by the
+    window STRING, so a hash-green driver row also certifies
+    collision-freedom on the checked data."""
+    W = int(window)
+    if W < 1:
+        raise ValueError("window must be >= 1 word")
+    if int(min_count) < 2:
+        raise ValueError("min_count < 2 flags every window")
+    from pyspark.sql import Window as _W
+    toks = (df.select(F.col(id_col).alias("__id"),
+                      _words(text_col).alias("__w"))
+            .where(F.size("__w") >= W))
+    wins = (toks.select(
+        "__id",
+        F.posexplode(F.expr(
+            f"transform(sequence(1, size(__w) - {W} + 1), "
+            f"i -> xxhash64(array_join(slice(__w, i, {W}), ' ')))"))
+        .alias("__p0", "__h"))
+        .select("__id", (F.col("__p0") + 1).alias("__pos"), "__h"))
+    fpos = (wins.withColumn(
+        "__n", F.count(F.lit(1)).over(_W.partitionBy("__h")))
+        .where(F.col("__n") >= int(min_count))
+        .select("__id", "__pos"))
+    prev = _W.partitionBy("__id").orderBy("__pos") \
+             .rowsBetween(_W.unboundedPreceding, -1)
+    # windows at p and q (p < q) belong to one span iff q <= p + W
+    # (they overlap or touch); first row of a doc always starts one
+    brk = F.when(
+        F.col("__pos") > F.coalesce(F.max("__pos").over(prev) + W,
+                                    F.lit(-1)),
+        F.lit(1)).otherwise(F.lit(0))
+    run = _W.partitionBy("__id").orderBy("__pos") \
+            .rowsBetween(_W.unboundedPreceding, 0)
+    isl = (fpos.withColumn("__brk", brk)
+           .withColumn("__g", F.sum("__brk").over(run)))
+    return (isl.groupBy("__id", "__g")
+            .agg(F.min("__pos").alias("start_word"),
+                 (F.max("__pos") + F.lit(W - 1)).alias("end_word"),
+                 F.count(F.lit(1)).alias("n_windows"))
+            .select(F.col("__id").alias(id_col),
+                    "start_word", "end_word", "n_windows"))

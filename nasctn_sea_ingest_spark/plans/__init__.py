@@ -235,6 +235,16 @@ RETIRED_NAMES = frozenset({
     #     (rolling median) live at driver scale; the equi-WIDTH twin
     #     q103 was retired on the same argument in round 6.
     "q124_sketch_rollup", "q127_equidepth_histogram",
+    # Also retired round 14 — admitting q178 (exact duplicate-span
+    # detection, the Lee et al. 2022 ExactSubstr pass) needed one more
+    # slot from the same r11 stale cohort.  Keeps its pytest DuckDB
+    # oracle via tests/test_corpus::ALL:
+    #   q123_model_scoring: logistic scoring against a broadcast
+    #     literal weight vector — the sequential-fold dot-product
+    #     machinery (aggregate/zip_with) is q22 cosine top-k's and
+    #     q61 quantization-error's, both live; the map-only scoring
+    #     shape adds no operator surface beyond them.
+    "q123_model_scoring",
     # ROUND-15 RETIREMENT CANDIDATES (staged, not retired).  The r15
     # must-verify cohort will be the 50 r13-verified queries — another
     # exact window fill, so ANY round-15 admission needs retirements

@@ -200,3 +200,65 @@ def q177(spark, sf_dir):
     return (out.select(F.col("node").cast("bigint").alias("node"),
                        F.col("core").cast("int").alias("core"))
             .orderBy("node"))
+
+
+# ---------------------------------------------------------------------------
+# q178: exact duplicate-span detection (Lee et al. 2022 ExactSubstr)
+# ---------------------------------------------------------------------------
+
+_DS_W = 12
+
+
+@_q("q178_duplicate_spans",
+    "exact duplicate-SPAN detection over documents (Lee et al. 2022 "
+    f"ExactSubstr): every {_DS_W}-word window at STRIDE 1 occurring "
+    ">= 2 times anywhere in the corpus is flagged and merged into "
+    "maximal per-doc spans (text.duplicate_spans); output = per-doc "
+    "span count, flagged-window count, and duplicated-token estimate "
+    "— the removal-ready exact-substring pass document-level MinHash "
+    "and chunk-aligned CDC both miss for verbatim boilerplate inside "
+    "otherwise-distinct documents.  The Spark plan groups xxhash64 "
+    "window keys (8 bytes on the wire, map-side-combinable count); "
+    "the DuckDB oracle groups the window STRINGS, so a hash-green "
+    "row also certifies collision-freedom on the checked data",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE text IS NOT NULL),
+    win AS (
+      SELECT doc_id, i, array_to_string(w[i:i+{_DS_W - 1}], ' ') AS s
+      FROM toks, unnest(generate_series(1, len(w) - {_DS_W - 1})) AS g(i)
+      WHERE len(w) >= {_DS_W}),
+    dup AS (SELECT s FROM win GROUP BY s HAVING count(*) >= 2),
+    f AS (SELECT win.doc_id, win.i FROM win JOIN dup USING (s)),
+    b AS (
+      SELECT doc_id, i,
+             CASE WHEN i > coalesce(
+                    max(i) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) + {_DS_W}, -1)
+                  THEN 1 ELSE 0 END AS brk
+      FROM f),
+    g AS (SELECT doc_id, i,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+          FROM b),
+    sp AS (SELECT doc_id, grp, min(i) AS st,
+                  max(i) + {_DS_W - 1} AS en, count(*) AS nw
+           FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(nw) AS BIGINT) AS n_dup_windows,
+           CAST(sum(en - st + 1) AS BIGINT) AS dup_tokens
+    FROM sp GROUP BY 1 ORDER BY 1
+    """)
+def q178(spark, sf_dir):
+    from ..operators.text import duplicate_spans
+    d = load_table(spark, sf_dir, "documents")
+    sp = duplicate_spans(d, window=_DS_W, min_count=2)
+    return (sp.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+                 F.sum("n_windows").cast("bigint")
+                 .alias("n_dup_windows"),
+                 F.sum(F.col("end_word") - F.col("start_word") + 1)
+                 .cast("bigint").alias("dup_tokens"))
+            .orderBy("doc_id"))

@@ -505,3 +505,70 @@ def test_strip_markup(spark):
     assert lines[3] == "last" and lines[4].startswith("line")
     # malformed trailing tag degrades to dropped text, not an error
     assert "<unclosed" not in out
+
+
+def test_duplicate_spans_brute_force(spark):
+    """text.duplicate_spans == a Python brute force of the Lee et al.
+    ExactSubstr pass: stride-1 W-word windows, corpus-wide occurrence
+    count >= min_count (same-doc self-repeats count), flagged
+    positions merged into maximal spans; short docs drop out; window
+    overlap/adjacency merging exact; min_count and window validated."""
+    import pytest as _pytest
+
+    from nasctn_sea_ingest_spark.operators.text import duplicate_spans
+
+    W = 4
+    docs = [
+        # doc 1 and 2 share a 6-word verbatim run -> 3 overlapping
+        # flagged windows each -> ONE merged span each
+        (1, "aa bb cc dd ee ff unique1 tail1 words here"),
+        (2, "prefix2 aa bb cc dd ee ff other2 stuff2"),
+        # doc 3 repeats a 4-word run WITHIN itself (positions 1 and 8,
+        # gap > W) -> two one-window spans in the same doc
+        (3, "rr ss tt uu filler1 filler2 filler3 rr ss tt uu"),
+        # doc 4: all-unique words, no flagged windows
+        (4, "k1 k2 k3 k4 k5 k6 k7 k8"),
+        # doc 5: shorter than the window
+        (5, "too short now"),
+    ]
+
+    def ref():
+        toks = {d: t.split() for d, t in docs}
+        occ = {}
+        for d, t in toks.items():
+            for i in range(1, len(t) - W + 2):
+                occ.setdefault(" ".join(t[i - 1:i - 1 + W]),
+                               []).append((d, i))
+        flagged = {}
+        for s, hits in occ.items():
+            if len(hits) >= 2:
+                for d, i in hits:
+                    flagged.setdefault(d, []).append(i)
+        spans = set()
+        for d, ps in flagged.items():
+            ps = sorted(set(ps))
+            start = prev = ps[0]
+            nw = 1
+            for p in ps[1:]:
+                if p <= prev + W:
+                    prev = p
+                    nw += 1
+                else:
+                    spans.add((d, start, prev + W - 1, nw))
+                    start = prev = p
+                    nw = 1
+            spans.add((d, start, prev + W - 1, nw))
+        return spans
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_id, r.start_word, r.end_word, r.n_windows)
+           for r in duplicate_spans(df, window=W).collect()}
+    want = ref()
+    assert got == want and got
+    assert {d for d, *_ in got} == {1, 2, 3}      # 4 unique, 5 short
+    assert len([s for s in got if s[0] == 3]) == 2  # self-repeat, 2 spans
+
+    with _pytest.raises(ValueError, match="min_count"):
+        duplicate_spans(df, window=W, min_count=1)
+    with _pytest.raises(ValueError, match="window"):
+        duplicate_spans(df, window=0)
