@@ -2489,6 +2489,7 @@ def lpa_communities_stream(pairs: DataFrame, out_dir: str,
                            checkpoint_dir: str,
                            d1: str = "d1", d2: str = "d2",
                            max_iter: int = 20,
+                           auto_compact_files: "int | None" = 64,
                            available_now: bool = False):
     """Incrementally maintained LABEL-PROPAGATION communities (r13
     verdict stretch #10): as edges stream in, the stored ``(node,
@@ -2535,7 +2536,9 @@ def lpa_communities_stream(pairs: DataFrame, out_dir: str,
     trigger (inherent: its labels may legitimately all flip).  The
     edge log accrues one file per trigger (``coalesce(1)``);
     :func:`compact_candidate_store`'s generic leaf pass folds it
-    (point it at the ``.edges`` dir)."""
+    automatically past ``auto_compact_files`` files (the r13 verdict
+    #5 cadence; batch_id rows survive compaction verbatim, so replay
+    dedup keeps working — None = manual)."""
     from pyspark.errors import AnalysisException
 
     from ..operators.graph import label_propagation, star_components
@@ -2575,6 +2578,10 @@ def lpa_communities_stream(pairs: DataFrame, out_dir: str,
             (b.withColumn("batch_id",
                           F.lit(int(batch_id)).cast("long"))
              .coalesce(1).write.mode("append").parquet(edges_path))
+            # the log is one flat leaf; fold its per-trigger litter
+            # in-slot past the threshold (replay stamps preserved)
+            _auto_compact_store(spark, edges_path, [""], batch_id,
+                                auto_compact_files)
         edges = spark.read.parquet(edges_path).select("d1", "d2")
         batch_nodes = (b.select(F.col("d1").alias("node"))
                        .unionByName(b.select(F.col("d2").alias("node")))

@@ -3200,6 +3200,7 @@ def test_lpa_communities_stream_batch_parity(spark, tmp_path):
     def run():
         stream = spark.readStream.schema(schema).parquet(land)
         q = lpa_communities_stream(stream, out, ckpt, max_iter=8,
+                                   auto_compact_files=2,
                                    available_now=True)
         try:
             q.awaitTermination(180)
@@ -3246,6 +3247,11 @@ def test_lpa_communities_stream_batch_parity(spark, tmp_path):
     # later wave rebuilds the WHOLE snapshot from it
     shutil.rmtree(out)
     assert os.path.isdir(out + ".edges")
+    # the in-slot cadence (threshold 2) has folded the per-trigger
+    # edge-log litter at least once by now
+    nlog = sum(1 for f in os.listdir(out + ".edges")
+               if f.endswith(".parquet"))
+    assert nlog <= 3, nlog
     w = [(500, 501)]
     hist += w
     spark.createDataFrame(w, schema) \

@@ -239,6 +239,18 @@ def main():
                 print(f"x{k} ppr_exact            {dt:7.2f}s rows={n}")
             ed.unpersist()
             li.unpersist()
+        if want("dup_spans"):
+            # r14 q178 family: shuffle volume = tokens x (hash, doc,
+            # pos); replication multiplies every window's global count
+            # x k, so the flagged set (and the span-merge stage) grows
+            # too — both effects measured together
+            from nasctn_sea_ingest_spark.operators.text import \
+                duplicate_spans
+            d = rep(docs0, k, "doc_id").persist()
+            d.count()
+            dt, n = t(lambda: duplicate_spans(d, window=12).count())
+            print(f"x{k} dup_spans            {dt:7.2f}s rows={n}")
+            d.unpersist()
         if want("dbscan_nd"):
             # constant-density d=3 recipe (volume scales with the
             # data: width 1000 * k^(1/3) per axis) — the honest
