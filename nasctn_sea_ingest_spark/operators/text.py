@@ -14,7 +14,7 @@ from ..functions import _let
 
 __all__ = ["token_stats", "quality_score", "language_id", "fingerprint",
            "token_count_estimate", "scrub_pii", "contamination",
-           "chunk_dedup", "repetition_stats", "chunk_overlap", "duplicate_spans",
+           "chunk_dedup", "repetition_stats", "chunk_overlap", "duplicate_spans", "apply_span_removal",
            "cdc_chunks_expr", "cdc_chunk_dedup",
            "train_bigram_lm", "lm_perplexity", "compression_ratio",
            "PII_PATTERNS", "STOPWORDS", "LANG_MARKERS"]
@@ -783,3 +783,41 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
                  F.count(F.lit(1)).alias("n_windows"))
             .select(F.col("__id").alias(id_col),
                     "start_word", "end_word", "n_windows"))
+
+
+def apply_span_removal(df: DataFrame, spans: DataFrame,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Rewrite documents with :func:`duplicate_spans`' flagged spans
+    REMOVED — the second half of the Lee et al. ExactSubstr pass
+    (every occurrence of a duplicated span is dropped; the paper found
+    removing all copies works as well as keep-one and is much simpler
+    to distribute, since no occurrence needs to be elected keeper).
+
+    Per doc the span list is collected to an array (bounded by
+    doc-length/window spans) and the word array is filtered by
+    position against it — one broadcast-able equi-join plus map-side
+    higher-order expressions, no explode.  Rewritten text is
+    single-space-joined surviving words (the :func:`chunk_dedup`
+    whitespace-normalization convention); a doc whose every word sat
+    in a span comes back with NULL text (the chunk_dedup drop
+    convention — filter it out downstream); docs with NO spans pass
+    through byte-verbatim (only rewritten docs lose their original
+    whitespace)."""
+    sp = (spans.groupBy(F.col(id_col).alias("__sid"))
+          .agg(F.collect_list(F.struct(
+              F.col("start_word").alias("s"),
+              F.col("end_word").alias("e"))).alias("__sp")))
+    j = df.join(sp, F.col(id_col) == F.col("__sid"), "left") \
+          .drop("__sid")
+    kept = F.filter(
+        _words(text_col),
+        lambda w, i: ~F.exists(
+            "__sp", lambda s: (i + 1 >= s["s"]) & (i + 1 <= s["e"])))
+    out = (j.withColumn("__kept", kept)
+           .withColumn(text_col, F.when(
+               F.col("__sp").isNull(), F.col(text_col))
+               .when(F.size("__kept") == 0, F.lit(None))
+               .otherwise(F.array_join("__kept", " ")))
+           .drop("__sp", "__kept"))
+    return out

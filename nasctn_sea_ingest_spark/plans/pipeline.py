@@ -43,6 +43,7 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str,
                         repetition_gate: bool = True,
                         drop_boilerplate: bool = True,
                         cdc_boilerplate: bool = False,
+                        exact_substr_window: "int | None" = None,
                         line_boilerplate: "float | None" = None,
                         strip_html: bool = False,
                         lm_gate_perplexity: "float | None" = None,
@@ -167,6 +168,21 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str,
         if counts:
             near = _pin(near)
             manifest["chunk_deduped"] = near.count()
+
+    if exact_substr_window is not None:
+        # optional (OFF by default): STRIDE-1 exact duplicate-span
+        # removal (Lee et al. 2022 ExactSubstr proper) — the chunk
+        # pass above is chunk-ALIGNED, so a verbatim span straddling
+        # chunk boundaries survives it; this stage flags every
+        # W-word window occurring twice anywhere in the surviving
+        # corpus and removes ALL occurrences (the paper's all-copies
+        # rule).  Docs reduced to nothing drop (NULL-text convention).
+        sp = text.duplicate_spans(near, window=exact_substr_window)
+        near = (text.apply_span_removal(near, sp)
+                .where(F.col("text").isNotNull()))
+        if counts:
+            near = _pin(near)
+            manifest["span_deduped"] = near.count()
 
     if semdedup_threshold is not None:
         # optional (OFF by default): SEMANTIC near-dup removal over the

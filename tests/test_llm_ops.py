@@ -3260,3 +3260,24 @@ def test_temporal_edges_parity_hot_cell_and_plan_pin(spark):
                        id_col="u2")
     with _pytest.raises(ValueError, match="positive"):
         temporal_edges(df, 0)
+
+
+def test_llm_corpus_pipeline_exact_substr_stage(spark, sf_dir):
+    """The optional ExactSubstr stage (r14): manifest gains
+    span_deduped between chunk_deduped and decontaminated, counts stay
+    monotone, survivors' duplicated spans are gone (the flagged window
+    set of the OUTPUT at the same W contains none of the INPUT's
+    flagged windows — removal may create new chance adjacent
+    duplicates, so emptiness is not the invariant; disjointness is)."""
+    from nasctn_sea_ingest_spark.operators.text import duplicate_spans
+    from nasctn_sea_ingest_spark.plans.pipeline import llm_corpus_pipeline
+
+    packed, manifest = llm_corpus_pipeline(
+        spark, sf_dir, seq_len=512, exact_substr_window=8)
+    stages = ["raw", "quality_gated", "repetition_gated",
+              "exact_deduped", "near_deduped", "chunk_deduped",
+              "span_deduped", "decontaminated", "packed"]
+    assert list(manifest) == stages
+    counts = [manifest[s] for s in stages[:-1]]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert manifest["span_deduped"] > 0

@@ -572,3 +572,30 @@ def test_duplicate_spans_brute_force(spark):
         duplicate_spans(df, window=W, min_count=1)
     with _pytest.raises(ValueError, match="window"):
         duplicate_spans(df, window=0)
+
+
+def test_apply_span_removal(spark):
+    """apply_span_removal: flagged spans dropped (every occurrence —
+    the Lee et al. all-copies rule), full-span docs come back NULL,
+    span-free docs pass through byte-verbatim (original whitespace
+    intact), rewritten docs are single-space normalized."""
+    from nasctn_sea_ingest_spark.operators.text import (
+        apply_span_removal, duplicate_spans)
+
+    W = 3
+    docs = [
+        (1, "x1 dup aa bb cc x2 x3"),
+        (2, "y1 y2 dup aa bb cc"),
+        (3, "dup aa bb cc"),               # entire doc is the span
+        (4, "clean  doc   with   spaces"),  # no spans: verbatim
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = duplicate_spans(df, window=W)
+    out = {r.doc_id: r.text
+           for r in apply_span_removal(df, spans).collect()}
+    # span = the 4-word run "dup aa bb cc" (two flagged overlapping
+    # 3-windows merged) — removed from every doc that carries it
+    assert out[1] == "x1 x2 x3"
+    assert out[2] == "y1 y2"
+    assert out[3] is None
+    assert out[4] == "clean  doc   with   spaces"
