@@ -262,3 +262,72 @@ def q178(spark, sf_dir):
                  F.sum(F.col("end_word") - F.col("start_word") + 1)
                  .cast("bigint").alias("dup_tokens"))
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# q179: ExactSubstr REMOVAL — the rewritten documents, driver-oracled
+# ---------------------------------------------------------------------------
+
+
+@_q("q179_span_removal",
+    "the ExactSubstr REMOVAL stage driver-oracled (q178 flags, this "
+    "rewrites): for every document carrying at least one duplicated "
+    f"{_DS_W}-word span, emit the document with ALL span occurrences "
+    "removed (text.apply_span_removal — the Lee et al. all-copies "
+    "rule; surviving words single-space joined; a fully-span doc "
+    "comes back empty).  Merged spans are provably disjoint (the "
+    "island break needs a > window gap), so the oracle rebuilds each "
+    "text by anti-joining word positions against the span ranges and "
+    "re-aggregating in position order — the whole flag+rewrite pass "
+    "is now hash-checked end to end, not just the span coordinates",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE text IS NOT NULL),
+    win AS (
+      SELECT doc_id, i, array_to_string(w[i:i+{_DS_W - 1}], ' ') AS s
+      FROM toks, unnest(generate_series(1, len(w) - {_DS_W - 1})) AS g(i)
+      WHERE len(w) >= {_DS_W}),
+    dup AS (SELECT s FROM win GROUP BY s HAVING count(*) >= 2),
+    f AS (SELECT win.doc_id, win.i FROM win JOIN dup USING (s)),
+    b AS (
+      SELECT doc_id, i,
+             CASE WHEN i > coalesce(
+                    max(i) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) + {_DS_W}, -1)
+                  THEN 1 ELSE 0 END AS brk
+      FROM f),
+    g AS (SELECT doc_id, i,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+          FROM b),
+    sp AS (SELECT doc_id, grp, min(i) AS st,
+                  max(i) + {_DS_W - 1} AS en
+           FROM g GROUP BY 1, 2),
+    pos AS (
+      SELECT t.doc_id, gg.i, t.w[gg.i] AS tok
+      FROM toks t, unnest(generate_series(1, len(t.w))) AS gg(i)
+      WHERE t.doc_id IN (SELECT DISTINCT doc_id FROM sp)),
+    kept AS (
+      SELECT p.doc_id, p.i, p.tok FROM pos p
+      WHERE NOT EXISTS (SELECT 1 FROM sp
+                        WHERE sp.doc_id = p.doc_id
+                          AND p.i BETWEEN sp.st AND sp.en)),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS t
+      FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(r.t, '') AS new_text
+    FROM (SELECT DISTINCT doc_id FROM sp) d
+    LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY d.doc_id
+    """)
+def q179(spark, sf_dir):
+    from ..operators.text import apply_span_removal, duplicate_spans
+    d = load_table(spark, sf_dir, "documents")
+    sp = duplicate_spans(d, window=_DS_W, min_count=2)
+    rew = apply_span_removal(d, sp)
+    return (rew.join(sp.select("doc_id").distinct(), "doc_id", "semi")
+            .select(F.col("doc_id"),
+                    F.coalesce(F.col("text"), F.lit(""))
+                    .alias("new_text"))
+            .orderBy("doc_id"))
