@@ -2389,6 +2389,16 @@ def components_stream_bucketed(pairs: DataFrame, out_dir: str,
                         break
                     ca = (ca.unionByName(add)
                           .localCheckpoint(eager=True))
+                else:
+                    # serialized batches make chains depth-1; raising
+                    # beats proceeding with an under-expanded touched
+                    # set, whose skip could cement a split (the
+                    # shortest_paths under-convergence rule)
+                    raise RuntimeError(
+                        "components_stream_bucketed: merge-log "
+                        "expansion did not reach a fixpoint in 16 "
+                        "rounds — the merge log or checkpoint is "
+                        "inconsistent with the snapshot")
             dkbs = [r[0] for r in ca
                     .select(F.pmod(F.hash("cluster"), n_buckets)
                             .alias("dkb"))
