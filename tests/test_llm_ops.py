@@ -3281,3 +3281,31 @@ def test_llm_corpus_pipeline_exact_substr_stage(spark, sf_dir):
     counts = [manifest[s] for s in stages[:-1]]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
     assert manifest["span_deduped"] > 0
+
+
+def test_temporal_edges_hypothesis(spark):
+    """Property: temporal_edges == the O(n²) brute force on random
+    dense event sets — bucket-boundary followers (t2 exactly at
+    t + W, t + W + 1), same-timestamp events, multi-witness pairs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nasctn_sea_ingest_spark.operators.graph import temporal_edges
+
+    @settings(max_examples=10, deadline=None)
+    @given(events=st.lists(
+        st.tuples(st.integers(1, 5),      # user
+                  st.integers(1, 3),      # key
+                  st.integers(0, 40)),    # time
+        min_size=1, max_size=25), w=st.integers(1, 12))
+    def run(events, w):
+        df = spark.createDataFrame(events, "u long, k int, t long")
+        got = {(r.src, r.dst, r.t)
+               for r in temporal_edges(df, w).collect()}
+        want = {(a[0], b[0], b[2])
+                for a in events for b in events
+                if a[1] == b[1] and a[0] != b[0]
+                and a[2] < b[2] <= a[2] + w}
+        assert got == want
+
+    run()

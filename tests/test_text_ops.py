@@ -599,3 +599,73 @@ def test_apply_span_removal(spark):
     assert out[2] == "y1 y2"
     assert out[3] is None
     assert out[4] == "clean  doc   with   spaces"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(docs=st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=0, max_size=14)
+    .map(" ".join),
+    min_size=1, max_size=6), w=st.integers(2, 4))
+def test_duplicate_spans_hypothesis(spark, docs, w):
+    """Property: duplicate_spans + apply_span_removal == the Python
+    ExactSubstr reference on random tiny-alphabet corpora (dense with
+    chance duplicates — consecutive/overlapping/same-doc windows, the
+    regimes a hand-written example can miss)."""
+    from nasctn_sea_ingest_spark.operators.text import (
+        apply_span_removal, duplicate_spans)
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+
+    def ref_spans():
+        occ = {}
+        for d, t in rows:
+            tk = t.split()
+            for i in range(1, len(tk) - w + 2):
+                occ.setdefault(" ".join(tk[i - 1:i - 1 + w]),
+                               []).append((d, i))
+        flagged = {}
+        for hits in occ.values():
+            if len(hits) >= 2:
+                for d, i in hits:
+                    flagged.setdefault(d, []).append(i)
+        spans = set()
+        for d, ps in flagged.items():
+            ps = sorted(set(ps))
+            start = prev = ps[0]
+            nw = 1
+            for p in ps[1:]:
+                if p <= prev + w:
+                    prev, nw = p, nw + 1
+                else:
+                    spans.add((d, start, prev + w - 1, nw))
+                    start, prev, nw = p, p, 1
+            spans.add((d, start, prev + w - 1, nw))
+        return spans
+
+    def ref_removed():
+        spans = {}
+        for d, s, e, _ in ref_spans():
+            spans.setdefault(d, []).append((s, e))
+        out = {}
+        for d, t in rows:
+            if d not in spans:
+                out[d] = t
+                continue
+            tk = t.split()
+            kept = [x for i, x in enumerate(tk, start=1)
+                    if not any(s <= i <= e for s, e in spans[d])]
+            out[d] = " ".join(kept) if kept else None
+        return out
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sp = duplicate_spans(df, window=w)
+    got = {(r.doc_id, r.start_word, r.end_word, r.n_windows)
+           for r in sp.collect()}
+    assert got == ref_spans()
+    got_txt = {r.doc_id: r.text
+               for r in apply_span_removal(df, sp).collect()}
+    assert got_txt == ref_removed()
