@@ -41,7 +41,8 @@ __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "funnel_monitor_stream", "colocation_monitor_stream",
            "fd_profile_stream", "components_stream",
            "components_stream_bucketed", "compact_candidate_store",
-           "skew_profile_stream", "lpa_communities_stream"]
+           "skew_profile_stream", "lpa_communities_stream",
+           "duplicate_spans_stream", "duplicate_spans_snapshot"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],
@@ -2761,3 +2762,143 @@ def compact_candidate_store(spark: SparkSession, store_dir: str,
             log.append(("_directory (rebuilt)", -1, -1, -1))
     return _pd.DataFrame(log, columns=["partition", "n_files_before",
                                        "n_files_after", "bytes"])
+
+
+def duplicate_spans_stream(docs: DataFrame, out_dir: str,
+                           checkpoint_dir: str, alerts_dir: str,
+                           window: int = 12,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           n_buckets: int = 16,
+                           auto_compact_files: "int | None" = 64,
+                           available_now: bool = False):
+    """Streaming face of the ExactSubstr pass
+    (:func:`~..operators.text.duplicate_spans`): as documents land,
+    every stride-1 ``window``-word hash is appended to a bucketed
+    WINDOW INDEX (``pmod(hash, n_buckets)`` partitions — one row per
+    window occurrence ever, the ``index_stream`` state class), and a
+    batch window already known to the index (or repeated inside the
+    batch) fires an alert the moment it arrives — so verbatim
+    boilerplate is caught at ingest instead of at the next batch
+    hygiene run.
+
+    Alerts (``alerts_dir/batch=<id>``) carry ``(doc_id, pos, h,
+    total_count)`` for the NEWLY-ARRIVED duplicated windows only —
+    the earlier occurrence that retroactively became a duplicate is
+    not re-announced (the media/fuzzy convention); the REMOVAL-ready
+    truth at any trigger is :func:`duplicate_spans_snapshot`, which
+    reads the index back into exactly batch ``duplicate_spans``'
+    output over everything ever streamed (parity-pinned).  Replay is
+    batch_id-stamp skipped; geometry manifest bakes (window,
+    n_buckets); per-trigger cost = batch windows + a touched-bucket
+    probe + the append, never an index scan.
+
+    ``auto_compact_files``: the r13 verdict #5 cadence — one file per
+    touched bucket per trigger accrues; the in-slot compactor folds
+    it past the threshold."""
+    from pyspark.errors import AnalysisException
+
+    W = int(window)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _store_geometry_guard(out_dir, {
+            "kind": "window_index", "window": W,
+            "n_buckets": int(n_buckets)})
+        spark = batch_df.sparkSession
+        toks = (batch_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"))
+            .where(F.size("__w") >= W))
+        b = (toks.select(
+            "doc_id",
+            F.posexplode(F.expr(
+                f"transform(sequence(1, size(__w) - {W} + 1), "
+                f"i -> xxhash64(array_join(slice(__w, i, {W}), "
+                f"' ')))")).alias("__p0", "h"))
+            .select("doc_id", (F.col("__p0") + 1).alias("pos"), "h")
+            .withColumn("kb", F.pmod(F.hash("h"), n_buckets))
+            .localCheckpoint(eager=True))
+        if not b.limit(1).count():
+            return
+        touched = [r.kb for r in b.select("kb").distinct().collect()]
+        store = None
+        try:
+            store = (spark.read.parquet(out_dir)
+                     .where(F.col("kb").isin(touched))
+                     .localCheckpoint(eager=True))
+            if store.where(F.col("batch_id") ==
+                           F.lit(int(batch_id))).limit(1).count():
+                return  # replay: batch already appended
+        except AnalysisException as e:
+            if ("PATH_NOT_FOUND" not in str(e)
+                    and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
+                raise
+        prior = (store.groupBy("h")
+                 .agg(F.count(F.lit(1)).alias("__np"))
+                 if store is not None else
+                 b.select("h").limit(0)
+                 .withColumn("__np", F.lit(0).cast("long")))
+        inb = b.groupBy("h").agg(F.count(F.lit(1)).alias("__nb"))
+        alerts = (b.join(inb, "h")
+                  .join(prior, "h", "left")
+                  .withColumn("total_count",
+                              F.col("__nb")
+                              + F.coalesce("__np", F.lit(0)))
+                  .where(F.col("total_count") >= 2)
+                  .select("doc_id", "pos", "h", "total_count")
+                  .localCheckpoint(eager=True))
+        alerts.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(alerts_dir, f"batch={int(batch_id)}"))
+        (b.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+         .repartition("kb")  # one file per touched bucket per trigger
+         .write.mode("append").partitionBy("kb").parquet(out_dir))
+        _auto_compact_store(
+            spark, out_dir,
+            [d for d in os.listdir(out_dir) if d.startswith("kb=")],
+            batch_id, auto_compact_files)
+
+    writer = (docs.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def duplicate_spans_snapshot(spark: SparkSession,
+                             store_dir: str) -> DataFrame:
+    """Read a :func:`duplicate_spans_stream` window index back into
+    EXACTLY batch :func:`~..operators.text.duplicate_spans`' output
+    over everything ever streamed: flag = corpus-wide hash count >= 2
+    (one unordered COUNT window — the batch operator's plan over the
+    stored rows instead of a fresh tokenization), then the same
+    per-doc prefix-max island merge into maximal spans.  Retroactive
+    duplicates — the FIRST occurrence of a window whose second copy
+    arrived later — appear here (the alert stream never re-announces
+    them); this is the frame a removal job consumes."""
+    import json as _json
+
+    from pyspark.sql import Window as _W
+    with open(os.path.join(store_dir, "_store_geometry.json")) as fh:
+        geom = _json.load(fh)
+    if geom.get("kind") != "window_index":
+        raise ValueError(f"not a window index store: {geom}")
+    W = int(geom["window"])
+    rows = spark.read.parquet(store_dir).select("doc_id", "pos", "h")
+    fpos = (rows.withColumn(
+        "__n", F.count(F.lit(1)).over(_W.partitionBy("h")))
+        .where(F.col("__n") >= 2).select("doc_id", "pos"))
+    prev = _W.partitionBy("doc_id").orderBy("pos") \
+             .rowsBetween(_W.unboundedPreceding, -1)
+    brk = F.when(
+        F.col("pos") > F.coalesce(F.max("pos").over(prev) + W,
+                                  F.lit(-1)),
+        F.lit(1)).otherwise(F.lit(0))
+    run = _W.partitionBy("doc_id").orderBy("pos") \
+            .rowsBetween(_W.unboundedPreceding, 0)
+    isl = (fpos.withColumn("__brk", brk)
+           .withColumn("__g", F.sum("__brk").over(run)))
+    return (isl.groupBy("doc_id", "__g")
+            .agg(F.min("pos").alias("start_word"),
+                 (F.max("pos") + F.lit(W - 1)).alias("end_word"),
+                 F.count(F.lit(1)).alias("n_windows"))
+            .select("doc_id", "start_word", "end_word", "n_windows"))

@@ -3258,3 +3258,80 @@ def test_lpa_communities_stream_batch_parity(spark, tmp_path):
         .coalesce(1).write.mode("append").parquet(land)
     run()
     assert stored() == want(hist)
+
+
+def test_duplicate_spans_stream_matches_batch(spark, tmp_path):
+    """ExactSubstr's streaming face: after EVERY wave the snapshot
+    reader equals batch duplicate_spans over all docs ever streamed —
+    including a wave whose windows retroactively make an EARLIER
+    doc's span duplicated (visible in the snapshot, not re-alerted);
+    cross-batch arrivals alert with the right total_count; replay is
+    stamp-skipped; a different (window, n_buckets) re-attach raises."""
+    from nasctn_sea_ingest_spark.operators.text import duplicate_spans
+    from nasctn_sea_ingest_spark.streaming import (
+        duplicate_spans_snapshot, duplicate_spans_stream)
+
+    W = 3
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "widx")
+    al = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "doc_id long, text string"
+
+    def run(window=W, ck=ckpt):
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = duplicate_spans_stream(stream, out, ck, al, window=window,
+                                   n_buckets=4, auto_compact_files=2,
+                                   available_now=True)
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    def snapshot():
+        return {(r.doc_id, r.start_word, r.end_word, r.n_windows)
+                for r in duplicate_spans_snapshot(spark, out).collect()}
+
+    def want(docs):
+        df = spark.createDataFrame(docs, schema)
+        return {(r.doc_id, r.start_word, r.end_word, r.n_windows)
+                for r in duplicate_spans(df, window=W).collect()}
+
+    waves = [
+        # wave 1: an in-batch duplicate pair (docs 1/2) + a doc whose
+        # span becomes duplicated only RETROACTIVELY (doc 3)
+        [(1, "aa bb cc dd x1 x2"), (2, "y1 aa bb cc dd y2"),
+         (3, "rr ss tt uu zz")],
+        # wave 2: duplicates doc 3's run (retro case) + fresh unique
+        [(4, "kk rr ss tt uu"), (5, "m1 m2 m3 m4")],
+        [(6, "aa bb cc dd tail")],          # joins the wave-1 family
+    ]
+    hist = []
+    for wv in waves:
+        hist += wv
+        spark.createDataFrame(wv, schema) \
+            .coalesce(1).write.mode("append").parquet(land)
+        run()
+        assert snapshot() == want(hist), f"after {len(hist)} docs"
+
+    # wave-2 alerts: doc 4's windows matched doc 3's stored ones —
+    # total_count counts both sides; doc 3 itself was NOT re-alerted
+    a2 = spark.read.parquet(os.path.join(al, "batch=1")).collect()
+    assert {r.doc_id for r in a2} == {4}
+    assert all(r.total_count == 2 for r in a2)
+
+    # replay: stamp-skipped (snapshot unchanged)
+    before = snapshot()
+    _delete_commit_marker(ckpt)
+    run()
+    assert snapshot() == before
+
+    # geometry: window/bucket count bake into stored keys
+    spark.createDataFrame([(9, "q1 q2 q3 q4")], schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    with pytest.raises(Exception, match="geometry mismatch"):
+        run(window=W + 1, ck=str(tmp_path / "ck2"))
+    run()
+    assert snapshot() == want(hist + [(9, "q1 q2 q3 q4")])
