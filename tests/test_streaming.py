@@ -3335,3 +3335,47 @@ def test_duplicate_spans_stream_matches_batch(spark, tmp_path):
         run(window=W + 1, ck=str(tmp_path / "ck2"))
     run()
     assert snapshot() == want(hist + [(9, "q1 q2 q3 q4")])
+
+
+def test_duplicate_spans_stream_feeds_removal(spark, tmp_path):
+    """The composition the docstrings promise: a removal job consumes
+    duplicate_spans_snapshot directly — rewritten docs equal the batch
+    flag+rewrite pass over everything ever streamed (retroactive
+    duplicates removed from EARLIER docs too)."""
+    from nasctn_sea_ingest_spark.operators.text import (
+        apply_span_removal, duplicate_spans)
+    from nasctn_sea_ingest_spark.streaming import (
+        duplicate_spans_snapshot, duplicate_spans_stream)
+
+    W = 3
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "widx")
+    os.makedirs(land)
+    schema = "doc_id long, text string"
+    waves = [
+        [(1, "aa bb cc dd tail1"), (2, "solo x y z")],
+        [(3, "pre aa bb cc dd")],    # retro-duplicates doc 1's span
+    ]
+    hist = []
+    for wv in waves:
+        hist += wv
+        spark.createDataFrame(wv, schema) \
+            .coalesce(1).write.mode("append").parquet(land)
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = duplicate_spans_stream(stream, out, str(tmp_path / "ck"),
+                                   str(tmp_path / "al"), window=W,
+                                   n_buckets=4, available_now=True)
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    docs = spark.createDataFrame(hist, schema)
+    via_stream = {r.doc_id: r.text for r in apply_span_removal(
+        docs, duplicate_spans_snapshot(spark, out)).collect()}
+    via_batch = {r.doc_id: r.text for r in apply_span_removal(
+        docs, duplicate_spans(docs, window=W)).collect()}
+    assert via_stream == via_batch
+    assert via_stream[1] == "tail1"          # retro span removed
+    assert via_stream[2] == "solo x y z"     # untouched, verbatim
