@@ -14,7 +14,7 @@ from ..functions import _let
 
 __all__ = ["token_stats", "quality_score", "language_id", "fingerprint",
            "token_count_estimate", "scrub_pii", "contamination",
-           "chunk_dedup", "repetition_stats", "chunk_overlap", "duplicate_spans", "apply_span_removal",
+           "chunk_dedup", "repetition_stats", "chunk_overlap", "duplicate_spans", "apply_span_removal", "span_dup_ratio",
            "cdc_chunks_expr", "cdc_chunk_dedup",
            "train_bigram_lm", "lm_perplexity", "compression_ratio",
            "PII_PATTERNS", "STOPWORDS", "LANG_MARKERS"]
@@ -821,3 +821,29 @@ def apply_span_removal(df: DataFrame, spans: DataFrame,
                .otherwise(F.array_join("__kept", " ")))
            .drop("__sp", "__kept"))
     return out
+
+
+def span_dup_ratio(df: DataFrame, spans: DataFrame,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document DUPLICATION RATIO from :func:`duplicate_spans`'
+    output: ``dup_tokens / n_tokens`` — the RefinedWeb-style gate
+    signal ("drop documents that are mostly duplicated text" instead
+    of rewriting them; rewriting mid-document can leave disfluent
+    splices, so heavy offenders are often better dropped whole).
+    Adds ``n_tokens``, ``dup_tokens``, ``dup_ratio`` (0.0 for docs
+    with no spans).  Merged spans are disjoint by construction, so
+    summing their lengths is exact."""
+    per_doc = (spans.groupBy(F.col(id_col).alias("__rid"))
+               .agg(F.sum(F.col("end_word") - F.col("start_word")
+                          + 1).alias("__dup")))
+    n = F.size(_words(text_col))
+    return (df.join(per_doc, F.col(id_col) == F.col("__rid"), "left")
+            .drop("__rid")
+            .withColumn("n_tokens", n)
+            .withColumn("dup_tokens",
+                        F.coalesce("__dup", F.lit(0)).cast("long"))
+            .withColumn("dup_ratio",
+                        F.col("dup_tokens")
+                        / F.greatest(F.col("n_tokens"), F.lit(1)))
+            .drop("__dup"))

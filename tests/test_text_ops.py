@@ -669,3 +669,22 @@ def test_duplicate_spans_hypothesis(spark, docs, w):
     got_txt = {r.doc_id: r.text
                for r in apply_span_removal(df, sp).collect()}
     assert got_txt == ref_removed()
+
+
+def test_span_dup_ratio(spark):
+    """dup_ratio == summed disjoint-span lengths / token count; 0.0
+    for span-free docs; a fully-duplicated doc reads 1.0."""
+    from nasctn_sea_ingest_spark.operators.text import (
+        duplicate_spans, span_dup_ratio)
+
+    W = 3
+    docs = [(1, "aa bb cc dd x1 x2 x3 x4"),   # 4 of 8 dup -> 0.5
+            (2, "y1 aa bb cc dd y2"),         # 4 of 6
+            (3, "aa bb cc dd"),               # 4 of 4 -> 1.0
+            (4, "u1 u2 u3 u4 u5")]            # none -> 0.0
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sp = duplicate_spans(df, window=W)
+    got = {r.doc_id: (r.n_tokens, r.dup_tokens, round(r.dup_ratio, 6))
+           for r in span_dup_ratio(df, sp).collect()}
+    assert got == {1: (8, 4, 0.5), 2: (6, 4, round(4 / 6, 6)),
+                   3: (4, 4, 1.0), 4: (5, 0, 0.0)}
