@@ -263,10 +263,76 @@ def litter():
               f"trigger {avg:.2f}s, compactions {nc}")
 
 
+def widx():
+    """r14 duplicate_spans_stream probe: W waves of B docs each (every
+    doc ~60 synthetic words, each wave half-novel half-recycled
+    phrases so alerts fire), per-trigger wall as the window index
+    grows linearly.  Claim: flat — the trigger touches only the batch
+    windows' buckets (pruned probe + append), never the whole index.
+
+        python tools/stream_probe.py widx [W] [B] [n_buckets]
+    """
+    import random
+    argv = sys.argv[2:]
+    waves = int(argv[0]) if len(argv) > 0 else 12
+    batch = int(argv[1]) if len(argv) > 1 else 400
+    n_buckets = int(argv[2]) if len(argv) > 2 else 64
+    from nasctn_sea_ingest_spark import get_spark
+    from nasctn_sea_ingest_spark.streaming import (
+        duplicate_spans_snapshot, duplicate_spans_stream)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    rnd = random.Random(7)
+    phrases = [" ".join(f"p{rnd.randrange(500)}x{i}" for i in range(15))
+               for _ in range(64)]          # the recycled boilerplate
+    root = tempfile.mkdtemp(prefix="widx_probe_")
+    land = os.path.join(root, "land")
+    out = os.path.join(root, "widx")
+    os.makedirs(land)
+    print(f"# {waves} waves x {batch} docs, ~60 words/doc, "
+          f"n_buckets={n_buckets}")
+    walls = []
+    try:
+        for w in range(waves):
+            rows = []
+            for d in range(batch):
+                novel = " ".join(
+                    f"w{w}d{d}t{i}" for i in range(45))
+                rows.append((w * batch + d,
+                             novel + " " + rnd.choice(phrases)))
+            spark.createDataFrame(rows, "doc_id long, text string") \
+                .coalesce(1).write.mode("append").parquet(land)
+            stream = spark.readStream.schema(
+                "doc_id long, text string").parquet(land)
+            t0 = time.perf_counter()
+            q = duplicate_spans_stream(
+                stream, out, os.path.join(root, "ck"),
+                os.path.join(root, "al"), window=12,
+                n_buckets=n_buckets, available_now=True)
+            q.awaitTermination(600)
+            q.stop()
+            q.awaitTermination(60)
+            walls.append(time.perf_counter() - t0)
+            print(f"wave {w:2d}: {walls[-1]:6.2f}s  "
+                  f"index={(w + 1) * batch} docs")
+        n_spans = duplicate_spans_snapshot(spark, out).count()
+        head = sum(walls[1:4]) / 3
+        tail = sum(walls[-3:]) / 3
+        print(f"# snapshot spans={n_spans}; warm head {head:.2f}s vs "
+              f"tail {tail:.2f}s at {waves}x index "
+              f"({tail / head:.2f}x)")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "components":
         components()
     elif len(sys.argv) > 1 and sys.argv[1] == "litter":
         litter()
+    elif len(sys.argv) > 1 and sys.argv[1] == "widx":
+        widx()
     else:
         main()
