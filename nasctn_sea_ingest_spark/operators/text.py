@@ -833,11 +833,16 @@ def span_dup_ratio(df: DataFrame, spans: DataFrame,
     splices, so heavy offenders are often better dropped whole).
     Adds ``n_tokens``, ``dup_tokens``, ``dup_ratio`` (0.0 for docs
     with no spans).  Merged spans are disjoint by construction, so
-    summing their lengths is exact."""
+    summing their lengths is exact.  NULL text — the convention
+    :func:`apply_span_removal` uses for fully-removed docs, exactly
+    the rows most likely to flow in from that stage — counts as 0
+    tokens (``size(NULL)`` is -1 under the non-ANSI default, a
+    nonsense token count the r14 ADVICE flagged)."""
     per_doc = (spans.groupBy(F.col(id_col).alias("__rid"))
                .agg(F.sum(F.col("end_word") - F.col("start_word")
                           + 1).alias("__dup")))
-    n = F.size(_words(text_col))
+    n = F.when(F.col(text_col).isNull(), F.lit(0)) \
+         .otherwise(F.size(_words(text_col)))
     return (df.join(per_doc, F.col(id_col) == F.col("__rid"), "left")
             .drop("__rid")
             .withColumn("n_tokens", n)

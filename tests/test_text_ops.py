@@ -673,7 +673,10 @@ def test_duplicate_spans_hypothesis(spark, docs, w):
 
 def test_span_dup_ratio(spark):
     """dup_ratio == summed disjoint-span lengths / token count; 0.0
-    for span-free docs; a fully-duplicated doc reads 1.0."""
+    for span-free docs; a fully-duplicated doc reads 1.0; NULL text
+    (apply_span_removal's fully-removed convention) reads n_tokens=0
+    — not the -1 that size(NULL) yields under the non-ANSI default
+    (r14 ADVICE)."""
     from nasctn_sea_ingest_spark.operators.text import (
         duplicate_spans, span_dup_ratio)
 
@@ -688,3 +691,12 @@ def test_span_dup_ratio(spark):
            for r in span_dup_ratio(df, sp).collect()}
     assert got == {1: (8, 4, 0.5), 2: (6, 4, round(4 / 6, 6)),
                    3: (4, 4, 1.0), 4: (5, 0, 0.0)}
+
+    # a removal-stage survivor frame: doc 3 came back NULL (fully
+    # removed); its ratio row must read (0, 0, 0.0)
+    removed = spark.createDataFrame(
+        [(3, None), (4, "u1 u2 u3 u4 u5")], "doc_id long, text string")
+    got2 = {r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_ratio)
+            for r in span_dup_ratio(
+                removed, sp.where(F.lit(False))).collect()}
+    assert got2 == {3: (0, 0, 0.0), 4: (5, 0, 0.0)}
