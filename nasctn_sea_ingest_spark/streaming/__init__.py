@@ -2308,12 +2308,19 @@ def components_stream_bucketed(pairs: DataFrame, out_dir: str,
     did not, the stale bucket's rows still carry an ABSORBED cluster
     id that no surviving row mentions, so no amount of re-merging the
     batch alone could reconnect them.  The merge log closes exactly
-    that hole: step 2 expands the affected-cluster set through it
-    (``new ∈ affected → old`` joins the set, iterated to fixpoint —
-    depth 1 in practice since Structured Streaming serializes batches
-    and a batch's replay heals before the next batch runs) and its
-    ``old—new`` pairs ride along as edges in step 4, so the stale
-    rows semi-join back into the merge and are rewritten.  The replay
+    that hole: step 2 expands the affected-cluster set through the
+    log's rows FOR THIS BATCH ONLY (``new ∈ affected → old`` joins
+    the set, iterated to fixpoint) and their ``old—new`` pairs ride
+    along as edges in step 4, so the stale rows semi-join back into
+    the merge and are rewritten.  Rows are stamped with ``batch_id``
+    precisely so expansion can age them out: Structured Streaming
+    serializes batches, so only the current (possibly replayed)
+    batch's absorptions can be missing from the snapshot, and one
+    batch's pairs all point at final cluster ids — the fixpoint is
+    depth <= 1 by construction instead of growing with the store's
+    absorption history (r14 ADVICE).  Compaction drops pairs staler
+    than the snapshot's newest ``last_batch`` (they describe fully
+    committed batches) and re-stamps legacy NULL rows at that stamp.  The replay
     SKIP therefore requires every bucket of the FULL touched set
     (batch buckets ∪ directory-bridged buckets, after log expansion)
     to be present with ``last_batch >= batch_id`` — stamping only the
@@ -2368,16 +2375,39 @@ def components_stream_bucketed(pairs: DataFrame, out_dir: str,
             # not-yet-overwritten bucket — its (old, new) log pair pulls
             # it back into the affected set AND supplies the old—new
             # edge the re-merge needs (docstring crash contract).
-            # Depth 1 in practice; fixpoint loop is one pruned read of
-            # a tiny store per round.
+            # Only THIS batch's pairs can be unreflected: batch N runs
+            # only after N-1's write_batch completed (foreachBatch
+            # serializes triggers and the commit log gates the next
+            # batch), so pairs stamped < batch_id describe absorptions
+            # the snapshot already holds — expanding through them walks
+            # the store's entire absorption history per trigger and a
+            # >15-deep historical chain of decreasing cluster mins
+            # falsely trips the fixpoint cap (r14 ADVICE).  Legacy rows
+            # predating the batch_id stamp read as NULL (mergeSchema)
+            # and stay includable — one conservative trigger, then
+            # compaction re-stamps them.
             ml = _read_or_none(spark, merges_path)
+            if ml is not None and "batch_id" not in ml.columns:
+                ml = (spark.read.option("mergeSchema", "true")
+                      .parquet(merges_path))
             if ml is not None:
+                if "batch_id" in ml.columns:
+                    ml = ml.where(F.col("batch_id").isNull()
+                                  | (F.col("batch_id")
+                                     == F.lit(int(batch_id))))
+                pairs_now = (ml.select("old", "new").distinct()
+                             .localCheckpoint(eager=True))
+                if not pairs_now.limit(1).count():
+                    pairs_now = None
+            else:
+                pairs_now = None
+            if pairs_now is not None:
+                # one batch's pairs all target FINAL cluster ids, so
+                # the fixpoint is depth <= 1 by construction (one round
+                # to pull in the olds, one to confirm) — the cap is a
+                # genuine invariant now, not a hope about history
                 for _ in range(16):
-                    mkbs = [r[0] for r in ca
-                            .select(F.pmod(F.hash("cluster"),
-                                           n_buckets).alias("mkb"))
-                            .distinct().collect()]
-                    heal = (ml.where(F.col("mkb").isin(mkbs))
+                    heal = (pairs_now
                             .join(ca.select(F.col("cluster")
                                             .alias("new")),
                                   "new", "semi")
@@ -2391,10 +2421,9 @@ def components_stream_bucketed(pairs: DataFrame, out_dir: str,
                     ca = (ca.unionByName(add)
                           .localCheckpoint(eager=True))
                 else:
-                    # serialized batches make chains depth-1; raising
-                    # beats proceeding with an under-expanded touched
-                    # set, whose skip could cement a split (the
-                    # shortest_paths under-convergence rule)
+                    # raising beats proceeding with an under-expanded
+                    # touched set, whose skip could cement a split
+                    # (the shortest_paths under-convergence rule)
                     raise RuntimeError(
                         "components_stream_bucketed: merge-log "
                         "expansion did not reach a fixpoint in 16 "
@@ -2461,6 +2490,8 @@ def components_stream_bucketed(pairs: DataFrame, out_dir: str,
                    "node")
              .where(F.col("old") != F.col("new"))
              .select("old", "new").distinct()
+             .withColumn("batch_id",
+                         F.lit(int(batch_id)).cast("long"))
              .withColumn("mkb", F.pmod(F.hash("new"), n_buckets))
              .repartition("mkb")
              .write.mode("append").partitionBy("mkb")
@@ -2760,6 +2791,48 @@ def compact_candidate_store(spark: SparkSession, store_dir: str,
             os.rename(tmp, dir_path)
             shutil.rmtree(old)
             log.append(("_directory (rebuilt)", -1, -1, -1))
+            # merge-log aging (r14 ADVICE): pairs stamped older than
+            # the snapshot's newest last_batch describe absorptions
+            # from fully committed batches (batch N starts only after
+            # N-1 completed), so expansion never needs them again —
+            # drop them, re-stamping legacy NULL rows at the newest
+            # stamp so they age out one cycle later instead of living
+            # forever.  Pairs AT the newest stamp are kept: that batch
+            # may be the partially-written one this store crashed in.
+            merges_path = os.path.join(store_dir, "_merges")
+            if os.path.isdir(merges_path):
+                maxlb = (spark.read.parquet(store_dir)
+                         .agg(F.max("last_batch")).first()[0])
+                ml = None
+                try:
+                    ml = (spark.read.option("mergeSchema", "true")
+                          .parquet(merges_path))
+                except Exception:
+                    pass
+                if ml is not None and maxlb is not None:
+                    if "batch_id" not in ml.columns:
+                        ml = ml.withColumn(
+                            "batch_id", F.lit(None).cast("long"))
+                    kept_ml = (ml.withColumn(
+                        "batch_id",
+                        F.coalesce(F.col("batch_id").cast("long"),
+                                   F.lit(int(maxlb))))
+                        .where(F.col("batch_id") >= F.lit(int(maxlb)))
+                        .select("old", "new", "batch_id", "mkb")
+                        .localCheckpoint(eager=True))
+                    tmp = os.path.join(store_dir,
+                                       "_compact_tmp__merges")
+                    old = os.path.join(store_dir,
+                                       "_compact_old__merges")
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    shutil.rmtree(old, ignore_errors=True)
+                    kept_ml.repartition("mkb").write \
+                        .mode("overwrite").partitionBy("mkb") \
+                        .parquet(tmp)
+                    os.rename(merges_path, old)
+                    os.rename(tmp, merges_path)
+                    shutil.rmtree(old)
+                    log.append(("_merges (aged)", -1, -1, -1))
     return _pd.DataFrame(log, columns=["partition", "n_files_before",
                                        "n_files_after", "bytes"])
 

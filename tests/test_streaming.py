@@ -2668,6 +2668,75 @@ def test_components_stream_bucketed_parity_bridging_replay(
     assert stored() == want(wave1 + wave2 + wave3)
 
 
+def test_components_stream_bucketed_deep_absorption_history(
+        spark, tmp_path):
+    """r14 ADVICE (high): a component whose min id decreased 18 times
+    across the stream's life accumulates an 18-link (old, new) chain
+    in the merge log.  Expansion must age the log by batch_id — only
+    the current batch's pairs can be unreflected in the snapshot —
+    instead of walking the full historical chain, which falsely
+    tripped the 16-round fixpoint cap and crash-looped the monitor
+    with a misleading 'log inconsistent' error.  Compaction then
+    sheds the committed-history pairs entirely."""
+    from nasctn_sea_ingest_spark.operators.graph import star_components
+    from nasctn_sea_ingest_spark.streaming import (
+        compact_candidate_store, components_stream_bucketed)
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "cc")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "d1 long, d2 long"
+
+    # wave k merges node (1000 - k) into the component — the min
+    # decreases every wave, so every wave logs one absorption pair
+    # and the pairs chain (old_k -> new_k == old_{k+1}'s new ...)
+    edges = [(1000 - k, 1000 - k + 1) for k in range(1, 19)]
+    for e in edges:
+        spark.createDataFrame([e], schema) \
+            .coalesce(1).write.mode("append").parquet(land)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(land))
+    q = components_stream_bucketed(stream, out, ckpt, n_buckets=4,
+                                   available_now=True)
+    try:
+        q.awaitTermination(600)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    got = {r.node: r.cluster for r in
+           spark.read.parquet(out).select("node", "cluster").collect()}
+    want = {r.node: r.cluster for r in star_components(
+        spark.createDataFrame(edges, schema)).collect()}
+    assert got == want
+    ml = spark.read.parquet(out + "/_merges")
+    assert "batch_id" in ml.columns
+    assert ml.count() == 17     # one pair per wave after the first
+    # compaction ages out every pair staler than the newest stamp
+    compact_candidate_store(spark, out)
+    aged = spark.read.option("mergeSchema", "true") \
+        .parquet(out + "/_merges")
+    assert aged.count() == 1
+    assert aged.first().batch_id == 17
+    # the aged log still serves a later trigger
+    spark.createDataFrame([(2000, 2001)], schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    stream = spark.readStream.schema(schema).parquet(land)
+    q = components_stream_bucketed(stream, out, ckpt, n_buckets=4,
+                                   available_now=True)
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    got = {r.node: r.cluster for r in
+           spark.read.parquet(out).select("node", "cluster").collect()}
+    want = {r.node: r.cluster for r in star_components(
+        spark.createDataFrame(edges + [(2000, 2001)], schema))
+        .collect()}
+    assert got == want
+
+
 def test_components_stream_bucketed_rewrites_only_touched_buckets(
         spark, tmp_path):
     """The design's whole point: a wave confined to one component must
