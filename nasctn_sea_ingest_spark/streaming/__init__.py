@@ -2576,19 +2576,44 @@ def lpa_communities_stream(pairs: DataFrame, out_dir: str,
     :func:`components_stream` small-universe trade.  A workload that
     keeps touching one giant component re-runs that component every
     trigger (inherent: its labels may legitimately all flip).  The
-    edge log accrues one file per trigger (``coalesce(1)``);
-    :func:`compact_candidate_store`'s generic leaf pass folds it
-    automatically past ``auto_compact_files`` files (the r13 verdict
-    #5 cadence; batch_id rows survive compaction verbatim, so replay
-    dedup keeps working — None = manual)."""
+    edge log accrues one file per trigger (``coalesce(1)``) under a
+    ``kb=0`` partition leaf — NOT flat in the store root, so
+    :func:`compact_candidate_store`'s per-leaf swap applies (a flat
+    log made the store root the swap leaf; a crash mid-swap renamed
+    the whole log away unrecoverably — r14 ADVICE; legacy flat logs
+    are lifted into ``kb=0`` on attach).  The generic leaf pass folds
+    it automatically past ``auto_compact_files`` files (the r13
+    verdict #5 cadence; batch_id rows survive compaction verbatim, so
+    replay dedup keeps working — None = manual)."""
     from pyspark.errors import AnalysisException
 
     from ..operators.graph import label_propagation, star_components
 
     edges_path = out_dir.rstrip("/") + ".edges"
 
+    def _lift_flat_log() -> None:
+        # the log lives under a kb=0 partition leaf so compaction's
+        # per-leaf swap applies (a FLAT log would make the store root
+        # the swap leaf — compact_candidate_store refuses those after
+        # the r14 ADVICE: a crash mid-swap renamed the store away and
+        # the next trigger silently re-created an EMPTY edge log).
+        # Legacy flat logs are lifted in place: one rename per file,
+        # idempotent, resumable after a crash at any point.
+        if not os.path.isdir(edges_path):
+            return
+        flat = [f for f in os.listdir(edges_path)
+                if f.endswith(".parquet")]
+        if not flat:
+            return
+        leaf = os.path.join(edges_path, "kb=0")
+        os.makedirs(leaf, exist_ok=True)
+        for f in flat:
+            os.rename(os.path.join(edges_path, f),
+                      os.path.join(leaf, f))
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _lift_flat_log()
         b = (batch_df.select(F.col(d1).alias("d1"),
                              F.col(d2).alias("d2"))
              .where(F.col("d1").isNotNull() & F.col("d2").isNotNull())
@@ -2619,10 +2644,12 @@ def lpa_communities_stream(pairs: DataFrame, out_dir: str,
         if not logged:
             (b.withColumn("batch_id",
                           F.lit(int(batch_id)).cast("long"))
-             .coalesce(1).write.mode("append").parquet(edges_path))
-            # the log is one flat leaf; fold its per-trigger litter
-            # in-slot past the threshold (replay stamps preserved)
-            _auto_compact_store(spark, edges_path, [""], batch_id,
+             .withColumn("kb", F.lit(0))
+             .coalesce(1).write.mode("append").partitionBy("kb")
+             .parquet(edges_path))
+            # fold the kb=0 leaf's per-trigger litter in-slot past
+            # the threshold (replay stamps preserved)
+            _auto_compact_store(spark, edges_path, ["kb=0"], batch_id,
                                 auto_compact_files)
         edges = spark.read.parquet(edges_path).select("d1", "d2")
         batch_nodes = (b.select(F.col("d1").alias("node"))
@@ -2707,6 +2734,17 @@ def compact_candidate_store(spark: SparkSession, store_dir: str,
     restart that calls it) before trusting a store that may have died
     mid-compaction.
 
+    FLAT stores (parquet files directly in ``store_dir``) are refused,
+    not compacted: the root itself would be the swap leaf, the two
+    renames would move the store dir through the PARENT directory, and
+    a crash between them left no store at all — the recovery walk,
+    which walks ``store_dir``, could never see the leftover (r14
+    ADVICE).  Entry additionally repairs that legacy state: a parent
+    ``_compact_old_<basename>`` sibling with no surviving store is
+    renamed back into place.  Monitors keep litter-prone logs under a
+    partition leaf instead (:func:`lpa_communities_stream` writes its
+    edge log under ``kb=0``).
+
     Returns a pandas frame (partition, n_files_before, n_files_after,
     bytes)."""
     import math
@@ -2725,6 +2763,31 @@ def compact_candidate_store(spark: SparkSession, store_dir: str,
         os.rename(leaf, old)
         os.rename(tmp, leaf)
         shutil.rmtree(old)
+
+    # a FLAT store (parquet files directly in store_dir) makes the
+    # store root itself the leaf: _swap's tmp/old siblings would land
+    # in the store's PARENT and the first rename would move the store
+    # dir away entirely — a crash between the renames leaves no store,
+    # and the recovery walk below (which walks store_dir) could never
+    # repair it (r14 ADVICE, medium).  Root leaves are therefore
+    # REFUSED (logged, not compacted); store-backed monitors keep
+    # their litter-prone leaves under partition subdirs (the LPA edge
+    # log writes kb=0) precisely so this refusal never bites them.
+    root_leaf = os.path.normpath(store_dir)
+
+    # repair leftovers of an OLD-code root-leaf swap that crashed
+    # between the renames: the store's only data sits in the parent's
+    # _compact_old_<basename> sibling and store_dir itself is gone
+    parent = os.path.dirname(root_leaf)
+    base = os.path.basename(root_leaf)
+    legacy_old = os.path.join(parent, f"_compact_old_{base}")
+    legacy_tmp = os.path.join(parent, f"_compact_tmp_{base}")
+    if os.path.isdir(legacy_old):
+        if os.path.exists(root_leaf):
+            shutil.rmtree(legacy_old)         # completed-swap garbage
+        else:
+            os.rename(legacy_old, root_leaf)  # died between renames
+    shutil.rmtree(legacy_tmp, ignore_errors=True)
 
     # repair leftovers of a compaction that crashed mid-swap BEFORE
     # listing leaves (docstring crash-recovery contract)
@@ -2751,6 +2814,12 @@ def compact_candidate_store(spark: SparkSession, store_dir: str,
         pq = [os.path.join(leaf, f) for f in os.listdir(leaf)
               if f.endswith(".parquet")]
         nbytes = sum(os.path.getsize(f) for f in pq)
+        if os.path.normpath(leaf) == root_leaf:
+            # flat store — swapping the root would rename the store
+            # away (see the refusal note above); leave it verbatim
+            log.append(("<root> (refused: flat store)",
+                        len(pq), len(pq), nbytes))
+            continue
         k = max(1, math.ceil(nbytes / target_file_bytes))
         if len(pq) <= k:
             log.append((os.path.relpath(leaf, store_dir),

@@ -3131,6 +3131,86 @@ def test_compact_candidate_store_crash_recovery(spark, tmp_path):
     assert all(v == 1 for v in after.values()), after
 
 
+def test_compact_candidate_store_refuses_flat_roots(spark, tmp_path):
+    """r14 ADVICE (medium): a FLAT store makes the store root the swap
+    leaf — the old code's renames moved the store dir through the
+    PARENT, and a crash between them left no store at all.  The
+    compactor must now (a) refuse to swap a root leaf, leaving its
+    files verbatim, and (b) on entry repair the legacy crash state
+    (parent _compact_old_<basename> sibling, store dir gone)."""
+    from nasctn_sea_ingest_spark.streaming import compact_candidate_store
+
+    store = str(tmp_path / "flat")
+    df = spark.createDataFrame([(i, i) for i in range(40)],
+                               "d1 long, d2 long")
+    for _ in range(5):                     # 5 flat root files
+        df.repartition(1).write.mode("append").parquet(store)
+    total = spark.read.parquet(store).count()
+    files = sorted(f for f in os.listdir(store)
+                   if f.endswith(".parquet"))
+
+    log = compact_candidate_store(spark, store)
+    refused = dict(zip(log["partition"], log["n_files_after"]))
+    assert refused == {"<root> (refused: flat store)": 5}
+    assert sorted(f for f in os.listdir(store)
+                  if f.endswith(".parquet")) == files   # untouched
+    assert not os.path.exists(str(tmp_path / "_compact_old_flat"))
+
+    # legacy crash state: old code renamed the store into the parent's
+    # _compact_old_ sibling and died before swapping tmp in
+    os.rename(store, str(tmp_path / "_compact_old_flat"))
+    (df.limit(3).repartition(1).write.mode("overwrite")
+     .parquet(str(tmp_path / "_compact_tmp_flat")))
+    compact_candidate_store(spark, store)
+    assert spark.read.parquet(store).count() == total
+    assert not os.path.exists(str(tmp_path / "_compact_old_flat"))
+    assert not os.path.exists(str(tmp_path / "_compact_tmp_flat"))
+
+
+def test_lpa_edge_log_lifts_legacy_flat_layout(spark, tmp_path):
+    """Legacy lpa_communities_stream edge logs wrote parquet flat in
+    the store root; re-attaching must lift them into the kb=0 leaf
+    (one rename per file, resumable) and keep every logged edge —
+    the snapshot still rebuilds entirely from the lifted log."""
+    from nasctn_sea_ingest_spark.operators.graph import label_propagation
+    from nasctn_sea_ingest_spark.streaming import lpa_communities_stream
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "lpa")
+    edges = out + ".edges"
+    os.makedirs(land)
+    schema = "d1 long, d2 long"
+    legacy = [(1, 2), (2, 3), (10, 11)]
+    # a legacy FLAT log: batch-stamped rows, files in the store root
+    # (stamped -1 so the fresh checkpoint's batch 0 is not mistaken
+    # for a replay — a real legacy store keeps its checkpoint and its
+    # batch ids stay monotone)
+    (spark.createDataFrame([(a, b, -1) for a, b in legacy],
+                           "d1 long, d2 long, batch_id long")
+     .coalesce(1).write.mode("append").parquet(edges))
+    assert any(f.endswith(".parquet") for f in os.listdir(edges))
+
+    wave = [(3, 4), (20, 21)]
+    spark.createDataFrame(wave, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    stream = spark.readStream.schema(schema).parquet(land)
+    q = lpa_communities_stream(stream, out, str(tmp_path / "ck"),
+                               max_iter=8, available_now=True)
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert not any(f.endswith(".parquet") for f in os.listdir(edges))
+    got = {r.node: r.community for r in
+           spark.read.parquet(out).select("node", "community")
+           .collect()}
+    want = {r.node: r.community for r in label_propagation(
+        spark.createDataFrame(legacy + wave, schema),
+        max_iter=8).collect()}
+    assert got == want
+
+
 def test_components_stream_bucketed_auto_compaction(spark, tmp_path):
     """r13 verdict #5: the append-only directory/merge-log litter is
     compacted AUTOMATICALLY once a just-written leaf exceeds
@@ -3316,9 +3396,13 @@ def test_lpa_communities_stream_batch_parity(spark, tmp_path):
     # later wave rebuilds the WHOLE snapshot from it
     shutil.rmtree(out)
     assert os.path.isdir(out + ".edges")
-    # the in-slot cadence (threshold 2) has folded the per-trigger
-    # edge-log litter at least once by now
-    nlog = sum(1 for f in os.listdir(out + ".edges")
+    # the log lives under a kb=0 partition leaf (flat roots are
+    # refused by the compactor after the r14 ADVICE), and the in-slot
+    # cadence (threshold 2) has folded its per-trigger litter at
+    # least once by now
+    assert not any(f.endswith(".parquet")
+                   for f in os.listdir(out + ".edges"))
+    nlog = sum(1 for f in os.listdir(out + ".edges/kb=0")
                if f.endswith(".parquet"))
     assert nlog <= 3, nlog
     w = [(500, 501)]
