@@ -2906,6 +2906,19 @@ def compact_candidate_store(spark: SparkSession, store_dir: str,
                                        "n_files_after", "bytes"])
 
 
+def _read_parquet_or_none(spark, path):
+    """Read a parquet dir, or None if it does not exist / is empty —
+    the store-backed monitors' attach convention."""
+    from pyspark.errors import AnalysisException
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if ("PATH_NOT_FOUND" not in str(e)
+                and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
+            raise
+        return None
+
+
 def duplicate_spans_stream(docs: DataFrame, out_dir: str,
                            checkpoint_dir: str, alerts_dir: str,
                            window: int = 12,
@@ -2919,7 +2932,7 @@ def duplicate_spans_stream(docs: DataFrame, out_dir: str,
     every stride-1 ``window``-word hash is appended to a bucketed
     WINDOW INDEX (``pmod(hash, n_buckets)`` partitions — one row per
     window occurrence ever, the ``index_stream`` state class), and a
-    batch window already known to the index (or repeated inside the
+    batch window already known to the corpus (or repeated inside the
     batch) fires an alert the moment it arrives — so verbatim
     boilerplate is caught at ingest instead of at the next batch
     hygiene run.
@@ -2930,23 +2943,124 @@ def duplicate_spans_stream(docs: DataFrame, out_dir: str,
     not re-announced (the media/fuzzy convention); the REMOVAL-ready
     truth at any trigger is :func:`duplicate_spans_snapshot`, which
     reads the index back into exactly batch ``duplicate_spans``'
-    output over everything ever streamed (parity-pinned).  Replay is
-    batch_id-stamp skipped; geometry manifest bakes (window,
-    n_buckets); per-trigger cost = batch windows + a touched-bucket
-    probe + the append, never an index scan.
+    output over everything ever streamed (parity-pinned).
+
+    Cost contract (r14 verdict #1 — the old form's "touched-bucket
+    probe" was a fiction: window hashes are UNIFORM, so any real
+    batch touches every bucket at any plausible ``n_buckets`` and the
+    prior-count probe read and re-aggregated the ENTIRE occurrence
+    index each trigger).  The alert path only needs per-hash COUNTS,
+    so those live in a compact sidecar, ``out_dir/_counts`` —
+    ``(h, n, batch_id)``, one row per distinct window hash, appended
+    as a single file per trigger and folded in-slot past the
+    compaction threshold.  Per-trigger alert cost is therefore: batch
+    windows + ONE no-shuffle columnar scan of the sidecar (16-byte
+    rows, hash-joined against the batch's broadcast hash set) + two
+    single-file appends.  The occurrence index is NEVER scanned or
+    shuffled for alerts — it serves :func:`duplicate_spans_snapshot`
+    / removal reads, and replay detection (a stamp probe over the
+    touched buckets that parquet footer stats prune to ~one file per
+    bucket).  The sidecar scan grows with DISTINCT windows ever seen,
+    not with occurrences — repeated boilerplate grows the index
+    without growing the probe (SCALE.md §39 measures exactly that) —
+    and the strict O(batch) endgame is hash-keyed point-lookup state
+    (``transformWithStateInPandas``) once the runtime carries
+    protobuf.
+
+    Crash/replay contract: write order is alerts → index append →
+    sidecar append, and the replay skip requires BOTH the full
+    touched-bucket stamp set on the index (any-row skipping would
+    cement a partially-committed multi-bucket append — the
+    components_stream_bucketed full-touched-set rule, r14 ADVICE) AND
+    the sidecar stamp.  A partial replay re-appends only the missing
+    buckets and recomputes alerts idempotently (the sidecar is
+    written last, so prior counts never double-count the replayed
+    batch).  Attaching to a pre-sidecar store bootstraps ``_counts``
+    from the index's committed batches in one logged scan.  Geometry
+    manifest bakes (window, n_buckets); re-bucketing an existing
+    store = :func:`window_index_reproject`.
 
     ``auto_compact_files``: the r13 verdict #5 cadence — one file per
     touched bucket per trigger accrues; the in-slot compactor folds
-    it past the threshold."""
-    from pyspark.errors import AnalysisException
+    it (and the sidecar) past the threshold."""
+    import shutil as _sh
 
     W = int(window)
+    counts_dir = os.path.join(out_dir, "_counts")
+    counts_leaf = os.path.join(counts_dir, "cb=0")
+
+    def _repair_counts() -> None:
+        # fold-swap / append leftovers from a crash mid-trigger:
+        # same two-rename rules as compact_candidate_store's entry
+        if not os.path.isdir(counts_dir):
+            return
+        old = os.path.join(counts_dir, "_compact_old_cb=0")
+        tmp = os.path.join(counts_dir, "_compact_tmp_cb=0")
+        if os.path.isdir(old):
+            if os.path.exists(counts_leaf):
+                _sh.rmtree(old)           # completed swap; garbage
+            else:
+                os.rename(old, counts_leaf)   # died between renames
+        _sh.rmtree(tmp, ignore_errors=True)
+        for d in os.listdir(counts_dir):
+            if d.startswith(("_append_tmp_", "_bootstrap_tmp")):
+                _sh.rmtree(os.path.join(counts_dir, d),
+                           ignore_errors=True)
+
+    def _append_one_file(df: DataFrame, batch_id: int) -> None:
+        # single-file append with ONE atomic rename: a multi-file
+        # parquet append can surface a partial file set if the job
+        # commit crashes midway; the sidecar must never half-land
+        os.makedirs(counts_leaf, exist_ok=True)
+        tmp = os.path.join(counts_dir, f"_append_tmp_{int(batch_id)}")
+        _sh.rmtree(tmp, ignore_errors=True)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp)
+                if f.endswith(".parquet")]
+        assert len(part) == 1, part
+        os.rename(os.path.join(tmp, part[0]),
+                  os.path.join(counts_leaf, part[0]))
+        _sh.rmtree(tmp)
+
+    def _fold_counts(spark, batch_id: int) -> None:
+        # in-slot fold of the per-trigger delta litter: groupBy-sum to
+        # one row per hash, re-stamped at the newest batch_id (the
+        # only batch a replay can ever probe for — batches are
+        # serialized, so older stamps are dead weight)
+        if auto_compact_files is None:
+            return
+        try:
+            n = sum(1 for f in os.listdir(counts_leaf)
+                    if f.endswith(".parquet"))
+        except FileNotFoundError:
+            return
+        if n <= int(auto_compact_files):
+            return
+        # the checkpoint breaks file lineage so the leaf swap below
+        # never races the read plan (the compact_candidate_store rule)
+        cur = (spark.read.parquet(counts_dir)
+               .localCheckpoint(eager=True))
+        maxb = cur.agg(F.max("batch_id")).first()[0]
+        folded = (cur.groupBy("h").agg(F.sum("n").alias("n"))
+                  .withColumn("batch_id",
+                              F.lit(int(maxb)).cast("long"))
+                  .localCheckpoint(eager=True))
+        tmp = os.path.join(counts_dir, "_compact_tmp_cb=0")
+        old = os.path.join(counts_dir, "_compact_old_cb=0")
+        _sh.rmtree(tmp, ignore_errors=True)
+        _sh.rmtree(old, ignore_errors=True)
+        folded.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.rename(counts_leaf, old)
+        os.rename(tmp, counts_leaf)
+        _sh.rmtree(old)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         _store_geometry_guard(out_dir, {
             "kind": "window_index", "window": W,
             "n_buckets": int(n_buckets)})
         spark = batch_df.sparkSession
+        N = int(batch_id)
+        _repair_counts()
         toks = (batch_df.select(
             F.col(id_col).alias("doc_id"),
             F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"))
@@ -2963,24 +3077,59 @@ def duplicate_spans_stream(docs: DataFrame, out_dir: str,
         if not b.limit(1).count():
             return
         touched = [r.kb for r in b.select("kb").distinct().collect()]
-        store = None
-        try:
-            store = (spark.read.parquet(out_dir)
-                     .where(F.col("kb").isin(touched))
-                     .localCheckpoint(eager=True))
-            if store.where(F.col("batch_id") ==
-                           F.lit(int(batch_id))).limit(1).count():
-                return  # replay: batch already appended
-        except AnalysisException as e:
-            if ("PATH_NOT_FOUND" not in str(e)
-                    and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
-                raise
-        prior = (store.groupBy("h")
-                 .agg(F.count(F.lit(1)).alias("__np"))
-                 if store is not None else
-                 b.select("h").limit(0)
-                 .withColumn("__np", F.lit(0).cast("long")))
-        inb = b.groupBy("h").agg(F.count(F.lit(1)).alias("__nb"))
+        idx = _read_parquet_or_none(spark, out_dir)
+        done_kb: list = []
+        if idx is not None:
+            # replay detection: which touched buckets already carry
+            # this batch's stamp — footer stats prune the read to the
+            # per-trigger files actually stamped N (never a data scan)
+            done_kb = [r.kb for r in
+                       idx.where(F.col("kb").isin(touched)
+                                 & (F.col("batch_id") == N))
+                       .select("kb").distinct().collect()]
+        counts = (_read_parquet_or_none(spark, counts_dir)
+                  if idx is not None else None)
+        if idx is not None and counts is None:
+            # pre-sidecar store: bootstrap counts from the index's
+            # COMMITTED batches (rows stamped >= N can only be a
+            # partially-appended replay of this batch — excluding
+            # them and stamping N-1 makes this batch re-append its
+            # delta exactly once).  One logged O(index) scan, on
+            # migration only.
+            boot = (idx.where(F.col("batch_id") < N)
+                    .groupBy("h")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .withColumn("batch_id",
+                                F.lit(N - 1).cast("long"))
+                    .localCheckpoint(eager=True))
+            tmp = os.path.join(counts_dir, "_bootstrap_tmp")
+            _sh.rmtree(tmp, ignore_errors=True)
+            boot.write.mode("overwrite").parquet(tmp)
+            os.makedirs(counts_dir, exist_ok=True)
+            os.rename(tmp, counts_leaf)
+            counts = _read_parquet_or_none(spark, counts_dir)
+        counts_done = False
+        if counts is not None:
+            mx = counts.agg(F.max("batch_id")).first()[0]
+            counts_done = mx is not None and mx >= N
+        if counts_done and set(done_kb) == set(touched):
+            return  # replay of a fully-written batch: skip
+        inb = (b.groupBy("h").agg(F.count(F.lit(1)).alias("__nb"))
+               .localCheckpoint(eager=True))
+        if counts is not None:
+            keys = inb.select("h")
+            # the sidecar never shuffles: hash-join it against the
+            # batch's (broadcast) hash set, then aggregate the tiny
+            # surviving slice.  Past the broadcast gate, fall back to
+            # a shuffled join (a >2M-distinct-hash batch is already
+            # shuffle-scale on its own side).
+            if inb.count() <= 2_000_000:
+                keys = F.broadcast(keys)
+            prior = (counts.join(keys, "h", "semi")
+                     .groupBy("h").agg(F.sum("n").alias("__np")))
+        else:
+            prior = (b.select("h").limit(0)
+                     .withColumn("__np", F.lit(0).cast("long")))
         alerts = (b.join(inb, "h")
                   .join(prior, "h", "left")
                   .withColumn("total_count",
@@ -2990,10 +3139,19 @@ def duplicate_spans_stream(docs: DataFrame, out_dir: str,
                   .select("doc_id", "pos", "h", "total_count")
                   .localCheckpoint(eager=True))
         alerts.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(alerts_dir, f"batch={int(batch_id)}"))
-        (b.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
-         .repartition("kb")  # one file per touched bucket per trigger
-         .write.mode("append").partitionBy("kb").parquet(out_dir))
+            os.path.join(alerts_dir, f"batch={N}"))
+        b_missing = (b.where(~F.col("kb").isin(done_kb))
+                     if done_kb else b)
+        if not done_kb or set(done_kb) != set(touched):
+            (b_missing
+             .withColumn("batch_id", F.lit(N).cast("long"))
+             .repartition("kb")  # one file per touched bucket/trigger
+             .write.mode("append").partitionBy("kb").parquet(out_dir))
+        if not counts_done:
+            _append_one_file(
+                inb.select("h", F.col("__nb").alias("n"))
+                .withColumn("batch_id", F.lit(N).cast("long")), N)
+        _fold_counts(spark, N)
         _auto_compact_store(
             spark, out_dir,
             [d for d in os.listdir(out_dir) if d.startswith("kb=")],
@@ -3044,3 +3202,53 @@ def duplicate_spans_snapshot(spark: SparkSession,
                  (F.max("pos") + F.lit(W - 1)).alias("end_word"),
                  F.count(F.lit(1)).alias("n_windows"))
             .select("doc_id", "start_word", "end_word", "n_windows"))
+
+
+def window_index_reproject(spark: SparkSession, store_dir: str,
+                           new_store_dir: str, n_buckets: int = 16,
+                           rebase_batch_ids: bool = False) -> int:
+    """Re-bucketing migration for a :func:`duplicate_spans_stream`
+    window index (the :func:`semdedup_store_reproject` pattern):
+    ``n_buckets`` is baked into the stored ``kb`` layout by the
+    geometry manifest, so changing it means ONE scan of the old index
+    into a NEW directory — never an in-place rewrite (a mixed-bucket
+    store would stamp-skip and prune wrongly forever).  ``window``
+    cannot change (the stored hashes bake it); the manifest's value is
+    carried over.  The ``_counts`` sidecar is rebuilt in the same
+    pass, so the migrated store probes at sidecar cost from its first
+    trigger.
+
+    ``batch_id`` stamps are preserved verbatim so the migrated
+    monitor CONTINUES FROM THE SAME CHECKPOINT (stop the stream
+    cleanly, reproject, restart with ``out_dir=new_store_dir`` and
+    the new ``n_buckets``); ``rebase_batch_ids=True`` stamps history
+    as ``-1`` for a brand-new checkpoint lineage (the semdedup
+    collision rule).  Returns the number of occurrence rows
+    migrated."""
+    import json as _json
+
+    if os.path.exists(new_store_dir):
+        raise ValueError(
+            f"window_index_reproject refuses existing target "
+            f"{new_store_dir!r}: a re-bucketed index must be a NEW "
+            "directory (mixed kb layouts stamp-skip wrongly)")
+    with open(os.path.join(store_dir, "_store_geometry.json")) as fh:
+        geom = _json.load(fh)
+    if geom.get("kind") != "window_index":
+        raise ValueError(f"not a window index store: {geom}")
+    bid = (F.lit(-1).cast("long") if rebase_batch_ids
+           else F.col("batch_id"))
+    rows = (spark.read.parquet(store_dir)
+            .select("doc_id", "pos", "h", bid.alias("batch_id"))
+            .withColumn("kb", F.pmod(F.hash("h"), int(n_buckets)))
+            .localCheckpoint(eager=True))
+    (rows.repartition("kb").write.partitionBy("kb")
+     .parquet(new_store_dir))
+    maxb = rows.agg(F.max("batch_id")).first()[0]
+    (rows.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+     .withColumn("batch_id", F.lit(int(maxb)).cast("long"))
+     .write.parquet(os.path.join(new_store_dir, "_counts", "cb=0")))
+    _store_geometry_guard(new_store_dir, {
+        "kind": "window_index", "window": int(geom["window"]),
+        "n_buckets": int(n_buckets)})
+    return spark.read.parquet(new_store_dir).count()

@@ -3490,6 +3490,219 @@ def test_duplicate_spans_stream_matches_batch(spark, tmp_path):
     assert snapshot() == want(hist + [(9, "q1 q2 q3 q4")])
 
 
+def _widx_run(spark, land, out, ck, al, window=3, n_buckets=4,
+              acf=2, timeout=180):
+    from nasctn_sea_ingest_spark.streaming import duplicate_spans_stream
+    stream = spark.readStream.schema(
+        "doc_id long, text string").parquet(land)
+    q = duplicate_spans_stream(stream, out, ck, al, window=window,
+                               n_buckets=n_buckets,
+                               auto_compact_files=acf,
+                               available_now=True)
+    try:
+        q.awaitTermination(timeout)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+
+def _widx_counts_match_index(spark, out):
+    """The sidecar invariant: _counts holds exactly the occurrence
+    index's per-hash totals (one logical row per distinct hash)."""
+    idx = {r.h: r.n for r in
+           spark.read.parquet(out).groupBy("h")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    cts = {r.h: r.n for r in
+           spark.read.parquet(out + "/_counts").groupBy("h")
+           .agg(F.sum("n").alias("n")).collect()}
+    assert cts == idx
+
+
+def test_duplicate_spans_stream_partial_append_replay_heals(
+        spark, tmp_path):
+    """r14 ADVICE (low): the replay skip must require EVERY touched
+    bucket to carry the batch's stamp — an any-row skip would cement
+    a multi-partition append whose job crashed mid-commit.  Plant
+    exactly that state (some kb= partitions promoted, others not, the
+    counts delta unwritten) and replay: the missing buckets are
+    re-appended WITHOUT duplicating the committed ones, the counts
+    sidecar lands exactly once, and alerts recompute identically."""
+    import shutil
+    from nasctn_sea_ingest_spark.operators.text import duplicate_spans
+    from nasctn_sea_ingest_spark.streaming import (
+        duplicate_spans_snapshot)
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "widx")
+    al = str(tmp_path / "al")
+    ck = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "doc_id long, text string"
+    wave0 = [(1, "aa bb cc dd x1 x2"), (2, "y1 aa bb cc dd y2")]
+    # doc 3 repeats wave 0's phrase; doc 4 spreads windows over many
+    # buckets so the batch's append is genuinely multi-partition
+    wave1 = [(3, "zz aa bb cc dd"),
+             (4, " ".join(f"n{i}" for i in range(40)))]
+    hist = []
+    for wv in (wave0, wave1):
+        hist += wv
+        spark.createDataFrame(wv, schema) \
+            .coalesce(1).write.mode("append").parquet(land)
+        _widx_run(spark, land, out, ck, al, acf=None)
+
+    # plant the crash: drop batch 1's file from HALF its buckets and
+    # strip its counts delta (written last, so a real crash between
+    # the index and sidecar appends leaves exactly this)
+    _delete_commit_marker(ck)
+    b1_kbs = sorted(r.kb for r in spark.read.parquet(out)
+                    .where(F.col("batch_id") == 1)
+                    .select("kb").distinct().collect())
+    assert len(b1_kbs) >= 2, b1_kbs
+    removed = b1_kbs[:len(b1_kbs) // 2]
+    for kb in removed:
+        leaf = os.path.join(out, f"kb={kb}")
+        for f in os.listdir(leaf):
+            p = os.path.join(leaf, f)
+            if f.endswith(".parquet") and spark.read.parquet(p) \
+                    .where(F.col("batch_id") == 1).limit(1).count():
+                os.remove(p)
+    kept = spark.read.parquet(out + "/_counts") \
+        .select("h", "n", "batch_id") \
+        .where(F.col("batch_id") < 1).toPandas()
+    shutil.rmtree(out + "/_counts")
+    os.makedirs(out + "/_counts/cb=0")
+    spark.createDataFrame(kept).coalesce(1).write.mode("overwrite") \
+        .parquet(str(tmp_path / "keep"))
+    for f in os.listdir(str(tmp_path / "keep")):
+        if f.endswith(".parquet"):
+            os.rename(str(tmp_path / "keep" / f),
+                      os.path.join(out, "_counts", "cb=0", f))
+
+    _widx_run(spark, land, out, ck, al, acf=None)   # replay heals
+    got = {(r.doc_id, r.start_word, r.end_word, r.n_windows)
+           for r in duplicate_spans_snapshot(spark, out).collect()}
+    want = {(r.doc_id, r.start_word, r.end_word, r.n_windows)
+            for r in duplicate_spans(
+                spark.createDataFrame(hist, schema), window=3)
+            .collect()}
+    assert got == want
+    # no duplicated occurrence rows in the healed buckets
+    dups = (spark.read.parquet(out)
+            .groupBy("doc_id", "pos").agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1).count())
+    assert dups == 0
+    _widx_counts_match_index(spark, out)
+    a1 = spark.read.parquet(os.path.join(al, "batch=1")).collect()
+    assert {r.doc_id for r in a1} == {3}
+    # doc 3's two repeated windows were stored TWICE (docs 1 and 2)
+    assert all(r.total_count == 3 for r in a1)
+
+
+def test_duplicate_spans_stream_bootstraps_presidecar_store(
+        spark, tmp_path):
+    """Attaching to a store built before the counts sidecar existed
+    must bootstrap _counts from the index's COMMITTED batches — and
+    a bootstrap raced by a replay must exclude the replayed batch's
+    (possibly partial) rows so its delta still lands exactly once."""
+    import shutil
+    from nasctn_sea_ingest_spark.operators.text import duplicate_spans
+    from nasctn_sea_ingest_spark.streaming import (
+        duplicate_spans_snapshot)
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "widx")
+    al = str(tmp_path / "al")
+    ck = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "doc_id long, text string"
+    waves = [[(1, "aa bb cc dd x1"), (2, "y1 aa bb cc dd")],
+             [(3, "rr ss tt uu vv"), (4, "kk rr ss tt uu")]]
+    hist = []
+    for wv in waves:
+        hist += wv
+        spark.createDataFrame(wv, schema) \
+            .coalesce(1).write.mode("append").parquet(land)
+        _widx_run(spark, land, out, ck, al, acf=None)
+
+    # a pre-sidecar store replaying its last batch: the nastiest
+    # attach (bootstrap must NOT absorb the replayed batch's rows,
+    # or the re-appended delta would double-count)
+    shutil.rmtree(out + "/_counts")
+    _delete_commit_marker(ck)
+    _widx_run(spark, land, out, ck, al, acf=None)
+    _widx_counts_match_index(spark, out)
+
+    # and a plain committed-store attach: next wave bootstraps from
+    # everything, then appends its own delta
+    shutil.rmtree(out + "/_counts")
+    wave2 = [(5, "aa bb cc dd tail")]
+    hist += wave2
+    spark.createDataFrame(wave2, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    _widx_run(spark, land, out, ck, al, acf=None)
+    _widx_counts_match_index(spark, out)
+    got = {(r.doc_id, r.start_word, r.end_word, r.n_windows)
+           for r in duplicate_spans_snapshot(spark, out).collect()}
+    want = {(r.doc_id, r.start_word, r.end_word, r.n_windows)
+            for r in duplicate_spans(
+                spark.createDataFrame(hist, schema), window=3)
+            .collect()}
+    assert got == want
+    a2 = spark.read.parquet(os.path.join(al, "batch=2")).collect()
+    assert {r.doc_id for r in a2} == {5}
+    assert all(r.total_count == 3 for r in a2)   # 2 stored + 1 new
+
+
+def test_window_index_reproject(spark, tmp_path):
+    """Geometry migration (r14 verdict #1): one scan re-buckets an
+    existing window index into a NEW directory, rebuilds the counts
+    sidecar, carries batch stamps so the SAME checkpoint continues,
+    and refuses an existing target."""
+    from nasctn_sea_ingest_spark.operators.text import duplicate_spans
+    from nasctn_sea_ingest_spark.streaming import (
+        duplicate_spans_snapshot, window_index_reproject)
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "widx")
+    out2 = str(tmp_path / "widx8")
+    al = str(tmp_path / "al")
+    ck = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "doc_id long, text string"
+    hist = [(1, "aa bb cc dd x1"), (2, "y1 aa bb cc dd")]
+    spark.createDataFrame(hist, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    _widx_run(spark, land, out, ck, al, n_buckets=4)
+
+    n = window_index_reproject(spark, out, out2, n_buckets=8)
+    assert n == spark.read.parquet(out).count()
+    _widx_counts_match_index(spark, out2)
+    with pytest.raises(ValueError, match="refuses existing target"):
+        window_index_reproject(spark, out, out2, n_buckets=8)
+    import json as _json
+    geom = _json.load(open(os.path.join(out2,
+                                        "_store_geometry.json")))
+    assert geom["n_buckets"] == 8 and geom["window"] == 3
+
+    # the SAME checkpoint continues against the re-bucketed store
+    wave = [(3, "zz aa bb cc dd")]
+    hist += wave
+    spark.createDataFrame(wave, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    _widx_run(spark, land, out2, ck, al, n_buckets=8)
+    got = {(r.doc_id, r.start_word, r.end_word, r.n_windows)
+           for r in duplicate_spans_snapshot(spark, out2).collect()}
+    want = {(r.doc_id, r.start_word, r.end_word, r.n_windows)
+            for r in duplicate_spans(
+                spark.createDataFrame(hist, schema), window=3)
+            .collect()}
+    assert got == want
+    _widx_counts_match_index(spark, out2)
+    a1 = spark.read.parquet(os.path.join(al, "batch=1")).collect()
+    assert {r.doc_id for r in a1} == {3}
+    assert all(r.total_count == 3 for r in a1)
+
+
 def test_duplicate_spans_stream_feeds_removal(spark, tmp_path):
     """The composition the docstrings promise: a removal job consumes
     duplicate_spans_snapshot directly — rewritten docs equal the batch
