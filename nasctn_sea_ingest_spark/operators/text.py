@@ -706,9 +706,62 @@ def strip_markup(df: DataFrame, text_col: str = "text",
     return df.withColumn(out, F.trim(c))
 
 
+def _window_hashes(df: DataFrame, text_col: str, id_col: str,
+                   W: int) -> DataFrame:
+    """(__id, __pos, __h) for every stride-1 W-word window: xxhash64
+    at emission so everything downstream moves 8-byte keys, never
+    window strings (shared by :func:`duplicate_spans`' two flag
+    strategies and its viral-window sampler)."""
+    toks = (df.select(F.col(id_col).alias("__id"),
+                      _words(text_col).alias("__w"))
+            .where(F.size("__w") >= W))
+    return (toks.select(
+        "__id",
+        F.posexplode(F.expr(
+            f"transform(sequence(1, size(__w) - {W} + 1), "
+            f"i -> xxhash64(array_join(slice(__w, i, {W}), ' ')))"))
+        .alias("__p0", "__h"))
+        .select("__id", (F.col("__p0") + 1).alias("__pos"), "__h"))
+
+
+def _pick_flag_strategy(df: DataFrame, text_col: str, id_col: str,
+                        W: int, threshold: int) -> str:
+    """Choose duplicate_spans' flag plan: the one-scan COUNT window
+    ("window") unless a VIRAL window (one phrase with >= ~threshold
+    occurrences) would turn its per-hash count partition into a
+    multi-second single task — then the map-side-combinable
+    groupBy + semi-join form ("groupby"), which pays a second scan
+    but distributes the hot key's count.
+
+    Two cheap gates, so small corpora never pay a pre-flight scan:
+    (1) an upper bound on TOTAL windows (sum of text lengths / 2 —
+    every word costs >= 2 characters with its separator) below the
+    threshold proves no single hash can reach it: pick "window" from
+    one columnar length-sum.  (2) otherwise a seeded 1% document
+    sample is windowed and its max per-hash count extrapolated; a
+    10x safety margin biases toward "groupby" (two scans are linear;
+    an undetected viral tail is the failure mode that matters).
+    Deterministic for fixed input (seeded sample), so plan digests
+    stay stable round to round."""
+    ub = df.agg(F.sum(F.length(text_col))).first()[0] or 0
+    if (int(ub) + 1) // 2 < int(threshold):
+        return "window"
+    frac = 0.01
+    smax = (_window_hashes(df.sample(fraction=frac, seed=42),
+                           text_col, id_col, W)
+            .groupBy("__h").agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.max("__n")).first()[0]) or 0
+    if int(smax) / frac >= int(threshold) / 10:
+        return "groupby"
+    return "window"
+
+
 def duplicate_spans(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", window: int = 12,
-                    min_count: int = 2) -> DataFrame:
+                    min_count: int = 2,
+                    flag_strategy: str = "auto",
+                    viral_window_threshold: int = 50_000_000
+                    ) -> DataFrame:
     """Exact duplicate-SPAN detection across the corpus (Lee et al.
     2022, "Deduplicating Training Data Makes Language Models Better" —
     the ExactSubstr pass): every word window of length ``window``
@@ -736,35 +789,50 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     window frame on both sides of the join: two full scans — measured
     on the first cut of this operator).  Span merging is then a
     per-doc prefix-max window whose rows are bounded by document
-    length.  A VIRAL window (one phrase occurring 10^8 times) makes
-    one count partition large — linear, count-only work, but a single
-    task; if that dominates at corpus scale, switch the flag stage to
-    the map-side-combinable groupBy(hash) count + semi-join form and
-    pay the second scan instead.  Hash-flagging accepts the
-    minhash-family collision convention (2^-64 × pairs — a collision
-    could over-flag one window); the DuckDB oracle groups by the
-    window STRING, so a hash-green driver row also certifies
-    collision-freedom on the checked data."""
+    length.
+
+    A VIRAL window (one phrase occurring 10^8 times) makes one count
+    partition large — linear, count-only work, but a SINGLE task.
+    ``flag_strategy`` governs it (r14 verdict #4 — a measured switch,
+    not a comment): ``"window"`` = the one-scan plan above;
+    ``"groupby"`` = the map-side-combinable groupBy(hash) count +
+    semi-join form (two scans, no single-task tail — identical
+    output); ``"auto"`` (default) picks via
+    :func:`_pick_flag_strategy`: a columnar length-sum upper bound
+    short-circuits small corpora to "window" with no extra scan, and
+    past it a seeded 1% sample extrapolates the max per-hash count
+    against ``viral_window_threshold`` (10x safety margin toward
+    "groupby").  SCALE.md §41 A/Bs the two forms at the crossover.
+    Hash-flagging accepts the minhash-family collision convention
+    (2^-64 × pairs — a collision could over-flag one window); the
+    DuckDB oracle groups by the window STRING, so a hash-green
+    driver row also certifies collision-freedom on the checked
+    data."""
     W = int(window)
     if W < 1:
         raise ValueError("window must be >= 1 word")
     if int(min_count) < 2:
         raise ValueError("min_count < 2 flags every window")
+    if flag_strategy not in ("auto", "window", "groupby"):
+        raise ValueError(f"unknown flag_strategy {flag_strategy!r}")
     from pyspark.sql import Window as _W
-    toks = (df.select(F.col(id_col).alias("__id"),
-                      _words(text_col).alias("__w"))
-            .where(F.size("__w") >= W))
-    wins = (toks.select(
-        "__id",
-        F.posexplode(F.expr(
-            f"transform(sequence(1, size(__w) - {W} + 1), "
-            f"i -> xxhash64(array_join(slice(__w, i, {W}), ' ')))"))
-        .alias("__p0", "__h"))
-        .select("__id", (F.col("__p0") + 1).alias("__pos"), "__h"))
-    fpos = (wins.withColumn(
-        "__n", F.count(F.lit(1)).over(_W.partitionBy("__h")))
-        .where(F.col("__n") >= int(min_count))
-        .select("__id", "__pos"))
+    strategy = flag_strategy
+    if strategy == "auto":
+        strategy = _pick_flag_strategy(
+            df, text_col, id_col, W, viral_window_threshold)
+    wins = _window_hashes(df, text_col, id_col, W)
+    if strategy == "window":
+        fpos = (wins.withColumn(
+            "__n", F.count(F.lit(1)).over(_W.partitionBy("__h")))
+            .where(F.col("__n") >= int(min_count))
+            .select("__id", "__pos"))
+    else:
+        hot = (wins.groupBy("__h")
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .where(F.col("__n") >= int(min_count))
+               .select("__h"))
+        fpos = (wins.join(hot, "__h", "semi")
+                .select("__id", "__pos"))
     prev = _W.partitionBy("__id").orderBy("__pos") \
              .rowsBetween(_W.unboundedPreceding, -1)
     # windows at p and q (p < q) belong to one span iff q <= p + W

@@ -32,6 +32,8 @@ from . import corpus_r13  # noqa: F401  (label-propagation community
 from . import corpus_r14  # noqa: F401  (exact personalized PageRank,
 #   full coreness decomposition — the last two iterative operators'
 #   driver-oracle rows, r13 verdict #2/#3)
+from . import corpus_r15  # noqa: F401  (span duplication ratio — the
+#   last ExactSubstr face's driver row, r14 verdict #5)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST 50
@@ -245,17 +247,24 @@ RETIRED_NAMES = frozenset({
     #     q61 quantization-error's, both live; the map-only scoring
     #     shape adds no operator surface beyond them.
     "q123_model_scoring",
-    # ROUND-15 RETIREMENT CANDIDATES (staged, not retired).  The r15
-    # must-verify cohort will be the 50 r13-verified queries — another
-    # exact window fill, so ANY round-15 admission needs retirements
-    # from THAT cohort (not the previously staged q111, which is
-    # r10/r14-fresh and frees nothing):
+    # Retired round 15 — admitting q180 (span duplication ratio, the
+    # last ExactSubstr face's driver row, r14 verdict #5) into a
+    # 49-strong must-verify cohort (49 stale + 1 new = 50, zero
+    # slack) needed one retirement from that cohort; q52 was the
+    # staged first choice.  Keeps its pytest DuckDB oracle via
+    # tests/test_corpus::ALL:
     #   q52_unpivot: stack()-based melt — exercised at driver scale
     #     inside q167/q169's FD melt; reshape family keeps q17 + q45.
-    #     (Now actually in the right cohort, unlike rounds 13-14.)
+    "q52_unpivot",
+    # ROUND-16 RETIREMENT CANDIDATES (staged, not retired).  Stage
+    # from the cohort that will be must-verify in r16 (the r14-green
+    # 50); retire only if an r16 admission needs the slot:
     #   q164_fd_discovery: hand-listed FD profiling — superseded at
     #     driver scale by the two DISCOVERY rows q167 (gated lattice)
     #     and q169 (composite lattice), which subsume its shape.
+    #     (r13-green: in the r15 must-verify cohort, so retiring it
+    #     in r16 only frees a slot if it re-verifies in r15 — it
+    #     does, via the rotation.)
     #   q145_reachability: recursive-CTE reachability — the path
     #     family now carries four driver rows (q165 shortest paths,
     #     q173 LPA, q174 bounded-hop, q175 temporal reachability).

@@ -42,7 +42,8 @@ __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "fd_profile_stream", "components_stream",
            "components_stream_bucketed", "compact_candidate_store",
            "skew_profile_stream", "lpa_communities_stream",
-           "duplicate_spans_stream", "duplicate_spans_snapshot"]
+           "duplicate_spans_stream", "duplicate_spans_snapshot",
+           "window_index_reproject", "semdedup_store_reproject"]
 
 
 def _decode_content(batches: Iterator[pd.DataFrame],

@@ -671,6 +671,51 @@ def test_duplicate_spans_hypothesis(spark, docs, w):
     assert got_txt == ref_removed()
 
 
+def test_duplicate_spans_viral_window_autoswitch(spark):
+    """r14 verdict #4: a VIRAL window (one phrase planted 10^5 times)
+    must flip the flag stage from the one-scan COUNT window (whose
+    per-hash count partition becomes one huge single task) to the
+    map-side-combinable groupBy + semi-join form — automatically,
+    with identical output, while a benign corpus keeps the one-scan
+    plan.  The planted corpus drives the decision through the sample
+    path (its length upper bound exceeds the test threshold)."""
+    from nasctn_sea_ingest_spark.operators.text import duplicate_spans
+
+    W = 3
+    phrase = "vx vy vz"
+    # 2000 docs x 50 phrase repeats = 10^5 occurrences of one window
+    docs = [(d, " ".join(phrase for _ in range(50)))
+            for d in range(2000)]
+    docs += [(9000 + d, f"u{d}a u{d}b u{d}c u{d}d") for d in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    auto = duplicate_spans(df, window=W, flag_strategy="auto",
+                           viral_window_threshold=50_000)
+    plan = auto._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan         # switched to the groupby form
+    win = duplicate_spans(df, window=W, flag_strategy="window")
+    wplan = win._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" not in wplan
+    got_a = {(r.doc_id, r.start_word, r.end_word, r.n_windows)
+             for r in auto.collect()}
+    got_w = {(r.doc_id, r.start_word, r.end_word, r.n_windows)
+             for r in win.collect()}
+    assert got_a == got_w             # identical output, either plan
+
+    # benign corpus above the length bound but with no hot hash:
+    # the sampler keeps the one-scan plan
+    benign = spark.createDataFrame(
+        [(d, " ".join(f"b{d}w{i}" for i in range(60)))
+         for d in range(2000)], "doc_id long, text string")
+    kept = duplicate_spans(benign, window=W, flag_strategy="auto",
+                           viral_window_threshold=50_000)
+    kplan = kept._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" not in kplan
+
+    with pytest.raises(ValueError, match="flag_strategy"):
+        duplicate_spans(df, window=W, flag_strategy="bogus")
+
+
 def test_span_dup_ratio(spark):
     """dup_ratio == summed disjoint-span lengths / token count; 0.0
     for span-free docs; a fully-duplicated doc reads 1.0; NULL text

@@ -264,19 +264,28 @@ def litter():
 
 
 def widx():
-    """r14 duplicate_spans_stream probe: W waves of B docs each (every
-    doc ~60 synthetic words, each wave half-novel half-recycled
-    phrases so alerts fire), per-trigger wall as the window index
-    grows linearly.  Claim: flat — the trigger touches only the batch
-    windows' buckets (pruned probe + append), never the whole index.
+    """duplicate_spans_stream per-trigger cost probe, two workloads:
 
-        python tools/stream_probe.py widx [W] [B] [n_buckets]
+    ``novel`` (r14's shape): W waves of B docs, half-novel
+    half-recycled phrases — the index AND the distinct-hash set both
+    grow linearly.  Claim: per-trigger cost tracks the (h, n) counts
+    sidecar (16-byte rows, no shuffle), never the occurrence index.
+
+    ``dup`` (r15, the r14 verdict #1 done-bar): every wave streams
+    the SAME B docs verbatim (fresh doc_ids) — the occurrence index
+    grows by a full wave of rows per trigger while the distinct-hash
+    set stays CONSTANT after wave 1.  Claim: per-trigger wall is flat
+    at 50x index growth; the old probe (prior = groupBy over the full
+    occurrence store) grew linearly here.
+
+        python tools/stream_probe.py widx [W] [B] [n_buckets] [mode]
     """
     import random
     argv = sys.argv[2:]
     waves = int(argv[0]) if len(argv) > 0 else 12
     batch = int(argv[1]) if len(argv) > 1 else 400
     n_buckets = int(argv[2]) if len(argv) > 2 else 64
+    mode = argv[3] if len(argv) > 3 else "novel"
     from nasctn_sea_ingest_spark import get_spark
     from nasctn_sea_ingest_spark.streaming import (
         duplicate_spans_snapshot, duplicate_spans_stream)
@@ -292,15 +301,22 @@ def widx():
     os.makedirs(land)
     print(f"# {waves} waves x {batch} docs, ~60 words/doc, "
           f"n_buckets={n_buckets}")
+    fixed_docs = [" ".join(f"s{d}w{i}" for i in range(45))
+                  + " " + rnd.choice(phrases) for d in range(batch)]
     walls = []
     try:
         for w in range(waves):
             rows = []
             for d in range(batch):
-                novel = " ".join(
-                    f"w{w}d{d}t{i}" for i in range(45))
-                rows.append((w * batch + d,
-                             novel + " " + rnd.choice(phrases)))
+                if mode == "dup":
+                    # same text every wave: occurrences grow, the
+                    # distinct-hash set is constant after wave 1
+                    rows.append((w * batch + d, fixed_docs[d]))
+                else:
+                    novel = " ".join(
+                        f"w{w}d{d}t{i}" for i in range(45))
+                    rows.append((w * batch + d,
+                                 novel + " " + rnd.choice(phrases)))
             spark.createDataFrame(rows, "doc_id long, text string") \
                 .coalesce(1).write.mode("append").parquet(land)
             stream = spark.readStream.schema(
@@ -309,7 +325,8 @@ def widx():
             q = duplicate_spans_stream(
                 stream, out, os.path.join(root, "ck"),
                 os.path.join(root, "al"), window=12,
-                n_buckets=n_buckets, available_now=True)
+                n_buckets=n_buckets, auto_compact_files=8,
+                available_now=True)
             q.awaitTermination(600)
             q.stop()
             q.awaitTermination(60)
@@ -317,11 +334,16 @@ def widx():
             print(f"wave {w:2d}: {walls[-1]:6.2f}s  "
                   f"index={(w + 1) * batch} docs")
         n_spans = duplicate_spans_snapshot(spark, out).count()
+        idx_rows = spark.read.parquet(out).count()
+        cts_rows = spark.read.parquet(
+            os.path.join(out, "_counts")).count()
         head = sum(walls[1:4]) / 3
         tail = sum(walls[-3:]) / 3
-        print(f"# snapshot spans={n_spans}; warm head {head:.2f}s vs "
-              f"tail {tail:.2f}s at {waves}x index "
-              f"({tail / head:.2f}x)")
+        print(f"# snapshot spans={n_spans}; index rows={idx_rows}, "
+              f"sidecar rows={cts_rows} "
+              f"({idx_rows / max(cts_rows, 1):.1f}x occupancy)")
+        print(f"# warm head {head:.2f}s vs tail {tail:.2f}s at "
+              f"{waves}x index ({tail / head:.2f}x)")
     finally:
         shutil.rmtree(root, ignore_errors=True)
     spark.stop()
