@@ -263,6 +263,78 @@ def litter():
               f"trigger {avg:.2f}s, compactions {nc}")
 
 
+def lpa():
+    """r15 lpa_communities_stream cost probe (r14 verdict #6): the
+    face's documented contract is an O(state) snapshot rewrite per
+    trigger PLUS an LPA re-run bounded by the touched components.
+    Two phases over one store seeded with a giant G-node component:
+
+    - ``untouched``: W waves each adding a fresh DISJOINT small
+      component — the giant component must stay out of the re-run
+      scope, so per-trigger wall tracks only the O(state) rewrite
+      term (shallow slope, no per-wave LPA blowup);
+    - ``touched``: W waves each attaching one new node to the giant
+      component — the whole component legitimately re-runs every
+      trigger (labels may all flip); this measures that inherent
+      bound so the docstring's trade is a number, not a hope.
+
+        python tools/stream_probe.py lpa [G] [W]
+    """
+    argv = sys.argv[2:]
+    g = int(argv[0]) if len(argv) > 0 else 20_000
+    waves = int(argv[1]) if len(argv) > 1 else 10
+    from nasctn_sea_ingest_spark import get_spark
+    from nasctn_sea_ingest_spark.streaming import lpa_communities_stream
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    schema = "d1 long, d2 long"
+    for phase in ("untouched", "touched"):
+        root = tempfile.mkdtemp(prefix=f"lpa_probe_{phase}_")
+        land = os.path.join(root, "land")
+        out = os.path.join(root, "lpa")
+        os.makedirs(land)
+
+        def run():
+            stream = spark.readStream.schema(schema).parquet(land)
+            q = lpa_communities_stream(
+                stream, out, os.path.join(root, "ck"), max_iter=8,
+                auto_compact_files=8, available_now=True)
+            q.awaitTermination(600)
+            q.stop()
+            q.awaitTermination(60)
+
+        try:
+            # seed: a G-node giant component (chain of cliquelets)
+            giant = [(i, i + 1) for i in range(g - 1)]
+            spark.createDataFrame(giant, schema) \
+                .coalesce(1).write.mode("append").parquet(land)
+            t0 = time.perf_counter()
+            run()
+            seed_wall = time.perf_counter() - t0
+            walls = []
+            for w in range(waves):
+                if phase == "untouched":
+                    base = 10**7 + w * 100
+                    wave = [(base + i, base + i + 1) for i in range(9)]
+                else:
+                    wave = [(g + w, 0)]       # attach to the giant
+                spark.createDataFrame(wave, schema) \
+                    .coalesce(1).write.mode("append").parquet(land)
+                t0 = time.perf_counter()
+                run()
+                walls.append(time.perf_counter() - t0)
+            head = sum(walls[:3]) / 3
+            tail = sum(walls[-3:]) / 3
+            print(f"# {phase}: G={g}, seed {seed_wall:.2f}s, "
+                  f"head {head:.2f}s vs tail {tail:.2f}s "
+                  f"({tail / head:.2f}x), per-wave "
+                  + " ".join(f"{x:.2f}" for x in walls))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
 def widx():
     """duplicate_spans_stream per-trigger cost probe, two workloads:
 
@@ -356,5 +428,7 @@ if __name__ == "__main__":
         litter()
     elif len(sys.argv) > 1 and sys.argv[1] == "widx":
         widx()
+    elif len(sys.argv) > 1 and sys.argv[1] == "lpa":
+        lpa()
     else:
         main()
