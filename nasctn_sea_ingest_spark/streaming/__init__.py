@@ -838,12 +838,16 @@ def media_dedup_stream(media: DataFrame, out_dir: str,
     tier (hamming 0 — byte-level or brightness/resize-invariant
     re-encodes, see ``dhash_np``'s invariances).
 
-    Replay safety: the store is APPEND-ONLY, so a replayed batch would
-    double-append; each store row carries the writing ``batch_id`` and
-    a batch that finds its own id already stored skips entirely
-    (alerts for that batch were written atomically under the same
-    ``batch=<id>`` partition — overwritten idempotently on replay).
-    Cost per trigger: O(batch + touched buckets).
+    Replay safety (r15, the r14-ADVICE partial-append class shared by
+    every append-mode monitor — :func:`_replay_split`): each store
+    row carries the writing ``batch_id``; alerts and the known-hash
+    probe run against PRIOR batches only, the skip requires EVERY
+    bucket this batch would write to carry the stamp (a mid-commit
+    crash can promote some ``kb=`` partitions and lose others — an
+    any-row skip would cement that forever), and a partial replay
+    re-appends just the missing buckets (per-bucket appends are
+    single-file atomic).  Alerts are overwritten idempotently under
+    ``batch=<id>``.  Cost per trigger: O(batch + touched buckets).
 
     ``auto_compact_files`` (r13 verdict #5): per-trigger file-count probe of the just-written buckets; past the threshold :func:`compact_candidate_store` runs in-slot and stamps the geometry manifest (None = manual cadence).
     """
@@ -870,9 +874,6 @@ def media_dedup_stream(media: DataFrame, out_dir: str,
                 store = spark.read.parquet(out_dir) \
                     .where(F.col("kb").isin(touched)) \
                     .localCheckpoint(eager=True)
-                if store.where(F.col("batch_id") ==
-                               F.lit(int(batch_id))).limit(1).count():
-                    return  # replay: batch already appended
             except AnalysisException as e:
                 # UNABLE_TO_INFER_SCHEMA: meta-only dir (the geometry
                 # manifest is stamped before the first append)
@@ -880,6 +881,10 @@ def media_dedup_stream(media: DataFrame, out_dir: str,
                         "UNABLE_TO_INFER_SCHEMA" not in str(e)):
                     raise
                 store = None
+            # partial-append replay contract (r15, the r14 ADVICE
+            # class): alerts/probe run against PRIOR batches only, and
+            # the skip requires every bucket this batch would write
+            prior, done = _replay_split(store, batch_id)
             w = Window.partitionBy("dhash").orderBy("media_id")
             ranked = h.withColumn("rn", F.row_number().over(w))
             firsts = ranked.where(F.col("rn") == 1).drop("rn")
@@ -888,8 +893,8 @@ def media_dedup_stream(media: DataFrame, out_dir: str,
                                  "dhash",
                                  F.col("media_id").alias("dup_of")),
                                  "dhash"))
-            if store is not None:
-                known = store.groupBy("dhash").agg(
+            if prior is not None:
+                known = prior.groupBy("dhash").agg(
                     F.min("media_id").alias("dup_of"))
                 stored_dups = firsts.join(known, "dhash") \
                     .select("media_id", "dhash", "kb", "dup_of")
@@ -898,6 +903,11 @@ def media_dedup_stream(media: DataFrame, out_dir: str,
             else:
                 stored_dups = in_batch_dups.limit(0)
                 new = firsts
+            new = new.localCheckpoint(eager=True)
+            expected = {r.kb for r in
+                        new.select("kb").distinct().collect()}
+            if expected and expected <= set(done):
+                return  # replay of a fully-written batch: skip
             alerts = (in_batch_dups.select("media_id", "dhash",
                                            "dup_of")
                       .unionByName(stored_dups.select(
@@ -905,8 +915,9 @@ def media_dedup_stream(media: DataFrame, out_dir: str,
                       .localCheckpoint(eager=True))
             alerts.coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(alerts_dir, f"batch={int(batch_id)}"))
-            (new.withColumn("batch_id",
-                            F.lit(int(batch_id)).cast("long"))
+            (new.where(~F.col("kb").isin(done))
+             .withColumn("batch_id",
+                         F.lit(int(batch_id)).cast("long"))
              .repartition("kb")  # one file per touched bucket, not
              .write.mode("append")  # partitions x buckets (r13 litter fix)
              .partitionBy("kb").parquet(out_dir))
@@ -1357,8 +1368,11 @@ def fuzzy_dedup_stream(names: DataFrame, out_dir: str,
     Only UNMATCHED names join the store (the media_dedup_stream
     contract: duplicates never grow state), so store size tracks the
     distinct-entity count, not the stream length.  Replay safety:
-    store rows carry the writing ``batch_id``; a replayed batch that
-    finds its own id stored skips, and its ``batch=<id>`` alert
+    store rows carry the writing ``batch_id``; the probe runs
+    against PRIOR batches only and a replayed batch skips only once
+    EVERY bucket it would write is stamped, re-appending just the
+    missing ones otherwise (:func:`_replay_split` — the r14-ADVICE
+    partial-append class), and its ``batch=<id>`` alert
     partition was written atomically (idempotent overwrite).  Cost per
     trigger: O(batch x L + touched-bucket postings).
 
@@ -1405,17 +1419,16 @@ def fuzzy_dedup_stream(names: DataFrame, out_dir: str,
             store = (spark.read.parquet(out_dir)
                      .where(F.col("kb").isin(touched))
                      .localCheckpoint(eager=True))
-            if store.where(F.col("batch_id") ==
-                           F.lit(int(batch_id))).limit(1).count():
-                return  # replay: batch already appended
         except AnalysisException as e:
             # UNABLE_TO_INFER_SCHEMA: meta-only dir (the geometry
             # manifest is stamped before the first append)
             if ("PATH_NOT_FOUND" not in str(e)
                     and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
                 raise
-        if store is not None:
-            hits = (fv.join(store.select(F.col("variant").alias("variant"),
+        # partial-append replay contract (r15, the r14 ADVICE class)
+        prior, done = _replay_split(store, batch_id)
+        if prior is not None:
+            hits = (fv.join(prior.select(F.col("variant").alias("variant"),
                                          F.col("id").alias("sid"),
                                          F.col("text").alias("stext")),
                             "variant")
@@ -1429,11 +1442,17 @@ def fuzzy_dedup_stream(names: DataFrame, out_dir: str,
         else:
             stored_dups = in_dups.limit(0)
             new = fv
+        new = new.localCheckpoint(eager=True)
+        expected = {r.kb for r in
+                    new.select("kb").distinct().collect()}
+        if expected and expected <= set(done):
+            return  # replay of a fully-written batch: skip
         alerts = (in_dups.unionByName(stored_dups)
                   .localCheckpoint(eager=True))
         alerts.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(alerts_dir, f"batch={int(batch_id)}"))
-        (new.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        (new.where(~F.col("kb").isin(done))
+         .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
          .repartition("kb")  # one file per touched bucket per trigger
          .write.mode("append").partitionBy("kb").parquet(out_dir))
 
@@ -1630,21 +1649,25 @@ def colocation_monitor_stream(points: DataFrame, out_dir: str,
             store = (spark.read.parquet(out_dir)
                      .where(F.col("kb").isin(touched))
                      .localCheckpoint(eager=True))
-            if store.where(F.col("batch_id") ==
-                           F.lit(int(batch_id))).limit(1).count():
-                return  # replay: batch already appended
         except AnalysisException as e:
             # UNABLE_TO_INFER_SCHEMA: meta-only dir (the geometry
             # manifest is stamped before the first append)
             if ("PATH_NOT_FOUND" not in str(e)
                     and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
                 raise
-        if store is not None:
+        # partial-append replay contract (r15, the r14 ADVICE class):
+        # the probe pairs against PRIOR batches only, and the skip
+        # requires every home bucket this batch writes
+        prior, done = _replay_split(store, batch_id)
+        expected = {r.kb for r in b.select("kb").distinct().collect()}
+        if expected and expected <= set(done):
+            return  # replay of a fully-written batch: skip
+        if prior is not None:
             dxc = F.col("x") - F.col("sx")
             dyc = F.col("y") - F.col("sy")
             d2 = dxc * dxc + dyc * dyc
             vs_store = (nb.join(
-                store.select(F.col("id").alias("sid"),
+                prior.select(F.col("id").alias("sid"),
                              F.col("x").alias("sx"),
                              F.col("y").alias("sy"),
                              F.col("cx").alias("jx"),
@@ -1660,7 +1683,8 @@ def colocation_monitor_stream(points: DataFrame, out_dir: str,
                          .localCheckpoint(eager=True)
         alerts.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(alerts_dir, f"batch={int(batch_id)}"))
-        (b.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        (b.where(~F.col("kb").isin(done))
+         .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
          .repartition("kb")  # one file per touched bucket per trigger
          .write.mode("append").partitionBy("kb").parquet(out_dir))
 
@@ -1678,6 +1702,33 @@ def colocation_monitor_stream(points: DataFrame, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _replay_split(store: "DataFrame | None", batch_id: int):
+    """Split a touched-bucket store read for an append-mode monitor
+    into ``(prior, done_kb)`` — the r14-ADVICE partial-append replay
+    contract shared by media/fuzzy/colocation/semdedup/window-index:
+
+    - ``prior``: rows of every batch EXCEPT this one — the frame
+      alerts/probes must use, because a replay of a partially
+      committed append would otherwise pair the batch against its own
+      earlier-attempt rows (self-alerts / double counts);
+    - ``done_kb``: buckets already carrying this batch's stamp.  The
+      per-trigger append writes ONE file per bucket (repartition on
+      the partition key) and a parquet file lands via a single
+      rename, so a stamped bucket is complete — the replay appends
+      only the missing buckets and may skip entirely only when every
+      bucket it WOULD write is stamped (an any-row skip cements a
+      mid-commit crash: some partitions promoted, others lost
+      forever)."""
+    if store is None:
+        return None, []
+    done = [r.kb for r in
+            store.where(F.col("batch_id") == F.lit(int(batch_id)))
+            .select("kb").distinct().collect()]
+    prior = (store.where(F.col("batch_id") != F.lit(int(batch_id)))
+             if done else store)
+    return prior, done
 
 
 def _store_geometry_guard(store_dir: str, meta: dict) -> None:
@@ -1983,18 +2034,22 @@ def semdedup_stream(embeddings: DataFrame, out_dir: str,
             store = (spark.read.parquet(out_dir)
                      .where(F.col("kb").isin(touched))
                      .localCheckpoint(eager=True))
-            if store.where(F.col("batch_id") ==
-                           F.lit(int(batch_id))).limit(1).count():
-                return  # replay: batch already appended
         except AnalysisException as e:
             # UNABLE_TO_INFER_SCHEMA: the dir holds only the meta
             # manifest (first batch stamps geometry before any append)
             if ("PATH_NOT_FOUND" not in str(e)
                     and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
                 raise
-        if store is not None:
+        # partial-append replay contract (r15, the r14 ADVICE class):
+        # probe against PRIOR batches only, skip only on the full
+        # home-bucket stamp set, re-append just the missing buckets
+        prior, done = _replay_split(store, batch_id)
+        expected = {r.kb for r in b.select("kb").distinct().collect()}
+        if expected and expected <= set(done):
+            return  # replay of a fully-written batch: skip
+        if prior is not None:
             vs_store = (nb.join(
-                store.select(F.col("id").alias("id2"),
+                prior.select(F.col("id").alias("id2"),
                              F.col("__u").alias("__u2"),
                              *[F.col(c).alias(f"j{i}")
                                for i, c in enumerate(cs)]),
@@ -2009,7 +2064,8 @@ def semdedup_stream(embeddings: DataFrame, out_dir: str,
                          .localCheckpoint(eager=True)
         alerts.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(alerts_dir, f"batch={int(batch_id)}"))
-        (b.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        (b.where(~F.col("kb").isin(done))
+         .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
          .repartition("kb")  # one file per touched bucket per trigger
          .write.mode("append").partitionBy("kb").parquet(out_dir))
 

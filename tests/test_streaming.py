@@ -3490,6 +3490,150 @@ def test_duplicate_spans_stream_matches_batch(spark, tmp_path):
     assert snapshot() == want(hist + [(9, "q1 q2 q3 q4")])
 
 
+def _drop_stamped_files(spark, out, kbs, batch_id):
+    """Plant a mid-commit append crash: remove the parquet file(s)
+    carrying ``batch_id``'s rows from the given kb= buckets (per-
+    trigger appends write one file per bucket, so this is exactly the
+    state a crashed multi-partition job commit leaves)."""
+    for kb in kbs:
+        leaf = os.path.join(out, f"kb={kb}")
+        for f in list(os.listdir(leaf)):
+            p = os.path.join(leaf, f)
+            if f.endswith(".parquet") and spark.read.parquet(p) \
+                    .where(F.col("batch_id") == batch_id) \
+                    .limit(1).count():
+                os.remove(p)
+
+
+def test_colocation_partial_append_replay_heals(spark, tmp_path):
+    """r15 (the r14-ADVICE partial-append class, applied to every
+    append-mode monitor): a colocation append whose job crashed
+    mid-commit (one kb= partition promoted, another lost) must NOT be
+    any-row skipped on replay — the missing bucket is re-appended
+    without duplicating the committed one, and the recomputed alerts
+    pair only against PRIOR batches (no self-pairs against the
+    batch's own surviving rows)."""
+    from nasctn_sea_ingest_spark.streaming import (
+        colocation_monitor_stream)
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "store")
+    al = str(tmp_path / "al")
+    ck = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "id long, x double, y double"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = colocation_monitor_stream(
+            stream, out, ck, al, radius=1.0, n_buckets=4,
+            available_now=True)
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    # wave 0: anchors in well-separated cells; wave 1: one point near
+    # each anchor (cross-batch alerts) in >= 2 distinct buckets
+    wave0 = [(1, 0.0, 0.0), (2, 50.0, 50.0), (3, 100.0, 0.0),
+             (4, 0.0, 100.0)]
+    wave1 = [(11, 0.2, 0.2), (12, 50.2, 50.2), (13, 100.2, 0.2),
+             (14, 0.2, 100.2)]
+    spark.createDataFrame(wave0, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    run()
+    spark.createDataFrame(wave1, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    run()
+    want_alerts = {(r.id1, r.id2) for r in
+                   spark.read.parquet(os.path.join(al, "batch=1"))
+                   .collect()}
+    assert want_alerts == {(11, 1), (12, 2), (13, 3), (14, 4)}
+
+    b1_kbs = sorted(r.kb for r in spark.read.parquet(out)
+                    .where(F.col("batch_id") == 1)
+                    .select("kb").distinct().collect())
+    assert len(b1_kbs) >= 2, b1_kbs
+    _delete_commit_marker(ck)
+    _drop_stamped_files(spark, out, b1_kbs[:1], 1)
+    run()                                       # replay heals
+    rows = spark.read.parquet(out).select("id").collect()
+    ids = sorted(r.id for r in rows)
+    assert ids == [1, 2, 3, 4, 11, 12, 13, 14]  # once each, none lost
+    got_alerts = {(r.id1, r.id2) for r in
+                  spark.read.parquet(os.path.join(al, "batch=1"))
+                  .collect()}
+    assert got_alerts == want_alerts            # no self-pair echoes
+
+
+def test_fuzzy_dedup_partial_append_replay_heals(spark, tmp_path):
+    """Same class for the deletion-variant posting store: the crashed
+    bucket's variants are restored on replay (a lost bucket would
+    silently stop matching those variants forever), committed buckets
+    are not double-appended, and alerts recompute identically."""
+    from nasctn_sea_ingest_spark.streaming import fuzzy_dedup_stream
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "store")
+    al = str(tmp_path / "al")
+    ck = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "id long, name string"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = fuzzy_dedup_stream(stream, out, ck, al, id_col="id",
+                               text_col="name", max_distance=1,
+                               n_buckets=4, available_now=True)
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    wave0 = [(1, "jonathan"), (2, "elizabeth"), (3, "katherine")]
+    spark.createDataFrame(wave0, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    run()
+    # wave 1: one near-match (alert) + two new names to append
+    wave1 = [(11, "jonathon"), (12, "margaret"), (13, "frederick")]
+    spark.createDataFrame(wave1, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    run()
+    want_alerts = {(r.id, r.dup_of) for r in
+                   spark.read.parquet(os.path.join(al, "batch=1"))
+                   .collect()}
+    assert want_alerts == {(11, 1)}
+    total = spark.read.parquet(out).count()
+
+    b1_kbs = sorted(r.kb for r in spark.read.parquet(out)
+                    .where(F.col("batch_id") == 1)
+                    .select("kb").distinct().collect())
+    assert len(b1_kbs) >= 2, b1_kbs
+    _delete_commit_marker(ck)
+    _drop_stamped_files(spark, out, b1_kbs[:len(b1_kbs) // 2], 1)
+    run()                                       # replay heals
+    assert spark.read.parquet(out).count() == total
+    dups = (spark.read.parquet(out)
+            .groupBy("id", "variant")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1).count())
+    assert dups == 0
+    got_alerts = {(r.id, r.dup_of) for r in
+                  spark.read.parquet(os.path.join(al, "batch=1"))
+                  .collect()}
+    assert got_alerts == want_alerts
+    # the healed store still matches against the restored variants
+    wave2 = [(21, "margarit")]                  # distance 1 from 12
+    spark.createDataFrame(wave2, schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    run()
+    a2 = {(r.id, r.dup_of) for r in
+          spark.read.parquet(os.path.join(al, "batch=2")).collect()}
+    assert a2 == {(21, 12)}
+
+
 def _widx_run(spark, land, out, ck, al, window=3, n_buckets=4,
               acf=2, timeout=180):
     from nasctn_sea_ingest_spark.streaming import duplicate_spans_stream
