@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame
 from ..querylog import stage_digest
 
 __all__ = ["pagerank", "pagerank_exact", "star_components",
-           "cooccur_pairs", "triangle_count", "shortest_paths",
+           "cooccur_pairs", "triangle_count", "local_triangles",
+           "shortest_paths",
            "bounded_hop_distances", "k_core", "core_numbers",
            "personalized_pagerank", "personalized_pagerank_exact",
            "label_propagation", "temporal_edges"]
@@ -375,6 +376,74 @@ def triangle_count(pairs: DataFrame, d1: str = "d1",
             F.count("*").cast("bigint").alias("n_nodes"))))
     return (counts.crossJoin(F.broadcast(tri))
             .select("n_nodes", "n_edges", "n_triangles"))
+
+
+def local_triangles(pairs: DataFrame, d1: str = "d1",
+                    d2: str = "d2") -> DataFrame:
+    """Per-NODE exact triangle counts and local clustering coefficient
+    of the undirected graph given as a pair list — one row per node:
+    ``(node, degree, triangles, lcc)`` with
+    ``lcc = 2*triangles / (degree*(degree-1))`` (0.0 for degree < 2).
+    The node-level companion of :func:`triangle_count`'s global scalar:
+    the standard graph-ML feature (Watts-Strogatz clustering), and the
+    community-density signal behind "keep docs whose near-dup
+    neighborhood is clique-like, drop hub spam" curation passes on
+    near-dup graphs.
+
+    Same degree-orientation core as :func:`triangle_count` (each edge
+    directed from its lower-(degree, id) endpoint, wedges joined to
+    their closing edge, so the hottest node fans out O(sqrt(m)) wedges
+    instead of degree^2 — the property that survives power-law graphs
+    at 100 TB); kept textually separate from ``triangle_count`` so the
+    global face's benched q128-family plan digest stays byte-stable.
+    Each triangle is found exactly once at its orientation apex, then
+    charged to all three corners by a 3-way explode (3 rows per
+    triangle — output-proportional, never degree-proportional) and one
+    hash aggregate.  Nodes on no triangle still appear (degree join is
+    a left join).  Oracle-checked as corpus q181 over the q170/q177
+    customer witness graph (one planted {b, b+4, b+8} triangle per
+    16-block, leaves and anchors triangle-free)."""
+    e = (pairs.select(F.least(d1, d2).alias("a"),
+                      F.greatest(d1, d2).alias("b"))
+         .where(F.col("a") != F.col("b")).distinct())
+    deg = (e.select(F.col("a").alias("n"))
+           .unionByName(e.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("d")))
+    # deg is vertex-cardinality — no mandatory broadcast (the r8 lesson
+    # recorded in triangle_count); AQE promotes it when actually small.
+    ed = (e.join(deg.withColumnRenamed("n", "a")
+                 .withColumnRenamed("d", "da"), "a")
+          .join(deg.withColumnRenamed("n", "b")
+                .withColumnRenamed("d", "db"), "b"))
+    a_first = (F.col("da") < F.col("db")) | \
+        ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    o = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da"))
+        .alias("dst_d"))
+    w1 = o.select(F.col("src"), F.col("dst").alias("v"),
+                  F.col("dst_d").alias("vd"))
+    w2 = o.select(F.col("src"), F.col("dst").alias("w"),
+                  F.col("dst_d").alias("wd"))
+    v_first = (F.col("vd") < F.col("wd")) | \
+        ((F.col("vd") == F.col("wd")) & (F.col("v") < F.col("w")))
+    wedges = (w1.join(w2, "src").where(v_first)
+              .select("src", "v", "w"))
+    closing = o.select(F.col("src").alias("v"),
+                       F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])
+    corners = (tri.select(F.explode(F.array("src", "v", "w"))
+                          .alias("n"))
+               .groupBy("n").agg(F.count("*").alias("t")))
+    d, t = F.col("d"), F.coalesce(F.col("t"), F.lit(0))
+    return (deg.join(corners, "n", "left")
+            .select(F.col("n").alias("node"),
+                    d.cast("int").alias("degree"),
+                    t.cast("bigint").alias("triangles"),
+                    F.when(d >= 2,
+                           2.0 * t / (d * (d - F.lit(1))))
+                    .otherwise(F.lit(0.0)).alias("lcc")))
 
 
 def shortest_paths(edges: DataFrame, sources: "list",

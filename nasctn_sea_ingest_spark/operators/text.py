@@ -14,6 +14,7 @@ from ..functions import _let
 
 __all__ = ["token_stats", "quality_score", "language_id", "fingerprint",
            "token_count_estimate", "scrub_pii", "contamination",
+           "bloom_contamination",
            "chunk_dedup", "repetition_stats", "chunk_overlap", "duplicate_spans", "apply_span_removal", "span_dup_ratio",
            "cdc_chunks_expr", "cdc_chunk_dedup",
            "train_bigram_lm", "lm_perplexity", "compression_ratio",
@@ -365,6 +366,86 @@ def contamination(train: DataFrame, eval_df: DataFrame,
               .groupBy("id")
               .agg(F.count("*").alias("n_shared_shingles"))
               .withColumnRenamed("id", id_col))
+
+
+def bloom_contamination(train: DataFrame, eval_df: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 13, n_bits: int = 1 << 23,
+                        n_hashes: int = 4) -> DataFrame:
+    """:func:`contamination` with a Bloom-filter prefilter — the same
+    EXACT output (train docs sharing >= 1 word ``n``-gram with the
+    eval set, with the shared-distinct-shingle count), built for the
+    regime where the eval side outgrows a raw broadcast.
+
+    ``contamination(broadcast_eval=True)`` ships the eval set's
+    distinct shingle STRINGS to every task: 13-gram shingles run
+    ~80-100 bytes each, so 10M eval shingles is ~1 GB of broadcast —
+    past every practical driver/executor limit long before the eval
+    side stops being "small".  This form broadcasts a fixed-size
+    bitmask frame instead: ``n_bits`` bits packed 64/row as
+    ``(word_idx, mask)`` longs — ``n_bits = 2^23`` is 128 Ki rows
+    (~2 MB serialized) REGARDLESS of eval size, with false-positive
+    rate (1 - e^(-k*n_ev/m))^k (~0.24 % at 10:1 bits-per-shingle,
+    k = 4).  The pipeline:
+
+    1. BUILD: explode each distinct eval shingle into ``n_hashes``
+       bit positions (``pmod(xxhash64(shingle, seed_i), n_bits)``),
+       pack into masks with one ``bit_or`` hash aggregate — cost
+       O(eval shingles), output bounded by CONFIG (which is why the
+       mandatory ``F.broadcast`` is safe here, unlike the
+       data-proportional vertex frames of the r8 media lesson).
+    2. PROBE: the full train shingle stream checks all ``n_hashes``
+       bits via ``n_hashes`` broadcast equi-joins on word_idx —
+       map-side over the train corpus's own input splits, NO shuffle
+       of train shingles (``spread=False``, the contamination
+       discipline).
+    3. VERIFY: only bloom survivors (true hits + the ~0.2 % false
+       positives) equi-join the exact eval shingle frame, so the
+       output is exact and the one shuffled relation is
+       candidate-proportional, not corpus-proportional.
+
+    Pinned equal to ``contamination`` on the same inputs by pytest,
+    including under an adversarially tiny ``n_bits`` (high-FPR) where
+    only the verify join keeps it exact."""
+    from .dedup import shingle
+
+    if n_bits < 64:
+        raise ValueError("n_bits must be >= 64")
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be >= 1")
+    tr = shingle(train, text_col, id_col, n, spread=False)
+    ev = (shingle(eval_df, text_col, id_col, n, spread=False)
+          .select("shingle").distinct())
+
+    def pos(i: int):
+        return F.pmod(F.xxhash64(F.col("shingle"), F.lit(i)),
+                      F.lit(n_bits))
+
+    bloom = (ev.select(F.explode(F.array(
+                *[pos(i) for i in range(n_hashes)])).alias("p"))
+             .select(F.shiftright("p", 6).alias("wd"),
+                     F.col("p").bitwiseAND(F.lit(63)).alias("bit"))
+             .groupBy("wd")
+             .agg(F.bit_or(F.expr(
+                 "shiftleft(CAST(1 AS BIGINT), bit)")).alias("mask")))
+    probe = tr
+    hit = F.lit(True)
+    for i in range(n_hashes):
+        p = pos(i)
+        probe = probe.withColumn(f"__w{i}", F.shiftright(p, 6)) \
+                     .withColumn(f"__b{i}",
+                                 p.bitwiseAND(F.lit(63)))
+        probe = probe.join(
+            F.broadcast(bloom.select(F.col("wd").alias(f"__w{i}"),
+                                     F.col("mask").alias(f"__m{i}"))),
+            f"__w{i}", "left")
+        hit = hit & F.expr(
+            f"coalesce(shiftright(__m{i}, __b{i}) & 1, 0) = 1")
+    survivors = probe.where(hit).select("id", "shingle")
+    return (survivors.join(ev, "shingle")
+            .groupBy("id")
+            .agg(F.count("*").alias("n_shared_shingles"))
+            .withColumnRenamed("id", id_col))
 
 
 def chunk_overlap(df: DataFrame, text_col: str = "text",

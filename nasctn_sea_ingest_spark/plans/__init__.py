@@ -256,6 +256,18 @@ RETIRED_NAMES = frozenset({
     #   q52_unpivot: stack()-based melt — exercised at driver scale
     #     inside q167/q169's FD melt; reshape family keeps q17 + q45.
     "q52_unpivot",
+    # Also retired round 15 — admitting q181 (per-node local
+    # clustering, the graph family's third invariant on the shared
+    # q170/q177 witness graph) needed one more slot from the same
+    # must-verify cohort; q139 is the r14-verdict-staged choice
+    # ("thin/overlapping r5 families").  Keeps its pytest DuckDB
+    # oracle via tests/test_corpus::ALL:
+    #   q139_ewma_daily: decay smoothing via the offset-explode
+    #     EQUI-join — the irregular-time-series family keeps q143
+    #     gap interpolation (same day-key offset-join machinery) and
+    #     q144 rolling corr (the windowed-smoothing face); EWMA's
+    #     exact-decimal fold adds no operator surface beyond them.
+    "q139_ewma_daily",
     # ROUND-16 RETIREMENT CANDIDATES (staged, not retired).  Stage
     # from the cohort that will be must-verify in r16 (the r14-green
     # 50); retire only if an r16 admission needs the slot:

@@ -1,5 +1,6 @@
 """Round-15 corpus extension: the last ExactSubstr face gets a
-driver-oracle row (r14 verdict "Next round" #5).
+driver-oracle row (r14 verdict "Next round" #5), and the graph
+family's node-level clustering face joins the shared witness graph.
 
 - q180: SPAN DUPLICATION RATIO — ``operators.text.span_dup_ratio``
   composes q178's duplicate-span frame with a per-document token
@@ -14,6 +15,16 @@ driver-oracle row (r14 verdict "Next round" #5).
   convention).  As with q178, the oracle groups window STRINGS while
   Spark groups xxhash64 keys, so a hash-green row re-certifies
   collision-freedom on the checked data.
+
+- q181: LOCAL CLUSTERING — ``operators.graph.local_triangles``
+  (per-node exact triangle counts + Watts-Strogatz local clustering
+  coefficient) over the SAME customer witness graph as q170's 2-core
+  and q177's coreness, so three independent graph invariants are now
+  pinned cross-engine on one shared graph.  The Spark plan is the
+  degree-orientation wedge-close design (q128's scale story) with a
+  per-corner 3-row explode for the node-level counts; the DuckDB
+  oracle enumerates each triangle once as an ordered triple
+  x < y < z via the canonical-edge 3-join.
 """
 
 from __future__ import annotations
@@ -21,6 +32,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from .corpus import _q
+from .corpus_r11 import kc_witness_edges
+from .corpus_r14 import _CN_EDGES
 from .tables import load_table
 
 _DS_W = 12      # q178's window — the shared ExactSubstr geometry
@@ -87,3 +100,58 @@ def q180(spark, sf_dir):
         F.col("dup_tokens").cast("bigint").alias("dup_tokens"),
         F.round("dup_ratio", 6).alias("dup_ratio"))
         .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# q181: per-node triangle counts + local clustering coefficient
+# ---------------------------------------------------------------------------
+
+@_q("q181_local_clustering",
+    "per-node EXACT triangle counts and local clustering coefficient "
+    "(graph.local_triangles) over the q170/q177 customer witness "
+    "graph — the node-level companion of q128's global triangle "
+    "scalar, and the third driver row asserted on the SAME shared "
+    "witness graph (k-core, coreness, now clustering).  Spark directs "
+    "each edge from its lower-(degree, id) endpoint so wedge fan-out "
+    "is O(sqrt(m)) per node on any degree distribution, finds each "
+    "triangle once at its orientation apex, and charges it to all "
+    "three corners via a 3-row explode + one hash aggregate; the "
+    "DuckDB oracle enumerates ordered triples x < y < z by the "
+    "textbook canonical-edge 3-join.  lcc = round(2t / (d(d-1)), 6) "
+    "(0.0 below degree 2) — one double division on small exact "
+    "integers, engine-identical IEEE; the witness plants one "
+    "{b, b+4, b+8} triangle per 16-block so anchors, triangle "
+    "members, and triangle-free leaves all appear",
+    "WITH " + _CN_EDGES + """,
+    canon AS (SELECT DISTINCT a, b FROM sym WHERE a < b),
+    degs AS (SELECT a AS node, count(*) AS d FROM sym GROUP BY 1),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM canon e1
+      JOIN canon e2 ON e2.a = e1.b
+      JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+    corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri),
+    tc AS (SELECT node, count(*) AS t FROM corners GROUP BY 1)
+    SELECT CAST(degs.node AS BIGINT) AS node,
+           CAST(degs.d AS INTEGER) AS degree,
+           CAST(coalesce(tc.t, 0) AS BIGINT) AS triangles,
+           round(CASE WHEN degs.d >= 2
+                      THEN 2.0 * coalesce(tc.t, 0)
+                           / (degs.d * (degs.d - 1))
+                      ELSE 0.0 END, 6) AS lcc
+    FROM degs LEFT JOIN tc ON tc.node = degs.node
+    ORDER BY 1
+    """)
+def q181(spark, sf_dir):
+    from ..operators.graph import local_triangles
+    edges = kc_witness_edges(spark, sf_dir)
+    out = local_triangles(edges)
+    return (out.select(F.col("node").cast("bigint").alias("node"),
+                       F.col("degree").cast("int").alias("degree"),
+                       F.col("triangles").cast("bigint")
+                       .alias("triangles"),
+                       F.round("lcc", 6).alias("lcc"))
+            .orderBy("node"))

@@ -180,6 +180,30 @@ def test_fd_and_graph_library_plans(spark, tiny):
     _lint(pt, "triangle_count")
 
 
+def test_local_triangles_and_bloom_contamination_plans(spark, tiny):
+    """Round-15 library ops.  local_triangles: the q128 equi-join-only
+    discipline holds for the per-node face too (orientation joins,
+    wedge close, corner explode — no cartesian, no row-Python).
+    bloom_contamination: every bitmask probe join is BROADCAST (the
+    whole point — the train side never shuffles before the verify
+    stage), and the plan stays row-Python-free."""
+    from nasctn_sea_ingest_spark.operators.graph import local_triangles
+    from nasctn_sea_ingest_spark.operators.text import bloom_contamination
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)],
+                                  "d1 long, d2 long")
+    p = _plan(local_triangles(edges))
+    _lint(p, "local_triangles")
+
+    docs, _emb, _ev = tiny
+    ev_docs = spark.createDataFrame([(9, "b c d")],
+                                    "doc_id long, text string")
+    out = bloom_contamination(docs, ev_docs, n=2, n_hashes=2)
+    pb = _plan(out)
+    _lint(pb, "bloom_contamination")
+    assert "BroadcastHashJoin" in pb, "bitmask probe joins must broadcast"
+
+
 def test_dbscan_nd_and_k_core_plans(spark):
     """Round-10 library ops: dbscan_nd's pair stage is the d-part
     hash equi-join (no cartesian, no row-Python), and each k_core

@@ -2162,6 +2162,49 @@ def test_triangle_count_brute_force_parity(spark):
         assert (r.n_nodes, r.n_edges, r.n_triangles) == brute(es)
 
 
+def test_local_triangles_brute_force_parity(spark):
+    """graph.local_triangles == per-node itertools brute force
+    (degree, triangle count, AND lcc) on a random hub graph, K5
+    (every node d=4, t=6, lcc=1.0), and a star (hub lcc 0.0 despite
+    max degree); global consistency sum(t) == 3 * triangle_count."""
+    import itertools as it
+    import random
+
+    from nasctn_sea_ingest_spark.operators.graph import (
+        local_triangles, triangle_count)
+
+    def brute(edges):
+        es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        nodes = sorted({x for e in es for x in e})
+        deg = {n: sum(1 for e in es if n in e) for n in nodes}
+        t = {n: 0 for n in nodes}
+        for a, b, c in it.combinations(nodes, 3):
+            if (a, b) in es and (b, c) in es and (a, c) in es:
+                for n in (a, b, c):
+                    t[n] += 1
+        return {n: (deg[n], t[n],
+                    2.0 * t[n] / (deg[n] * (deg[n] - 1))
+                    if deg[n] >= 2 else 0.0) for n in nodes}
+
+    rng = random.Random(11)
+    edges = [(rng.randint(0, 39), rng.randint(0, 39)) for _ in range(200)]
+    edges += [(99, i) for i in range(40)]          # hub touches all
+    for es in (edges,
+               list(it.combinations(range(5), 2)),          # K5
+               [(0, i) for i in range(1, 30)]):             # star
+        df = spark.createDataFrame([(a, b) for a, b in es],
+                                   "d1 long, d2 long")
+        got = {r.node: (r.degree, r.triangles, r.lcc)
+               for r in local_triangles(df).collect()}
+        want = brute(es)
+        assert set(got) == set(want)
+        for n, (d, t, lcc) in want.items():
+            assert got[n][0] == d and got[n][1] == t
+            assert abs(got[n][2] - lcc) < 1e-12
+        assert (sum(t for _, t, _ in got.values())
+                == 3 * triangle_count(df).first().n_triangles)
+
+
 def test_dbscan_brute_force_parity(spark):
     """spatial.dbscan == a reference Python DBSCAN (roles AND cluster
     labels) on random points, on a long density RIDGE (the chain

@@ -119,6 +119,51 @@ def test_contamination_planted(spark):
     assert got == {1: 2, 3: 1}
 
 
+def test_bloom_contamination_equals_exact(spark):
+    """bloom_contamination == contamination (exact output parity) on a
+    random corpus with planted overlaps — at the default geometry AND
+    at an adversarially tiny n_bits (FPR near 1, every probe a bloom
+    hit) where ONLY the verify join keeps the output exact; a
+    disjoint eval set yields an empty frame either way."""
+    import random
+
+    import pandas as pd
+
+    from nasctn_sea_ingest_spark.operators.text import (
+        bloom_contamination, contamination)
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(60)]
+
+    def doc(k):
+        return " ".join(rng.choice(vocab) for _ in range(k))
+
+    evals = [doc(12) for _ in range(5)]
+    train_texts = [doc(15) for _ in range(40)]
+    # plant verbatim eval phrases inside some train docs
+    for i in (0, 7, 23):
+        train_texts[i] += " " + evals[i % len(evals)]
+    train = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(40)), "text": train_texts}))
+    eval_df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100 + i for i in range(5)], "text": evals}))
+
+    want = {r.doc_id: r.n_shared_shingles
+            for r in contamination(train, eval_df, n=5).collect()}
+    assert want  # the plant guarantees hits
+    for kw in ({}, {"n_bits": 64, "n_hashes": 2}):
+        got = {r.doc_id: r.n_shared_shingles
+               for r in bloom_contamination(train, eval_df, n=5,
+                                            **kw).collect()}
+        assert got == want, kw
+
+    clean_eval = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [999], "text": ["alpha beta gamma delta epsilon "
+                                  "zeta eta theta"]}))
+    assert not bloom_contamination(train, clean_eval, n=5).count()
+    assert not contamination(train, clean_eval, n=5).count()
+
+
 def test_chunk_dedup_first_occurrence_wins(spark):
     """Repeated chunks survive only at their globally-first (doc, idx)
     position; fully-duplicated docs collapse to NULL; counts line up."""
