@@ -14,7 +14,7 @@ from ..functions import _let
 
 __all__ = ["token_stats", "quality_score", "language_id", "fingerprint",
            "token_count_estimate", "scrub_pii", "contamination",
-           "bloom_contamination",
+           "bloom_contamination", "bloom_bitmask", "bloom_probe",
            "chunk_dedup", "repetition_stats", "chunk_overlap", "duplicate_spans", "apply_span_removal", "span_dup_ratio",
            "cdc_chunks_expr", "cdc_chunk_dedup",
            "train_bigram_lm", "lm_perplexity", "compression_ratio",
@@ -409,29 +409,59 @@ def bloom_contamination(train: DataFrame, eval_df: DataFrame,
     only the verify join keeps it exact."""
     from .dedup import shingle
 
+    tr = shingle(train, text_col, id_col, n, spread=False)
+    ev = (shingle(eval_df, text_col, id_col, n, spread=False)
+          .select("shingle").distinct())
+    bloom = bloom_bitmask(ev, n_bits=n_bits, n_hashes=n_hashes)
+    return (bloom_probe(tr, bloom, ev, n_bits=n_bits,
+                        n_hashes=n_hashes)
+            .withColumnRenamed("id", id_col))
+
+
+def _bloom_pos(i: int, n_bits: int):
+    return F.pmod(F.xxhash64(F.col("shingle"), F.lit(i)),
+                  F.lit(n_bits))
+
+
+def bloom_bitmask(ev_shingles: DataFrame, n_bits: int = 1 << 23,
+                  n_hashes: int = 4) -> DataFrame:
+    """The ``(wd, mask)`` Bloom bitmask frame over a distinct
+    ``shingle`` column — ``n_bits`` bits packed 64/row, built by one
+    explode + one ``bit_or`` hash aggregate.  Config-bounded at
+    n_bits/64 rows regardless of input size; shared by
+    :func:`bloom_contamination` and ``streaming.decontam_stream``
+    (which builds it ONCE off the static eval side and probes every
+    micro-batch against it)."""
     if n_bits < 64:
         raise ValueError("n_bits must be >= 64")
     if n_hashes < 1:
         raise ValueError("n_hashes must be >= 1")
-    tr = shingle(train, text_col, id_col, n, spread=False)
-    ev = (shingle(eval_df, text_col, id_col, n, spread=False)
-          .select("shingle").distinct())
+    return (ev_shingles.select(F.explode(F.array(
+                *[_bloom_pos(i, n_bits) for i in range(n_hashes)]))
+                .alias("p"))
+            .select(F.shiftright("p", 6).alias("wd"),
+                    F.col("p").bitwiseAND(F.lit(63)).alias("bit"))
+            .groupBy("wd")
+            .agg(F.bit_or(F.expr(
+                "shiftleft(CAST(1 AS BIGINT), bit)")).alias("mask")))
 
-    def pos(i: int):
-        return F.pmod(F.xxhash64(F.col("shingle"), F.lit(i)),
-                      F.lit(n_bits))
 
-    bloom = (ev.select(F.explode(F.array(
-                *[pos(i) for i in range(n_hashes)])).alias("p"))
-             .select(F.shiftright("p", 6).alias("wd"),
-                     F.col("p").bitwiseAND(F.lit(63)).alias("bit"))
-             .groupBy("wd")
-             .agg(F.bit_or(F.expr(
-                 "shiftleft(CAST(1 AS BIGINT), bit)")).alias("mask")))
-    probe = tr
+def bloom_probe(shingles: DataFrame, bloom: DataFrame,
+                ev_shingles: DataFrame, n_bits: int = 1 << 23,
+                n_hashes: int = 4) -> DataFrame:
+    """Probe an ``(id, shingle)`` stream against a
+    :func:`bloom_bitmask` frame (``n_hashes`` map-side BROADCAST
+    joins — zero shuffle of the probe side), then exact-verify
+    survivors against the distinct eval shingle frame: returns
+    ``(id, n_shared_shingles)``, exact (the verify join removes every
+    false positive).  ``n_bits``/``n_hashes`` must match the mask's
+    build geometry — a mismatch probes bits the build never set and
+    silently misses (the semdedup geometry-manifest lesson; callers
+    that persist a mask must persist its geometry)."""
+    probe = shingles
     hit = F.lit(True)
     for i in range(n_hashes):
-        p = pos(i)
+        p = _bloom_pos(i, n_bits)
         probe = probe.withColumn(f"__w{i}", F.shiftright(p, 6)) \
                      .withColumn(f"__b{i}",
                                  p.bitwiseAND(F.lit(63)))
@@ -442,10 +472,9 @@ def bloom_contamination(train: DataFrame, eval_df: DataFrame,
         hit = hit & F.expr(
             f"coalesce(shiftright(__m{i}, __b{i}) & 1, 0) = 1")
     survivors = probe.where(hit).select("id", "shingle")
-    return (survivors.join(ev, "shingle")
+    return (survivors.join(ev_shingles, "shingle")
             .groupBy("id")
-            .agg(F.count("*").alias("n_shared_shingles"))
-            .withColumnRenamed("id", id_col))
+            .agg(F.count("*").alias("n_shared_shingles")))
 
 
 def chunk_overlap(df: DataFrame, text_col: str = "text",

@@ -37,7 +37,8 @@ __all__ = ["read_sigmf_stream", "stream_to_warehouse", "daily_rollup",
            "occupancy_monitor_stream", "quantile_rollup_stream",
            "cm_rollup_stream", "fingerprint_rollup_stream",
            "index_stream", "pca_moments_stream", "media_dedup_stream",
-           "fuzzy_dedup_stream", "kmv_rollup_stream",
+           "fuzzy_dedup_stream", "decontam_stream",
+           "kmv_rollup_stream",
            "funnel_monitor_stream", "colocation_monitor_stream",
            "fd_profile_stream", "components_stream",
            "components_stream_bucketed", "compact_candidate_store",
@@ -1466,6 +1467,71 @@ def fuzzy_dedup_stream(names: DataFrame, out_dir: str,
             batch_id, auto_compact_files)
 
     writer = (names.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def decontam_stream(docs: DataFrame, eval_df: DataFrame,
+                    alerts_dir: str, checkpoint_dir: str,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    n: int = 13, n_bits: int = 1 << 23,
+                    n_hashes: int = 4, available_now: bool = False):
+    """Streaming train/eval DECONTAMINATION monitor: every arriving
+    document is checked for word ``n``-gram overlap against a STATIC
+    benchmark/eval set at arrival time, and contaminated docs land as
+    alert rows ``(doc_id, n_shared_shingles)`` under
+    ``alerts_dir/batch=<id>`` — the ingestion-time form of
+    ``text.contamination``/``bloom_contamination`` ("never let a
+    benchmark-overlapping document into the training corpus unflagged"
+    instead of a corpus-wide sweep after the fact).
+
+    The eval side is fixed for the stream's life, so its two derived
+    frames are built ONCE at wiring time and eagerly checkpointed:
+    the distinct eval shingle frame (the exact-verify side) and its
+    :func:`operators.text.bloom_bitmask` (config-bounded —
+    ``n_bits``/64 rows ≈ 1 MiB at 2^23 — so re-broadcasting it each
+    trigger is constant work).  Per trigger the batch's shingle
+    stream runs :func:`operators.text.bloom_probe`: ``n_hashes``
+    map-side BROADCAST joins, then the exact verify join over bloom
+    survivors only — cost O(batch shingles) map-side + a
+    candidate-proportional shuffle, independent of how much has ever
+    streamed.  Alerts carry exact shared-shingle counts (every Bloom
+    false positive dies in the verify join); per-batch alert sets are
+    pinned equal to batch ``bloom_contamination`` of the same rows by
+    pytest.
+
+    Replay contract: this monitor is STATELESS across batches — no
+    store grows, nothing is probed against prior batches — so the
+    r14 partial-append class (``_replay_split``) structurally cannot
+    arise; the only write is the batch's own ``batch=<id>`` alert
+    partition, mode("overwrite") into its own directory, so a
+    crash-replayed batch rewrites the identical rows idempotently
+    (the fuzzy/media alert-partition convention).  A changed eval
+    set requires a NEW stream (new checkpoint + alerts dir): alerts
+    already written reflect the eval set they were checked against.
+    """
+    from ..operators.dedup import shingle
+    from ..operators.text import bloom_bitmask, bloom_probe
+
+    ev = (shingle(eval_df, text_col, id_col, n, spread=False)
+          .select("shingle").distinct().localCheckpoint(eager=True))
+    bloom = bloom_bitmask(ev, n_bits=n_bits, n_hashes=n_hashes) \
+        .localCheckpoint(eager=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = (batch_df.select(F.col(id_col).alias("id"),
+                             F.col(text_col).alias("text"))
+             .where(F.col("text").isNotNull()))
+        alerts = (bloom_probe(shingle(b, "text", "id", n, spread=False),
+                              bloom, ev, n_bits=n_bits,
+                              n_hashes=n_hashes)
+                  .withColumnRenamed("id", id_col))
+        alerts.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(alerts_dir, f"batch={int(batch_id)}"))
+
+    writer = (docs.writeStream.foreachBatch(write_batch)
               .option("checkpointLocation", checkpoint_dir))
     if available_now:
         writer = writer.trigger(availableNow=True)

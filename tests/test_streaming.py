@@ -1679,6 +1679,73 @@ def test_fuzzy_dedup_stream_alerts_and_replay(spark, tmp_path):
     assert store2.where("id = 11").count() == 0          # dup never stored
 
 
+def test_decontam_stream_matches_batch_and_replay(spark, tmp_path):
+    """Arrival-time decontamination: per-wave alerts equal batch
+    bloom_contamination of the same docs against the same eval set
+    (exact shared-shingle counts — bloom FPs die in the verify join,
+    pinned here with an adversarially tiny n_bits); a crash-replayed
+    batch rewrites its own alert partition idempotently; clean waves
+    land no alert rows."""
+    from pyspark.sql import Row
+    from nasctn_sea_ingest_spark.operators.text import bloom_contamination
+    from nasctn_sea_ingest_spark.streaming import decontam_stream
+
+    land = str(tmp_path / "land")
+    alerts = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(land)
+
+    eval_df = spark.createDataFrame([
+        Row(doc_id=900, text="the quick brown fox jumps over lazy dogs"),
+        Row(doc_id=901, text="pack my box with five dozen liquor jugs"),
+    ])
+    wave1 = [Row(doc_id=1, text="prefix the quick brown fox jumps tail"),
+             Row(doc_id=2, text="totally unrelated words in this doc"),
+             Row(doc_id=3, text="pack my box with five dozen liquor "
+                                "jugs copied verbatim here")]
+    spark.createDataFrame(wave1).coalesce(1) \
+        .write.mode("append").parquet(land)
+
+    def run():
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(land).schema)
+                  .parquet(land))
+        q = decontam_stream(stream, eval_df, alerts, ckpt, n=4,
+                            n_bits=64, n_hashes=2,  # FPR≈1: verify-only
+                            available_now=True)
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    run()
+
+    def batch_expect(rows):
+        df = spark.createDataFrame(rows)
+        return {(r.doc_id, r.n_shared_shingles) for r in
+                bloom_contamination(df, eval_df, n=4).collect()}
+
+    got1 = {(r.doc_id, r.n_shared_shingles)
+            for r in spark.read.parquet(alerts).collect()}
+    want1 = batch_expect(wave1)
+    assert got1 == want1 and {d for d, _ in got1} == {1, 3}
+
+    _delete_commit_marker(ckpt)
+    run()                                  # replay: idempotent overwrite
+    assert {(r.doc_id, r.n_shared_shingles)
+            for r in spark.read.parquet(alerts).collect()} == want1
+
+    wave2 = [Row(doc_id=11, text="five dozen liquor jugs arrive in "
+                                 "pack my box again"),
+             Row(doc_id=12, text="clean text nothing shared at all")]
+    spark.createDataFrame(wave2).coalesce(1) \
+        .write.mode("append").parquet(land)
+    run()
+    got2 = {(r.doc_id, r.n_shared_shingles)
+            for r in spark.read.parquet(alerts).collect()}
+    assert got2 == want1 | batch_expect(wave2)
+    assert 12 not in {d for d, _ in got2}
+
+
 def test_kmv_rollup_stream_matches_batch(spark, tmp_path):
     """Maintained KMV snapshot == from-scratch sketch of everything
     streamed, ELEMENT-identical per key (union merge is exact sketch
