@@ -2829,6 +2829,45 @@ def test_shortest_paths_dijkstra_parity(spark):
     assert full == {i: float(i) for i in range(31)}
 
 
+def test_local_triangles_hypothesis(spark):
+    """Property: on ARBITRARY small edge lists (self-loops, duplicates,
+    reversed duplicates, disconnected pieces), local_triangles matches
+    a per-node itertools brute force on degree, triangle count, and
+    lcc — the regimes (shared wedges, equal-degree orientation ties)
+    a hand example can miss."""
+    import itertools as it
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nasctn_sea_ingest_spark.operators.graph import local_triangles
+
+    edge = st.tuples(st.integers(0, 12), st.integers(0, 12))
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(edge, min_size=1, max_size=50))
+    def prop(pairs):
+        es = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+        nodes = sorted({x for e in es for x in e})
+        deg = {m: sum(1 for e in es if m in e) for m in nodes}
+        t = {m: 0 for m in nodes}
+        for a, b, c in it.combinations(nodes, 3):
+            if (a, b) in es and (b, c) in es and (a, c) in es:
+                for m in (a, b, c):
+                    t[m] += 1
+        df = spark.createDataFrame(pairs, "d1 long, d2 long")
+        got = {r.node: (r.degree, r.triangles, r.lcc)
+               for r in local_triangles(df).collect()}
+        assert set(got) == set(nodes)   # self-loop-only nodes excluded
+        for m in nodes:
+            want_lcc = (2.0 * t[m] / (deg[m] * (deg[m] - 1))
+                        if deg[m] >= 2 else 0.0)
+            assert got[m][0] == deg[m] and got[m][1] == t[m]
+            assert abs(got[m][2] - want_lcc) < 1e-12
+
+    prop()
+
+
 def test_star_components_kernel_hypothesis(spark):
     """Property: on ARBITRARY small edge lists (self-loops, isolated
     self-loop-only nodes, duplicates, reversed duplicates included),

@@ -164,6 +164,43 @@ def test_bloom_contamination_equals_exact(spark):
     assert not contamination(train, clean_eval, n=5).count()
 
 
+def test_bloom_contamination_hypothesis(spark):
+    """Property: bloom_contamination == contamination on arbitrary
+    tiny-alphabet corpora (dense chance overlaps) across randomized
+    filter geometry — n_bits down to 64 (near-total FPR) and 1–3
+    hashes — so exactness never depends on the filter being
+    well-sized."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nasctn_sea_ingest_spark.operators.text import (
+        bloom_contamination, contamination)
+
+    text = st.lists(st.sampled_from("abcd"), min_size=0,
+                    max_size=10).map(" ".join)
+
+    @settings(max_examples=6, deadline=None)
+    @given(tr=st.lists(text, min_size=1, max_size=6),
+           ev=st.lists(text, min_size=1, max_size=3),
+           n_bits=st.sampled_from([64, 128, 4096]),
+           n_hashes=st.integers(1, 3))
+    def prop(tr, ev, n_bits, n_hashes):
+        train = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(tr)], "doc_id long, text string")
+        eval_df = spark.createDataFrame(
+            [(100 + i, t) for i, t in enumerate(ev)],
+            "doc_id long, text string")
+        want = {r.doc_id: r.n_shared_shingles
+                for r in contamination(train, eval_df, n=2).collect()}
+        got = {r.doc_id: r.n_shared_shingles
+               for r in bloom_contamination(
+                   train, eval_df, n=2, n_bits=n_bits,
+                   n_hashes=n_hashes).collect()}
+        assert got == want
+
+    prop()
+
+
 def test_chunk_dedup_first_occurrence_wins(spark):
     """Repeated chunks survive only at their globally-first (doc, idx)
     position; fully-duplicated docs collapse to NULL; counts line up."""
