@@ -24,7 +24,8 @@ __all__ = ["pagerank", "pagerank_exact", "star_components",
            "shortest_paths",
            "bounded_hop_distances", "k_core", "core_numbers",
            "personalized_pagerank", "personalized_pagerank_exact",
-           "label_propagation", "temporal_edges"]
+           "label_propagation", "temporal_edges", "link_scores",
+           "hits_exact"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -1113,3 +1114,182 @@ def temporal_edges(events: DataFrame, window: int, key: str = "k",
                     F.col("u2").alias("dst"),
                     F.col("t2").alias("t"))
             .distinct())
+
+
+def link_scores(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
+                max_center_degree: "int | None" = None) -> DataFrame:
+    """EXACT link-prediction scores for every unordered node pair with
+    at least one common neighbor in the undirected graph given as a
+    pair list — one row per pair ``(u, v)`` with ``u < v``:
+
+      - ``cn``           common-neighbor count (BIGINT)
+      - ``du`` / ``dv``  endpoint degrees (BIGINT)
+      - ``jaccard``      cn / (du + dv - cn) — neighborhood overlap
+      - ``adamic_adar``  sum over common neighbors w of 1/ln(deg(w))
+                         (Adamic & Adar 2003; a center is adjacent to
+                         both endpoints, so deg(w) >= 2 and the log is
+                         never zero)
+      - ``adjacent``     whether the edge (u, v) itself exists — kept
+                         as a flag instead of anti-joined away so one
+                         frame serves both "predict missing links"
+                         (filter NOT adjacent) and "score existing
+                         edges by embeddedness" (dedup-graph curation:
+                         high-jaccard edges are community-internal,
+                         low ones are hub spam bridges)
+
+    Plan: neighbor lists never materialize — pairs come from the WEDGE
+    join (the ``triangle_count`` machinery re-keyed at the center):
+    symmetrize the canonical edge list into (center, neighbor) rows,
+    self-join on the center with ``u < v``, then ONE hash aggregate by
+    (u, v) computes cn and the Adamic-Adar sum together (the center's
+    degree rides the wedge row, joined once before the pairing).
+    Endpoint degrees and the adjacency flag are two further equi-joins
+    against vertex- and edge-cardinality frames (no mandatory
+    broadcast — the r8 rule; AQE promotes them when actually small).
+
+    Scale contract: the wedge fan-out is C(deg(w), 2) per center — the
+    inherent output size of exact common-neighbor scoring, quadratic
+    in the hottest degree (orientation cannot help here: both wedge
+    arms are needed, not one triangle apex).  On power-law graphs cap
+    it with ``max_center_degree``: the guard RAISES naming the hottest
+    centers (the ``temporal_edges`` discipline — refuse loudly rather
+    than run a quadratic cell or silently drop pairs; hub centers
+    contribute the least signal anyway — 1/ln(d) vanishes — so the
+    right response is usually to pre-drop hubs EXPLICITLY and rerun).
+    NOTE: the guard is an EAGER action at call time (one count-scan),
+    same caveat as ``temporal_edges``/``skew_survey``.
+
+    Oracle-checked as corpus q182 (driver row) over the support>=2
+    co-purchase graph; brute-force Python parity in
+    ``test_link_scores_parity``."""
+    e = (pairs.select(F.least(d1, d2).alias("a"),
+                      F.greatest(d1, d2).alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+         .distinct())
+    sym = (e.select(F.col("a").alias("c"), F.col("b").alias("n"))
+           .unionByName(e.select(F.col("b").alias("c"),
+                                 F.col("a").alias("n"))))
+    deg = sym.groupBy("c").agg(F.count("*").alias("d"))
+    if max_center_degree is not None:
+        hot = (deg.where(F.col("d") > int(max_center_degree))
+               .orderBy(F.desc("d")).limit(5).collect())
+        if hot:
+            worst = ", ".join(f"(node={r['c']}: degree {r['d']})"
+                              for r in hot)
+            raise ValueError(
+                f"link_scores: centers exceed max_center_degree="
+                f"{int(max_center_degree)} — worst offenders {worst}."
+                "  A degree-d center fans out C(d,2) candidate pairs; "
+                "pre-drop hub nodes explicitly (their 1/ln(d) "
+                "Adamic-Adar weight is negligible) or raise the cap")
+    ctr = sym.join(deg, "c")
+    w1 = ctr.select("c", F.col("n").alias("u"), F.col("d").alias("cd"))
+    w2 = ctr.select("c", F.col("n").alias("v"))
+    scores = (w1.join(w2, "c")
+              .where(F.col("u") < F.col("v"))
+              .groupBy("u", "v")
+              .agg(F.count("*").cast("long").alias("cn"),
+                   F.sum(F.lit(1.0) / F.log(F.col("cd")))
+                   .alias("adamic_adar")))
+    du = deg.select(F.col("c").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("c").alias("v"), F.col("d").alias("dv"))
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v"),
+                   F.lit(True).alias("adjacent"))
+    return (scores.join(du, "u").join(dv, "v")
+            .join(adj, ["u", "v"], "left")
+            .select("u", "v", "cn",
+                    F.col("du").cast("long").alias("du"),
+                    F.col("dv").cast("long").alias("dv"),
+                    (F.col("cn") / (F.col("du") + F.col("dv")
+                                    - F.col("cn"))).alias("jaccard"),
+                    "adamic_adar",
+                    F.coalesce("adjacent", F.lit(False))
+                    .alias("adjacent")))
+
+
+def hits_exact(edges: DataFrame, src: str = "src", dst: str = "dst",
+               n_iter: int = 3, scale: int = 10 ** 6) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) with EXACT fixed-
+    point integer arithmetic — the ``pagerank_exact`` pattern extended
+    to the mutually-recursive pair, giving the DIRECTED-graph
+    centrality family a second cross-engine-exact witness:
+
+        h0(u)   = scale
+        a'(v)   = sum of h(u) over in-edges (u, v)
+        a(v)    = a' div max(1, max_all(a') div scale)
+        h'(u)   = sum of a(v) over out-edges (u, v)
+        h(u)    = h' div max(1, max_all(h') div scale)
+
+    run for EXACTLY ``n_iter`` rounds (fixed budget = part of the
+    semantics, the q166/q176 rule).  Real HITS L2-normalizes each half
+    round; sqrt is not engine-exact, so this witness normalizes by
+    integer floor-dividing against the GLOBAL MAX instead — the same
+    monotone rescale on every engine, keeping every intermediate
+    bounded: after a rescale the max is <= 2*scale (floor division
+    halves at worst near the boundary), so the next raw sum is <=
+    2*scale*max_degree — BIGINT-safe for any graph with degree below
+    ~4.6e12 regardless of n_iter, with NO overflow wraparound risk
+    (Java long arithmetic wraps silently; DuckDB raises — an
+    unguarded unnormalized unroll could diverge ACROSS engines).
+    Rank ORDER within each half is preserved exactly (a shared floor
+    division is monotone), which is the quantity HITS exists to
+    produce.
+
+    Scale shape per round: two equi-joins against the once-
+    repartitioned edge list, two map-side-combinable sum aggregates,
+    two 1-row broadcast max frames, one eager checkpoint — identical
+    cost to two ``pagerank_exact`` rounds.  Nodes with no in-edges
+    hold authority 0, no out-edges hold hub 0 (they still appear).
+
+    Oracle-checked as corpus q183 (driver row, rounds unrolled as CTE
+    stages over the temporal influence graph); Python integer replay
+    in ``test_hits_exact_python_replay``."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if scale < 2:
+        raise ValueError("scale must be >= 2")
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+         .distinct()
+         .repartition("s"))
+    stage_digest("hits_exact.edges", e)
+    e = e.localCheckpoint(eager=True)
+    nodes = (e.select(F.col("s").alias("node"))
+             .union(e.select(F.col("d").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    hub = nodes.withColumn("h", F.lit(int(scale)).cast("long"))
+    auth = None
+    for _ in range(n_iter):
+        a_raw = (hub.join(e, hub.node == e.s)
+                 .groupBy(F.col("d").alias("node"))
+                 .agg(F.sum("h").cast("long").alias("ar")))
+        a_div = a_raw.agg(F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"coalesce(max(ar), 0) div {int(scale)}"))
+            .alias("__adv"))
+        auth = (nodes.join(a_raw, "node", "left")
+                .crossJoin(F.broadcast(a_div))
+                .select("node",
+                        F.expr("coalesce(ar, 0) div __adv")
+                        .cast("long").alias("a")))
+        stage_digest("hits_exact.auth", auth)  # first round's plan
+        auth = auth.localCheckpoint(eager=True)
+        h_raw = (auth.join(e, auth.node == e.d)
+                 .groupBy(F.col("s").alias("node"))
+                 .agg(F.sum("a").cast("long").alias("hr")))
+        h_div = h_raw.agg(F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"coalesce(max(hr), 0) div {int(scale)}"))
+            .alias("__hdv"))
+        hub = (nodes.join(h_raw, "node", "left")
+               .crossJoin(F.broadcast(h_div))
+               .select("node",
+                       F.expr("coalesce(hr, 0) div __hdv")
+                       .cast("long").alias("h")))
+        stage_digest("hits_exact.hub", hub)
+        hub = hub.localCheckpoint(eager=True)
+    return (hub.join(auth, "node")
+            .select("node", F.col("h").alias("hub_scaled"),
+                    F.col("a").alias("auth_scaled")))

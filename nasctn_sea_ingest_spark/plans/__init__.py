@@ -268,6 +268,22 @@ RETIRED_NAMES = frozenset({
     #     q144 rolling corr (the windowed-smoothing face); EWMA's
     #     exact-decimal fold adds no operator surface beyond them.
     "q139_ewma_daily",
+    # Also retired round 15 — admitting q182 (link-prediction scores)
+    # and q183 (exact fixed-point HITS) into the 49-strong must-verify
+    # cohort needed two slots from that cohort; q164/q145 were the
+    # r16-staged first choices and BOTH sit in the r15 must-verify set
+    # (r13-green), so retiring them genuinely frees slots (the
+    # round-11 lesson).  Each keeps its pytest DuckDB oracle via
+    # tests/test_corpus::ALL:
+    #   q164_fd_discovery: hand-listed FD profiling — superseded at
+    #     driver scale by the two DISCOVERY rows q167 (gated lattice)
+    #     and q169 (composite lattice), which subsume its shape.
+    #   q145_reachability: recursive-CTE reachability — the path
+    #     family keeps four driver rows (q165 shortest paths, q173
+    #     LPA, q174 bounded-hop, q175 temporal reachability), and
+    #     q183 adds a fifth directed-graph row on the same influence
+    #     edges.
+    "q164_fd_discovery", "q145_reachability",
     # ROUND-16 RETIREMENT CANDIDATES (staged, not retired).  Stage
     # from the cohort that will be must-verify in r16 (the r14-green
     # 50); retire only if an r16 admission needs the slot:

@@ -33,6 +33,7 @@ import pyspark.sql.functions as F
 
 from .corpus import _q
 from .corpus_r11 import kc_witness_edges
+from .corpus_r13 import _GRAPH_SQL
 from .corpus_r14 import _CN_EDGES
 from .tables import load_table
 
@@ -154,4 +155,155 @@ def q181(spark, sf_dir):
                        F.col("triangles").cast("bigint")
                        .alias("triangles"),
                        F.round("lcc", 6).alias("lcc"))
+            .orderBy("node"))
+
+
+# ---------------------------------------------------------------------------
+# q182: link-prediction scores (common neighbors / Jaccard / Adamic-Adar)
+# q183: HITS hubs & authorities, exact fixed-point integer witness
+# ---------------------------------------------------------------------------
+
+def _hits_oracle_rounds(n_iter: int, scale: int) -> str:
+    """Unroll hits_exact's max-rescaled integer half-rounds as CTE
+    stages (the q166/q176 fixed-budget pattern).  Sums are cast back
+    to BIGINT immediately (DuckDB widens sum(BIGINT) to HUGEINT) and
+    `//` is DuckDB's integer floor division — the exact arithmetic
+    Spark's `div` performs."""
+    out = []
+    prev_h = "h0"
+    last_a = None
+    for i in range(1, n_iter + 1):
+        out.append(f""",
+    ar{i} AS (SELECT e.dst AS node, CAST(sum({prev_h}.h) AS BIGINT) AS x
+              FROM e JOIN {prev_h} ON {prev_h}.node = e.src GROUP BY 1),
+    ad{i} AS (SELECT greatest(CAST(1 AS BIGINT),
+                              coalesce(max(x), 0) // {scale}) AS dv
+              FROM ar{i}),
+    a{i} AS (SELECT n.node,
+                    CAST(coalesce(ar{i}.x, 0) // ad{i}.dv AS BIGINT) AS a
+             FROM nodes n LEFT JOIN ar{i} ON ar{i}.node = n.node
+             CROSS JOIN ad{i}),
+    hr{i} AS (SELECT e.src AS node, CAST(sum(a{i}.a) AS BIGINT) AS x
+              FROM e JOIN a{i} ON a{i}.node = e.dst GROUP BY 1),
+    hd{i} AS (SELECT greatest(CAST(1 AS BIGINT),
+                              coalesce(max(x), 0) // {scale}) AS dv
+              FROM hr{i}),
+    h{i} AS (SELECT n.node,
+                    CAST(coalesce(hr{i}.x, 0) // hd{i}.dv AS BIGINT) AS h
+             FROM nodes n LEFT JOIN hr{i} ON hr{i}.node = n.node
+             CROSS JOIN hd{i})""")
+        prev_h = f"h{i}"
+        last_a = f"a{i}"
+    return "".join(out), prev_h, last_a
+
+
+_HITS_ROUNDS = 3
+_HITS_SCALE = 10 ** 6
+_HITS_CTES, _HITS_H, _HITS_A = _hits_oracle_rounds(_HITS_ROUNDS,
+                                                   _HITS_SCALE)
+
+
+@_q("q182_link_prediction",
+    "link-prediction scores over the support>=2 co-purchase graph "
+    "(graph.link_scores): for every unordered part pair with at "
+    "least one common co-purchase neighbor — common-neighbor count, "
+    "endpoint degrees, Jaccard overlap, Adamic-Adar (sum of "
+    "1/ln(deg) over shared neighbors; a center borders both "
+    "endpoints so deg >= 2), and whether the pair is itself an edge "
+    "(kept as a 0/1 flag so the same frame serves missing-link "
+    "prediction AND edge-embeddedness curation on near-dup graphs).  "
+    "Spark pairs neighbors through the center-keyed wedge join (no "
+    "neighbor-list materialization; the center's degree rides the "
+    "wedge row) into ONE hash aggregate; the DuckDB oracle is the "
+    "same wedge join spelled relationally.  Floats round(6) per the "
+    "corpus parity convention",
+    "WITH " + _GRAPH_SQL + """,
+    deg AS (SELECT u AS c, count(*) AS d FROM e GROUP BY 1),
+    w AS (SELECT a.v AS uu, b.v AS vv, deg.d
+          FROM e a JOIN e b ON a.u = b.u AND a.v < b.v
+          JOIN deg ON deg.c = a.u),
+    s AS (SELECT uu AS u, vv AS v, CAST(count(*) AS BIGINT) AS cn,
+                 sum(1.0 / ln(d)) AS aa
+          FROM w GROUP BY 1, 2),
+    adj AS (SELECT u, v, 1 AS adjacent FROM e0)
+    SELECT CAST(s.u AS BIGINT) AS u, CAST(s.v AS BIGINT) AS v,
+           s.cn AS cn,
+           CAST(du.d AS BIGINT) AS du, CAST(dv.d AS BIGINT) AS dv,
+           round(CAST(s.cn AS DOUBLE) / (du.d + dv.d - s.cn), 6)
+             AS jaccard,
+           round(s.aa, 6) AS adamic_adar,
+           CAST(coalesce(adj.adjacent, 0) AS INTEGER) AS adjacent
+    FROM s JOIN deg du ON du.c = s.u
+           JOIN deg dv ON dv.c = s.v
+           LEFT JOIN adj ON adj.u = s.u AND adj.v = s.v
+    ORDER BY 1, 2
+    """)
+def q182(spark, sf_dir):
+    from ..operators.graph import link_scores
+    from .corpus_r13 import _copurchase_edges
+    e = _copurchase_edges(spark, sf_dir)
+    out = link_scores(e, "u", "v")
+    return (out.select(
+        F.col("u").cast("bigint").alias("u"),
+        F.col("v").cast("bigint").alias("v"),
+        F.col("cn").alias("cn"), F.col("du").alias("du"),
+        F.col("dv").alias("dv"),
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        F.col("adjacent").cast("int").alias("adjacent"))
+        .orderBy("u", "v"))
+
+
+@_q("q183_hits_influence",
+    "HITS hubs & authorities over the 1-hour temporal influence "
+    "graph (graph.temporal_edges |> graph.hits_exact): "
+    f"{_HITS_ROUNDS} exact fixed-point rounds — the pagerank_exact "
+    "BIGINT discipline extended to the mutually-recursive pair, with "
+    "each half-round floor-divided by its global max over "
+    f"{_HITS_SCALE} in place of the L2 norm (sqrt is not engine-"
+    "exact; a shared monotone integer rescale preserves the rank "
+    "order HITS exists to produce and bounds every intermediate "
+    "BIGINT-safe on any graph).  Influencers whose actions many "
+    "users follow score authority; users who follow many "
+    "high-authority actors score hub.  The DuckDB oracle unrolls "
+    "the half-rounds as CTE stages over the identical edge CTE — "
+    "pure integer arithmetic, so the row hash certifies exactness, "
+    "not closeness",
+    f"""
+    WITH ev AS (
+      SELECT user_id AS u,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             epoch_us(ts) AS t
+      FROM events
+      WHERE user_id IS NOT NULL AND props IS NOT NULL),
+    e AS (
+      SELECT DISTINCT a.u AS src, b.u AS dst
+      FROM ev a JOIN ev b
+        ON a.k = b.k AND b.t > a.t AND b.t <= a.t + {{w_us}}
+       AND a.u != b.u),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    h0 AS (SELECT node, CAST({_HITS_SCALE} AS BIGINT) AS h
+           FROM nodes){_HITS_CTES}
+    SELECT CAST({_HITS_H}.node AS BIGINT) AS node,
+           {_HITS_H}.h AS hub_scaled,
+           {_HITS_A}.a AS auth_scaled
+    FROM {_HITS_H} JOIN {_HITS_A}
+      ON {_HITS_A}.node = {_HITS_H}.node
+    ORDER BY 1
+    """.replace("{w_us}", "3600000000"))
+def q183(spark, sf_dir):
+    from ..operators.graph import hits_exact, temporal_edges
+    from .tables import load_table
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()
+                 & F.col("props").isNotNull())
+          .select(F.col("user_id").alias("u"),
+                  F.get_json_object("props", "$.k").cast("int")
+                  .alias("k"),
+                  F.col("ts_us").alias("t")))
+    e = temporal_edges(ev, 3_600_000_000, key="k", id_col="u",
+                       ts="t").select("src", "dst")
+    out = hits_exact(e, n_iter=_HITS_ROUNDS, scale=_HITS_SCALE)
+    return (out.select(F.col("node").cast("bigint").alias("node"),
+                       "hub_scaled", "auth_scaled")
             .orderBy("node"))

@@ -3391,3 +3391,133 @@ def test_temporal_edges_hypothesis(spark):
         assert got == want
 
     run()
+
+
+def test_link_scores_brute_force_parity(spark):
+    """graph.link_scores == itertools brute force (cn, degrees,
+    jaccard, adamic_adar, adjacency flag) on a random hub graph, K5
+    (every pair adjacent, cn=3, jaccard=3/5), and a star (leaf pairs
+    share exactly the hub, never adjacent); hot-center guard raises
+    naming the hub and passes when sized."""
+    import itertools as it
+    import math
+    import random
+
+    import pytest as _pt
+
+    from nasctn_sea_ingest_spark.operators.graph import link_scores
+
+    def brute(edges):
+        es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        nbr = {}
+        for a, b in es:
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        out = {}
+        for u, v in it.combinations(sorted(nbr), 2):
+            common = nbr[u] & nbr[v]
+            if not common:
+                continue
+            cn = len(common)
+            du, dv = len(nbr[u]), len(nbr[v])
+            out[(u, v)] = (cn, du, dv, cn / (du + dv - cn),
+                           sum(1.0 / math.log(len(nbr[w]))
+                               for w in common),
+                           (u, v) in es)
+        return out
+
+    rng = random.Random(7)
+    edges = [(rng.randint(0, 29), rng.randint(0, 29)) for _ in range(90)]
+    edges += [(99, i) for i in range(12)]           # hub
+    for es in (edges,
+               list(it.combinations(range(5), 2)),  # K5
+               [(0, i) for i in range(1, 20)]):     # star
+        df = spark.createDataFrame([(a, b) for a, b in es],
+                                   "d1 long, d2 long")
+        got = {(r.u, r.v): (r.cn, r.du, r.dv, r.jaccard,
+                            r.adamic_adar, r.adjacent)
+               for r in link_scores(df).collect()}
+        want = brute(es)
+        assert set(got) == set(want)
+        for k, (cn, du, dv, jac, aa, adj) in want.items():
+            g = got[k]
+            assert g[0] == cn and g[1] == du and g[2] == dv
+            assert abs(g[3] - jac) < 1e-12
+            assert abs(g[4] - aa) < 1e-10
+            assert g[5] is adj
+    # K5 spot values: every pair has the other 3 as common neighbors
+    k5 = spark.createDataFrame(list(it.combinations(range(5), 2)),
+                               "d1 long, d2 long")
+    r = link_scores(k5).collect()
+    assert all(x.cn == 3 and x.adjacent
+               and abs(x.jaccard - 0.6) < 1e-12 for x in r)
+    # star: leaf pairs share exactly the hub, never adjacent; the hub
+    # itself pairs with nobody (leaves have no second neighbor)
+    star = spark.createDataFrame([(0, i) for i in range(1, 20)],
+                                 "d1 long, d2 long")
+    rs = link_scores(star).collect()
+    assert len(rs) == 19 * 18 // 2
+    assert all(x.cn == 1 and not x.adjacent
+               and abs(x.adamic_adar - 1.0 / math.log(19)) < 1e-12
+               for x in rs)
+    # guard: hub degree 19 > 10 raises naming it; cap 19 passes
+    with _pt.raises(ValueError, match="node=0"):
+        link_scores(star, max_center_degree=10)
+    assert link_scores(star, max_center_degree=19).count() == len(rs)
+
+
+def test_hits_exact_python_replay(spark):
+    """graph.hits_exact == an exact Python integer replay of the
+    max-rescaled fixed-point arithmetic on a random directed graph
+    (sources, sinks, and isolated-from-one-side nodes included), and
+    on a bipartite fans->celebrities graph the celebrities carry the
+    top authority while fans carry the top hub score; raise cases."""
+    import random
+
+    import pytest as _pt
+
+    from nasctn_sea_ingest_spark.operators.graph import hits_exact
+
+    def replay(edges, n_iter, scale):
+        es = sorted(set(edges))
+        nodes = sorted({x for e in es for x in e})
+        h = {n: scale for n in nodes}
+        a = {}
+        for _ in range(n_iter):
+            raw = {n: 0 for n in nodes}
+            for u, v in es:
+                raw[v] += h[u]
+            dv = max(1, max(raw.values()) // scale)
+            a = {n: raw[n] // dv for n in nodes}
+            raw = {n: 0 for n in nodes}
+            for u, v in es:
+                raw[u] += a[v]
+            dh = max(1, max(raw.values()) // scale)
+            h = {n: raw[n] // dh for n in nodes}
+        return {n: (h[n], a[n]) for n in nodes}
+
+    rng = random.Random(13)
+    edges = [(rng.randint(0, 24), rng.randint(0, 24))
+             for _ in range(120)]
+    edges = [(u, v) for u, v in edges if u != v]
+    edges += [(50, 0), (1, 51)]   # pure source / pure sink
+    for n_iter in (1, 3):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: (r.hub_scaled, r.auth_scaled)
+               for r in hits_exact(df, n_iter=n_iter).collect()}
+        assert got == replay(edges, n_iter, 10 ** 6)
+    # structure: fans (100..119) each point at 2 celebrities (0..4)
+    fans = [(100 + i, i % 5) for i in range(20)]
+    fans += [(100 + i, (i + 1) % 5) for i in range(20)]
+    df = spark.createDataFrame(fans, "src long, dst long")
+    r = {x.node: (x.hub_scaled, x.auth_scaled)
+         for x in hits_exact(df, n_iter=2).collect()}
+    celeb_auth = min(r[c][1] for c in range(5))
+    fan_auth = max(r[f][1] for f in range(100, 120))
+    assert celeb_auth > fan_auth == 0          # sinks: no out-edges
+    assert all(r[c][0] == 0 for c in range(5))  # celebs hub 0
+    assert min(r[f][0] for f in range(100, 120)) > 0
+    with _pt.raises(ValueError):
+        hits_exact(df, n_iter=0)
+    with _pt.raises(ValueError):
+        hits_exact(df, scale=1)
