@@ -357,6 +357,53 @@ def main():
             dtj, _ = t(lambda: naive(j))
             print(f"x{k} skew_survey_joined  {dt1:7.2f}s rows={n1} "
                   f"(naive {len(keys)}-derive {dtj:.2f}s)")
+        if want("link_scores") or want("hits_exact"):
+            from nasctn_sea_ingest_spark.operators.graph import (
+                hits_exact, link_scores, temporal_edges)
+            from nasctn_sea_ingest_spark.plans.corpus_r13 import \
+                _copurchase_edges
+
+            def rep_edges(base, k, c1, c2):
+                # disjoint id-shifted copies: BOTH endpoints shift, so
+                # graph structure (and output) scales exactly k-fold
+                if k == 1:
+                    return base
+                return reduce(
+                    lambda a, b: a.unionByName(b),
+                    [base.select(
+                        (F.col(c1) + F.lit(10_000_000 * i)).alias(c1),
+                        (F.col(c2) + F.lit(10_000_000 * i)).alias(c2))
+                     for i in range(k)])
+            if want("link_scores"):
+                cp = _copurchase_edges(spark, sf).select("u", "v") \
+                    .persist()
+                cp.count()
+                e = rep_edges(cp, k, "u", "v").persist()
+                e.count()
+                dt, n = t(lambda: link_scores(e, "u", "v").count())
+                print(f"x{k} link_scores          {dt:7.2f}s pairs={n}")
+                e.unpersist()
+                cp.unpersist()
+            if want("hits_exact"):
+                from nasctn_sea_ingest_spark.plans.tables import \
+                    load_table
+                ev = (load_table(spark, sf, "events")
+                      .where(F.col("user_id").isNotNull()
+                             & F.col("props").isNotNull())
+                      .select(F.col("user_id").alias("u"),
+                              F.get_json_object("props", "$.k")
+                              .cast("int").alias("k"),
+                              F.col("ts_us").alias("t")))
+                te = temporal_edges(ev, 3_600_000_000, key="k",
+                                    id_col="u", ts="t") \
+                    .select("src", "dst").persist()
+                te.count()
+                e = rep_edges(te, k, "src", "dst").persist()
+                e.count()
+                dt, n = t(lambda: hits_exact(e, n_iter=3).count())
+                print(f"x{k} hits_exact           {dt:7.2f}s nodes={n}")
+                e.unpersist()
+                te.unpersist()
         if only is not None and not (only - {"grid_knn_join",
                                              "linkage_scores",
                                              "dbscan", "dbscan_fixed",
@@ -365,6 +412,8 @@ def main():
                                              "label_propagation",
                                              "personalized_pagerank",
                                              "semdedup", "skew",
+                                             "link_scores",
+                                             "hits_exact",
                                              "shortest_paths"}):
             continue
         d = rep(docs0, k, "doc_id").persist()
