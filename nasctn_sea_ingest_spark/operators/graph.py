@@ -25,7 +25,7 @@ __all__ = ["pagerank", "pagerank_exact", "star_components",
            "bounded_hop_distances", "k_core", "core_numbers",
            "personalized_pagerank", "personalized_pagerank_exact",
            "label_propagation", "temporal_edges", "link_scores",
-           "hits_exact"]
+           "hits_exact", "betweenness"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -1293,3 +1293,133 @@ def hits_exact(edges: DataFrame, src: str = "src", dst: str = "dst",
     return (hub.join(auth, "node")
             .select("node", F.col("h").alias("hub_scaled"),
                     F.col("a").alias("auth_scaled")))
+
+
+def betweenness(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
+                sources: "list | None" = None, max_iter: int = 50,
+                normalize: bool = False) -> DataFrame:
+    """Betweenness centrality of the undirected graph given as a pair
+    list (Brandes 2001), EXACT over the given source set — one row
+    ``(node, betweenness)`` for every node.  ``sources=None`` runs
+    every node as a source (the exact classic); an explicit list runs
+    sampled-source Brandes, the standard estimator at scale — the
+    list is caller-chosen, so the operator stays deterministic (the
+    repo rule: no RNG inside operators; pick sources with
+    ``hash_split`` or top-degree and pass them in).
+
+    Two level-synchronous passes, both the PageRank shuffle shape
+    (one equi-join + one combinable hash-agg per level, eager
+    checkpoint; level count = the graph's eccentricity from the
+    sources, ``max_iter`` RAISES on exhaustion — the shortest_paths
+    rule, never silently-short centralities):
+
+    - FORWARD multi-source BFS carrying sigma (shortest-path counts):
+      frontier ⋈ edges, groupBy (src, node) summing sigma, anti-join
+      against visited.  All sources advance in ONE wavefront — level
+      count is the graph diameter, not diameter × |sources|.
+    - BACKWARD dependency accumulation from the deepest level up:
+      delta(u) += sigma_u/sigma_v * (1 + delta_v) over tree edges
+      (u at depth L-1, v at L), one join + one sum per level.
+
+    State is (src, node, dist, sigma) for every reached pair — the
+    inherent O(|sources| * reachable) footprint of Brandes; it lives
+    partitioned across the cluster (never collected), so the scale
+    lever is the SOURCE SAMPLE size, which is exactly the estimator's
+    contract.  The undirected convention halves the accumulated
+    dependencies (each unordered pair is counted from both ends);
+    ``normalize=True`` additionally divides by (n-1)(n-2)/2.
+
+    Library-only (float dependency sums are not cross-engine-hashable;
+    the exact-arithmetic driver witnesses for the iterative family are
+    q166/q176/q183) — exact Python Brandes replay in
+    ``test_betweenness_python_replay``."""
+    e = (pairs.select(F.least(d1, d2).alias("a"),
+                      F.greatest(d1, d2).alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+         .distinct())
+    sym = (e.select(F.col("a").alias("c"), F.col("b").alias("n"))
+           .unionByName(e.select(F.col("b").alias("c"),
+                                 F.col("a").alias("n"))))
+    stage_digest("betweenness.edges", sym)
+    sym = sym.repartition("c").localCheckpoint(eager=True)
+    nodes = sym.select(F.col("c").alias("node")).distinct() \
+        .localCheckpoint(eager=True)
+    spark = pairs.sparkSession
+    if sources is None:
+        seed = nodes.select(F.col("node").alias("src"))
+    else:
+        if not sources:
+            raise ValueError("sources must be None (all nodes) or a "
+                             "non-empty list")
+        seed = (spark.createDataFrame([(x,) for x in sources],
+                                      nodes.schema)
+                .toDF("src").distinct()
+                .join(nodes, F.col("src") == F.col("node"), "left_semi"))
+    vis = (seed.select("src", F.col("src").alias("node"))
+           .withColumn("dist", F.lit(0))
+           .withColumn("sigma", F.lit(1).cast("long"))
+           .localCheckpoint(eager=True))
+    frontier = vis
+    depth, converged = 0, False
+    for _ in range(max_iter):
+        nxt = (frontier.join(sym, frontier.node == sym.c)
+               .groupBy("src", F.col("n").alias("node"))
+               .agg(F.sum("sigma").cast("long").alias("sigma")))
+        new = (nxt.join(vis.select("src", "node"), ["src", "node"],
+                        "left_anti")
+               .withColumn("dist", F.lit(depth + 1))
+               .select("src", "node", "dist", "sigma"))
+        stage_digest("betweenness.fwd", new)
+        new = new.localCheckpoint(eager=True)
+        if not new.limit(1).count():
+            converged = True
+            break
+        vis = vis.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+        depth += 1
+    if not converged:
+        raise RuntimeError(
+            f"betweenness forward BFS did not exhaust in {max_iter} "
+            "levels — the graph's eccentricity from the sources "
+            "exceeds max_iter; raise it")
+    # backward accumulation, deepest level first
+    cur = (vis.where(F.col("dist") == depth)
+           .select("src", "node", "sigma")
+           .withColumn("delta", F.lit(0.0)))
+    acc = cur.select("src", "node", "delta")
+    for lvl in range(depth, 0, -1):
+        up = (vis.where(F.col("dist") == lvl - 1)
+              .select("src", F.col("node").alias("u"),
+                      F.col("sigma").alias("sigma_u")))
+        contrib = (cur.join(sym, cur.node == sym.c)
+                   .select("src", F.col("n").alias("u"), "sigma",
+                           "delta")
+                   .join(up, ["src", "u"])
+                   .groupBy("src", F.col("u").alias("node"))
+                   .agg(F.sum(F.col("sigma_u") / F.col("sigma")
+                              * (F.lit(1.0) + F.col("delta")))
+                        .alias("delta")))
+        cur = (vis.where(F.col("dist") == lvl - 1)
+               .select("src", "node", "sigma")
+               .join(contrib, ["src", "node"], "left")
+               .select("src", "node", "sigma",
+                       F.coalesce("delta", F.lit(0.0)).alias("delta")))
+        stage_digest("betweenness.bwd", cur)
+        cur = cur.localCheckpoint(eager=True)
+        acc = (acc.unionByName(cur.select("src", "node", "delta"))
+               .localCheckpoint(eager=True))
+    bc = (acc.where(F.col("node") != F.col("src"))
+          .groupBy("node")
+          .agg((F.sum("delta") / 2.0).alias("betweenness")))
+    out = (nodes.join(bc, "node", "left")
+           .select("node", F.coalesce("betweenness", F.lit(0.0))
+                   .alias("betweenness")))
+    if normalize:
+        n = nodes.count()  # driver scalar: node count (bounded)
+        denom = (n - 1) * (n - 2) / 2.0
+        if denom <= 0:
+            denom = 1.0
+        out = out.select("node", (F.col("betweenness") / F.lit(denom))
+                         .alias("betweenness"))
+    return out

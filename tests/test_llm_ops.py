@@ -3521,3 +3521,99 @@ def test_hits_exact_python_replay(spark):
         hits_exact(df, n_iter=0)
     with _pt.raises(ValueError):
         hits_exact(df, scale=1)
+
+
+def test_betweenness_python_replay(spark):
+    """graph.betweenness == exact Python Brandes (full-source and
+    sampled-source) on a random graph, a path (interior nodes carry
+    known exact values), a star (hub = (n-1)(n-2)/2), and two
+    triangles joined by a bridge (the bridge endpoints dominate);
+    normalize flag, disconnected pieces, and raise cases."""
+    import random
+    from collections import deque
+
+    import pytest as _pt
+
+    from nasctn_sea_ingest_spark.operators.graph import betweenness
+
+    def brandes(edges, sources=None):
+        es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        nbr = {}
+        for a, b in es:
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        nodes = sorted(nbr)
+        bc = {n: 0.0 for n in nodes}
+        for s in (sources if sources is not None else nodes):
+            if s not in nbr:
+                continue
+            sigma = {n: 0 for n in nodes}
+            dist = {n: -1 for n in nodes}
+            preds = {n: [] for n in nodes}
+            sigma[s], dist[s] = 1, 0
+            order, q = [], deque([s])
+            while q:
+                v = q.popleft()
+                order.append(v)
+                for w in nbr[v]:
+                    if dist[w] < 0:
+                        dist[w] = dist[v] + 1
+                        q.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+                        preds[w].append(v)
+            delta = {n: 0.0 for n in nodes}
+            for w in reversed(order):
+                for v in preds[w]:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+                if w != s:
+                    bc[w] += delta[w]
+        return {n: v / 2.0 for n, v in bc.items()}
+
+    rng = random.Random(23)
+    rand = [(rng.randint(0, 19), rng.randint(0, 19)) for _ in range(45)]
+    path = [(i, i + 1) for i in range(8)]
+    star = [(0, i) for i in range(1, 10)]
+    bridge = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    for es in (rand, path, star, bridge):
+        df = spark.createDataFrame([(a, b) for a, b in es],
+                                   "d1 long, d2 long")
+        got = {r.node: r.betweenness
+               for r in betweenness(df).collect()}
+        want = brandes(es)
+        assert set(got) == set(want)
+        for n in want:
+            assert abs(got[n] - want[n]) < 1e-9, (n, got[n], want[n])
+    # spot values: path interiors i in 1..7 have i*(8-i) pairs through
+    got = {r.node: r.betweenness for r in betweenness(
+        spark.createDataFrame(path, "d1 long, d2 long")).collect()}
+    for i in range(1, 8):
+        assert abs(got[i] - i * (8 - i)) < 1e-9
+    # star hub carries every leaf pair
+    got = {r.node: r.betweenness for r in betweenness(
+        spark.createDataFrame(star, "d1 long, d2 long")).collect()}
+    assert abs(got[0] - 9 * 8 / 2) < 1e-9
+    assert all(abs(got[i]) < 1e-12 for i in range(1, 10))
+    # sampled sources == python with the same sample; absent node ok
+    df = spark.createDataFrame(rand, "d1 long, d2 long")
+    smp = [0, 3, 7, 999]
+    got = {r.node: r.betweenness
+           for r in betweenness(df, sources=smp).collect()}
+    want = brandes(rand, sources=smp)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9
+    # normalize: star hub == 1.0 (maximal)
+    got = {r.node: r.betweenness for r in betweenness(
+        spark.createDataFrame(star, "d1 long, d2 long"),
+        normalize=True).collect()}
+    assert abs(got[0] - 1.0) < 1e-12
+    # disconnected components accumulate independently
+    two = [(0, 1), (1, 2), (10, 11), (11, 12)]
+    got = {r.node: r.betweenness for r in betweenness(
+        spark.createDataFrame(two, "d1 long, d2 long")).collect()}
+    assert abs(got[1] - 1.0) < 1e-9 and abs(got[11] - 1.0) < 1e-9
+    with _pt.raises(ValueError):
+        betweenness(df, sources=[])
+    with _pt.raises(RuntimeError, match="max_iter"):
+        betweenness(spark.createDataFrame(path, "d1 long, d2 long"),
+                    max_iter=3)
