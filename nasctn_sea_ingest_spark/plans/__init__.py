@@ -284,6 +284,17 @@ RETIRED_NAMES = frozenset({
     #     q183 adds a fifth directed-graph row on the same influence
     #     edges.
     "q164_fd_discovery", "q145_reachability",
+    # Also retired round 15 — admitting q184 (betweenness centrality
+    # on the analytic tree witness) needed one more slot from the
+    # must-verify cohort.  Keeps its pytest DuckDB oracle via
+    # tests/test_corpus::ALL:
+    #   q154_column_entropy: per-column Shannon entropy — the
+    #     p-log-p aggregate machinery stays at driver scale in q137
+    #     (corpus KL divergence) and q142 (token-label mutual
+    #     information, the strictly richer two-variable form); q152
+    #     gini + q159 chi-squared keep the distribution-shape family
+    #     four rows strong.
+    "q154_column_entropy",
     # ROUND-16 RETIREMENT CANDIDATES (staged, not retired).  Stage
     # from the cohort that will be must-verify in r16 (the r14-green
     # 50); retire only if an r16 admission needs the slot:

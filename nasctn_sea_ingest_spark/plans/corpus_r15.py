@@ -307,3 +307,72 @@ def q183(spark, sf_dir):
     return (out.select(F.col("node").cast("bigint").alias("node"),
                        "hub_scaled", "auth_scaled")
             .orderBy("node"))
+
+
+# ---------------------------------------------------------------------------
+# q184: betweenness centrality on a tree witness with an ANALYTIC oracle
+# ---------------------------------------------------------------------------
+# Witness: one identical 16-node TREE per complete customer-key block
+# (base B = 16k with all of B..B+15 present): a path over positions
+# 0..7, a bridge 7-8, and a star hub at 8 with leaves 9..15.  Trees
+# make Brandes exact in doubles (sigma = 1 everywhere, dependencies
+# are integer subtree counts; halving is exact), so the float column
+# is hash-stable cross-engine.  The oracle never runs Brandes: on a
+# tree, bc(v) = ((n-1)^2 - sum of c_i^2) / 2 where c_i are the
+# component sizes left by deleting v — a closed-form pair count, a
+# genuinely INDEPENDENT computational route from the distributed
+# BFS + dependency accumulation it certifies.  Per-position sizes for
+# this shape give (0, 14, 26, 36, 44, 50, 54, 56, 77, 0 x 7).
+
+_BT_EDGE_POS = ([(i, i + 1) for i in range(8)]        # path 0..7 + bridge 7-8
+                + [(8, i) for i in range(9, 16)])     # star hub 8
+
+
+@_q("q184_betweenness_tree",
+    "EXACT betweenness centrality (graph.betweenness — level-"
+    "synchronous multi-source Brandes: forward BFS carrying "
+    "shortest-path counts, backward dependency accumulation, every "
+    "node a source) over a forest witness: one identical 16-node "
+    "tree per complete customer-key block (path 0-7, bridge 7-8, "
+    "star hub 8 with leaves 9-15).  On trees sigma=1 everywhere, so "
+    "every dependency is an exact small-integer double and the "
+    "float column hash-matches cross-engine.  The oracle is "
+    "ANALYTIC, not algorithmic: tree betweenness = ((n-1)^2 - sum "
+    "c_i^2)/2 over the component sizes deleting the node leaves — "
+    "positions map to the constants (0,14,26,36,44,50,54,56,77,0*7) "
+    "— so two genuinely independent computational routes must agree "
+    "on every node",
+    """
+    WITH blk AS (
+      SELECT c_custkey - (c_custkey % 16) AS b
+      FROM customer
+      GROUP BY 1 HAVING count(*) = 16),
+    pos AS (
+      SELECT b, p FROM blk, unnest(generate_series(0, 15)) AS g(p)),
+    bcv AS (
+      SELECT p, CASE
+        WHEN p = 0 OR p >= 9 THEN 0.0
+        WHEN p <= 7 THEN (225 - p*p - (15-p)*(15-p)) / 2.0
+        ELSE 77.0 END AS bc
+      FROM (SELECT DISTINCT p FROM pos))
+    SELECT CAST(pos.b + pos.p AS BIGINT) AS node,
+           round(bcv.bc, 6) AS betweenness
+    FROM pos JOIN bcv USING (p)
+    ORDER BY 1
+    """)
+def q184(spark, sf_dir):
+    from ..operators.graph import betweenness
+    c = (load_table(spark, sf_dir, "customer")
+         .select(F.col("c_custkey").alias("c")))
+    blocks = (c.groupBy((F.col("c") - F.col("c") % 16).alias("b"))
+              .agg(F.count("*").alias("n"))
+              .where(F.col("n") == 16)
+              .select("b"))
+    pe = spark.createDataFrame(_BT_EDGE_POS, "p1 int, p2 int")
+    edges = (blocks.crossJoin(F.broadcast(pe))
+             .select((F.col("b") + F.col("p1")).alias("d1"),
+                     (F.col("b") + F.col("p2")).alias("d2")))
+    out = betweenness(edges)
+    return (out.select(F.col("node").cast("bigint").alias("node"),
+                       F.round("betweenness", 6).alias("betweenness"))
+            .orderBy("node"))
