@@ -25,7 +25,7 @@ __all__ = ["pagerank", "pagerank_exact", "star_components",
            "bounded_hop_distances", "k_core", "core_numbers",
            "personalized_pagerank", "personalized_pagerank_exact",
            "label_propagation", "temporal_edges", "link_scores",
-           "hits_exact", "betweenness"]
+           "hits_exact", "betweenness", "assortativity"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -1423,3 +1423,59 @@ def betweenness(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
         out = out.select("node", (F.col("betweenness") / F.lit(denom))
                          .alias("betweenness"))
     return out
+
+
+def assortativity(pairs: DataFrame, d1: str = "d1",
+                  d2: str = "d2") -> DataFrame:
+    """Degree assortativity coefficient of the undirected graph given
+    as a pair list (Newman 2002) — ONE row ``(n_nodes, n_edges,
+    assortativity)``: the Pearson correlation of the degrees at the
+    two ends of an edge, computed over both orientations (the
+    standard estimator).  Positive = hubs link to hubs (social
+    graphs), negative = hubs link to leaves (stars, infrastructure);
+    the single scalar that tells you whether a near-dup graph is
+    community-shaped or hub-spam-shaped before you pay for community
+    detection.
+
+    Plan: canonical edge list → degree hash-agg → two degree
+    equi-joins onto the edges → ONE moment aggregate (sum xy, sum x,
+    sum x²) over the symmetrized rows — no iteration, no window, no
+    driver data.  Correlation from exact integer moments (degrees and
+    their products are BIGINTs; the only floats are the final three
+    divisions), the `series autocorrelation` moment discipline.
+    Degenerate variance (e.g. a regular graph) returns NULL rather
+    than NaN.  Library-only; exact moment replay in
+    ``test_assortativity_moment_replay``."""
+    e = (pairs.select(F.least(d1, d2).alias("a"),
+                      F.greatest(d1, d2).alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+         .distinct())
+    deg = (e.select(F.col("a").alias("n"))
+           .unionByName(e.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("d")))
+    ed = (e.join(deg.withColumnRenamed("n", "a")
+                 .withColumnRenamed("d", "da"), "a")
+          .join(deg.withColumnRenamed("n", "b")
+                .withColumnRenamed("d", "db"), "b"))
+    sym = (ed.select(F.col("da").alias("x"), F.col("db").alias("y"))
+           .unionByName(ed.select(F.col("db").alias("x"),
+                                  F.col("da").alias("y"))))
+    m = sym.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"))
+    counts = (e.agg(F.count("*").cast("long").alias("n_edges"))
+              .crossJoin(F.broadcast(
+                  deg.agg(F.count("*").cast("long")
+                          .alias("n_nodes")))))
+    # both-orientation symmetry: sum y == sum x, sum y^2 == sum x^2
+    num = (F.col("sxy") / F.col("m")
+           - (F.col("sx") / F.col("m")) ** 2)
+    den = (F.col("sxx") / F.col("m")
+           - (F.col("sx") / F.col("m")) ** 2)
+    return (counts.crossJoin(F.broadcast(m))
+            .select("n_nodes", "n_edges",
+                    F.when(den != 0, num / den)
+                    .alias("assortativity")))

@@ -3617,3 +3617,54 @@ def test_betweenness_python_replay(spark):
     with _pt.raises(RuntimeError, match="max_iter"):
         betweenness(spark.createDataFrame(path, "d1 long, d2 long"),
                     max_iter=3)
+
+
+def test_assortativity_moment_replay(spark):
+    """graph.assortativity == exact Python moment replay on a random
+    graph; a star is maximally disassortative (-1), a cycle's
+    regular degrees yield NULL variance, and a two-clique bridge is
+    negative (bridge endpoints have excess degree)."""
+    import itertools as it
+    import random
+
+    from nasctn_sea_ingest_spark.operators.graph import assortativity
+
+    def replay(edges):
+        es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        xs = [(deg[a], deg[b]) for a, b in es]
+        xs += [(y, x) for x, y in xs]
+        m = len(xs)
+        sx = sum(x for x, _ in xs)
+        sxx = sum(x * x for x, _ in xs)
+        sxy = sum(x * y for x, y in xs)
+        num = sxy / m - (sx / m) ** 2
+        den = sxx / m - (sx / m) ** 2
+        return None if den == 0 else num / den
+
+    rng = random.Random(31)
+    rand = [(rng.randint(0, 24), rng.randint(0, 24)) for _ in range(70)]
+    star = [(0, i) for i in range(1, 12)]
+    cycle = [(i, (i + 1) % 8) for i in range(8)]
+    k4a = list(it.combinations(range(4), 2))
+    k4b = list(it.combinations(range(10, 14), 2))
+    bridged = k4a + k4b + [(0, 10)]
+    for es in (rand, star, cycle, bridged):
+        df = spark.createDataFrame([(a, b) for a, b in es],
+                                   "d1 long, d2 long")
+        r = assortativity(df).first()
+        want = replay(es)
+        if want is None:
+            assert r.assortativity is None
+        else:
+            assert abs(r.assortativity - want) < 1e-12
+        canon = {tuple(sorted(e)) for e in es if e[0] != e[1]}
+        assert r.n_edges == len(canon)
+        assert r.n_nodes == len({x for e in canon for x in e})
+    # star: exactly -1
+    r = assortativity(spark.createDataFrame(star,
+                                            "d1 long, d2 long")).first()
+    assert abs(r.assortativity - (-1.0)) < 1e-12
