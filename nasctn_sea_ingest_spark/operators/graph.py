@@ -25,7 +25,8 @@ __all__ = ["pagerank", "pagerank_exact", "star_components",
            "bounded_hop_distances", "k_core", "core_numbers",
            "personalized_pagerank", "personalized_pagerank_exact",
            "label_propagation", "temporal_edges", "link_scores",
-           "hits_exact", "betweenness", "assortativity"]
+           "hits_exact", "betweenness", "assortativity",
+           "closeness"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -1295,6 +1296,69 @@ def hits_exact(edges: DataFrame, src: str = "src", dst: str = "dst",
                     F.col("a").alias("auth_scaled")))
 
 
+def _bfs_sigma(pairs: DataFrame, d1: str, d2: str,
+               sources: "list | None", max_iter: int, tag: str):
+    """Shared level-synchronous multi-source BFS carrying shortest-
+    path counts: returns ``(sym_edges, nodes, vis, depth)`` where
+    ``vis`` holds one row (src, node, dist, sigma) per reached pair.
+    The forward half of Brandes, also the distance table closeness
+    aggregates — factored so both centralities ride one audited
+    loop.  All sources advance in ONE wavefront (level count = the
+    eccentricity from the sources); ``max_iter`` exhaustion RAISES
+    (the shortest_paths rule)."""
+    e = (pairs.select(F.least(d1, d2).alias("a"),
+                      F.greatest(d1, d2).alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+         .distinct())
+    sym = (e.select(F.col("a").alias("c"), F.col("b").alias("n"))
+           .unionByName(e.select(F.col("b").alias("c"),
+                                 F.col("a").alias("n"))))
+    stage_digest(f"{tag}.edges", sym)
+    sym = sym.repartition("c").localCheckpoint(eager=True)
+    nodes = sym.select(F.col("c").alias("node")).distinct() \
+        .localCheckpoint(eager=True)
+    spark = pairs.sparkSession
+    if sources is None:
+        seed = nodes.select(F.col("node").alias("src"))
+    else:
+        if not sources:
+            raise ValueError("sources must be None (all nodes) or a "
+                             "non-empty list")
+        seed = (spark.createDataFrame([(x,) for x in sources],
+                                      nodes.schema)
+                .toDF("src").distinct()
+                .join(nodes, F.col("src") == F.col("node"), "left_semi"))
+    vis = (seed.select("src", F.col("src").alias("node"))
+           .withColumn("dist", F.lit(0))
+           .withColumn("sigma", F.lit(1).cast("long"))
+           .localCheckpoint(eager=True))
+    frontier = vis
+    depth, converged = 0, False
+    for _ in range(max_iter):
+        nxt = (frontier.join(sym, frontier.node == sym.c)
+               .groupBy("src", F.col("n").alias("node"))
+               .agg(F.sum("sigma").cast("long").alias("sigma")))
+        new = (nxt.join(vis.select("src", "node"), ["src", "node"],
+                        "left_anti")
+               .withColumn("dist", F.lit(depth + 1))
+               .select("src", "node", "dist", "sigma"))
+        stage_digest(f"{tag}.fwd", new)
+        new = new.localCheckpoint(eager=True)
+        if not new.limit(1).count():
+            converged = True
+            break
+        vis = vis.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+        depth += 1
+    if not converged:
+        raise RuntimeError(
+            f"{tag} forward BFS did not exhaust in {max_iter} "
+            "levels — the graph's eccentricity from the sources "
+            "exceeds max_iter; raise it")
+    return sym, nodes, vis, depth
+
+
 def betweenness(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
                 sources: "list | None" = None, max_iter: int = 50,
                 normalize: bool = False) -> DataFrame:
@@ -1332,57 +1396,11 @@ def betweenness(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     Library-only (float dependency sums are not cross-engine-hashable;
     the exact-arithmetic driver witnesses for the iterative family are
     q166/q176/q183) — exact Python Brandes replay in
-    ``test_betweenness_python_replay``."""
-    e = (pairs.select(F.least(d1, d2).alias("a"),
-                      F.greatest(d1, d2).alias("b"))
-         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
-                & (F.col("a") != F.col("b")))
-         .distinct())
-    sym = (e.select(F.col("a").alias("c"), F.col("b").alias("n"))
-           .unionByName(e.select(F.col("b").alias("c"),
-                                 F.col("a").alias("n"))))
-    stage_digest("betweenness.edges", sym)
-    sym = sym.repartition("c").localCheckpoint(eager=True)
-    nodes = sym.select(F.col("c").alias("node")).distinct() \
-        .localCheckpoint(eager=True)
-    spark = pairs.sparkSession
-    if sources is None:
-        seed = nodes.select(F.col("node").alias("src"))
-    else:
-        if not sources:
-            raise ValueError("sources must be None (all nodes) or a "
-                             "non-empty list")
-        seed = (spark.createDataFrame([(x,) for x in sources],
-                                      nodes.schema)
-                .toDF("src").distinct()
-                .join(nodes, F.col("src") == F.col("node"), "left_semi"))
-    vis = (seed.select("src", F.col("src").alias("node"))
-           .withColumn("dist", F.lit(0))
-           .withColumn("sigma", F.lit(1).cast("long"))
-           .localCheckpoint(eager=True))
-    frontier = vis
-    depth, converged = 0, False
-    for _ in range(max_iter):
-        nxt = (frontier.join(sym, frontier.node == sym.c)
-               .groupBy("src", F.col("n").alias("node"))
-               .agg(F.sum("sigma").cast("long").alias("sigma")))
-        new = (nxt.join(vis.select("src", "node"), ["src", "node"],
-                        "left_anti")
-               .withColumn("dist", F.lit(depth + 1))
-               .select("src", "node", "dist", "sigma"))
-        stage_digest("betweenness.fwd", new)
-        new = new.localCheckpoint(eager=True)
-        if not new.limit(1).count():
-            converged = True
-            break
-        vis = vis.unionByName(new).localCheckpoint(eager=True)
-        frontier = new
-        depth += 1
-    if not converged:
-        raise RuntimeError(
-            f"betweenness forward BFS did not exhaust in {max_iter} "
-            "levels — the graph's eccentricity from the sources "
-            "exceeds max_iter; raise it")
+    ``test_betweenness_python_replay``; q184 pins the tree-forest
+    case (where the arithmetic IS exact) against an analytic
+    oracle."""
+    sym, nodes, vis, depth = _bfs_sigma(pairs, d1, d2, sources,
+                                        max_iter, "betweenness")
     # backward accumulation, deepest level first
     cur = (vis.where(F.col("dist") == depth)
            .select("src", "node", "sigma")
@@ -1479,3 +1497,55 @@ def assortativity(pairs: DataFrame, d1: str = "d1",
             .select("n_nodes", "n_edges",
                     F.when(den != 0, num / den)
                     .alias("assortativity")))
+
+
+def closeness(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
+              sources: "list | None" = None, max_iter: int = 50,
+              harmonic: bool = False) -> DataFrame:
+    """Closeness centrality of the undirected graph given as a pair
+    list — one row per source: ``(node, n_reached, dist_sum,
+    closeness)`` where ``n_reached`` counts OTHER reached nodes,
+    ``dist_sum`` is the sum of their hop distances, and
+
+    - classic (default): closeness = n_reached / dist_sum (0.0 for
+      isolated-within-sample nodes) — the Wasserman–Faust-ready raw
+      components are both returned so callers can apply the
+      (r-1)/(n-1) disconnected-graph correction themselves;
+    - ``harmonic=True``: closeness = sum of 1/dist over reached nodes
+      (Marchiori–Latora) — the form that is directly comparable
+      across disconnected graphs, ``dist_sum`` still the hop total.
+
+    Rides the SAME audited forward-BFS loop as :func:`betweenness`
+    (``_bfs_sigma``: one equi-join + one combinable hash-agg +
+    anti-join per level, all sources in one wavefront, max_iter
+    RAISES) — closeness is one groupBy over its (src, node, dist)
+    table, so the marginal cost over a betweenness run is a single
+    aggregate.  ``sources`` is the caller-chosen sample at scale (the
+    repo's no-RNG rule).  Exact hop counts; library-only (pair with
+    q184's betweenness driver row for the BFS machinery's
+    cross-engine pin) — Python replay in
+    ``test_closeness_python_replay``."""
+    _, nodes, vis, _ = _bfs_sigma(pairs, d1, d2, sources, max_iter,
+                                  "closeness")
+    reached = vis.where(F.col("node") != F.col("src"))
+    score = (F.sum(F.lit(1.0) / F.col("dist")) if harmonic
+             else F.when(F.sum("dist") > 0,
+                         F.count("*") / F.sum("dist"))
+             .otherwise(F.lit(0.0)))
+    per = (reached.groupBy(F.col("src").alias("node"))
+           .agg(F.count("*").cast("long").alias("n_reached"),
+                F.sum("dist").cast("long").alias("dist_sum"),
+                score.alias("closeness")))
+    if sources is None:
+        base = nodes
+    else:
+        base = vis.where(F.col("dist") == 0) \
+            .select(F.col("src").alias("node"))
+    return (base.join(per, "node", "left")
+            .select("node",
+                    F.coalesce("n_reached", F.lit(0).cast("long"))
+                    .alias("n_reached"),
+                    F.coalesce("dist_sum", F.lit(0).cast("long"))
+                    .alias("dist_sum"),
+                    F.coalesce("closeness", F.lit(0.0))
+                    .alias("closeness")))

@@ -3668,3 +3668,64 @@ def test_assortativity_moment_replay(spark):
     r = assortativity(spark.createDataFrame(star,
                                             "d1 long, d2 long")).first()
     assert abs(r.assortativity - (-1.0)) < 1e-12
+
+
+def test_closeness_python_replay(spark):
+    """graph.closeness == Python BFS replay (classic and harmonic) on
+    a random graph and a path (closed-form interior values); sampled
+    sources return exactly the sampled rows; betweenness parity on
+    the shared BFS is implied by test_betweenness_python_replay."""
+    import random
+    from collections import deque
+
+    from nasctn_sea_ingest_spark.operators.graph import closeness
+
+    def replay(edges, harmonic):
+        es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        nbr = {}
+        for a, b in es:
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        out = {}
+        for s in sorted(nbr):
+            dist = {s: 0}
+            q = deque([s])
+            while q:
+                v = q.popleft()
+                for w in nbr[v]:
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        q.append(w)
+            ds = [d for n, d in dist.items() if n != s]
+            if harmonic:
+                c = sum(1.0 / d for d in ds)
+            else:
+                c = len(ds) / sum(ds) if ds and sum(ds) > 0 else 0.0
+            out[s] = (len(ds), sum(ds), c)
+        return out
+
+    rng = random.Random(41)
+    rand = [(rng.randint(0, 19), rng.randint(0, 19)) for _ in range(40)]
+    path = [(i, i + 1) for i in range(6)]
+    for es in (rand, path):
+        df = spark.createDataFrame([(a, b) for a, b in es],
+                                   "d1 long, d2 long")
+        for h in (False, True):
+            got = {r.node: (r.n_reached, r.dist_sum, r.closeness)
+                   for r in closeness(df, harmonic=h).collect()}
+            want = replay(es, h)
+            assert set(got) == set(want)
+            for n in want:
+                assert got[n][0] == want[n][0]
+                assert got[n][1] == want[n][1]
+                assert abs(got[n][2] - want[n][2]) < 1e-12
+    # path endpoints: dist_sum = 1+2+...+6 = 21, closeness 6/21
+    df = spark.createDataFrame(path, "d1 long, d2 long")
+    got = {r.node: r for r in closeness(df).collect()}
+    assert got[0].dist_sum == 21 and abs(got[0].closeness - 6 / 21) < 1e-12
+    # sampled sources: exactly those rows, same values as full run
+    smp = closeness(df, sources=[0, 3]).collect()
+    assert {r.node for r in smp} == {0, 3}
+    for r in smp:
+        assert r.dist_sum == got[r.node].dist_sum
+        assert abs(r.closeness - got[r.node].closeness) < 1e-12
