@@ -21,6 +21,7 @@ __all__ = [
     "minhash_dedup_candidates", "simhash64", "simhash_pairs",
     "dup_clusters", "drop_near_duplicates",
     "band_buckets", "minhash_signature_expr", "minhash_band_index",
+    "prune_hub_edges",
 ]
 
 # 2^31 - 1: keeps h * multiplier + offset far inside int64 under ANSI mode
@@ -502,3 +503,61 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "id",
     # three ints each, duplicated at most (variants shared) times.
     return (cand.where(F.col("dist") <= max_distance)
                 .groupBy("id1", "id2").agg(F.min("dist").alias("dist")))
+
+
+def prune_hub_edges(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
+                    min_jaccard: float = 0.1,
+                    min_cn: int = 0) -> DataFrame:
+    """Drop LOW-EMBEDDEDNESS edges from a near-dup candidate graph
+    before transitive closure — the hub-spam guard for
+    :func:`dup_clusters`.
+
+    Candidate generators (LSH bands, simhash buckets, fingerprints)
+    occasionally emit a SPURIOUS hub: one boilerplate-heavy document
+    colliding with many unrelated documents.  Transitive closure then
+    welds their distinct duplicate groups into one giant cluster, and
+    keep-one-per-cluster silently deletes documents that were never
+    near-duplicates of the kept representative — the classic
+    over-merge failure of MinHash pipelines at corpus scale.  A
+    spurious bridge is TOPOLOGICALLY distinctive: its endpoints share
+    (almost) no other neighbors, so its neighborhood-Jaccard
+    embeddedness (:func:`graph.link_scores`) is ~0, while genuine
+    duplicate groups are near-cliques whose internal edges score
+    high.  This operator keeps an edge iff its endpoints' Jaccard
+    overlap >= ``min_jaccard`` AND common-neighbor count >=
+    ``max(min_cn, 1)`` — with the documented carve-out that an
+    ISOLATED pair (both endpoints degree 1: two docs colliding only
+    with each other) is always kept, because a 2-clique is a
+    legitimate duplicate group with nothing to be embedded IN.  A
+    pure BRIDGE (endpoints in different groups, zero shared
+    neighbors, at least one endpoint with other edges) is dropped —
+    that is the over-merge edge this operator exists to remove.
+
+    Output: the surviving subset of the canonical ``(d1, d2)`` edge
+    list, ready for ``dup_clusters``/``star_components``.  Cost = one
+    ``link_scores`` pass (wedge join + one hash agg) + a broadcast-
+    free left join back; output-proportional, no new shuffle shape.
+    Hub pre-screens for pathological degree live on
+    ``link_scores(max_center_degree=...)``."""
+    from .graph import link_scores
+    e = (pairs.select(F.least(d1, d2).alias("u"),
+                      F.greatest(d1, d2).alias("v"))
+         .where(F.col("u").isNotNull() & F.col("v").isNotNull()
+                & (F.col("u") != F.col("v")))
+         .distinct())
+    deg = (e.select(F.col("u").alias("n"))
+           .unionByName(e.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("d")))
+    scores = (link_scores(e, "u", "v")
+              .where(F.col("adjacent"))
+              .select("u", "v", "cn", "jaccard"))
+    keep = (e.join(deg.select(F.col("n").alias("u"),
+                              F.col("d").alias("du")), "u")
+            .join(deg.select(F.col("n").alias("v"),
+                             F.col("d").alias("dv")), "v")
+            .join(scores, ["u", "v"], "left")
+            .where(((F.col("du") == 1) & (F.col("dv") == 1))
+                   | (F.col("cn").isNotNull()
+                      & (F.col("jaccard") >= F.lit(float(min_jaccard)))
+                      & (F.col("cn") >= F.lit(max(int(min_cn), 1))))))
+    return keep.select(F.col("u").alias(d1), F.col("v").alias(d2))

@@ -3729,3 +3729,50 @@ def test_closeness_python_replay(spark):
     for r in smp:
         assert r.dist_sum == got[r.node].dist_sum
         assert abs(r.closeness - got[r.node].closeness) < 1e-12
+
+
+def test_prune_hub_edges_guards_over_merge(spark):
+    """dedup.prune_hub_edges drops a planted boilerplate hub's
+    spurious spokes and a clique-to-clique bridge (their endpoints
+    share no neighbors) while keeping clique-internal edges and an
+    isolated 2-clique; dup_clusters over the pruned graph no longer
+    welds distinct duplicate groups."""
+    import itertools as it
+
+    from nasctn_sea_ingest_spark.operators.dedup import (
+        dup_clusters, prune_hub_edges)
+
+    cliq_a = list(it.combinations([1, 2, 3, 4], 2))
+    cliq_b = list(it.combinations([10, 11, 12, 13], 2))
+    hub = [(99, n) for n in (1, 2, 10, 11, 50)]   # boilerplate doc
+    bridge = [(4, 13)]                            # endpoints share none
+    pair = [(70, 71)]                             # legit 2-clique
+    edges = cliq_a + cliq_b + hub + bridge + pair
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    kept = {(r.d1, r.d2) for r in prune_hub_edges(df).collect()}
+    assert set(cliq_a) <= kept and set(cliq_b) <= kept
+    assert (70, 71) in kept
+    assert (4, 13) not in kept
+    # hub spokes to the cliques' members: each spoke (99,1) shares
+    # neighbor 2 with the clique... jaccard = 1/(2+4-1) small -> the
+    # 0.1 default keeps it only if >= 0.1; compute expectation
+    # explicitly instead of assuming:
+    #   nbr(99) = {1,2,10,11,50}, nbr(1) = {2,3,4,99}
+    #   cn = |{2}| = 1, jac = 1/(5+4-1) = 0.125 >= 0.1 -> kept at
+    #   the default, dropped at min_jaccard=0.2:
+    kept2 = {(r.d1, r.d2)
+             for r in prune_hub_edges(df, min_jaccard=0.2).collect()}
+    assert not any(99 in e for e in kept2)
+    assert (99, 50) not in kept      # degree-1 spoke, hub deg 5
+    # over-merge healed: pruned graph separates the two cliques
+    comp = {r["node"]: r["cluster"] for r in dup_clusters(
+        spark.createDataFrame(sorted(kept2), "d1 long, d2 long"),
+        local_graph_rows=0).collect()}
+    assert comp[1] == comp[4] and comp[10] == comp[13]
+    assert comp[1] != comp[10]
+    # min_cn raises the bar: (1,2) has cn=3 (clique mates 3,4 plus
+    # the hub 99 borders both) and survives min_cn=3; (3,4) has only
+    # cn=2 ({1,2}) and is dropped
+    kept3 = {(r.d1, r.d2)
+             for r in prune_hub_edges(df, min_cn=3).collect()}
+    assert (1, 2) in kept3 and (3, 4) not in kept3

@@ -404,6 +404,29 @@ def main():
                 print(f"x{k} hits_exact           {dt:7.2f}s nodes={n}")
                 e.unpersist()
                 te.unpersist()
+        if want("betweenness"):
+            from nasctn_sea_ingest_spark.operators.graph import \
+                betweenness
+            # the q184 forest witness scaled k-fold: block count grows
+            # with k, DIAMETER stays 9 — level count constant, state
+            # linear, the regime the level-synchronous design targets
+            base = (cust0.select(
+                (F.col("c_custkey") - F.col("c_custkey") % 16)
+                .alias("b"))
+                .groupBy("b").agg(F.count("*").alias("n"))
+                .where(F.col("n") == 16).select("b"))
+            blocks = rep(base, k, "b")
+            pe = spark.createDataFrame(
+                [(i, i + 1) for i in range(8)]
+                + [(8, i) for i in range(9, 16)], "p1 int, p2 int")
+            edges = (blocks.crossJoin(F.broadcast(pe))
+                     .select((F.col("b") + F.col("p1")).alias("d1"),
+                             (F.col("b") + F.col("p2")).alias("d2"))
+                     .persist())
+            edges.count()
+            dt, n = t(lambda: betweenness(edges).count())
+            print(f"x{k} betweenness          {dt:7.2f}s nodes={n}")
+            edges.unpersist()
         if only is not None and not (only - {"grid_knn_join",
                                              "linkage_scores",
                                              "dbscan", "dbscan_fixed",
@@ -414,6 +437,7 @@ def main():
                                              "semdedup", "skew",
                                              "link_scores",
                                              "hits_exact",
+                                             "betweenness",
                                              "shortest_paths"}):
             continue
         d = rep(docs0, k, "doc_id").persist()
