@@ -1425,8 +1425,10 @@ def betweenness(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
                        F.coalesce("delta", F.lit(0.0)).alias("delta")))
         stage_digest("betweenness.bwd", cur)
         cur = cur.localCheckpoint(eager=True)
-        acc = (acc.unionByName(cur.select("src", "node", "delta"))
-               .localCheckpoint(eager=True))
+        # acc is consumed once at the end and every arm is already a
+        # checkpointed frame — keep the union LAZY (a flat n-way union
+        # of ExistingRDD scans), saving one eager job per level
+        acc = acc.unionByName(cur.select("src", "node", "delta"))
     bc = (acc.where(F.col("node") != F.col("src"))
           .groupBy("node")
           .agg((F.sum("delta") / 2.0).alias("betweenness")))

@@ -3956,3 +3956,94 @@ def test_duplicate_spans_stream_feeds_removal(spark, tmp_path):
     assert via_stream == via_batch
     assert via_stream[1] == "tail1"          # retro span removed
     assert via_stream[2] == "solo x y z"     # untouched, verbatim
+
+
+def test_triangle_count_stream_parity_and_replay(spark, tmp_path):
+    """triangle_count_stream's folded totals == graph.triangle_count
+    over every distinct edge ever streamed, after EVERY wave — incl.
+    an in-batch triangle, 1-new and 2-new cross-batch closures, and
+    duplicate edges (in-batch and vs the store: no-op); a planted
+    mid-commit append crash heals on replay with identical totals;
+    geometry mismatch raises."""
+    import pytest as _pt
+
+    from nasctn_sea_ingest_spark.operators.graph import triangle_count
+    from nasctn_sea_ingest_spark.streaming import (
+        triangle_count_stream, triangle_totals_snapshot)
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    os.makedirs(land)
+    schema = "d1 long, d2 long"
+
+    def run(n_buckets=4):
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = triangle_count_stream(stream, out, ck, n_buckets=n_buckets,
+                                  available_now=True)
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    seen = []
+
+    def feed(rows):
+        seen.extend(rows)
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.mode("append").parquet(land)
+
+    def check():
+        got = triangle_totals_snapshot(spark, out).first()
+        want = triangle_count(
+            spark.createDataFrame(seen, schema)).first()
+        assert (got.n_edges, got.n_triangles) == \
+            (want.n_edges, want.n_triangles), (got, want)
+
+    # wave 0: one in-batch triangle + a dangling edge + an in-batch
+    # duplicate row (distinct-collapsed)
+    feed([(1, 2), (2, 3), (1, 3), (3, 4), (2, 1)])
+    run(); check()
+    # wave 1: close a triangle with ONE new edge (2-4 joins 3),
+    # another with TWO new edges on stored (1,2) (nodes 5), plus a
+    # store-duplicate (1,2) that must change nothing
+    feed([(2, 4), (1, 5), (2, 5), (1, 2)])
+    run(); check()
+    # hand count: {1,2,3} from wave 0, plus wave 1's one-new-edge
+    # closure {2,3,4} and two-new-edge closure {1,2,5} = 3 total
+    snap1 = triangle_totals_snapshot(spark, out).first()
+    assert snap1.n_triangles == 3
+    # wave 2: planted mid-commit crash on a multi-bucket append
+    feed([(6, 1), (6, 2), (6, 3)])         # two new triangles via 6
+    run(); check()
+    total_rows = spark.read.parquet(out).count()
+    b2_kbs = sorted(r.kb for r in spark.read.parquet(out)
+                    .where(F.col("batch_id") == 2)
+                    .select("kb").distinct().collect())
+    assert len(b2_kbs) >= 2, b2_kbs
+    _delete_commit_marker(ck)
+    _drop_stamped_files(spark, out, b2_kbs[:len(b2_kbs) // 2], 2)
+    run()                                   # replay heals
+    assert spark.read.parquet(out).count() == total_rows
+    dup_adj = (spark.read.parquet(out).groupBy("node", "nbr")
+               .agg(F.count(F.lit(1)).alias("c"))
+               .where(F.col("c") > 1).count())
+    assert dup_adj == 0
+    check()
+    # a later wave still counts correctly through the healed store
+    feed([(4, 6)])
+    run(); check()
+    # geometry raise: different n_buckets cannot attach (fresh
+    # checkpoint — the established mismatched-attach pattern)
+    spark.createDataFrame([(7, 8)], schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    stream = spark.readStream.schema(schema).parquet(land)
+    with _pt.raises(Exception, match="geometry mismatch"):
+        q = triangle_count_stream(stream, out, str(tmp_path / "ck2"),
+                                  n_buckets=8, available_now=True)
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
