@@ -370,15 +370,21 @@ def q143(spark, sf_dir):
                       .otherwise(F.col("v")).alias("v")))
     wp = (Window.partitionBy("event_type").orderBy("day")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    wn = (Window.partitionBy("event_type").orderBy("day")
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    # next-observation walk as a running frame over the REVERSED sort —
+    # first_value over [current, unboundedFollowing] re-aggregates the
+    # tail per row (O(rows²) per key partition in WindowExec, the r15
+    # asof_join finding); the reversed running last is the same value.
+    # `day` is unique within event_type (grid rows), so the reverse
+    # order is exact, not a tie class.
+    wn = (Window.partitionBy("event_type").orderBy(F.desc("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
     walked = masked.select(
         "event_type", "day", "v",
         F.last("v", ignorenulls=True).over(wp).alias("pv"),
         F.last(obs_day, ignorenulls=True).over(wp).alias("pd"),
-        F.first("v", ignorenulls=True).over(wn).alias("nv"),
-        F.first(obs_day, ignorenulls=True).over(wn).alias("nd"))
+        F.last("v", ignorenulls=True).over(wn).alias("nv"),
+        F.last(obs_day, ignorenulls=True).over(wn).alias("nd"))
     interp = (F.col("pv").cast("double")
               + (F.col("nv").cast("double") - F.col("pv").cast("double"))
               * (F.col("day") - F.col("pd"))
