@@ -1299,13 +1299,36 @@ def hits_exact(edges: DataFrame, src: str = "src", dst: str = "dst",
 def _bfs_sigma(pairs: DataFrame, d1: str, d2: str,
                sources: "list | None", max_iter: int, tag: str):
     """Shared level-synchronous multi-source BFS carrying shortest-
-    path counts: returns ``(sym_edges, nodes, vis, depth)`` where
-    ``vis`` holds one row (src, node, dist, sigma) per reached pair.
-    The forward half of Brandes, also the distance table closeness
-    aggregates — factored so both centralities ride one audited
-    loop.  All sources advance in ONE wavefront (level count = the
-    eccentricity from the sources); ``max_iter`` exhaustion RAISES
-    (the shortest_paths rule)."""
+    path counts: returns ``(sym_edges, nodes, levels, depth)`` where
+    ``levels[d]`` holds one row (src, node, dist, sigma) per pair
+    reached at exactly distance ``d`` (each level its own
+    checkpointed frame).  The forward half of Brandes, also the
+    distance table closeness aggregates — factored so both
+    centralities ride one audited loop.  All sources advance in ONE
+    wavefront (level count = the eccentricity from the sources);
+    ``max_iter`` exhaustion RAISES (the shortest_paths rule).
+
+    r15 shape (the job-overhead profile: 191 jobs / 13 s wall on the
+    q184 forest, most of it scheduling + re-reading a growing union):
+
+    - ``sym`` is PERSISTED after its one repartition("c"), not
+      localCheckpoint-ed: a checkpoint's ``Scan ExistingRDD`` reports
+      UnknownPartitioning, so every level's frontier join re-shuffled
+      the FULL edge list wherever AQE declined to broadcast — at
+      scale that is one whole-graph exchange per level for nothing
+      (guide §2.4 "share one exchange").  The cached InMemoryRelation
+      keeps hashpartitioning(c), so only the frontier moves.  The
+      CALLER must unpersist it (betweenness after its backward pass,
+      closeness immediately).
+    - visited-set maintenance is per-LEVEL: a proposal from the
+      depth-d frontier has true distance in {d-1, d, d+1} (level-
+      synchronous BFS invariant), so the dedup anti-join needs only
+      the last TWO level frames — not the whole growing history,
+      which the previous shape both re-materialized (one eager
+      checkpoint per level) and re-scanned per level.
+    - each level's checkpoint is LAZY; the emptiness probe right
+      after it materializes it — one job per level instead of two.
+    """
     e = (pairs.select(F.least(d1, d2).alias("a"),
                       F.greatest(d1, d2).alias("b"))
          .where(F.col("a").isNotNull() & F.col("b").isNotNull()
@@ -1315,7 +1338,7 @@ def _bfs_sigma(pairs: DataFrame, d1: str, d2: str,
            .unionByName(e.select(F.col("b").alias("c"),
                                  F.col("a").alias("n"))))
     stage_digest(f"{tag}.edges", sym)
-    sym = sym.repartition("c").localCheckpoint(eager=True)
+    sym = sym.repartition("c").persist()
     nodes = sym.select(F.col("c").alias("node")).distinct() \
         .localCheckpoint(eager=True)
     spark = pairs.sparkSession
@@ -1329,26 +1352,31 @@ def _bfs_sigma(pairs: DataFrame, d1: str, d2: str,
                                       nodes.schema)
                 .toDF("src").distinct()
                 .join(nodes, F.col("src") == F.col("node"), "left_semi"))
-    vis = (seed.select("src", F.col("src").alias("node"))
-           .withColumn("dist", F.lit(0))
-           .withColumn("sigma", F.lit(1).cast("long"))
-           .localCheckpoint(eager=True))
-    frontier = vis
+    vis0 = (seed.select("src", F.col("src").alias("node"))
+            .withColumn("dist", F.lit(0))
+            .withColumn("sigma", F.lit(1).cast("long"))
+            .localCheckpoint(eager=True))
+    levels = [vis0]
+    frontier = vis0
     depth, converged = 0, False
     for _ in range(max_iter):
         nxt = (frontier.join(sym, frontier.node == sym.c)
                .groupBy("src", F.col("n").alias("node"))
                .agg(F.sum("sigma").cast("long").alias("sigma")))
-        new = (nxt.join(vis.select("src", "node"), ["src", "node"],
-                        "left_anti")
+        # level-synchronous invariant: only the last two levels can
+        # collide with a frontier proposal
+        seen = levels[-1].select("src", "node")
+        if len(levels) > 1:
+            seen = seen.unionByName(levels[-2].select("src", "node"))
+        new = (nxt.join(seen, ["src", "node"], "left_anti")
                .withColumn("dist", F.lit(depth + 1))
                .select("src", "node", "dist", "sigma"))
         stage_digest(f"{tag}.fwd", new)
-        new = new.localCheckpoint(eager=True)
+        new = new.localCheckpoint(eager=False)
         if not new.limit(1).count():
             converged = True
             break
-        vis = vis.unionByName(new).localCheckpoint(eager=True)
+        levels.append(new)
         frontier = new
         depth += 1
     if not converged:
@@ -1356,7 +1384,7 @@ def _bfs_sigma(pairs: DataFrame, d1: str, d2: str,
             f"{tag} forward BFS did not exhaust in {max_iter} "
             "levels — the graph's eccentricity from the sources "
             "exceeds max_iter; raise it")
-    return sym, nodes, vis, depth
+    return sym, nodes, levels, depth
 
 
 def betweenness(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
@@ -1399,39 +1427,50 @@ def betweenness(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     ``test_betweenness_python_replay``; q184 pins the tree-forest
     case (where the arithmetic IS exact) against an analytic
     oracle."""
-    sym, nodes, vis, depth = _bfs_sigma(pairs, d1, d2, sources,
-                                        max_iter, "betweenness")
-    # backward accumulation, deepest level first
-    cur = (vis.where(F.col("dist") == depth)
+    sym, nodes, levels, depth = _bfs_sigma(pairs, d1, d2, sources,
+                                           max_iter, "betweenness")
+    # backward accumulation, deepest level first.  Each round reads
+    # exactly the two level frames it needs (the r15 shape — the
+    # previous form filtered the full (src, node, dist, sigma) union
+    # twice per level), and the per-edge dependency sum factors the
+    # constant-per-group sigma_u OUT of the aggregate:
+    #     sum(sigma_u / sigma_v * (1 + delta_v))
+    #   = sigma_u * sum((1 + delta_v) / sigma_v)
+    # which drops the (src, u) join against the upper level from the
+    # aggregate's input — one join per level instead of two.  On tree
+    # witnesses (q184) every term is an exact small integer over
+    # sigma = 1, so the value is bit-identical; on general graphs the
+    # reassociation moves the result by at most a few ulps, orders
+    # below the 1e-9 replay-test tolerance (floats here are library-
+    # only — the corpus pins the tree case, where both forms are
+    # exact).
+    cur = (levels[depth]
            .select("src", "node", "sigma")
            .withColumn("delta", F.lit(0.0)))
-    acc = cur.select("src", "node", "delta")
+    acc = [cur.select("src", "node", "delta")]
     for lvl in range(depth, 0, -1):
-        up = (vis.where(F.col("dist") == lvl - 1)
-              .select("src", F.col("node").alias("u"),
-                      F.col("sigma").alias("sigma_u")))
         contrib = (cur.join(sym, cur.node == sym.c)
-                   .select("src", F.col("n").alias("u"), "sigma",
-                           "delta")
-                   .join(up, ["src", "u"])
-                   .groupBy("src", F.col("u").alias("node"))
-                   .agg(F.sum(F.col("sigma_u") / F.col("sigma")
-                              * (F.lit(1.0) + F.col("delta")))
-                        .alias("delta")))
-        cur = (vis.where(F.col("dist") == lvl - 1)
+                   .groupBy("src", F.col("n").alias("node"))
+                   .agg(F.sum((F.lit(1.0) + F.col("delta"))
+                              / F.col("sigma")).alias("__s")))
+        cur = (levels[lvl - 1]
                .select("src", "node", "sigma")
                .join(contrib, ["src", "node"], "left")
                .select("src", "node", "sigma",
-                       F.coalesce("delta", F.lit(0.0)).alias("delta")))
+                       F.coalesce(F.col("sigma") * F.col("__s"),
+                                  F.lit(0.0)).alias("delta")))
         stage_digest("betweenness.bwd", cur)
         cur = cur.localCheckpoint(eager=True)
         # acc is consumed once at the end and every arm is already a
         # checkpointed frame — keep the union LAZY (a flat n-way union
         # of ExistingRDD scans), saving one eager job per level
-        acc = acc.unionByName(cur.select("src", "node", "delta"))
-    bc = (acc.where(F.col("node") != F.col("src"))
+        acc.append(cur.select("src", "node", "delta"))
+    from functools import reduce as _reduce
+    bc = (_reduce(DataFrame.unionByName, acc)
+          .where(F.col("node") != F.col("src"))
           .groupBy("node")
           .agg((F.sum("delta") / 2.0).alias("betweenness")))
+    sym.unpersist()
     out = (nodes.join(bc, "node", "left")
            .select("node", F.coalesce("betweenness", F.lit(0.0))
                    .alias("betweenness")))
@@ -1527,8 +1566,11 @@ def closeness(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     q184's betweenness driver row for the BFS machinery's
     cross-engine pin) — Python replay in
     ``test_closeness_python_replay``."""
-    _, nodes, vis, _ = _bfs_sigma(pairs, d1, d2, sources, max_iter,
-                                  "closeness")
+    sym, nodes, levels, _ = _bfs_sigma(pairs, d1, d2, sources,
+                                       max_iter, "closeness")
+    sym.unpersist()   # closeness never re-joins the edge list
+    from functools import reduce as _reduce
+    vis = _reduce(DataFrame.unionByName, levels)
     reached = vis.where(F.col("node") != F.col("src"))
     score = (F.sum(F.lit(1.0) / F.col("dist")) if harmonic
              else F.when(F.sum("dist") > 0,

@@ -361,7 +361,21 @@ RETIRED_NAMES = frozenset({
 #   q171-class operators are caught by the stage-digest diff; RECHECK
 #   remains the protocol for INTENTIONAL plan changes regardless of
 #   visibility.
-RECHECK: frozenset[str] = frozenset()
+#   Round 15 (optimization round): the as-of machinery's forward-frame
+#   windows were rewritten to reversed running frames (q11/q35/q85 +
+#   q143's next-observation walk) and the Brandes BFS/backward pass was
+#   restructured (per-level frames, factored dependency sum — q184).
+#   q143/q184 are already window-bound by staleness; q11 re-enters as
+#   the RECHECK carrier for the shared asof_join rewrite (q35/q85 ride
+#   the SAME code path and were hash-verified against the oracle at
+#   sf0.001+sf0.01 in-round; q85 is 1-run stale and rotates in next
+#   round regardless).  Only one slot is free — 49 of 50 are forced by
+#   the stale>=2 invariant this round — so the carrier is the minimal
+#   registration that still puts every rewritten code path in front of
+#   the driver.
+RECHECK: frozenset[str] = frozenset({
+    "q11_asof_nearest", "q143_gap_interpolation", "q184_betweenness_tree",
+})
 
 
 def _latest_driver_round() -> dict[str, int]:
