@@ -198,7 +198,21 @@ def semdedup_exact(emb: DataFrame, threshold: float = 0.95, k: int = 2,
                 lambda x: x.cast("double") / F.col("__n")).alias("__u")))
     stage_digest("semdedup_exact.unit", unit)  # pre-checkpoint plan
     unit = unit.localCheckpoint(eager=False)
-    mean, comps = pca_fit(unit, k, col="__u")
+    # r16 (guide §3.2 — reduce the join's big side before moving it):
+    # fit MORE components than the grid needs.  The top-k eigenvectors
+    # of the k'-dim fit are BIT-IDENTICAL to a k-dim fit's (same
+    # moments, same eigh, same sign rule), so the grid's cells and
+    # candidate set are unchanged; the extra coordinates give a TIGHTER
+    # exact lower bound on the true distance (projection onto an
+    # orthonormal basis is non-expansive at ANY width, the same
+    # argument as step 2), so grid candidates are pruned by the k'-dim
+    # projected distance BEFORE the full-width vector fetch and cosine
+    # fold.  k'=16 measured at sf0.1: 1 368 592 grid candidates ->
+    # 2 115 surviving the 12-dim bound -> 2 000 at 16 dims (= the true
+    # pair count); the 64-dim fold now runs on ~2k pairs, not 1.4M.
+    kp = max(k, 16)
+    mean, comps = pca_fit(unit, kp, col="__u")
+    kp = comps.shape[0]
     if comps.shape[0] < k:
         # silent truncation would leave F.col("__p")[i] NULL for the
         # missing coordinates; NULL cell keys never equi-join, so the
@@ -213,11 +227,37 @@ def semdedup_exact(emb: DataFrame, threshold: float = 0.95, k: int = 2,
     pts = proj.select(
         "__id", "__u",
         *[F.col("__p")[i].alias(f"__q{i}") for i in range(k)])
+    r_pad = eps * (1.0 + 1e-6) + 1e-9
     cand = grid_distance_join_nd(
         pts.select("__id", *[f"__q{i}" for i in range(k)]),
-        eps * (1.0 + 1e-6) + 1e-9, id_col="__id",
+        r_pad, id_col="__id",
         coord_cols=tuple(f"__q{i}" for i in range(k)),
         max_cell=max_cell)
+    if kp > k:
+        # candidate prune on the tail coordinates (k..kp-1): keep a
+        # pair only if dist(grid)^2 + tail-coordinate distance^2 fits
+        # the SAME padded radius — the k'-dim projected distance is a
+        # lower bound on the true unit-sphere distance (non-expansive
+        # projection), so no qualifying pair can be dropped, and the
+        # ~1e-13 double-rounding of the extra terms sits four orders
+        # under the radius pad, exactly the step-3 argument.  The
+        # prune joins move (id, 13 doubles) per side instead of the
+        # full-width unit vectors; the fold is over the 13-element
+        # tail, not 64 dims, and runs once per GRID candidate while
+        # the cosine below runs once per SURVIVOR.
+        tail = proj.select(
+            "__id", F.slice("__p", k + 1, kp - k).alias("__pt"))
+        t1 = tail.select(F.col("__id").alias("id1"),
+                         F.col("__pt").alias("__pt1"))
+        t2 = tail.select(F.col("__id").alias("id2"),
+                         F.col("__pt").alias("__pt2"))
+        tail_d2 = F.aggregate(
+            F.zip_with("__pt1", "__pt2", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda a, x: a + x)
+        cand = (cand.join(t1, "id1").join(t2, "id2")
+                .where(F.col("dist") * F.col("dist") + tail_d2
+                       <= F.lit(r_pad * r_pad))
+                .select("id1", "id2", "dist"))
     u1 = pts.select(F.col("__id").alias("id1"), F.col("__u").alias("__u1"))
     u2 = pts.select(F.col("__id").alias("id2"), F.col("__u").alias("__u2"))
     cos = F.aggregate(F.zip_with("__u1", "__u2", lambda a, b: a * b),
@@ -231,6 +271,13 @@ def semdedup_exact(emb: DataFrame, threshold: float = 0.95, k: int = 2,
     # an interior rewrite of the candidate generator would show
     stage_digest("semdedup_exact.grid_candidates", cand)
     stage_digest("semdedup_exact.verified", verified)
+    # r16: materialize the verified pair list ONCE.  star_components
+    # checkpoints its node and edge frames separately; handing it the
+    # raw plan re-executed the whole candidate+verify pipeline per
+    # frame (the two ~37 exec-s verify stages in the r16 profile are
+    # the SAME stage run twice).  The pair list is tiny (O(dups));
+    # everything downstream reads the checkpoint.
+    verified = verified.localCheckpoint(eager=False)
     comp = star_components(verified, "id1", "id2")
     return (comp.where(F.col("node") != F.col("cluster"))
             .select(F.col("node").alias(id_col),

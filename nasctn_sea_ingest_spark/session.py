@@ -31,6 +31,18 @@ _DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
+    # r16: let AQE re-optimize (coalesce) the plan that MATERIALIZES an
+    # in-query .persist() — off by default only to keep a cached plan's
+    # output partitioning stable for consumers that rely on it; none of
+    # this engine's in-query caches (betweenness/closeness edge list,
+    # dbscan histogram + sparse pairs) do.  Without it the cache build
+    # pins shuffle_partitions-many tiny partitions and every downstream
+    # scan of the cache pays that task count (q184: ~15 cache-scan
+    # stages x 32 tasks over a 425 KB relation); with it the cached
+    # layout follows AQE's advisory size at ANY scale.  Measured
+    # (best-of-2 noop probes, both orders): q184 9.09/9.50 -> 8.65/8.40,
+    # q163 7.52/7.56 -> 6.88/7.19.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # FileScan metadata strings (DataFilters/PushedFilters/ReadSchema)
     # truncate at 100 chars by default, and the CUT POINT moves with
     # expression-id LENGTH (#123 vs #12345) — so the plan-digest drift
