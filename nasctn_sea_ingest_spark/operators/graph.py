@@ -502,7 +502,9 @@ def shortest_paths(edges: DataFrame, sources: "list",
                            | (F.col("cand") < F.col("dist")))
                           .alias("__improved")))
         stage_digest("shortest_paths.round", merged)
-        merged = merged.localCheckpoint()
+        # lazy checkpoint; the emptiness probe materializes it — one
+        # job per round instead of two (the _bfs_sigma pattern)
+        merged = merged.localCheckpoint(eager=False)
         frontier = merged.where("__improved").select("node", "dist")
         dist = merged.select("node", "dist")
         if not frontier.limit(1).count():
@@ -692,12 +694,15 @@ def k_core(pairs: DataFrame, k: int, d1: str = "d1", d2: str = "d2",
         deg = sym.groupBy("a").agg(F.count("*").alias("degree"))
         bad = deg.where(F.col("degree") < k).select("a")
         stage_digest("k_core.peel", bad)  # first peel round's plan
-        bad = bad.localCheckpoint(eager=True)
+        # lazy checkpoints (r16): the emptiness probe materializes the
+        # removal set, and the next round's first action materializes
+        # the peeled edge list — one job each instead of two
+        bad = bad.localCheckpoint(eager=False)
         if not bad.limit(1).count():
             return deg.withColumnRenamed("a", "node")
         sym = (sym.join(bad, "a", "left_anti")
                .join(bad.withColumnRenamed("a", "b"), "b", "left_anti")
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
     # one more degree pass: if the LAST peel already reached the
     # fixpoint, max_iter was exactly the peel depth — accept it
     deg = sym.groupBy("a").agg(F.count("*").alias("degree"))
@@ -742,10 +747,17 @@ def core_numbers(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
 
     e = (pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
          .where(F.col("a").isNotNull() & F.col("b").isNotNull()))
+    # r16: materialize the caller's pair lineage ONCE — the node set,
+    # the symmetrized list and the degree init all derive from it (the
+    # previous shape re-executed the upstream plan for allnodes and
+    # cur separately; q177's co-purchase build ran twice).  The node
+    # set itself stays lazy: it is read once, by the final zero-core
+    # anti-join.
+    stage_digest("core_numbers.base", e)
+    e = e.localCheckpoint(eager=True)
     allnodes = (e.select(F.col("a").alias("node"))
                 .unionByName(e.select(F.col("b").alias("node")))
-                .distinct()
-                .localCheckpoint(eager=True))
+                .distinct())
     prop = e.where(F.col("a") != F.col("b"))
     cur = (prop.unionByName(prop.select(F.col("b").alias("a"),
                                         F.col("a").alias("b")))
@@ -774,7 +786,10 @@ def core_numbers(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
         vals = (vals.join(h, "node")
                 .select("node", F.least("c", F.col("__h")).alias("c")))
         stage_digest("core_numbers.round", vals)
-        vals = vals.localCheckpoint(eager=True)
+        # lazy checkpoint: the convergence probe right after is a full
+        # aggregate, so it materializes every partition — one job per
+        # round instead of two (the _bfs_sigma pattern)
+        vals = vals.localCheckpoint(eager=False)
         cursum = vals.agg(F.sum("c")).first()[0]
         if cursum == prev:
             converged = True
@@ -986,22 +1001,42 @@ def label_propagation(pairs: DataFrame, d1: str = "d1",
     min(struct(-count, label)) aggregate — a hub's label votes reduce
     before the shuffle, where a top-1 window would sort them in one
     task; the changed-row count is one aggregate on the checkpointed
-    update."""
-    e = (pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
-         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
-                & (F.col("a") != F.col("b"))))
+    update.
+
+    r16 shape (guide §1.4 many-tiny-jobs / §2.4 share one exchange):
+
+    - the caller's pair lineage is materialized ONCE (``base``) and
+      both the symmetrized edge list and the node set derive from it —
+      the previous shape re-executed the caller's full upstream plan
+      for each (q173's co-purchase build ran twice, ~13 exec-s);
+    - every node of the symmetrized list has >= 1 neighbor (symmetry),
+      so the per-round argmax inner join covers ALL connected nodes —
+      the coalesce-against-old-labels join is only load-bearing for
+      ISOLATED nodes (self-loop-only / one-sided rows), whose label
+      never changes.  Small fixed budgets (<= 8 rounds) therefore run
+      the rounds as ONE lazy single-reference plan — no per-round
+      checkpoint, no per-round changed-probe (early stop is provably a
+      no-op on the RESULT: an unchanged round fixes every later
+      round) — and union the static isolated set at the end.  Larger
+      budgets keep the loop (the changed-probe now also materializes
+      the lazy checkpoint — one job per round, not two)."""
+    base = pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b")) \
+        .where(F.col("a").isNotNull() | F.col("b").isNotNull())
+    stage_digest("label_propagation.base", base)
+    base = base.localCheckpoint(eager=True)
+    e = (base.where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                    & (F.col("a") != F.col("b"))))
     sym = (e.unionByName(e.select(F.col("b").alias("a"),
                                   F.col("a").alias("b")))
            .distinct())
     stage_digest("label_propagation.sym", sym)
     sym = sym.localCheckpoint(eager=True)
-    allnodes = (pairs.select(F.col(d1).alias("node"))
-                .unionByName(pairs.select(F.col(d2).alias("node")))
+    allnodes = (base.select(F.col("a").alias("node"))
+                .unionByName(base.select(F.col("b").alias("node")))
                 .where(F.col("node").isNotNull())
-                .distinct()
-                .localCheckpoint(eager=True))
-    labels = allnodes.withColumn("label", F.col("node"))
-    for _ in range(max_iter):
+                .distinct())
+
+    def _argmax(labels):
         # argmax by (count desc, label asc) as ONE combinable agg:
         # min(struct(-count, label)) — struct ordering is
         # lexicographic, so the minimum is (max count, then smallest
@@ -1009,16 +1044,36 @@ def label_propagation(pairs: DataFrame, d1: str = "d1",
         # (the r13-pre form) shuffles AND sorts each node's distinct
         # neighbor labels in one task; the struct-min combines
         # map-side, so a hub's label votes reduce before the wire.
-        top = (sym.join(labels.select(F.col("node").alias("b"),
-                                      F.col("label").alias("__l")),
-                        "b")
-               .groupBy(F.col("a").alias("node"), F.col("__l"))
-               .agg(F.count("*").alias("__m"))
-               .groupBy("node")
-               .agg(F.min(F.struct((-F.col("__m")).alias("nm"),
-                                   F.col("__l").alias("l")))
-                    .alias("__t"))
-               .select("node", F.col("__t.l").alias("__new")))
+        return (sym.join(labels.select(F.col("node").alias("b"),
+                                       F.col("label").alias("__l")),
+                         "b")
+                .groupBy(F.col("a").alias("node"), F.col("__l"))
+                .agg(F.count("*").alias("__m"))
+                .groupBy("node")
+                .agg(F.min(F.struct((-F.col("__m")).alias("nm"),
+                                    F.col("__l").alias("l")))
+                     .alias("__t"))
+                .select("node", F.col("__t.l").alias("__new")))
+
+    if max_iter <= 8:
+        # fixed small budget: one lazy plan, linear in rounds (each
+        # round references the previous labels exactly once)
+        labels = (sym.select(F.col("a").alias("node")).distinct()
+                  .withColumn("label", F.col("node")))
+        for _ in range(max_iter):
+            labels = _argmax(labels) \
+                .select("node", F.col("__new").alias("label"))
+            stage_digest("label_propagation.round", labels)
+        iso = (allnodes.join(sym.select(F.col("a").alias("node")),
+                             "node", "left_anti")
+               .withColumn("label", F.col("node")))
+        return (labels.unionByName(iso)
+                .select("node", F.col("label").alias("community")))
+
+    labels = allnodes.localCheckpoint(eager=True) \
+        .withColumn("label", F.col("node"))
+    for _ in range(max_iter):
+        top = _argmax(labels)
         upd = (labels.join(top, "node", "left")
                .select("node",
                        F.coalesce("__new", F.col("label"))
@@ -1026,7 +1081,7 @@ def label_propagation(pairs: DataFrame, d1: str = "d1",
                        (F.coalesce("__new", F.col("label"))
                         != F.col("label")).alias("__chg")))
         stage_digest("label_propagation.round", upd)
-        upd = upd.localCheckpoint(eager=True)
+        upd = upd.localCheckpoint(eager=False)
         changed = upd.where("__chg").limit(1).count()
         labels = upd.select("node", "label")
         if not changed:
@@ -1262,7 +1317,7 @@ def hits_exact(edges: DataFrame, src: str = "src", dst: str = "dst",
              .localCheckpoint(eager=True))
     hub = nodes.withColumn("h", F.lit(int(scale)).cast("long"))
     auth = None
-    for _ in range(n_iter):
+    for _i in range(n_iter):
         a_raw = (hub.join(e, hub.node == e.s)
                  .groupBy(F.col("d").alias("node"))
                  .agg(F.sum("h").cast("long").alias("ar")))
@@ -1275,8 +1330,18 @@ def hits_exact(edges: DataFrame, src: str = "src", dst: str = "dst",
                 .select("node",
                         F.expr("coalesce(ar, 0) div __adv")
                         .cast("long").alias("a")))
+        # r16: intermediate auth half-rounds stay LAZY — the hub
+        # checkpoint below materializes both halves in one action (the
+        # duplicated auth subtree inside the hub plan shares its
+        # exchanges via ReusedExchange), nearly halving the per-round
+        # checkpoint job count.  Only the LAST round's auth is pinned:
+        # the returned join reads it twice conceptually (plan + the
+        # final action), and keeping the returned plan
+        # checkpoint-terminated preserves the corpus plan contract
+        # (the 1-row rescale crossJoin's BNLJ stays interior).
         stage_digest("hits_exact.auth", auth)  # first round's plan
-        auth = auth.localCheckpoint(eager=True)
+        if _i == n_iter - 1:
+            auth = auth.localCheckpoint(eager=True)
         h_raw = (auth.join(e, auth.node == e.d)
                  .groupBy(F.col("s").alias("node"))
                  .agg(F.sum("a").cast("long").alias("hr")))
