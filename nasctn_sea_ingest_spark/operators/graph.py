@@ -186,6 +186,13 @@ def star_components(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     envelope as the numeric default.  ``local_graph_rows=0`` forces
     the distributed loop."""
     e = pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
+    # r16: materialize the caller's pair lineage ONCE — the node and
+    # edge checkpoints below each re-executed the full upstream plan
+    # (for semdedup_exact's verified pairs that was the whole
+    # candidate+verify pipeline, twice; for q168 the co-purchase
+    # build, twice)
+    stage_digest("star_components.base", e)
+    e = e.localCheckpoint(eager=True)
     sym = e.unionByName(e.select(F.col("b").alias("a"),
                                  F.col("a").alias("b")))
     # node set from the RAW pairs (both endpoints), BEFORE the self-loop
@@ -267,7 +274,10 @@ def star_components(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
         # 9).  Lineage depth of two phases is the safe maximum.
         edges = _star(_star(edges, large=True), large=False)
         stage_digest("star_components.round", edges)  # round 1's plan
-        edges = edges.localCheckpoint()
+        # lazy checkpoint: the fixpoint digest right after is a full
+        # aggregate, so it materializes every partition — one job per
+        # round instead of two (the _bfs_sigma pattern)
+        edges = edges.localCheckpoint(eager=False)
         # order-independent multiset digest: sum of per-edge hashes
         cur = edges.agg(
             F.sum(F.xxhash64("a", "b").cast("decimal(38,0)"))).first()[0]

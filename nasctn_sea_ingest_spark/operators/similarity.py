@@ -271,13 +271,11 @@ def semdedup_exact(emb: DataFrame, threshold: float = 0.95, k: int = 2,
     # an interior rewrite of the candidate generator would show
     stage_digest("semdedup_exact.grid_candidates", cand)
     stage_digest("semdedup_exact.verified", verified)
-    # r16: materialize the verified pair list ONCE.  star_components
-    # checkpoints its node and edge frames separately; handing it the
-    # raw plan re-executed the whole candidate+verify pipeline per
-    # frame (the two ~37 exec-s verify stages in the r16 profile are
-    # the SAME stage run twice).  The pair list is tiny (O(dups));
-    # everything downstream reads the checkpoint.
-    verified = verified.localCheckpoint(eager=False)
+    # r16: star_components now materializes its input pair list once
+    # (its ``base`` checkpoint), so the candidate+verify pipeline above
+    # executes exactly once — the previous shape re-executed it for
+    # the node and edge frames separately (two ~37 exec-s copies of
+    # the same verify stage in the r16 profile).
     comp = star_components(verified, "id1", "id2")
     return (comp.where(F.col("node") != F.col("cluster"))
             .select(F.col("node").alias(id_col),
