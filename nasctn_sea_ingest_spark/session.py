@@ -31,18 +31,18 @@ _DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
-    # r16: let AQE re-optimize (coalesce) the plan that MATERIALIZES an
-    # in-query .persist() — off by default only to keep a cached plan's
-    # output partitioning stable for consumers that rely on it; none of
-    # this engine's in-query caches (betweenness/closeness edge list,
-    # dbscan histogram + sparse pairs) do.  Without it the cache build
-    # pins shuffle_partitions-many tiny partitions and every downstream
-    # scan of the cache pays that task count (q184: ~15 cache-scan
-    # stages x 32 tasks over a 425 KB relation); with it the cached
-    # layout follows AQE's advisory size at ANY scale.  Measured
-    # (best-of-2 noop probes, both orders): q184 9.09/9.50 -> 8.65/8.40,
-    # q163 7.52/7.56 -> 6.88/7.19.
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # r16 NEGATIVE RESULT (guide §1.6): an earlier r16 session set
+    # spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true
+    # (let AQE coalesce the plan that materializes an in-query
+    # .persist(); its A/B showed q184 9.09/9.50->8.65/8.40).  A wider
+    # interleaved A/B THIS session (both orders, warm rounds) showed
+    # the conf is a WASH on the queries it was added for (q163 9.21 vs
+    # 9.06, q25/q135 unaffected — they hold no cache) and 50-60% WORSE
+    # on the persist-heavy composed paths it was never probed against:
+    # x_llm 11.87 vs 18.46 s, q184 10.03 vs 16.49 s — AQE-coalesced
+    # cache builds serialize every downstream scan of a small-bytes
+    # cached relation whose WORK is not small (compressed text).
+    # Reverted to the Spark default (false).
     # FileScan metadata strings (DataFilters/PushedFilters/ReadSchema)
     # truncate at 100 chars by default, and the CUT POINT moves with
     # expression-id LENGTH (#123 vs #12345) — so the plan-digest drift
