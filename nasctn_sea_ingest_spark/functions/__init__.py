@@ -227,6 +227,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     ``direction``: 'nearest' (bidirectional — pandas ``get_indexer(method=
     'nearest')``, the reference's semantics), 'backward', or 'forward'.
     Ties (equidistant) resolve backward, matching pandas ``merge_asof``.
+    When several RIGHT rows share the matched timestamp, the matched
+    timestamp and ``asof_dist`` are fully determined but the payload
+    returned is an arbitrary member of that tie class (pinned by
+    ``test_asof_join_duplicate_right_timestamps``) — add a secondary
+    sort key upstream if your right side carries meaningful duplicates.
 
     Implementation is the sorted-union window trick: one shuffle on
     (by, on), two running-window passes, no range-explosion — at scale this

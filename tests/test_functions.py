@@ -176,6 +176,47 @@ def test_asof_join_tolerance(spark):
     assert got[0] == 1.0 and got[1] is None
 
 
+@pytest.mark.parametrize("by", [None, ["g"]])
+@pytest.mark.parametrize("direction", ["nearest", "backward", "forward"])
+def test_asof_join_duplicate_right_timestamps(spark, direction, by):
+    """Tie contract (r15 ADVICE): when several RIGHT rows share the
+    matched timestamp, the join returns the payload of SOME member of
+    that tie class — the matched timestamp and distance are fully
+    determined, only the payload pick within the class is
+    implementation-defined (forward `first` and the reversed running
+    `last` may pick different members).  Pin the determined parts and
+    the membership, on both the keyed and unkeyed paths."""
+    # right: t=100 x3 payloads, t=300 x2 payloads, t=700 x1
+    rrows = [(100, "a"), (100, "b"), (100, "c"),
+             (300, "d"), (300, "e"), (700, "f")]
+    tie = {100: {"a", "b", "c"}, 300: {"d", "e"}, 700: {"f"}}
+    lrows = [(50, 0), (100, 1), (180, 2), (299, 3), (450, 4), (900, 5)]
+    # expected matched right TIMESTAMP per lid (payload = any member)
+    want_t = {
+        "nearest": {0: 100, 1: 100, 2: 100, 3: 300, 4: 300, 5: 700},
+        "backward": {0: None, 1: 100, 2: 100, 3: 100, 4: 300, 5: 700},
+        "forward": {0: 100, 1: 100, 2: 300, 3: 300, 4: 700, 5: None},
+    }[direction]
+    g = (lambda rows: [r + ("g1",) for r in rows])
+    left = spark.createDataFrame(
+        g(lrows) if by else lrows,
+        "t int, lid int" + (", g string" if by else ""))
+    right = spark.createDataFrame(
+        g(rrows) if by else rrows,
+        "t int, rv string" + (", g string" if by else ""))
+    got = {r.lid: r for r in
+           FN.asof_join(left, right, on="t", by=by,
+                        direction=direction).collect()}
+    for lid, wt in want_t.items():
+        r = got[lid]
+        if wt is None:
+            assert r.rv is None and r.asof_dist is None, f"lid={lid}"
+        else:
+            lt = next(t for t, i in lrows if i == lid)
+            assert r.rv in tie[wt], f"lid={lid}: {r.rv} not in tie({wt})"
+            assert r.asof_dist == abs(lt - wt), f"lid={lid}"
+
+
 def test_register_asof_view_pure_sql(spark):
     """The MATCH_NEAREST-style SQL surface: after one registration call a
     pure-SQL client queries the as-of result with spark.sql only, gets
