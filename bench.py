@@ -82,9 +82,27 @@ def digest_snapshot_diff(snap_path: str, digests: dict, sf_val,
     return digest_changed, digest_new, False, prior_sf
 
 
+def _cpu_canary(seconds: float = 1.0) -> int:
+    """Fixed single-thread CPU calibration (r15 verdict #7): sha256 over
+    a 4 KiB buffer for ~1 s, returning ops/s.  Recorded in
+    bench_full.json at bench start and end (NEVER in the stdout
+    contract) so a slow-host roll can be adjudicated from the artifact
+    instead of cross-round forensics — the r15 round burned a day
+    proving 96 'regressions' were a loaded host."""
+    import hashlib
+    buf = b"\x5a" * 4096
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        hashlib.sha256(buf).digest()
+        n += 1
+    return round(n / (time.perf_counter() - t0))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    canary_start = _cpu_canary()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus,
@@ -212,15 +230,22 @@ def main() -> None:
         # see (it reads `Scan ExistingRDD`).
         with capture_stage_digests() as stages:
             df = q.spark(spark, sf_dir)
+            # plan-shape digest: a digest diff vs the committed snapshot
+            # localizes "which plan changed" instantly when a round's
+            # aggregate drifts (round 4's +17% took a manual bisect
+            # precisely because this record didn't exist).
+            # r16 (r15 verdict #6): digest BEFORE the first action — the
+            # pre-execution plan is the AQE-independent INITIAL physical
+            # plan, where the post-count digest was the AQE FINAL plan
+            # whose coalesce/join decisions flip under host load
+            # (q171's four stage digests flipped on identical code in
+            # two loaded r15 rolls).  Diagnostic-only change: the timed
+            # methodology below is untouched.
+            try:
+                digests[q.name] = plan_digest(df)
+            except Exception:
+                digests[q.name] = ""
             n = df.count()
-        # plan-shape digest: a digest diff vs the committed snapshot
-        # localizes "which plan changed" instantly when a round's
-        # aggregate drifts (round 4's +17% took a manual bisect precisely
-        # because this record didn't exist)
-        try:
-            digests[q.name] = plan_digest(df)
-        except Exception:
-            digests[q.name] = ""
         if stages:
             stage_digests[q.name] = {s: d for s, (d, _) in
                                      stages.items()}
@@ -444,6 +469,11 @@ def main() -> None:
 
     full = {"metric": "corpus_total_runtime", "value": round(total, 3),
             "unit": "sec", "queries": timings, "sf": sf_val,
+            # single-thread calibration at both ends of the run (ops/s;
+            # diagnostic only, not part of the stdout contract): compare
+            # rolls' canaries before comparing their query seconds
+            "canary_sha256_4k_start": canary_start,
+            "canary_sha256_4k_end": _cpu_canary(),
             "plan_digests": digests,
             "stage_digests": stage_digests,
             "digest_changed": digest_changed,
