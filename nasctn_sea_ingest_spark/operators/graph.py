@@ -1371,8 +1371,132 @@ def hits_exact(edges: DataFrame, src: str = "src", dst: str = "dst",
                     F.col("a").alias("auth_scaled")))
 
 
+# Work cap for the driver Brandes/closeness kernel: total BFS edge
+# visits (sum over components of sources-in-component x component edge
+# rows) — pure-Python BFS sustains ~5M visits/s, so this bounds the
+# driver at ~1-2 s.  Row caps alone under-price DENSE small graphs
+# (200k edges in one component with every node a source is ~3e9
+# visits); the work bound is computed from a driver union-find over
+# the already-collected (row-capped) edge list.
+_LOCAL_BFS_WORK = 5_000_000
+
+
+def _local_bfs_graph(pairs: DataFrame, d1: str, d2: str,
+                     cap: int, sources: "list | None", tag: str):
+    """Size-gate for the BFS-centrality family (the ``star_components``
+    driver-kernel pattern): build the canonical undirected edge frame
+    once, and if it fits the row cap (with the wide-id byte guard),
+    the component-aware WORK cap, and the source budget, collect it.
+
+    Returns ``("local", nodes, adj, node_field)`` when the driver
+    kernel applies, else ``("dist", e)`` where ``e`` is the
+    eagerly-checkpointed canonical edge frame (handed to
+    :func:`_bfs_sigma` so the caller's upstream lineage executes
+    exactly once either way — the r16 star_components/core_numbers
+    discipline)."""
+    e = (pairs.select(F.least(d1, d2).alias("a"),
+                      F.greatest(d1, d2).alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+         .distinct())
+    stage_digest(f"{tag}.base", e)
+    e = e.localCheckpoint(eager=True)
+    if not cap:
+        return "dist", e
+    n_e = e.count()
+    if n_e > cap:
+        return "dist", e
+    row_cap = cap
+    from pyspark.sql.types import BinaryType, StringType
+    if isinstance(e.schema["a"].dataType, (StringType, BinaryType)):
+        # wide-id guard (star_components round-10 rule): scale the row
+        # cap down so collected bytes stay in the numeric envelope
+        avg_len = (e.agg((F.avg(F.length("a"))
+                          + F.avg(F.length("b"))) / 2.0).first()[0]) or 0.0
+        row_cap = int(cap * 16 // max(16.0, avg_len))
+        if n_e > row_cap:
+            return "dist", e
+    rows = e.collect()
+    adj: dict = {}
+    for r in rows:
+        a, b = r[0], r[1]
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    if len(adj) > row_cap:
+        return "dist", e
+    # component-aware work bound: union-find over the collected edges,
+    # then sum |sources in C| * (2|E_C| + |V_C|) per component
+    parent = {n: n for n in adj}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            parent[ra] = rb
+    comp_nodes: dict = {}
+    for n in adj:
+        comp_nodes[find(n)] = comp_nodes.get(find(n), 0) + 1
+    comp_edges: dict = {}
+    for r in rows:
+        rr = find(r[0])
+        comp_edges[rr] = comp_edges.get(rr, 0) + 1
+    if sources is None:
+        srcs_by_comp = comp_nodes
+    else:
+        srcs_by_comp = {}
+        for s in set(sources):
+            if s in adj:
+                rr = find(s)
+                srcs_by_comp[rr] = srcs_by_comp.get(rr, 0) + 1
+    work = sum(ns * (2 * comp_edges.get(c, 0) + comp_nodes[c])
+               for c, ns in srcs_by_comp.items())
+    if work > _LOCAL_BFS_WORK:
+        return "dist", e
+    nodes = sorted(adj)
+    return "local", nodes, adj, e.schema["a"]
+
+
+def _local_bfs_from(s, adj, max_iter, tag):
+    """One BFS from ``s`` over the collected adjacency: returns
+    ``(order, dist, sigma)`` with sigma = shortest-path counts; raises
+    the family's max_iter error if the eccentricity exceeds it."""
+    from collections import deque
+    sigma = {s: 1}
+    dist = {s: 0}
+    order = []
+    q = deque([s])
+    while q:
+        v = q.popleft()
+        order.append(v)
+        dv, sv = dist[v], sigma[v]
+        for w in adj[v]:
+            if w not in dist:
+                dist[w] = dv + 1
+                sigma[w] = 0
+                q.append(w)
+            if dist[w] == dv + 1:
+                sigma[w] += sv
+    if dist[order[-1]] >= max_iter:
+        # the distributed loop needs iteration ecc+1 to OBSERVE the
+        # empty frontier, so it raises whenever ecc >= max_iter —
+        # match that exactly (>=, not >)
+        raise RuntimeError(
+            f"{tag} forward BFS did not exhaust in {max_iter} "
+            "levels — the graph's eccentricity from the sources "
+            "exceeds max_iter; raise it")
+    return order, dist, sigma
+
+
 def _bfs_sigma(pairs: DataFrame, d1: str, d2: str,
-               sources: "list | None", max_iter: int, tag: str):
+               sources: "list | None", max_iter: int, tag: str,
+               e: "DataFrame | None" = None):
     """Shared level-synchronous multi-source BFS carrying shortest-
     path counts: returns ``(sym_edges, nodes, levels, depth)`` where
     ``levels[d]`` holds one row (src, node, dist, sigma) per pair
@@ -1382,6 +1506,14 @@ def _bfs_sigma(pairs: DataFrame, d1: str, d2: str,
     centralities ride one audited loop.  All sources advance in ONE
     wavefront (level count = the eccentricity from the sources);
     ``max_iter`` exhaustion RAISES (the shortest_paths rule).
+
+    UNDIRECTED + UNWEIGHTED ONLY: the input pair list is symmetrized
+    here and every hop costs 1.  The two-level visited-set dedup
+    below is CORRECT ONLY under that contract — do not reuse this
+    loop for directed or weighted traversal (see the ``seen`` note).
+    On any exit, normal or raised, the persisted edge list is
+    released unless the caller takes ownership of the returned
+    ``sym`` (both callers unpersist it in their own try/finally).
 
     r15 shape (the job-overhead profile: 191 jobs / 13 s wall on the
     q184 forest, most of it scheduling + re-reading a growing union):
@@ -1404,11 +1536,12 @@ def _bfs_sigma(pairs: DataFrame, d1: str, d2: str,
     - each level's checkpoint is LAZY; the emptiness probe right
       after it materializes it — one job per level instead of two.
     """
-    e = (pairs.select(F.least(d1, d2).alias("a"),
-                      F.greatest(d1, d2).alias("b"))
-         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
-                & (F.col("a") != F.col("b")))
-         .distinct())
+    if e is None:
+        e = (pairs.select(F.least(d1, d2).alias("a"),
+                          F.greatest(d1, d2).alias("b"))
+             .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                    & (F.col("a") != F.col("b")))
+             .distinct())
     sym = (e.select(F.col("a").alias("c"), F.col("b").alias("n"))
            .unionByName(e.select(F.col("b").alias("c"),
                                  F.col("a").alias("n"))))
@@ -1434,37 +1567,51 @@ def _bfs_sigma(pairs: DataFrame, d1: str, d2: str,
     levels = [vis0]
     frontier = vis0
     depth, converged = 0, False
-    for _ in range(max_iter):
-        nxt = (frontier.join(sym, frontier.node == sym.c)
-               .groupBy("src", F.col("n").alias("node"))
-               .agg(F.sum("sigma").cast("long").alias("sigma")))
-        # level-synchronous invariant: only the last two levels can
-        # collide with a frontier proposal
-        seen = levels[-1].select("src", "node")
-        if len(levels) > 1:
-            seen = seen.unionByName(levels[-2].select("src", "node"))
-        new = (nxt.join(seen, ["src", "node"], "left_anti")
-               .withColumn("dist", F.lit(depth + 1))
-               .select("src", "node", "dist", "sigma"))
-        stage_digest(f"{tag}.fwd", new)
-        new = new.localCheckpoint(eager=False)
-        if not new.limit(1).count():
-            converged = True
-            break
-        levels.append(new)
-        frontier = new
-        depth += 1
-    if not converged:
-        raise RuntimeError(
-            f"{tag} forward BFS did not exhaust in {max_iter} "
-            "levels — the graph's eccentricity from the sources "
-            "exceeds max_iter; raise it")
+    try:
+        for _ in range(max_iter):
+            nxt = (frontier.join(sym, frontier.node == sym.c)
+                   .groupBy("src", F.col("n").alias("node"))
+                   .agg(F.sum("sigma").cast("long").alias("sigma")))
+            # level-synchronous invariant: a proposal from the depth-d
+            # frontier has true distance in {d-1, d, d+1}, so only the
+            # last TWO levels can collide with it.  This holds ONLY
+            # because `sym` is the symmetrized (undirected) edge list
+            # built above and every hop costs 1 — on directed or
+            # weighted inputs a proposal could collide with depth
+            # <= d-2 and nodes would re-enter with wrong dist/sigma
+            # (the function-contract note in the docstring).
+            seen = levels[-1].select("src", "node")
+            if len(levels) > 1:
+                seen = seen.unionByName(levels[-2].select("src", "node"))
+            new = (nxt.join(seen, ["src", "node"], "left_anti")
+                   .withColumn("dist", F.lit(depth + 1))
+                   .select("src", "node", "dist", "sigma"))
+            stage_digest(f"{tag}.fwd", new)
+            new = new.localCheckpoint(eager=False)
+            if not new.limit(1).count():
+                converged = True
+                break
+            levels.append(new)
+            frontier = new
+            depth += 1
+        if not converged:
+            raise RuntimeError(
+                f"{tag} forward BFS did not exhaust in {max_iter} "
+                "levels — the graph's eccentricity from the sources "
+                "exceeds max_iter; raise it")
+    except BaseException:
+        # the persisted edge list must not outlive a failed build
+        # (ADVICE r15: the convergence raise leaked the cache for the
+        # life of the session)
+        sym.unpersist()
+        raise
     return sym, nodes, levels, depth
 
 
 def betweenness(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
                 sources: "list | None" = None, max_iter: int = 50,
-                normalize: bool = False) -> DataFrame:
+                normalize: bool = False,
+                local_graph_rows: int = 200_000) -> DataFrame:
     """Betweenness centrality of the undirected graph given as a pair
     list (Brandes 2001), EXACT over the given source set — one row
     ``(node, betweenness)`` for every node.  ``sources=None`` runs
@@ -1501,9 +1648,65 @@ def betweenness(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     q166/q176/q183) — exact Python Brandes replay in
     ``test_betweenness_python_replay``; q184 pins the tree-forest
     case (where the arithmetic IS exact) against an analytic
-    oracle."""
+    oracle.
+
+    Graphs whose canonical edge list fits ``local_graph_rows``
+    (default 200k rows, with the star_components wide-id byte guard)
+    AND whose total BFS work — sum over components of |sources in C|
+    x (2|E_C| + |V_C|), bounded by a driver union-find over the
+    already-collected list — fits ``_LOCAL_BFS_WORK`` run EXACT
+    driver Brandes instead (the ``star_components`` size-gate
+    pattern): identical update rule (the factored sigma_u *
+    sum((1+delta_v)/sigma_v) form), identical max_iter raise,
+    parity-pinned by pytest on both paths; the distributed
+    level-synchronous loop costs ~2 jobs x eccentricity of scheduler
+    overhead, which on a small graph is the entire runtime.
+    Web-scale graphs take the distributed loop below, unchanged;
+    ``local_graph_rows=0`` forces it."""
+    if sources is not None and not sources:
+        raise ValueError("sources must be None (all nodes) or a "
+                         "non-empty list")
+    got = _local_bfs_graph(pairs, d1, d2, local_graph_rows, sources,
+                           "betweenness")
+    if got[0] == "local":
+        _, nodes_l, adj, node_field = got
+        bc = {n: 0.0 for n in nodes_l}
+        srcs = nodes_l if sources is None else \
+            sorted(s for s in set(sources) if s in adj)
+        for s in srcs:
+            order, dist, sigma = _local_bfs_from(s, adj, max_iter,
+                                                 "betweenness")
+            delta: dict = {}
+            for w in reversed(order):
+                dw1 = dist[w] + 1
+                acc = 0.0
+                for v in adj[w]:
+                    if dist.get(v) == dw1:
+                        acc += (1.0 + delta.get(v, 0.0)) / sigma[v]
+                if acc:
+                    delta[w] = sigma[w] * acc
+                if w != s:
+                    bc[w] += delta.get(w, 0.0)
+        denom = 1.0
+        if normalize:
+            n = len(nodes_l)
+            denom = (n - 1) * (n - 2) / 2.0
+            if denom <= 0:
+                denom = 1.0
+        from pyspark.sql.types import DoubleType, StructField, StructType
+        schema = StructType([
+            StructField("node", node_field.dataType, node_field.nullable),
+            StructField("betweenness", DoubleType(), True)])
+        out = pairs.sparkSession.createDataFrame(
+            [(n, bc[n] / 2.0 / denom) for n in nodes_l], schema)
+        # same final projection as the distributed path (coalesce over
+        # a literal), so the two paths' output schemas agree exactly
+        return out.select("node",
+                          F.coalesce("betweenness", F.lit(0.0))
+                          .alias("betweenness"))
     sym, nodes, levels, depth = _bfs_sigma(pairs, d1, d2, sources,
-                                           max_iter, "betweenness")
+                                           max_iter, "betweenness",
+                                           e=got[1])
     # backward accumulation, deepest level first.  Each round reads
     # exactly the two level frames it needs (the r15 shape — the
     # previous form filtered the full (src, node, dist, sigma) union
@@ -1519,33 +1722,38 @@ def betweenness(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     # below the 1e-9 replay-test tolerance (floats here are library-
     # only — the corpus pins the tree case, where both forms are
     # exact).
-    cur = (levels[depth]
-           .select("src", "node", "sigma")
-           .withColumn("delta", F.lit(0.0)))
-    acc = [cur.select("src", "node", "delta")]
-    for lvl in range(depth, 0, -1):
-        contrib = (cur.join(sym, cur.node == sym.c)
-                   .groupBy("src", F.col("n").alias("node"))
-                   .agg(F.sum((F.lit(1.0) + F.col("delta"))
-                              / F.col("sigma")).alias("__s")))
-        cur = (levels[lvl - 1]
+    try:
+        cur = (levels[depth]
                .select("src", "node", "sigma")
-               .join(contrib, ["src", "node"], "left")
-               .select("src", "node", "sigma",
-                       F.coalesce(F.col("sigma") * F.col("__s"),
-                                  F.lit(0.0)).alias("delta")))
-        stage_digest("betweenness.bwd", cur)
-        cur = cur.localCheckpoint(eager=True)
-        # acc is consumed once at the end and every arm is already a
-        # checkpointed frame — keep the union LAZY (a flat n-way union
-        # of ExistingRDD scans), saving one eager job per level
-        acc.append(cur.select("src", "node", "delta"))
-    from functools import reduce as _reduce
-    bc = (_reduce(DataFrame.unionByName, acc)
-          .where(F.col("node") != F.col("src"))
-          .groupBy("node")
-          .agg((F.sum("delta") / 2.0).alias("betweenness")))
-    sym.unpersist()
+               .withColumn("delta", F.lit(0.0)))
+        acc = [cur.select("src", "node", "delta")]
+        for lvl in range(depth, 0, -1):
+            contrib = (cur.join(sym, cur.node == sym.c)
+                       .groupBy("src", F.col("n").alias("node"))
+                       .agg(F.sum((F.lit(1.0) + F.col("delta"))
+                                  / F.col("sigma")).alias("__s")))
+            cur = (levels[lvl - 1]
+                   .select("src", "node", "sigma")
+                   .join(contrib, ["src", "node"], "left")
+                   .select("src", "node", "sigma",
+                           F.coalesce(F.col("sigma") * F.col("__s"),
+                                      F.lit(0.0)).alias("delta")))
+            stage_digest("betweenness.bwd", cur)
+            cur = cur.localCheckpoint(eager=True)
+            # acc is consumed once at the end and every arm is already a
+            # checkpointed frame — keep the union LAZY (a flat n-way union
+            # of ExistingRDD scans), saving one eager job per level
+            acc.append(cur.select("src", "node", "delta"))
+        from functools import reduce as _reduce
+        bc = (_reduce(DataFrame.unionByName, acc)
+              .where(F.col("node") != F.col("src"))
+              .groupBy("node")
+              .agg((F.sum("delta") / 2.0).alias("betweenness")))
+    finally:
+        # every acc arm is checkpoint-terminated, so nothing downstream
+        # re-reads the edge cache; release it on ALL exits (ADVICE r15:
+        # a throw in the backward pass leaked it for the session)
+        sym.unpersist()
     out = (nodes.join(bc, "node", "left")
            .select("node", F.coalesce("betweenness", F.lit(0.0))
                    .alias("betweenness")))
@@ -1617,7 +1825,8 @@ def assortativity(pairs: DataFrame, d1: str = "d1",
 
 def closeness(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
               sources: "list | None" = None, max_iter: int = 50,
-              harmonic: bool = False) -> DataFrame:
+              harmonic: bool = False,
+              local_graph_rows: int = 200_000) -> DataFrame:
     """Closeness centrality of the undirected graph given as a pair
     list — one row per source: ``(node, n_reached, dist_sum,
     closeness)`` where ``n_reached`` counts OTHER reached nodes,
@@ -1640,9 +1849,51 @@ def closeness(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     repo's no-RNG rule).  Exact hop counts; library-only (pair with
     q184's betweenness driver row for the BFS machinery's
     cross-engine pin) — Python replay in
-    ``test_closeness_python_replay``."""
+    ``test_closeness_python_replay``.
+
+    Size-gated like :func:`betweenness`: graphs under
+    ``local_graph_rows`` (+ the work cap) run the BFS sweep on the
+    driver — identical per-source (n_reached, dist_sum, closeness)
+    arithmetic, identical max_iter raise; ``local_graph_rows=0``
+    forces the distributed loop."""
+    if sources is not None and not sources:
+        raise ValueError("sources must be None (all nodes) or a "
+                         "non-empty list")
+    got = _local_bfs_graph(pairs, d1, d2, local_graph_rows, sources,
+                           "closeness")
+    if got[0] == "local":
+        _, nodes_l, adj, node_field = got
+        srcs = nodes_l if sources is None else \
+            sorted(s for s in set(sources) if s in adj)
+        rows = []
+        for s in srcs:
+            order, dist, _sig = _local_bfs_from(s, adj, max_iter,
+                                                "closeness")
+            n_r = len(order) - 1
+            dsum = sum(dist.values())
+            if harmonic:
+                cl = sum(1.0 / d for d in dist.values() if d > 0)
+            else:
+                cl = (n_r / dsum) if dsum > 0 else 0.0
+            rows.append((s, n_r, dsum, cl))
+        from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                       StructType)
+        schema = StructType([
+            StructField("node", node_field.dataType, node_field.nullable),
+            StructField("n_reached", LongType(), True),
+            StructField("dist_sum", LongType(), True),
+            StructField("closeness", DoubleType(), True)])
+        out = pairs.sparkSession.createDataFrame(rows, schema)
+        # mirror the distributed path's final coalesce projection
+        return out.select(
+            "node",
+            F.coalesce("n_reached", F.lit(0).cast("long"))
+            .alias("n_reached"),
+            F.coalesce("dist_sum", F.lit(0).cast("long"))
+            .alias("dist_sum"),
+            F.coalesce("closeness", F.lit(0.0)).alias("closeness"))
     sym, nodes, levels, _ = _bfs_sigma(pairs, d1, d2, sources,
-                                       max_iter, "closeness")
+                                       max_iter, "closeness", e=got[1])
     sym.unpersist()   # closeness never re-joins the edge list
     from functools import reduce as _reduce
     vis = _reduce(DataFrame.unionByName, levels)

@@ -3578,12 +3578,17 @@ def test_betweenness_python_replay(spark):
     for es in (rand, path, star, bridge):
         df = spark.createDataFrame([(a, b) for a, b in es],
                                    "d1 long, d2 long")
-        got = {r.node: r.betweenness
-               for r in betweenness(df).collect()}
-        want = brandes(es)
-        assert set(got) == set(want)
-        for n in want:
-            assert abs(got[n] - want[n]) < 1e-9, (n, got[n], want[n])
+        # both the r16 driver kernel (default gate) and the
+        # distributed level-synchronous loop (local_graph_rows=0)
+        for lgr in (200_000, 0):
+            got = {r.node: r.betweenness
+                   for r in betweenness(df,
+                                        local_graph_rows=lgr).collect()}
+            want = brandes(es)
+            assert set(got) == set(want)
+            for n in want:
+                assert abs(got[n] - want[n]) < 1e-9, \
+                    (n, lgr, got[n], want[n])
     # spot values: path interiors i in 1..7 have i*(8-i) pairs through
     got = {r.node: r.betweenness for r in betweenness(
         spark.createDataFrame(path, "d1 long, d2 long")).collect()}
@@ -3597,11 +3602,13 @@ def test_betweenness_python_replay(spark):
     # sampled sources == python with the same sample; absent node ok
     df = spark.createDataFrame(rand, "d1 long, d2 long")
     smp = [0, 3, 7, 999]
-    got = {r.node: r.betweenness
-           for r in betweenness(df, sources=smp).collect()}
-    want = brandes(rand, sources=smp)
-    for n in want:
-        assert abs(got[n] - want[n]) < 1e-9
+    for lgr in (200_000, 0):
+        got = {r.node: r.betweenness
+               for r in betweenness(df, sources=smp,
+                                    local_graph_rows=lgr).collect()}
+        want = brandes(rand, sources=smp)
+        for n in want:
+            assert abs(got[n] - want[n]) < 1e-9
     # normalize: star hub == 1.0 (maximal)
     got = {r.node: r.betweenness for r in betweenness(
         spark.createDataFrame(star, "d1 long, d2 long"),
@@ -3614,9 +3621,10 @@ def test_betweenness_python_replay(spark):
     assert abs(got[1] - 1.0) < 1e-9 and abs(got[11] - 1.0) < 1e-9
     with _pt.raises(ValueError):
         betweenness(df, sources=[])
-    with _pt.raises(RuntimeError, match="max_iter"):
-        betweenness(spark.createDataFrame(path, "d1 long, d2 long"),
-                    max_iter=3)
+    for lgr in (200_000, 0):      # raise rule holds on both paths
+        with _pt.raises(RuntimeError, match="max_iter"):
+            betweenness(spark.createDataFrame(path, "d1 long, d2 long"),
+                        max_iter=3, local_graph_rows=lgr)
 
 
 def test_assortativity_moment_replay(spark):
@@ -3711,14 +3719,19 @@ def test_closeness_python_replay(spark):
         df = spark.createDataFrame([(a, b) for a, b in es],
                                    "d1 long, d2 long")
         for h in (False, True):
-            got = {r.node: (r.n_reached, r.dist_sum, r.closeness)
-                   for r in closeness(df, harmonic=h).collect()}
-            want = replay(es, h)
-            assert set(got) == set(want)
-            for n in want:
-                assert got[n][0] == want[n][0]
-                assert got[n][1] == want[n][1]
-                assert abs(got[n][2] - want[n][2]) < 1e-12
+            # both the r16 driver kernel (default gate) and the
+            # distributed loop (local_graph_rows=0) must match
+            for lgr in (200_000, 0):
+                got = {r.node: (r.n_reached, r.dist_sum, r.closeness)
+                       for r in closeness(df, harmonic=h,
+                                          local_graph_rows=lgr)
+                       .collect()}
+                want = replay(es, h)
+                assert set(got) == set(want)
+                for n in want:
+                    assert got[n][0] == want[n][0]
+                    assert got[n][1] == want[n][1]
+                    assert abs(got[n][2] - want[n][2]) < 1e-12
     # path endpoints: dist_sum = 1+2+...+6 = 21, closeness 6/21
     df = spark.createDataFrame(path, "d1 long, d2 long")
     got = {r.node: r for r in closeness(df).collect()}
