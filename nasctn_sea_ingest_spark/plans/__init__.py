@@ -373,9 +373,27 @@ RETIRED_NAMES = frozenset({
 #   the stale>=2 invariant this round — so the carrier is the minimal
 #   registration that still puts every rewritten code path in front of
 #   the driver.
-RECHECK: frozenset[str] = frozenset({
-    "q11_asof_nearest", "q143_gap_interpolation", "q184_betweenness_tree",
-})
+#   Round 16 (optimization round 2): q11/q143/q184 all landed
+#   hash-green driver rows in CORRECTNESS_r15 — they leave this set
+#   (the documented exit condition).  This round's rewrites and their
+#   re-verify coverage, under a ZERO-SLACK window (the stale>=2 cohort
+#   is exactly 50, and retiring live queries to mint carrier slots is
+#   off the table in an optimization round — a disappeared query is an
+#   automatic regression):
+#   - q163 (star_components.base + dbscan), q168 (star_components),
+#     q173 (LPA unroll + base), q115/q166/q174 (iterative family) are
+#     ALL in the forced stale>=2 window — their rewrites get driver
+#     rows this round with no registration needed.
+#   - q171 (semdedup candidate prune), q184 (betweenness driver
+#     kernel), q165/q170/q177/q183/q176 (lazy-checkpoint probe fusion
+#     family) are 0-1 runs stale and CANNOT enter without evicting a
+#     forced-stale query; each is verified in-round by its pytest
+#     oracle (q184's analytic tree oracle, q171's DuckDB parity,
+#     replay/parity tests for the family) plus judge_repro --all at
+#     sf0.001 AND sf0.01 (149/149 recorded in OPTIMIZATION_r16.md),
+#     and the 0/1-stale members rotate into the driver window next
+#     run by the ordinary staleness clock.
+RECHECK: frozenset[str] = frozenset()
 
 
 def _latest_driver_round() -> dict[str, int]:
