@@ -190,9 +190,18 @@ def star_components(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     # edge checkpoints below each re-executed the full upstream plan
     # (for semdedup_exact's verified pairs that was the whole
     # candidate+verify pipeline, twice; for q168 the co-purchase
-    # build, twice)
-    stage_digest("star_components.base", e)
-    e = e.localCheckpoint(eager=True)
+    # build, twice).  SKIP both the digest and the checkpoint when the
+    # caller already hands in a materialized frame (a trivial plan
+    # terminating at a checkpoint scan, e.g. dbscan's bounded-regime
+    # edge set): re-checkpointing it would copy the data in one extra
+    # job for nothing, and the recorded "pre-checkpoint" digest would
+    # be a blind `Scan ExistingRDD` (the r12 stage-digest contract).
+    _ptxt = e._jdf.queryExecution().executedPlan().toString()
+    _nlines = len([ln for ln in _ptxt.strip().split("\n") if ln.strip()])
+    if not ("Scan ExistingRDD" in _ptxt and _nlines <= 4
+            and "Exchange" not in _ptxt):
+        stage_digest("star_components.base", e)
+        e = e.localCheckpoint(eager=True)
     sym = e.unionByName(e.select(F.col("b").alias("a"),
                                  F.col("a").alias("b")))
     # node set from the RAW pairs (both endpoints), BEFORE the self-loop
