@@ -74,6 +74,18 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                   .localCheckpoint(eager=True))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
+    # r16 NEGATIVE RESULTS on this loop, both measured with interleaved
+    # q115 probe pairs (guide §1.6):
+    # - pinning the edge checkpoint at defaultParallelism partitions
+    #   (repartition(par, "src")) to widen the per-round 4-task scan:
+    #   6.35/7.47 s -> 9.13/9.80 s — tiny-task dispatch cost exceeds the
+    #   parallelism gain (the r15 persist-experiment lesson again);
+    # - fusing k rounds per materialization for the fixed-budget path:
+    #   k=2 a wash (7.91/7.14 -> 7.78/7.04), k=5 a 25% REGRESSION
+    #   (9.32/9.54) — each round references the rank vector TWICE
+    #   (dangling mass + contributions), so the lazy chain doubles the
+    #   plan per fused round and analysis/codegen outgrow the saved job
+    #   overhead.  The one-checkpoint-per-round shape stays.
     for _ in range(max_iter):
         # dangling mass (rank on nodes with no out-edges) stays a 1-row
         # FRAME broadcast into the update — never a collected scalar, so
