@@ -60,9 +60,30 @@ def normalized_plan(df: DataFrame) -> str:
                r" \d+\)", r"\1, <n>)", p)
     p = re.sub(r"AdaptiveSparkPlan isFinalPlan=(?:true|false)",
                "AdaptiveSparkPlan", p)
-    # Range's split count is defaultParallelism (the core count), not
-    # plan shape — same class as the partitioning counts above
-    p = re.sub(r"splits=\d+", "splits=", p)
+    # Range's split count is defaultParallelism and the asof/slicing
+    # recipes size their pid frame (spark.range(nb)) from
+    # spark.sql.shuffle.partitions — both are session context, not
+    # plan shape.  Normalizing the whole argument tuple blinds the
+    # digest to LITERAL extent changes of spark.range sources (e.g. a
+    # codebook size); those change RESULTS and are caught by the
+    # oracle, which is the right net for semantic edits.
+    p = re.sub(r"Range \([^)]*\)", "Range (<args>)", p)
+    # round-robin repartitions print the capitalized physical form,
+    # which the lowercase partitioning strip above misses; their count
+    # is defaultParallelism (fan_out_small_scan, the under-partitioned
+    # input defenses)
+    p = re.sub(r"RoundRobinPartitioning\(\d+\)",
+               "RoundRobinPartitioning(<n>)", p)
+    # The timeline/value SLICING recipes (asof_join, twap, kmeans-class
+    # range slicers) derive their approx_percentile boundary list from
+    # spark.sql.shuffle.partitions, so the probability-array LITERAL
+    # tracks the core count (7 probs at 8 cores, 31 at 32).  Normalize
+    # arrays of 5+ fractions inside (partial_)approx_percentile only —
+    # short explicit quantile lists (e.g. [0.25,0.5,0.75]) stay
+    # digest-visible.
+    p = re.sub(r"((?:partial_)?approx_percentile\([^\[\]]*)"
+               r"\[(?:[-0-9.eE]+,){4,}[-0-9.eE]+\]",
+               r"\1[<probs>]", p)
     return p
 
 
